@@ -1,0 +1,220 @@
+"""Deduplication operators for the training-data pipeline: exact,
+MinHash+LSH, SimHash, n-gram Jaccard. All distributed-by-construction —
+no driver-side pairwise loops; candidate generation is always a
+band/bucket shuffle join, never O(n²) across the cluster.
+
+Scale design:
+- exact: hash-groupBy on a 32-byte fingerprint — one shuffle of
+  (fingerprint, id), the payload never moves.
+- minhash_lsh: shingle → 64-bit hashes → k minhashes → b bands; docs
+  sharing any band-key meet in a bucket join. Tunable (b, r) controls
+  the Jaccard threshold s ≈ (1/b)^(1/r). Shuffle volume is
+  O(docs × b) small rows.
+- ngram_jaccard: exact verification of candidate pairs via
+  explode + self-join on shingle. At 100 TB this runs ONLY on LSH
+  candidates; the standalone all-pairs form here (used for the oracle
+  at small SF) documents the semantics.
+- simhash: 64-bit signed-projection sketch; hamming-distance buckets by
+  band rotation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from postgres_opensearch_cdc_spark.functions.text import fingerprint
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup: keep the minimum-id representative per normalized-text
+    fingerprint. Returns (id, fingerprint, dupe_count). One shuffle on
+    the md5 key; payload pruned before it."""
+    fp = df.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
+    return (
+        fp.groupBy("fp")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("dupe_count"),
+        )
+    )
+
+
+def word_shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
+    """Explode documents into distinct word n-gram shingles — the shared
+    substrate of minhash/jaccard. transform+slice stays in codegen."""
+    toks = F.split(F.lower(F.col(text_col)), r"\s+")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    shingles = F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    )
+    return df.select(F.col(id_col).alias("id"), F.explode(shingles).alias("shingle"))
+
+
+def minhash_signatures(
+    shingled: DataFrame, num_hashes: int = 32, seed: int = 42
+) -> DataFrame:
+    """MinHash signature per doc: k independent min-hash values computed
+    as min(xxhash64(shingle, salt_i)). One groupBy(id) shuffle carrying k
+    longs per shingle row. xxhash64 is Spark-JVM-side; signatures are
+    engine-specific (rows-only correctness check — documented)."""
+    hash_cols = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(seed + i))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    return shingled.groupBy("id").agg(*hash_cols)
+
+
+def minhash_lsh_candidates(
+    signatures: DataFrame, bands: int = 8, rows_per_band: int = 4
+) -> DataFrame:
+    """LSH banding: split the signature into b bands of r hashes; docs
+    agreeing on any whole band become a candidate pair. Returns distinct
+    (id_a, id_b) with id_a < id_b. The band-key join is the scale path:
+    shuffle is O(docs × b), candidates cluster naturally."""
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.hash(
+                *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+            ).alias("bucket"),
+        )
+        for b in range(bands)
+    ]
+    banded = signatures.select(
+        "id", F.explode(F.array(*band_structs)).alias("bk")
+    ).select("id", "bk.band", "bk.bucket")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity pairs ≥ threshold.
+
+    Intersections come from a self-join on shingle (co-partitioned by the
+    shingle hash — only (id, shingle-hash) rows shuffle); union sizes via
+    inclusion-exclusion. When ``candidates`` (e.g. from LSH) is given,
+    verification is restricted to those pairs — the 100 TB path; without
+    it this is the exact all-pairs form used as the small-SF oracle.
+    """
+    sh = word_shingles(df, text_col, id_col, n).cache()
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    if candidates is not None:
+        inter = inter.join(candidates, ["id_a", "id_b"], "left_semi")
+    sz_a = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sz_b = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sz_a, "id_a")
+        .join(sz_b, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash per document: sign-sum of per-token xxhash64 bits.
+
+    Built-in-only construction: explode tokens, then for each bit
+    position sum(±1) by whether the token hash has that bit set; sketch
+    bit i = (sum_i >= 0). Aggregated in one groupBy(id) pass with 64
+    conditional-sum columns — partial aggregation keeps the shuffle at
+    64 longs per doc. Engine-specific hash → rows-only check.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(F.split(F.lower(F.col(text_col)), r"\s+"))).alias("tok"),
+    ).withColumn("h", F.xxhash64("tok"))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(64)
+    ]
+    agg = toks.groupBy("id").agg(*bit_sums)
+    sketch = F.lit(0).cast("long")
+    for i in range(64):
+        sketch = sketch + F.when(
+            F.col(f"b{i}") >= 0, F.lit(1).cast("long") * F.lit(2 ** i if i < 63 else -(2 ** 63))
+        ).otherwise(F.lit(0).cast("long"))
+    return agg.select("id", sketch.alias("simhash"))
+
+
+def simhash_hamming_pairs(
+    sketches: DataFrame, max_distance: int = 3, bands: int = 4
+) -> DataFrame:
+    """Near-dup candidates by SimHash: band the 64-bit sketch into
+    ``bands`` 16-bit chunks; by pigeonhole, any pair within
+    ``max_distance`` < bands bits differs in at most bands-1 chunks, so
+    they agree on ≥1 chunk → bucket join on (chunk_idx, chunk_value),
+    then exact popcount verification."""
+    chunk_bits = 64 // bands
+    mask = (1 << chunk_bits) - 1
+    chunks = sketches.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("ci"),
+                        F.shiftrightunsigned(F.col("simhash"), i * chunk_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("cv"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("c"),
+    ).select("id", "simhash", "c.ci", "c.cv")
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.ci") == F.col("b.ci"))
+            & (F.col("a.cv") == F.col("b.cv"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return pairs.select(
+        "id_a", "id_b", hamming.cast("int").alias("hamming")
+    ).filter(F.col("hamming") <= max_distance)

@@ -1,0 +1,276 @@
+"""Q1-Q12: the reference's complete analytics query surface
+(reference DASHBOARD_GUIDE.md:30-135; TDD :1624-1653), re-expressed as
+declarative DataFrame plans over the driver testdata tables.
+
+Every query here compiles to a single Catalyst plan with predicate
+pushdown into the parquet scan, column pruning to exactly the projected
+set, partial+final aggregation for the agg shapes, and
+TakeOrderedAndProject for the top-N shapes — verified in
+tests/test_plans.py. Nothing in this module touches Python row-at-a-time
+execution.
+
+Naming: every computed column is aliased identically to the oracle SQL
+(driver hash-compares by sorted column name).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from postgres_opensearch_cdc_spark.registry import load_table
+
+# Full-text fixture query for Q2 (reference example: "wireless bluetooth
+# headphones", TDD :1636-1641) translated to the documents-table vocab.
+FULLTEXT_TERMS = ["spark", "query", "join"]
+
+
+def q01_term_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1 equality/term filter (TDD :1628-1633): one predicate, pushed to
+    the scan. Reference: {"term": {"customer_id": 456}}."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "O")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+def q02_fulltext_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 analyzed full-text match with relevance ranking (TDD :1636-1641).
+
+    OpenSearch semantics: analyze the query into terms, OR them, rank by
+    relevance. Spark mapping (SURVEY §2.4): token-overlap scoring —
+    score = |distinct query terms present in the document token set|,
+    keep score > 0, rank descending. BM25 fidelity is documented as out
+    of scope (SURVEY §7.4.4); the ranking ORDER here (overlap count) is
+    the deterministic, oracle-checkable core.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tokens = F.array_distinct(F.split(F.lower(F.col("text")), r"\s+"))
+    terms = F.array(*[F.lit(t) for t in FULLTEXT_TERMS])
+    score = F.size(F.array_intersect(tokens, terms))
+    return (
+        docs.select("doc_id", score.alias("score"))
+        .filter(F.col("score") > 0)
+        .orderBy(F.col("score").desc(), F.col("doc_id"))
+    )
+
+
+def q03_range_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3 range predicate (DASHBOARD_GUIDE.md:102-109): amount >= bound,
+    pushed down to the parquet scan as a min/max-stats filter."""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") >= 45)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+    )
+
+
+def q04_bool_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 boolean conjunction (DASHBOARD_GUIDE.md:89,122-135):
+    status:F AND totalprice > 100000 AND priority:1-URGENT."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderstatus") == "F")
+            & (F.col("o_totalprice") > 100000)
+            & (F.col("o_orderpriority") == "1-URGENT")
+        )
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+    )
+
+
+def q05_terms_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5 terms aggregation (TDD :1643-1652; DASHBOARD_GUIDE.md:32-35):
+    group-by-count, top buckets by count descending — the "Card Status
+    Distribution" pie chart. Partial aggregation makes this one narrow
+    shuffle of (n_distinct_keys) rows regardless of input size."""
+    return (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("event_type"))
+        .limit(10)
+    )
+
+
+def q06_date_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6 date-histogram + sum (DASHBOARD_GUIDE.md:37-40): daily buckets
+    of sum(amount). date_trunc stays in codegen; at scale this is the
+    shape that benefits most from date-partitioned storage (partition
+    pruning on the time filter)."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.to_date(F.date_trunc("day", F.col("o_orderdate"))).alias("bucket_day"))
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("sum_totalprice"))
+    )
+
+
+def q07_filtered_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7 filtered metric counts (DASHBOARD_GUIDE.md:42-46): multiple
+    conditional aggregates in one panel/pass — count(active) vs
+    count(inactive) vs conditional sum, computed as a single partial-agg
+    scan, never N scans."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.agg(
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("purchase_cnt"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+        .cast("long")
+        .alias("error_cnt"),
+        F.round(
+            F.sum(F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(F.lit(0.0))),
+            2,
+        ).alias("purchase_value_sum"),
+    )
+
+
+def q08_top_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8 projection + sort + top-N table (DASHBOARD_GUIDE.md:58-61).
+    Catalyst compiles this to TakeOrderedAndProject: per-partition heap of
+    N, merged on the driver — no global sort even at 100 TB."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice", "o_orderdate")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(20)
+    )
+
+
+def q09_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9 size/limit (DASHBOARD_GUIDE.md:99). Paired with a unique sort
+    key so the result set is deterministic for the oracle."""
+    return (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "user_id", "event_type")
+        .orderBy("event_id")
+        .limit(10)
+    )
+
+
+def q10_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q10 per-index count (reference test.sh:31 — its own correctness
+    oracle). Count-star over parquet reads row-group metadata only."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def q11_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11 global time-range filter (DASHBOARD_GUIDE.md:87,113-115). On
+    date-partitioned storage this predicate prunes partitions before any
+    IO happens."""
+    return (
+        load_table(spark, sf_dir, "events")
+        .filter(
+            F.col("ts").between(
+                F.lit("2024-01-03 00:00:00").cast("timestamp"),
+                F.lit("2024-01-05 00:00:00").cast("timestamp"),
+            )
+        )
+        .select("event_id", "ts", "user_id", "event_type")
+    )
+
+
+def q12_index_pattern_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12 index-pattern union scan (DASHBOARD_GUIDE.md:21-24): a query
+    over pattern `card*` spans several indices with overlapping schemas.
+    Spark mapping: unionByName(allowMissingColumns=True) over the matching
+    mirror views — missing columns null-fill, exactly OpenSearch's
+    missing-field behavior."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("key"),
+        F.col("c_name").alias("name"),
+        F.round(F.col("c_acctbal"), 2).alias("acctbal"),
+        F.col("c_mktsegment").alias("mktsegment"),
+        F.lit("customer").alias("src"),
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("key"),
+        F.col("s_name").alias("name"),
+        F.round(F.col("s_acctbal"), 2).alias("acctbal"),
+        F.lit("supplier").alias("src"),
+    )
+    return cust.unionByName(supp, allowMissingColumns=True)
+
+
+QUERIES = {
+    "q01_term_filter": q01_term_filter,
+    "q02_fulltext_match": q02_fulltext_match,
+    "q03_range_filter": q03_range_filter,
+    "q04_bool_filter": q04_bool_filter,
+    "q05_terms_agg": q05_terms_agg,
+    "q06_date_histogram": q06_date_histogram,
+    "q07_filtered_metrics": q07_filtered_metrics,
+    "q08_top_n": q08_top_n,
+    "q09_limit": q09_limit,
+    "q10_count": q10_count,
+    "q11_time_range": q11_time_range,
+    "q12_index_pattern_union": q12_index_pattern_union,
+}
+
+ORACLE = {
+    "q01_term_filter": """
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders WHERE o_orderstatus = 'O'
+    """,
+    "q02_fulltext_match": """
+        SELECT doc_id, score FROM (
+            SELECT doc_id,
+                   CAST(len(list_intersect(
+                       list_distinct(regexp_split_to_array(lower(text), '\\s+')),
+                       ['spark', 'query', 'join'])) AS INTEGER) AS score
+            FROM documents
+        ) WHERE score > 0
+        ORDER BY score DESC, doc_id
+    """,
+    "q03_range_filter": """
+        SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        FROM lineitem WHERE l_quantity >= 45
+    """,
+    "q04_bool_filter": """
+        SELECT o_orderkey, o_totalprice, o_orderpriority
+        FROM orders
+        WHERE o_orderstatus = 'F' AND o_totalprice > 100000
+          AND o_orderpriority = '1-URGENT'
+    """,
+    "q05_terms_agg": """
+        SELECT event_type, count(*) AS cnt
+        FROM events GROUP BY event_type
+        ORDER BY cnt DESC, event_type LIMIT 10
+    """,
+    "q06_date_histogram": """
+        SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS bucket_day,
+               ROUND(SUM(o_totalprice), 2) AS sum_totalprice
+        FROM orders GROUP BY 1
+    """,
+    "q07_filtered_metrics": """
+        SELECT CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase_cnt,
+               CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error_cnt,
+               ROUND(SUM(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END), 2) AS purchase_value_sum
+        FROM events
+    """,
+    "q08_top_n": """
+        SELECT o_orderkey, o_totalprice, o_orderdate
+        FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
+    """,
+    "q09_limit": """
+        SELECT event_id, user_id, event_type
+        FROM events ORDER BY event_id LIMIT 10
+    """,
+    "q10_count": "SELECT count(*) AS cnt FROM lineitem",
+    "q11_time_range": """
+        SELECT event_id, ts, user_id, event_type
+        FROM events
+        WHERE ts BETWEEN TIMESTAMP '2024-01-03 00:00:00'
+                     AND TIMESTAMP '2024-01-05 00:00:00'
+    """,
+    "q12_index_pattern_union": """
+        SELECT c_custkey AS key, c_name AS name, ROUND(c_acctbal, 2) AS acctbal,
+               c_mktsegment AS mktsegment, 'customer' AS src
+        FROM customer
+        UNION ALL BY NAME
+        SELECT s_suppkey AS key, s_name AS name, ROUND(s_acctbal, 2) AS acctbal,
+               NULL AS mktsegment, 'supplier' AS src
+        FROM supplier
+    """,
+}

@@ -1,0 +1,211 @@
+"""Training-data pipeline extension queries: dedup, similarity search,
+text analysis over the documents/embeddings tables. Absent from the
+reference (SURVEY §2.7) — Spark-native additions, graded as first-class.
+
+Oracle policy: operators whose math is engine-portable (md5 dedup keys,
+n-gram Jaccard, cosine in double, string stats) carry full DuckDB
+oracles. MinHash/SimHash are built on Spark's xxhash64 (no DuckDB
+equivalent) → registered without oracle SQL, covered instead by unit
+tests with planted near-duplicates (tests/test_dedup.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from postgres_opensearch_cdc_spark.functions import text as X
+from postgres_opensearch_cdc_spark.functions.dedup import (
+    exact_dedup,
+    minhash_lsh_candidates,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash64,
+    word_shingles,
+)
+from postgres_opensearch_cdc_spark.functions.similarity import brute_force_topk
+from postgres_opensearch_cdc_spark.registry import load_table
+
+_LANG_ORDER = ["en", "de", "fr", "es", "zh"]
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup groups: md5-fingerprint → (keep_id, dupe_count).
+    Fingerprint is engine-portable so fully oracle-checked."""
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_dedup(docs)
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by exact 3-gram Jaccard ≥ 0.4. All-pairs-via-
+    shingle-join form (the small-SF oracle shape); the LSH-pruned form is
+    dedup_minhash_lsh."""
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, n=3, threshold=0.4)
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(32) + LSH(8 bands × 4 rows) candidates verified by exact
+    Jaccard. xxhash64-based → rows-only driver check; semantics verified
+    in tests with planted duplicates."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = word_shingles(docs, "text", "doc_id", n=3)
+    sigs = minhash_signatures(sh, num_hashes=32)
+    cands = minhash_lsh_candidates(sigs, bands=8, rows_per_band=4)
+    return ngram_jaccard_pairs(docs, n=3, threshold=0.4, candidates=cands)
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash sketch per doc (rows-only check; xxhash64-based)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash64(docs)
+
+
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 neighbors of vector 0 — the ANN baseline and
+    verifier. Query vector fetched as a parameter (single-row lookup),
+    then constant-folded into the scan."""
+    vecs = load_table(spark, sf_dir, "embeddings")
+    qrow = vecs.filter(F.col("vec_id") == 0).select("embedding").head()
+    return brute_force_topk(
+        vecs.filter(F.col("vec_id") != 0), list(qrow[0]), k=10
+    )
+
+
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document text statistics: token count, distinct tokens, mean
+    token length, type-token ratio, quality score — the standard
+    pretraining quality-filter columns, all codegen'd."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        X.token_count(t).alias("token_cnt"),
+        X.distinct_token_count(t).alias("distinct_token_cnt"),
+        X.avg_token_len(t).alias("avg_token_len"),
+        X.type_token_ratio(t).alias("ttr"),
+        X.quality_score(t).alias("quality"),
+    )
+
+
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting (md5 of normalized text) — engine-portable
+    dedup/lineage key."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", X.fingerprint(F.col("text")).alias("fp"))
+
+
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic marker-lexicon language ID with a fixed tie-break order.
+    (Driver testdata text is not language-differentiated, so this checks
+    the deterministic computation, not label accuracy — accuracy belongs
+    to a real lexicon swapped in behind the same contract.)"""
+    docs = load_table(spark, sf_dir, "documents")
+    scores = X.lang_scores(F.col("text"))
+    pred = F.lit(_LANG_ORDER[-1])
+    # build reversed WHEN-chain: earlier langs win ties
+    for lang in reversed(_LANG_ORDER[:-1]):
+        others = [scores[o] for o in _LANG_ORDER if o != lang]
+        cond = None
+        for o in _LANG_ORDER[_LANG_ORDER.index(lang) + 1 :]:
+            c = scores[lang] >= scores[o]
+            cond = c if cond is None else (cond & c)
+        for o in _LANG_ORDER[: _LANG_ORDER.index(lang)]:
+            c = scores[lang] > scores[o]
+            cond = c if cond is None else (cond & c)
+        pred = F.when(cond, F.lit(lang)).otherwise(pred)
+    return docs.select("doc_id", pred.alias("pred_lang"))
+
+
+QUERIES = {
+    "dedup_exact": dedup_exact,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_simhash": dedup_simhash,
+    "ann_cosine_topk": ann_cosine_topk,
+    "text_stats": text_stats,
+    "text_fingerprint": text_fingerprint,
+    "text_lang_id": text_lang_id,
+}
+
+_TOKS = "regexp_split_to_array(lower(text), '\\s+')"
+
+ORACLE = {
+    "dedup_exact": f"""
+        SELECT md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp,
+               min(doc_id) AS keep_id, count(*) AS dupe_count
+        FROM documents GROUP BY 1
+    """,
+    "dedup_ngram_jaccard": """
+        WITH sh AS (
+            SELECT doc_id AS id,
+                   unnest(list_distinct(
+                       list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
+                                      i -> array_to_string(toks[i:i+2], ' ')))) AS shingle
+            FROM (
+                SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS toks
+                FROM documents
+            )
+        ),
+        sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+        inter AS (
+            SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+            GROUP BY 1, 2
+        )
+        SELECT id_a, id_b,
+               ROUND(inter * 1.0 / (sa.sz + sb.sz - inter), 6) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.id = id_a
+        JOIN sizes sb ON sb.id = id_b
+        WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= 0.4
+    """,
+    # dedup_minhash_lsh, dedup_simhash: no oracle (engine-specific hashes)
+    "ann_cosine_topk": """
+        WITH q AS (
+            SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0
+        )
+        SELECT vec_id,
+               ROUND(
+                   list_dot_product(embedding::DOUBLE[], qv)
+                   / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                      * sqrt(list_dot_product(qv, qv))), 6) AS cos_sim
+        FROM embeddings, q
+        WHERE vec_id <> 0
+        ORDER BY cos_sim DESC, vec_id LIMIT 10
+    """,
+    "text_stats": f"""
+        SELECT doc_id,
+               CAST(len({_TOKS}) AS BIGINT) AS token_cnt,
+               CAST(len(list_distinct({_TOKS})) AS BIGINT) AS distinct_token_cnt,
+               ROUND(list_sum(list_transform({_TOKS}, t -> strlen(t))) * 1.0
+                     / len({_TOKS}), 4) AS avg_token_len,
+               ROUND(len(list_distinct({_TOKS})) * 1.0 / len({_TOKS}), 4) AS ttr,
+               ROUND(0.5 * (len(list_distinct({_TOKS})) * 1.0 / len({_TOKS}))
+                     + 0.5 * least(len({_TOKS}) / 100.0, 1.0), 4) AS quality
+        FROM documents
+    """,
+    "text_fingerprint": """
+        SELECT doc_id,
+               md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp
+        FROM documents
+    """,
+    "text_lang_id": f"""
+        SELECT doc_id,
+               CASE
+                 WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es AND s_en >= s_zh THEN 'en'
+                 WHEN s_de > s_en AND s_de >= s_fr AND s_de >= s_es AND s_de >= s_zh THEN 'de'
+                 WHEN s_fr > s_en AND s_fr > s_de AND s_fr >= s_es AND s_fr >= s_zh THEN 'fr'
+                 WHEN s_es > s_en AND s_es > s_de AND s_es > s_fr AND s_es >= s_zh THEN 'es'
+                 ELSE 'zh'
+               END AS pred_lang
+        FROM (
+            SELECT doc_id,
+                   len(list_intersect(list_distinct({_TOKS}), ['the','and','of'])) AS s_en,
+                   len(list_intersect(list_distinct({_TOKS}), ['der','und','die'])) AS s_de,
+                   len(list_intersect(list_distinct({_TOKS}), ['le','et','les'])) AS s_fr,
+                   len(list_intersect(list_distinct({_TOKS}), ['el','y','los'])) AS s_es,
+                   len(list_intersect(list_distinct({_TOKS}), ['de','shi','le'])) AS s_zh
+            FROM documents
+        )
+    """,
+}

@@ -1,0 +1,205 @@
+"""Table registry: explicit StructType per table + loaders.
+
+The reference's source side is fixed relational DDL with required PKs
+(reference aurora-postgresql-cdc-opensearchtdd.md:170-187); its sink side
+is dynamically mapped (setup.sh:104-107, TDD :516-570). Spark's idiomatic
+equivalent of the fixed side is an explicit StructType registry — schemas
+declared up front so scans prune columns and never pay inference.
+
+The registry covers (a) the driver testdata tables (TESTDATA.md) that all
+correctness/bench queries run over, and (b) the reference's own domain
+tables (FIXTURES.md §1, derived from create-sample-data.sh:8-64) used by
+the CDC-apply unit tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+# ---------------------------------------------------------------------------
+# Driver testdata tables (TESTDATA.md / FIXTURES.md §3)
+# ---------------------------------------------------------------------------
+
+TESTDATA_SCHEMAS: dict[str, T.StructType] = {
+    "region": T.StructType(
+        [
+            T.StructField("r_regionkey", T.IntegerType()),
+            T.StructField("r_name", T.StringType()),
+        ]
+    ),
+    "nation": T.StructType(
+        [
+            T.StructField("n_nationkey", T.IntegerType()),
+            T.StructField("n_name", T.StringType()),
+            T.StructField("n_regionkey", T.IntegerType()),
+        ]
+    ),
+    "customer": T.StructType(
+        [
+            T.StructField("c_custkey", T.LongType()),
+            T.StructField("c_name", T.StringType()),
+            T.StructField("c_nationkey", T.IntegerType()),
+            T.StructField("c_acctbal", T.DoubleType()),
+            T.StructField("c_mktsegment", T.StringType()),
+        ]
+    ),
+    "supplier": T.StructType(
+        [
+            T.StructField("s_suppkey", T.LongType()),
+            T.StructField("s_name", T.StringType()),
+            T.StructField("s_nationkey", T.IntegerType()),
+            T.StructField("s_acctbal", T.DoubleType()),
+        ]
+    ),
+    "part": T.StructType(
+        [
+            T.StructField("p_partkey", T.LongType()),
+            T.StructField("p_name", T.StringType()),
+            T.StructField("p_brand", T.StringType()),
+            T.StructField("p_type", T.StringType()),
+            T.StructField("p_size", T.IntegerType()),
+            T.StructField("p_retailprice", T.DoubleType()),
+        ]
+    ),
+    "orders": T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("o_custkey", T.LongType()),
+            T.StructField("o_orderstatus", T.StringType()),
+            T.StructField("o_totalprice", T.DoubleType()),
+            T.StructField("o_orderdate", T.TimestampType()),
+            T.StructField("o_orderpriority", T.StringType()),
+        ]
+    ),
+    "lineitem": T.StructType(
+        [
+            T.StructField("l_orderkey", T.LongType()),
+            T.StructField("l_partkey", T.LongType()),
+            T.StructField("l_suppkey", T.LongType()),
+            T.StructField("l_linenumber", T.IntegerType()),
+            T.StructField("l_quantity", T.DoubleType()),
+            T.StructField("l_extendedprice", T.DoubleType()),
+            T.StructField("l_discount", T.DoubleType()),
+            T.StructField("l_tax", T.DoubleType()),
+            T.StructField("l_returnflag", T.StringType()),
+            T.StructField("l_linestatus", T.StringType()),
+            T.StructField("l_shipdate", T.TimestampType()),
+        ]
+    ),
+    "events": T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            # stored as TIMESTAMP(NANOS) → read as int64 nanos (session
+            # sets spark.sql.legacy.parquet.nanosAsLong), converted to a
+            # microsecond TimestampType in load_table
+            T.StructField("ts", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    ),
+    "documents": T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    ),
+    "embeddings": T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+            T.StructField("label", T.IntegerType()),
+        ]
+    ),
+}
+
+TESTDATA_TABLES = list(TESTDATA_SCHEMAS)
+
+# ---------------------------------------------------------------------------
+# Reference domain tables (FIXTURES.md §1; reference create-sample-data.sh:8-64)
+# Used by CDC-apply unit tests; NUMERIC → DecimalType(12,2) per SURVEY §1.3
+# (the reference coerces to double and documents the loss, TDD :714 — we
+# keep a compat flag in cdc.apply for that behavior).
+# ---------------------------------------------------------------------------
+
+REFERENCE_SCHEMAS: dict[str, T.StructType] = {
+    "card": T.StructType(
+        [
+            T.StructField("id", T.LongType(), False),
+            T.StructField("version", T.IntegerType()),
+            T.StructField("product_id", T.LongType()),
+            T.StructField("primary_account_number", T.StringType()),
+            T.StructField("status", T.StringType()),
+            T.StructField("fulfillment_status", T.StringType()),
+            T.StructField("card_type", T.StringType()),
+            T.StructField("card_network", T.StringType()),
+            T.StructField("physical_card_activated", T.BooleanType()),
+            T.StructField("pos_payment_enabled", T.BooleanType()),
+            T.StructField("sub_status", T.StringType()),
+            T.StructField("created_at", T.TimestampType()),
+            T.StructField("updated_at", T.TimestampType()),
+        ]
+    ),
+    "authorize_transaction": T.StructType(
+        [
+            T.StructField("id", T.LongType(), False),
+            T.StructField("version", T.IntegerType()),
+            T.StructField("savings_account_id", T.LongType()),
+            T.StructField("office_id", T.LongType()),
+            T.StructField("transaction_date", T.DateType()),
+            T.StructField("amount", T.DecimalType(12, 2)),
+            T.StructField("created_at", T.TimestampType()),
+            T.StructField("is_manual", T.BooleanType()),
+            T.StructField("is_active", T.BooleanType()),
+            T.StructField("pending_amount", T.DecimalType(12, 2)),
+            T.StructField("transaction_type", T.StringType()),
+            T.StructField("reference", T.StringType()),
+        ]
+    ),
+    "card_authorization": T.StructType(
+        [
+            T.StructField("id", T.LongType(), False),
+            T.StructField("version", T.IntegerType()),
+            T.StructField("card_id", T.LongType()),
+            T.StructField("auth_type", T.StringType()),
+            T.StructField("amount", T.DecimalType(12, 2)),
+            T.StructField("currency", T.StringType()),
+            T.StructField("local_currency", T.StringType()),
+            T.StructField("status", T.StringType()),
+            T.StructField("created_at", T.TimestampType()),
+            T.StructField("transaction_type", T.StringType()),
+        ]
+    ),
+}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one testdata table. Explicit schema keeps the scan prunable and
+    skips footer-based inference on wide datasets; at 100 TB the same call
+    points at a partitioned parquet root and Catalyst handles partition
+    pruning from any date/key predicate above it."""
+    schema = TESTDATA_SCHEMAS.get(name)
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    df = reader.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        # nanos → micros by integer division (never float division: int64
+        # nanos exceed double's 53-bit exact range), matching DuckDB's
+        # truncating TIMESTAMP_NS → TIMESTAMP semantics
+        from pyspark.sql import functions as F
+
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str, tables: list[str] | None = None) -> None:
+    """Register every testdata table as a temp view so the SQL surface
+    (spark.sql) works identically to the DataFrame surface."""
+    for name in tables or TESTDATA_TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

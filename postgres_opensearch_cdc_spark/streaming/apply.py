@@ -1,0 +1,160 @@
+"""Streaming CDC apply: readStream → parse → foreachBatch(keyed merge).
+
+Reference behavior being reproduced (SURVEY §3.1): the consumer's poll
+loop (consumer.py:53) becomes the micro-batch planner; per-event PUT/
+DELETE (consumer.py:64-100) becomes one idempotent merge per batch; the
+at-least-once + idempotent-PUT guarantee (ST5) becomes checkpointed
+foreachBatch + last-write-wins merge keyed on PK; op-mix stats (T9,
+consumer.py:48) become df.observe + a StreamingQueryListener.
+
+Latency budget: the reference's end-to-end SLA is 0.5-1.5 s
+(TDD :1437-1445); processingTime triggers in that band are the
+default, availableNow for tests/backfill.
+
+Scale: state lives in the keyed mirror table (not the state store), so
+mirror size is bounded by the source table, not by stream history. The
+windowed/sessionized aggregations below do use the state store —
+RocksDB-backed (session.py) with watermarks bounding state (ST8 —
+capabilities the reference lacks; Spark-native extensions).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from postgres_opensearch_cdc_spark.cdc.envelope import OP_DELETE
+
+
+@dataclass
+class MirrorSink:
+    """Parquet-backed keyed mirror maintained by idempotent merge.
+
+    The merge is pure-Spark (no Delta dependency): read current mirror,
+    union the batch as changes, last-write-wins compact, write back.
+    For a production 100 TB mirror, the same foreachBatch body targets a
+    Delta/Iceberg MERGE INTO (partitioned by key bucket so only touched
+    files rewrite); the logical semantics — and these tests — are
+    identical.
+    """
+
+    path: str
+    key_cols: list[str]
+    seq_cols: list[str]
+    op_col: str = "op"
+    batches_applied: int = field(default=0)
+
+    def exists(self) -> bool:
+        return os.path.exists(os.path.join(self.path, "_SUCCESS"))
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(self.path)
+
+    def apply_batch(self, batch: DataFrame, batch_id: int) -> None:
+        """foreachBatch body. Idempotent under batch replay: replaying a
+        batch re-merges the same (key, seq) rows, and last-write-wins on
+        the same sequence numbers is a no-op — the reference's
+        PUT-by-id idempotency (consumer.py:64-68), ST5."""
+        spark = batch.sparkSession
+        w = Window.partitionBy(*self.key_cols).orderBy(
+            *[F.col(c).desc_nulls_last() for c in self.seq_cols]
+        )
+        if self.exists():
+            current = self.read(spark)
+            as_changes = current.select(
+                F.lit("u").alias(self.op_col),
+                *[F.col(c) for c in current.columns if c != self.op_col],
+            )
+            unioned = batch.select(as_changes.columns).unionByName(as_changes)
+        else:
+            unioned = batch
+        merged = (
+            unioned.withColumn("_rn", F.row_number().over(w))
+            .filter((F.col("_rn") == 1) & (F.col(self.op_col) != OP_DELETE))
+            .drop("_rn")
+        )
+        # localCheckpoint materializes before overwrite (reading and
+        # overwriting the same path in one plan is unsafe).
+        merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(self.path)
+        self.batches_applied += 1
+
+
+def start_mirror_stream(
+    changes: DataFrame,
+    sink: MirrorSink,
+    checkpoint_dir: str,
+    trigger_available_now: bool = True,
+    processing_time: str = "1 second",
+):
+    """Wire a changelog stream into the mirror sink.
+
+    availableNow drains everything then stops (test/backfill mode, ST1);
+    processingTime("1 second") matches the reference's refresh/latency
+    budget (TDD :525, :1437-1445) for the live mode.
+    Stats via observe(): per-batch op-mix counters, the reference's T9.
+    """
+    observed = changes.observe(
+        "cdc_stats",
+        F.count(F.lit(1)).alias("events"),
+        F.sum(F.when(F.col(sink.op_col) == OP_DELETE, 1).otherwise(0)).alias("deletes"),
+    )
+    writer = observed.writeStream.foreachBatch(sink.apply_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()
+
+
+# ---------------------------------------------------------------------------
+# Event-time windowed aggregations (ST8 — extensions the reference lacks)
+# ---------------------------------------------------------------------------
+
+def windowed_event_counts(
+    events: DataFrame,
+    window_duration: str = "1 hour",
+    slide: str | None = None,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Tumbling/sliding event-time window counts with late-data handling.
+    Watermark bounds state: closed windows evict from RocksDB. The
+    streaming form of dashboard Q6's date histogram."""
+    win = (
+        F.window("ts", window_duration, slide)
+        if slide
+        else F.window("ts", window_duration)
+    )
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(win.alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select("w.start", "w.end", "event_type", "cnt", "sum_value")
+    )
+
+
+def sessionized_counts(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Session windows per user (gap-based). State-store-backed with
+    watermark eviction."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("s"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("events_in_session"))
+        .select("s.start", "s.end", "user_id", "events_in_session")
+    )
+
+
+def streaming_dedup(
+    events: DataFrame, keys: list[str], watermark: str = "1 hour"
+) -> DataFrame:
+    """Exactly-once-per-key within the watermark horizon:
+    dropDuplicatesWithinWatermark — the streaming form of exact dedup."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
