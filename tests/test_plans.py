@@ -1,0 +1,80 @@
+"""Physical-plan assertions: the efficiency contract. Correct results
+with the wrong plan fail these tests — pushdown must reach the scan,
+small dims must broadcast, top-N must not global-sort (SURVEY §4)."""
+
+from __future__ import annotations
+
+from postgres_opensearch_cdc_spark.queries import dashboard, relational
+
+
+def plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    p = plan(dashboard.q01_term_filter(spark, sf_dir))
+    assert "PushedFilters" in p
+    assert "o_orderstatus" in p.split("PushedFilters")[1].splitlines()[0]
+
+
+def test_range_filter_pushdown(spark, sf_dir):
+    p = plan(dashboard.q03_range_filter(spark, sf_dir))
+    pushed = p.split("PushedFilters")[1].splitlines()[0]
+    assert "GreaterThanOrEqual" in pushed or "l_quantity" in pushed
+
+
+def test_column_pruning(spark, sf_dir):
+    """A 3-column projection must read 3 columns, not the whole table."""
+    p = plan(dashboard.q01_term_filter(spark, sf_dir))
+    schema_line = p.split("ReadSchema")[1].splitlines()[0]
+    assert "o_totalprice" in schema_line
+    assert "o_orderdate" not in schema_line
+    assert "o_orderpriority" not in schema_line
+
+
+def test_topn_uses_take_ordered(spark, sf_dir):
+    """Q8 must compile to TakeOrderedAndProject — per-partition heaps, no
+    global sort (SURVEY Q8)."""
+    p = plan(dashboard.q08_top_n(spark, sf_dir))
+    assert "TakeOrderedAndProject" in p
+
+
+def test_join_broadcasts_dimension(spark, sf_dir):
+    """The filtered customer side of the Q3-shaped join must broadcast —
+    no shuffle of the big fact table for a small dim (SURVEY §4)."""
+    p = plan(relational.join_shipping_priority(spark, sf_dir))
+    assert "BroadcastHashJoin" in p
+
+
+def test_star_join_broadcasts_all_dims(spark, sf_dir):
+    p = plan(relational.join_local_supplier_volume(spark, sf_dir))
+    assert p.count("BroadcastHashJoin") >= 3
+
+
+def test_aggregation_is_partial_then_final(spark, sf_dir):
+    """Terms agg must map-side combine (partial HashAggregate before the
+    exchange) — the shuffle carries groups, not rows."""
+    p = plan(dashboard.q05_terms_agg(spark, sf_dir))
+    assert p.count("HashAggregate") >= 2
+
+
+def test_whole_stage_codegen_in_hot_path(spark, sf_dir):
+    """Q1's scan-filter-project should live inside WholeStageCodegen —
+    no Python, no interpreted row processing."""
+    p = plan(dashboard.q01_term_filter(spark, sf_dir))
+    # in formatted explain, '* ' marks operators inside WholeStageCodegen
+    assert "* Filter" in p and "* Project" in p
+    assert "BatchEvalPython" not in p
+    assert "Pandas" not in p
+
+
+def test_no_python_udfs_anywhere_in_query_surface(spark, sf_dir):
+    """The entire oracle-checked surface is built-ins only (SURVEY
+    'UDFs are the slow path')."""
+    import __spark_entry__ as e
+
+    for name, fn in e.queries().items():
+        p = plan(fn(spark, sf_dir))
+        assert "BatchEvalPython" not in p, f"{name} uses a row-at-a-time Python UDF"

@@ -1,0 +1,82 @@
+"""Similarity-search operators: exact top-k baseline + LSH/IVF scale
+paths, on planted geometry so expected neighbors are known."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from postgres_opensearch_cdc_spark.functions.similarity import (
+    brute_force_topk,
+    cosine,
+    ivf_assign,
+    pairwise_topk_by_label,
+    random_hyperplane_buckets,
+)
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0], 0),
+        (1, [0.99, 0.01, 0.0], 0),  # ~ vec 0
+        (2, [0.0, 1.0, 0.0], 1),
+        (3, [0.0, 0.98, 0.02], 1),  # ~ vec 2
+        (4, [0.0, 0.0, 1.0], 2),
+        (5, [-1.0, 0.0, 0.0], 0),  # opposite of vec 0
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+
+
+def test_cosine_math(spark):
+    df = spark.createDataFrame(
+        [([1.0, 0.0], [0.0, 1.0]), ([1.0, 1.0], [1.0, 1.0])], "a array<float>, b array<float>"
+    )
+    out = [round(r[0], 6) for r in df.select(cosine(F.col("a"), F.col("b"))).collect()]
+    assert out == [0.0, 1.0]
+
+
+def test_brute_force_topk_ordering(vectors):
+    out = brute_force_topk(
+        vectors.filter(F.col("vec_id") != 0), [1.0, 0.0, 0.0], k=3
+    ).collect()
+    # vec 1 nearly parallel (top); 2/3/4 all orthogonal → tie at 0,
+    # broken deterministically by vec_id
+    assert [r["vec_id"] for r in out] == [1, 2, 3]
+    assert out[0]["cos_sim"] > 0.99
+
+
+def test_pairwise_topk_by_label(vectors):
+    out = pairwise_topk_by_label(vectors, k=1)
+    nn = {r["id_a"]: r["id_b"] for r in out.collect()}
+    assert nn[0] == 1 and nn[1] == 0
+    assert nn[2] == 3 and nn[3] == 2
+
+
+def test_hyperplane_buckets_separate_opposites(vectors):
+    planes = [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]]
+    b = {r["vec_id"]: r["bucket"] for r in random_hyperplane_buckets(vectors, planes).collect()}
+    assert b[0] == b[1]  # near-identical vectors share a bucket
+    assert b[0] != b[5]  # opposite vectors do not
+
+
+def test_ivf_assignment(vectors):
+    centroids = [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]]
+    cells = {r["vec_id"]: r["cell"] for r in ivf_assign(vectors, centroids).collect()}
+    assert cells[0] == 0 and cells[1] == 0
+    assert cells[2] == 1 and cells[3] == 1
+    assert cells[4] == 2
+
+
+def test_topk_on_real_embeddings(spark, sf_dir):
+    from postgres_opensearch_cdc_spark.registry import load_table
+
+    vecs = load_table(spark, sf_dir, "embeddings")
+    q = list(vecs.filter(F.col("vec_id") == 0).head()["embedding"])
+    out = brute_force_topk(vecs, q, k=5).collect()
+    # the query vector itself ranks first with cos ≈ 1
+    assert out[0]["vec_id"] == 0
+    assert abs(out[0]["cos_sim"] - 1.0) < 1e-6
+    sims = [r["cos_sim"] for r in out]
+    assert sims == sorted(sims, reverse=True)
