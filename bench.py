@@ -26,6 +26,11 @@ def main() -> None:
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
+    # warm up the JVM / codegen / parquet reader so the first timed query
+    # doesn't absorb session startup
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    spark.read.parquet(f"{sf_dir}/region.parquet").collect()
+
     qs = entrymod.queries()
     timings: dict[str, float] = {}
     total = 0.0
@@ -43,6 +48,8 @@ def main() -> None:
         total += dt
         print(f"{name}: {dt}s ({n} rows)", file=sys.stderr)
 
+    throughput = cdc_throughput(spark, sf_dir)
+
     print(
         json.dumps(
             {
@@ -51,9 +58,64 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "throughput": throughput,
             }
         )
     )
+
+
+def cdc_throughput(spark, sf_dir: str) -> dict:
+    """The BASELINE.md gates in the reference's own units:
+    - streaming upsert events/s through the keyed merge (target >= 1000/s,
+      reference TDD :1430)
+    - batch backfill rows/s (target >= 5000/s, TDD :1435)
+    - per-micro-batch apply latency (target <= 1.5 s, TDD :1445)
+    """
+    import shutil
+    import tempfile
+
+    from postgres_opensearch_cdc_spark.cdc.envelope import events_as_changelog
+    from postgres_opensearch_cdc_spark.registry import load_table
+    from postgres_opensearch_cdc_spark.streaming.apply import MirrorSink
+
+    out: dict = {}
+    tmp = tempfile.mkdtemp(prefix="bench_cdc_")
+    try:
+        # batch backfill: snapshot write of lineitem (the largest table)
+        li = load_table(spark, sf_dir, "lineitem")
+        n_rows = li.count()
+        t0 = time.perf_counter()
+        li.write.mode("overwrite").parquet(f"{tmp}/backfill")
+        dt = time.perf_counter() - t0
+        out["backfill_rows_per_sec"] = round(n_rows / dt)
+
+        # streaming upserts: full events changelog through the merge path
+        log = events_as_changelog(load_table(spark, sf_dir, "events"))
+        n_events = log.count()
+        sink = MirrorSink(path=f"{tmp}/mirror", key_cols=["key"], seq_cols=["ts", "event_id"])
+        t0 = time.perf_counter()
+        sink.apply_batch(log, batch_id=0)
+        dt = time.perf_counter() - t0
+        out["stream_upsert_events_per_sec"] = round(n_events / dt)
+
+        # micro-batch latency: apply three 1000-event batches onto the
+        # existing mirror (merge against current state each time)
+        batches = [log.filter((F_col_mod(log, i))) for i in range(3)]
+        lat = []
+        for i, b in enumerate(batches):
+            t0 = time.perf_counter()
+            sink.apply_batch(b.limit(1000), batch_id=i + 1)
+            lat.append(time.perf_counter() - t0)
+        out["micro_batch_latency_sec"] = round(sum(lat) / len(lat), 3)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+def F_col_mod(log, i):
+    from pyspark.sql import functions as F
+
+    return F.col("event_id") % 3 == i
 
 
 if __name__ == "__main__":

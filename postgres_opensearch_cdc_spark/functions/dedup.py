@@ -115,12 +115,30 @@ def ngram_jaccard_pairs(
     verification is restricted to those pairs — the 100 TB path; without
     it this is the exact all-pairs form used as the small-SF oracle.
     """
-    sh = word_shingles(df, text_col, id_col, n).cache()
+    # Join on a 64-bit shingle hash, not the string: the shuffle moves
+    # (id, long) rows instead of (id, text). Collision odds are
+    # negligible relative to the n-gram approximation itself.
+    sh = (
+        word_shingles(df, text_col, id_col, n)
+        .select("id", F.xxhash64("shingle").alias("sh"))
+        .cache()
+    )
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    # Frequency pruning: a shingle appearing in exactly one document
+    # contributes nothing to any intersection — drop it before the
+    # self-join. On natural corpora this removes the long tail and is
+    # the difference between a tractable and an explosive join at scale.
+    multi = (
+        sh.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("df_cnt"))
+        .filter(F.col("df_cnt") >= 2)
+        .select("sh")
+    )
+    shm = sh.join(multi, "sh")
+    a = shm.alias("a")
+    b = shm.alias("b")
     inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("inter"))
     )
