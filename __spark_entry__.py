@@ -16,9 +16,10 @@ from postgres_opensearch_cdc_spark.queries import (
     dashboard,
     extensions,
     relational,
+    scalar_sql,
 )
 
-_MODULES = [dashboard, cdc_queries, relational, extensions]
+_MODULES = [dashboard, cdc_queries, relational, scalar_sql, extensions]
 
 
 def entry(spark: SparkSession) -> DataFrame:

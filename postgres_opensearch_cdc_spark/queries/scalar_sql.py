@@ -1,0 +1,221 @@
+"""Scalar-function and subquery surface.
+
+Covers the SQL operators embedded in the reference (SURVEY §2.5):
+X5 date/interval arithmetic (create-sample-data.sh:28-36,42-49,61),
+X6 string concatenation (create-sample-data.sh:67-70), plus the
+subquery shapes (correlated EXISTS / IN / scalar) and CUBE that §2.7
+lists as Spark-native extensions, and JSON field extraction (the
+reference's JSONB → object mapping, TDD :718) over events.props.
+
+All scalar work stays in whole-stage codegen; subqueries decorrelate in
+Catalyst to joins (EXISTS → semi join, scalar agg → broadcast of a
+1-row subplan) — verified in tests/test_plans.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from postgres_opensearch_cdc_spark.registry import load_table
+
+
+def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONB/object handling (TDD :718): extract a typed field from the
+    events JSON payload and aggregate on it. get_json_object is
+    JVM-side; for hot paths a from_json with explicit schema (done in
+    the CDC envelope) is the faster form — both are exercised."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    return (
+        ev.select(F.col("event_id"), k.alias("k"))
+        .filter(F.col("k").isNotNull() & (F.col("k") >= 50))
+        .groupBy((F.col("k") % 10).alias("k_mod"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("k_mod")
+    )
+
+
+def date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5: CURRENT_DATE-style interval arithmetic applied to order dates:
+    shipping deadline = orderdate + 30 days, bucketed by year/month,
+    plus datediff to a fixed anchor."""
+    orders = load_table(spark, sf_dir, "orders")
+    od = F.to_date("o_orderdate")
+    return (
+        orders.select(
+            "o_orderkey",
+            F.date_add(od, 30).alias("deadline"),
+            F.year(od).alias("yr"),
+            F.month(od).alias("mo"),
+            F.datediff(F.lit("1998-12-31").cast("date"), od).alias("days_to_eoy"),
+        )
+        .filter(F.col("yr") == 1995)
+        .orderBy("o_orderkey")
+        .limit(100)
+    )
+
+
+def string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6: '||' concatenation + casing/substring/length over customer
+    names (the reference's "Cards: " || COUNT(*) summary shape)."""
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        cust.select(
+            "c_custkey",
+            F.concat(F.lit("Customer: "), F.upper(F.col("c_name"))).alias("label"),
+            F.substring(F.col("c_name"), 1, 8).alias("prefix"),
+            F.length(F.col("c_name")).cast("long").alias("name_len"),
+        )
+        .orderBy("c_custkey")
+        .limit(50)
+    )
+
+
+def subquery_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS (TPC-H Q4 shape): priority counts of orders
+    having at least one high-quantity lineitem. Catalyst decorrelates to
+    a left-semi join on orderkey — co-partitionable at scale."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_v")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, count(*) AS order_count
+        FROM orders_v
+        WHERE EXISTS (
+            SELECT 1 FROM lineitem_v
+            WHERE l_orderkey = o_orderkey AND l_quantity >= 49
+        )
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+        """
+    )
+
+
+def subquery_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN subquery → left-semi join: customers holding at least one
+    urgent order."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer_v")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name
+        FROM customer_v
+        WHERE c_custkey IN (
+            SELECT o_custkey FROM orders_v WHERE o_orderpriority = '1-URGENT'
+        )
+        """
+    )
+
+
+def subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery: orders priced above the global average. The
+    1-row aggregate broadcasts; the outer scan filters against it."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql(
+        """
+        SELECT o_orderkey, ROUND(o_totalprice, 2) AS o_totalprice
+        FROM orders_v
+        WHERE o_totalprice > 1.5 * (SELECT AVG(o_totalprice) FROM orders_v)
+        """
+    )
+
+
+def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE: all 4 grouping combinations of (status, priority) in one
+    aggregation pass (SURVEY §2.7 grouping sets)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+def case_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE-driven value bucketing (the status_enum-style discrimination
+    the reference's dashboard filters on, DASHBOARD_GUIDE.md:122-135)."""
+    orders = load_table(spark, sf_dir, "orders")
+    bucket = (
+        F.when(F.col("o_totalprice") < 50_000, "small")
+        .when(F.col("o_totalprice") < 200_000, "medium")
+        .otherwise("large")
+    )
+    return (
+        orders.groupBy(bucket.alias("price_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
+        )
+        .orderBy("price_bucket")
+    )
+
+
+QUERIES = {
+    "json_extract_props": json_extract_props,
+    "date_arithmetic": date_arithmetic,
+    "string_funcs": string_funcs,
+    "subquery_exists": subquery_exists,
+    "subquery_in": subquery_in,
+    "subquery_scalar": subquery_scalar,
+    "cube_status_priority": cube_status_priority,
+    "case_bucketing": case_bucketing,
+}
+
+ORACLE = {
+    "json_extract_props": """
+        SELECT k % 10 AS k_mod, count(*) AS cnt FROM (
+            SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+            FROM events
+        ) WHERE k IS NOT NULL AND k >= 50
+        GROUP BY 1 ORDER BY 1
+    """,
+    "date_arithmetic": """
+        SELECT o_orderkey,
+               CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS deadline,
+               CAST(year(o_orderdate) AS INTEGER) AS yr,
+               CAST(month(o_orderdate) AS INTEGER) AS mo,
+               CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31') AS INTEGER) AS days_to_eoy
+        FROM orders
+        WHERE year(o_orderdate) = 1995
+        ORDER BY o_orderkey LIMIT 100
+    """,
+    "string_funcs": """
+        SELECT c_custkey,
+               'Customer: ' || upper(c_name) AS label,
+               substr(c_name, 1, 8) AS prefix,
+               CAST(length(c_name) AS BIGINT) AS name_len
+        FROM customer ORDER BY c_custkey LIMIT 50
+    """,
+    "subquery_exists": """
+        SELECT o_orderpriority, count(*) AS order_count
+        FROM orders
+        WHERE EXISTS (
+            SELECT 1 FROM lineitem
+            WHERE l_orderkey = o_orderkey AND l_quantity >= 49
+        )
+        GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    "subquery_in": """
+        SELECT c_custkey, c_name
+        FROM customer
+        WHERE c_custkey IN (
+            SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        )
+    """,
+    "subquery_scalar": """
+        SELECT o_orderkey, ROUND(o_totalprice, 2) AS o_totalprice
+        FROM orders
+        WHERE o_totalprice > 1.5 * (SELECT AVG(o_totalprice) FROM orders)
+    """,
+    "cube_status_priority": """
+        SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
+        FROM orders
+        GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    "case_bucketing": """
+        SELECT CASE WHEN o_totalprice < 50000 THEN 'small'
+                    WHEN o_totalprice < 200000 THEN 'medium'
+                    ELSE 'large' END AS price_bucket,
+               count(*) AS cnt,
+               ROUND(AVG(o_totalprice), 2) AS avg_price
+        FROM orders GROUP BY 1 ORDER BY 1
+    """,
+}
