@@ -60,6 +60,34 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash64(docs)
 
 
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, label-bucketed: candidate pairs
+    restricted to the same label (the bucketed all-pairs pattern — in
+    production the bucket is an LSH signature, here the given cluster
+    label), verified by exact cosine ≥ threshold. Double-math cosine is
+    engine-portable → fully oracle-checked."""
+    from postgres_opensearch_cdc_spark.functions.similarity import pairwise_topk_by_label  # noqa: F401
+    from postgres_opensearch_cdc_spark.functions.similarity import _as_double, dot, l2_norm
+
+    vecs = load_table(spark, sf_dir, "embeddings")
+    a = vecs.select(
+        F.col("label").alias("g"),
+        F.col("vec_id").alias("id_a"),
+        _as_double(F.col("embedding")).alias("va"),
+    )
+    b = vecs.select(
+        F.col("label").alias("g"),
+        F.col("vec_id").alias("id_b"),
+        _as_double(F.col("embedding")).alias("vb"),
+    )
+    pairs = a.join(b, "g").filter(F.col("id_a") < F.col("id_b"))
+    sim = dot(F.col("va"), F.col("vb")) / (l2_norm(F.col("va")) * l2_norm(F.col("vb")))
+    return (
+        pairs.select("id_a", "id_b", F.round(sim, 6).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= 0.3)
+    )
+
+
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-10 neighbors of vector 0 — the ANN baseline and
     verifier. Query vector fetched as a parameter (single-row lookup),
@@ -121,6 +149,7 @@ QUERIES = {
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
+    "dedup_embedding_cosine": dedup_embedding_cosine,
     "ann_cosine_topk": ann_cosine_topk,
     "text_stats": text_stats,
     "text_fingerprint": text_fingerprint,
@@ -160,6 +189,19 @@ ORACLE = {
         WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= 0.4
     """,
     # dedup_minhash_lsh, dedup_simhash: no oracle (engine-specific hashes)
+    "dedup_embedding_cosine": """
+        WITH e AS (
+            SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+        )
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               ROUND(list_dot_product(a.v, b.v)
+                     / (sqrt(list_dot_product(a.v, a.v))
+                        * sqrt(list_dot_product(b.v, b.v))), 6) AS cos_sim
+        FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE ROUND(list_dot_product(a.v, b.v)
+              / (sqrt(list_dot_product(a.v, a.v))
+                 * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.3
+    """,
     "ann_cosine_topk": """
         WITH q AS (
             SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0

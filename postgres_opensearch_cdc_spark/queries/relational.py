@@ -224,6 +224,23 @@ def percentiles_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch aggregates — the 100 TB form of distinct_agg/percentiles:
+    HyperLogLog++ distinct counts and t-digest-style quantiles in one
+    partial-aggregable pass. Sketch internals are engine-specific →
+    rows-only driver check; the exact twins above are the oracle-checked
+    semantics."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+            F.percentile_approx("value", [0.5, 0.9], 10_000).alias("approx_p50_p90"),
+        )
+        .orderBy("event_type")
+    )
+
+
 QUERIES = {
     "join_left_anti": join_left_anti,
     "join_pricing_summary": join_pricing_summary,
@@ -236,8 +253,12 @@ QUERIES = {
     "rollup_status_priority": rollup_status_priority,
     "distinct_agg": distinct_agg,
     "percentiles_value": percentiles_value,
+    "approx_sketches": approx_sketches,
 }
 
+# approx_sketches: intentionally no oracle (sketch internals differ per
+# engine); its exact twins distinct_agg/percentiles_value are the
+# value-checked semantics.
 ORACLE = {
     "join_left_anti": """
         SELECT c_custkey, c_name, c_mktsegment

@@ -70,6 +70,22 @@ def test_whole_stage_codegen_in_hot_path(spark, sf_dir):
     assert "Pandas" not in p
 
 
+def test_exists_subquery_decorrelates_to_semi_join(spark, sf_dir):
+    """Correlated EXISTS must become a semi join, never a per-row
+    subquery execution."""
+    from postgres_opensearch_cdc_spark.queries import scalar_sql
+
+    p = plan(scalar_sql.subquery_exists(spark, sf_dir))
+    assert "LeftSemi" in p or "SemiJoin" in p
+
+
+def test_in_subquery_decorrelates_to_semi_join(spark, sf_dir):
+    from postgres_opensearch_cdc_spark.queries import scalar_sql
+
+    p = plan(scalar_sql.subquery_in(spark, sf_dir))
+    assert "LeftSemi" in p or "SemiJoin" in p
+
+
 def test_no_python_udfs_anywhere_in_query_surface(spark, sf_dir):
     """The entire oracle-checked surface is built-ins only (SURVEY
     'UDFs are the slow path')."""
