@@ -25,6 +25,17 @@ from pyspark.sql import DataFrame, functions as F
 from postgres_opensearch_cdc_spark.functions.text import fingerprint
 
 
+def _ensure_parallelism(df: DataFrame) -> DataFrame:
+    """Repartition only when the source is under-partitioned (e.g. a
+    single-row-group file pinning the scan to one task). On an already
+    well-partitioned 100 TB source this is a no-op — no gratuitous
+    shuffle of document payloads."""
+    target = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    if df.rdd.getNumPartitions() < max(2, target // 4):
+        return df.repartition(target)
+    return df
+
+
 def exact_dedup(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -43,7 +54,11 @@ def exact_dedup(
 
 def word_shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
     """Explode documents into distinct word n-gram shingles — the shared
-    substrate of minhash/jaccard. transform+slice stays in codegen."""
+    substrate of minhash/jaccard. transform+slice stays in codegen.
+
+    Shingling + hashing is the CPU-heavy stage; _ensure_parallelism
+    spreads it when the source is under-partitioned."""
+    df = _ensure_parallelism(df)
     toks = F.split(F.lower(F.col(text_col)), r"\s+")
     idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
     shingles = F.array_distinct(
@@ -106,6 +121,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.8,
     candidates: DataFrame | None = None,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity pairs ≥ threshold.
 
@@ -118,11 +134,8 @@ def ngram_jaccard_pairs(
     # Join on a 64-bit shingle hash, not the string: the shuffle moves
     # (id, long) rows instead of (id, text). Collision odds are
     # negligible relative to the n-gram approximation itself.
-    sh = (
-        word_shingles(df, text_col, id_col, n)
-        .select("id", F.xxhash64("shingle").alias("sh"))
-        .cache()
-    )
+    base = shingles if shingles is not None else word_shingles(df, text_col, id_col, n)
+    sh = base.select("id", F.xxhash64("shingle").alias("sh")).cache()
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     # Frequency pruning: a shingle appearing in exactly one document
     # contributes nothing to any intersection — drop it before the
@@ -169,6 +182,7 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     conditional-sum columns — partial aggregation keeps the shuffle at
     64 longs per doc. Engine-specific hash → rows-only check.
     """
+    df = _ensure_parallelism(df)
     toks = df.select(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(F.split(F.lower(F.col(text_col)), r"\s+"))).alias("tok"),

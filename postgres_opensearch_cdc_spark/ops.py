@@ -52,6 +52,26 @@ def retention_job(
     return keep_cnt, drop_cnt
 
 
+def bootstrap_bucketed_mirror(
+    df: DataFrame,
+    table_name: str,
+    bucket_col: str,
+    num_buckets: int = 32,
+    sort_col: str | None = None,
+) -> None:
+    """Bucketed mirror bootstrap — the co-located-join scale lever: two
+    tables bucketed on the same key with the same bucket count join with
+    NO exchange on either side (verified in tests/test_bucketing.py).
+    For the CDC mirror, bucketing by PK also confines each merge to
+    matching buckets. This is the saveAsTable path (bucket metadata
+    lives in the session catalog); plain-path parquet writes cannot
+    carry bucket info."""
+    writer = df.write.mode("overwrite").bucketBy(num_buckets, bucket_col)
+    if sort_col:
+        writer = writer.sortBy(sort_col)
+    writer.format("parquet").saveAsTable(table_name)
+
+
 def route_topics(
     changes: DataFrame,
     topic_to_table: dict[str, str],

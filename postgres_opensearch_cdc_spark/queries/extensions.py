@@ -48,10 +48,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jaccard. xxhash64-based → rows-only driver check; semantics verified
     in tests with planted duplicates."""
     docs = load_table(spark, sf_dir, "documents")
-    sh = word_shingles(docs, "text", "doc_id", n=3)
+    sh = word_shingles(docs, "text", "doc_id", n=3).cache()
     sigs = minhash_signatures(sh, num_hashes=32)
     cands = minhash_lsh_candidates(sigs, bands=8, rows_per_band=4)
-    return ngram_jaccard_pairs(docs, n=3, threshold=0.4, candidates=cands)
+    return ngram_jaccard_pairs(docs, n=3, threshold=0.4, candidates=cands, shingles=sh)
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
