@@ -17,9 +17,10 @@ from postgres_opensearch_cdc_spark.queries import (
     extensions,
     relational,
     scalar_sql,
+    windows_pivot,
 )
 
-_MODULES = [dashboard, cdc_queries, relational, scalar_sql, extensions]
+_MODULES = [dashboard, cdc_queries, relational, scalar_sql, windows_pivot, extensions]
 
 
 def entry(spark: SparkSession) -> DataFrame:

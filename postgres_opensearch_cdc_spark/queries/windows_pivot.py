@@ -1,0 +1,178 @@
+"""Extended window-function frames, pivot, and outer/cross join shapes —
+rounding out the relational surface (SURVEY §2.7: window/ranking
+functions and set/join operators are absent from the reference and
+Spark-native here).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from postgres_opensearch_cdc_spark.registry import load_table
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-spec coverage: first/last value over running frames and a
+    trailing 3-row moving average, per priority ordered by (date, key).
+    One shuffle; frames evaluate streamingly over the sorted run."""
+    orders = load_table(spark, sf_dir, "orders")
+    base = Window.partitionBy("o_orderpriority").orderBy("o_orderdate", "o_orderkey")
+    running = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    trailing = base.rowsBetween(-2, Window.currentRow)
+    return (
+        orders.select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.first("o_totalprice").over(running).alias("first_price"),
+            F.round(F.avg("o_totalprice").over(trailing), 2).alias("trailing_avg3"),
+            F.dense_rank()
+            .over(Window.partitionBy("o_orderpriority").orderBy(F.col("o_orderstatus")))
+            .cast("long")
+            .alias("status_rank"),
+        )
+        .orderBy("o_orderkey")
+        .limit(500)
+    )
+
+
+def window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile + cume_dist: price-quartile assignment — the bucketing shape
+    quantile-based feature engineering uses."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.orderBy(F.col("o_totalprice"), F.col("o_orderkey"))
+    return (
+        orders.select(
+            "o_orderkey",
+            F.ntile(4).over(w).cast("long").alias("price_quartile"),
+            F.round(F.cume_dist().over(w), 6).alias("price_cume"),
+        )
+        .orderBy("o_orderkey")
+        .limit(1000)
+    )
+
+
+def pivot_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: per-user-cohort event-type count matrix. Values are
+    enumerated explicitly (never inferred with an extra pass — the
+    at-scale rule for pivot) so the plan is one aggregation."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.withColumn("cohort", (F.col("user_id") % 10).alias("cohort"))
+        .groupBy("cohort")
+        .pivot("event_type", EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, EVENT_TYPES)
+        .orderBy("cohort")
+    )
+
+
+def join_outer_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join: per-nation customer/supplier presence, including
+    nations with only one side (null-preserving aggregation join)."""
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("customers"))
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("suppliers"))
+    )
+    return (
+        cust.join(supp, "nationkey", "full_outer")
+        .select(
+            "nationkey",
+            F.coalesce(F.col("customers"), F.lit(0)).alias("customers"),
+            F.coalesce(F.col("suppliers"), F.lit(0)).alias("suppliers"),
+        )
+    )
+
+
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS join (dimension grid): region × orderstatus matrix — the
+    cartesian scaffold report layers fill onto. Only ever between tiny
+    dims; the plan is a broadcast nested loop."""
+    region = load_table(spark, sf_dir, "region").select("r_name")
+    status = (
+        load_table(spark, sf_dir, "orders").select("o_orderstatus").distinct()
+    )
+    return region.crossJoin(status).orderBy("r_name", "o_orderstatus")
+
+
+def having_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ... HAVING: customers with 15+ orders (post-aggregation
+    predicate — Catalyst folds it into the aggregate's filter)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("order_cnt"))
+        .filter(F.col("order_cnt") >= 15)
+    )
+
+
+QUERIES = {
+    "window_frames": window_frames,
+    "window_ntile": window_ntile,
+    "pivot_event_type": pivot_event_type,
+    "join_outer_full": join_outer_full,
+    "join_cross": join_cross,
+    "having_filter": having_filter,
+}
+
+ORACLE = {
+    "window_frames": """
+        SELECT o_orderkey, o_orderpriority, first_price, trailing_avg3, status_rank
+        FROM (
+            SELECT o_orderkey, o_orderpriority,
+                   first_value(o_totalprice) OVER (
+                       PARTITION BY o_orderpriority
+                       ORDER BY o_orderdate, o_orderkey
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_price,
+                   ROUND(AVG(o_totalprice) OVER (
+                       PARTITION BY o_orderpriority
+                       ORDER BY o_orderdate, o_orderkey
+                       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS trailing_avg3,
+                   dense_rank() OVER (
+                       PARTITION BY o_orderpriority ORDER BY o_orderstatus) AS status_rank
+            FROM orders
+        ) ORDER BY o_orderkey LIMIT 500
+    """,
+    "window_ntile": """
+        SELECT o_orderkey,
+               ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS price_quartile,
+               ROUND(cume_dist() OVER (ORDER BY o_totalprice, o_orderkey), 6) AS price_cume
+        FROM orders ORDER BY o_orderkey LIMIT 1000
+    """,
+    "pivot_event_type": """
+        SELECT user_id % 10 AS cohort,
+               CAST(COUNT(*) FILTER (event_type = 'click') AS BIGINT) AS click,
+               CAST(COUNT(*) FILTER (event_type = 'error') AS BIGINT) AS error,
+               CAST(COUNT(*) FILTER (event_type = 'purchase') AS BIGINT) AS purchase,
+               CAST(COUNT(*) FILTER (event_type = 'signup') AS BIGINT) AS signup,
+               CAST(COUNT(*) FILTER (event_type = 'view') AS BIGINT) AS view
+        FROM events GROUP BY 1 ORDER BY 1
+    """,
+    "join_outer_full": """
+        SELECT COALESCE(c.nationkey, s.nationkey) AS nationkey,
+               COALESCE(c.customers, 0) AS customers,
+               COALESCE(s.suppliers, 0) AS suppliers
+        FROM (SELECT c_nationkey AS nationkey, count(*) AS customers
+              FROM customer GROUP BY 1) c
+        FULL OUTER JOIN
+             (SELECT s_nationkey AS nationkey, count(*) AS suppliers
+              FROM supplier GROUP BY 1) s
+        USING (nationkey)
+    """,
+    "join_cross": """
+        SELECT r_name, o_orderstatus
+        FROM region CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders)
+        ORDER BY r_name, o_orderstatus
+    """,
+    "having_filter": """
+        SELECT o_custkey, count(*) AS order_cnt
+        FROM orders GROUP BY o_custkey HAVING count(*) >= 15
+    """,
+}
