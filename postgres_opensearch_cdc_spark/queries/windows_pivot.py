@@ -113,7 +113,33 @@ def having_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (backward, inclusive): each view event annotated with
+    the same user's most recent purchase at-or-before it. Implemented as
+    union + running last_value (functions/asof.py) — one keyed shuffle,
+    no range explosion. Oracle: DuckDB's native ASOF LEFT JOIN."""
+    from postgres_opensearch_cdc_spark.functions.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select("event_id", "user_id", "ts")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("purchase_event_id"),
+        F.round("value", 2).alias("purchase_value"),
+    )
+    return asof_join(
+        views,
+        purchases,
+        key_cols=["user_id"],
+        ts_col="ts",
+        payload_cols=["purchase_event_id", "purchase_value"],
+        seq_col="purchase_event_id",
+    ).select("event_id", "user_id", "purchase_event_id", "purchase_value")
+
+
 QUERIES = {
+    "asof_last_purchase": asof_last_purchase,
     "window_frames": window_frames,
     "window_ntile": window_ntile,
     "pivot_event_type": pivot_event_type,
@@ -123,6 +149,19 @@ QUERIES = {
 }
 
 ORACLE = {
+    "asof_last_purchase": """
+        WITH v AS (
+            SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'
+        ),
+        p AS (
+            SELECT user_id, ts, event_id AS purchase_event_id,
+                   ROUND(value, 2) AS purchase_value
+            FROM events WHERE event_type = 'purchase'
+        )
+        SELECT v.event_id, v.user_id, p.purchase_event_id, p.purchase_value
+        FROM v ASOF LEFT JOIN p
+          ON v.user_id = p.user_id AND v.ts >= p.ts
+    """,
     "window_frames": """
         SELECT o_orderkey, o_orderpriority, first_price, trailing_avg3, status_rank
         FROM (
