@@ -15,12 +15,21 @@ from postgres_opensearch_cdc_spark.queries import (
     cdc_queries,
     dashboard,
     extensions,
+    patterns,
     relational,
     scalar_sql,
     windows_pivot,
 )
 
-_MODULES = [dashboard, cdc_queries, relational, scalar_sql, windows_pivot, extensions]
+_MODULES = [
+    dashboard,
+    cdc_queries,
+    relational,
+    scalar_sql,
+    windows_pivot,
+    patterns,
+    extensions,
+]
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -55,6 +55,38 @@ def q02_fulltext_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q02b_fulltext_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 fidelity upgrade: TF-IDF relevance ranking — one step closer to
+    OpenSearch's BM25 than raw overlap (SURVEY §7.4.4), still fully
+    declarative and oracle-checkable.
+
+    score(doc) = Σ_{t ∈ query ∩ doc} tf(t,doc) · ln(N / df(t)).
+    df comes from one aggregation over the exploded term-postings of the
+    query terms only (never the full vocabulary — the scan filters to
+    the 3 query terms before the explode-aggregate, so the "index build"
+    cost is proportional to query selectivity, not corpus vocabulary).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    terms = F.array(*[F.lit(t) for t in FULLTEXT_TERMS])
+    toks = F.split(F.lower(F.col("text")), r"\s+")
+    # per-doc term frequencies of the query terms
+    tf = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(toks, lambda t: F.array_contains(terms, t))
+        ).alias("term"),
+    ).groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    n_docs = docs.count()
+    df_counts = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(F.broadcast(df_counts), "term")
+        .withColumn("w", F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("w"), 6).alias("tfidf"))
+    )
+    return scored.orderBy(F.col("tfidf").desc(), F.col("doc_id")).limit(50)
+
+
 def q03_range_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q3 range predicate (DASHBOARD_GUIDE.md:102-109): amount >= bound,
     pushed down to the parquet scan as a min/max-stats filter."""
@@ -196,6 +228,7 @@ def q12_index_pattern_union(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "q01_term_filter": q01_term_filter,
     "q02_fulltext_match": q02_fulltext_match,
+    "q02b_fulltext_tfidf": q02b_fulltext_tfidf,
     "q03_range_filter": q03_range_filter,
     "q04_bool_filter": q04_bool_filter,
     "q05_terms_agg": q05_terms_agg,
@@ -222,6 +255,22 @@ ORACLE = {
             FROM documents
         ) WHERE score > 0
         ORDER BY score DESC, doc_id
+    """,
+    "q02b_fulltext_tfidf": """
+        WITH tf AS (
+            SELECT doc_id, term, count(*) AS tf FROM (
+                SELECT doc_id, unnest(list_filter(
+                    regexp_split_to_array(lower(text), '\\s+'),
+                    t -> list_contains(['spark','query','join'], t))) AS term
+                FROM documents
+            ) GROUP BY doc_id, term
+        ),
+        dfc AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        n AS (SELECT count(*) AS n_docs FROM documents)
+        SELECT doc_id, ROUND(SUM(tf * ln(n_docs * 1.0 / df)), 6) AS tfidf
+        FROM tf JOIN dfc USING (term), n
+        GROUP BY doc_id
+        ORDER BY tfidf DESC, doc_id LIMIT 50
     """,
     "q03_range_filter": """
         SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
