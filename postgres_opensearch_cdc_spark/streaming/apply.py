@@ -110,6 +110,31 @@ def start_mirror_stream(
     return writer.start()
 
 
+@dataclass
+class MultiTableMirrorSink:
+    """Routed multi-table apply: one changelog stream carrying events for
+    several tables (the reference consumes 3 topics into 3 indices,
+    consumer.py:17-21) fans out to one keyed mirror per table inside a
+    single foreachBatch.
+
+    The batch is partitioned by routing key (source table name) and each
+    slice merges into its own mirror — same per-table semantics as
+    MirrorSink, one stream, one checkpoint. Routing-key slices are
+    independent writes; a production version runs them as concurrent
+    MERGEs on a table format."""
+
+    sinks: dict[str, MirrorSink]
+    route_col: str = "target_table"
+
+    def apply_batch(self, batch: DataFrame, batch_id: int) -> None:
+        batch = batch.localCheckpoint(eager=True)  # materialize once, slice many
+        for table, sink in self.sinks.items():
+            slice_df = batch.filter(F.col(self.route_col) == table).drop(self.route_col)
+            if slice_df.isEmpty():
+                continue
+            sink.apply_batch(slice_df, batch_id)
+
+
 # ---------------------------------------------------------------------------
 # Event-time windowed aggregations (ST8 — extensions the reference lacks)
 # ---------------------------------------------------------------------------
