@@ -184,6 +184,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     points at a partitioned parquet root and Catalyst handles partition
     pruning from any date/key predicate above it."""
     schema = TESTDATA_SCHEMAS.get(name)
+    if name == "events":
+        # events.ts is TIMESTAMP(NANOS) parquet; ensure the nanos-as-long
+        # read path regardless of which session calls us (the driver's
+        # harness session won't have session.py's config). Runtime-settable.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     reader = spark.read
     if schema is not None:
         reader = reader.schema(schema)
