@@ -35,24 +35,50 @@ def compact_changelog(
     op_col: str = "op",
     delete_op: str = OP_DELETE,
     drop_op_col: bool = False,
+    strategy: str = "agg",
 ) -> DataFrame:
     """Last-write-wins compaction of a changelog: keep only each key's
-    latest event, then drop keys whose latest event is a delete.
+    latest event, then drop keys whose latest event is a delete — the
+    Spark expression of the reference's per-key idempotent PUT/DELETE
+    (W1/W2). ``seq_cols`` must be a per-key monotonic sequence
+    (offset / LSN / ts).
 
-    One shuffle (hash partition by key), then a sort within partitions —
-    the canonical Spark expression of the reference's per-key idempotent
-    PUT/DELETE (W1/W2). ``seq_cols`` must be a per-key monotonic sequence
-    (offset / LSN / ts), descending-ordered here so row 1 is the latest.
+    Two physical strategies with identical results:
 
-    Scale: row_number over (key) is skew-safe as long as keys are
-    high-cardinality (PKs are); no state is held beyond the sort buffer.
+    - 'agg' (default): ``max_by(struct(all columns), struct(seq))`` —
+      a plain aggregation, so Spark partial-aggregates map-side: each
+      input partition pre-collapses to one row per key BEFORE the
+      shuffle. With N updates per key the shuffle shrinks ~N×, and
+      there is no sort at all. The right default for changelogs, which
+      exist precisely because keys repeat.
+    - 'window': ``row_number() over (key order by seq desc) = 1`` —
+      shuffles every row, sorts each partition. Kept for when the full
+      ordered history is needed anyway (auditing, SCD2-style outputs).
+
+    Both are skew-safe for high-cardinality PKs; 'agg' also tolerates
+    moderate key skew better (hot keys collapse early).
     """
-    w = Window.partitionBy(*key_cols).orderBy(*[F.col(c).desc() for c in seq_cols])
-    latest = (
-        changes.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
-    )
+    if strategy == "agg":
+        payload = [c for c in changes.columns]
+        latest = (
+            changes.groupBy(*key_cols)
+            .agg(
+                F.max_by(
+                    F.struct(*[F.col(c) for c in payload]),
+                    F.struct(*[F.col(c) for c in seq_cols]),
+                ).alias("_row")
+            )
+            .select("_row.*")
+        )
+    else:
+        w = Window.partitionBy(*key_cols).orderBy(
+            *[F.col(c).desc() for c in seq_cols]
+        )
+        latest = (
+            changes.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
     live = latest.filter(F.col(op_col) != delete_op)
     return live.drop(op_col) if drop_op_col else live
 
