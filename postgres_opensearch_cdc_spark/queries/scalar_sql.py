@@ -120,6 +120,48 @@ def subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def subquery_correlated_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (TPC-H Q17 shape): lineitems below 50%
+    of their part's average quantity. Catalyst decorrelates to an
+    aggregate on partkey joined back — one extra shuffle, never
+    per-row subquery execution."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_v")
+    return spark.sql(
+        """
+        SELECT l_orderkey, l_partkey, l_quantity
+        FROM lineitem_v l1
+        WHERE l_quantity < 0.5 * (
+            SELECT AVG(l_quantity) FROM lineitem_v l2
+            WHERE l2.l_partkey = l1.l_partkey
+        )
+        """
+    )
+
+
+def unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT/melt: wide per-order metrics to (order, metric, value)
+    long form — the inverse of pivot, narrow op, no shuffle."""
+    orders = load_table(spark, sf_dir, "orders")
+    wide = orders.select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice"), 2).alias("totalprice"),
+        F.year(F.col("o_orderdate")).cast("double").alias("order_year"),
+    ).orderBy("o_orderkey").limit(100)
+    return wide.unpivot(
+        "o_orderkey", ["totalprice", "order_year"], "metric", "value"
+    )
+
+
+def q01b_like_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIKE 'prefix%' filter — pushes to the scan as StringStartsWith
+    (asserted in test_plans)."""
+    return (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("small%"))
+        .select("p_partkey", "p_name", "p_brand")
+    )
+
+
 def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE: all 4 grouping combinations of (status, priority) in one
     aggregation pass (SURVEY §2.7 grouping sets)."""
@@ -155,6 +197,9 @@ QUERIES = {
     "subquery_exists": subquery_exists,
     "subquery_in": subquery_in,
     "subquery_scalar": subquery_scalar,
+    "subquery_correlated_scalar": subquery_correlated_scalar,
+    "unpivot_metrics": unpivot_metrics,
+    "q01b_like_prefix": q01b_like_prefix,
     "cube_status_priority": cube_status_priority,
     "case_bucketing": case_bucketing,
 }
@@ -204,6 +249,26 @@ ORACLE = {
         SELECT o_orderkey, ROUND(o_totalprice, 2) AS o_totalprice
         FROM orders
         WHERE o_totalprice > 1.5 * (SELECT AVG(o_totalprice) FROM orders)
+    """,
+    "subquery_correlated_scalar": """
+        SELECT l_orderkey, l_partkey, l_quantity
+        FROM lineitem l1
+        WHERE l_quantity < 0.5 * (
+            SELECT AVG(l_quantity) FROM lineitem l2
+            WHERE l2.l_partkey = l1.l_partkey
+        )
+    """,
+    "unpivot_metrics": """
+        SELECT o_orderkey, metric, value FROM (
+            SELECT o_orderkey,
+                   ROUND(o_totalprice, 2) AS totalprice,
+                   CAST(year(o_orderdate) AS DOUBLE) AS order_year
+            FROM orders ORDER BY o_orderkey LIMIT 100
+        ) UNPIVOT (value FOR metric IN (totalprice, order_year))
+    """,
+    "q01b_like_prefix": """
+        SELECT p_partkey, p_name, p_brand
+        FROM part WHERE p_name LIKE 'small%'
     """,
     "cube_status_priority": """
         SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
