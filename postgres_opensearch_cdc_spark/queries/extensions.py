@@ -144,7 +144,36 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", pred.alias("pred_lang"))
 
 
+def pipeline_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data pipeline in one plan: exact-dedup
+    (keep min doc_id per fingerprint) → quality floor → length band →
+    per-language counts of surviving docs. All stages fuse into one
+    Catalyst plan: fingerprint+stats project in the scan stage, dedup is
+    one md5-keyed shuffle, the final agg is partial-aggregated."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    enriched = docs.select(
+        "doc_id",
+        "lang",
+        X.fingerprint(t).alias("fp"),
+        X.quality_score(t).alias("quality"),
+        X.token_count(t).alias("token_cnt"),
+    )
+    from pyspark.sql import Window
+
+    keep = enriched.withColumn(
+        "_rn", F.row_number().over(Window.partitionBy("fp").orderBy("doc_id"))
+    ).filter(F.col("_rn") == 1)
+    survivors = keep.filter((F.col("quality") >= 0.5) & (F.col("token_cnt") >= 30))
+    return (
+        survivors.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("kept_docs"))
+        .orderBy("lang")
+    )
+
+
 QUERIES = {
+    "pipeline_quality_filter": pipeline_quality_filter,
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -159,6 +188,23 @@ QUERIES = {
 _TOKS = "regexp_split_to_array(lower(text), '\\s+')"
 
 ORACLE = {
+    "pipeline_quality_filter": f"""
+        WITH enriched AS (
+            SELECT doc_id, lang,
+                   md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp,
+                   ROUND(0.5 * (len(list_distinct({_TOKS})) * 1.0 / len({_TOKS}))
+                         + 0.5 * least(len({_TOKS}) / 100.0, 1.0), 4) AS quality,
+                   len({_TOKS}) AS token_cnt
+            FROM documents
+        ),
+        keep AS (
+            SELECT * FROM enriched
+            QUALIFY row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1
+        )
+        SELECT lang, count(*) AS kept_docs
+        FROM keep WHERE quality >= 0.5 AND token_cnt >= 30
+        GROUP BY lang ORDER BY lang
+    """,
     "dedup_exact": f"""
         SELECT md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp,
                min(doc_id) AS keep_id, count(*) AS dupe_count
