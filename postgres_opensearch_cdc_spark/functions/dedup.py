@@ -67,6 +67,36 @@ def word_shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> Data
     return df.select(F.col(id_col).alias("id"), F.explode(shingles).alias("shingle"))
 
 
+def shingle_arrays(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
+    """Per-doc distinct shingle ARRAY (no explode): the input to the
+    shuffle-free signature path."""
+    df = _ensure_parallelism(df)
+    toks = F.split(F.lower(F.col(text_col)), r"\s+")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    shingles = F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    )
+    return df.select(F.col(id_col).alias("id"), shingles.alias("sh_arr"))
+
+
+def minhash_signatures_from_arrays(
+    arrays: DataFrame, num_hashes: int = 32, seed: int = 42
+) -> DataFrame:
+    """Shuffle-free MinHash: signature i = array_min(transform(shingles,
+    s -> xxhash64(s, salt_i))) computed entirely inside the scan stage —
+    no explode, no groupBy, each doc's signature is a narrow projection.
+    At 100 TB this removes the 80x row-explosion shuffle the exploded
+    form pays; the first wide op in the LSH pipeline becomes the tiny
+    band-bucket join."""
+    hash_cols = [
+        F.array_min(
+            F.transform(F.col("sh_arr"), lambda s: F.xxhash64(s, F.lit(seed + i)))
+        ).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    return arrays.select("id", *hash_cols)
+
+
 def minhash_signatures(
     shingled: DataFrame, num_hashes: int = 32, seed: int = 42
 ) -> DataFrame:

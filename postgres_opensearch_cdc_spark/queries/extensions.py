@@ -51,7 +51,18 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = word_shingles(docs, "text", "doc_id", n=3).cache()
     sigs = minhash_signatures(sh, num_hashes=32)
     cands = minhash_lsh_candidates(sigs, bands=8, rows_per_band=4)
-    return ngram_jaccard_pairs(docs, n=3, threshold=0.4, candidates=cands, shingles=sh)
+    # exact-verify ONLY docs appearing in some candidate pair: the
+    # shingle self-join input shrinks from the corpus to the candidate
+    # set — the property that keeps this tractable at 100 TB
+    cand_ids = (
+        cands.select(F.col("id_a").alias("id"))
+        .union(cands.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
+    sh_cand = sh.join(F.broadcast(cand_ids), "id", "left_semi")
+    return ngram_jaccard_pairs(
+        docs, n=3, threshold=0.4, candidates=cands, shingles=sh_cand
+    )
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
