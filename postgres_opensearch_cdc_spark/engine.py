@@ -1,0 +1,117 @@
+"""CdcEngine — the top-level façade tying the pieces into the
+reference's user-visible lifecycle (SURVEY §3):
+
+    engine = CdcEngine(spark, workdir)
+    engine.register_table("card", schema)          # ≙ index DDL (setup.sh:128-145)
+    engine.backfill("card", snapshot_df)           # ≙ snapshot.mode=initial
+    engine.start_stream("card", changelog_dir)     # ≙ consumer.py poll loop
+    engine.view("card")                            # always-current mirror
+    spark.sql("SELECT status, count(*) FROM card_mirror GROUP BY 1")
+
+A reference user's workflow maps 1:1: tables are registered with
+explicit schemas, the snapshot backfill runs as a batch write, the
+change stream applies through the checkpointed merge sink, and every
+mirror is queryable as a SQL view at any moment (the "always-current,
+queryable mirror" contract, README.md:18-22 of the reference).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+from postgres_opensearch_cdc_spark.cdc.envelope import envelope_schema
+from postgres_opensearch_cdc_spark.sources.changelog import file_changelog_stream
+from postgres_opensearch_cdc_spark.streaming.apply import MirrorSink, start_mirror_stream
+
+
+@dataclass
+class TableHandle:
+    name: str
+    schema: T.StructType
+    sink: MirrorSink
+    query: object | None = None  # StreamingQuery when live
+
+
+@dataclass
+class CdcEngine:
+    spark: SparkSession
+    workdir: str
+    key_col: str = "id"
+    seq_col: str = "offset"
+    tables: dict[str, TableHandle] = field(default_factory=dict)
+
+    # -- lifecycle ---------------------------------------------------------
+
+    def register_table(self, name: str, schema: T.StructType) -> TableHandle:
+        """W4 bootstrap: declare the table with its explicit schema and
+        create its (empty) keyed mirror."""
+        mirror_path = os.path.join(self.workdir, f"mirror_{name}")
+        sink = MirrorSink(
+            path=mirror_path, key_cols=[self.key_col], seq_cols=[self.seq_col]
+        )
+        handle = TableHandle(name=name, schema=schema, sink=sink)
+        self.tables[name] = handle
+        return handle
+
+    def backfill(self, name: str, snapshot: DataFrame) -> None:
+        """S2/ST1: snapshot rows are op='r' upserts applied before the
+        stream — uniform with live changes (reference consumer.py:60-68)."""
+        handle = self.tables[name]
+        batch = snapshot.select(
+            F.lit("r").alias("op"),
+            *[F.col(c) for c in snapshot.columns],
+            F.lit(-1).cast("long").alias(self.seq_col),
+        )
+        handle.sink.apply_batch(batch, batch_id=-1)
+
+    def start_stream(self, name: str, changelog_dir: str, available_now: bool = True):
+        """S1/S3: attach the changelog stream (file-based here; the Kafka
+        builder in sources.changelog is the prod drop-in) and run the
+        checkpointed merge. availableNow drains-and-stops for tests."""
+        handle = self.tables[name]
+        stream = file_changelog_stream(self.spark, changelog_dir, handle.schema)
+        flat = stream.select(
+            "op",
+            *[
+                F.coalesce(F.col(f"after.{c}"), F.col(f"before.{c}")).alias(c)
+                if c == self.key_col
+                else F.col(f"after.{c}").alias(c)
+                for c in [f.name for f in handle.schema.fields]
+            ],
+            F.col("offset").alias(self.seq_col),
+        )
+        ckpt = os.path.join(self.workdir, f"ckpt_{name}")
+        handle.query = start_mirror_stream(
+            flat, handle.sink, ckpt, trigger_available_now=available_now
+        )
+        return handle.query
+
+    def await_all(self, timeout_s: int = 300) -> None:
+        for handle in self.tables.values():
+            if handle.query is not None:
+                handle.query.awaitTermination(timeout_s)
+                handle.query = None
+
+    # -- query surface -----------------------------------------------------
+
+    def view(self, name: str) -> DataFrame:
+        """The always-current mirror as a DataFrame."""
+        return self.tables[name].sink.read(self.spark)
+
+    def register_sql_views(self) -> None:
+        """Expose every mirror as `<name>_mirror` for spark.sql — the
+        engine's Dashboards/DSL analog is plain SQL (SURVEY §3.3)."""
+        for name, handle in self.tables.items():
+            if handle.sink.exists():
+                self.view(name).createOrReplaceTempView(f"{name}_mirror")
+
+    def counts(self) -> dict[str, int]:
+        """test.sh:29-38 count-parity probe, engine-side."""
+        return {
+            name: self.view(name).count()
+            for name, handle in self.tables.items()
+            if handle.sink.exists()
+        }

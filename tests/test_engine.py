@@ -1,0 +1,76 @@
+"""CdcEngine end-to-end: the reference user's full lifecycle — register,
+backfill, stream, query via SQL — in one flow."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import types as T
+
+from postgres_opensearch_cdc_spark.engine import CdcEngine
+
+CARD_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("status", T.StringType()),
+        T.StructField("card_type", T.StringType()),
+    ]
+)
+
+
+def envelope(op, rid, status, ctype, offset):
+    body = {"id": rid, "status": status, "card_type": ctype}
+    return json.dumps(
+        {
+            "op": op,
+            "before": body if op == "d" else None,
+            "after": None if op == "d" else body,
+            "ts_ms": 1000 + offset,
+            "source": {"schema": "public", "table": "card", "lsn": offset},
+            "offset": offset,
+        }
+    )
+
+
+def test_full_lifecycle(spark, tmp_path):
+    engine = CdcEngine(spark=spark, workdir=str(tmp_path))
+    engine.register_table("card", CARD_SCHEMA)
+
+    # snapshot: 3 cards
+    snap = spark.createDataFrame(
+        [(1, "ACTIVE", "DEBIT"), (2, "ACTIVE", "CREDIT"), (3, "BLOCKED", "DEBIT")],
+        CARD_SCHEMA,
+    )
+    engine.backfill("card", snap)
+    assert engine.counts() == {"card": 3}
+
+    # stream: update 1, delete 2, insert 4
+    log_dir = str(tmp_path / "log")
+    os.makedirs(log_dir)
+    with open(os.path.join(log_dir, "b1.json"), "w") as f:
+        f.write(
+            "\n".join(
+                [
+                    envelope("u", 1, "BLOCKED", "DEBIT", 10),
+                    envelope("d", 2, None, None, 11),
+                    envelope("c", 4, "ACTIVE", "DEBIT", 12),
+                ]
+            )
+        )
+    engine.start_stream("card", log_dir)
+    engine.await_all()
+
+    # query through SQL — the dashboard surface
+    engine.register_sql_views()
+    dist = {
+        r["status"]: r["cnt"]
+        for r in spark.sql(
+            "SELECT status, count(*) AS cnt FROM card_mirror GROUP BY status"
+        ).collect()
+    }
+    assert dist == {"BLOCKED": 2, "ACTIVE": 1}
+    assert engine.counts() == {"card": 3}  # 3 - 1 delete + 1 insert
+
+    rows = {r["id"]: r["status"] for r in engine.view("card").collect()}
+    assert rows == {1: "BLOCKED", 3: "BLOCKED", 4: "ACTIVE"}
