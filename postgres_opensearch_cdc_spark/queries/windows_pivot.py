@@ -102,6 +102,18 @@ def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
     return region.crossJoin(status).orderBy("r_name", "o_orderstatus")
 
 
+def array_agg_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array aggregation: per-cohort sorted distinct event types —
+    collect_set + sort_array (deterministic by construction, so
+    oracle-comparable as list values)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy((F.col("user_id") % 10).alias("cohort"))
+        .agg(F.sort_array(F.collect_set("event_type")).alias("types"))
+        .orderBy("cohort")
+    )
+
+
 def having_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUP BY ... HAVING: customers with 15+ orders (post-aggregation
     predicate — Catalyst folds it into the aggregate's filter)."""
@@ -145,6 +157,7 @@ QUERIES = {
     "pivot_event_type": pivot_event_type,
     "join_outer_full": join_outer_full,
     "join_cross": join_cross,
+    "array_agg_types": array_agg_types,
     "having_filter": having_filter,
 }
 
@@ -213,5 +226,10 @@ ORACLE = {
     "having_filter": """
         SELECT o_custkey, count(*) AS order_cnt
         FROM orders GROUP BY o_custkey HAVING count(*) >= 15
+    """,
+    "array_agg_types": """
+        SELECT user_id % 10 AS cohort,
+               list_sort(list(DISTINCT event_type)) AS types
+        FROM events GROUP BY 1 ORDER BY 1
     """,
 }
