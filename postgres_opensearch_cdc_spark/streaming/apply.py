@@ -111,6 +111,116 @@ def start_mirror_stream(
 
 
 @dataclass
+class PartitionedMirrorSink:
+    """Bucket-partitioned mirror with partition-pruned merges — the
+    plain-parquet realization of "MERGE touches only affected files"
+    (what Delta/Iceberg would give us; SURVEY W1 scale note).
+
+    Layout: mirror partitioned by `_bucket = pmod(xxhash64(key), n)`.
+    Applying a batch:
+      1. bucket the batch rows,
+      2. read ONLY those buckets of the mirror (partition pruning —
+         cheap regardless of total mirror size),
+      3. last-write-wins compact batch ∪ touched-slice,
+      4. dynamic-partition-overwrite: Spark rewrites exactly the
+         partitions present in the output; untouched buckets are never
+         read or written.
+
+    Merge cost therefore scales with |batch| + |touched buckets|, not
+    |mirror| — the property that makes a 100 TB mirror maintainable at
+    a 1k-events/s trickle. Verified (untouched partition files remain
+    byte-identical) in tests/test_partitioned_mirror.py.
+    """
+
+    path: str
+    key_cols: list[str]
+    seq_cols: list[str]
+    op_col: str = "op"
+    num_buckets: int = 64
+    bucket_expr: str | None = None
+
+    def _bucket(self) -> "F.Column":
+        """Bucketing strategy decides WHEN pruning pays (measured in
+        SCALE.md §2):
+
+        - hash (default): co-locates joins, but a batch of random keys
+          touches ~min(|batch|, num_buckets) buckets — pruning only
+          helps when batches are small relative to bucket count.
+        - range (`bucket_expr`, e.g. "id div 100000"): clustered update
+          keys (monotonic PKs, hot recent entities — the common CDC
+          shape) land in few buckets → merges rewrite a sliver of the
+          mirror regardless of mirror size.
+        """
+        if self.bucket_expr is not None:
+            return F.expr(self.bucket_expr)
+        return F.pmod(F.xxhash64(*[F.col(c) for c in self.key_cols]), F.lit(self.num_buckets))
+
+    def exists(self) -> bool:
+        # dynamic-overwrite commits do NOT write a root _SUCCESS marker —
+        # presence of any bucket partition directory is the real signal
+        if not os.path.isdir(self.path):
+            return False
+        return any(e.startswith("_bucket=") for e in os.listdir(self.path))
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(self.path).drop("_bucket")
+
+    def apply_batch(self, batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        prior = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            batch = batch.withColumn("_bucket", self._bucket())
+            existed = self.exists()
+            touched: list = []
+            if existed:
+                touched = [
+                    r["_bucket"]
+                    for r in batch.select("_bucket").distinct().collect()
+                ]
+                current = (
+                    spark.read.parquet(self.path)
+                    .filter(F.col("_bucket").isin(touched))  # partition pruning
+                )
+                as_changes = current.select(
+                    F.lit("u").alias(self.op_col),
+                    *[F.col(c) for c in current.columns if c != self.op_col],
+                )
+                unioned = batch.select(as_changes.columns).unionByName(as_changes)
+            else:
+                unioned = batch
+            w = Window.partitionBy(*self.key_cols).orderBy(
+                *[F.col(c).desc_nulls_last() for c in self.seq_cols]
+            )
+            merged = (
+                unioned.withColumn("_rn", F.row_number().over(w))
+                .filter((F.col("_rn") == 1) & (F.col(self.op_col) != OP_DELETE))
+                .drop("_rn")
+            )
+            merged = merged.localCheckpoint(eager=True)
+            (
+                merged.write.mode("overwrite")
+                .partitionBy("_bucket")
+                .parquet(self.path)
+            )
+            if existed and touched:
+                # dynamic overwrite only rewrites buckets PRESENT in the
+                # output: a touched bucket whose keys were all deleted
+                # produces no rows and must be dropped explicitly
+                import shutil
+
+                out_buckets = {
+                    r["_bucket"] for r in merged.select("_bucket").distinct().collect()
+                }
+                for b in set(touched) - out_buckets:
+                    shutil.rmtree(
+                        os.path.join(self.path, f"_bucket={b}"), ignore_errors=True
+                    )
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prior)
+
+
+@dataclass
 class MultiTableMirrorSink:
     """Routed multi-table apply: one changelog stream carrying events for
     several tables (the reference consumes 3 topics into 3 indices,

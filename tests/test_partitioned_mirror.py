@@ -1,0 +1,100 @@
+"""PartitionedMirrorSink: merge correctness + the partition-pruning
+contract — untouched bucket files must remain byte-identical after a
+merge, and fully-deleted buckets disappear."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from postgres_opensearch_cdc_spark.streaming.apply import PartitionedMirrorSink
+
+
+def chg(spark, rows):
+    return spark.createDataFrame(rows, "op string, id long, v string, offset long")
+
+
+def file_state(path):
+    return {
+        f: os.path.getmtime(f)
+        for f in glob.glob(os.path.join(path, "_bucket=*", "*.parquet"))
+    }
+
+
+@pytest.fixture()
+def sink(tmp_path):
+    return PartitionedMirrorSink(
+        path=str(tmp_path / "mirror"),
+        key_cols=["id"],
+        seq_cols=["offset"],
+        num_buckets=8,
+    )
+
+
+def test_merge_correctness(spark, sink):
+    sink.apply_batch(
+        chg(spark, [("c", i, f"v{i}", i) for i in range(100)]), batch_id=0
+    )
+    sink.apply_batch(
+        chg(spark, [("u", 5, "v5b", 200), ("d", 7, None, 201), ("c", 100, "new", 202)]),
+        batch_id=1,
+    )
+    state = {r["id"]: r["v"] for r in sink.read(spark).collect()}
+    assert len(state) == 100  # 100 - 1 delete + 1 insert
+    assert state[5] == "v5b"
+    assert 7 not in state
+    assert state[100] == "new"
+
+
+def test_untouched_buckets_not_rewritten(spark, sink):
+    sink.apply_batch(
+        chg(spark, [("c", i, f"v{i}", i) for i in range(200)]), batch_id=0
+    )
+    before = file_state(sink.path)
+    assert len(before) > 0
+    # a single-key batch touches exactly one bucket
+    sink.apply_batch(chg(spark, [("u", 5, "v5b", 300)]), batch_id=1)
+    after = file_state(sink.path)
+    touched_bucket = (
+        spark.createDataFrame([(5,)], "id long")
+        .select(F.pmod(F.xxhash64("id"), F.lit(8)).alias("b"))
+        .head()["b"]
+    )
+    changed = {
+        f for f in before if f not in after or after[f] != before[f]
+    } | {f for f in after if f not in before}
+    assert changed, "the touched bucket must rewrite"
+    for f in changed:
+        assert f"_bucket={touched_bucket}" in f, f"untouched partition rewritten: {f}"
+    # correctness preserved
+    assert sink.read(spark).count() == 200
+
+
+def test_fully_deleted_bucket_removed(spark, sink):
+    # two keys that map to different buckets
+    ids = list(range(20))
+    sink.apply_batch(chg(spark, [("c", i, "x", i) for i in ids]), batch_id=0)
+    victim = 3
+    vb = (
+        spark.createDataFrame([(victim,)], "id long")
+        .select(F.pmod(F.xxhash64("id"), F.lit(8)).alias("b"))
+        .head()["b"]
+    )
+    # delete every key in the victim's bucket
+    bucket_of = {
+        r["id"]: r["b"]
+        for r in spark.createDataFrame([(i,) for i in ids], "id long")
+        .select("id", F.pmod(F.xxhash64("id"), F.lit(8)).alias("b"))
+        .collect()
+    }
+    doomed = [i for i, b in bucket_of.items() if b == vb]
+    sink.apply_batch(
+        chg(spark, [("d", i, None, 100 + i) for i in doomed]), batch_id=1
+    )
+    state = {r["id"] for r in sink.read(spark).collect()}
+    assert state == set(ids) - set(doomed)
+    assert not os.path.exists(os.path.join(sink.path, f"_bucket={vb}"))
