@@ -24,14 +24,18 @@ from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
 from postgres_opensearch_cdc_spark.cdc.envelope import envelope_schema
 from postgres_opensearch_cdc_spark.sources.changelog import file_changelog_stream
-from postgres_opensearch_cdc_spark.streaming.apply import MirrorSink, start_mirror_stream
+from postgres_opensearch_cdc_spark.streaming.apply import (
+    MirrorSink,
+    PartitionedMirrorSink,
+    start_mirror_stream,
+)
 
 
 @dataclass
 class TableHandle:
     name: str
     schema: T.StructType
-    sink: MirrorSink
+    sink: object  # MirrorSink | PartitionedMirrorSink
     query: object | None = None  # StreamingQuery when live
 
 
@@ -41,17 +45,32 @@ class CdcEngine:
     workdir: str
     key_col: str = "id"
     seq_col: str = "offset"
+    # partitioned=True → bucket-partitioned mirrors with partition-pruned
+    # merges (the at-scale layout; see PartitionedMirrorSink / SCALE.md §2)
+    partitioned: bool = False
+    num_buckets: int = 64
     tables: dict[str, TableHandle] = field(default_factory=dict)
 
     # -- lifecycle ---------------------------------------------------------
 
-    def register_table(self, name: str, schema: T.StructType) -> TableHandle:
+    def register_table(
+        self, name: str, schema: T.StructType, bucket_expr: str | None = None
+    ) -> TableHandle:
         """W4 bootstrap: declare the table with its explicit schema and
         create its (empty) keyed mirror."""
         mirror_path = os.path.join(self.workdir, f"mirror_{name}")
-        sink = MirrorSink(
-            path=mirror_path, key_cols=[self.key_col], seq_cols=[self.seq_col]
-        )
+        if self.partitioned:
+            sink: object = PartitionedMirrorSink(
+                path=mirror_path,
+                key_cols=[self.key_col],
+                seq_cols=[self.seq_col],
+                num_buckets=self.num_buckets,
+                bucket_expr=bucket_expr,
+            )
+        else:
+            sink = MirrorSink(
+                path=mirror_path, key_cols=[self.key_col], seq_cols=[self.seq_col]
+            )
         handle = TableHandle(name=name, schema=schema, sink=sink)
         self.tables[name] = handle
         return handle

@@ -224,6 +224,66 @@ def percentiles_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def join_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: revenue lost to returns per customer (3-way join,
+    selective flag filter, top-20). Same broadcast-dim + single fact
+    shuffle plan as Q3."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+def join_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promo revenue share — conditional aggregation
+    over a fact⋈dim join, one output row. part broadcasts."""
+    part = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0)))
+                / F.sum(rev),
+                4,
+            ).alias("promo_share_pct")
+        )
+    )
+
+
+def join_disjunctive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-conjunction predicates across a join —
+    exercises disjunct pushdown/split. Catalyst extracts the common
+    p_partkey join key and pushes brand/size/quantity disjuncts."""
+    part = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem")
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    cond = (
+        ((F.col("p_brand") == "Brand#11") & (F.col("p_size") <= 10) & (F.col("l_quantity") >= 30))
+        | ((F.col("p_brand") == "Brand#22") & (F.col("p_size") <= 20) & (F.col("l_quantity") >= 20))
+        | ((F.col("p_brand") == "Brand#25") & (F.col("p_size") <= 30) & (F.col("l_quantity") >= 10))
+    )
+    return joined.filter(cond).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        ),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+
+
 def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch aggregates — the 100 TB form of distinct_agg/percentiles:
     HyperLogLog++ distinct counts and t-digest-style quantiles in one
@@ -246,6 +306,9 @@ QUERIES = {
     "join_pricing_summary": join_pricing_summary,
     "join_shipping_priority": join_shipping_priority,
     "join_local_supplier_volume": join_local_supplier_volume,
+    "join_returned_items": join_returned_items,
+    "join_promo_share": join_promo_share,
+    "join_disjunctive_filter": join_disjunctive_filter,
     "window_running_sum": window_running_sum,
     "window_rank_in_group": window_rank_in_group,
     "window_lag_delta": window_lag_delta,
@@ -299,6 +362,29 @@ ORACLE = {
           AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
           AND r_name = 'ASIA'
         GROUP BY n_name ORDER BY revenue DESC, n_name
+    """,
+    "join_returned_items": """
+        SELECT c_custkey, c_name,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem, orders, customer
+        WHERE l_returnflag = 'R' AND l_orderkey = o_orderkey
+          AND o_custkey = c_custkey
+        GROUP BY c_custkey, c_name
+        ORDER BY revenue DESC, c_custkey LIMIT 20
+    """,
+    "join_promo_share": """
+        SELECT ROUND(100.0 * SUM(CASE WHEN p_type = 'PROMO'
+                     THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END)
+               / SUM(l_extendedprice * (1 - l_discount)), 4) AS promo_share_pct
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+    """,
+    "join_disjunctive_filter": """
+        SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               count(*) AS cnt
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#11' AND p_size <= 10 AND l_quantity >= 30)
+           OR (p_brand = 'Brand#22' AND p_size <= 20 AND l_quantity >= 20)
+           OR (p_brand = 'Brand#25' AND p_size <= 30 AND l_quantity >= 10)
     """,
     "window_running_sum": """
         SELECT user_id, event_id,

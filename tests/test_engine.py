@@ -33,8 +33,12 @@ def envelope(op, rid, status, ctype, offset):
     )
 
 
-def test_full_lifecycle(spark, tmp_path):
-    engine = CdcEngine(spark=spark, workdir=str(tmp_path))
+import pytest
+
+
+@pytest.mark.parametrize("partitioned", [False, True])
+def test_full_lifecycle(spark, tmp_path, partitioned):
+    engine = CdcEngine(spark=spark, workdir=str(tmp_path), partitioned=partitioned)
     engine.register_table("card", CARD_SCHEMA)
 
     # snapshot: 3 cards
