@@ -61,8 +61,56 @@ def cdc_deleted_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     return latest.filter(F.col("op") == "d").select(F.col("key").alias("user_id"))
 
 
+def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2-style validity intervals from the changelog: each event's
+    state is valid from its timestamp until the key's next event (null
+    while current). The ordered-history output the window compaction
+    strategy exists for — one shuffle + sort per key."""
+    from pyspark.sql import Window
+
+    log = events_as_changelog(load_table(spark, sf_dir, "events"))
+    w = Window.partitionBy("key").orderBy("ts", "event_id")
+    return log.select(
+        F.col("key").alias("user_id"),
+        "event_id",
+        F.col("op"),
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+    )
+
+
+def cdc_mirror_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-feed between two mirror versions: compact the
+    changelog as of a cutoff and at the end, full-outer join on key,
+    classify insert/update/delete. The diff is what a downstream
+    consumer of the mirror would subscribe to (Delta CDF equivalent)."""
+    cutoff = F.lit("2024-01-15 00:00:00").cast("timestamp")
+    log = events_as_changelog(load_table(spark, sf_dir, "events"))
+    v1 = compact_changelog(
+        log.filter(F.col("ts") < cutoff), ["key"], ["ts", "event_id"]
+    ).select(F.col("key"), F.col("event_id").alias("v1_event"))
+    v2 = compact_changelog(log, ["key"], ["ts", "event_id"]).select(
+        F.col("key"), F.col("event_id").alias("v2_event")
+    )
+    joined = v1.join(v2, "key", "full_outer")
+    change = (
+        F.when(F.col("v1_event").isNull(), "insert")
+        .when(F.col("v2_event").isNull(), "delete")
+        .when(F.col("v1_event") != F.col("v2_event"), "update")
+    )
+    return (
+        joined.select(
+            F.col("key").alias("user_id"), change.alias("change_type"),
+            "v1_event", "v2_event",
+        )
+        .filter(F.col("change_type").isNotNull())
+    )
+
+
 QUERIES = {
     "cdc_mirror_compact": cdc_mirror_compact,
+    "cdc_scd2_history": cdc_scd2_history,
+    "cdc_mirror_diff": cdc_mirror_diff,
     "cdc_mirror_count": cdc_mirror_count,
     "cdc_op_stats": cdc_op_stats,
     "cdc_deleted_keys": cdc_deleted_keys,
@@ -78,6 +126,41 @@ _LOG = """
 """
 
 ORACLE = {
+    "cdc_scd2_history": f"""
+        WITH log AS ({_LOG})
+        SELECT key AS user_id, event_id, op,
+               ts AS valid_from,
+               lead(ts) OVER (PARTITION BY key ORDER BY ts, event_id) AS valid_to
+        FROM log
+    """,
+    "cdc_mirror_diff": f"""
+        WITH log AS ({_LOG}),
+        v1_live AS (
+            SELECT key, v1_event FROM (
+                SELECT key, event_id AS v1_event, op FROM log
+                WHERE ts < TIMESTAMP '2024-01-15 00:00:00'
+                QUALIFY row_number() OVER (
+                    PARTITION BY key ORDER BY ts DESC, event_id DESC) = 1
+            ) WHERE op <> 'd'
+        ),
+        v2_live AS (
+            SELECT key, v2_event FROM (
+                SELECT key, event_id AS v2_event, op FROM log
+                QUALIFY row_number() OVER (
+                    PARTITION BY key ORDER BY ts DESC, event_id DESC) = 1
+            ) WHERE op <> 'd'
+        )
+        SELECT COALESCE(a.key, b.key) AS user_id,
+               CASE WHEN a.v1_event IS NULL THEN 'insert'
+                    WHEN b.v2_event IS NULL THEN 'delete'
+                    WHEN a.v1_event <> b.v2_event THEN 'update'
+               END AS change_type,
+               a.v1_event, b.v2_event
+        FROM v1_live a FULL OUTER JOIN v2_live b ON a.key = b.key
+        WHERE (CASE WHEN a.v1_event IS NULL THEN 'insert'
+                    WHEN b.v2_event IS NULL THEN 'delete'
+                    WHEN a.v1_event <> b.v2_event THEN 'update' END) IS NOT NULL
+    """,
     "cdc_mirror_compact": f"""
         WITH log AS ({_LOG}),
         latest AS (

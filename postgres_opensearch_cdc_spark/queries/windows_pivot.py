@@ -102,6 +102,19 @@ def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
     return region.crossJoin(status).orderBy("r_name", "o_orderstatus")
 
 
+def sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization: session_window (30-min gap) per user over
+    the events table — the same operator the streaming path uses
+    (streaming/apply.sessionized_counts), here oracle-checked against
+    the classic gaps-and-islands SQL. One shuffle on user_id."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("user_id", F.col("w.start").alias("session_start"), "n_events")
+    )
+
+
 def array_agg_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array aggregation: per-cohort sorted distinct event types —
     collect_set + sort_array (deterministic by construction, so
@@ -157,6 +170,7 @@ QUERIES = {
     "pivot_event_type": pivot_event_type,
     "join_outer_full": join_outer_full,
     "join_cross": join_cross,
+    "sessionize_batch": sessionize_batch,
     "array_agg_types": array_agg_types,
     "having_filter": having_filter,
 }
@@ -226,6 +240,27 @@ ORACLE = {
     "having_filter": """
         SELECT o_custkey, count(*) AS order_cnt
         FROM orders GROUP BY o_custkey HAVING count(*) >= 15
+    """,
+    "sessionize_batch": """
+        WITH marked AS (
+            SELECT user_id, ts,
+                   CASE WHEN ts - lag(ts) OVER (
+                            PARTITION BY user_id ORDER BY ts, event_id)
+                        > INTERVAL 30 MINUTE OR lag(ts) OVER (
+                            PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+        ),
+        islands AS (
+            SELECT user_id, ts,
+                   SUM(new_session) OVER (
+                       PARTITION BY user_id ORDER BY ts
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+            FROM marked
+        )
+        SELECT user_id, min(ts) AS session_start,
+               count(*) AS n_events
+        FROM islands GROUP BY user_id, sid
     """,
     "array_agg_types": """
         SELECT user_id % 10 AS cohort,
