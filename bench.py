@@ -100,22 +100,19 @@ def cdc_throughput(spark, sf_dir: str) -> dict:
 
         # micro-batch latency: apply three 1000-event batches onto the
         # existing mirror (merge against current state each time)
-        batches = [log.filter((F_col_mod(log, i))) for i in range(3)]
+        from pyspark.sql import functions as F
+
         lat = []
-        for i, b in enumerate(batches):
+        for i in range(3):
+            b = log.filter(F.col("event_id") % 3 == i).limit(1000)
             t0 = time.perf_counter()
-            sink.apply_batch(b.limit(1000), batch_id=i + 1)
+            sink.apply_batch(b, batch_id=i + 1)
             lat.append(time.perf_counter() - t0)
         out["micro_batch_latency_sec"] = round(sum(lat) / len(lat), 3)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return out
 
-
-def F_col_mod(log, i):
-    from pyspark.sql import functions as F
-
-    return F.col("event_id") % 3 == i
 
 
 if __name__ == "__main__":

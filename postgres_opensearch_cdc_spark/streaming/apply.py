@@ -56,7 +56,17 @@ class MirrorSink:
         """foreachBatch body. Idempotent under batch replay: replaying a
         batch re-merges the same (key, seq) rows, and last-write-wins on
         the same sequence numbers is a no-op — the reference's
-        PUT-by-id idempotency (consumer.py:64-68), ST5."""
+        PUT-by-id idempotency (consumer.py:64-68), ST5.
+
+        Contract (ST2): a key's events must not go BACKWARD across
+        micro-batches — deletes are applied (key removed), not retained
+        as tombstones, so an older update arriving after the delete's
+        batch would resurrect the row. Kafka/Kinesis per-partition
+        ordering provides this; within a batch any order is fine, and
+        replays/duplicates are always safe. (Retained-tombstone mode
+        would lift the constraint at the cost of a tombstone-compaction
+        job; the reference has the identical semantics via immediate
+        DELETE-by-id, consumer.py:93-100.)"""
         spark = batch.sparkSession
         w = Window.partitionBy(*self.key_cols).orderBy(
             *[F.col(c).desc_nulls_last() for c in self.seq_cols]
