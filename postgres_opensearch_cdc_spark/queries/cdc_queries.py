@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from postgres_opensearch_cdc_spark.cdc.apply import compact_changelog, op_stats
-from postgres_opensearch_cdc_spark.cdc.envelope import events_as_changelog
+from postgres_opensearch_cdc_spark.cdc.envelope import OP_DELETE, events_as_changelog
 from postgres_opensearch_cdc_spark.registry import load_table
 
 
@@ -107,10 +107,53 @@ def cdc_mirror_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cdc_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance of the Q5 terms-agg: per-state counts
+    maintained from per-event ±1 deltas instead of recomputing over the
+    mirror. Each event contributes +1 to its new state and -1 to the
+    key's previous live state (the before-image the reference guarantees
+    via REPLICA IDENTITY FULL, setup.sh:59-65; here derived with lag).
+    Deletes contribute only the -1.
+
+    The oracle recomputes the aggregate from the compacted mirror — so a
+    value match PROVES delta-maintenance ≡ recompute on this changelog.
+    At scale the delta form turns dashboard refresh from a full mirror
+    scan into a map-side aggregation over only the new events."""
+    from pyspark.sql import Window
+
+    log = events_as_changelog(load_table(spark, sf_dir, "events"))
+    w = Window.partitionBy("key").orderBy("ts", "event_id")
+    enriched = log.select(
+        F.when(F.col("op") != OP_DELETE, F.col("event_type")).alias("new_state"),
+        F.when(
+            F.lag("op").over(w) != OP_DELETE, F.lag("event_type").over(w)
+        ).alias("prev_state"),
+    )
+    deltas = (
+        enriched.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("new_state").alias("state"), F.lit(1).alias("delta")),
+                    F.struct(F.col("prev_state").alias("state"), F.lit(-1).alias("delta")),
+                )
+            ).alias("d")
+        )
+        .select("d.state", "d.delta")
+        .filter(F.col("state").isNotNull())
+    )
+    return (
+        deltas.groupBy("state")
+        .agg(F.sum("delta").cast("long").alias("cnt"))
+        .filter(F.col("cnt") > 0)
+        .orderBy("state")
+    )
+
+
 QUERIES = {
     "cdc_mirror_compact": cdc_mirror_compact,
     "cdc_scd2_history": cdc_scd2_history,
     "cdc_mirror_diff": cdc_mirror_diff,
+    "cdc_incremental_agg": cdc_incremental_agg,
     "cdc_mirror_count": cdc_mirror_count,
     "cdc_op_stats": cdc_op_stats,
     "cdc_deleted_keys": cdc_deleted_keys,
@@ -160,6 +203,17 @@ ORACLE = {
         WHERE (CASE WHEN a.v1_event IS NULL THEN 'insert'
                     WHEN b.v2_event IS NULL THEN 'delete'
                     WHEN a.v1_event <> b.v2_event THEN 'update' END) IS NOT NULL
+    """,
+    "cdc_incremental_agg": f"""
+        WITH log AS ({_LOG}),
+        latest AS (
+            SELECT * FROM log
+            QUALIFY row_number() OVER (
+                PARTITION BY key ORDER BY ts DESC, event_id DESC) = 1
+        )
+        SELECT event_type AS state, count(*) AS cnt
+        FROM latest WHERE op <> 'd'
+        GROUP BY event_type ORDER BY event_type
     """,
     "cdc_mirror_compact": f"""
         WITH log AS ({_LOG}),
