@@ -162,6 +162,37 @@ def q01b_like_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-valued logic + null functions: NULLIF manufactures nulls,
+    COALESCE/GREATEST/LEAST and null-safe counting aggregate over them —
+    parity here pins Spark's and ANSI's null semantics together."""
+    ev = load_table(spark, sf_dir, "events")
+    v = F.nullif(F.col("event_type"), F.lit("error"))  # error → NULL
+    return ev.groupBy((F.col("user_id") % 5).alias("grp")).agg(
+        F.count(v).alias("non_null_cnt"),  # count skips nulls
+        F.count(F.lit(1)).alias("total_cnt"),
+        F.sum(F.when(v.isNull(), 1).otherwise(0)).cast("long").alias("null_cnt"),
+        F.coalesce(F.max(v), F.lit("none")).alias("max_or_default"),
+    ).orderBy("grp")
+
+
+def string_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization battery: regexp_replace, translate, lpad, repeat,
+    reverse — the cleanup functions a text-ingest pipeline leans on."""
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        cust.select(
+            "c_custkey",
+            F.regexp_replace(F.col("c_name"), r"[0-9]+", "#").alias("masked"),
+            F.translate(F.col("c_mktsegment"), "AEIOU", "aeiou").alias("translated"),
+            F.lpad(F.col("c_custkey").cast("string"), 8, "0").alias("padded"),
+            F.reverse(F.col("c_mktsegment")).alias("reversed"),
+        )
+        .orderBy("c_custkey")
+        .limit(50)
+    )
+
+
 def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE: all 4 grouping combinations of (status, priority) in one
     aggregation pass (SURVEY §2.7 grouping sets)."""
@@ -200,6 +231,8 @@ QUERIES = {
     "subquery_correlated_scalar": subquery_correlated_scalar,
     "unpivot_metrics": unpivot_metrics,
     "q01b_like_prefix": q01b_like_prefix,
+    "null_semantics": null_semantics,
+    "string_normalize": string_normalize,
     "cube_status_priority": cube_status_priority,
     "case_bucketing": case_bucketing,
 }
@@ -269,6 +302,23 @@ ORACLE = {
     "q01b_like_prefix": """
         SELECT p_partkey, p_name, p_brand
         FROM part WHERE p_name LIKE 'small%'
+    """,
+    "null_semantics": """
+        SELECT user_id % 5 AS grp,
+               count(NULLIF(event_type, 'error')) AS non_null_cnt,
+               count(*) AS total_cnt,
+               CAST(SUM(CASE WHEN NULLIF(event_type, 'error') IS NULL
+                        THEN 1 ELSE 0 END) AS BIGINT) AS null_cnt,
+               COALESCE(MAX(NULLIF(event_type, 'error')), 'none') AS max_or_default
+        FROM events GROUP BY 1 ORDER BY 1
+    """,
+    "string_normalize": """
+        SELECT c_custkey,
+               regexp_replace(c_name, '[0-9]+', '#', 'g') AS masked,
+               translate(c_mktsegment, 'AEIOU', 'aeiou') AS translated,
+               lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS padded,
+               reverse(c_mktsegment) AS reversed
+        FROM customer ORDER BY c_custkey LIMIT 50
     """,
     "cube_status_priority": """
         SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
