@@ -109,6 +109,20 @@ def cdc_throughput(spark, sf_dir: str) -> dict:
             sink.apply_batch(b, batch_id=i + 1)
             lat.append(time.perf_counter() - t0)
         out["micro_batch_latency_sec"] = round(sum(lat) / len(lat), 3)
+
+        # partition-pruned merge path (PartitionedMirrorSink): same 1k-row
+        # micro-batch against a bucket-partitioned mirror
+        from postgres_opensearch_cdc_spark.streaming.apply import PartitionedMirrorSink
+
+        psink = PartitionedMirrorSink(
+            path=f"{tmp}/pmirror", key_cols=["key"], seq_cols=["ts", "event_id"],
+            num_buckets=32,
+        )
+        psink.apply_batch(log, batch_id=0)
+        pb = log.filter(F.col("event_id") % 7 == 0).limit(1000)
+        t0 = time.perf_counter()
+        psink.apply_batch(pb, batch_id=1)
+        out["partitioned_merge_batch_sec"] = round(time.perf_counter() - t0, 3)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return out

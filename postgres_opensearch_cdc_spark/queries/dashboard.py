@@ -87,6 +87,50 @@ def q02b_fulltext_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(F.col("tfidf").desc(), F.col("doc_id")).limit(50)
 
 
+def q02c_fulltext_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 full fidelity: Okapi BM25 (k1=1.2, b=0.75) — the scoring
+    function OpenSearch actually uses for relevance (TDD :1636-1641),
+    closing the SURVEY §7.4.4 divergence for conjunctive term queries.
+
+    score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b + b·dl/avgdl))
+    with idf(t) = ln(1 + (N−df+0.5)/(df+0.5)) — Lucene's formulation.
+    Postings are built only for the query terms; doc length and avgdl
+    come from one metadata pass. Entirely built-in expressions.
+    """
+    k1, b = 1.2, 0.75
+    docs = load_table(spark, sf_dir, "documents")
+    terms = F.array(*[F.lit(t) for t in FULLTEXT_TERMS])
+    toks = F.split(F.lower(F.col("text")), r"\s+")
+    lengths = docs.select("doc_id", F.size(toks).alias("dl"))
+    n_docs = docs.count()
+    avgdl = lengths.agg(F.avg("dl")).head()[0]
+    tf = (
+        docs.select(
+            "doc_id",
+            F.explode(F.filter(toks, lambda t: F.array_contains(terms, t))).alias("term"),
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_counts = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        1.0 + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    scored = (
+        tf.join(F.broadcast(df_counts), "term")
+        .join(lengths, "doc_id")
+        .withColumn(
+            "w",
+            idf
+            * (F.col("tf") * (k1 + 1))
+            / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.lit(float(avgdl)))),
+        )
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("w"), 6).alias("bm25"))
+    )
+    return scored.orderBy(F.col("bm25").desc(), F.col("doc_id")).limit(50)
+
+
 def q03_range_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q3 range predicate (DASHBOARD_GUIDE.md:102-109): amount >= bound,
     pushed down to the parquet scan as a min/max-stats filter."""
@@ -229,6 +273,7 @@ QUERIES = {
     "q01_term_filter": q01_term_filter,
     "q02_fulltext_match": q02_fulltext_match,
     "q02b_fulltext_tfidf": q02b_fulltext_tfidf,
+    "q02c_fulltext_bm25": q02c_fulltext_bm25,
     "q03_range_filter": q03_range_filter,
     "q04_bool_filter": q04_bool_filter,
     "q05_terms_agg": q05_terms_agg,
@@ -271,6 +316,34 @@ ORACLE = {
         FROM tf JOIN dfc USING (term), n
         GROUP BY doc_id
         ORDER BY tfidf DESC, doc_id LIMIT 50
+    """,
+    "q02c_fulltext_bm25": """
+        WITH toks AS (
+            SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS t
+            FROM documents
+        ),
+        lens AS (SELECT doc_id, len(t) AS dl FROM toks),
+        stats AS (
+            SELECT (SELECT count(*) FROM documents) AS n_docs,
+                   (SELECT avg(dl) FROM lens) AS avgdl
+        ),
+        tf AS (
+            SELECT doc_id, term, count(*) AS tf FROM (
+                SELECT doc_id, unnest(list_filter(
+                    t, x -> list_contains(['spark','query','join'], x))) AS term
+                FROM toks
+            ) GROUP BY doc_id, term
+        ),
+        dfc AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
+        SELECT doc_id,
+               ROUND(SUM(
+                   ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                   * (tf * 2.2)
+                   / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+               ), 6) AS bm25
+        FROM tf JOIN dfc USING (term) JOIN lens USING (doc_id), stats
+        GROUP BY doc_id
+        ORDER BY bm25 DESC, doc_id LIMIT 50
     """,
     "q03_range_filter": """
         SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
