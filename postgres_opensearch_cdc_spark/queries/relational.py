@@ -284,6 +284,28 @@ def join_disjunctive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates: sample stddev/variance per event type and
+    Pearson correlation / sample covariance between quantity and price
+    on lineitem. All partial-aggregable (single-pass moment sketches)."""
+    ev = load_table(spark, sf_dir, "events")
+    li = load_table(spark, sf_dir, "lineitem")
+    per_type = (
+        ev.groupBy("event_type")
+        .agg(
+            F.round(F.stddev("value"), 4).alias("sd"),
+            F.round(F.var_samp("value"), 4).alias("var"),
+        )
+        .orderBy("event_type")
+    )
+    pair = li.agg(
+        F.lit("lineitem_qty_price").alias("event_type"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("sd"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("var"),
+    )
+    return per_type.unionByName(pair)
+
+
 def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch aggregates — the 100 TB form of distinct_agg/percentiles:
     HyperLogLog++ distinct counts and t-digest-style quantiles in one
@@ -316,6 +338,7 @@ QUERIES = {
     "rollup_status_priority": rollup_status_priority,
     "distinct_agg": distinct_agg,
     "percentiles_value": percentiles_value,
+    "stats_agg": stats_agg,
     "approx_sketches": approx_sketches,
 }
 
@@ -424,6 +447,16 @@ ORACLE = {
     "distinct_agg": """
         SELECT event_type, count(DISTINCT user_id) AS distinct_users
         FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    "stats_agg": """
+        SELECT event_type, ROUND(stddev_samp(value), 4) AS sd,
+               ROUND(var_samp(value), 4) AS var
+        FROM events GROUP BY event_type
+        UNION ALL
+        SELECT 'lineitem_qty_price' AS event_type,
+               ROUND(corr(l_quantity, l_extendedprice), 6) AS sd,
+               ROUND(covar_samp(l_quantity, l_extendedprice), 2) AS var
+        FROM lineitem
     """,
     "percentiles_value": """
         SELECT event_type,
