@@ -313,11 +313,18 @@ def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows-only driver check; the exact twins above are the oracle-checked
     semantics."""
     ev = load_table(spark, sf_dir, "events")
+    sketch = ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.percentile_approx("value", [0.5, 0.9], 10_000).alias("_p"),
+    )
+    # Scalar columns (not an array) so the driver's canonicalizer can
+    # hash each value independently.
     return (
-        ev.groupBy("event_type")
-        .agg(
-            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
-            F.percentile_approx("value", [0.5, 0.9], 10_000).alias("approx_p50_p90"),
+        sketch.select(
+            "event_type",
+            "approx_users",
+            F.round(F.element_at("_p", 1), 4).alias("approx_p50"),
+            F.round(F.element_at("_p", 2), 4).alias("approx_p90"),
         )
         .orderBy("event_type")
     )
