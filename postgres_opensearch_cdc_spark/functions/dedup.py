@@ -25,6 +25,29 @@ from pyspark.sql import DataFrame, functions as F
 from postgres_opensearch_cdc_spark.functions.text import fingerprint
 
 
+def hash60(col, salt: int | None = None):
+    """Engine-portable 60-bit hash: the first 15 hex chars of md5 parsed
+    base-16 → non-negative int64. Reproducible in DuckDB as
+    ``('0x' || substr(md5(x), 1, 15))::BIGINT`` — this is what turns the
+    MinHash/SimHash suite from rows-only into value-checked oracle rows.
+    ``salt`` (an int) is appended as ``:<salt>`` before hashing, the
+    portable analogue of xxhash64's seed argument."""
+    if salt is not None:
+        col = F.concat(col, F.lit(f":{salt}"))
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def _salted_hash(col, salt: int, hasher: str):
+    """One column-level hash family, two implementations: 'xxhash64'
+    (fastest, JVM-native, engine-specific) or 'md5' (portable 60-bit,
+    DuckDB-reproducible). Both are uniform enough for min-hashing."""
+    if hasher == "xxhash64":
+        return F.xxhash64(col, F.lit(salt))
+    if hasher == "md5":
+        return hash60(col, salt=salt)
+    raise ValueError(f"unknown hasher {hasher!r}: use 'xxhash64' or 'md5'")
+
+
 def _ensure_parallelism(df: DataFrame) -> DataFrame:
     """Repartition only when the source is under-partitioned (e.g. a
     single-row-group file pinning the scan to one task). On an already
@@ -80,17 +103,17 @@ def shingle_arrays(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> Dat
 
 
 def minhash_signatures_from_arrays(
-    arrays: DataFrame, num_hashes: int = 32, seed: int = 42
+    arrays: DataFrame, num_hashes: int = 32, seed: int = 42, hasher: str = "xxhash64"
 ) -> DataFrame:
     """Shuffle-free MinHash: signature i = array_min(transform(shingles,
-    s -> xxhash64(s, salt_i))) computed entirely inside the scan stage —
+    s -> hash(s, salt_i))) computed entirely inside the scan stage —
     no explode, no groupBy, each doc's signature is a narrow projection.
     At 100 TB this removes the 80x row-explosion shuffle the exploded
     form pays; the first wide op in the LSH pipeline becomes the tiny
     band-bucket join."""
     hash_cols = [
         F.array_min(
-            F.transform(F.col("sh_arr"), lambda s: F.xxhash64(s, F.lit(seed + i)))
+            F.transform(F.col("sh_arr"), lambda s: _salted_hash(s, seed + i, hasher))
         ).alias(f"h{i}")
         for i in range(num_hashes)
     ]
@@ -98,14 +121,15 @@ def minhash_signatures_from_arrays(
 
 
 def minhash_signatures(
-    shingled: DataFrame, num_hashes: int = 32, seed: int = 42
+    shingled: DataFrame, num_hashes: int = 32, seed: int = 42, hasher: str = "xxhash64"
 ) -> DataFrame:
     """MinHash signature per doc: k independent min-hash values computed
-    as min(xxhash64(shingle, salt_i)). One groupBy(id) shuffle carrying k
-    longs per shingle row. xxhash64 is Spark-JVM-side; signatures are
-    engine-specific (rows-only correctness check — documented)."""
+    as min(hash(shingle, salt_i)). One groupBy(id) shuffle carrying k
+    longs per shingle row. hasher='xxhash64' is the fast JVM-native
+    default; hasher='md5' (hash60) is engine-portable, making the
+    signatures DuckDB-reproducible and therefore value-checkable."""
     hash_cols = [
-        F.min(F.xxhash64(F.col("shingle"), F.lit(seed + i))).alias(f"h{i}")
+        F.min(_salted_hash(F.col("shingle"), seed + i, hasher)).alias(f"h{i}")
         for i in range(num_hashes)
     ]
     return shingled.groupBy("id").agg(*hash_cols)
@@ -203,29 +227,44 @@ def ngram_jaccard_pairs(
     )
 
 
-def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """64-bit SimHash per document: sign-sum of per-token xxhash64 bits.
+def simhash64(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hasher: str = "xxhash64",
+) -> DataFrame:
+    """SimHash sketch per document: sign-sum of per-token hash bits.
 
     Built-in-only construction: explode tokens, then for each bit
     position sum(±1) by whether the token hash has that bit set; sketch
-    bit i = (sum_i >= 0). Aggregated in one groupBy(id) pass with 64
-    conditional-sum columns — partial aggregation keeps the shuffle at
-    64 longs per doc. Engine-specific hash → rows-only check.
+    bit i = (sum_i >= 0). Aggregated in one groupBy(id) pass with one
+    conditional-sum column per bit — partial aggregation keeps the
+    shuffle at ~64 longs per doc.
+
+    hasher='xxhash64' → 64-bit sketch (fast, engine-specific, rows-only
+    check). hasher='md5' → 60-bit sketch from the portable hash60; every
+    bit is DuckDB-reproducible, so the sketch VALUES are value-checked
+    against the oracle. Band-bucketing (simhash_hamming_pairs) works on
+    either width — the top 4 zero bits of the 60-bit variant just land
+    in the highest chunk.
     """
     df = _ensure_parallelism(df)
+    nbits = 64 if hasher == "xxhash64" else 60
     toks = df.select(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(F.split(F.lower(F.col(text_col)), r"\s+"))).alias("tok"),
-    ).withColumn("h", F.xxhash64("tok"))
+    ).withColumn(
+        "h", F.xxhash64("tok") if hasher == "xxhash64" else hash60(F.col("tok"))
+    )
     bit_sums = [
         F.sum(
             F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
         ).alias(f"b{i}")
-        for i in range(64)
+        for i in range(nbits)
     ]
     agg = toks.groupBy("id").agg(*bit_sums)
     sketch = F.lit(0).cast("long")
-    for i in range(64):
+    for i in range(nbits):
         sketch = sketch + F.when(
             F.col(f"b{i}") >= 0, F.lit(1).cast("long") * F.lit(2 ** i if i < 63 else -(2 ** 63))
         ).otherwise(F.lit(0).cast("long"))

@@ -2,11 +2,13 @@
 text analysis over the documents/embeddings tables. Absent from the
 reference (SURVEY §2.7) — Spark-native additions, graded as first-class.
 
-Oracle policy: operators whose math is engine-portable (md5 dedup keys,
-n-gram Jaccard, cosine in double, string stats) carry full DuckDB
-oracles. MinHash/SimHash are built on Spark's xxhash64 (no DuckDB
-equivalent) → registered without oracle SQL, covered instead by unit
-tests with planted near-duplicates (tests/test_dedup.py).
+Oracle policy: every operator here carries a full DuckDB oracle.
+MinHash/SimHash default to Spark's xxhash64 in the library API (fast,
+engine-specific), but these oracle entries run them with hasher='md5'
+(hash60: first 15 hex chars of md5 as int64), which DuckDB reproduces
+exactly — signatures, bands, and sketches are value-checked, not
+rows-only. Planted-near-duplicate unit tests (tests/test_dedup.py)
+cover both hashers.
 """
 
 from __future__ import annotations
@@ -45,11 +47,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(32) + LSH(8 bands × 4 rows) candidates verified by exact
-    Jaccard. xxhash64-based → rows-only driver check; semantics verified
-    in tests with planted duplicates."""
+    Jaccard. Runs with the portable md5 hash60 so DuckDB reproduces the
+    signatures and band buckets → fully value-checked."""
     docs = load_table(spark, sf_dir, "documents")
     sh = word_shingles(docs, "text", "doc_id", n=3).cache()
-    sigs = minhash_signatures(sh, num_hashes=32)
+    sigs = minhash_signatures(sh, num_hashes=32, hasher="md5")
     cands = minhash_lsh_candidates(sigs, bands=8, rows_per_band=4)
     # exact-verify ONLY docs appearing in some candidate pair: the
     # shingle self-join input shrinks from the corpus to the candidate
@@ -66,9 +68,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash sketch per doc (rows-only check; xxhash64-based)."""
+    """60-bit SimHash sketch per doc via portable hash60 — sketch values
+    are DuckDB-reproducible and value-checked bit for bit."""
     docs = load_table(spark, sf_dir, "documents")
-    return simhash64(docs)
+    return simhash64(docs, hasher="md5")
 
 
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -245,7 +248,10 @@ ORACLE = {
         JOIN sizes sb ON sb.id = id_b
         WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= 0.4
     """,
-    # dedup_minhash_lsh, dedup_simhash: no oracle (engine-specific hashes)
+    # dedup_minhash_lsh / dedup_simhash oracles are generated below —
+    # they reproduce hash60 (= Spark F.conv(substr(md5,1,15),16,10)) as
+    # ('0x' || substr(md5(x),1,15))::BIGINT and replay the full
+    # signature → band → candidate → exact-verify pipeline in SQL.
     "dedup_embedding_cosine": """
         WITH e AS (
             SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
@@ -308,3 +314,93 @@ ORACLE = {
         )
     """,
 }
+
+
+def _hash60_sql(expr: str, salt: int | None = None) -> str:
+    """DuckDB replica of functions.dedup.hash60: first 15 hex chars of
+    md5 parsed base-16 (verified bit-identical to Spark's
+    conv(substring(md5(x),1,15),16,10) including salts and unicode)."""
+    salted = expr if salt is None else f"({expr} || ':{salt}')"
+    return f"('0x' || substr(md5({salted}), 1, 15))::BIGINT"
+
+
+_MH_SEED, _MH_K, _MH_BANDS, _MH_RPB = 42, 32, 8, 4
+_SIG_COLS = ",\n                   ".join(
+    f"min({_hash60_sql('shingle', _MH_SEED + i)}) AS h{i}" for i in range(_MH_K)
+)
+_BAND_SELECTS = "\n            UNION ALL ".join(
+    f"SELECT id, {b} AS band, h{_MH_RPB*b} AS k1, h{_MH_RPB*b+1} AS k2, "
+    f"h{_MH_RPB*b+2} AS k3, h{_MH_RPB*b+3} AS k4 FROM sigs"
+    for b in range(_MH_BANDS)
+)
+
+# Spark buckets on murmur3(k1..k4); the oracle joins on the raw 4-tuple.
+# Tuple equality implies bucket equality, and a cross-tuple murmur
+# collision (~2^-32, then still jaccard-verified) is the only possible
+# divergence — negligible at oracle scale.
+ORACLE["dedup_minhash_lsh"] = f"""
+        WITH base AS (
+            SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS toks
+            FROM documents
+        ),
+        sh AS (
+            SELECT doc_id AS id,
+                   unnest(list_distinct(
+                       list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
+                                      i -> array_to_string(toks[i:i+2], ' ')))) AS shingle
+            FROM base
+        ),
+        sigs AS (
+            SELECT id, {_SIG_COLS}
+            FROM sh GROUP BY id
+        ),
+        bands AS (
+            {_BAND_SELECTS}
+        ),
+        cand AS (
+            SELECT DISTINCT a.id AS id_a, b.id AS id_b
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.k1 = b.k1 AND a.k2 = b.k2
+             AND a.k3 = b.k3 AND a.k4 = b.k4 AND a.id < b.id
+        ),
+        sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+        inter AS (
+            SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+            GROUP BY 1, 2
+        ),
+        cinter AS (
+            SELECT i.* FROM inter i JOIN cand c USING (id_a, id_b)
+        )
+        SELECT id_a, id_b,
+               ROUND(inter * 1.0 / (sa.sz + sb.sz - inter), 6) AS jaccard
+        FROM cinter
+        JOIN sizes sa ON sa.id = id_a
+        JOIN sizes sb ON sb.id = id_b
+        WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= 0.4
+    """
+
+_SIMHASH_BITS = 60
+_BIT_SUMS = ",\n                   ".join(
+    f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+    for i in range(_SIMHASH_BITS)
+)
+_SKETCH_SUM = "\n                 + ".join(
+    f"(CASE WHEN b{i} >= 0 THEN (1::BIGINT << {i}) ELSE 0 END)"
+    for i in range(_SIMHASH_BITS)
+)
+
+ORACLE["dedup_simhash"] = f"""
+        WITH toks AS (
+            SELECT doc_id AS id,
+                   unnest(list_distinct(regexp_split_to_array(lower(text), '\\s+'))) AS tok
+            FROM documents
+        ),
+        h AS (SELECT id, {_hash60_sql('tok')} AS h FROM toks),
+        bits AS (
+            SELECT id, {_BIT_SUMS}
+            FROM h GROUP BY id
+        )
+        SELECT id, ({_SKETCH_SUM}) AS simhash
+        FROM bits
+    """

@@ -1,6 +1,6 @@
 """Dedup operators with planted duplicates/near-duplicates — semantic
-verification for the hash-based operators whose signatures the DuckDB
-oracle can't reproduce (minhash/simhash), plus the exact/jaccard ones."""
+verification for the hash-based operators (both hash families: fast
+xxhash64 and portable md5/hash60), plus the exact/jaccard ones."""
 
 from __future__ import annotations
 
@@ -8,6 +8,7 @@ import pytest
 
 from postgres_opensearch_cdc_spark.functions.dedup import (
     exact_dedup,
+    hash60,
     minhash_lsh_candidates,
     minhash_signatures,
     ngram_jaccard_pairs,
@@ -15,6 +16,8 @@ from postgres_opensearch_cdc_spark.functions.dedup import (
     simhash_hamming_pairs,
     word_shingles,
 )
+
+HASHERS = ["xxhash64", "md5"]
 
 BASE = (
     "spark streaming engine maintains a keyed mirror of postgres tables "
@@ -54,21 +57,52 @@ def test_ngram_jaccard_finds_near_dup(docs):
     assert not any(4 in p for p in pairs)
 
 
-def test_minhash_lsh_recovers_planted_pairs(docs):
+@pytest.mark.parametrize("hasher", HASHERS)
+def test_minhash_lsh_recovers_planted_pairs(docs, hasher):
     sh = word_shingles(docs, "text", "doc_id", n=3)
-    sigs = minhash_signatures(sh, num_hashes=32)
+    sigs = minhash_signatures(sh, num_hashes=32, hasher=hasher)
     cands = {(r["id_a"], r["id_b"]) for r in minhash_lsh_candidates(sigs).collect()}
     assert (1, 2) in cands  # identical → all bands agree
     assert (1, 3) in cands  # near-dup → high band-collision probability
     assert (1, 4) not in cands and (2, 4) not in cands and (3, 4) not in cands
 
 
-def test_simhash_distance_orders_similarity(docs):
-    sketches = simhash64(docs)
+@pytest.mark.parametrize("hasher", HASHERS)
+def test_simhash_distance_orders_similarity(docs, hasher):
+    sketches = simhash64(docs, hasher=hasher)
     pairs = simhash_hamming_pairs(sketches, max_distance=64, bands=4)
     d = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs.collect()}
     assert d[(1, 2)] == 0  # identical text → identical sketch
     assert d[(1, 3)] < d.get((1, 4), 64)  # near-dup closer than unrelated
+
+
+def test_hash60_matches_duckdb(spark):
+    """hash60 is the portability contract: Spark and DuckDB must produce
+    the identical int64 for the same input+salt (this is what upgrades
+    the minhash/simhash oracle rows from rows-only to value-checked)."""
+    import duckdb
+
+    import pyspark.sql.functions as F
+
+    samples = ["hello", "world foo bar", "", "Ünïcode ütf8 ~", "a b  c"]
+    df = spark.createDataFrame([(s,) for s in samples], "s string")
+    got = {
+        r["s"]: (r["h"], r["hs"])
+        for r in df.select(
+            "s",
+            hash60(F.col("s")).alias("h"),
+            hash60(F.col("s"), salt=7).alias("hs"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    for s in samples:
+        h, hs = con.execute(
+            "SELECT ('0x'||substr(md5(?),1,15))::BIGINT,"
+            " ('0x'||substr(md5(? || ':7'),1,15))::BIGINT",
+            [s, s],
+        ).fetchone()
+        assert got[s] == (h, hs)
+        assert 0 <= h < 2**60
 
 
 def test_lsh_pruned_jaccard_equals_allpairs_on_candidates(docs):
