@@ -27,6 +27,7 @@ from postgres_opensearch_cdc_spark.sources.changelog import file_changelog_strea
 from postgres_opensearch_cdc_spark.streaming.apply import (
     MirrorSink,
     PartitionedMirrorSink,
+    VersionedMirrorSink,
     start_mirror_stream,
 )
 
@@ -35,7 +36,7 @@ from postgres_opensearch_cdc_spark.streaming.apply import (
 class TableHandle:
     name: str
     schema: T.StructType
-    sink: object  # MirrorSink | PartitionedMirrorSink
+    sink: object  # VersionedMirrorSink | PartitionedMirrorSink | MirrorSink
     query: object | None = None  # StreamingQuery when live
 
 
@@ -45,9 +46,17 @@ class CdcEngine:
     workdir: str
     key_col: str = "id"
     seq_col: str = "offset"
-    # partitioned=True → bucket-partitioned mirrors with partition-pruned
-    # merges (the at-scale layout; see PartitionedMirrorSink / SCALE.md §2)
-    partitioned: bool = False
+    # sink_mode picks the mirror realization:
+    #   "versioned"   (default) — bucket-partitioned, partition-pruned
+    #                 merges, object-store-safe commit-manifest protocol;
+    #                 merge cost O(|batch| + touched buckets). The only
+    #                 mode whose plan survives a 100 TB mirror, so the
+    #                 façade defaults to it.
+    #   "partitioned" — dynamic-partition-overwrite variant (local-FS
+    #                 semantics; kept for comparison benches, SCALE.md §2)
+    #   "simple"      — whole-mirror rewrite per batch; O(|mirror|). The
+    #                 logical/test form only — never for big mirrors.
+    sink_mode: str = "versioned"
     num_buckets: int = 64
     tables: dict[str, TableHandle] = field(default_factory=dict)
 
@@ -59,17 +68,30 @@ class CdcEngine:
         """W4 bootstrap: declare the table with its explicit schema and
         create its (empty) keyed mirror."""
         mirror_path = os.path.join(self.workdir, f"mirror_{name}")
-        if self.partitioned:
-            sink: object = PartitionedMirrorSink(
+        if self.sink_mode == "versioned":
+            sink: object = VersionedMirrorSink(
                 path=mirror_path,
                 key_cols=[self.key_col],
                 seq_cols=[self.seq_col],
                 num_buckets=self.num_buckets,
                 bucket_expr=bucket_expr,
             )
-        else:
+        elif self.sink_mode == "partitioned":
+            sink = PartitionedMirrorSink(
+                path=mirror_path,
+                key_cols=[self.key_col],
+                seq_cols=[self.seq_col],
+                num_buckets=self.num_buckets,
+                bucket_expr=bucket_expr,
+            )
+        elif self.sink_mode == "simple":
             sink = MirrorSink(
                 path=mirror_path, key_cols=[self.key_col], seq_cols=[self.seq_col]
+            )
+        else:
+            raise ValueError(
+                f"unknown sink_mode {self.sink_mode!r}: "
+                "use 'versioned', 'partitioned', or 'simple'"
             )
         handle = TableHandle(name=name, schema=schema, sink=sink)
         self.tables[name] = handle

@@ -23,7 +23,7 @@ from __future__ import annotations
 import os
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F, types as T
 
 from postgres_opensearch_cdc_spark.cdc.envelope import OP_DELETE
 
@@ -228,6 +228,219 @@ class PartitionedMirrorSink:
                     )
         finally:
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", prior)
+
+
+@dataclass
+class VersionedMirrorSink:
+    """Object-store-safe partitioned mirror: the commit-marker protocol
+    form of PartitionedMirrorSink (which relies on dynamic partition
+    overwrite + a local-FS directory delete — non-atomic on object
+    stores, SURVEY W1 scale note).
+
+    Snapshot layout (mini table-format, Iceberg-style but dependency
+    free):
+
+        <path>/data/commit-<ver>-<uuid>/_bucket=<b>/*.parquet
+        <path>/_commits/v<%08d>.json
+
+    Invariants that make it object-store-safe:
+      * Data files are IMMUTABLE and written into a fresh commit dir per
+        batch — never overwritten, never renamed. Only appends.
+      * A manifest maps every live bucket to the commit dir holding its
+        current compacted contents. Readers resolve max(version)
+        manifest → file listing; they never list data dirs.
+      * The single manifest file write IS the commit point (a one-object
+        PUT — atomic on S3/GCS; modeled locally by write-temp +
+        os.replace). A crash anywhere before it leaves orphan data files
+        that no reader ever sees; the mirror stays readable at the
+        previous version throughout. No rmtree is needed for emptied
+        buckets — they are simply absent from the next manifest.
+      * Batch replay after a checkpoint-recovery is detected via the
+        manifest's batch_id (exactly-once commit, stronger than the
+        merge's last-write-wins idempotency which still backstops it).
+
+    Merge cost is |batch| + |touched bucket slices| exactly like
+    PartitionedMirrorSink — the pruning now happens by reading only the
+    touched buckets' directories out of the manifest, which is file-level
+    pruning without even a partition-filter scan. Old commits/manifests
+    accumulate until vacuum() — time-travel for free until then.
+
+    Single-writer (one streaming query per mirror), like every
+    foreachBatch sink; readers are lock-free and always consistent.
+    """
+
+    path: str
+    key_cols: list[str]
+    seq_cols: list[str]
+    op_col: str = "op"
+    num_buckets: int = 64
+    bucket_expr: str | None = None
+
+    def _bucket(self) -> "F.Column":
+        if self.bucket_expr is not None:
+            return F.expr(self.bucket_expr)
+        return F.pmod(F.xxhash64(*[F.col(c) for c in self.key_cols]), F.lit(self.num_buckets))
+
+    @property
+    def _data_dir(self) -> str:
+        return os.path.join(self.path, "data")
+
+    @property
+    def _commits_dir(self) -> str:
+        return os.path.join(self.path, "_commits")
+
+    def _manifests(self) -> list[str]:
+        if not os.path.isdir(self._commits_dir):
+            return []
+        return sorted(
+            f for f in os.listdir(self._commits_dir)
+            if f.startswith("v") and f.endswith(".json")
+        )
+
+    def latest_manifest(self) -> dict | None:
+        import json
+
+        names = self._manifests()
+        if not names:
+            return None
+        with open(os.path.join(self._commits_dir, names[-1])) as fh:
+            return json.load(fh)
+
+    def exists(self) -> bool:
+        return bool(self._manifests())
+
+    def _bucket_paths(self, manifest: dict, buckets: list | None = None):
+        """Group the manifest's bucket→commit mapping into per-commit
+        path lists (restricted to ``buckets`` when pruning)."""
+        by_commit: dict[str, list[str]] = {}
+        for b, cid in manifest["buckets"].items():
+            if buckets is not None and int(b) not in buckets:
+                continue
+            by_commit.setdefault(cid, []).append(
+                os.path.join(self._data_dir, cid, f"_bucket={b}")
+            )
+        return by_commit
+
+    def _read_manifest_slice(
+        self, spark: SparkSession, manifest: dict, buckets: list | None = None
+    ) -> DataFrame | None:
+        by_commit = self._bucket_paths(manifest, buckets)
+        dfs = [
+            spark.read.option("basePath", os.path.join(self._data_dir, cid)).parquet(*paths)
+            for cid, paths in sorted(by_commit.items())
+        ]
+        if not dfs:
+            return None
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d)
+        return out
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        manifest = self.latest_manifest()
+        if manifest is None:
+            raise FileNotFoundError(f"no committed snapshot under {self.path}")
+        sliced = self._read_manifest_slice(spark, manifest)
+        if sliced is None:  # committed-but-empty mirror: schema from manifest
+            schema = T.StructType.fromJson(manifest["schema"])
+            return spark.createDataFrame([], schema)
+        return sliced.drop("_bucket")
+
+    def apply_batch(self, batch: DataFrame, batch_id: int) -> None:
+        import json
+        import uuid
+
+        spark = batch.sparkSession
+        manifest = self.latest_manifest()
+        if (
+            manifest is not None
+            and batch_id >= 0
+            and manifest.get("batch_id") == batch_id
+        ):
+            return  # replayed batch already committed — exactly-once
+        version = (manifest["version"] + 1) if manifest else 1
+        batch = batch.withColumn("_bucket", self._bucket())
+        # bounded driver-side listing: ≤ num_buckets distinct values
+        touched = sorted(
+            r["_bucket"] for r in batch.select("_bucket").distinct().collect()
+        )
+        unioned = batch
+        if manifest is not None:
+            current = self._read_manifest_slice(spark, manifest, buckets=touched)
+            if current is not None:
+                as_changes = current.drop("_bucket").select(
+                    F.lit("u").alias(self.op_col),
+                    *[
+                        F.col(c)
+                        for c in current.drop("_bucket").columns
+                        if c != self.op_col
+                    ],
+                ).withColumn("_bucket", self._bucket())
+                unioned = batch.select(as_changes.columns).unionByName(as_changes)
+        w = Window.partitionBy(*self.key_cols).orderBy(
+            *[F.col(c).desc_nulls_last() for c in self.seq_cols]
+        )
+        merged = (
+            unioned.withColumn("_rn", F.row_number().over(w))
+            .filter((F.col("_rn") == 1) & (F.col(self.op_col) != OP_DELETE))
+            .drop("_rn")
+        )
+        commit_id = f"commit-{version:08d}-{uuid.uuid4().hex[:8]}"
+        commit_dir = os.path.join(self._data_dir, commit_id)
+        merged.write.partitionBy("_bucket").parquet(commit_dir)
+        # buckets that survived the merge: a driver listing of the fresh
+        # commit dir (no extra Spark job, no collect)
+        out_buckets = {
+            int(e.split("=", 1)[1])
+            for e in os.listdir(commit_dir)
+            if e.startswith("_bucket=")
+        }
+        buckets = dict(manifest["buckets"]) if manifest else {}
+        for b in touched:
+            buckets.pop(str(b), None)
+        for b in sorted(out_buckets):
+            buckets[str(b)] = commit_id
+        os.makedirs(self._commits_dir, exist_ok=True)
+        tmp = os.path.join(self._commits_dir, f".tmp-v{version:08d}.json")
+        final = os.path.join(self._commits_dir, f"v{version:08d}.json")
+        with open(tmp, "w") as fh:
+            json.dump(
+                {
+                    "version": version,
+                    "batch_id": batch_id,
+                    "buckets": buckets,
+                    "schema": json.loads(merged.drop("_bucket").schema.json()),
+                },
+                fh,
+            )
+        os.replace(tmp, final)  # the commit point (object store: one PUT)
+
+    def vacuum(self, keep_versions: int = 1) -> int:
+        """GC unreferenced commit dirs + manifests older than the last
+        ``keep_versions``. Maintenance only — correctness never depends
+        on any delete. Returns the number of commit dirs removed."""
+        import json
+        import shutil
+
+        names = self._manifests()
+        if not names:
+            return 0
+        keep = names[-keep_versions:]
+        # drop old manifests FIRST so a crash mid-vacuum can't leave a
+        # manifest referencing deleted data
+        for n in names[:-keep_versions] if keep_versions else names:
+            os.remove(os.path.join(self._commits_dir, n))
+        live: set[str] = set()
+        for n in keep:
+            with open(os.path.join(self._commits_dir, n)) as fh:
+                live |= set(json.load(fh)["buckets"].values())
+        removed = 0
+        if os.path.isdir(self._data_dir):
+            for e in os.listdir(self._data_dir):
+                if e.startswith("commit-") and e not in live:
+                    shutil.rmtree(os.path.join(self._data_dir, e))
+                    removed += 1
+        return removed
 
 
 @dataclass

@@ -36,9 +36,9 @@ def envelope(op, rid, status, ctype, offset):
 import pytest
 
 
-@pytest.mark.parametrize("partitioned", [False, True])
-def test_full_lifecycle(spark, tmp_path, partitioned):
-    engine = CdcEngine(spark=spark, workdir=str(tmp_path), partitioned=partitioned)
+@pytest.mark.parametrize("sink_mode", ["versioned", "partitioned", "simple"])
+def test_full_lifecycle(spark, tmp_path, sink_mode):
+    engine = CdcEngine(spark=spark, workdir=str(tmp_path), sink_mode=sink_mode)
     engine.register_table("card", CARD_SCHEMA)
 
     # snapshot: 3 cards
@@ -78,3 +78,52 @@ def test_full_lifecycle(spark, tmp_path, partitioned):
 
     rows = {r["id"]: r["status"] for r in engine.view("card").collect()}
     assert rows == {1: "BLOCKED", 3: "BLOCKED", 4: "ACTIVE"}
+
+
+def test_default_engine_merge_is_partition_pruned(spark, tmp_path):
+    """The façade's DEFAULT sink must be the scale-safe one: a one-key
+    batch against a populated mirror may only write the touched bucket —
+    every pre-existing data file stays byte-identical (the O(|batch| +
+    touched-buckets), not O(|mirror|), merge-cost contract)."""
+    import glob
+    import hashlib
+
+    from postgres_opensearch_cdc_spark.streaming.apply import VersionedMirrorSink
+
+    engine = CdcEngine(spark=spark, workdir=str(tmp_path))
+    engine.register_table("card", CARD_SCHEMA)
+    assert isinstance(engine.tables["card"].sink, VersionedMirrorSink)
+
+    snap = spark.createDataFrame(
+        [(i, "ACTIVE", "DEBIT") for i in range(500)], CARD_SCHEMA
+    )
+    engine.backfill("card", snap)
+
+    def hashes():
+        out = {}
+        for f in glob.glob(
+            os.path.join(str(tmp_path), "mirror_card", "data", "**", "*.parquet"),
+            recursive=True,
+        ):
+            with open(f, "rb") as fh:
+                out[f] = hashlib.md5(fh.read()).hexdigest()
+        return out
+
+    before = hashes()
+    assert len(before) > 1, "mirror should span multiple bucket files"
+
+    log_dir = str(tmp_path / "log")
+    os.makedirs(log_dir)
+    with open(os.path.join(log_dir, "b1.json"), "w") as f:
+        f.write(envelope("u", 7, "BLOCKED", "DEBIT", 10))
+    engine.start_stream("card", log_dir)
+    engine.await_all()
+
+    after = hashes()
+    for f, h in before.items():
+        assert after[f] == h, f"untouched mirror file rewritten: {f}"
+    # the merge added at most one bucket's worth of new files
+    new_files = set(after) - set(before)
+    new_buckets = {f.rsplit("_bucket=", 1)[1].split(os.sep)[0] for f in new_files}
+    assert len(new_buckets) == 1
+    assert engine.view("card").filter("id = 7").head()["status"] == "BLOCKED"
