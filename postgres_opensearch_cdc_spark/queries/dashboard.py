@@ -76,11 +76,14 @@ def q02b_fulltext_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.filter(toks, lambda t: F.array_contains(terms, t))
         ).alias("term"),
     ).groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    n_docs = docs.count()
+    # corpus size rides along as a broadcast one-row cross join — the
+    # whole query stays a single Spark job (no driver-side count())
+    stats = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
     df_counts = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     scored = (
         tf.join(F.broadcast(df_counts), "term")
-        .withColumn("w", F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")))
+        .crossJoin(F.broadcast(stats))
+        .withColumn("w", F.col("tf") * F.log(F.col("n_docs") / F.col("df")))
         .groupBy("doc_id")
         .agg(F.round(F.sum("w"), 6).alias("tfidf"))
     )
@@ -102,8 +105,11 @@ def q02c_fulltext_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     terms = F.array(*[F.lit(t) for t in FULLTEXT_TERMS])
     toks = F.split(F.lower(F.col("text")), r"\s+")
     lengths = docs.select("doc_id", F.size(toks).alias("dl"))
-    n_docs = docs.count()
-    avgdl = lengths.agg(F.avg("dl")).head()[0]
+    # N and avgdl as a broadcast one-row stats frame — single job, no
+    # driver-side count()/head() metadata actions
+    stats = lengths.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
     tf = (
         docs.select(
             "doc_id",
@@ -114,21 +120,48 @@ def q02c_fulltext_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     df_counts = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     idf = F.log(
-        1.0 + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+        1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
     )
     scored = (
         tf.join(F.broadcast(df_counts), "term")
         .join(lengths, "doc_id")
+        .crossJoin(F.broadcast(stats))
         .withColumn(
             "w",
             idf
             * (F.col("tf") * (k1 + 1))
-            / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.lit(float(avgdl)))),
+            / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))),
         )
         .groupBy("doc_id")
         .agg(F.round(F.sum("w"), 6).alias("bm25"))
     )
     return scored.orderBy(F.col("bm25").desc(), F.col("doc_id")).limit(50)
+
+
+# The parameterized query-string surface (reference analyzer TDD
+# :527-533; bool/query_string DSL TDD :1636-1641): any query text, with
+# should/must boolean semantics. "the joined sparks and queries"
+# analyzes (stopword-strip + stem) to the 3 clauses [join, spark, query].
+QUERYSTRING_FIXTURE = "the joined sparks and queries"
+
+
+def q02d_querystring_should(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """query_string, should-mode (OR): analyzed multi-clause BM25 —
+    documents matching ANY clause, ranked. The generalized, parameterized
+    form of q02c's fixed-term query."""
+    from postgres_opensearch_cdc_spark.functions.fulltext import query_string_bm25
+
+    docs = load_table(spark, sf_dir, "documents")
+    return query_string_bm25(docs, QUERYSTRING_FIXTURE, mode="should")
+
+
+def q02e_querystring_must(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """query_string, must-mode (AND): every analyzed clause required —
+    the ≥2-clause boolean conjunction of full-text predicates."""
+    from postgres_opensearch_cdc_spark.functions.fulltext import query_string_bm25
+
+    docs = load_table(spark, sf_dir, "documents")
+    return query_string_bm25(docs, QUERYSTRING_FIXTURE, mode="must")
 
 
 def q03_range_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -274,6 +307,8 @@ QUERIES = {
     "q02_fulltext_match": q02_fulltext_match,
     "q02b_fulltext_tfidf": q02b_fulltext_tfidf,
     "q02c_fulltext_bm25": q02c_fulltext_bm25,
+    "q02d_querystring_should": q02d_querystring_should,
+    "q02e_querystring_must": q02e_querystring_must,
     "q03_range_filter": q03_range_filter,
     "q04_bool_filter": q04_bool_filter,
     "q05_terms_agg": q05_terms_agg,
@@ -396,3 +431,14 @@ ORACLE = {
         FROM supplier
     """,
 }
+
+# query-string oracles generated from the same analyzer constants the
+# Spark plan uses (functions/fulltext.py) — value-checked end to end
+from postgres_opensearch_cdc_spark.functions.fulltext import query_string_bm25_sql  # noqa: E402
+
+ORACLE["q02d_querystring_should"] = query_string_bm25_sql(
+    QUERYSTRING_FIXTURE, mode="should"
+)
+ORACLE["q02e_querystring_must"] = query_string_bm25_sql(
+    QUERYSTRING_FIXTURE, mode="must"
+)
