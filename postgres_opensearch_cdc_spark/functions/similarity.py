@@ -127,6 +127,26 @@ def random_hyperplane_buckets(
     return vectors.select(F.col(id_col), bucket.alias("bucket"))
 
 
+def _nearest_cell(v: Column, centroids: list[list[float]]) -> Column:
+    """Argmax-cosine cell id for a (double-cast) vector column against
+    literal centroids — pure projection, no shuffle. Ties break to the
+    LOWER cell id (score equal → smaller negated id wins in array_max)."""
+    scores = F.array(
+        *[
+            F.struct(
+                F.round(
+                    dot(v, F.array(*[F.lit(float(x)) for x in c]))
+                    / (l2_norm(v) * l2_norm(F.array(*[F.lit(float(x)) for x in c]))),
+                    6,
+                ).alias("score"),
+                F.lit(-i).alias("neg_cell"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    return -F.array_max(scores)["neg_cell"]
+
+
 def ivf_assign(
     vectors: DataFrame,
     centroids: list[list[float]],
@@ -135,19 +155,118 @@ def ivf_assign(
 ) -> DataFrame:
     """IVF coarse assignment: nearest centroid (max cosine) per vector.
     Centroids arrive as literals (≙ broadcast of a tiny dim table); the
-    argmax is an array-sort over per-centroid scores — no shuffle at
+    argmax is an array-max over per-centroid scores — no shuffle at
     all, embarrassing-parallel over the scan."""
     v = _as_double(F.col(vec_col))
-    scores = F.array(
-        *[
-            F.struct(
-                F.round(
-                    dot(v, F.array(*[F.lit(float(x)) for x in c])), 6
-                ).alias("score"),
-                F.lit(i).alias("cell"),
-            )
-            for i, c in enumerate(centroids)
-        ]
+    return vectors.select(
+        F.col(id_col), _nearest_cell(v, centroids).alias("cell")
     )
-    best = F.array_max(scores)
-    return vectors.select(F.col(id_col), best["cell"].alias("cell"))
+
+
+def kmeans_train(
+    vectors: DataFrame,
+    k: int = 10,
+    iterations: int = 5,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Seeded Lloyd's k-means on the cluster — the trainer that makes IVF
+    usable end-to-end (no external centroids needed).
+
+    Per iteration: nearest-centroid assignment is a literal-broadcast
+    projection (no shuffle), the centroid update is ONE partial-agg
+    shuffle of k×dim running sums (F.avg per dimension — map-side
+    combine collapses each partition to ≤k rows), and only k tiny rows
+    are collected. Driver traffic per iteration = k×dim doubles.
+
+    Init: a seeded hash-ordered sample of ~20k vectors is collected
+    (tiny, deterministic regardless of partitioning), then farthest-
+    point (maximin) selection picks k spread-out seeds driver-side —
+    the scalable k-means++ stand-in that reliably covers well-separated
+    clusters, where k random picks routinely miss some. At 100 TB you
+    train on a bigger sample the same way; the per-iteration plan is
+    unchanged and assignment of the full table stays a projection.
+
+    Empty cells keep their previous centroid (standard Lloyd's guard).
+    """
+    import math
+
+    first = vectors.select(vec_col).head()
+    if first is None:
+        raise ValueError("cannot train on an empty vector table")
+    dim = len(first[0])
+    base = vectors.select(
+        F.col(id_col).alias("_id"), _as_double(F.col(vec_col)).alias("v")
+    )
+    sample_rows = (
+        base.orderBy(F.xxhash64(F.col("_id").cast("string"), F.lit(seed)), F.col("_id"))
+        .limit(max(k * 20, k))
+        .collect()
+    )
+    pts = [list(r["v"]) for r in sample_rows]
+    if len(pts) < k:
+        raise ValueError(f"need at least k={k} vectors, found {len(pts)}")
+
+    def cos_dist(a: list[float], b: list[float]) -> float:
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return 1.0 - (d / (na * nb) if na and nb else 0.0)
+
+    centroids = [pts[0]]
+    mind = [cos_dist(p, pts[0]) for p in pts]
+    while len(centroids) < k:
+        nxt = max(range(len(pts)), key=lambda i: (mind[i], -i))
+        centroids.append(pts[nxt])
+        mind = [min(mind[i], cos_dist(pts[i], pts[nxt])) for i in range(len(pts))]
+    for _ in range(iterations):
+        assigned = base.withColumn("cell", _nearest_cell(F.col("v"), centroids))
+        stats = (
+            assigned.groupBy("cell")
+            .agg(*[F.avg(F.col("v")[i]).alias(f"c{i}") for i in range(dim)])
+            .collect()
+        )
+        new_centroids = list(centroids)
+        for r in stats:
+            new_centroids[r["cell"]] = [r[f"c{i}"] for i in range(dim)]
+        centroids = new_centroids
+    return centroids
+
+
+def ivf_topk(
+    vectors: DataFrame,
+    query_vec: list[float],
+    centroids: list[list[float]],
+    nprobe: int = 3,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF probe: rank cells by cosine(query, centroid) driver-side
+    (k tiny vectors — pure Python math), then exact top-k over only the
+    nprobe nearest cells' vectors.
+
+    The cell filter is a projection predicate here; at scale the table
+    is written partitioned/bucketed by cell, turning the same plan into
+    a partition-pruned scan of nprobe/k of the data. Recall vs
+    brute_force_topk is asserted ≥0.9 in tests/test_similarity.py."""
+    import math
+
+    def cos(a: list[float], b: list[float]) -> float:
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return d / (na * nb) if na and nb else 0.0
+
+    ranked = sorted(
+        range(len(centroids)), key=lambda i: (-cos(query_vec, centroids[i]), i)
+    )
+    probe = ranked[:nprobe]
+    v = _as_double(F.col(vec_col))
+    candidates = (
+        vectors.withColumn("_cell", _nearest_cell(v, centroids))
+        .filter(F.col("_cell").isin(probe))
+        .drop("_cell")
+    )
+    return brute_force_topk(candidates, query_vec, k=k, id_col=id_col, vec_col=vec_col)

@@ -113,6 +113,25 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN end-to-end: seeded Spark k-means training (k=10, 5 Lloyd
+    iterations) → nprobe=3 cell probe → exact cosine top-10 within the
+    probed cells. Rows-only check (float-mean training isn't portable
+    across engines); the recall@10 ≥ 0.9 contract vs brute_force_topk is
+    asserted on clusterable data in tests/test_similarity.py. The driver
+    testdata embeddings are near-uniform on the sphere (no planted
+    cosine structure), so this entry demonstrates the plumbing + plan
+    shape; recall there inherently tracks nprobe/k."""
+    from postgres_opensearch_cdc_spark.functions.similarity import ivf_topk, kmeans_train
+
+    vecs = load_table(spark, sf_dir, "embeddings")
+    q = [float(x) for x in vecs.filter(F.col("vec_id") == 0).head()["embedding"]]
+    centroids = kmeans_train(vecs, k=10, iterations=5, seed=42)
+    return ivf_topk(
+        vecs.filter(F.col("vec_id") != 0), q, centroids, nprobe=3, k=10
+    )
+
+
 def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document text statistics: token count, distinct tokens, mean
     token length, type-token ratio, quality score — the standard
@@ -194,6 +213,7 @@ QUERIES = {
     "dedup_simhash": dedup_simhash,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "ann_cosine_topk": ann_cosine_topk,
+    "ann_ivf_topk": ann_ivf_topk,
     "text_stats": text_stats,
     "text_fingerprint": text_fingerprint,
     "text_lang_id": text_lang_id,

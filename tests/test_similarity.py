@@ -80,3 +80,72 @@ def test_topk_on_real_embeddings(spark, sf_dir):
     assert abs(out[0]["cos_sim"] - 1.0) < 1e-6
     sims = [r["cos_sim"] for r in out]
     assert sims == sorted(sims, reverse=True)
+
+
+# ---------------------------------------------------------------------------
+# IVF end-to-end: k-means training + nprobe probe, recall contract
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def clustered(spark):
+    """10 tight cosine clusters (64 vecs of dim 16, sigma=0.05) — the
+    data regime IVF is FOR. (The driver's synthetic embeddings table is
+    near-uniform on the sphere, where no coarse quantizer can beat
+    nprobe/k recall — so the recall contract is asserted here, on
+    clusterable geometry.)"""
+    import random
+
+    rng = random.Random(7)
+    centers = [[rng.gauss(0, 1) for _ in range(16)] for _ in range(10)]
+    rows = []
+    vid = 0
+    for ci, c in enumerate(centers):
+        for _ in range(40):
+            rows.append((vid, ci, [x + rng.gauss(0, 0.05) for x in c]))
+            vid += 1
+    return spark.createDataFrame(rows, "vec_id long, label int, embedding array<double>")
+
+
+def test_kmeans_train_is_deterministic_and_recovers_clusters(clustered):
+    from postgres_opensearch_cdc_spark.functions.similarity import ivf_assign, kmeans_train
+
+    c1 = kmeans_train(clustered, k=10, iterations=5, seed=42)
+    c2 = kmeans_train(clustered, k=10, iterations=5, seed=42)
+    assert c1 == c2  # seeded init + deterministic argmax → stable output
+    # trained cells must align with the planted clusters: every
+    # non-empty cell is PURE (one label). Lloyd's may split a cluster
+    # over two cells (init-dependent) but must never mix clusters in
+    # one cell at sigma=0.05 separation.
+    assigned = (
+        ivf_assign(clustered, c1)
+        .join(clustered.select("vec_id", "label"), "vec_id")
+        .groupBy("cell")
+        .agg(F.count_distinct("label").alias("nlabels"))
+        .collect()
+    )
+    assert assigned and all(r["nlabels"] == 1 for r in assigned)
+
+
+def test_ivf_recall_at_10(clustered):
+    """recall@10 ≥ 0.9 vs the exact brute-force baseline with nprobe=2
+    of 10 cells — the IVF usefulness contract."""
+    from postgres_opensearch_cdc_spark.functions.similarity import (
+        brute_force_topk as bf,
+        ivf_topk,
+        kmeans_train,
+    )
+
+    centroids = kmeans_train(clustered, k=10, iterations=5, seed=42)
+    q = clustered.filter(F.col("vec_id") == 0).head()["embedding"]
+    rest = clustered.filter(F.col("vec_id") != 0)
+    exact = {r["vec_id"] for r in bf(rest, q, k=10).collect()}
+    approx = {r["vec_id"] for r in ivf_topk(rest, q, centroids, nprobe=2, k=10).collect()}
+    assert len(exact & approx) / 10 >= 0.9
+
+
+def test_kmeans_empty_table_raises(spark):
+    from postgres_opensearch_cdc_spark.functions.similarity import kmeans_train
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="empty vector table"):
+        kmeans_train(empty, k=4)
