@@ -62,3 +62,65 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS b_facts")
         spark.sql("DROP TABLE IF EXISTS b_dims")
+
+
+def _skewed_changelog(spark, n=20_000, hot_keys=5, cold_keys=1_000):
+    """Hot-key changelog: the first half of events hammer `hot_keys`
+    keys (≈50% of volume on <1% of the key space)."""
+    return spark.range(n).select(
+        F.when(F.col("id") % 2 == 0, F.pmod(F.xxhash64("id"), F.lit(hot_keys)))
+        .otherwise(F.lit(hot_keys) + F.pmod(F.xxhash64("id"), F.lit(cold_keys)))
+        .alias("key"),
+        F.col("id").alias("offset"),
+        F.lit("u").alias("op"),
+        (F.col("id") % 97).cast("double").alias("value"),
+    )
+
+
+def test_agg_strategy_collapses_map_side_on_hot_keys(spark):
+    """strategy='agg' must place a PARTIAL max_by aggregate BEFORE the
+    exchange — the map-side collapse that (a) cuts shuffle volume 3-4x
+    on a 50%-hot changelog (measured in tools/bench_skew.py) and
+    (b) bounds any key's reducer input at #map-partitions rows, where
+    the window strategy hands one reducer the hot key's entire stream."""
+    from postgres_opensearch_cdc_spark.cdc.apply import compact_changelog
+
+    log = _skewed_changelog(spark)
+    out = compact_changelog(log, ["key"], ["offset"], strategy="agg")
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    # formatted plan lists operators leaf-to-root; the partial aggregate
+    # node must sit below the exchange on the hash-partitioned key
+    import re
+
+    assert "max_by" in plan
+    agg_nodes = [
+        m.start() for m in re.finditer(r"HashAggregate|SortAggregate|ObjectHashAggregate", plan)
+    ]
+    assert len(agg_nodes) >= 2, "expected partial+final aggregate pair"
+    assert "hashpartitioning(key" in plan
+
+    # and the two strategies agree on the skewed input
+    w = compact_changelog(log, ["key"], ["offset"], strategy="window")
+    assert (
+        out.select("key", "offset").exceptAll(w.select("key", "offset")).count() == 0
+    )
+    assert (
+        w.select("key", "offset").exceptAll(out.select("key", "offset")).count() == 0
+    )
+
+
+def test_map_side_collapse_reduces_shuffle_rows(spark):
+    """Quantitative form of the collapse: the partial-aggregate output
+    (what actually enters the shuffle) must be well under the event
+    count when hot keys repeat within partitions."""
+    log = _skewed_changelog(spark, n=20_000).repartition(8)
+    total = log.count()
+    partial_rows = (
+        log.withColumn("_pid", F.spark_partition_id())
+        .groupBy("_pid", "key")
+        .agg(F.count(F.lit(1)))
+        .count()
+    )
+    assert partial_rows < total / 2, (partial_rows, total)
