@@ -22,8 +22,7 @@ def test_rows_only_queries_are_the_documented_ones():
     qs, oracles = e.queries(), e.oracle_sql()
     rows_only = set(qs) - set(oracles)
     assert rows_only == {
-        "dedup_minhash_lsh",
-        "dedup_simhash",
+        "ann_ivf_topk",
         "approx_sketches",
     }, f"unexpected rows-only queries: {rows_only}"
 
