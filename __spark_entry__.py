@@ -16,6 +16,7 @@ from postgres_opensearch_cdc_spark.queries import (
     dashboard,
     extensions,
     patterns,
+    querydsl,
     relational,
     scalar_sql,
     windows_pivot,
@@ -29,6 +30,7 @@ _MODULES = [
     windows_pivot,
     patterns,
     extensions,
+    querydsl,
 ]
 
 
