@@ -50,6 +50,11 @@ def run(sf_dir: str, only: list[str] | None = None) -> int:
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures = 0
+    if only:
+        unknown = set(only) - set(qs)
+        if unknown:
+            print(f"FAIL  unknown query name(s): {sorted(unknown)}")
+            return len(unknown)
     for name, fn in qs.items():
         if only and name not in only:
             continue
