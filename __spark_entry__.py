@@ -19,6 +19,7 @@ from postgres_opensearch_cdc_spark.queries import (
     querydsl,
     relational,
     scalar_sql,
+    training_pipeline,
     windows_pivot,
 )
 
@@ -31,6 +32,7 @@ _MODULES = [
     patterns,
     extensions,
     querydsl,
+    training_pipeline,
 ]
 
 

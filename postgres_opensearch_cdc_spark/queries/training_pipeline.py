@@ -1,0 +1,199 @@
+"""Training-data pipeline governance operators: Gopher-style repetition
+quality metrics, PII redaction, and benchmark-contamination detection.
+
+These are the curation passes an LLM-pretraining pipeline runs between
+raw crawl and tokenization (Rae et al. 2021 "Scaling Language Models"
+[Gopher] App. A for the repetition filters; n-gram-overlap decontam is
+the standard eval-hygiene pass). All three are expressed as single
+Catalyst plans with value-checked DuckDB oracles.
+
+Scale notes:
+- Repetition metrics are computed per-document with higher-order
+  functions (transform/filter/aggregate over the token array) — zero
+  shuffle, fuses into the scan. The O(distinct×n) inner loop is bounded
+  by document length, not corpus size, so it parallelizes embarrassingly
+  at 100 TB where an explode→groupBy(doc, gram) formulation would
+  shuffle the whole token stream.
+- Contamination hashes each n-gram to a fixed-width md5 before the
+  join, so the shuffle carries 32-byte keys instead of arbitrary-length
+  text; the benchmark side is distinct-ed and broadcast (benchmark sets
+  are small by construction).
+- PII scrub is a map-only projection (functions/pii.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+
+from postgres_opensearch_cdc_spark.functions import pii
+from postgres_opensearch_cdc_spark.registry import load_table
+
+# Gopher-style thresholds (tuned to this corpus' observed spread:
+# top-bigram fraction avg 0.04 / max 0.17, dup fraction avg 0.06 / max 0.27).
+TOP_BIGRAM_MAX = 0.08
+DUP_BIGRAM_MAX = 0.15
+
+CONTAM_N = 4  # n-gram order for decontamination
+BENCHMARK_MAX_DOC_ID = 50  # doc_id < 50 plays the held-out benchmark set
+
+
+def _toks(col: Column) -> Column:
+    return F.split(F.lower(col), r"\s+")
+
+
+def _ngrams(toks: Column, n: int) -> Column:
+    """Array of space-joined n-grams (order preserved, duplicates kept).
+    Guarded for docs shorter than n tokens: Spark's sequence(1, 0) is
+    DESCENDING (yields [1, 0]) and slice(start=0) throws, so the short
+    case returns an empty array explicitly."""
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    )
+    empty = F.array().cast("array<string>")
+    return F.when(F.size(toks) >= n, grams).otherwise(empty)
+
+
+def quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repetition metrics: fraction of bigram occurrences
+    taken by the single most frequent bigram, and fraction of bigram
+    occurrences that are repeats — documents exceeding either threshold
+    are flagged for removal (Gopher App. A analogue for a corpus with
+    no line structure)."""
+    docs = load_table(spark, sf_dir, "documents")
+    grams = _ngrams(_toks(F.col("text")), 2)
+    distinct = F.array_distinct(grams)
+    counts = F.transform(distinct, lambda g: F.size(F.filter(grams, lambda x: x == g)))
+    n_bigrams = F.size(grams)
+    # guard the zero-bigram degenerate doc: ANSI mode turns x/0 into an
+    # error, so short docs get NULL metrics (and are never flagged)
+    top_frac = F.when(
+        n_bigrams > 0, F.round(F.array_max(counts) / n_bigrams, 6)
+    )
+    dup_frac = F.when(
+        n_bigrams > 0,
+        F.round(
+            F.aggregate(
+                counts, F.lit(0), lambda acc, c: acc + F.when(c > 1, c).otherwise(0)
+            )
+            / n_bigrams,
+            6,
+        ),
+    )
+    return (
+        docs.select(
+            "doc_id",
+            n_bigrams.alias("n_bigrams"),
+            top_frac.alias("top_bigram_frac"),
+            dup_frac.alias("dup_bigram_frac"),
+        )
+        .withColumn(
+            "flagged",
+            (F.col("top_bigram_frac") > TOP_BIGRAM_MAX)
+            | (F.col("dup_bigram_frac") > DUP_BIGRAM_MAX),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redact PII-shaped spans (emails, phones, entity-ID tags, long
+    digit runs) and count redactions per row. On this corpus the
+    customer-name ID tag is the live pattern; email/phone rules are
+    exercised by unit fixtures."""
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey",
+        pii.scrub(F.col("c_name")).alias("scrubbed_name"),
+        pii.redaction_count(F.col("c_name")).cast("long").alias("n_redactions"),
+    ).orderBy("c_custkey")
+
+
+def contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: corpus documents sharing at least one
+    CONTAM_N-gram with the benchmark set, with the count of distinct
+    shared grams. Grams are md5-hashed before the join (fixed-width
+    shuffle keys); the benchmark gram set is distinct-ed and broadcast."""
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id", F.explode(_ngrams(_toks(F.col("text")), CONTAM_N)).alias("gram")
+    ).select("doc_id", F.md5(F.col("gram")).alias("gram_h"))
+    bench = (
+        grams.filter(F.col("doc_id") < BENCHMARK_MAX_DOC_ID)
+        .select("gram_h")
+        .distinct()
+    )
+    corpus = grams.filter(F.col("doc_id") >= BENCHMARK_MAX_DOC_ID)
+    return (
+        corpus.join(F.broadcast(bench), "gram_h")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("gram_h").alias("n_shared_grams"))
+        .orderBy("doc_id")
+    )
+
+
+QUERIES = {
+    "quality_repetition": quality_repetition,
+    "pii_scrub": pii_scrub,
+    "contamination_ngram": contamination_ngram,
+}
+
+_TOKS_SQL = r"regexp_split_to_array(lower(text), '\s+')"
+
+
+def _ngrams_sql(toks: str, n: int) -> str:
+    return (
+        f"list_transform(range(1, len({toks}) - {n - 1} + 1), "
+        f"i -> list_aggregate({toks}[i:i+{n - 1}], 'string_agg', ' '))"
+    )
+
+
+ORACLE = {
+    "quality_repetition": f"""
+        WITH base AS (
+            SELECT doc_id, {_ngrams_sql(_TOKS_SQL, 2)} AS grams FROM documents
+        ),
+        m AS (
+            SELECT doc_id,
+                   len(grams) AS n_bigrams,
+                   list_transform(list_distinct(grams),
+                                  g -> len(list_filter(grams, x -> x = g))) AS counts
+            FROM base
+        )
+        SELECT doc_id,
+               n_bigrams,
+               ROUND(list_max(counts)::DOUBLE / n_bigrams, 6) AS top_bigram_frac,
+               ROUND(list_sum(list_transform(counts,
+                         c -> CASE WHEN c > 1 THEN c ELSE 0 END))::DOUBLE
+                     / n_bigrams, 6) AS dup_bigram_frac,
+               (ROUND(list_max(counts)::DOUBLE / n_bigrams, 6) > {TOP_BIGRAM_MAX}
+                OR ROUND(list_sum(list_transform(counts,
+                           c -> CASE WHEN c > 1 THEN c ELSE 0 END))::DOUBLE
+                         / n_bigrams, 6) > {DUP_BIGRAM_MAX}) AS flagged
+        FROM m
+        ORDER BY doc_id
+    """,
+    "pii_scrub": f"""
+        SELECT c_custkey,
+               {pii.scrub_sql("c_name")} AS scrubbed_name,
+               {pii.redaction_count_sql("c_name")}::BIGINT AS n_redactions
+        FROM customer
+        ORDER BY c_custkey
+    """,
+    "contamination_ngram": f"""
+        WITH grams AS (
+            SELECT doc_id,
+                   md5(unnest({_ngrams_sql(_TOKS_SQL, CONTAM_N)})) AS gram_h
+            FROM documents
+        ),
+        bench AS (
+            SELECT DISTINCT gram_h FROM grams WHERE doc_id < {BENCHMARK_MAX_DOC_ID}
+        )
+        SELECT doc_id, count(DISTINCT gram_h) AS n_shared_grams
+        FROM grams
+        WHERE doc_id >= {BENCHMARK_MAX_DOC_ID}
+          AND gram_h IN (SELECT gram_h FROM bench)
+        GROUP BY doc_id
+        ORDER BY doc_id
+    """,
+}
