@@ -42,6 +42,25 @@ def distinct_token_count(text: Column) -> Column:
     return F.size(F.array_distinct(tokens(text))).cast("long")
 
 
+# GPT-2-style pre-tokenizer pieces, simplified to the lookahead-free
+# subset both Java regex and RE2/DuckDB compile identically: a piece is
+# an optional leading space plus a letter run, digit run, or punctuation
+# run. Non-overlapping left-to-right match counts agree across engines.
+BPE_PIECE_PATTERN = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+
+
+def bpe_token_count(text: Column) -> Column:
+    """BPE-ish token count: number of pre-tokenizer pieces. Tracks real
+    BPE budgets far better than whitespace counts on text with digits,
+    punctuation, or code; equals the whitespace count on plain prose."""
+    return F.regexp_count(text, F.lit(BPE_PIECE_PATTERN)).cast("long")
+
+
+def bpe_token_count_sql(expr: str = "text") -> str:
+    """DuckDB twin of bpe_token_count."""
+    return f"len(regexp_extract_all({expr}, '{BPE_PIECE_PATTERN}'))::BIGINT"
+
+
 def avg_token_len(text: Column) -> Column:
     """Mean token length — a quality-score component."""
     t = tokens(text)

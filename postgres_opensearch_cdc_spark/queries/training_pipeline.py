@@ -25,7 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
-from postgres_opensearch_cdc_spark.functions import pii
+from postgres_opensearch_cdc_spark.functions import pii, text as textfn
 from postgres_opensearch_cdc_spark.registry import load_table
 
 # Gopher-style thresholds (tuned to this corpus' observed spread:
@@ -132,10 +132,29 @@ def contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-budget accounting: document counts and summed
+    whitespace vs BPE-ish token counts — the bookkeeping query a
+    pretraining data pipeline runs before sampling. Map-side partial agg
+    on a low-cardinality key; token counting is pure codegen in the
+    scan projection."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(textfn.token_count(F.col("text"))).alias("ws_tokens"),
+            F.sum(textfn.bpe_token_count(F.col("text"))).alias("bpe_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
 QUERIES = {
     "quality_repetition": quality_repetition,
     "pii_scrub": pii_scrub,
     "contamination_ngram": contamination_ngram,
+    "token_budget": token_budget,
 }
 
 _TOKS_SQL = r"regexp_split_to_array(lower(text), '\s+')"
@@ -195,5 +214,14 @@ ORACLE = {
           AND gram_h IN (SELECT gram_h FROM bench)
         GROUP BY doc_id
         ORDER BY doc_id
+    """,
+    "token_budget": f"""
+        SELECT source,
+               count(*) AS n_docs,
+               sum(len({_TOKS_SQL}))::BIGINT AS ws_tokens,
+               sum({textfn.bpe_token_count_sql("text")})::BIGINT AS bpe_tokens
+        FROM documents
+        GROUP BY source
+        ORDER BY source
     """,
 }

@@ -40,6 +40,28 @@ def test_pii_scrub_counts_match_patterns_on_customer(spark, sf_dir):
     assert all(r.n_redactions == 1 for r in rows)
 
 
+def test_bpe_token_count_splits_digits_and_punct(spark):
+    from postgres_opensearch_cdc_spark.functions import text as textfn
+
+    df = spark.createDataFrame(
+        [
+            ("plain prose words", 3, 3),
+            ("v2.0 costs $45,000!", 3, 10),  # ws: 3; bpe: v 2 . 0 costs $ 45 , 000 !
+            ("", 1, 0),  # split('') -> [''] for ws; no bpe pieces
+        ],
+        ["t", "ws_expect", "bpe_expect"],
+    )
+    rows = df.select(
+        "ws_expect",
+        "bpe_expect",
+        textfn.token_count(F.col("t")).alias("ws"),
+        textfn.bpe_token_count(F.col("t")).alias("bpe"),
+    ).collect()
+    for r in rows:
+        assert r.ws == r.ws_expect
+        assert r.bpe == r.bpe_expect
+
+
 def test_quality_repetition_flags_are_threshold_consistent(spark, sf_dir):
     rows = tp.quality_repetition(spark, sf_dir).collect()
     assert len(rows) > 0
