@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
 from postgres_opensearch_cdc_spark.functions import pii, text as textfn
+from postgres_opensearch_cdc_spark.functions.dedup import _ensure_parallelism
 from postgres_opensearch_cdc_spark.registry import load_table
 
 # Gopher-style thresholds (tuned to this corpus' observed spread:
@@ -54,31 +55,70 @@ def _ngrams(toks: Column, n: int) -> Column:
     return F.when(F.size(toks) >= n, grams).otherwise(empty)
 
 
+def _run_length_stats(sorted_grams: Column) -> Column:
+    """One aggregate pass over a SORTED gram array returning
+    struct(maxrun, dups): the longest equal-run length and the total
+    occurrences belonging to runs longer than 1. Equivalent to
+    per-distinct-gram counting but O(n log n) instead of O(distinct×n)
+    — higher-order lambdas evaluate interpreted (outside codegen), so
+    the quadratic form is 50× slower on real documents."""
+
+    def merge(acc: Column, x: Column) -> Column:
+        same = x == acc["prev"]
+        closed_max = F.greatest(acc["maxrun"], acc["run"])
+        closed_dups = acc["dups"] + F.when(acc["run"] > 1, acc["run"]).otherwise(0)
+        return F.when(
+            same,
+            F.struct(
+                x.alias("prev"),
+                (acc["run"] + 1).alias("run"),
+                acc["maxrun"].alias("maxrun"),
+                acc["dups"].alias("dups"),
+            ),
+        ).otherwise(
+            F.struct(
+                x.alias("prev"),
+                F.lit(1).alias("run"),
+                closed_max.alias("maxrun"),
+                closed_dups.alias("dups"),
+            )
+        )
+
+    return F.aggregate(
+        sorted_grams,
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("maxrun"),
+            F.lit(0).alias("dups"),
+        ),
+        merge,
+        lambda acc: F.struct(
+            F.greatest(acc["maxrun"], acc["run"]).alias("maxrun"),
+            (acc["dups"] + F.when(acc["run"] > 1, acc["run"]).otherwise(0)).alias(
+                "dups"
+            ),
+        ),
+    )
+
+
 def quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document repetition metrics: fraction of bigram occurrences
     taken by the single most frequent bigram, and fraction of bigram
     occurrences that are repeats — documents exceeding either threshold
     are flagged for removal (Gopher App. A analogue for a corpus with
     no line structure)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _ensure_parallelism(load_table(spark, sf_dir, "documents"))
     grams = _ngrams(_toks(F.col("text")), 2)
-    distinct = F.array_distinct(grams)
-    counts = F.transform(distinct, lambda g: F.size(F.filter(grams, lambda x: x == g)))
+    stats = _run_length_stats(F.array_sort(grams))
     n_bigrams = F.size(grams)
     # guard the zero-bigram degenerate doc: ANSI mode turns x/0 into an
     # error, so short docs get NULL metrics (and are never flagged)
     top_frac = F.when(
-        n_bigrams > 0, F.round(F.array_max(counts) / n_bigrams, 6)
+        n_bigrams > 0, F.round(stats["maxrun"] / n_bigrams, 6)
     )
     dup_frac = F.when(
-        n_bigrams > 0,
-        F.round(
-            F.aggregate(
-                counts, F.lit(0), lambda acc, c: acc + F.when(c > 1, c).otherwise(0)
-            )
-            / n_bigrams,
-            6,
-        ),
+        n_bigrams > 0, F.round(stats["dups"] / n_bigrams, 6)
     )
     return (
         docs.select(
@@ -115,7 +155,7 @@ def contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     shared grams. Grams are md5-hashed before the join (fixed-width
     shuffle keys); the benchmark gram set is distinct-ed and broadcast."""
     docs = load_table(spark, sf_dir, "documents")
-    grams = docs.select(
+    grams = _ensure_parallelism(docs).select(
         "doc_id", F.explode(_ngrams(_toks(F.col("text")), CONTAM_N)).alias("gram")
     ).select("doc_id", F.md5(F.col("gram")).alias("gram_h"))
     bench = (
