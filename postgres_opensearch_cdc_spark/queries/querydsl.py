@@ -241,6 +241,104 @@ def pipeline_agg_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("day")
 
 
+def dis_max_best_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``dis_max`` with tie_breaker: relevance = best field score plus
+    0.3 × the other fields' scores — OpenSearch's best_fields
+    counterpart to q02h's most_fields sum. Same codegen map-only
+    shape."""
+    docs = load_table(spark, sf_dir, "documents")
+    text_score = F.regexp_count(F.col("text"), F.lit(r"\bspark\b")).cast("double")
+    source_score = F.when(F.col("source") == "src1", 2.0).otherwise(0.0)
+    best = F.greatest(text_score, source_score)
+    score = F.round(best + 0.3 * (text_score + source_score - best), 2)
+    return (
+        docs.select("doc_id", score.alias("dm_score"))
+        .filter(F.col("dm_score") > 0)
+        .orderBy(F.col("dm_score").desc(), F.col("doc_id"))
+        .limit(50)
+    )
+
+
+def function_score_fvf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``function_score`` with a field_value_factor modifier: term
+    relevance (tf of 'query') multiplied by ln(1 + n_chars) — the
+    standard popularity/length boost. Scoring is pure codegen in the
+    scan projection; top-k is TakeOrderedAndProject."""
+    docs = load_table(spark, sf_dir, "documents")
+    tf = F.regexp_count(F.col("text"), F.lit(r"\bquery\b")).cast("double")
+    score = F.round(tf * F.log1p(F.col("n_chars")), 4)
+    return (
+        docs.select("doc_id", score.alias("fs_score"))
+        .filter(F.col("fs_score") > 0)
+        .orderBy(F.col("fs_score").desc(), F.col("doc_id"))
+        .limit(50)
+    )
+
+
+def percentile_ranks_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``percentile_ranks`` aggregation: for each threshold, the exact
+    fraction of events.value at or below it. One pass of conditional
+    partial aggregates — no sort, no shuffle beyond the single-row
+    final agg."""
+    ev = load_table(spark, sf_dir, "events")
+    thresholds = [50.0, 100.0, 250.0]
+    aggs = [
+        F.round(
+            100.0 * F.sum((F.col("value") <= t).cast("long")) / F.count(F.lit(1)), 4
+        ).alias(f"pct_le_{int(t)}")
+        for t in thresholds
+    ]
+    return ev.agg(*aggs)
+
+
+def collapse_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``collapse``: one representative document per source field value
+    (the longest, doc_id as tiebreak) — OpenSearch field collapsing as
+    a per-key top-1 window."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(F.col("n_chars").desc(), F.col("doc_id"))
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("source", "doc_id", "n_chars")
+        .orderBy("source")
+    )
+
+
+def suggest_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Completion-suggester analogue: terms with prefix 's' ranked by
+    document frequency. Distinct token set per doc, explode, term-keyed
+    agg — the prefix filter runs before the explode output shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    term = F.explode(
+        F.filter(
+            F.array_distinct(F.split(F.lower(F.col("text")), r"\s+")),
+            lambda t: t.startswith("s"),
+        )
+    ).alias("term")
+    return (
+        docs.select(term)
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .orderBy(F.col("doc_freq").desc(), F.col("term"))
+        .limit(10)
+    )
+
+
+def highlight_fragment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Highlighting: the first ±3-token window around the match — the
+    snippet OpenSearch's highlighter returns. Leftmost-greedy extraction
+    agrees between Java regex and RE2, so fragments are value-checked."""
+    docs = load_table(spark, sf_dir, "documents")
+    pat = r"(\S+ ){0,3}vectors?( \S+){0,3}"
+    frag = F.regexp_extract(F.col("text"), pat, 0)
+    return (
+        docs.select("doc_id", frag.alias("fragment"))
+        .filter(F.col("fragment") != "")
+        .orderBy("doc_id")
+    )
+
+
 QUERIES = {
     "q02f_match_phrase": q02f_match_phrase,
     "q01d_regexp_match": q01d_regexp_match,
@@ -252,6 +350,12 @@ QUERIES = {
     "significant_terms": significant_terms,
     "histogram_value": histogram_value,
     "pipeline_agg_cumsum": pipeline_agg_cumsum,
+    "dis_max_best_fields": dis_max_best_fields,
+    "function_score_fvf": function_score_fvf,
+    "percentile_ranks_value": percentile_ranks_value,
+    "collapse_by_source": collapse_by_source,
+    "suggest_prefix": suggest_prefix,
+    "highlight_fragment": highlight_fragment,
 }
 
 ORACLE = {
@@ -354,6 +458,71 @@ ORACLE = {
         FROM events
         GROUP BY 1
         ORDER BY bucket
+    """,
+    "dis_max_best_fields": r"""
+        SELECT doc_id, dm_score FROM (
+            SELECT doc_id,
+                   ROUND(
+                     greatest(ts, ss) + 0.3 * (ts + ss - greatest(ts, ss)), 2
+                   ) AS dm_score
+            FROM (
+                SELECT doc_id,
+                       len(regexp_extract_all(text, '\bspark\b'))::DOUBLE AS ts,
+                       CASE WHEN source = 'src1' THEN 2.0 ELSE 0.0 END AS ss
+                FROM documents
+            )
+        )
+        WHERE dm_score > 0
+        ORDER BY dm_score DESC, doc_id
+        LIMIT 50
+    """,
+    "function_score_fvf": r"""
+        SELECT doc_id, fs_score FROM (
+            SELECT doc_id,
+                   ROUND(len(regexp_extract_all(text, '\bquery\b'))::DOUBLE
+                         * ln(1 + n_chars), 4) AS fs_score
+            FROM documents
+        )
+        WHERE fs_score > 0
+        ORDER BY fs_score DESC, doc_id
+        LIMIT 50
+    """,
+    "percentile_ranks_value": """
+        SELECT
+            ROUND(100.0 * sum(CASE WHEN value <= 50.0 THEN 1 ELSE 0 END) / count(*), 4) AS pct_le_50,
+            ROUND(100.0 * sum(CASE WHEN value <= 100.0 THEN 1 ELSE 0 END) / count(*), 4) AS pct_le_100,
+            ROUND(100.0 * sum(CASE WHEN value <= 250.0 THEN 1 ELSE 0 END) / count(*), 4) AS pct_le_250
+        FROM events
+    """,
+    "collapse_by_source": """
+        SELECT source, doc_id, n_chars FROM (
+            SELECT source, doc_id, n_chars,
+                   row_number() OVER (
+                       PARTITION BY source ORDER BY n_chars DESC, doc_id
+                   ) AS rn
+            FROM documents
+        )
+        WHERE rn = 1
+        ORDER BY source
+    """,
+    "suggest_prefix": r"""
+        SELECT term, count(*) AS doc_freq FROM (
+            SELECT unnest(list_filter(
+                       list_distinct(regexp_split_to_array(lower(text), '\s+')),
+                       t -> t LIKE 's%'
+                   )) AS term
+            FROM documents
+        )
+        GROUP BY term
+        ORDER BY doc_freq DESC, term
+        LIMIT 10
+    """,
+    "highlight_fragment": r"""
+        SELECT doc_id,
+               regexp_extract(text, '(\S+ ){0,3}vectors?( \S+){0,3}') AS fragment
+        FROM documents
+        WHERE regexp_extract(text, '(\S+ ){0,3}vectors?( \S+){0,3}') <> ''
+        ORDER BY doc_id
     """,
     "pipeline_agg_cumsum": """
         WITH daily AS (

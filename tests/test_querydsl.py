@@ -69,6 +69,66 @@ def test_top_hits_bounded_per_bucket(spark, sf_dir):
         assert vals == sorted(vals, reverse=True)
 
 
+def test_keyset_pagination_covers_every_row_exactly_once(spark, sf_dir):
+    """Walking search_after pages to exhaustion yields the full sorted
+    event set with no duplicates and no gaps — the invariant OpenSearch
+    documents for search_after."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_id")
+    expected = ev.count()
+    page_size, cursor, seen = 997, (-1, -1), 0
+    while True:
+        cu, ce = cursor
+        page = (
+            ev.filter(
+                (F.col("user_id") > cu)
+                | ((F.col("user_id") == cu) & (F.col("event_id") > ce))
+            )
+            .orderBy("user_id", "event_id")
+            .limit(page_size)
+            .collect()
+        )
+        if not page:
+            break
+        keys = [(r.user_id, r.event_id) for r in page]
+        assert keys == sorted(keys) and keys[0] > cursor
+        seen += len(keys)
+        cursor = keys[-1]
+    assert seen == expected
+
+
+def test_collapse_returns_one_doc_per_source(spark, sf_dir):
+    rows = querydsl.collapse_by_source(spark, sf_dir).collect()
+    sources = [r.source for r in rows]
+    assert len(sources) == len(set(sources))
+    docs = load_table(spark, sf_dir, "documents")
+    assert len(sources) == docs.select("source").distinct().count()
+    # representative really is the per-source max n_chars
+    max_chars = {
+        r.source: r.mx
+        for r in docs.groupBy("source").agg(F.max("n_chars").alias("mx")).collect()
+    }
+    for r in rows:
+        assert r.n_chars == max_chars[r.source]
+
+
+def test_dis_max_leq_sum_and_geq_max(spark, sf_dir):
+    """tie_breaker=0.3 keeps dis_max between best-field and sum."""
+    dm = {r.doc_id: r.dm_score for r in querydsl.dis_max_best_fields(spark, sf_dir).collect()}
+    mm = {r.doc_id: r.mm_score for r in querydsl.q02h_multi_match(spark, sf_dir).collect()}
+    common = set(dm) & set(mm)
+    assert common
+    for d in common:
+        assert dm[d] <= mm[d] + 1e-9  # sum (most_fields) is the ceiling
+
+
+def test_highlight_fragment_contains_match(spark, sf_dir):
+    rows = querydsl.highlight_fragment(spark, sf_dir).collect()
+    assert rows
+    for r in rows[:50]:
+        assert "vector" in r.fragment
+        assert len(r.fragment.split()) <= 7  # ±3 tokens around the match
+
+
 def test_pipeline_agg_cumsum_is_consistent(spark, sf_dir):
     rows = querydsl.pipeline_agg_cumsum(spark, sf_dir).collect()
     assert rows[0].derivative is None  # no previous bucket
