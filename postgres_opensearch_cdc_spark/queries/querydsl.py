@@ -339,6 +339,82 @@ def highlight_fragment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def nested_query_same_element(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OpenSearch ``nested`` query: orders as parent docs with their
+    lineitems as nested children, matching orders where SOME SINGLE
+    lineitem has quantity >= 45 AND discount >= 0.08 — the predicate a
+    flat field-level AND gets wrong (it matches when different items
+    satisfy different halves).
+
+    Implementation builds the nested docs (collect_list of structs — the
+    document shape the reference's sink would index) then applies
+    ``exists`` over the array. The groupBy shuffles once on the join
+    key; at 100 TB the nested build is the same co-partitioned shape as
+    the mirror compaction. The DuckDB oracle is the equivalent
+    correlated EXISTS on the flat child table — semantic equivalence of
+    the two formulations is the point of the check."""
+    li = load_table(spark, sf_dir, "lineitem")
+    nested = (
+        li.groupBy(F.col("l_orderkey").alias("orderkey"))
+        .agg(
+            F.collect_list(
+                F.struct(
+                    F.col("l_quantity").alias("qty"),
+                    F.col("l_discount").alias("disc"),
+                )
+            ).alias("items")
+        )
+    )
+    hit = F.exists(
+        F.col("items"), lambda it: (it["qty"] >= 45) & (it["disc"] >= 0.08)
+    )
+    return (
+        nested.filter(hit)
+        .select("orderkey", F.size("items").alias("n_items"))
+        .orderBy("orderkey")
+    )
+
+
+def bucket_script_error_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``bucket_script`` pipeline agg: per-day error rate computed from
+    two sibling metrics of the same date_histogram (errors / total).
+    Both metrics come out of ONE conditional partial agg — no second
+    scan, no join."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd")
+    return (
+        ev.groupBy(day.alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("total"),
+            F.sum((F.col("event_type") == "error").cast("long")).alias("errors"),
+        )
+        .select(
+            "day",
+            "total",
+            "errors",
+            F.round(F.col("errors") / F.col("total"), 6).alias("error_rate"),
+        )
+        .orderBy("day")
+    )
+
+
+def avg_bucket_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``avg_bucket`` / ``max_bucket`` / ``min_bucket`` sibling pipeline
+    aggs: summary statistics over the daily-sum bucket series — a
+    two-level aggregation, both levels partial+final."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd")
+    daily = ev.groupBy(day.alias("day")).agg(
+        F.round(F.sum("value"), 4).alias("sum_value")
+    )
+    return daily.agg(
+        F.round(F.avg("sum_value"), 4).alias("avg_bucket"),
+        F.round(F.max("sum_value"), 4).alias("max_bucket"),
+        F.round(F.min("sum_value"), 4).alias("min_bucket"),
+        F.count(F.lit(1)).alias("n_buckets"),
+    )
+
+
 QUERIES = {
     "q02f_match_phrase": q02f_match_phrase,
     "q01d_regexp_match": q01d_regexp_match,
@@ -356,6 +432,9 @@ QUERIES = {
     "collapse_by_source": collapse_by_source,
     "suggest_prefix": suggest_prefix,
     "highlight_fragment": highlight_fragment,
+    "nested_query_same_element": nested_query_same_element,
+    "bucket_script_error_rate": bucket_script_error_rate,
+    "avg_bucket_daily": avg_bucket_daily,
 }
 
 ORACLE = {
@@ -523,6 +602,37 @@ ORACLE = {
         FROM documents
         WHERE regexp_extract(text, '(\S+ ){0,3}vectors?( \S+){0,3}') <> ''
         ORDER BY doc_id
+    """,
+    "nested_query_same_element": """
+        SELECT l_orderkey AS orderkey, count(*) AS n_items
+        FROM lineitem
+        GROUP BY l_orderkey
+        HAVING bool_or(l_quantity >= 45 AND l_discount >= 0.08)
+        ORDER BY orderkey
+    """,
+    "bucket_script_error_rate": """
+        SELECT day, total, errors,
+               ROUND(errors::DOUBLE / total, 6) AS error_rate
+        FROM (
+            SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                   count(*) AS total,
+                   sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT
+                       AS errors
+            FROM events GROUP BY 1
+        )
+        ORDER BY day
+    """,
+    "avg_bucket_daily": """
+        WITH daily AS (
+            SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                   ROUND(sum(value), 4) AS sum_value
+            FROM events GROUP BY 1
+        )
+        SELECT ROUND(avg(sum_value), 4) AS avg_bucket,
+               ROUND(max(sum_value), 4) AS max_bucket,
+               ROUND(min(sum_value), 4) AS min_bucket,
+               count(*) AS n_buckets
+        FROM daily
     """,
     "pipeline_agg_cumsum": """
         WITH daily AS (

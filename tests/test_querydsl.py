@@ -129,6 +129,30 @@ def test_highlight_fragment_contains_match(spark, sf_dir):
         assert len(r.fragment.split()) <= 7  # ±3 tokens around the match
 
 
+def test_nested_query_differs_from_flat_and(spark, sf_dir):
+    """The reason `nested` exists: a flat field-level AND (order has
+    some item with qty>=45 AND some item with disc>=0.08, possibly
+    different items) matches a strict superset of the same-element
+    query."""
+    nested_ids = {
+        r.orderkey for r in querydsl.nested_query_same_element(spark, sf_dir).collect()
+    }
+    li = load_table(spark, sf_dir, "lineitem")
+    flat = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.max((F.col("l_quantity") >= 45).cast("int")).alias("has_qty"),
+            F.max((F.col("l_discount") >= 0.08).cast("int")).alias("has_disc"),
+        )
+        .filter((F.col("has_qty") == 1) & (F.col("has_disc") == 1))
+    )
+    flat_ids = {r.l_orderkey for r in flat.collect()}
+    assert nested_ids <= flat_ids
+    assert len(nested_ids) < len(flat_ids), (
+        "fixture too weak: flat AND equals nested on this data"
+    )
+
+
 def test_pipeline_agg_cumsum_is_consistent(spark, sf_dir):
     rows = querydsl.pipeline_agg_cumsum(spark, sf_dir).collect()
     assert rows[0].derivative is None  # no previous bucket
