@@ -113,6 +113,22 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered vector search: exact cosine top-10 restricted to a
+    metadata predicate (label = 3) — the pre-filter strategy. The filter
+    prunes BEFORE scoring in the same scan projection, so selective
+    filters make the search cheaper, never slower (post-filter top-k
+    would under-fill k instead). Same no-shuffle
+    TakeOrderedAndProject shape as the unfiltered baseline."""
+    vecs = load_table(spark, sf_dir, "embeddings")
+    qrow = vecs.filter(F.col("vec_id") == 0).select("embedding").head()
+    return brute_force_topk(
+        vecs.filter((F.col("vec_id") != 0) & (F.col("label") == 3)),
+        list(qrow[0]),
+        k=10,
+    )
+
+
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN end-to-end: seeded Spark k-means training (k=10, 5 Lloyd
     iterations) → nprobe=3 cell probe → exact cosine top-10 within the
@@ -213,6 +229,7 @@ QUERIES = {
     "dedup_simhash": dedup_simhash,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "ann_cosine_topk": ann_cosine_topk,
+    "ann_filtered_topk": ann_filtered_topk,
     "ann_ivf_topk": ann_ivf_topk,
     "text_stats": text_stats,
     "text_fingerprint": text_fingerprint,
@@ -284,6 +301,19 @@ ORACLE = {
         WHERE ROUND(list_dot_product(a.v, b.v)
               / (sqrt(list_dot_product(a.v, a.v))
                  * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.3
+    """,
+    "ann_filtered_topk": """
+        WITH q AS (
+            SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0
+        )
+        SELECT vec_id,
+               ROUND(
+                   list_dot_product(embedding::DOUBLE[], qv)
+                   / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                      * sqrt(list_dot_product(qv, qv))), 6) AS cos_sim
+        FROM embeddings, q
+        WHERE vec_id <> 0 AND label = 3
+        ORDER BY cos_sim DESC, vec_id LIMIT 10
     """,
     "ann_cosine_topk": """
         WITH q AS (

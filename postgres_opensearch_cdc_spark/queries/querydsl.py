@@ -415,6 +415,89 @@ def avg_bucket_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def rescore_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``rescore``: cheap retrieval (term-overlap score) selects a
+    window of 200 candidates; an expensive signal (phrase frequency,
+    weight 2) re-ranks ONLY the window; final top-50. The scale point of
+    rescoring: the expensive scorer touches 200 rows regardless of
+    corpus size — at 100 TB the window is still 200 rows on one task
+    after TakeOrderedAndProject."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.array_distinct(F.split(F.lower(F.col("text")), r"\s+"))
+    terms = F.array(F.lit("spark"), F.lit("query"), F.lit("join"))
+    s1 = F.size(F.array_intersect(toks, terms))
+    s2 = F.regexp_count(F.col("text"), F.lit(r"\bfast sort\b"))
+    window = (
+        docs.select("doc_id", s1.alias("s1"), s2.alias("s2"))
+        .filter(F.col("s1") > 0)
+        .orderBy(F.col("s1").desc(), F.col("doc_id"))
+        .limit(200)
+    )
+    return (
+        window.select(
+            "doc_id", "s1", (F.col("s1") + 2 * F.col("s2")).alias("rescored")
+        )
+        .orderBy(F.col("rescored").desc(), F.col("doc_id"))
+        .limit(50)
+    )
+
+
+def more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``more_like_this``: documents similar to doc 0, scored by the
+    summed IDF of shared distinct terms (rare shared vocabulary counts,
+    stopword-ish terms contribute little). One explode + two broadcast
+    joins + one doc-keyed agg — the like-document's term set and the df
+    table are both tiny and broadcast; the corpus term stream shuffles
+    once on doc_id for the final sum."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split(F.lower(F.col("text")), r"\s+"))).alias(
+            "term"
+        ),
+    ).filter(F.length("term") > 0)
+    dfc = base.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    totals = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    like_terms = base.filter(F.col("doc_id") == 0).select("term")
+    return (
+        base.filter(F.col("doc_id") != 0)
+        .join(F.broadcast(like_terms), "term")
+        .join(F.broadcast(dfc), "term")
+        .crossJoin(F.broadcast(totals))
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.sum(F.log(F.col("n_docs") / F.col("df"))), 6).alias(
+                "mlt_score"
+            ),
+            F.count(F.lit(1)).alias("n_shared"),
+        )
+        .orderBy(F.col("mlt_score").desc(), F.col("doc_id"))
+        .limit(20)
+    )
+
+
+def filters_named_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``filters`` aggregation: named filter buckets (errors, purchases,
+    high_value) each with count + sum — one conditional partial agg over
+    a single scan, unpivoted to OpenSearch's bucket-per-filter shape."""
+    ev = load_table(spark, sf_dir, "events")
+    agg = ev.agg(
+        F.sum((F.col("event_type") == "error").cast("long")).alias("err_cnt"),
+        F.round(F.sum(F.when(F.col("event_type") == "error", F.col("value")).otherwise(0.0)), 4).alias("err_sum"),
+        F.sum((F.col("event_type") == "purchase").cast("long")).alias("p_cnt"),
+        F.round(F.sum(F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(0.0)), 4).alias("p_sum"),
+        F.sum((F.col("value") > 400.0).cast("long")).alias("hv_cnt"),
+        F.round(F.sum(F.when(F.col("value") > 400.0, F.col("value")).otherwise(0.0)), 4).alias("hv_sum"),
+    )
+    return agg.select(
+        F.expr(
+            "stack(3, 'errors', err_cnt, err_sum,"
+            " 'purchases', p_cnt, p_sum,"
+            " 'high_value', hv_cnt, hv_sum) AS (bucket, doc_count, sum_value)"
+        )
+    ).orderBy("bucket")
+
+
 QUERIES = {
     "q02f_match_phrase": q02f_match_phrase,
     "q01d_regexp_match": q01d_regexp_match,
@@ -435,6 +518,9 @@ QUERIES = {
     "nested_query_same_element": nested_query_same_element,
     "bucket_script_error_rate": bucket_script_error_rate,
     "avg_bucket_daily": avg_bucket_daily,
+    "rescore_two_phase": rescore_two_phase,
+    "more_like_this": more_like_this,
+    "filters_named_buckets": filters_named_buckets,
 }
 
 ORACLE = {
@@ -602,6 +688,64 @@ ORACLE = {
         FROM documents
         WHERE regexp_extract(text, '(\S+ ){0,3}vectors?( \S+){0,3}') <> ''
         ORDER BY doc_id
+    """,
+    "rescore_two_phase": rf"""
+        WITH scored AS (
+            SELECT doc_id,
+                   len(list_intersect(
+                       list_distinct(regexp_split_to_array(lower(text), '\s+')),
+                       ['spark', 'query', 'join'])) AS s1,
+                   len(regexp_extract_all(text, '\bfast sort\b')) AS s2
+            FROM documents
+        ),
+        window_set AS (
+            SELECT * FROM scored
+            WHERE s1 > 0
+            ORDER BY s1 DESC, doc_id
+            LIMIT 200
+        )
+        SELECT doc_id, s1, s1 + 2 * s2 AS rescored
+        FROM window_set
+        ORDER BY rescored DESC, doc_id
+        LIMIT 50
+    """,
+    "more_like_this": r"""
+        WITH base AS (
+            SELECT doc_id,
+                   unnest(list_distinct(regexp_split_to_array(lower(text), '\s+'))) AS term
+            FROM documents
+        ),
+        filtered AS (SELECT * FROM base WHERE strlen(term) > 0),
+        dfc AS (SELECT term, count(*)::DOUBLE AS df FROM filtered GROUP BY term),
+        totals AS (SELECT count(*)::DOUBLE AS n_docs FROM documents),
+        like_terms AS (SELECT term FROM filtered WHERE doc_id = 0)
+        SELECT f.doc_id,
+               ROUND(sum(ln(n_docs / df)), 6) AS mlt_score,
+               count(*) AS n_shared
+        FROM filtered f
+        JOIN like_terms USING (term)
+        JOIN dfc USING (term)
+        CROSS JOIN totals
+        WHERE f.doc_id <> 0
+        GROUP BY f.doc_id
+        ORDER BY mlt_score DESC, f.doc_id
+        LIMIT 20
+    """,
+    "filters_named_buckets": """
+        SELECT bucket, doc_count, sum_value FROM (
+            SELECT 'errors' AS bucket, count(*) FILTER (event_type = 'error') AS doc_count,
+                   ROUND(coalesce(sum(value) FILTER (event_type = 'error'), 0), 4) AS sum_value
+            FROM events
+            UNION ALL
+            SELECT 'purchases', count(*) FILTER (event_type = 'purchase'),
+                   ROUND(coalesce(sum(value) FILTER (event_type = 'purchase'), 0), 4)
+            FROM events
+            UNION ALL
+            SELECT 'high_value', count(*) FILTER (value > 400.0),
+                   ROUND(coalesce(sum(value) FILTER (value > 400.0), 0), 4)
+            FROM events
+        )
+        ORDER BY bucket
     """,
     "nested_query_same_element": """
         SELECT l_orderkey AS orderkey, count(*) AS n_items

@@ -153,6 +153,23 @@ def test_nested_query_differs_from_flat_and(spark, sf_dir):
     )
 
 
+def test_retrieval_entries_invariants(spark, sf_dir):
+    # more_like_this never returns the like-document itself
+    mlt = querydsl.more_like_this(spark, sf_dir).collect()
+    assert mlt and all(r.doc_id != 0 for r in mlt)
+    # rescore output is drawn from the s1>0 retrieval window and the
+    # rescored score never decreases (additive boost)
+    rs = querydsl.rescore_two_phase(spark, sf_dir).collect()
+    assert rs and all(r.rescored >= r.s1 > 0 for r in rs)
+    # filtered ANN results all satisfy the metadata predicate
+    from postgres_opensearch_cdc_spark.queries.extensions import ann_filtered_topk
+
+    ids = [r.vec_id for r in ann_filtered_topk(spark, sf_dir).collect()]
+    emb = load_table(spark, sf_dir, "embeddings")
+    labels = emb.filter(F.col("vec_id").isin(ids)).select("label").distinct().collect()
+    assert [r.label for r in labels] == [3]
+
+
 def test_pipeline_agg_cumsum_is_consistent(spark, sf_dir):
     rows = querydsl.pipeline_agg_cumsum(spark, sf_dir).collect()
     assert rows[0].derivative is None  # no previous bucket
