@@ -44,6 +44,50 @@ def test_spark_analyzer_matches_python(spark):
         assert seen == analyze_query(r["text"]), r["text"]
 
 
+def test_analyzer_three_way_agreement_randomized(spark):
+    """The analyzer exists in three implementations that must agree
+    token-for-token: the Spark column chain (analyze_tokens), the Python
+    query replica (analyze_query), and the generated DuckDB SQL
+    (analyze_sql). Randomized word soup over stopwords, stemmable and
+    unstemmable tokens, mixed case and ragged whitespace."""
+    import random
+
+    import duckdb
+
+    from postgres_opensearch_cdc_spark.functions.fulltext import analyze_sql
+
+    vocab = [
+        "the", "and", "of", "with",          # stopwords
+        "queries", "dresses", "passes",      # ies/sses stems
+        "running", "working", "jumped",      # ing/ed stems
+        "sparks", "joins", "cats",           # plural stems
+        "ss", "boss", "as", "is",            # short/ss edge cases
+        "zebra", "Table", "QUERY", "mIxEd",  # case + unstemmed
+    ]
+    rng = random.Random(1234)
+    samples = []
+    for _ in range(60):
+        words = [rng.choice(vocab) for _ in range(rng.randint(0, 12))]
+        sep = rng.choice([" ", "  ", "\t", " \t "])
+        samples.append(sep.join(words) + rng.choice(["", " ", "  "]))
+    df = spark.createDataFrame([(s,) for s in samples], "text string")
+    spark_out = {
+        r["text"]: list(r["toks"])
+        for r in df.select(
+            "text", analyze_tokens(F.col("text")).alias("toks")
+        ).collect()
+    }
+    con = duckdb.connect()
+    for s in samples:
+        duck = con.execute(
+            f"SELECT {analyze_sql('t')} FROM (SELECT ? AS t)", [s]
+        ).fetchone()[0]
+        assert spark_out[s] == list(duck), f"spark vs duckdb diverge on {s!r}"
+        assert list(dict.fromkeys(spark_out[s])) == analyze_query(s), (
+            f"spark vs python diverge on {s!r}"
+        )
+
+
 @pytest.fixture(scope="module")
 def corpus(spark):
     rows = [
