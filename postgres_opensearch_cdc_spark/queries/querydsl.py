@@ -498,6 +498,41 @@ def filters_named_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("bucket")
 
 
+def percolate_stored_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percolator (reverse search): stored queries are rows, documents
+    are probes — every document is evaluated against every stored
+    query's predicate and matches are counted per query. Rules here are
+    derived from the region table (one subscription per region: a
+    source term OR an n_chars band).
+
+    Scale shape: the rule set is broadcast (stored-query sets are small
+    relative to document flow), so this is a map-only
+    BroadcastNestedLoopJoin over the document scan — each doc evaluates
+    all rules in one pass with zero shuffle of documents; only the tiny
+    (rule_id, partial count) aggregates move."""
+    region = load_table(spark, sf_dir, "region")
+    docs = load_table(spark, sf_dir, "documents")
+    rules = region.select(
+        F.col("r_regionkey").alias("rule_id"),
+        F.concat(F.lit("src"), F.col("r_regionkey")).alias("source_term"),
+        (F.col("r_regionkey") * 50).alias("min_chars"),
+        (F.col("r_regionkey") * 50 + 49).alias("max_chars"),
+    )
+    matched = docs.join(
+        F.broadcast(rules),
+        (F.col("source") == F.col("source_term"))
+        | (
+            (F.col("n_chars") >= F.col("min_chars"))
+            & (F.col("n_chars") <= F.col("max_chars"))
+        ),
+    )
+    return (
+        matched.groupBy("rule_id")
+        .agg(F.count(F.lit(1)).alias("n_matches"))
+        .orderBy("rule_id")
+    )
+
+
 QUERIES = {
     "q02f_match_phrase": q02f_match_phrase,
     "q01d_regexp_match": q01d_regexp_match,
@@ -521,6 +556,7 @@ QUERIES = {
     "rescore_two_phase": rescore_two_phase,
     "more_like_this": more_like_this,
     "filters_named_buckets": filters_named_buckets,
+    "percolate_stored_queries": percolate_stored_queries,
 }
 
 ORACLE = {
@@ -688,6 +724,22 @@ ORACLE = {
         FROM documents
         WHERE regexp_extract(text, '(\S+ ){0,3}vectors?( \S+){0,3}') <> ''
         ORDER BY doc_id
+    """,
+    "percolate_stored_queries": """
+        WITH rules AS (
+            SELECT r_regionkey AS rule_id,
+                   'src' || r_regionkey AS source_term,
+                   r_regionkey * 50 AS min_chars,
+                   r_regionkey * 50 + 49 AS max_chars
+            FROM region
+        )
+        SELECT rule_id, count(*) AS n_matches
+        FROM documents d
+        JOIN rules r
+          ON d.source = r.source_term
+          OR (d.n_chars >= r.min_chars AND d.n_chars <= r.max_chars)
+        GROUP BY rule_id
+        ORDER BY rule_id
     """,
     "rescore_two_phase": rf"""
         WITH scored AS (
