@@ -23,16 +23,22 @@ from postgres_opensearch_cdc_spark.queries import (
     windows_pivot,
 )
 
+# Module order controls driver verification priority: the driver's
+# correctness harness samples the first 50 entries of queries(), and rounds
+# 1-2 already hold green driver rows for dashboard/cdc_queries/relational/
+# scalar_sql (52 entries).  The remaining 50 (windows_pivot, patterns,
+# extensions, querydsl, training_pipeline) are ordered first so round 3's
+# window covers exactly the entries that have never had a driver row.
 _MODULES = [
-    dashboard,
-    cdc_queries,
-    relational,
-    scalar_sql,
     windows_pivot,
     patterns,
     extensions,
     querydsl,
     training_pipeline,
+    dashboard,
+    cdc_queries,
+    relational,
+    scalar_sql,
 ]
 
 
