@@ -68,22 +68,31 @@ class MirrorSink:
         job; the reference has the identical semantics via immediate
         DELETE-by-id, consumer.py:93-100.)"""
         spark = batch.sparkSession
+        # _pri breaks seq ties deterministically: an incoming batch row
+        # (1) beats the mirrored row (0) at equal seq, so a replayed
+        # backfill where both sides carry seq=-1 resolves identically
+        # every run (plan-independent), including op='d' vs mirrored 'u'.
         w = Window.partitionBy(*self.key_cols).orderBy(
-            *[F.col(c).desc_nulls_last() for c in self.seq_cols]
+            *[F.col(c).desc_nulls_last() for c in self.seq_cols],
+            F.col("_pri").desc(),
         )
         if self.exists():
             current = self.read(spark)
             as_changes = current.select(
                 F.lit("u").alias(self.op_col),
                 *[F.col(c) for c in current.columns if c != self.op_col],
+            ).withColumn("_pri", F.lit(0))
+            unioned = (
+                batch.withColumn("_pri", F.lit(1))
+                .select(as_changes.columns)
+                .unionByName(as_changes)
             )
-            unioned = batch.select(as_changes.columns).unionByName(as_changes)
         else:
-            unioned = batch
+            unioned = batch.withColumn("_pri", F.lit(1))
         merged = (
             unioned.withColumn("_rn", F.row_number().over(w))
             .filter((F.col("_rn") == 1) & (F.col(self.op_col) != OP_DELETE))
-            .drop("_rn")
+            .drop("_rn", "_pri")
         )
         # localCheckpoint materializes before overwrite (reading and
         # overwriting the same path in one plan is unsafe).
@@ -195,17 +204,24 @@ class PartitionedMirrorSink:
                 as_changes = current.select(
                     F.lit("u").alias(self.op_col),
                     *[F.col(c) for c in current.columns if c != self.op_col],
+                ).withColumn("_pri", F.lit(0))
+                unioned = (
+                    batch.withColumn("_pri", F.lit(1))
+                    .select(as_changes.columns)
+                    .unionByName(as_changes)
                 )
-                unioned = batch.select(as_changes.columns).unionByName(as_changes)
             else:
-                unioned = batch
+                unioned = batch.withColumn("_pri", F.lit(1))
+            # batch rows (_pri=1) beat mirrored rows (0) at equal seq —
+            # deterministic replay resolution (see MirrorSink.apply_batch)
             w = Window.partitionBy(*self.key_cols).orderBy(
-                *[F.col(c).desc_nulls_last() for c in self.seq_cols]
+                *[F.col(c).desc_nulls_last() for c in self.seq_cols],
+                F.col("_pri").desc(),
             )
             merged = (
                 unioned.withColumn("_rn", F.row_number().over(w))
                 .filter((F.col("_rn") == 1) & (F.col(self.op_col) != OP_DELETE))
-                .drop("_rn")
+                .drop("_rn", "_pri")
             )
             merged = merged.localCheckpoint(eager=True)
             (
@@ -368,22 +384,36 @@ class VersionedMirrorSink:
         if manifest is not None:
             current = self._read_manifest_slice(spark, manifest, buckets=touched)
             if current is not None:
-                as_changes = current.drop("_bucket").select(
-                    F.lit("u").alias(self.op_col),
-                    *[
-                        F.col(c)
-                        for c in current.drop("_bucket").columns
-                        if c != self.op_col
-                    ],
-                ).withColumn("_bucket", self._bucket())
-                unioned = batch.select(as_changes.columns).unionByName(as_changes)
+                as_changes = (
+                    current.drop("_bucket")
+                    .select(
+                        F.lit("u").alias(self.op_col),
+                        *[
+                            F.col(c)
+                            for c in current.drop("_bucket").columns
+                            if c != self.op_col
+                        ],
+                    )
+                    .withColumn("_bucket", self._bucket())
+                    .withColumn("_pri", F.lit(0))
+                )
+                unioned = (
+                    batch.withColumn("_pri", F.lit(1))
+                    .select(as_changes.columns)
+                    .unionByName(as_changes)
+                )
+        if "_pri" not in unioned.columns:
+            unioned = unioned.withColumn("_pri", F.lit(1))
+        # batch rows (_pri=1) beat mirrored rows (0) at equal seq —
+        # deterministic replay resolution (see MirrorSink.apply_batch)
         w = Window.partitionBy(*self.key_cols).orderBy(
-            *[F.col(c).desc_nulls_last() for c in self.seq_cols]
+            *[F.col(c).desc_nulls_last() for c in self.seq_cols],
+            F.col("_pri").desc(),
         )
         merged = (
             unioned.withColumn("_rn", F.row_number().over(w))
             .filter((F.col("_rn") == 1) & (F.col(self.op_col) != OP_DELETE))
-            .drop("_rn")
+            .drop("_rn", "_pri")
         )
         commit_id = f"commit-{version:08d}-{uuid.uuid4().hex[:8]}"
         commit_dir = os.path.join(self._data_dir, commit_id)
@@ -418,17 +448,23 @@ class VersionedMirrorSink:
     def vacuum(self, keep_versions: int = 1) -> int:
         """GC unreferenced commit dirs + manifests older than the last
         ``keep_versions``. Maintenance only — correctness never depends
-        on any delete. Returns the number of commit dirs removed."""
+        on any delete. Returns the number of commit dirs removed.
+
+        ``keep_versions`` must be >= 1: a mirror with zero committed
+        manifests is unreadable, so vacuuming down to nothing is never
+        a maintenance operation."""
         import json
         import shutil
 
+        if keep_versions < 1:
+            raise ValueError(f"keep_versions must be >= 1, got {keep_versions}")
         names = self._manifests()
         if not names:
             return 0
         keep = names[-keep_versions:]
         # drop old manifests FIRST so a crash mid-vacuum can't leave a
         # manifest referencing deleted data
-        for n in names[:-keep_versions] if keep_versions else names:
+        for n in names[: len(names) - len(keep)]:
             os.remove(os.path.join(self._commits_dir, n))
         live: set[str] = set()
         for n in keep:

@@ -98,3 +98,13 @@ def test_fully_deleted_bucket_removed(spark, sink):
     state = {r["id"] for r in sink.read(spark).collect()}
     assert state == set(ids) - set(doomed)
     assert not os.path.exists(os.path.join(sink.path, f"_bucket={vb}"))
+
+
+def test_equal_seq_replay_batch_row_wins(spark, sink):
+    """Equal-seq tie-break parity with the other sinks: the incoming
+    batch row beats the mirrored row when seq values tie (replayed
+    backfill shape, both sides seq=-1)."""
+    sink.apply_batch(chg(spark, [("c", 1, "a", -1), ("c", 2, "b", -1)]), batch_id=0)
+    sink.apply_batch(chg(spark, [("d", 1, None, -1), ("u", 2, "b2", -1)]), batch_id=1)
+    state = {r["id"]: r["v"] for r in sink.read(spark).collect()}
+    assert state == {2: "b2"}

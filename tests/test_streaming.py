@@ -177,3 +177,27 @@ def test_streaming_dedup_drops_duplicate_keys(spark, workdir):
     q.awaitTermination(120)
     out = spark.sql("select event_id from dedup_out").collect()
     assert sorted(r["event_id"] for r in out) == [1, 2]
+
+
+def test_mirror_equal_seq_replay_batch_row_wins(spark, workdir):
+    """Equal-seq tie-break (MirrorSink): at equal seq the incoming batch
+    row deterministically beats the mirrored row, so a replayed backfill
+    carrying seq=-1 on both sides (one now a delete) resolves the same
+    way on every run."""
+    from postgres_opensearch_cdc_spark.streaming.apply import MirrorSink
+
+    sink = MirrorSink(
+        path=os.path.join(workdir, "mirror-tie"), key_cols=["id"], seq_cols=["offset"]
+    )
+    first = spark.createDataFrame(
+        [("c", 1, "a", -1), ("c", 2, "b", -1)],
+        "op string, id long, status string, offset long",
+    )
+    sink.apply_batch(first, batch_id=0)
+    replay = spark.createDataFrame(
+        [("d", 1, None, -1), ("u", 2, "b2", -1)],
+        "op string, id long, status string, offset long",
+    )
+    sink.apply_batch(replay, batch_id=1)
+    state = {r["id"]: r["status"] for r in sink.read(spark).collect()}
+    assert state == {2: "b2"}

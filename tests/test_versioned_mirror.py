@@ -154,6 +154,36 @@ def test_vacuum_keeps_live_commits(spark, sink):
     assert len(sink._manifests()) == 1
 
 
+def test_vacuum_zero_keep_versions_rejected(spark, sink):
+    """vacuum(keep_versions=0) would delete every manifest and leave the
+    mirror permanently unreadable — it must be rejected up front and
+    leave the mirror untouched."""
+    for i in range(3):
+        sink.apply_batch(chg(spark, [("u", 1, f"v{i}", i)]), batch_id=i)
+    manifests_before = sink._manifests()
+    with pytest.raises(ValueError, match="keep_versions"):
+        sink.vacuum(keep_versions=0)
+    with pytest.raises(ValueError, match="keep_versions"):
+        sink.vacuum(keep_versions=-1)
+    assert sink._manifests() == manifests_before
+    assert {r["v"] for r in sink.read(spark).collect()} == {"v2"}
+
+
+def test_equal_seq_replay_batch_row_wins(spark, sink):
+    """Equal-seq tie-break: a re-run backfill where the batch and the
+    mirror carry the same seq must resolve the SAME way every run —
+    the batch row wins. Covers the delete-vs-mirrored-update flip."""
+    sink.apply_batch(
+        chg(spark, [("c", 1, "a", -1), ("c", 2, "b", -1)]), batch_id=0
+    )
+    # replayed backfill: same seq (-1), one row now a delete, one changed
+    sink.apply_batch(
+        chg(spark, [("d", 1, None, -1), ("u", 2, "b2", -1)]), batch_id=1
+    )
+    state = {r["id"]: r["v"] for r in sink.read(spark).collect()}
+    assert state == {2: "b2"}
+
+
 def test_empty_mirror_after_full_delete_readable(spark, sink):
     sink.apply_batch(chg(spark, [("c", 1, "a", 1), ("c", 2, "b", 2)]), batch_id=0)
     sink.apply_batch(
