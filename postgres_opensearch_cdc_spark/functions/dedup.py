@@ -48,6 +48,36 @@ def _salted_hash(col, salt: int, hasher: str):
     raise ValueError(f"unknown hasher {hasher!r}: use 'xxhash64' or 'md5'")
 
 
+def md5_base32(col):
+    """Engine-portable 32-bit base hash: first 8 hex chars of md5 parsed
+    base-16 → int64 in [0, 2^32). DuckDB replica:
+    ``('0x' || substr(md5(x), 1, 8))::BIGINT``. The single digest every
+    multiply-shift family member derives from — ONE md5 per shingle
+    instead of one per (shingle, family member)."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+MINHASH_PRIME = 2147483647  # 2^31 - 1 (Mersenne)
+
+
+def minhash_family(num_hashes: int = 32, seed: int = 42) -> list[tuple[int, int]]:
+    """Deterministic universal-hash constants (a_i odd 31-bit, b_i
+    31-bit) for the portable minhash family
+    h_i(x) = (a_i*x + b_i) mod MINHASH_PRIME over the 32-bit md5_base32
+    value. The mod is essential: without it a_i*x+b_i is monotonic in x
+    and every member would select the same min shingle. Bounds guarantee
+    a_i*x + b_i < 2^63, so the arithmetic never overflows int64 —
+    identical (and exception free) under Spark ANSI mode and DuckDB.
+    Seeded → both engines embed the same constants."""
+    import random
+
+    rng = random.Random(seed)
+    return [
+        (rng.randrange(1, 2**31 - 1) | 1, rng.randrange(0, 2**31 - 1))
+        for _ in range(num_hashes)
+    ]
+
+
 def _ensure_parallelism(df: DataFrame) -> DataFrame:
     """Repartition only when the source is under-partitioned (e.g. a
     single-row-group file pinning the scan to one task). On an already
@@ -111,6 +141,23 @@ def minhash_signatures_from_arrays(
     At 100 TB this removes the 80x row-explosion shuffle the exploded
     form pays; the first wide op in the LSH pipeline becomes the tiny
     band-bucket join."""
+    if hasher == "md5":
+        # one md5 per shingle, materialized once; family members are
+        # cheap multiply-adds over the 32-bit base values
+        fam = minhash_family(num_hashes, seed)
+        based = arrays.select(
+            "id", F.transform(F.col("sh_arr"), md5_base32).alias("_xs")
+        )
+        hash_cols = [
+            F.array_min(
+                F.transform(
+                    F.col("_xs"),
+                    lambda x, a=a, b=b: (F.lit(a) * x + F.lit(b)) % F.lit(MINHASH_PRIME),
+                )
+            ).alias(f"h{i}")
+            for i, (a, b) in enumerate(fam)
+        ]
+        return based.select("id", *hash_cols)
     hash_cols = [
         F.array_min(
             F.transform(F.col("sh_arr"), lambda s: _salted_hash(s, seed + i, hasher))
@@ -126,8 +173,20 @@ def minhash_signatures(
     """MinHash signature per doc: k independent min-hash values computed
     as min(hash(shingle, salt_i)). One groupBy(id) shuffle carrying k
     longs per shingle row. hasher='xxhash64' is the fast JVM-native
-    default; hasher='md5' (hash60) is engine-portable, making the
-    signatures DuckDB-reproducible and therefore value-checkable."""
+    default; hasher='md5' is engine-portable — ONE md5 digest per
+    shingle (md5_base32) expanded into the k-member multiply-shift
+    family, making the signatures DuckDB-reproducible and therefore
+    value-checkable at ~1/k the hashing cost of k salted digests."""
+    if hasher == "md5":
+        fam = minhash_family(num_hashes, seed)
+        based = shingled.select("id", md5_base32(F.col("shingle")).alias("_x"))
+        hash_cols = [
+            F.min((F.lit(a) * F.col("_x") + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(
+                f"h{i}"
+            )
+            for i, (a, b) in enumerate(fam)
+        ]
+        return based.groupBy("id").agg(*hash_cols)
     hash_cols = [
         F.min(_salted_hash(F.col("shingle"), seed + i, hasher)).alias(f"h{i}")
         for i in range(num_hashes)

@@ -47,8 +47,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(32) + LSH(8 bands × 4 rows) candidates verified by exact
-    Jaccard. Runs with the portable md5 hash60 so DuckDB reproduces the
-    signatures and band buckets → fully value-checked."""
+    Jaccard. Runs with the portable md5 family (one digest per shingle,
+    32 multiply-shift members) so DuckDB reproduces the signatures and
+    band buckets → fully value-checked."""
     docs = load_table(spark, sf_dir, "documents")
     sh = word_shingles(docs, "text", "doc_id", n=3).cache()
     sigs = minhash_signatures(sh, num_hashes=32, hasher="md5")
@@ -375,8 +376,17 @@ def _hash60_sql(expr: str, salt: int | None = None) -> str:
 
 
 _MH_SEED, _MH_K, _MH_BANDS, _MH_RPB = 42, 32, 8, 4
+# Multiply-shift family over ONE md5 per shingle (functions.dedup
+# minhash_family / md5_base32): h_i = a_i * x + b_i with x the first 8
+# md5 hex chars as int64. Same seeded constants as the Spark side.
+from postgres_opensearch_cdc_spark.functions.dedup import (
+    MINHASH_PRIME as _MH_P,
+    minhash_family as _mh_family,
+)
+
 _SIG_COLS = ",\n                   ".join(
-    f"min({_hash60_sql('shingle', _MH_SEED + i)}) AS h{i}" for i in range(_MH_K)
+    f"min(({a}::BIGINT * x + {b}) % {_MH_P}) AS h{i}"
+    for i, (a, b) in enumerate(_mh_family(_MH_K, _MH_SEED))
 )
 _BAND_SELECTS = "\n            UNION ALL ".join(
     f"SELECT id, {b} AS band, h{_MH_RPB*b} AS k1, h{_MH_RPB*b+1} AS k2, "
@@ -400,9 +410,13 @@ ORACLE["dedup_minhash_lsh"] = f"""
                                       i -> array_to_string(toks[i:i+2], ' ')))) AS shingle
             FROM base
         ),
+        shx AS (
+            SELECT id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS x
+            FROM sh
+        ),
         sigs AS (
             SELECT id, {_SIG_COLS}
-            FROM sh GROUP BY id
+            FROM shx GROUP BY id
         ),
         bands AS (
             {_BAND_SELECTS}

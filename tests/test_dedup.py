@@ -121,3 +121,31 @@ def test_lsh_pruned_jaccard_equals_allpairs_on_candidates(docs):
     }
     for pair, j in pruned.items():
         assert full[pair] == j
+
+
+def test_md5_base32_family_matches_duckdb(spark):
+    """The multiply-shift family portability contract: for the same
+    shingle, Spark's md5_base32-derived h_i = a_i*x + b_i must equal
+    DuckDB's ('0x'||substr(md5(s),1,8))::BIGINT expansion with the same
+    seeded constants — this is what keeps dedup_minhash_lsh value-checked
+    at one md5 per shingle instead of 32."""
+    import duckdb
+
+    import pyspark.sql.functions as F
+
+    from postgres_opensearch_cdc_spark.functions.dedup import MINHASH_PRIME, md5_base32, minhash_family
+
+    fam = minhash_family(32, 42)
+    samples = ["hello", "world foo bar", "", "Ünïcode ütf8 ~", "a b  c"]
+    df = spark.createDataFrame([(s,) for s in samples], "s string")
+    cols = [ ((F.lit(a) * md5_base32(F.col("s")) + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(f"h{i}")
+             for i, (a, b) in enumerate(fam) ]
+    got = {r["s"]: [r[f"h{i}"] for i in range(32)] for r in df.select("s", *cols).collect()}
+    con = duckdb.connect()
+    for s in samples:
+        exprs = ", ".join(
+            f"({a}::BIGINT * ('0x'||substr(md5(?),1,8))::BIGINT + {b}) % {MINHASH_PRIME}" for a, b in fam
+        )
+        want = list(con.execute(f"SELECT {exprs}", [s] * 32).fetchone())
+        assert got[s] == want
+        assert all(0 <= h < MINHASH_PRIME for h in want)
