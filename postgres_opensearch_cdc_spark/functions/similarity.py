@@ -130,21 +130,30 @@ def random_hyperplane_buckets(
 def _nearest_cell(v: Column, centroids: list[list[float]]) -> Column:
     """Argmax-cosine cell id for a (double-cast) vector column against
     literal centroids — pure projection, no shuffle. Ties break to the
-    LOWER cell id (score equal → smaller negated id wins in array_max)."""
-    scores = F.array(
-        *[
-            F.struct(
-                F.round(
-                    dot(v, F.array(*[F.lit(float(x)) for x in c]))
-                    / (l2_norm(v) * l2_norm(F.array(*[F.lit(float(x)) for x in c]))),
-                    6,
-                ).alias("score"),
-                F.lit(-i).alias("neg_cell"),
-            )
-            for i, c in enumerate(centroids)
-        ]
+    LOWER cell id (score equal → smaller negated id wins in array_max).
+
+    Built as ONE literal k×dim matrix iterated with transform (shared
+    loop) instead of k separate unrolled dot/norm expressions — the
+    expression tree (and its codegen compile time) stays O(dim + k)
+    instead of O(k × dim). Centroid norms are precomputed driver-side
+    literals (sqrt is correctly-rounded IEEE in both Python and the
+    JVM, so values are bit-identical to computing them in-plan)."""
+    import math
+
+    norms = [
+        math.sqrt(sum(float(x) * float(x) for x in c)) for c in centroids
+    ]
+    mat = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in centroids])
+    nrm = F.array(*[F.lit(n) for n in norms])
+    vn = l2_norm(v)
+    scored = F.transform(
+        mat,
+        lambda c, i: F.struct(
+            F.round(dot(v, c) / (vn * F.element_at(nrm, i + 1)), 6).alias("score"),
+            (-i).alias("neg_cell"),
+        ),
     )
-    return -F.array_max(scores)["neg_cell"]
+    return -F.array_max(scored)["neg_cell"]
 
 
 def ivf_assign(
@@ -170,6 +179,7 @@ def kmeans_train(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    sample_size: int | None = None,
 ) -> list[list[float]]:
     """Seeded Lloyd's k-means on the cluster — the trainer that makes IVF
     usable end-to-end (no external centroids needed).
@@ -180,13 +190,17 @@ def kmeans_train(
     combine collapses each partition to ≤k rows), and only k tiny rows
     are collected. Driver traffic per iteration = k×dim doubles.
 
-    Init: a seeded hash-ordered sample of ~20k vectors is collected
-    (tiny, deterministic regardless of partitioning), then farthest-
-    point (maximin) selection picks k spread-out seeds driver-side —
-    the scalable k-means++ stand-in that reliably covers well-separated
-    clusters, where k random picks routinely miss some. At 100 TB you
-    train on a bigger sample the same way; the per-iteration plan is
-    unchanged and assignment of the full table stays a projection.
+    Init: a seeded hash-ordered sample of ``sample_size`` (default
+    k*20) vectors is collected — deterministic regardless of
+    partitioning, and cheap: orderBy+limit compiles to
+    TakeOrderedAndProject (per-partition top-N heaps merged on the
+    driver, NO global sort — asserted in tests/test_similarity.py).
+    Farthest-point (maximin) selection then picks k spread-out seeds
+    driver-side — the scalable k-means++ stand-in that reliably covers
+    well-separated clusters, where k random picks routinely miss some.
+    At 100 TB raise ``sample_size`` (driver cost is sample_size×dim
+    doubles); the per-iteration plan is unchanged and assignment of the
+    full table stays a projection.
 
     Empty cells keep their previous centroid (standard Lloyd's guard).
     """
@@ -199,9 +213,10 @@ def kmeans_train(
     base = vectors.select(
         F.col(id_col).alias("_id"), _as_double(F.col(vec_col)).alias("v")
     )
+    n_sample = sample_size if sample_size is not None else k * 20
     sample_rows = (
         base.orderBy(F.xxhash64(F.col("_id").cast("string"), F.lit(seed)), F.col("_id"))
-        .limit(max(k * 20, k))
+        .limit(max(n_sample, k))
         .collect()
     )
     pts = [list(r["v"]) for r in sample_rows]
@@ -259,8 +274,10 @@ def ivf_topk(
         nb = math.sqrt(sum(x * x for x in b))
         return d / (na * nb) if na and nb else 0.0
 
+    # round to 6 like _nearest_cell so an engine-portable oracle can
+    # reproduce the cell ranking exactly
     ranked = sorted(
-        range(len(centroids)), key=lambda i: (-cos(query_vec, centroids[i]), i)
+        range(len(centroids)), key=lambda i: (-round(cos(query_vec, centroids[i]), 6), i)
     )
     probe = ranked[:nprobe]
     v = _as_double(F.col(vec_col))

@@ -149,3 +149,23 @@ def test_kmeans_empty_table_raises(spark):
     empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
     with pytest.raises(ValueError, match="empty vector table"):
         kmeans_train(empty, k=4)
+
+
+def test_kmeans_init_sample_plan_is_take_ordered(spark, sf_dir):
+    """The init sample's orderBy+limit must compile to
+    TakeOrderedAndProject (per-partition top-N heaps, no global sort) —
+    the property that keeps kmeans init cheap on a 100 TB table."""
+    from postgres_opensearch_cdc_spark.registry import load_table
+
+    base = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("_id"), F.col("embedding").alias("v")
+    )
+    plan = (
+        base.orderBy(F.xxhash64(F.col("_id").cast("string"), F.lit(42)), F.col("_id"))
+        .limit(200)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan
