@@ -309,22 +309,39 @@ def stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch aggregates — the 100 TB form of distinct_agg/percentiles:
     HyperLogLog++ distinct counts and t-digest-style quantiles in one
-    partial-aggregable pass. Sketch internals are engine-specific →
-    rows-only driver check; the exact twins above are the oracle-checked
-    semantics."""
+    partial-aggregable pass.
+
+    Bounds-oracle form: sketch internals are engine-specific, so instead
+    of emitting raw approximations (uncheckable across engines) the
+    query emits the exact values plus boolean within-epsilon verdicts —
+    HLL count within 3x rsd of exact, approx percentile value inside the
+    exact [p-0.01, p+0.01] quantile envelope (percentile_approx rank
+    error is <= 1/accuracy = 1e-4, far inside it). The DuckDB oracle
+    asserts the verdicts TRUE, so a sketch drifting out of bounds fails
+    the driver's value-hash — a real accuracy gate, not a rows-only
+    check. The exact twins computed here are the test-scale harness; at
+    100 TB you run only the sketch side."""
     ev = load_table(spark, sf_dir, "events")
     sketch = ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.count_distinct("user_id").alias("exact_users"),
         F.percentile_approx("value", [0.5, 0.9], 10_000).alias("_p"),
+        F.percentile("value", [0.49, 0.51, 0.89, 0.91]).alias("_pe"),
     )
-    # Scalar columns (not an array) so the driver's canonicalizer can
-    # hash each value independently.
+    within = F.abs(F.col("approx_users") - F.col("exact_users")) <= F.greatest(
+        F.round(F.col("exact_users") * 0.06), F.lit(1)
+    )
     return (
         sketch.select(
             "event_type",
-            "approx_users",
-            F.round(F.element_at("_p", 1), 4).alias("approx_p50"),
-            F.round(F.element_at("_p", 2), 4).alias("approx_p90"),
+            "exact_users",
+            within.alias("users_ok"),
+            F.element_at("_p", 1).between(
+                F.element_at("_pe", 1), F.element_at("_pe", 2)
+            ).alias("p50_ok"),
+            F.element_at("_p", 2).between(
+                F.element_at("_pe", 3), F.element_at("_pe", 4)
+            ).alias("p90_ok"),
         )
         .orderBy("event_type")
     )
@@ -469,6 +486,17 @@ ORACLE = {
         SELECT event_type,
                ROUND(quantile_cont(value, 0.5), 4) AS p50,
                ROUND(quantile_cont(value, 0.9), 4) AS p90
+        FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    # Bounds oracle: the Spark side emits exact values + within-epsilon
+    # verdict booleans for its sketches; the oracle asserts the verdicts
+    # hold. An HLL/percentile_approx regression breaks the value hash.
+    "approx_sketches": """
+        SELECT event_type,
+               count(DISTINCT user_id) AS exact_users,
+               TRUE AS users_ok,
+               TRUE AS p50_ok,
+               TRUE AS p90_ok
         FROM events GROUP BY event_type ORDER BY event_type
     """,
 }
