@@ -52,6 +52,174 @@ def retention_job(
     return keep_cnt, drop_cnt
 
 
+@dataclass
+class IlmPolicy:
+    """The reference's ISM lifecycle policy constants (TDD
+    aurora-postgresql-cdc-opensearchtdd.md:572-629): hot indices roll
+    over at 50 GB or 7 days, transition to warm at 30 days (replica
+    count drops to 0 — a storage-tier action), and delete at 90 days."""
+
+    rollover_min_bytes: int = 50 * 1024**3
+    rollover_min_age_days: int = 7
+    warm_after_days: int = 30
+    delete_after_days: int = 90
+
+
+@dataclass
+class IndexLifecycleManager:
+    """W6 rollover/tiering parity: the Spark-storage analogue of the
+    reference's ISM policy, managed over rollover GENERATIONS of an
+    append log / mirror (each generation ≙ one rolled index,
+    ``<path>/gen=NNNN/``).
+
+    State machine per generation (mirrors the reference states):
+
+      hot(active) --size ≥ 50 GB or age ≥ 7 d--> hot(rolled, new active)
+      hot(rolled) --age ≥ 30 d--> warm   (tier action: compact to few
+                                          large files — the parquet
+                                          analogue of replicas→0: halve
+                                          the footprint/IO of a
+                                          generation nobody writes to)
+      warm        --age ≥ 90 d--> deleted (directory drop)
+
+    Generation ages are measured from creation, like ISM's
+    min_index_age. ``now`` is always a parameter (never a clock read)
+    so transitions are reproducible and testable. State lives in
+    ``<path>/_ilm_state.json`` — a single small JSON object, rewritten
+    atomically (write-temp + os.replace), the same one-object-PUT
+    commit model as VersionedMirrorSink.
+
+    At 100 TB: rollover bounds the size of the write-hot generation (so
+    compaction jobs are bounded), warm compaction is one coalesce
+    rewrite of a cold generation, and deletion is a directory drop —
+    none of these touch the other generations.
+    """
+
+    path: str
+    policy: IlmPolicy = field(default_factory=IlmPolicy)
+
+    @property
+    def _state_file(self) -> str:
+        import os
+
+        return os.path.join(self.path, "_ilm_state.json")
+
+    def _load(self) -> dict:
+        import json
+        import os
+
+        if not os.path.exists(self._state_file):
+            return {"generations": {}}
+        with open(self._state_file) as fh:
+            return json.load(fh)
+
+    def _save(self, state: dict) -> None:
+        import json
+        import os
+
+        os.makedirs(self.path, exist_ok=True)
+        tmp = self._state_file + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(state, fh)
+        os.replace(tmp, self._state_file)
+
+    def gen_dir(self, gen: int) -> str:
+        import os
+
+        return os.path.join(self.path, f"gen={gen:04d}")
+
+    def active_generation(self, now: str) -> int:
+        """The generation new writes target; bootstraps gen 0."""
+        state = self._load()
+        hot = [
+            int(g)
+            for g, info in state["generations"].items()
+            if info["state"] == "hot" and info.get("active", False)
+        ]
+        if hot:
+            return hot[0]
+        gen = 1 + max((int(g) for g in state["generations"]), default=-1)
+        state["generations"][str(gen)] = {
+            "state": "hot",
+            "active": True,
+            "created_at": now,
+        }
+        self._save(state)
+        return gen
+
+    def _gen_bytes(self, gen: int) -> int:
+        import os
+
+        total = 0
+        for root, _dirs, files in os.walk(self.gen_dir(gen)):
+            total += sum(os.path.getsize(os.path.join(root, f)) for f in files)
+        return total
+
+    @staticmethod
+    def _age_days(created_at: str, now: str) -> float:
+        from datetime import datetime
+
+        fmt = "%Y-%m-%d %H:%M:%S"
+        return (
+            datetime.strptime(now, fmt) - datetime.strptime(created_at, fmt)
+        ).total_seconds() / 86400.0
+
+    def step(self, spark: SparkSession, now: str) -> list[dict]:
+        """One lifecycle evaluation pass (≙ the ISM scheduler tick).
+        Applies every due transition and returns them as
+        [{"gen", "from", "to"}...]."""
+        import os
+        import shutil
+
+        state = self._load()
+        transitions: list[dict] = []
+        p = self.policy
+        for g_str in sorted(state["generations"], key=int):
+            info = state["generations"][g_str]
+            gen = int(g_str)
+            age = self._age_days(info["created_at"], now)
+            if info["state"] == "hot" and info.get("active"):
+                size = self._gen_bytes(gen)
+                if size >= p.rollover_min_bytes or age >= p.rollover_min_age_days:
+                    info["active"] = False
+                    info["rolled_at"] = now
+                    nxt = 1 + max(int(x) for x in state["generations"])
+                    state["generations"][str(nxt)] = {
+                        "state": "hot",
+                        "active": True,
+                        "created_at": now,
+                    }
+                    transitions.append(
+                        {"gen": gen, "from": "hot(active)", "to": "hot(rolled)"}
+                    )
+            if info["state"] == "hot" and not info.get("active") and age >= p.warm_after_days:
+                # tier action: compact the cold generation to one file
+                # per partition (replicas→0 analogue)
+                gdir = self.gen_dir(gen)
+                if os.path.isdir(gdir):
+                    df = spark.read.parquet(gdir)
+                    df.coalesce(1).localCheckpoint(eager=True).write.mode(
+                        "overwrite"
+                    ).parquet(gdir)
+                info["state"] = "warm"
+                info["warmed_at"] = now
+                transitions.append({"gen": gen, "from": "hot(rolled)", "to": "warm"})
+            if info["state"] == "warm" and age >= p.delete_after_days:
+                shutil.rmtree(self.gen_dir(gen), ignore_errors=True)
+                info["state"] = "deleted"
+                info["deleted_at"] = now
+                transitions.append({"gen": gen, "from": "warm", "to": "deleted"})
+        self._save(state)
+        return transitions
+
+    def live_generations(self) -> dict[int, str]:
+        return {
+            int(g): info["state"]
+            for g, info in self._load()["generations"].items()
+            if info["state"] != "deleted"
+        }
+
+
 def bootstrap_bucketed_mirror(
     df: DataFrame,
     table_name: str,

@@ -91,3 +91,81 @@ def test_op_stats_listener_collects_observed_metrics(spark, tmp_path):
         assert listener.totals["deletes"] == 1
     finally:
         spark.streams.removeListener(listener)
+
+
+# ---------------------------------------------------------------------------
+# ILM rollover / tiering (reference ISM policy, TDD :572-629)
+# ---------------------------------------------------------------------------
+
+
+def _ilm(tmp_path, **overrides):
+    from postgres_opensearch_cdc_spark.ops import IlmPolicy, IndexLifecycleManager
+
+    return IndexLifecycleManager(
+        path=str(tmp_path / "log"), policy=IlmPolicy(**overrides)
+    )
+
+
+def _write_gen(spark, mgr, gen, rows=100):
+    spark.range(rows).withColumnRenamed("id", "v").write.mode("overwrite").parquet(
+        mgr.gen_dir(gen)
+    )
+
+
+def test_ilm_age_rollover_creates_new_active_generation(spark, tmp_path):
+    mgr = _ilm(tmp_path)
+    g0 = mgr.active_generation(now="2026-01-01 00:00:00")
+    _write_gen(spark, mgr, g0)
+    # under both thresholds: no transition
+    assert mgr.step(spark, now="2026-01-03 00:00:00") == []
+    # 7 days: rollover; a new active generation appears
+    trans = mgr.step(spark, now="2026-01-08 00:00:01")
+    assert {(t["gen"], t["to"]) for t in trans} == {(g0, "hot(rolled)")}
+    g1 = mgr.active_generation(now="2026-01-08 00:00:01")
+    assert g1 == g0 + 1
+    assert mgr.live_generations() == {g0: "hot", g1: "hot"}
+
+
+def test_ilm_size_rollover_before_age(spark, tmp_path):
+    mgr = _ilm(tmp_path, rollover_min_bytes=1)  # any write exceeds
+    g0 = mgr.active_generation(now="2026-01-01 00:00:00")
+    _write_gen(spark, mgr, g0)
+    trans = mgr.step(spark, now="2026-01-01 01:00:00")  # age < 7d
+    assert any(t["gen"] == g0 and t["to"] == "hot(rolled)" for t in trans)
+
+
+def test_ilm_warm_compacts_and_delete_drops(spark, tmp_path):
+    mgr = _ilm(tmp_path)
+    g0 = mgr.active_generation(now="2026-01-01 00:00:00")
+    # write with many small files to observe the warm compaction
+    spark.range(1000).repartition(8).write.mode("overwrite").parquet(mgr.gen_dir(g0))
+    files_before = [
+        f for f in os.listdir(mgr.gen_dir(g0)) if f.endswith(".parquet")
+    ]
+    assert len(files_before) > 1
+    mgr.step(spark, now="2026-01-08 00:00:00")  # roll
+    trans = mgr.step(spark, now="2026-02-01 00:00:00")  # 31 d: warm
+    assert any(t["gen"] == g0 and t["to"] == "warm" for t in trans)
+    files_after = [
+        f for f in os.listdir(mgr.gen_dir(g0)) if f.endswith(".parquet")
+    ]
+    assert len(files_after) == 1  # replicas->0 analogue: compacted
+    assert spark.read.parquet(mgr.gen_dir(g0)).count() == 1000  # data intact
+    # 91 d: delete — directory gone, state recorded, later gens untouched
+    trans = mgr.step(spark, now="2026-04-02 00:00:00")
+    assert any(t["gen"] == g0 and t["to"] == "deleted" for t in trans)
+    assert not os.path.isdir(mgr.gen_dir(g0))
+    assert g0 not in mgr.live_generations()
+
+
+def test_ilm_step_is_idempotent_and_ordered(spark, tmp_path):
+    """Replaying a step at the same logical time applies nothing new,
+    and a long-skipped clock applies every due transition in one pass."""
+    mgr = _ilm(tmp_path)
+    g0 = mgr.active_generation(now="2026-01-01 00:00:00")
+    _write_gen(spark, mgr, g0)
+    # 100 days later in one tick: roll + warm + delete all due
+    trans = mgr.step(spark, now="2026-04-15 00:00:00")
+    tos = [t["to"] for t in trans if t["gen"] == g0]
+    assert tos == ["hot(rolled)", "warm", "deleted"]
+    assert mgr.step(spark, now="2026-04-15 00:00:00") == []
