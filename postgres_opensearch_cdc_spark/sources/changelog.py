@@ -20,9 +20,34 @@ from __future__ import annotations
 
 import fnmatch
 
-from pyspark.sql import DataFrame, SparkSession, types as T
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
 from postgres_opensearch_cdc_spark.cdc.envelope import envelope_schema
+
+
+def kafka_stream_options(
+    bootstrap_servers: str,
+    topics: list[str],
+    starting_offsets: str = "earliest",
+    max_offsets_per_trigger: int | None = None,
+    fail_on_data_loss: bool = False,
+) -> dict[str, str]:
+    """The exact option map handed to the Kafka source — split out as a
+    pure function so the wiring is golden-testable without a broker
+    (reference consumer.py:34-41: subscribed topic list,
+    auto_offset_reset='earliest'; the consumer-group/auto-commit model
+    maps to the query's checkpointLocation, set on the writer).
+    failOnDataLoss=false mirrors the consumer's keep-running posture on
+    retention-expired offsets."""
+    opts = {
+        "kafka.bootstrap.servers": bootstrap_servers,
+        "subscribe": ",".join(topics),
+        "startingOffsets": starting_offsets,
+        "failOnDataLoss": "true" if fail_on_data_loss else "false",
+    }
+    if max_offsets_per_trigger is not None:
+        opts["maxOffsetsPerTrigger"] = str(max_offsets_per_trigger)
+    return opts
 
 
 def kafka_changelog_stream(
@@ -35,18 +60,65 @@ def kafka_changelog_stream(
     """S3: Kafka consumer source (reference consumer.py:34-41).
     earliest ≙ auto_offset_reset='earliest'; the consumer group/commit
     model ≙ checkpointLocation on the query. Returns the raw frame
-    (key, value, topic, partition, offset, timestamp) for parse_envelopes.
-    Requires the spark-sql-kafka package on the cluster (not in the local
-    test container — covered by file_changelog_stream instead)."""
-    reader = (
-        spark.readStream.format("kafka")
-        .option("kafka.bootstrap.servers", bootstrap_servers)
-        .option("subscribe", ",".join(topics))
-        .option("startingOffsets", starting_offsets)
-    )
-    if max_offsets_per_trigger is not None:
-        reader = reader.option("maxOffsetsPerTrigger", str(max_offsets_per_trigger))
+    (key, value, topic, partition, offset, timestamp) for
+    parse_kafka_envelopes. Requires the spark-sql-kafka package on the
+    cluster (not in the local test container — covered by
+    file_changelog_stream plus the captured-envelope golden tests in
+    tests/test_sources.py instead)."""
+    reader = spark.readStream.format("kafka")
+    for k, v in kafka_stream_options(
+        bootstrap_servers, topics, starting_offsets, max_offsets_per_trigger
+    ).items():
+        reader = reader.option(k, v)
     return reader.load()
+
+
+def parse_kafka_envelopes(
+    raw: DataFrame, row_schema: T.StructType
+) -> tuple[DataFrame, DataFrame]:
+    """Parse the Kafka source frame (binary key/value + topic/partition/
+    offset/timestamp) into typed envelopes — the bridge from the raw
+    Debezium JSON the reference consumes (JsonConverter,
+    schemas.enable=false: bare ``{before, after, source, op, ts_ms}``
+    payloads, setup.sh:104-107) to the engine's envelope contract.
+
+    Real Debezium payloads carry no top-level ``offset``; the per-key
+    ordering token (ST2) is the Kafka record offset, so the parsed
+    frame's ``offset`` coalesces envelope-offset → record offset. The
+    Kafka ``topic`` column is kept for T5 routing. Same PERMISSIVE
+    quarantine semantics as parse_envelopes. Works identically on a
+    static frame of captured messages (golden tests) and the live
+    stream — it is a pure projection."""
+    from postgres_opensearch_cdc_spark.cdc.envelope import CORRUPT_COL, envelope_schema
+
+    schema = envelope_schema(row_schema, include_corrupt=True)
+    parsed = raw.withColumn(
+        "env",
+        F.from_json(
+            F.col("value").cast("string"),
+            schema,
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": CORRUPT_COL},
+        ),
+    )
+    is_bad = (
+        F.col("env").isNull()
+        | F.col(f"env.{CORRUPT_COL}").isNotNull()
+        | F.col("env.op").isNull()
+    )
+    ok = parsed.filter(~is_bad).select(
+        "env.op",
+        "env.before",
+        "env.after",
+        "env.ts_ms",
+        "env.source",
+        F.coalesce(F.col("env.offset"), F.col("offset")).alias("offset"),
+        "topic",
+    )
+    bad = parsed.filter(is_bad).select(
+        F.col("value").cast("string").alias("raw"),
+        F.current_timestamp().alias("quarantined_at"),
+    )
+    return ok, bad
 
 
 def file_changelog_stream(
