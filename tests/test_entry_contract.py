@@ -19,12 +19,13 @@ def test_no_duplicate_query_names_across_modules():
 
 
 def test_rows_only_queries_are_the_documented_ones():
+    """Every query entry carries a value oracle (ann_ivf_topk gained a
+    seed-centroid DuckDB oracle and approx_sketches a bounds oracle in
+    round 3 — the set of rows-only entries is now empty and must stay
+    that way)."""
     qs, oracles = e.queries(), e.oracle_sql()
     rows_only = set(qs) - set(oracles)
-    assert rows_only == {
-        "ann_ivf_topk",
-        "approx_sketches",
-    }, f"unexpected rows-only queries: {rows_only}"
+    assert rows_only == set(), f"unexpected rows-only queries: {rows_only}"
 
 
 def test_entry_runs_and_returns_rows(spark):
