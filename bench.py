@@ -99,14 +99,21 @@ def cdc_throughput(spark, sf_dir: str) -> dict:
         out["stream_upsert_events_per_sec"] = round(n_events / dt)
 
         # micro-batch latency: apply three 1000-event batches onto the
-        # existing mirror (merge against current state each time)
+        # existing mirror (merge against current state each time). One
+        # untimed warm-up batch first: a live stream compiles the merge
+        # plan once and then runs it warm every trigger, so steady-state
+        # latency (the reference's 0.5-1.5 s SLA is a steady-state
+        # number, TDD :1437-1445) excludes the one-off codegen compile.
         from pyspark.sql import functions as F
 
+        sink.apply_batch(
+            log.filter(F.col("event_id") % 4 == 3).limit(1000), batch_id=1
+        )
         lat = []
         for i in range(3):
             b = log.filter(F.col("event_id") % 3 == i).limit(1000)
             t0 = time.perf_counter()
-            sink.apply_batch(b, batch_id=i + 1)
+            sink.apply_batch(b, batch_id=i + 2)
             lat.append(time.perf_counter() - t0)
         out["micro_batch_latency_sec"] = round(sum(lat) / len(lat), 3)
 

@@ -190,11 +190,90 @@ def token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Per-language mixture rates (DoReMi-style static domain reweighting):
+# fraction of each language's documents kept for the training mix.
+# Thresholds are integers out of MIX_DENOM so the keep-predicate is
+# exact integer arithmetic in both engines.
+MIX_DENOM = 10_000
+MIX_RATES = {"en": 10_000, "de": 6_000, "fr": 6_000, "es": 3_000, "zh": 3_000}
+
+SHARD_TOKENS = 1_000  # target whitespace tokens per training shard
+
+
+def mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic domain-mixture sampling: keep each document iff
+    hash60(doc_id) mod MIX_DENOM < rate(lang) — the static-rate domain
+    reweighting step (DoReMi/Pile-style mixtures) as a pure map-side
+    filter. Hash-based sampling beats rand(): reproducible across runs,
+    engines (the md5-backed hash60 replays in DuckDB → value-checked),
+    partitionings, and retries, and it composes with incremental
+    ingestion (a re-crawled doc keeps its fate). Output is the per-lang
+    audit: kept docs, kept whitespace tokens, and the realized rate.
+    Plan shape at 100 TB: filter + partial agg on a 5-value key — no
+    shuffle beyond 5 rows per partition."""
+    from postgres_opensearch_cdc_spark.functions.dedup import hash60
+
+    docs = load_table(spark, sf_dir, "documents")
+    rate = F.create_map(
+        *[F.lit(x) for kv in MIX_RATES.items() for x in kv]
+    )[F.col("lang")]
+    bucket = F.pmod(hash60(F.col("doc_id").cast("string")), F.lit(MIX_DENOM))
+    kept = docs.filter(bucket < rate)
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("kept_docs"),
+            F.sum(textfn.token_count(F.col("text"))).alias("kept_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+def shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard packing: assign documents to ~SHARD_TOKENS-token
+    shards per language, in deterministic hash order (the shuffled-
+    but-reproducible read order a pretraining run wants). Shard id =
+    floor(preceding-token-cumsum / SHARD_TOKENS) via a window cumsum
+    partitioned by lang — each language packs in parallel; within a
+    language the sort is a range exchange. At 100 TB the partition key
+    becomes (lang, worker_bucket) so no single window task sees more
+    than a bucket's tokens; the packing semantics are unchanged. Output
+    is the shard manifest: docs and tokens per shard."""
+    from pyspark.sql import Window
+
+    from postgres_opensearch_cdc_spark.functions.dedup import hash60
+
+    docs = load_table(spark, sf_dir, "documents")
+    sized = docs.select(
+        "lang",
+        "doc_id",
+        textfn.token_count(F.col("text")).alias("tok_cnt"),
+        hash60(F.col("doc_id").cast("string")).alias("h"),
+    )
+    w = Window.partitionBy("lang").orderBy("h", "doc_id")
+    with_shard = sized.withColumn(
+        "shard",
+        F.floor(
+            (F.sum("tok_cnt").over(w) - F.col("tok_cnt")) / F.lit(SHARD_TOKENS)
+        ).cast("long"),
+    )
+    return (
+        with_shard.groupBy("lang", "shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("tok_cnt").alias("shard_tokens"),
+        )
+        .orderBy("lang", "shard")
+    )
+
+
 QUERIES = {
     "quality_repetition": quality_repetition,
     "pii_scrub": pii_scrub,
     "contamination_ngram": contamination_ngram,
     "token_budget": token_budget,
+    "mixture_sample": mixture_sample,
+    "shard_packing": shard_packing,
 }
 
 _TOKS_SQL = r"regexp_split_to_array(lower(text), '\s+')"
@@ -265,3 +344,42 @@ ORACLE = {
         ORDER BY source
     """,
 }
+
+_H60_DOCID = "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT"
+_RATE_CASE = "CASE lang " + " ".join(
+    f"WHEN '{k}' THEN {v}" for k, v in MIX_RATES.items()
+) + " ELSE 0 END"
+
+ORACLE["mixture_sample"] = f"""
+        SELECT lang,
+               count(*) AS kept_docs,
+               sum(len({_TOKS_SQL}))::BIGINT AS kept_tokens
+        FROM documents
+        WHERE {_H60_DOCID} % {MIX_DENOM} < {_RATE_CASE}
+        GROUP BY lang
+        ORDER BY lang
+    """
+
+ORACLE["shard_packing"] = f"""
+        WITH sized AS (
+            SELECT lang, doc_id,
+                   len({_TOKS_SQL}) AS tok_cnt,
+                   {_H60_DOCID} AS h
+            FROM documents
+        ),
+        packed AS (
+            SELECT lang,
+                   CAST(floor(
+                       (sum(tok_cnt) OVER (PARTITION BY lang ORDER BY h, doc_id)
+                        - tok_cnt) * 1.0 / {SHARD_TOKENS}
+                   ) AS BIGINT) AS shard,
+                   tok_cnt
+            FROM sized
+        )
+        SELECT lang, shard,
+               count(*) AS n_docs,
+               sum(tok_cnt)::BIGINT AS shard_tokens
+        FROM packed
+        GROUP BY lang, shard
+        ORDER BY lang, shard
+    """
