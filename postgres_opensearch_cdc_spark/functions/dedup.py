@@ -200,28 +200,33 @@ def minhash_lsh_candidates(
     """LSH banding: split the signature into b bands of r hashes; docs
     agreeing on any whole band become a candidate pair. Returns distinct
     (id_a, id_b) with id_a < id_b. The band-key join is the scale path:
-    shuffle is O(docs × b), candidates cluster naturally."""
+    shuffle is O(docs × b), candidates cluster naturally.
+
+    The join key is the RAW band tuple (band index + the r minhash
+    values), not a re-hash of it: equality is then exactly band-tuple
+    equality, so an engine-portable oracle reproduces the candidate set
+    bit-for-bit with no cross-tuple hash-collision corner (a few extra
+    longs per banded row is noise next to the payload savings)."""
     band_structs = [
         F.struct(
             F.lit(b).alias("band"),
-            F.hash(
-                *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
-            ).alias("bucket"),
+            *[
+                F.col(f"h{b * rows_per_band + r}").alias(f"k{r}")
+                for r in range(rows_per_band)
+            ],
         )
         for b in range(bands)
     ]
     banded = signatures.select(
         "id", F.explode(F.array(*band_structs)).alias("bk")
-    ).select("id", "bk.band", "bk.bucket")
+    ).select("id", "bk.band", *[f"bk.k{r}" for r in range(rows_per_band)])
     a = banded.alias("a")
     b = banded.alias("b")
+    cond = (F.col("a.band") == F.col("b.band")) & (F.col("a.id") < F.col("b.id"))
+    for r in range(rows_per_band):
+        cond = cond & (F.col(f"a.k{r}") == F.col(f"b.k{r}"))
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
+        a.join(b, cond)
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )

@@ -409,10 +409,9 @@ _BAND_SELECTS = "\n            UNION ALL ".join(
     for b in range(_MH_BANDS)
 )
 
-# Spark buckets on murmur3(k1..k4); the oracle joins on the raw 4-tuple.
-# Tuple equality implies bucket equality, and a cross-tuple murmur
-# collision (~2^-32, then still jaccard-verified) is the only possible
-# divergence — negligible at oracle scale.
+# Both engines join LSH bands on the raw (band, k1..k4) tuple — the
+# candidate sets are identical by construction, no hash-collision
+# corner at all.
 ORACLE["dedup_minhash_lsh"] = f"""
         WITH base AS (
             SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS toks
