@@ -94,3 +94,30 @@ def test_no_python_udfs_anywhere_in_query_surface(spark, sf_dir):
     for name, fn in e.queries().items():
         p = plan(fn(spark, sf_dir))
         assert "BatchEvalPython" not in p, f"{name} uses a row-at-a-time Python UDF"
+
+
+def test_mixture_sample_is_filter_plus_partial_agg(spark, sf_dir):
+    """Hash-based mixture sampling must stay a map-side filter feeding a
+    partial-then-final aggregate: exactly ONE exchange (the 5-row
+    per-language agg), no join, no window, no extra shuffle of
+    document payloads."""
+    from postgres_opensearch_cdc_spark.queries import training_pipeline as tp
+
+    p = plan(tp.mixture_sample(spark, sf_dir))
+    # formatted plans print each node twice (tree + detail); count tree
+    # occurrences: partial->final agg exchange + the 5-row sort exchange
+    assert p.count("Exchange (") <= 2
+    assert "Join" not in p
+    assert "partial" in p.lower()  # HashAggregate partial stage present
+
+
+def test_shard_packing_single_window_exchange(spark, sf_dir):
+    """Shard packing = one hash exchange into the per-lang window, one
+    partial agg after; the window must be partitioned (no single-task
+    global window)."""
+    from postgres_opensearch_cdc_spark.queries import training_pipeline as tp
+
+    p = plan(tp.shard_packing(spark, sf_dir))
+    assert "Window" in p
+    assert "hashpartitioning(lang" in p
+    assert "SinglePartition" not in p.split("Window")[0]  # window input is partitioned
