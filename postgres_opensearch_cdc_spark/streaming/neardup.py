@@ -1,0 +1,164 @@
+"""Streaming near-duplicate suppression: MinHash+LSH dedup as a
+foreachBatch sink — the in-stream form of the batch dedup pipeline
+(functions/dedup.py), built from batch primitives so it needs neither
+the transformWithState protobuf runtime nor unbounded state-store
+growth.
+
+Per micro-batch:
+  1. signature: shingle arrays -> shuffle-free MinHash signatures ->
+     b band keys per doc (pure projections, functions/dedup.py).
+  2. history check: anti-join the batch's band keys against the
+     persisted band-key store; a doc colliding with a key owned by a
+     DIFFERENT doc is a near-dup of an earlier survivor.
+  3. within-batch resolution: among the remaining docs, each band key
+     is owned by its min doc_id; a doc sharing any key with a smaller
+     surviving candidate is suppressed (greedy min-per-key clustering —
+     deterministic; clusters chained through suppressed docs collapse
+     to the cluster minimum, matching the batch pipeline's keep-min
+     convention).
+  4. survivors append to the output; their band keys append to the
+     store with their owner id.
+
+Semantics note (inherent to one-pass LSH dedup, batch or stream): a
+suppressed document's band keys are NOT registered, so a later doc
+near-duplicate of the suppressed one but of no survivor passes. The
+reference batch pipeline has the same property; callers wanting
+closure run the batch verify over survivors periodically.
+
+Scale: state is the band-key store — b longs per SURVIVING doc, i.e.
+O(corpus after dedup), living in storage (partition-prunable parquet),
+not executor memory. Each batch's work is one broadcast-or-shuffle
+anti-join of |batch|*b key rows against the store, independent of
+stream history length. Exactly-once: batch_id is recorded in the store
+meta and replayed batches are skipped (same protocol as
+VersionedMirrorSink); within one batch the whole append pair
+(survivors + keys) happens before the meta write, and a crash between
+appends is healed by the batch replay check plus owner-aware collision
+(a doc colliding only with its OWN registered keys is not suppressed).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from postgres_opensearch_cdc_spark.functions.dedup import (
+    minhash_signatures_from_arrays,
+    shingle_arrays,
+)
+
+
+@dataclass
+class NearDupSink:
+    """foreachBatch sink keeping only first-seen near-unique documents.
+
+    Layout:
+        <path>/survivors/   appended parquet (doc_id, text)
+        <path>/bandkeys/    appended parquet (band, k0..k3, owner)
+        <path>/_meta.json   {"batch_id": last applied}
+    """
+
+    path: str
+    id_col: str = "doc_id"
+    text_col: str = "text"
+    num_hashes: int = 32
+    bands: int = 8
+    shingle_n: int = 3
+    hasher: str = "xxhash64"
+
+    @property
+    def _survivors(self) -> str:
+        return os.path.join(self.path, "survivors")
+
+    @property
+    def _bandkeys(self) -> str:
+        return os.path.join(self.path, "bandkeys")
+
+    @property
+    def _meta(self) -> str:
+        return os.path.join(self.path, "_meta.json")
+
+    @property
+    def _rpb(self) -> int:
+        return self.num_hashes // self.bands
+
+    def _last_batch(self) -> int | None:
+        if not os.path.exists(self._meta):
+            return None
+        with open(self._meta) as fh:
+            return json.load(fh)["batch_id"]
+
+    def survivors(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(self._survivors)
+
+    def _band_keys(self, docs: DataFrame) -> DataFrame:
+        """(id, band, k0..k{r-1}) — b rows per doc, all projections."""
+        arrays = shingle_arrays(docs, self.text_col, self.id_col, n=self.shingle_n)
+        sigs = minhash_signatures_from_arrays(
+            arrays, num_hashes=self.num_hashes, hasher=self.hasher
+        )
+        rpb = self._rpb
+        band_structs = [
+            F.struct(
+                F.lit(b).alias("band"),
+                *[
+                    F.col(f"h{b * rpb + r}").alias(f"k{r}")
+                    for r in range(rpb)
+                ],
+            )
+            for b in range(self.bands)
+        ]
+        return sigs.select(
+            F.col("id"), F.explode(F.array(*band_structs)).alias("bk")
+        ).select("id", "bk.band", *[f"bk.k{r}" for r in range(self._rpb)])
+
+    def apply_batch(self, batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        last = self._last_batch()
+        if last is not None and batch_id >= 0 and batch_id <= last:
+            return  # replayed batch — already applied
+        key_cols = ["band"] + [f"k{r}" for r in range(self._rpb)]
+        keys = self._band_keys(
+            batch.select(self.id_col, self.text_col)
+        ).localCheckpoint(eager=True)
+
+        # 2. history: suppressed if any key is owned by a different doc
+        if os.path.isdir(self._bandkeys):
+            store = spark.read.parquet(self._bandkeys)
+            hit = (
+                keys.join(store, key_cols)
+                .filter(F.col("id") != F.col("owner"))
+                .select("id")
+                .distinct()
+            )
+            fresh = keys.join(hit, "id", "left_anti")
+        else:
+            fresh = keys
+
+        # 3. within-batch: min doc_id per band key owns it; any doc
+        # sharing a key with a smaller candidate is suppressed
+        owners = fresh.groupBy(*key_cols).agg(F.min("id").alias("min_id"))
+        keep_ids = (
+            fresh.join(owners, key_cols)
+            .groupBy("id")
+            .agg(F.max(F.when(F.col("min_id") < F.col("id"), 1).otherwise(0)).alias("sup"))
+            .filter(F.col("sup") == 0)
+            .select("id")
+        )
+
+        # 4. append survivors + their band keys, then commit the batch id
+        survivors = batch.join(
+            keep_ids.withColumnRenamed("id", self.id_col), self.id_col, "left_semi"
+        ).localCheckpoint(eager=True)
+        survivors.write.mode("append").parquet(self._survivors)
+        keys.join(keep_ids, "id", "left_semi").select(
+            *key_cols, F.col("id").alias("owner")
+        ).write.mode("append").parquet(self._bandkeys)
+        os.makedirs(self.path, exist_ok=True)
+        tmp = self._meta + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"batch_id": batch_id}, fh)
+        os.replace(tmp, self._meta)

@@ -1,0 +1,96 @@
+"""Streaming near-dup suppression (NearDupSink): first-seen-wins LSH
+dedup across micro-batches, exactly-once under replay, driven both
+directly (apply_batch) and through a real checkpointed stream."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from postgres_opensearch_cdc_spark.streaming.neardup import NearDupSink
+
+BASE = (
+    "spark streaming engine maintains a keyed mirror of postgres tables "
+    "and answers analytics queries over the mirror with filters and aggregates"
+)
+NEAR = BASE.replace("analytics", "analytic")
+NEAR2 = BASE.replace("filters", "filter")
+FAR = "completely different text about cooking pasta with tomatoes and basil leaves in a copper pot"
+FAR2 = "another unrelated document mentions violins orchestras and a concert hall acoustics study"
+
+
+def docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+@pytest.fixture()
+def sink(tmp_path):
+    return NearDupSink(path=str(tmp_path / "neardup"))
+
+
+def surviving_ids(spark, sink):
+    return {r["doc_id"] for r in sink.survivors(spark).collect()}
+
+
+def test_within_batch_keeps_min_of_cluster(spark, sink):
+    sink.apply_batch(docs(spark, [(3, NEAR), (1, BASE), (2, BASE), (9, FAR)]), 0)
+    # 1,2,3 are one near-dup cluster -> keep min id 1; 9 unrelated
+    assert surviving_ids(spark, sink) == {1, 9}
+
+
+def test_cross_batch_suppression_first_seen_wins(spark, sink):
+    sink.apply_batch(docs(spark, [(1, BASE), (9, FAR)]), 0)
+    sink.apply_batch(docs(spark, [(11, NEAR), (12, FAR2)]), 1)
+    # 11 is a near-dup of batch-0's survivor 1 -> suppressed; 12 is new
+    assert surviving_ids(spark, sink) == {1, 9, 12}
+
+
+def test_replayed_batch_is_skipped(spark, sink):
+    sink.apply_batch(docs(spark, [(1, BASE)]), 0)
+    sink.apply_batch(docs(spark, [(2, NEAR), (5, FAR)]), 1)
+    before = surviving_ids(spark, sink)
+    n_files = len(os.listdir(sink._survivors))
+    sink.apply_batch(docs(spark, [(2, NEAR), (5, FAR)]), 1)  # replay
+    assert surviving_ids(spark, sink) == before == {1, 5}
+    assert len(os.listdir(sink._survivors)) == n_files
+
+
+def test_exact_dup_across_batches_suppressed(spark, sink):
+    sink.apply_batch(docs(spark, [(1, BASE)]), 0)
+    sink.apply_batch(docs(spark, [(7, BASE)]), 1)  # exact dup, later batch
+    assert surviving_ids(spark, sink) == {1}
+
+
+def test_through_real_stream(spark, sink, tmp_path):
+    """Drive the sink through an actual checkpointed readStream: two
+    files arriving as separate micro-batches."""
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_once():
+        stream = (
+            spark.readStream.schema("doc_id long, text string").json(src)
+        )
+        q = (
+            stream.writeStream.foreachBatch(sink.apply_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    import json as _json
+
+    with open(os.path.join(src, "b0.json"), "w") as fh:
+        fh.write(_json.dumps({"doc_id": 1, "text": BASE}) + "\n")
+        fh.write(_json.dumps({"doc_id": 9, "text": FAR}) + "\n")
+    run_once()
+    with open(os.path.join(src, "b1.json"), "w") as fh:
+        fh.write(_json.dumps({"doc_id": 21, "text": NEAR2}) + "\n")
+        fh.write(_json.dumps({"doc_id": 22, "text": FAR2}) + "\n")
+    run_once()
+    assert surviving_ids(spark, sink) == {1, 9, 22}
