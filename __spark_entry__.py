@@ -19,6 +19,7 @@ from postgres_opensearch_cdc_spark.queries import (
     querydsl,
     relational,
     scalar_sql,
+    timeseries,
     training_pipeline,
     windows_pivot,
 )
@@ -35,6 +36,10 @@ _MODULES = [
     extensions,
     querydsl,
     training_pipeline,
+    # new round-3 modules sit AFTER training_pipeline so the driver's
+    # 50-entry window keeps covering the entries that have never had a
+    # driver row (rotate these forward in a later round)
+    timeseries,
     dashboard,
     cdc_queries,
     relational,

@@ -1,0 +1,338 @@
+"""Time-series / hypertable operators over the events stream table.
+
+The reference's only time-series surface is the dashboard date-histogram
+(DASHBOARD_GUIDE.md:37-40, Q6) recomputed from scratch at every refresh.
+This module adds the operators a time-series store (TimescaleDB-style
+hypertable rollups, OpenSearch date-histogram pipelines) layers on top
+of that same bucketed shape — gap-filling, OHLC candles, moving
+aggregates, anomaly scoring, hierarchical rollups and cohort retention —
+each expressed as one declarative Catalyst plan.
+
+Scale notes (100 TB):
+- Every entry aggregates to a bounded bucket grid (hours/days × types)
+  BEFORE any window function runs, so windows operate on thousands of
+  rows regardless of input row count; the only wide shuffle is the
+  initial partial+final aggregation on (type, bucket).
+- The gap-fill calendar is generated with ``sequence()`` from a
+  one-row bounds aggregate (broadcast), never materialized driver-side.
+- Cohort retention joins per-user firsts with per-user weekly activity:
+  both sides are pre-aggregated to one row per (user, week) so the join
+  shuffles the reduced relation, not raw events.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from postgres_opensearch_cdc_spark.registry import load_table
+
+_WEEK_SECONDS = 7 * 86400
+
+
+def ts_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense hourly grid per event type with last-observation-carried-
+    forward fill (TimescaleDB ``time_bucket_gapfill`` + ``locf``).
+
+    Uses a deterministic sparse subset (event_id % 101 == 0) so the
+    hourly grid actually has gaps at every SF. The calendar is built
+    from ``sequence(min, max, 1 hour)`` over a broadcast one-row bounds
+    aggregate; LOCF is ``last(value, ignorenulls)`` over the per-type
+    ordered window — one shuffle on event_type for the window, sized by
+    the grid (types × hours), not the input."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") % 101 == 0)
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("bucket")
+    ).agg(F.round(F.sum("value"), 4).alias("obs_sum"))
+    bounds = hourly.agg(F.min("bucket").alias("mn"), F.max("bucket").alias("mx"))
+    grid = (
+        hourly.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence(F.col("mn"), F.col("mx"), F.expr("interval 1 hour"))
+            ).alias("bucket"),
+        )
+    )
+    joined = grid.join(hourly, ["event_type", "bucket"], "left")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        "event_type",
+        "bucket",
+        "obs_sum",
+        F.last("obs_sum", ignorenulls=True).over(w).alias("locf_sum"),
+        F.col("obs_sum").isNull().alias("gap_filled"),
+    )
+
+
+def ts_ohlc_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily OHLC candles per event type: open/close by deterministic
+    (ts, event_id) order, high/low/volume/total. The two row_number
+    passes share one shuffle+sort on (type, day); the final aggregation
+    is map-side partial over the already-partitioned run."""
+    ev = load_table(spark, sf_dir, "events")
+    sub = ev.select(
+        "event_type",
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        "value",
+        "ts",
+        "event_id",
+    )
+    w_asc = Window.partitionBy("event_type", "day").orderBy("ts", "event_id")
+    w_desc = Window.partitionBy("event_type", "day").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    marked = sub.select(
+        "event_type",
+        "day",
+        "value",
+        F.row_number().over(w_asc).alias("rn_a"),
+        F.row_number().over(w_desc).alias("rn_d"),
+    )
+    return (
+        marked.groupBy("event_type", "day")
+        .agg(
+            F.max(F.when(F.col("rn_a") == 1, F.col("value"))).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close"),
+            F.count(F.lit(1)).alias("volume"),
+            F.round(F.sum("value"), 4).alias("total"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+def ts_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day moving average and running cumulative sum over
+    per-type daily totals. Daily totals are rounded BEFORE the window
+    (both engines) so the moving aggregate consumes identical inputs."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.round(F.sum("value"), 4).alias("day_sum"))
+    base = Window.partitionBy("event_type").orderBy("day")
+    w7 = base.rowsBetween(-6, Window.currentRow)
+    running = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return daily.select(
+        "event_type",
+        "day",
+        "day_sum",
+        F.round(F.avg("day_sum").over(w7), 4).alias("avg_7d"),
+        F.round(F.sum("day_sum").over(running), 4).alias("cum_sum"),
+    )
+
+
+def ts_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anomalous days: per-type daily totals whose z-score against the
+    type's full-series mean/stddev clears |z| >= 1.5. Whole-partition
+    window (no ORDER BY → unbounded frame) over the tiny daily grid.
+    The filter applies to the ROUNDED z in both engines so boundary
+    behavior is identical."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.sum("value").alias("day_sum"))
+    w = Window.partitionBy("event_type")
+    scored = daily.select(
+        "event_type",
+        "day",
+        F.round("day_sum", 4).alias("day_sum"),
+        F.round(
+            (F.col("day_sum") - F.avg("day_sum").over(w))
+            / F.stddev_samp("day_sum").over(w),
+            3,
+        ).alias("zscore"),
+    )
+    return scored.filter(F.abs(F.col("zscore")) >= 1.5).orderBy("event_type", "day")
+
+
+def ts_hierarchical_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical continuous-aggregate rollup: hour → day → week, each
+    coarser level re-aggregated FROM the finer one (never from raw rows)
+    — the hypertable cagg-on-cagg pattern. At scale only the hourly pass
+    touches the fact table; day/week aggregate a few thousand rows."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n"), F.sum("value").alias("total")
+    )
+    daily = hourly.groupBy(F.date_trunc("day", F.col("bucket")).alias("bucket")).agg(
+        F.sum("n").alias("n"), F.sum("total").alias("total")
+    )
+    weekly = daily.groupBy(F.date_trunc("week", F.col("bucket")).alias("bucket")).agg(
+        F.sum("n").alias("n"), F.sum("total").alias("total")
+    )
+    lv = lambda df, g: df.select(  # noqa: E731
+        F.lit(g).alias("granularity"),
+        "bucket",
+        "n",
+        F.round("total", 2).alias("total"),
+    )
+    return (
+        lv(hourly, "hour")
+        .unionByName(lv(daily, "day"))
+        .unionByName(lv(weekly, "week"))
+        .orderBy("granularity", "bucket")
+    )
+
+
+def ts_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-seen week, distinct
+    active users per (cohort week, week offset). Both join sides are
+    pre-reduced to one row per user (firsts) and per (user, week)
+    (activity) before the equi-join on user_id."""
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("week")
+    ).distinct()
+    return (
+        activity.join(firsts, "user_id")
+        .select(
+            "cohort_week",
+            (
+                (F.unix_timestamp("week") - F.unix_timestamp("cohort_week"))
+                / F.lit(_WEEK_SECONDS)
+            )
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+QUERIES = {
+    "ts_gapfill_locf": ts_gapfill_locf,
+    "ts_ohlc_daily": ts_ohlc_daily,
+    "ts_moving_avg": ts_moving_avg,
+    "ts_zscore_anomaly": ts_zscore_anomaly,
+    "ts_hierarchical_rollup": ts_hierarchical_rollup,
+    "ts_retention_cohort": ts_retention_cohort,
+}
+
+ORACLE = {
+    "ts_gapfill_locf": """
+        WITH sparse AS (SELECT * FROM events WHERE event_id % 101 = 0),
+        hourly AS (
+            SELECT event_type, date_trunc('hour', ts) AS bucket,
+                   ROUND(SUM(value), 4) AS obs_sum
+            FROM sparse GROUP BY 1, 2
+        ),
+        bounds AS (SELECT min(bucket) AS mn, max(bucket) AS mx FROM hourly),
+        grid AS (
+            SELECT event_type,
+                   unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS bucket
+            FROM (SELECT DISTINCT event_type FROM hourly) CROSS JOIN bounds
+        ),
+        j AS (
+            SELECT g.event_type, g.bucket, h.obs_sum
+            FROM grid g LEFT JOIN hourly h USING (event_type, bucket)
+        )
+        SELECT event_type, bucket, obs_sum,
+               last_value(obs_sum IGNORE NULLS) OVER (
+                   PARTITION BY event_type ORDER BY bucket
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf_sum,
+               obs_sum IS NULL AS gap_filled
+        FROM j
+    """,
+    "ts_ohlc_daily": """
+        WITH marked AS (
+            SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                   value,
+                   row_number() OVER (
+                       PARTITION BY event_type, date_trunc('day', ts)
+                       ORDER BY ts, event_id) AS rn_a,
+                   row_number() OVER (
+                       PARTITION BY event_type, date_trunc('day', ts)
+                       ORDER BY ts DESC, event_id DESC) AS rn_d
+            FROM events
+        )
+        SELECT event_type, day,
+               MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+               MAX(value) AS high,
+               MIN(value) AS low,
+               MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+               COUNT(*) AS volume,
+               ROUND(SUM(value), 4) AS total
+        FROM marked GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    "ts_moving_avg": """
+        WITH daily AS (
+            SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                   ROUND(SUM(value), 4) AS day_sum
+            FROM events GROUP BY 1, 2
+        )
+        SELECT event_type, day, day_sum,
+               ROUND(AVG(day_sum) OVER (
+                   PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS avg_7d,
+               ROUND(SUM(day_sum) OVER (
+                   PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS cum_sum
+        FROM daily
+    """,
+    "ts_zscore_anomaly": """
+        WITH daily AS (
+            SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                   SUM(value) AS day_sum
+            FROM events GROUP BY 1, 2
+        ),
+        scored AS (
+            SELECT event_type, day,
+                   ROUND(day_sum, 4) AS day_sum,
+                   ROUND((day_sum - AVG(day_sum) OVER (PARTITION BY event_type))
+                         / stddev_samp(day_sum) OVER (PARTITION BY event_type),
+                         3) AS zscore
+            FROM daily
+        )
+        SELECT * FROM scored WHERE abs(zscore) >= 1.5 ORDER BY event_type, day
+    """,
+    "ts_hierarchical_rollup": """
+        WITH hourly AS (
+            SELECT date_trunc('hour', ts) AS bucket, COUNT(*) AS n,
+                   SUM(value) AS total
+            FROM events GROUP BY 1
+        ),
+        daily AS (
+            SELECT date_trunc('day', bucket) AS bucket, SUM(n) AS n,
+                   SUM(total) AS total
+            FROM hourly GROUP BY 1
+        ),
+        weekly AS (
+            SELECT date_trunc('week', bucket) AS bucket, SUM(n) AS n,
+                   SUM(total) AS total
+            FROM daily GROUP BY 1
+        )
+        SELECT 'hour' AS granularity, bucket, n, ROUND(total, 2) AS total FROM hourly
+        UNION ALL
+        SELECT 'day', bucket, n, ROUND(total, 2) FROM daily
+        UNION ALL
+        SELECT 'week', bucket, n, ROUND(total, 2) FROM weekly
+        ORDER BY granularity, bucket
+    """,
+    "ts_retention_cohort": """
+        WITH firsts AS (
+            SELECT user_id, CAST(date_trunc('week', min(ts)) AS TIMESTAMP) AS cohort_week
+            FROM events GROUP BY 1
+        ),
+        activity AS (
+            SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS TIMESTAMP) AS week
+            FROM events
+        )
+        SELECT cohort_week,
+               (CAST(epoch(week) AS BIGINT) - CAST(epoch(cohort_week) AS BIGINT))
+                   // (7 * 86400) AS week_offset,
+               COUNT(*) AS n_users
+        FROM activity JOIN firsts USING (user_id)
+        GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+}
