@@ -17,6 +17,7 @@ from postgres_opensearch_cdc_spark.queries import (
     extensions,
     patterns,
     querydsl,
+    querydsl_aggs,
     relational,
     scalar_sql,
     timeseries,
@@ -40,6 +41,7 @@ _MODULES = [
     # 50-entry window keeps covering the entries that have never had a
     # driver row (rotate these forward in a later round)
     timeseries,
+    querydsl_aggs,
     dashboard,
     cdc_queries,
     relational,
