@@ -15,6 +15,7 @@ from postgres_opensearch_cdc_spark.queries import (
     cdc_queries,
     dashboard,
     extensions,
+    graph_dedup,
     patterns,
     querydsl,
     querydsl_aggs,
@@ -42,6 +43,7 @@ _MODULES = [
     # driver row (rotate these forward in a later round)
     timeseries,
     querydsl_aggs,
+    graph_dedup,
     dashboard,
     cdc_queries,
     relational,

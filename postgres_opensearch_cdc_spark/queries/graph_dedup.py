@@ -1,0 +1,134 @@
+"""Cluster-level deduplication: near-dup pairs → connected components →
+canonical-survivor selection.
+
+Completes the dedup pipeline (extensions.py stops at pairs): pairwise
+similarity is not an equivalence relation, so production dedup takes the
+transitive closure of the pair graph and keeps one canonical document
+per cluster (lowest doc_id — the deterministic choice MinHash dedup
+pipelines use). The DuckDB oracle replays the same clustering as a
+recursive transitive-closure CTE and must agree exactly.
+
+Scale shape: pairs come from the LSH-prunable Jaccard path
+(functions/dedup.py); components run min-label propagation
+(functions/graph.py) whose per-round cost is one equi-join on node id —
+no all-pairs step anywhere. Cluster sizes are small by construction
+(near-dup groups), so the closure never explodes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from postgres_opensearch_cdc_spark.functions.dedup import ngram_jaccard_pairs
+from postgres_opensearch_cdc_spark.functions.graph import connected_components
+from postgres_opensearch_cdc_spark.registry import load_table
+
+
+def _doc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, cluster_id) for every document; singletons label
+    themselves. Pairs = exact 3-gram Jaccard >= 0.4 (the same pair set
+    dedup_ngram_jaccard value-checks)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.4).select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    comp = connected_components(pairs)
+    return docs.select("doc_id", "source", "n_chars").join(
+        comp, docs["doc_id"] == comp["node"], "left"
+    ).select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.coalesce(F.col("comp"), F.col("doc_id")).alias("cluster_id"),
+    )
+
+
+def dedup_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every document with its duplicate-cluster id (min doc_id of the
+    transitive closure over near-dup pairs)."""
+    return _doc_clusters(spark, sf_dir).select("doc_id", "cluster_id").orderBy("doc_id")
+
+
+def dedup_cc_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source dedup yield: total docs, surviving canonicals
+    (doc_id == cluster_id), and surviving characters — the numbers a
+    training-data pipeline reports after cluster-level dedup."""
+    cl = _doc_clusters(spark, sf_dir)
+    kept = (F.col("doc_id") == F.col("cluster_id")).cast("long")
+    return (
+        cl.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(kept).alias("n_kept"),
+            F.sum(F.col("n_chars") * kept).alias("chars_kept"),
+        )
+        .orderBy("source")
+    )
+
+
+QUERIES = {
+    "dedup_cc_clusters": dedup_cc_clusters,
+    "dedup_cc_survivors": dedup_cc_survivors,
+}
+
+# Recursive transitive closure over the identical pair definition used
+# by the dedup_ngram_jaccard oracle (extensions.py): shingle self-join
+# Jaccard >= 0.4. reach() enumerates every (node, reachable-label);
+# MIN(lbl) per node is the component id. Closure size is bounded by
+# sum(|cluster|^2) — small clusters, small closure.
+_CLUSTERS_CTE = """
+        WITH RECURSIVE sh AS (
+            SELECT doc_id AS id,
+                   unnest(list_distinct(
+                       list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
+                                      i -> array_to_string(toks[i:i+2], ' ')))) AS shingle
+            FROM (
+                SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS toks
+                FROM documents
+            )
+        ),
+        sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+        inter AS (
+            SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+            GROUP BY 1, 2
+        ),
+        pairs AS (
+            SELECT id_a, id_b
+            FROM inter
+            JOIN sizes sa ON sa.id = id_a
+            JOIN sizes sb ON sb.id = id_b
+            WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= 0.4
+        ),
+        edges AS (
+            SELECT id_a AS s, id_b AS d FROM pairs
+            UNION
+            SELECT id_b, id_a FROM pairs
+        ),
+        reach(node, lbl) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT e.d, r.lbl FROM reach r JOIN edges e ON e.s = r.node
+        ),
+        clusters AS (
+            SELECT node AS doc_id, MIN(lbl) AS cluster_id
+            FROM reach GROUP BY node
+        )
+"""
+
+ORACLE = {
+    "dedup_cc_clusters": _CLUSTERS_CTE
+    + """
+        SELECT doc_id, cluster_id FROM clusters ORDER BY doc_id
+    """,
+    "dedup_cc_survivors": _CLUSTERS_CTE
+    + """
+        SELECT d.source,
+               COUNT(*) AS n_docs,
+               SUM(CASE WHEN c.cluster_id = d.doc_id THEN 1 ELSE 0 END) AS n_kept,
+               SUM(CASE WHEN c.cluster_id = d.doc_id THEN d.n_chars ELSE 0 END)
+                   AS chars_kept
+        FROM documents d JOIN clusters c USING (doc_id)
+        GROUP BY 1 ORDER BY 1
+    """,
+}

@@ -1,0 +1,63 @@
+"""Connected-components (functions/graph.py) and cluster-dedup entries."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from postgres_opensearch_cdc_spark.functions.graph import connected_components
+from postgres_opensearch_cdc_spark.queries.graph_dedup import (
+    dedup_cc_clusters,
+    dedup_cc_survivors,
+)
+
+
+def _cc(spark, pairs):
+    edges = spark.createDataFrame(pairs, "src long, dst long")
+    rows = connected_components(edges).collect()
+    return {r["node"]: r["comp"] for r in rows}
+
+
+def test_two_components(spark):
+    got = _cc(spark, [(1, 2), (2, 3), (10, 11)])
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_chain_needs_multiple_rounds(spark):
+    # a 6-node path: label 1 must propagate 5 hops (diameter > 1)
+    got = _cc(spark, [(i, i + 1) for i in range(1, 6)])
+    assert set(got.values()) == {1} and len(got) == 6
+
+
+def test_direction_irrelevant(spark):
+    # edges given high->low and low->high mix; labels still go to min
+    got = _cc(spark, [(5, 4), (3, 4), (3, 2), (1, 2)])
+    assert set(got.values()) == {1}
+
+
+def test_self_loop_and_duplicate_edges(spark):
+    got = _cc(spark, [(7, 7), (8, 9), (9, 8), (8, 9)])
+    assert got == {7: 7, 8: 8, 9: 8}
+
+
+def test_unconverged_raises(spark):
+    edges = spark.createDataFrame([(i, i + 1) for i in range(1, 8)], "src long, dst long")
+    with pytest.raises(RuntimeError, match="converge"):
+        connected_components(edges, max_iter=2)
+
+
+def test_clusters_cover_all_docs_once(spark, sf_dir):
+    cl = dedup_cc_clusters(spark, sf_dir)
+    docs = cl.count()
+    assert cl.select("doc_id").distinct().count() == docs
+    # cluster ids are themselves member doc_ids (canonical = min member)
+    ids = {r["doc_id"] for r in cl.collect()}
+    assert all(r["cluster_id"] in ids for r in cl.collect())
+    assert cl.filter(F.col("cluster_id") > F.col("doc_id")).count() == 0
+
+
+def test_survivors_bounded_by_docs(spark, sf_dir):
+    sv = dedup_cc_survivors(spark, sf_dir).collect()
+    assert len(sv) > 0
+    for r in sv:
+        assert 0 < r["n_kept"] <= r["n_docs"]

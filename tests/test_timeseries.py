@@ -1,0 +1,77 @@
+"""Time-series module invariants (parity is covered by the oracle gate;
+these assert the semantic properties parity alone can't express)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window, functions as F
+
+from postgres_opensearch_cdc_spark.queries.timeseries import (
+    ts_gapfill_locf,
+    ts_hierarchical_rollup,
+    ts_moving_avg,
+    ts_ohlc_daily,
+    ts_retention_cohort,
+)
+
+
+def test_gapfill_grid_is_dense_and_locf_holds(spark, sf_dir):
+    out = ts_gapfill_locf(spark, sf_dir).cache()
+    per_type = out.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("bucket").alias("mn"),
+        F.max("bucket").alias("mx"),
+    )
+    for r in per_type.collect():
+        hours = int((r["mx"] - r["mn"]).total_seconds() // 3600) + 1
+        assert r["n"] == hours, "grid must be dense per type"
+    # once a type has an observation, locf_sum is never null afterwards;
+    # filled rows carry the previous observation forward
+    w = out.filter(F.col("gap_filled") & F.col("locf_sum").isNotNull())
+    assert w.count() > 0, "sparse subset must actually produce gaps"
+    assert out.filter(~F.col("gap_filled") & (F.col("locf_sum") != F.col("obs_sum"))).count() == 0
+    out.unpersist()
+
+
+def test_ohlc_bounds(spark, sf_dir):
+    out = ts_ohlc_daily(spark, sf_dir)
+    bad = out.filter(
+        (F.col("low") > F.col("high"))
+        | (F.col("open") < F.col("low"))
+        | (F.col("open") > F.col("high"))
+        | (F.col("close") < F.col("low"))
+        | (F.col("close") > F.col("high"))
+    )
+    assert bad.count() == 0
+
+
+def test_moving_avg_first_row_equals_day_sum(spark, sf_dir):
+    out = ts_moving_avg(spark, sf_dir)
+    firsts = out.withColumn(
+        "rn",
+        F.row_number().over(Window.partitionBy("event_type").orderBy("day")),
+    ).filter(F.col("rn") == 1)
+    assert firsts.filter(F.col("avg_7d") != F.col("day_sum")).count() == 0
+    assert firsts.filter(F.col("cum_sum") != F.col("day_sum")).count() == 0
+
+
+def test_hierarchical_rollup_levels_agree(spark, sf_dir):
+    out = ts_hierarchical_rollup(spark, sf_dir).cache()
+    total = {
+        r["granularity"]: (r["n"], float(r["t"]))
+        for r in out.groupBy("granularity")
+        .agg(F.sum("n").alias("n"), F.round(F.sum("total"), 1).alias("t"))
+        .collect()
+    }
+    assert total["hour"][0] == total["day"][0] == total["week"][0]
+    assert abs(total["hour"][1] - total["week"][1]) < 0.5
+    out.unpersist()
+
+
+def test_retention_offsets_start_at_zero(spark, sf_dir):
+    out = ts_retention_cohort(spark, sf_dir).cache()
+    assert out.filter(F.col("week_offset") < 0).count() == 0
+    # every cohort has an offset-0 row (users are active in their first week)
+    cohorts = out.select("cohort_week").distinct().count()
+    zero = out.filter(F.col("week_offset") == 0).count()
+    assert zero == cohorts
+    out.unpersist()
