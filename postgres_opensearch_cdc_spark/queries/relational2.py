@@ -184,12 +184,34 @@ def supplier_diversity_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def grouping_sets_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form rollup/cube specialize):
+    totals by (status, priority), by status alone, and grand total, with
+    grouping_id disambiguating null-as-value from null-as-aggregated.
+    One Expand + one aggregate — same plan family as cube/rollup."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupingSets(
+            [["o_orderstatus", "o_orderpriority"], ["o_orderstatus"], []],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .orderBy("gid", "o_orderstatus", "o_orderpriority")
+    )
+
+
 QUERIES = {
     "min_cost_supplier": min_cost_supplier,
     "volume_shipping": volume_shipping,
     "nation_market_share": nation_market_share,
     "large_quantity_customers": large_quantity_customers,
     "supplier_diversity_by_brand": supplier_diversity_by_brand,
+    "grouping_sets_status": grouping_sets_status,
 }
 
 ORACLE = {
@@ -259,5 +281,15 @@ ORACLE = {
         JOIN part ON l_partkey = p_partkey
         WHERE p_brand NOT LIKE 'Brand#3%'
         GROUP BY 1 ORDER BY supplier_cnt DESC, p_brand
+    """,
+    "grouping_sets_status": """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+               COUNT(*) AS n,
+               ROUND(SUM(o_totalprice), 2) AS total
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                (o_orderstatus), ())
+        ORDER BY gid, o_orderstatus, o_orderpriority
     """,
 }

@@ -210,6 +210,30 @@ def ts_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ts_regression_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type linear trend over daily totals: built-in regression
+    aggregates (regr_slope/intercept/r2) of day_sum against day index —
+    the trend-line a dashboard fits, computed as one associative
+    aggregate (no iterative fitting). Day index is integer day offset
+    from the epoch so both engines regress on identical x values."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.sum("value").alias("day_sum"))
+    x = (F.unix_timestamp("day") / F.lit(86400)).cast("double")
+    return (
+        daily.groupBy("event_type")
+        .agg(
+            F.round(F.regr_slope(F.col("day_sum"), x), 3).alias("slope"),
+            F.round(F.regr_intercept(F.col("day_sum"), x) / 1e6, 3).alias(
+                "intercept_m"
+            ),
+            F.round(F.regr_r2(F.col("day_sum"), x), 4).alias("r2"),
+        )
+        .orderBy("event_type")
+    )
+
+
 QUERIES = {
     "ts_gapfill_locf": ts_gapfill_locf,
     "ts_ohlc_daily": ts_ohlc_daily,
@@ -217,6 +241,7 @@ QUERIES = {
     "ts_zscore_anomaly": ts_zscore_anomaly,
     "ts_hierarchical_rollup": ts_hierarchical_rollup,
     "ts_retention_cohort": ts_retention_cohort,
+    "ts_regression_trend": ts_regression_trend,
 }
 
 ORACLE = {
@@ -334,5 +359,18 @@ ORACLE = {
                COUNT(*) AS n_users
         FROM activity JOIN firsts USING (user_id)
         GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    "ts_regression_trend": """
+        WITH daily AS (
+            SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                   SUM(value) AS day_sum
+            FROM events GROUP BY 1, 2
+        )
+        SELECT event_type,
+               ROUND(regr_slope(day_sum, epoch(day) / 86400), 3) AS slope,
+               ROUND(regr_intercept(day_sum, epoch(day) / 86400) / 1e6, 3)
+                   AS intercept_m,
+               ROUND(regr_r2(day_sum, epoch(day) / 86400), 4) AS r2
+        FROM daily GROUP BY 1 ORDER BY 1
     """,
 }
