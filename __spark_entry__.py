@@ -49,7 +49,6 @@ _MODULES = [
     dashboard,
     cdc_queries,
     relational,
-    relational2,
     scalar_sql,
 ]
 
