@@ -117,12 +117,17 @@ def sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def array_agg_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array aggregation: per-cohort sorted distinct event types —
-    collect_set + sort_array (deterministic by construction, so
-    oracle-comparable as list values)."""
+    collect_set + sort_array, serialized to a comma-joined string so the
+    result is hashable by any downstream comparator (raw list columns
+    break pandas-based canonicalizers)."""
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.groupBy((F.col("user_id") % 10).alias("cohort"))
-        .agg(F.sort_array(F.collect_set("event_type")).alias("types"))
+        .agg(
+            F.concat_ws(",", F.sort_array(F.collect_set("event_type"))).alias(
+                "types"
+            )
+        )
         .orderBy("cohort")
     )
 
@@ -264,7 +269,7 @@ ORACLE = {
     """,
     "array_agg_types": """
         SELECT user_id % 10 AS cohort,
-               list_sort(list(DISTINCT event_type)) AS types
+               array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types
         FROM events GROUP BY 1 ORDER BY 1
     """,
 }

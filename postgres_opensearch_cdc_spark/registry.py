@@ -90,10 +90,11 @@ TESTDATA_SCHEMAS: dict[str, T.StructType] = {
     "events": T.StructType(
         [
             T.StructField("event_id", T.LongType()),
-            # stored as TIMESTAMP(NANOS) → read as int64 nanos (session
-            # sets spark.sql.legacy.parquet.nanosAsLong), converted to a
-            # microsecond TimestampType in load_table
-            T.StructField("ts", T.LongType()),
+            # the generator has shipped ts as TIMESTAMP(MICROS) in some
+            # rounds and TIMESTAMP(NANOS) in others; load_table sniffs the
+            # parquet footer and branches (nanos arrive as int64 via the
+            # legacy nanosAsLong path and are converted to micros)
+            T.StructField("ts", T.TimestampType()),
             T.StructField("user_id", T.LongType()),
             T.StructField("event_type", T.StringType()),
             T.StructField("value", T.DoubleType()),
@@ -178,29 +179,55 @@ REFERENCE_SCHEMAS: dict[str, T.StructType] = {
 }
 
 
+# footer sniff is one small metadata read per path; cache it so repeated
+# load_table calls (every query touches events) don't re-open the footer
+_EVENTS_TS_IS_NANOS: dict[str, bool] = {}
+
+
+def _events_ts_is_nanos(path: str) -> bool:
+    """True when events.ts is physically TIMESTAMP(NANOS) (or a bare int64
+    of nanos) in the parquet footer — the one layout Spark can only read
+    via the legacy nanosAsLong path. TIMESTAMP(MICROS/MILLIS) reads
+    natively as TimestampType."""
+    cached = _EVENTS_TS_IS_NANOS.get(path)
+    if cached is None:
+        import pyarrow.dataset as ds
+
+        t = ds.dataset(path, format="parquet").schema.field("ts").type
+        cached = getattr(t, "unit", None) == "ns" or str(t) == "int64"
+        _EVENTS_TS_IS_NANOS[path] = cached
+    return cached
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata table. Explicit schema keeps the scan prunable and
     skips footer-based inference on wide datasets; at 100 TB the same call
     points at a partitioned parquet root and Catalyst handles partition
     pruning from any date/key predicate above it."""
     schema = TESTDATA_SCHEMAS.get(name)
-    if name == "events":
-        # events.ts is TIMESTAMP(NANOS) parquet; ensure the nanos-as-long
-        # read path regardless of which session calls us (the driver's
-        # harness session won't have session.py's config). Runtime-settable.
+    path = f"{sf_dir}/{name}.parquet"
+    if name == "events" and _events_ts_is_nanos(path):
+        # legacy layout: read raw int64 nanos, then nanos → micros by
+        # integer division (never float division: int64 nanos exceed
+        # double's 53-bit exact range), matching DuckDB's truncating
+        # TIMESTAMP_NS → TIMESTAMP semantics
+        from pyspark.sql import functions as F
+
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        nanos_schema = T.StructType(
+            [
+                T.StructField("ts", T.LongType())
+                if f.name == "ts"
+                else f
+                for f in schema.fields
+            ]
+        )
+        df = spark.read.schema(nanos_schema).parquet(path)
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     reader = spark.read
     if schema is not None:
         reader = reader.schema(schema)
-    df = reader.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events":
-        # nanos → micros by integer division (never float division: int64
-        # nanos exceed double's 53-bit exact range), matching DuckDB's
-        # truncating TIMESTAMP_NS → TIMESTAMP semantics
-        from pyspark.sql import functions as F
-
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return df
+    return reader.parquet(path)
 
 
 def register_views(spark: SparkSession, sf_dir: str, tables: list[str] | None = None) -> None:
