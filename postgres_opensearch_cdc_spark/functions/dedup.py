@@ -143,18 +143,20 @@ def minhash_signatures_from_arrays(
     band-bucket join."""
     if hasher == "md5":
         # one md5 per shingle, materialized once; family members are
-        # cheap multiply-adds over the 32-bit base values
+        # cheap multiply-adds over the 32-bit base values.
+        # (closure factory, not default-arg lambdas: pyspark derives the
+        # higher-order-function arity from the Python signature, so a
+        # lambda with bound defaults would register as a 3-arg lambda)
         fam = minhash_family(num_hashes, seed)
+
+        def _member(a: int, b: int):
+            return lambda x: (F.lit(a) * x + F.lit(b)) % F.lit(MINHASH_PRIME)
+
         based = arrays.select(
-            "id", F.transform(F.col("sh_arr"), md5_base32).alias("_xs")
+            "id", F.transform(F.col("sh_arr"), lambda s: md5_base32(s)).alias("_xs")
         )
         hash_cols = [
-            F.array_min(
-                F.transform(
-                    F.col("_xs"),
-                    lambda x, a=a, b=b: (F.lit(a) * x + F.lit(b)) % F.lit(MINHASH_PRIME),
-                )
-            ).alias(f"h{i}")
+            F.array_min(F.transform(F.col("_xs"), _member(a, b))).alias(f"h{i}")
             for i, (a, b) in enumerate(fam)
         ]
         return based.select("id", *hash_cols)

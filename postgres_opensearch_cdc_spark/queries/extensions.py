@@ -19,8 +19,9 @@ from postgres_opensearch_cdc_spark.functions import text as X
 from postgres_opensearch_cdc_spark.functions.dedup import (
     exact_dedup,
     minhash_lsh_candidates,
-    minhash_signatures,
+    minhash_signatures_from_arrays,
     ngram_jaccard_pairs,
+    shingle_arrays,
     simhash64,
     word_shingles,
 )
@@ -49,20 +50,27 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(32) + LSH(8 bands × 4 rows) candidates verified by exact
     Jaccard. Runs with the portable md5 family (one digest per shingle,
     32 multiply-shift members) so DuckDB reproduces the signatures and
-    band buckets → fully value-checked."""
+    band buckets → fully value-checked.
+
+    Scale shape: signatures come from the shuffle-free array form
+    (array_min over transform, all inside the scan stage — no 80x
+    shingle-row explosion, no 32-column groupBy shuffle of the whole
+    corpus); the only wide ops are the tiny band-bucket join and the
+    exact-verify shingle join, and the latter explodes ONLY docs that
+    appear in some candidate pair."""
     docs = load_table(spark, sf_dir, "documents")
-    sh = word_shingles(docs, "text", "doc_id", n=3).cache()
-    sigs = minhash_signatures(sh, num_hashes=32, hasher="md5")
-    cands = minhash_lsh_candidates(sigs, bands=8, rows_per_band=4)
-    # exact-verify ONLY docs appearing in some candidate pair: the
-    # shingle self-join input shrinks from the corpus to the candidate
-    # set — the property that keeps this tractable at 100 TB
+    arrays = shingle_arrays(docs, "text", "doc_id", n=3)
+    sigs = minhash_signatures_from_arrays(arrays, num_hashes=32, hasher="md5")
+    # candidates are reused twice (pair filter + doc prefilter): cache
+    # the small pair set, not the corpus-sized shingle relation
+    cands = minhash_lsh_candidates(sigs, bands=8, rows_per_band=4).cache()
     cand_ids = (
-        cands.select(F.col("id_a").alias("id"))
-        .union(cands.select(F.col("id_b").alias("id")))
+        cands.select(F.col("id_a").alias("doc_id"))
+        .union(cands.select(F.col("id_b").alias("doc_id")))
         .distinct()
     )
-    sh_cand = sh.join(F.broadcast(cand_ids), "id", "left_semi")
+    docs_cand = docs.join(F.broadcast(cand_ids), "doc_id", "left_semi")
+    sh_cand = word_shingles(docs_cand, "text", "doc_id", n=3)
     return ngram_jaccard_pairs(
         docs, n=3, threshold=0.4, candidates=cands, shingles=sh_cand
     )

@@ -306,22 +306,39 @@ def stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_type.unionByName(pair)
 
 
-def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+def approx_sketches(
+    spark: SparkSession, sf_dir: str, check_bounds: bool = False
+) -> DataFrame:
     """Sketch aggregates — the 100 TB form of distinct_agg/percentiles:
     HyperLogLog++ distinct counts and t-digest-style quantiles in one
-    partial-aggregable pass.
+    partial-aggregable pass. This (default) form is what you run at
+    scale: sketches only, no exact aggregates anywhere in the plan.
 
-    Bounds-oracle form: sketch internals are engine-specific, so instead
-    of emitting raw approximations (uncheckable across engines) the
-    query emits the exact values plus boolean within-epsilon verdicts —
-    HLL count within 3x rsd of exact, approx percentile value inside the
-    exact [p-0.01, p+0.01] quantile envelope (percentile_approx rank
-    error is <= 1/accuracy = 1e-4, far inside it). The DuckDB oracle
-    asserts the verdicts TRUE, so a sketch drifting out of bounds fails
-    the driver's value-hash — a real accuracy gate, not a rows-only
-    check. The exact twins computed here are the test-scale harness; at
-    100 TB you run only the sketch side."""
+    check_bounds=True switches to the accuracy-harness form: sketch
+    internals are engine-specific, so instead of raw approximations
+    (uncheckable across engines) it emits the exact values plus boolean
+    within-epsilon verdicts — HLL count within 3x rsd of exact, approx
+    percentile inside the exact [p-0.01, p+0.01] quantile envelope
+    (percentile_approx rank error is <= 1/accuracy = 1e-4, far inside
+    it). tests/test_sketch_bounds.py asserts every verdict TRUE, so a
+    sketch drifting out of bounds fails CI; the production entry never
+    pays for the exact twins (exact distinct + exact percentile are the
+    dominant cost at any scale)."""
     ev = load_table(spark, sf_dir, "events")
+    if not check_bounds:
+        return (
+            ev.groupBy("event_type")
+            .agg(
+                F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+                F.round(
+                    F.element_at(F.percentile_approx("value", [0.5, 0.9], 10_000), 1), 4
+                ).alias("p50"),
+                F.round(
+                    F.element_at(F.percentile_approx("value", [0.5, 0.9], 10_000), 2), 4
+                ).alias("p90"),
+            )
+            .orderBy("event_type")
+        )
     sketch = ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
         F.count_distinct("user_id").alias("exact_users"),
@@ -363,12 +380,15 @@ QUERIES = {
     "distinct_agg": distinct_agg,
     "percentiles_value": percentiles_value,
     "stats_agg": stats_agg,
-    "approx_sketches": approx_sketches,
+    # correctness surface runs the bounds-harness form (exact twins +
+    # within-epsilon verdicts, value-checked by the oracle below);
+    # bench.py measures the production sketch-only form instead — at
+    # scale you never pay for the exact aggregates
+    "approx_sketches": lambda spark, sf_dir: approx_sketches(
+        spark, sf_dir, check_bounds=True
+    ),
 }
 
-# approx_sketches: intentionally no oracle (sketch internals differ per
-# engine); its exact twins distinct_agg/percentiles_value are the
-# value-checked semantics.
 ORACLE = {
     "join_left_anti": """
         SELECT c_custkey, c_name, c_mktsegment

@@ -149,3 +149,24 @@ def test_md5_base32_family_matches_duckdb(spark):
         want = list(con.execute(f"SELECT {exprs}", [s] * 32).fetchone())
         assert got[s] == want
         assert all(0 <= h < MINHASH_PRIME for h in want)
+
+
+@pytest.mark.parametrize("hasher", HASHERS)
+def test_from_arrays_signatures_match_exploded_form(docs, hasher):
+    """The shuffle-free array signature path must produce bit-identical
+    signatures to the exploded groupBy form — same shingle set, same
+    hash family, just computed inside the scan stage."""
+    from postgres_opensearch_cdc_spark.functions.dedup import (
+        minhash_signatures_from_arrays,
+        shingle_arrays,
+    )
+
+    exploded = minhash_signatures(
+        word_shingles(docs, "text", "doc_id", n=3), num_hashes=16, hasher=hasher
+    )
+    arrayed = minhash_signatures_from_arrays(
+        shingle_arrays(docs, "text", "doc_id", n=3), num_hashes=16, hasher=hasher
+    )
+    assert {tuple(r) for r in exploded.collect()} == {
+        tuple(r) for r in arrayed.collect()
+    }

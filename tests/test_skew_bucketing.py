@@ -36,6 +36,18 @@ def test_salted_join_matches_direct(spark, skewed):
     assert {tuple(r) for r in direct.collect()} == {tuple(r) for r in salted.collect()}
 
 
+def _drop_table_and_location(spark, name):
+    """DROP TABLE alone can't clean a warehouse dir orphaned by a crashed
+    prior run (the catalog no longer knows the table, so saveAsTable hits
+    LOCATION_ALREADY_EXISTS) — remove the physical location too."""
+    import shutil
+    from urllib.parse import urlparse
+
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    shutil.rmtree(f"{warehouse}/{name}", ignore_errors=True)
+
+
 def test_bucketed_join_has_no_exchange(spark, tmp_path):
     """Two tables bucketed on the join key with equal bucket counts must
     join without shuffling either side — the co-located join the CDC
@@ -46,6 +58,8 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
     dims = spark.range(1_000).select(
         F.col("id").alias("k"), F.concat(F.lit("d"), F.col("id")).alias("label")
     )
+    _drop_table_and_location(spark, "b_facts")
+    _drop_table_and_location(spark, "b_dims")
     bootstrap_bucketed_mirror(facts, "b_facts", "k", num_buckets=8)
     bootstrap_bucketed_mirror(dims, "b_dims", "k", num_buckets=8)
     try:
@@ -60,8 +74,8 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         assert joined.count() == 1_000
     finally:
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
-        spark.sql("DROP TABLE IF EXISTS b_facts")
-        spark.sql("DROP TABLE IF EXISTS b_dims")
+        _drop_table_and_location(spark, "b_facts")
+        _drop_table_and_location(spark, "b_dims")
 
 
 def _skewed_changelog(spark, n=20_000, hot_keys=5, cold_keys=1_000):
