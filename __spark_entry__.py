@@ -75,12 +75,14 @@ _PRIORITY = [
     # (c) r4 driver-red, fixed by the ts-unit branch
     "sessionize_batch", "range_join_same_user", "composite_agg_page",
     "pipeline_agg_cumsum", "bucket_script_error_rate", "avg_bucket_daily",
+    # (e) new round-5 operators (SRP-LSH embedding dedup, query-DSL
+    # wildcard/terms_set/boosting/match_bool_prefix, rare_terms)
+    "dedup_embedding_srp", "wildcard_query", "terms_set_match",
+    "boosting_query", "match_bool_prefix", "rare_terms_agg",
     # (d) re-confirmations
     "dedup_minhash_lsh", "asof_last_purchase", "window_lag_delta",
-    "json_extract_props", "q06_date_histogram", "q12_index_pattern_union",
-    "cdc_mirror_compact", "cdc_op_stats", "cdc_deleted_keys",
-    "cdc_incremental_agg", "cdc_mirror_count", "date_arithmetic",
-    "top_hits_per_bucket", "significant_terms",
+    "json_extract_props", "q06_date_histogram", "cdc_mirror_compact",
+    "cdc_deleted_keys", "cdc_incremental_agg",
 ]
 
 

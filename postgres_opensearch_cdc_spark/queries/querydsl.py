@@ -533,6 +533,76 @@ def percolate_stored_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TERMS_SET = ["sort", "merge", "vector", "join"]
+TERMS_SET_MIN = 3
+BOOST_POS, BOOST_NEG, NEG_FACTOR = "query", "slow", 0.5
+
+
+def wildcard_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``wildcard`` on a keyword field: ``source: src1*`` — compiles to
+    a LIKE prefix pattern, which Catalyst rewrites to StartsWith and
+    pushes into the parquet scan (PushedFilters: StringStartsWith). At
+    100 TB this prunes at the row-group level before any decode."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.filter(F.col("source").like("src1%"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("doc_count"))
+        .orderBy("source")
+    )
+
+
+def terms_set_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``terms_set``: docs where at least ``minimum_should_match`` of
+    the provided terms occur. Each term is a word-boundary rlike cast to
+    int and summed — one codegen'd projection per doc, map-only scan,
+    no explode of the token stream."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_matched = sum(
+        F.col("text").rlike(rf"\b{t}\b").cast("int") for t in TERMS_SET
+    )
+    return (
+        docs.select("doc_id", n_matched.alias("n_matched"))
+        .filter(F.col("n_matched") >= TERMS_SET_MIN)
+        .orderBy("doc_id")
+    )
+
+
+def boosting_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``boosting``: positive-query relevance demoted (not excluded)
+    when the negative query also matches — score = tf(positive) *
+    negative_boost if the negative term occurs, else tf(positive).
+    Map-only scoring + TakeOrderedAndProject top-50."""
+    docs = load_table(spark, sf_dir, "documents")
+    tf_pos = F.regexp_count(F.col("text"), F.lit(rf"\b{BOOST_POS}\b"))
+    has_neg = F.col("text").rlike(rf"\b{BOOST_NEG}\b")
+    score = F.round(
+        tf_pos * F.when(has_neg, F.lit(NEG_FACTOR)).otherwise(F.lit(1.0)), 2
+    )
+    return (
+        docs.select("doc_id", score.alias("score"))
+        .filter(F.col("score") > 0)
+        .orderBy(F.col("score").desc(), F.col("doc_id"))
+        .limit(50)
+    )
+
+
+def match_bool_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``match_bool_prefix``: all terms must match, the last one as a
+    prefix — ``merge`` as a full token AND any token starting ``vec``.
+    Two codegen'd regex predicates on the scan; conjunctive filters
+    fused into one map stage."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.filter(
+            F.col("text").rlike(r"\bmerge\b")
+            & F.col("text").rlike(r"(^|\s)vec")
+        )
+        .select("doc_id", "source", "lang")
+        .orderBy("doc_id")
+    )
+
+
 QUERIES = {
     "q02f_match_phrase": q02f_match_phrase,
     "q01d_regexp_match": q01d_regexp_match,
@@ -557,9 +627,46 @@ QUERIES = {
     "more_like_this": more_like_this,
     "filters_named_buckets": filters_named_buckets,
     "percolate_stored_queries": percolate_stored_queries,
+    "wildcard_query": wildcard_query,
+    "terms_set_match": terms_set_match,
+    "boosting_query": boosting_query,
+    "match_bool_prefix": match_bool_prefix,
 }
 
+_TERMS_SET_SQL = " + ".join(
+    "regexp_matches(text, '\\b%s\\b')::INT" % t for t in TERMS_SET
+)
+
 ORACLE = {
+    "wildcard_query": """
+        SELECT source, count(*) AS doc_count
+        FROM documents WHERE source LIKE 'src1%'
+        GROUP BY source ORDER BY source
+    """,
+    "terms_set_match": rf"""
+        SELECT doc_id, ({_TERMS_SET_SQL}) AS n_matched
+        FROM documents
+        WHERE ({_TERMS_SET_SQL}) >= {TERMS_SET_MIN}
+        ORDER BY doc_id
+    """,
+    "boosting_query": rf"""
+        SELECT doc_id,
+               ROUND(len(regexp_extract_all(text, '\b{BOOST_POS}\b'))
+                     * CASE WHEN regexp_matches(text, '\b{BOOST_NEG}\b')
+                            THEN {NEG_FACTOR} ELSE 1.0 END, 2)::DOUBLE AS score
+        FROM documents
+        WHERE len(regexp_extract_all(text, '\b{BOOST_POS}\b'))
+              * CASE WHEN regexp_matches(text, '\b{BOOST_NEG}\b')
+                     THEN {NEG_FACTOR} ELSE 1.0 END > 0
+        ORDER BY score DESC, doc_id LIMIT 50
+    """,
+    "match_bool_prefix": r"""
+        SELECT doc_id, source, lang
+        FROM documents
+        WHERE regexp_matches(text, '\bmerge\b')
+          AND regexp_matches(text, '(^|\s)vec')
+        ORDER BY doc_id
+    """,
     "q02f_match_phrase": rf"""
         SELECT doc_id,
                len(regexp_extract_all(text, '\b{PHRASE}\b')) AS phrase_count

@@ -189,6 +189,26 @@ def geo_distance_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RARE_TERMS_MAX_DOCS = 30
+
+
+def rare_terms_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``rare_terms``: the long-tail complement of ``terms`` — buckets
+    whose doc_count is AT MOST max_doc_count, over the (user_id,
+    event_type) composite term. A terms agg sorted ascending truncates
+    arbitrarily; rare_terms returns the complete tail. One partial-
+    aggregable groupBy; the post-aggregation doc_count filter rides the
+    aggregate (Catalyst keeps it out of the scan but before any sort),
+    so at 100 TB only tail buckets reach the final exchange."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("doc_count"))
+        .filter(F.col("doc_count") <= RARE_TERMS_MAX_DOCS)
+        .orderBy("user_id", "event_type")
+    )
+
+
 QUERIES = {
     "range_agg_value": range_agg_value,
     "date_range_agg": date_range_agg,
@@ -198,11 +218,18 @@ QUERIES = {
     "cardinality_by_type": cardinality_by_type,
     "scripted_metric_weighted": scripted_metric_weighted,
     "geo_distance_filter": geo_distance_filter,
+    "rare_terms_agg": rare_terms_agg,
 }
 
 _ISODOW = "isodow(ts)"
 
 ORACLE = {
+    "rare_terms_agg": f"""
+        SELECT user_id, event_type, COUNT(*) AS doc_count
+        FROM events GROUP BY user_id, event_type
+        HAVING COUNT(*) <= {RARE_TERMS_MAX_DOCS}
+        ORDER BY user_id, event_type
+    """,
     "range_agg_value": """
         SELECT CASE WHEN value < 25 THEN '*-25'
                     WHEN value < 100 THEN '25-100'
