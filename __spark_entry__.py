@@ -64,7 +64,9 @@ _PRIORITY = [
     "range_agg_value", "date_range_agg", "multi_terms_agg",
     "sampler_terms_agg", "adjacency_matrix_agg", "cardinality_by_type",
     "scripted_metric_weighted", "geo_distance_filter",
-    "dedup_cc_clusters", "dedup_cc_survivors",
+    # minhash runs immediately before the CC pair (which reuses its
+    # pipeline) so the heavy LSH codegen is compiled exactly once
+    "dedup_minhash_lsh", "dedup_cc_clusters", "dedup_cc_survivors",
     "min_cost_supplier", "volume_shipping", "nation_market_share",
     "large_quantity_customers", "supplier_diversity_by_brand",
     "grouping_sets_status",
@@ -80,7 +82,7 @@ _PRIORITY = [
     "dedup_embedding_srp", "wildcard_query", "terms_set_match",
     "boosting_query", "match_bool_prefix", "rare_terms_agg",
     # (d) re-confirmations
-    "dedup_minhash_lsh", "asof_last_purchase", "window_lag_delta",
+    "asof_last_purchase", "window_lag_delta",
     "json_extract_props", "q06_date_histogram", "cdc_mirror_compact",
     "cdc_deleted_keys", "cdc_incremental_agg",
 ]

@@ -516,8 +516,12 @@ _BAND_SELECTS = "\n            UNION ALL ".join(
 # Both engines join LSH bands on the raw (band, k1..k4) tuple — the
 # candidate sets are identical by construction, no hash-collision
 # corner at all.
-ORACLE["dedup_minhash_lsh"] = f"""
-        WITH base AS (
+# The full shingle → minhash → band → candidate → exact-verify pipeline
+# as a reusable CTE chain ending in ``minhash_pairs`` — shared by the
+# dedup_minhash_lsh oracle below and graph_dedup's transitive-closure
+# oracle (which clusters the SAME pair set).
+MINHASH_PAIRS_CTES = f"""
+        base AS (
             SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS toks
             FROM documents
         ),
@@ -553,13 +557,19 @@ ORACLE["dedup_minhash_lsh"] = f"""
         ),
         cinter AS (
             SELECT i.* FROM inter i JOIN cand c USING (id_a, id_b)
-        )
-        SELECT id_a, id_b,
-               ROUND(inter * 1.0 / (sa.sz + sb.sz - inter), 6) AS jaccard
-        FROM cinter
-        JOIN sizes sa ON sa.id = id_a
-        JOIN sizes sb ON sb.id = id_b
-        WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= 0.4
+        ),
+        minhash_pairs AS (
+            SELECT id_a, id_b,
+                   ROUND(inter * 1.0 / (sa.sz + sb.sz - inter), 6) AS jaccard
+            FROM cinter
+            JOIN sizes sa ON sa.id = id_a
+            JOIN sizes sb ON sb.id = id_b
+            WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= 0.4
+        )"""
+
+ORACLE["dedup_minhash_lsh"] = f"""
+        WITH {MINHASH_PAIRS_CTES}
+        SELECT id_a, id_b, jaccard FROM minhash_pairs
     """
 
 # IVF oracle: replays seed-centroid construction (vec_id 1..10, cell =

@@ -8,19 +8,27 @@ per cluster (lowest doc_id — the deterministic choice MinHash dedup
 pipelines use). The DuckDB oracle replays the same clustering as a
 recursive transitive-closure CTE and must agree exactly.
 
-Scale shape: pairs come from the LSH-prunable Jaccard path
-(functions/dedup.py); components run min-label propagation
-(functions/graph.py) whose per-round cost is one equi-join on node id —
-no all-pairs step anywhere. Cluster sizes are small by construction
-(near-dup groups), so the closure never explodes.
+Scale shape: pairs come from the LSH-PRUNED MinHash path (the same
+pipeline dedup_minhash_lsh value-checks — shuffle-free array
+signatures, band-bucket candidate join, exact verification of
+candidates only; never an all-pairs step over the corpus); components
+run min-label propagation (functions/graph.py) whose per-round cost is
+one equi-join on node id. Cluster sizes are small by construction
+(near-dup groups), so the closure never explodes. The oracle replays
+the identical minhash banding (extensions.MINHASH_PAIRS_CTES) before
+its recursive closure, so the clustered pair set matches
+bit-for-bit.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from postgres_opensearch_cdc_spark.functions.dedup import ngram_jaccard_pairs
 from postgres_opensearch_cdc_spark.functions.graph import connected_components
+from postgres_opensearch_cdc_spark.queries.extensions import (
+    MINHASH_PAIRS_CTES,
+    dedup_minhash_lsh,
+)
 from postgres_opensearch_cdc_spark.registry import load_table
 
 
@@ -35,14 +43,15 @@ _CLUSTER_CACHE: dict[tuple[int, str], DataFrame] = {}
 
 def _doc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, cluster_id) for every document; singletons label
-    themselves. Pairs = exact 3-gram Jaccard >= 0.4 (the same pair set
-    dedup_ngram_jaccard value-checks)."""
+    themselves. Pairs = LSH-pruned MinHash candidates exact-verified at
+    Jaccard >= 0.4 (the same pair set dedup_minhash_lsh
+    value-checks)."""
     key = (id(spark), sf_dir)
     cached = _CLUSTER_CACHE.get(key)
     if cached is not None:
         return cached
     docs = load_table(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.4).select(
+    pairs = dedup_minhash_lsh(spark, sf_dir).select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     )
     comp = connected_components(pairs)
@@ -90,38 +99,17 @@ QUERIES = {
 }
 
 # Recursive transitive closure over the identical pair definition used
-# by the dedup_ngram_jaccard oracle (extensions.py): shingle self-join
-# Jaccard >= 0.4. reach() enumerates every (node, reachable-label);
-# MIN(lbl) per node is the component id. Closure size is bounded by
-# sum(|cluster|^2) — small clusters, small closure.
-_CLUSTERS_CTE = """
-        WITH RECURSIVE sh AS (
-            SELECT doc_id AS id,
-                   unnest(list_distinct(
-                       list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
-                                      i -> array_to_string(toks[i:i+2], ' ')))) AS shingle
-            FROM (
-                SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS toks
-                FROM documents
-            )
-        ),
-        sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
-        inter AS (
-            SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
-            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
-            GROUP BY 1, 2
-        ),
-        pairs AS (
-            SELECT id_a, id_b
-            FROM inter
-            JOIN sizes sa ON sa.id = id_a
-            JOIN sizes sb ON sb.id = id_b
-            WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= 0.4
-        ),
+# by the dedup_minhash_lsh oracle (extensions.MINHASH_PAIRS_CTES):
+# minhash banding → candidate join → exact Jaccard >= 0.4. reach()
+# enumerates every (node, reachable-label); MIN(lbl) per node is the
+# component id. Closure size is bounded by sum(|cluster|^2) — small
+# clusters, small closure.
+_CLUSTERS_CTE = f"""
+        WITH RECURSIVE {MINHASH_PAIRS_CTES},
         edges AS (
-            SELECT id_a AS s, id_b AS d FROM pairs
+            SELECT id_a AS s, id_b AS d FROM minhash_pairs
             UNION
-            SELECT id_b, id_a FROM pairs
+            SELECT id_b, id_a FROM minhash_pairs
         ),
         reach(node, lbl) AS (
             SELECT doc_id, doc_id FROM documents
