@@ -301,11 +301,13 @@ def simhash64(
 ) -> DataFrame:
     """SimHash sketch per document: sign-sum of per-token hash bits.
 
-    Built-in-only construction: explode tokens, then for each bit
-    position sum(±1) by whether the token hash has that bit set; sketch
-    bit i = (sum_i >= 0). Aggregated in one groupBy(id) pass with one
-    conditional-sum column per bit — partial aggregation keeps the
-    shuffle at ~64 longs per doc.
+    Shuffle-free construction: the distinct-token hash ARRAY is
+    materialized once per doc inside the scan stage, then each bit's
+    ±1 sum is an aggregate() fold over that array — no token explosion,
+    no corpus-wide groupBy shuffle (the earlier exploded form shuffled
+    ~|tokens| rows into a 60-column aggregate; this computes the same
+    sums in the map stage, so the operator composes with any downstream
+    partitioning for free).
 
     hasher='xxhash64' → 64-bit sketch (fast, engine-specific, rows-only
     check). hasher='md5' → 60-bit sketch from the portable hash60; every
@@ -316,19 +318,25 @@ def simhash64(
     """
     df = _ensure_parallelism(df)
     nbits = 64 if hasher == "xxhash64" else 60
-    toks = df.select(
+    tok_hash = (lambda t: F.xxhash64(t)) if hasher == "xxhash64" else hash60
+    hashes = df.select(
         F.col(id_col).alias("id"),
-        F.explode(F.array_distinct(F.split(F.lower(F.col(text_col)), r"\s+"))).alias("tok"),
-    ).withColumn(
-        "h", F.xxhash64("tok") if hasher == "xxhash64" else hash60(F.col("tok"))
+        F.transform(
+            F.array_distinct(F.split(F.lower(F.col(text_col)), r"\s+")),
+            lambda t: tok_hash(t),
+        ).alias("_hs"),
     )
-    bit_sums = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"b{i}")
-        for i in range(nbits)
-    ]
-    agg = toks.groupBy("id").agg(*bit_sums)
+
+    def _bit_sum(i: int):
+        return F.aggregate(
+            F.col("_hs"),
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+
+    bit_sums = [_bit_sum(i).alias(f"b{i}") for i in range(nbits)]
+    agg = hashes.select("id", *bit_sums)
     sketch = F.lit(0).cast("long")
     for i in range(nbits):
         sketch = sketch + F.when(
