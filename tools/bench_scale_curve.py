@@ -70,29 +70,39 @@ def permuted_replicas(docs, replicas: int):
 
 
 def measure_lsh(spark, docs, label: str) -> dict:
+    """Mirrors the dedup_minhash_lsh entry's current shape: shuffle-free
+    array signatures (no corpus-wide shingle shuffle), candidates from
+    the band join, and exact verification restricted to candidate docs
+    (only those get exploded into shingle rows)."""
+    from postgres_opensearch_cdc_spark.functions.dedup import (
+        minhash_signatures_from_arrays,
+        shingle_arrays,
+    )
+
     t0 = time.time()
-    sh = word_shingles(docs, "text", "doc_id", n=3).cache()
-    shingle_rows = sh.count()
-    sigs = minhash_signatures(sh, num_hashes=32, hasher="md5")
-    cands = minhash_lsh_candidates(sigs, bands=8, rows_per_band=4)
+    arrays = shingle_arrays(docs, "text", "doc_id", n=3)
+    sigs = minhash_signatures_from_arrays(arrays, num_hashes=32, hasher="md5")
+    cands = minhash_lsh_candidates(sigs, bands=8, rows_per_band=4).cache()
     cand_pairs = cands.count()
     cand_ids = (
-        cands.select(F.col("id_a").alias("id"))
-        .union(cands.select(F.col("id_b").alias("id")))
+        cands.select(F.col("id_a").alias("doc_id"))
+        .union(cands.select(F.col("id_b").alias("doc_id")))
         .distinct()
     )
-    sh_cand = sh.join(F.broadcast(cand_ids), "id", "left_semi")
+    docs_cand = docs.join(F.broadcast(cand_ids), "doc_id", "left_semi")
+    sh_cand = word_shingles(docs_cand, "text", "doc_id", n=3)
+    verified_shingle_rows = sh_cand.count()
     verified = ngram_jaccard_pairs(
         docs, n=3, threshold=0.4, candidates=cands, shingles=sh_cand
     ).count()
     wall = time.time() - t0
     n_docs = docs.count()
-    sh.unpersist()
+    cands.unpersist()
     return {
         "path": "dedup_minhash_lsh",
         "corpus": label,
         "docs": n_docs,
-        "shingle_rows": shingle_rows,
+        "verify_shingle_rows": verified_shingle_rows,
         "band_rows": n_docs * 8,
         "candidate_pairs": cand_pairs,
         "verified_pairs": verified,
