@@ -81,9 +81,10 @@ _PRIORITY = [
     # wildcard/terms_set/boosting/match_bool_prefix, rare_terms)
     "dedup_embedding_srp", "wildcard_query", "terms_set_match",
     "boosting_query", "match_bool_prefix", "rare_terms_agg",
+    "quality_unigram_lm",
     # (d) re-confirmations
     "asof_last_purchase", "window_lag_delta",
-    "json_extract_props", "q06_date_histogram", "cdc_mirror_compact",
+    "json_extract_props", "cdc_mirror_compact",
     "cdc_deleted_keys", "cdc_incremental_agg",
 ]
 

@@ -267,6 +267,46 @@ def shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def quality_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model quality score — the perplexity-proxy
+    filter (KenLM-style scoring with the corpus itself as the LM): per
+    document, the mean negative log-probability of its tokens under the
+    corpus unigram distribution. Outlier docs (rare-token soup, other
+    languages, encoding junk) score high and get filtered upstream.
+
+    Two linear passes: (1) vocabulary build — explode + count, one
+    shuffle on token; (2) scoring — token join against the vocabulary
+    (shuffle on token; at 100 TB the vocab is Zipf-bounded and the join
+    side after aggregation is small enough to broadcast), then one
+    groupBy(doc) mean. The corpus total rides a 1-row broadcast
+    cross-join, not a driver collect. Output: per-source mean/extremes
+    of the doc scores (source-level audit a filtering run reports)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "source", F.explode(textfn.tokens(F.col("text"))).alias("tok")
+    )
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("total"))
+    scored = (
+        toks.join(vocab, "tok")
+        .crossJoin(F.broadcast(total))
+        .withColumn("neg_logp", -F.log(F.col("cnt") / F.col("total")))
+    )
+    per_doc = scored.groupBy("doc_id", "source").agg(
+        F.avg("neg_logp").alias("doc_nlp")
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("doc_nlp"), 4).alias("mean_nlp"),
+            F.round(F.min("doc_nlp"), 4).alias("min_nlp"),
+            F.round(F.max("doc_nlp"), 4).alias("max_nlp"),
+        )
+        .orderBy("source")
+    )
+
+
 QUERIES = {
     "quality_repetition": quality_repetition,
     "pii_scrub": pii_scrub,
@@ -274,6 +314,7 @@ QUERIES = {
     "token_budget": token_budget,
     "mixture_sample": mixture_sample,
     "shard_packing": shard_packing,
+    "quality_unigram_lm": quality_unigram_lm,
 }
 
 _TOKS_SQL = r"regexp_split_to_array(lower(text), '\s+')"
@@ -382,4 +423,28 @@ ORACLE["shard_packing"] = f"""
         FROM packed
         GROUP BY lang, shard
         ORDER BY lang, shard
+    """
+
+ORACLE["quality_unigram_lm"] = r"""
+        WITH toks AS (
+            SELECT doc_id, source,
+                   unnest(regexp_split_to_array(lower(text), '\s+')) AS tok
+            FROM documents
+        ),
+        vocab AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+        tot AS (SELECT sum(cnt) AS total FROM vocab),
+        scored AS (
+            SELECT doc_id, source, -ln(cnt * 1.0 / total) AS neg_logp
+            FROM toks JOIN vocab USING (tok), tot
+        ),
+        per_doc AS (
+            SELECT doc_id, source, avg(neg_logp) AS doc_nlp
+            FROM scored GROUP BY 1, 2
+        )
+        SELECT source,
+               count(*) AS n_docs,
+               ROUND(avg(doc_nlp), 4) AS mean_nlp,
+               ROUND(min(doc_nlp), 4) AS min_nlp,
+               ROUND(max(doc_nlp), 4) AS max_nlp
+        FROM per_doc GROUP BY source ORDER BY source
     """
