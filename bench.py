@@ -54,7 +54,10 @@ def main() -> None:
             print(f"bench error in {name}: {e}", file=progress, flush=True)
             timings[name] = -1.0
             continue
-        dt = round(time.perf_counter() - t0, 3)
+        # 2 decimals: keeps the single JSON line (134 entries) comfortably
+        # under a 4 KiB output cap; centisecond resolution is ample for
+        # regression tracking at these magnitudes
+        dt = round(time.perf_counter() - t0, 2)
         timings[name] = dt
         total += dt
         print(f"{name}: {dt}s ({n} rows)", file=progress, flush=True)
