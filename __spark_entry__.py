@@ -81,11 +81,11 @@ _PRIORITY = [
     # wildcard/terms_set/boosting/match_bool_prefix, rare_terms)
     "dedup_embedding_srp", "wildcard_query", "terms_set_match",
     "boosting_query", "match_bool_prefix", "rare_terms_agg",
-    "quality_unigram_lm",
+    "quality_unigram_lm", "multimodal_manifest",
     # (d) re-confirmations
     "asof_last_purchase", "window_lag_delta",
     "json_extract_props", "cdc_mirror_compact",
-    "cdc_deleted_keys", "cdc_incremental_agg",
+    "cdc_deleted_keys",
 ]
 
 

@@ -83,7 +83,11 @@ def _decode_bytes(content: bytes, kind: str, real_codec: bool = False):
     for i, byte in enumerate(content):
         buckets[byte % FEATURE_DIM] += 1
     n = max(len(content), 1)
-    return [round(b / n, 6) for b in buckets]
+    # truncate (integer // then scale), never round(): truncation of an
+    # integer ratio is bit-identical across Python / Spark / DuckDB,
+    # while round() is banker's here and half-away-from-zero there —
+    # this keeps the fake decoder's outputs ORACLE-REPRODUCIBLE
+    return [(b * 1_000_000 // n) / 1_000_000 for b in buckets]
 
 
 def extract_features(media: DataFrame, batch_hint: int = 256) -> DataFrame:

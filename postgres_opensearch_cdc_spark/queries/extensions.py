@@ -374,6 +374,47 @@ def dedup_embedding_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def multimodal_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal pipeline manifest, value-checked end to end: builds
+    the deterministic media table (text bytes as payload), runs the
+    REAL distributed plumbing — Arrow-batched mapInPandas feature
+    extraction and video frame sampling — and reports the per-kind
+    audit a media-curation run produces: media counts, payload bytes,
+    sampled-frame counts, and the min/max of feature[0] (the fraction
+    of payload bytes ≡ 0 mod 16; the fake decoder truncates instead of
+    rounding precisely so DuckDB reproduces every value). min/max are
+    order-insensitive, so the pandas-side floats are checked exactly
+    with no summation-order noise. The binary column never reaches a
+    wide operator: features and frame counts leave mapInPandas as
+    narrow rows before the groupBy."""
+    from postgres_opensearch_cdc_spark.functions.multimodal import (
+        extract_features,
+        media_from_documents,
+        sample_frames,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = media_from_documents(docs)
+    feats = extract_features(media)
+    per_kind = feats.groupBy("kind").agg(
+        F.count(F.lit(1)).alias("n_media"),
+        F.sum("n_bytes").alias("total_bytes"),
+        F.round(F.min(F.element_at("features", 1)), 6).alias("min_f0"),
+        F.round(F.max(F.element_at("features", 1)), 6).alias("max_f0"),
+    )
+    frames = (
+        sample_frames(media)
+        .groupBy()
+        .agg(F.count(F.lit(1)).alias("n_frames"))
+        .select(F.lit("video").alias("kind"), "n_frames")
+    )
+    return (
+        per_kind.join(frames, "kind", "left")
+        .withColumn("n_frames", F.coalesce(F.col("n_frames"), F.lit(0).cast("long")))
+        .orderBy("kind")
+    )
+
+
 QUERIES = {
     "pipeline_quality_filter": pipeline_quality_filter,
     "dedup_exact": dedup_exact,
@@ -382,6 +423,7 @@ QUERIES = {
     "dedup_simhash": dedup_simhash,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "dedup_embedding_srp": dedup_embedding_srp,
+    "multimodal_manifest": multimodal_manifest,
     "ann_cosine_topk": ann_cosine_topk,
     "ann_filtered_topk": ann_filtered_topk,
     "ann_ivf_topk": ann_ivf_topk,
@@ -726,4 +768,42 @@ ORACLE["dedup_embedding_srp"] = f"""
         WHERE ROUND(list_dot_product(ea.v, eb.v) / (ea.nv * eb.nv), 6)
               >= {_SRP_THRESHOLD}
         ORDER BY id_a, id_b
+    """
+
+# Multimodal manifest oracle: replays the deterministic fake decoder in
+# SQL — the corpus is ASCII, so per-character ord() equals the UTF-8
+# payload byte and strlen() equals the payload length; the feature is a
+# truncated integer ratio, bit-identical across engines.
+ORACLE["multimodal_manifest"] = r"""
+        WITH m AS (
+            SELECT doc_id AS media_id,
+                   CASE WHEN doc_id % 3 = 0 THEN 'image'
+                        WHEN doc_id % 3 = 1 THEN 'audio'
+                        ELSE 'video' END AS kind,
+                   text
+            FROM documents
+        ),
+        f AS (
+            SELECT media_id, kind, strlen(text)::BIGINT AS n_bytes,
+                   (len(list_filter(regexp_split_to_array(text, ''),
+                                    c -> ord(c) % 16 = 0)) * 1000000
+                    // greatest(strlen(text), 1)) / 1000000.0 AS f0
+            FROM m
+        ),
+        agg AS (
+            SELECT kind, count(*) AS n_media,
+                   sum(n_bytes)::BIGINT AS total_bytes,
+                   ROUND(min(f0), 6) AS min_f0,
+                   ROUND(max(f0), 6) AS max_f0
+            FROM f GROUP BY kind
+        ),
+        fr AS (
+            SELECT kind,
+                   sum(least(8, greatest(1, n_bytes // 64)))::BIGINT AS n_frames
+            FROM f WHERE kind = 'video' GROUP BY kind
+        )
+        SELECT a.kind, n_media, total_bytes, min_f0, max_f0,
+               COALESCE(fr.n_frames, 0) AS n_frames
+        FROM agg a LEFT JOIN fr ON fr.kind = a.kind
+        ORDER BY a.kind
     """
