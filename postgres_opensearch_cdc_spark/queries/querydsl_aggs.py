@@ -189,6 +189,121 @@ def geo_distance_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def geo_bounding_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``geo_bounding_box`` filter: documents inside a lat/lon box,
+    counted per event_type — the map-viewport query. Same deterministic
+    coordinate derivation as geo_distance_filter (exact integer math, so
+    both engines see identical points); the box predicate is pure
+    comparison in the scan stage, then one low-cardinality agg."""
+    ev = load_table(spark, sf_dir, "events")
+    lat = (F.col("user_id") * 1201 % 18000) / F.lit(100.0) - F.lit(90.0)
+    lon = (F.col("event_id") * 13 % 36000) / F.lit(100.0) - F.lit(180.0)
+    return (
+        ev.select("event_type", lat.alias("lat"), lon.alias("lon"))
+        .filter(
+            (F.col("lat") >= -45.0)
+            & (F.col("lat") <= 45.0)
+            & (F.col("lon") >= -90.0)
+            & (F.col("lon") <= 90.0)
+        )
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("doc_count"))
+        .orderBy("event_type")
+    )
+
+
+def top_metrics_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``top_metrics``: per bucket, the metric carried by the row that
+    sorts first (here: latest (ts, event_id) per event_type) — the
+    "current value per series" panel. max_by over a (ts, event_id)
+    struct is partial-aggregable: each map task keeps one candidate per
+    bucket, so the shuffle carries #buckets rows, where the window-
+    function formulation would sort whole partitions."""
+    ev = load_table(spark, sf_dir, "events")
+    key = F.struct(F.col("ts"), F.col("event_id"))
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.max_by(F.round("value", 2), key).alias("latest_value"),
+            F.max_by("event_id", key).alias("latest_event_id"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def serial_diff_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``serial_diff`` pipeline aggregation (lag=1): day-over-day delta
+    of the daily event count. The window is over the ALREADY-AGGREGATED
+    daily series (~30 rows), so the single-partition ordering is on a
+    post-shuffle relation the size of the date range, not the events."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("doc_count"))
+    w = Window.orderBy("day")
+    return (
+        daily.withColumn(
+            "diff", F.col("doc_count") - F.lag("doc_count").over(w)
+        )
+        .orderBy("day")
+    )
+
+
+def moving_fn_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``moving_fn`` (min/max variant): trailing 7-day envelope of the
+    daily value sum — the band a dashboard draws around a metric line.
+    Daily sums are rounded BEFORE the window so both engines feed
+    identical doubles into the order-insensitive min/max frames."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+    ).agg(F.round(F.sum("value"), 2).alias("day_value"))
+    w = Window.orderBy("day").rowsBetween(-6, 0)
+    return (
+        daily.select(
+            "day",
+            "day_value",
+            F.min("day_value").over(w).alias("min_7d"),
+            F.max("day_value").over(w).alias("max_7d"),
+        )
+        .orderBy("day")
+    )
+
+
+STRING_STATS_ROUND = 4
+
+
+def string_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``string_stats``: per-source length stats + Shannon entropy of
+    the character distribution. Lengths aggregate map-side; entropy
+    explodes characters once (linear in corpus bytes) into a
+    (source, char) count — the inner term sums over ≤ alphabet-size
+    rows per source, tiny post-aggregation."""
+    docs = load_table(spark, sf_dir, "documents")
+    lens = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("doc_count"),
+        F.min(F.length("text")).alias("min_length"),
+        F.max(F.length("text")).alias("max_length"),
+        F.round(F.avg(F.length("text")), 2).alias("avg_length"),
+    )
+    chars = docs.select(
+        "source", F.explode(F.split(F.col("text"), "")).alias("ch")
+    ).filter(F.col("ch") != "")
+    dist = chars.groupBy("source", "ch").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = dist.groupBy("source").agg(F.sum("cnt").alias("total"))
+    ent = (
+        dist.join(tot, "source")
+        .withColumn("p", F.col("cnt") / F.col("total"))
+        .groupBy("source")
+        .agg(F.round(-F.sum(F.col("p") * F.log("p")), STRING_STATS_ROUND).alias("entropy"))
+    )
+    return lens.join(ent, "source").orderBy("source")
+
+
 RARE_TERMS_MAX_DOCS = 30
 
 
@@ -219,11 +334,89 @@ QUERIES = {
     "scripted_metric_weighted": scripted_metric_weighted,
     "geo_distance_filter": geo_distance_filter,
     "rare_terms_agg": rare_terms_agg,
+    "geo_bounding_box": geo_bounding_box,
+    "top_metrics_agg": top_metrics_agg,
+    "serial_diff_daily": serial_diff_daily,
+    "moving_fn_minmax": moving_fn_minmax,
+    "string_stats_agg": string_stats_agg,
 }
 
 _ISODOW = "isodow(ts)"
 
 ORACLE = {
+    "geo_bounding_box": """
+        SELECT event_type, COUNT(*) AS doc_count
+        FROM (
+            SELECT event_type,
+                   (user_id * 1201 % 18000) / 100.0 - 90.0 AS lat,
+                   (event_id * 13 % 36000) / 100.0 - 180.0 AS lon
+            FROM events
+        )
+        WHERE lat BETWEEN -45.0 AND 45.0 AND lon BETWEEN -90.0 AND 90.0
+        GROUP BY event_type ORDER BY event_type
+    """,
+    "top_metrics_agg": """
+        SELECT event_type,
+               ROUND(value, 2) AS latest_value,
+               event_id AS latest_event_id
+        FROM (
+            SELECT event_type, value, event_id,
+                   ROW_NUMBER() OVER (PARTITION BY event_type
+                                      ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events
+        )
+        WHERE rn = 1 ORDER BY event_type
+    """,
+    "serial_diff_daily": """
+        WITH daily AS (
+            SELECT date_trunc('day', ts) AS day, COUNT(*) AS doc_count
+            FROM events GROUP BY 1
+        )
+        SELECT day, doc_count,
+               doc_count - lag(doc_count) OVER (ORDER BY day) AS diff
+        FROM daily ORDER BY day
+    """,
+    "moving_fn_minmax": """
+        WITH daily AS (
+            SELECT date_trunc('day', ts) AS day,
+                   ROUND(SUM(value), 2) AS day_value
+            FROM events GROUP BY 1
+        )
+        SELECT day, day_value,
+               MIN(day_value) OVER (ORDER BY day
+                   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS min_7d,
+               MAX(day_value) OVER (ORDER BY day
+                   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS max_7d
+        FROM daily ORDER BY day
+    """,
+    "string_stats_agg": """
+        WITH lens AS (
+            SELECT source, COUNT(*) AS doc_count,
+                   MIN(length(text)) AS min_length,
+                   MAX(length(text)) AS max_length,
+                   ROUND(AVG(length(text)), 2) AS avg_length
+            FROM documents GROUP BY source
+        ),
+        chars AS (
+            SELECT source, unnest(regexp_split_to_array(text, '')) AS ch
+            FROM documents
+        ),
+        dist AS (
+            SELECT source, ch, COUNT(*) AS cnt FROM chars
+            WHERE ch != '' GROUP BY source, ch
+        ),
+        tot AS (SELECT source, SUM(cnt) AS total FROM dist GROUP BY source),
+        ent AS (
+            SELECT d.source,
+                   ROUND(-SUM((cnt * 1.0 / total) * ln(cnt * 1.0 / total)), 4)
+                       AS entropy
+            FROM dist d JOIN tot USING (source) GROUP BY d.source
+        )
+        SELECT lens.source, doc_count, min_length, max_length, avg_length,
+               entropy
+        FROM lens JOIN ent ON ent.source = lens.source
+        ORDER BY lens.source
+    """,
     "rare_terms_agg": f"""
         SELECT user_id, event_type, COUNT(*) AS doc_count
         FROM events GROUP BY user_id, event_type
