@@ -304,6 +304,77 @@ def string_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lens.join(ent, "source").orderBy("source")
 
 
+def boxplot_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``boxplot`` aggregation: five-number summary (min, q1, median,
+    q3, max) of value per event_type. Exact linear-interpolated
+    percentiles — both engines use the same interpolation, so the
+    values check exactly at 4dp. Per-group sort cost is bounded by
+    bucket size; at 100 TB swap `percentile` for `percentile_approx`
+    (the approx_sketches pattern) and keep the plan."""
+    ev = load_table(spark, sf_dir, "events")
+    p = F.percentile("value", F.lit([0.25, 0.5, 0.75]))
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.round(F.min("value"), 4).alias("v_min"),
+            F.round(F.element_at(p, 1), 4).alias("q1"),
+            F.round(F.element_at(p, 2), 4).alias("median"),
+            F.round(F.element_at(p, 3), 4).alias("q3"),
+            F.round(F.max("value"), 4).alias("v_max"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def mad_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``median_absolute_deviation``: median(|x - median(x)|) per
+    event_type — the robust dispersion metric. Two aggregation phases
+    (per-group median, then median of absolute deviations after a
+    broadcast join of the 5-row median table); DuckDB's built-in mad()
+    is the oracle."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("med")
+    )
+    return (
+        ev.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.round(
+                F.percentile(F.abs(F.col("value") - F.col("med")), F.lit(0.5)), 4
+            ).alias("mad")
+        )
+        .orderBy("event_type")
+    )
+
+
+AUTO_HISTO_TARGET = 10  # target bucket count for auto_date_histogram
+
+
+def auto_date_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``auto_date_histogram``: the engine picks the day interval so the
+    date range lands in ~AUTO_HISTO_TARGET buckets — deterministic
+    integer math from the global (min, max) day, carried on a 1-row
+    broadcast (never a driver collect). Buckets are left-edge dates."""
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select(F.date_trunc("day", F.col("ts")).cast("date").alias("day"))
+    bounds = days.groupBy().agg(
+        F.min("day").alias("dmin"), F.max("day").alias("dmax")
+    )
+    with_b = days.crossJoin(F.broadcast(bounds))
+    iv = F.greatest(
+        F.lit(1).cast("long"),
+        F.ceil((F.datediff("dmax", "dmin") + 1) / F.lit(AUTO_HISTO_TARGET)),
+    )
+    idx = F.floor(F.datediff(F.col("day"), F.col("dmin")) / iv)
+    bucket = F.date_add(F.col("dmin"), (idx * iv).cast("int"))
+    return (
+        with_b.groupBy(bucket.alias("bucket_start"))
+        .agg(F.count(F.lit(1)).alias("doc_count"))
+        .orderBy("bucket_start")
+    )
+
+
 RARE_TERMS_MAX_DOCS = 30
 
 
@@ -339,11 +410,43 @@ QUERIES = {
     "serial_diff_daily": serial_diff_daily,
     "moving_fn_minmax": moving_fn_minmax,
     "string_stats_agg": string_stats_agg,
+    "boxplot_agg": boxplot_agg,
+    "mad_agg": mad_agg,
+    "auto_date_histogram": auto_date_histogram,
 }
 
 _ISODOW = "isodow(ts)"
 
 ORACLE = {
+    "boxplot_agg": """
+        SELECT event_type,
+               ROUND(MIN(value), 4) AS v_min,
+               ROUND(quantile_cont(value, 0.25), 4) AS q1,
+               ROUND(quantile_cont(value, 0.5), 4) AS median,
+               ROUND(quantile_cont(value, 0.75), 4) AS q3,
+               ROUND(MAX(value), 4) AS v_max
+        FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    "mad_agg": """
+        SELECT event_type, ROUND(mad(value), 4) AS mad
+        FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    "auto_date_histogram": f"""
+        WITH d AS (
+            SELECT date_trunc('day', ts)::DATE AS day FROM events
+        ),
+        b AS (SELECT min(day) AS dmin, max(day) AS dmax FROM d),
+        p AS (
+            SELECT day, dmin,
+                   greatest(1, ceil((date_diff('day', dmin, dmax) + 1)
+                                    / {AUTO_HISTO_TARGET}.0))::BIGINT AS iv
+            FROM d, b
+        )
+        SELECT dmin + (CAST(floor(date_diff('day', dmin, day) / iv) AS BIGINT)
+                       * iv)::INT AS bucket_start,
+               COUNT(*) AS doc_count
+        FROM p GROUP BY 1 ORDER BY 1
+    """,
     "geo_bounding_box": """
         SELECT event_type, COUNT(*) AS doc_count
         FROM (
