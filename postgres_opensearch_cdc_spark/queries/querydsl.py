@@ -603,6 +603,33 @@ def match_bool_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SPAN_TERM_A, SPAN_TERM_B, SPAN_SLOP = "fast", "sort", 3
+
+
+def span_near_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``span_near``: two terms within ``slop`` token positions (any
+    order). Occurrence positions come from a filter over the token
+    index array and the pairwise distance matrix from nested
+    transforms — all array higher-order functions inside the scan
+    projection, so the positional index an inverted-index engine keeps
+    is recomputed per document with zero shuffle and no token
+    explosion. Emits the minimum span distance per matching doc."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.col("text")), r"\s+")
+    idx = F.sequence(F.lit(0), F.size(toks) - 1)
+    pos_a = F.filter(idx, lambda i: F.element_at(toks, i + 1) == SPAN_TERM_A)
+    pos_b = F.filter(idx, lambda i: F.element_at(toks, i + 1) == SPAN_TERM_B)
+    dists = F.flatten(
+        F.transform(pos_a, lambda a: F.transform(pos_b, lambda b: F.abs(a - b)))
+    )
+    min_dist = F.array_min(dists)
+    return (
+        docs.select("doc_id", min_dist.alias("min_span"))
+        .filter(F.col("min_span") <= SPAN_SLOP)
+        .orderBy("doc_id")
+    )
+
+
 QUERIES = {
     "q02f_match_phrase": q02f_match_phrase,
     "q01d_regexp_match": q01d_regexp_match,
@@ -631,6 +658,7 @@ QUERIES = {
     "terms_set_match": terms_set_match,
     "boosting_query": boosting_query,
     "match_bool_prefix": match_bool_prefix,
+    "span_near_query": span_near_query,
 }
 
 _TERMS_SET_SQL = " + ".join(
@@ -665,6 +693,28 @@ ORACLE = {
         FROM documents
         WHERE regexp_matches(text, '\bmerge\b')
           AND regexp_matches(text, '(^|\s)vec')
+        ORDER BY doc_id
+    """,
+    "span_near_query": rf"""
+        WITH t AS (
+            SELECT doc_id,
+                   regexp_split_to_array(lower(text), '\s+') AS toks
+            FROM documents
+        ),
+        pos AS (
+            SELECT doc_id,
+                   list_filter(range(1, len(toks) + 1),
+                               i -> toks[i] = '{SPAN_TERM_A}') AS pa,
+                   list_filter(range(1, len(toks) + 1),
+                               i -> toks[i] = '{SPAN_TERM_B}') AS pb
+            FROM t
+        )
+        SELECT doc_id,
+               list_min(flatten(list_transform(pa,
+                   a -> list_transform(pb, b -> abs(a - b))))) AS min_span
+        FROM pos
+        WHERE list_min(flatten(list_transform(pa,
+                  a -> list_transform(pb, b -> abs(a - b))))) <= {SPAN_SLOP}
         ORDER BY doc_id
     """,
     "q02f_match_phrase": rf"""
