@@ -375,6 +375,62 @@ def auto_date_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def t_test_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``t_test`` aggregation (heteroscedastic / Welch): t-statistic for
+    the value metric between two filter populations (purchase vs click
+    events) — one pass of conditional aggregates (count / avg /
+    var_samp under each predicate), then scalar arithmetic on the
+    six partials. Entirely partial-aggregable; the shuffle carries one
+    row."""
+    ev = load_table(spark, sf_dir, "events")
+    a = F.col("event_type") == "purchase"
+    b = F.col("event_type") == "click"
+    agg = ev.agg(
+        F.count(F.when(a, 1)).alias("n1"),
+        F.avg(F.when(a, F.col("value"))).alias("m1"),
+        F.var_samp(F.when(a, F.col("value"))).alias("v1"),
+        F.count(F.when(b, 1)).alias("n2"),
+        F.avg(F.when(b, F.col("value"))).alias("m2"),
+        F.var_samp(F.when(b, F.col("value"))).alias("v2"),
+    )
+    t = (F.col("m1") - F.col("m2")) / F.sqrt(
+        F.col("v1") / F.col("n1") + F.col("v2") / F.col("n2")
+    )
+    return agg.select(
+        "n1", "n2", F.round(t, 4).alias("t_stat")
+    )
+
+
+def cumulative_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``cumulative_cardinality`` pipeline aggregation: running count of
+    distinct users who have ever purchased, per day (the converting-user
+    growth curve). Exact formulation that avoids
+    any running-distinct state: a user contributes on their FIRST day
+    only (one groupBy(user) min), then daily first-sightings cumsum up
+    — two low-cardinality shuffles and a ~30-row window, where the
+    naive per-day distinct-union would rescan the corpus per bucket."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    first_day = ev.groupBy("user_id").agg(
+        F.min(F.date_trunc("day", F.col("ts")).cast("date")).alias("day")
+    )
+    daily_new = first_day.groupBy("day").agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        daily_new.select(
+            "day",
+            "new_users",
+            F.sum("new_users").over(w).alias("cum_users"),
+        )
+        .orderBy("day")
+    )
+
+
 RARE_TERMS_MAX_DOCS = 30
 
 
@@ -413,11 +469,38 @@ QUERIES = {
     "boxplot_agg": boxplot_agg,
     "mad_agg": mad_agg,
     "auto_date_histogram": auto_date_histogram,
+    "t_test_agg": t_test_agg,
+    "cumulative_cardinality": cumulative_cardinality,
 }
 
 _ISODOW = "isodow(ts)"
 
 ORACLE = {
+    "t_test_agg": """
+        WITH s AS (
+            SELECT count(*) FILTER (event_type = 'purchase') AS n1,
+                   avg(value) FILTER (event_type = 'purchase') AS m1,
+                   var_samp(value) FILTER (event_type = 'purchase') AS v1,
+                   count(*) FILTER (event_type = 'click') AS n2,
+                   avg(value) FILTER (event_type = 'click') AS m2,
+                   var_samp(value) FILTER (event_type = 'click') AS v2
+            FROM events
+        )
+        SELECT n1, n2, ROUND((m1 - m2) / sqrt(v1 / n1 + v2 / n2), 4) AS t_stat
+        FROM s
+    """,
+    "cumulative_cardinality": """
+        WITH fd AS (
+            SELECT user_id, min(date_trunc('day', ts)::DATE) AS day
+            FROM events WHERE event_type = 'purchase' GROUP BY user_id
+        ),
+        dn AS (SELECT day, count(*) AS new_users FROM fd GROUP BY day)
+        SELECT day, new_users,
+               SUM(new_users) OVER (ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum_users
+        FROM dn ORDER BY day
+    """,
     "boxplot_agg": """
         SELECT event_type,
                ROUND(MIN(value), 4) AS v_min,
