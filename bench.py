@@ -153,5 +153,28 @@ def cdc_throughput(spark, sf_dir: str) -> dict:
 
 
 
+def _reexec_quiet() -> None:
+    """Re-run this script as a child with stderr routed to the progress
+    log: the JVM startup banner (~400 bytes of module/log4j/native-lib
+    warnings) otherwise precedes the JSON line in harnesses that capture
+    combined output with a byte cap, and the 146-entry JSON already sits
+    near 4 KiB. The parent forwards ONLY the child's stdout."""
+    import subprocess
+
+    env = dict(os.environ, _BENCH_CHILD="1")
+    log_path = os.environ.get("SPARK_GRAFT_BENCH_LOG", "/tmp/bench_progress.log")
+    with open(log_path + ".stderr", "w") as err:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            stderr=err,
+            stdout=subprocess.PIPE,
+        )
+    sys.stdout.write(proc.stdout.decode())
+    sys.exit(proc.returncode)
+
+
 if __name__ == "__main__":
+    if os.environ.get("_BENCH_CHILD") != "1":
+        _reexec_quiet()
     main()
