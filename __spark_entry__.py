@@ -21,6 +21,7 @@ from postgres_opensearch_cdc_spark.queries import (
     querydsl_aggs,
     relational,
     relational2,
+    relational3,
     scalar_sql,
     timeseries,
     training_pipeline,
@@ -37,6 +38,7 @@ _MODULES = [
     querydsl_aggs,
     graph_dedup,
     relational2,
+    relational3,
     dashboard,
     cdc_queries,
     relational,
@@ -88,12 +90,14 @@ _PRIORITY = [
     "cdc_deleted_keys",
 ]
 
-# Round-6 rotation TODO: the 12 entries added after this window filled
+# Round-6 rotation TODO: the 16 entries added after this window filled
 # have sf0.001+sf0.01 local parity but no driver row yet — next round,
 # move them into the first 50: geo_bounding_box, top_metrics_agg,
 # serial_diff_daily, moving_fn_minmax, string_stats_agg, boxplot_agg,
 # mad_agg, auto_date_histogram, t_test_agg, cumulative_cardinality,
-# span_near_query (plus re-checks of anything round 5 leaves red).
+# span_near_query, priority_late_orders, forecast_revenue,
+# ship_lag_priority, small_quantity_revenue, inactive_high_balance
+# (plus re-checks of anything round 5 leaves red).
 
 
 def entry(spark: SparkSession) -> DataFrame:
