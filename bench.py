@@ -54,9 +54,11 @@ def main() -> None:
             print(f"bench error in {name}: {e}", file=progress, flush=True)
             timings[name] = -1.0
             continue
-        # 2 decimals: keeps the single JSON line (134 entries) comfortably
-        # under a 4 KiB output cap; centisecond resolution is ample for
-        # regression tracking at these magnitudes
+        # 2 decimals: keeps the single JSON line under a 4 KiB output
+        # cap; centisecond resolution is ample for regression tracking.
+        # BUDGET WATCH: 151 entries -> 3,968 bytes. Adding ~5 more
+        # entries crosses 4 KiB — when that happens, shorten new query
+        # names or drop to 1 decimal for sub-second timings.
         dt = round(time.perf_counter() - t0, 2)
         timings[name] = dt
         total += dt
