@@ -131,9 +131,10 @@ ORACLE = {
     + """
         SELECT d.source,
                COUNT(*) AS n_docs,
-               SUM(CASE WHEN c.cluster_id = d.doc_id THEN 1 ELSE 0 END) AS n_kept,
-               SUM(CASE WHEN c.cluster_id = d.doc_id THEN d.n_chars ELSE 0 END)
-                   AS chars_kept
+               CAST(SUM(CASE WHEN c.cluster_id = d.doc_id THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_kept,
+               CAST(SUM(CASE WHEN c.cluster_id = d.doc_id THEN d.n_chars
+                             ELSE 0 END) AS BIGINT) AS chars_kept
         FROM documents d JOIN clusters c USING (doc_id)
         GROUP BY 1 ORDER BY 1
     """,

@@ -496,9 +496,9 @@ ORACLE = {
         ),
         dn AS (SELECT day, count(*) AS new_users FROM fd GROUP BY day)
         SELECT day, new_users,
-               SUM(new_users) OVER (ORDER BY day
+               CAST(SUM(new_users) OVER (ORDER BY day
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                   AS cum_users
+                   AS BIGINT) AS cum_users
         FROM dn ORDER BY day
     """,
     "boxplot_agg": """
@@ -644,11 +644,12 @@ ORACLE = {
             FROM events
         ),
         one AS (
-            SELECT SUM(CAST(a AS BIGINT)) AS a, SUM(CAST(b AS BIGINT)) AS b,
-                   SUM(CAST(c AS BIGINT)) AS c,
-                   SUM(CAST(a AND b AS BIGINT)) AS ab,
-                   SUM(CAST(a AND c AS BIGINT)) AS ac,
-                   SUM(CAST(b AND c AS BIGINT)) AS bc
+            SELECT CAST(SUM(CAST(a AS BIGINT)) AS BIGINT) AS a,
+                   CAST(SUM(CAST(b AS BIGINT)) AS BIGINT) AS b,
+                   CAST(SUM(CAST(c AS BIGINT)) AS BIGINT) AS c,
+                   CAST(SUM(CAST(a AND b AS BIGINT)) AS BIGINT) AS ab,
+                   CAST(SUM(CAST(a AND c AS BIGINT)) AS BIGINT) AS ac,
+                   CAST(SUM(CAST(b AND c AS BIGINT)) AS BIGINT) AS bc
             FROM flags
         )
         SELECT bucket, doc_count FROM (

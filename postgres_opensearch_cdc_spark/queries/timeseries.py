@@ -328,13 +328,13 @@ ORACLE = {
             FROM events GROUP BY 1
         ),
         daily AS (
-            SELECT date_trunc('day', bucket) AS bucket, SUM(n) AS n,
-                   SUM(total) AS total
+            SELECT date_trunc('day', bucket) AS bucket,
+                   CAST(SUM(n) AS BIGINT) AS n, SUM(total) AS total
             FROM hourly GROUP BY 1
         ),
         weekly AS (
-            SELECT date_trunc('week', bucket) AS bucket, SUM(n) AS n,
-                   SUM(total) AS total
+            SELECT date_trunc('week', bucket) AS bucket,
+                   CAST(SUM(n) AS BIGINT) AS n, SUM(total) AS total
             FROM daily GROUP BY 1
         )
         SELECT 'hour' AS granularity, bucket, n, ROUND(total, 2) AS total FROM hourly

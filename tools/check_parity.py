@@ -70,11 +70,24 @@ def run(sf_dir: str, only: list[str] | None = None) -> int:
             print(f"ok    {name}: rows-only ({len(srows)} rows, no oracle)")
             continue
         try:
-            res = con.execute(oracles[name])
-            dcols = [d[0] for d in res.description]
-            drows = res.fetchall()
+            rel = con.sql(oracles[name])
+            dcols = list(rel.columns)
+            dtypes = [str(t) for t in rel.types]
+            drows = rel.fetchall()
         except Exception as e:
             print(f"FAIL  {name}: duckdb error: {e}")
+            failures += 1
+            continue
+        # The driver canonicalizes via pandas, which coerces DuckDB HUGEINT
+        # (the result type of SUM over integers) to float64 while Spark
+        # emits int64 — a guaranteed hash mismatch even when values agree.
+        # Flag it here as a contract violation so it can't slip through.
+        huge = [c for c, t in zip(dcols, dtypes) if "HUGEINT" in t.upper()]
+        if huge:
+            print(
+                f"FAIL  {name}: oracle column(s) {huge} are HUGEINT — "
+                "wrap the aggregate in CAST(... AS BIGINT)"
+            )
             failures += 1
             continue
         if sorted(scols) != sorted(dcols):
