@@ -46,58 +46,52 @@ _MODULES = [
 ]
 
 # The driver's correctness harness samples the FIRST 50 entries of
-# queries().  Rounds 1-4 accumulated green rows for 102 of the 127
-# entries; this round-5 window lists, in order:
-#   (a) the 25 entries that have never had a driver row (all of
-#       timeseries / querydsl_aggs / graph_dedup / relational2 plus
-#       mixture_sample + shard_packing),
-#   (b) 5 entries whose old rows are stale or red and were just fixed
-#       (array_agg_types list-serialization; the events.ts parquet-unit
-#       fix behind q11_time_range / cdc_scd2_history / cdc_mirror_diff;
-#       the approx_sketches r2-red that r3 fixed but never re-windowed),
-#   (c) the 6 entries driver-red in r4 from the same ts-unit bug,
-#   (d) 10 re-confirmations of events-time-dependent / perf-touched
-#       entries (minhash rework, the regressed cdc_* cluster).
+# queries().  Union of r1-r5 driver rows = 135 of 151 entries (132
+# currently green).  This round-6 window lists, in order:
+#   (a) the 16 entries added late in round 5 that have never had a
+#       driver row (includes cumulative_cardinality + ship_lag_priority,
+#       whose oracles were BIGINT-cast this round),
+#   (b) re-checks of the 3 r5 hash-reds, all HUGEINT oracle artifacts
+#       fixed this round by CAST(SUM(...) AS BIGINT); dedup_cc_clusters
+#       (r5-green) precedes dedup_cc_survivors so the connected-
+#       components labeling is computed once and reused via
+#       _CLUSTER_CACHE,
+#   (c) 30 re-confirmations of the oldest green rows (the 2 r1-era +
+#       28 r2-era entries) so no entry's latest driver row ages past
+#       four rounds.
+# After this window the r1-r6 union covers all 151 entries.
 _PRIORITY = [
-    # (a) never driver-checked
-    "ts_gapfill_locf", "ts_ohlc_daily", "ts_moving_avg",
-    "ts_zscore_anomaly", "ts_hierarchical_rollup", "ts_retention_cohort",
-    "ts_regression_trend",
-    "range_agg_value", "date_range_agg", "multi_terms_agg",
-    "sampler_terms_agg", "adjacency_matrix_agg", "cardinality_by_type",
-    "scripted_metric_weighted", "geo_distance_filter",
-    # minhash runs immediately before the CC pair (which reuses its
-    # pipeline) so the heavy LSH codegen is compiled exactly once
-    "dedup_minhash_lsh", "dedup_cc_clusters", "dedup_cc_survivors",
-    "min_cost_supplier", "volume_shipping", "nation_market_share",
-    "large_quantity_customers", "supplier_diversity_by_brand",
-    "grouping_sets_status",
-    "mixture_sample", "shard_packing",
-    # (b) stale/red rows, fixed this round
-    "array_agg_types", "approx_sketches", "q11_time_range",
-    "cdc_scd2_history", "cdc_mirror_diff",
-    # (c) r4 driver-red, fixed by the ts-unit branch
-    "sessionize_batch", "range_join_same_user", "composite_agg_page",
-    "pipeline_agg_cumsum", "bucket_script_error_rate", "avg_bucket_daily",
-    # (e) new round-5 operators (SRP-LSH embedding dedup, query-DSL
-    # wildcard/terms_set/boosting/match_bool_prefix, rare_terms)
-    "dedup_embedding_srp", "wildcard_query", "terms_set_match",
-    "boosting_query", "match_bool_prefix", "rare_terms_agg",
-    "quality_unigram_lm", "multimodal_manifest",
-    # (d) re-confirmations
-    "asof_last_purchase", "window_lag_delta",
-    "json_extract_props", "cdc_mirror_compact",
-    "cdc_deleted_keys",
+    # (a) never driver-checked (added late in round 5)
+    "span_near_query", "geo_bounding_box", "top_metrics_agg",
+    "serial_diff_daily", "moving_fn_minmax", "string_stats_agg",
+    "boxplot_agg", "mad_agg", "auto_date_histogram", "t_test_agg",
+    "cumulative_cardinality", "priority_late_orders", "forecast_revenue",
+    "ship_lag_priority", "small_quantity_revenue", "inactive_high_balance",
+    # (b) r5 hash-reds, oracle HUGEINT-cast this round
+    "ts_hierarchical_rollup", "adjacency_matrix_agg",
+    "dedup_cc_clusters", "dedup_cc_survivors",
+    # (c) oldest-green re-confirmations (r1/r2-era rows)
+    "cube_status_priority", "case_bucketing",
+    "q01_term_filter", "q02_fulltext_match", "q02b_fulltext_tfidf",
+    "q02c_fulltext_bm25", "q02d_querystring_should", "q02e_querystring_must",
+    "q03_range_filter", "q04_bool_filter", "q05_terms_agg",
+    "q06_date_histogram", "q07_filtered_metrics", "q08_top_n",
+    "q09_limit", "q10_count", "q12_index_pattern_union",
+    "cdc_incremental_agg", "cdc_mirror_count", "cdc_op_stats",
+    "join_left_anti", "join_pricing_summary", "join_shipping_priority",
+    "join_local_supplier_volume", "join_returned_items", "join_promo_share",
+    "join_disjunctive_filter", "window_running_sum", "window_rank_in_group",
+    "set_ops_nations",
 ]
 
-# Round-6 rotation TODO: the 16 entries added after this window filled
-# have sf0.001+sf0.01 local parity but no driver row yet — next round,
-# move them into the first 50: geo_bounding_box, top_metrics_agg,
-# serial_diff_daily, moving_fn_minmax, string_stats_agg, boxplot_agg,
-# mad_agg, auto_date_histogram, t_test_agg, cumulative_cardinality,
-# span_near_query, priority_late_orders, forecast_revenue,
-# ship_lag_priority, small_quantity_revenue, inactive_high_balance
-# (plus re-checks of anything round 5 leaves red).
+# Round-7 rotation TODO: after this window lands, every entry has a
+# driver row.  Next-oldest rows are the remaining 14 r2-era greens
+# (rollup_status_priority, distinct_agg, percentiles_value, stats_agg,
+# date_arithmetic, string_funcs, subquery_exists, subquery_in,
+# subquery_scalar, subquery_correlated_scalar, unpivot_metrics,
+# q01b_like_prefix, null_semantics, string_normalize) then the r4-era
+# block — rotate those in, plus re-checks of anything round 6 leaves
+# red, plus driver rows for any operator added in round 6.
 
 
 def entry(spark: SparkSession) -> DataFrame:

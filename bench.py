@@ -1,7 +1,12 @@
 """Benchmark harness: runs the engine's query surface at
 $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
-local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
-{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line (<= 2,000 bytes — the
+harness keeps only the last 2,000 bytes of stdout):
+{"metric": ..., "value": N, "unit": "sec", "sf": ..., "n_queries": N,
+ "queries_cs": [<centiseconds, positional in queries() order>],
+ "throughput": {...}}
+The name->time map is written to $SPARK_GRAFT_BENCH_LOG
+(default /tmp/bench_progress.log).
 
 Per-query time = full execution to collected result (driver-side
 materialization included, as a user would experience it).
@@ -54,11 +59,6 @@ def main() -> None:
             print(f"bench error in {name}: {e}", file=progress, flush=True)
             timings[name] = -1.0
             continue
-        # 2 decimals: keeps the single JSON line under a 4 KiB output
-        # cap; centisecond resolution is ample for regression tracking.
-        # BUDGET WATCH: 151 entries -> 3,968 bytes. Adding ~5 more
-        # entries crosses 4 KiB — when that happens, shorten new query
-        # names or drop to 1 decimal for sub-second timings.
         dt = round(time.perf_counter() - t0, 2)
         timings[name] = dt
         total += dt
@@ -66,20 +66,36 @@ def main() -> None:
 
     throughput = cdc_throughput(spark, sf_dir)
 
-    # ONE compact JSON line, the process's only stdout output
-    line = json.dumps(
-        {
-            "metric": "query_surface_total_runtime",
-            "value": round(total, 3),
-            "unit": "sec",
-            "queries": timings,
-            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            "throughput": throughput,
-        },
-        separators=(",", ":"),
-    )
+    # ONE compact JSON line, the process's only stdout output. The
+    # harness keeps only the LAST 2,000 bytes of stdout, so the line
+    # must fit in 2,000 bytes including the newline: per-query timings
+    # go out as a positional CENTISECOND int array in queries() order
+    # (-100 = failed entry); the name->time map is written to the side
+    # progress log for humans.
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    q_names = list(timings)
+    q_cs = [int(round(timings[n] * 100)) for n in q_names]
+    payload = {
+        "metric": "query_surface_total_runtime",
+        "value": round(total, 3),
+        "unit": "sec",
+        "sf": sf_val,
+        "n_queries": len(q_cs),
+        "queries_cs": q_cs,
+        "throughput": throughput,
+    }
+    line = json.dumps(payload, separators=(",", ":"))
+    if len(line) + 1 > 2000:
+        # future-proof fallback: never let the array push the line past
+        # the capture window — summary beats a truncated parse failure
+        print(f"bench line {len(line)}B > 2000B cap; dropping per-query "
+              "array from stdout (full map is below)", file=progress)
+        payload.pop("queries_cs")
+        line = json.dumps(payload, separators=(",", ":"))
     print(line)
-    print(line, file=progress, flush=True)
+    # full, human-readable version (with the name->time map) to the log
+    print(json.dumps({**payload, "queries": timings}, separators=(",", ":")),
+          file=progress, flush=True)
     progress.close()
 
 
@@ -159,8 +175,8 @@ def _reexec_quiet() -> None:
     """Re-run this script as a child with stderr routed to the progress
     log: the JVM startup banner (~400 bytes of module/log4j/native-lib
     warnings) otherwise precedes the JSON line in harnesses that capture
-    combined output with a byte cap, and the 146-entry JSON already sits
-    near 4 KiB. The parent forwards ONLY the child's stdout."""
+    combined output with a byte cap (the round driver keeps the LAST
+    2,000 bytes). The parent forwards ONLY the child's stdout."""
     import subprocess
 
     env = dict(os.environ, _BENCH_CHILD="1")

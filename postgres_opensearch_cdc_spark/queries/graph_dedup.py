@@ -38,7 +38,7 @@ from postgres_opensearch_cdc_spark.registry import load_table
 # view over the pair graph. localCheckpoint keeps it materialized on the
 # executors, so the second consumer pays a metadata lookup, not a
 # recomputation of the shingle self-join.
-_CLUSTER_CACHE: dict[tuple[int, str], DataFrame] = {}
+_CLUSTER_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 def _doc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -46,7 +46,10 @@ def _doc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     themselves. Pairs = LSH-pruned MinHash candidates exact-verified at
     Jaccard >= 0.4 (the same pair set dedup_minhash_lsh
     value-checks)."""
-    key = (id(spark), sf_dir)
+    # applicationId, not id(spark): id() can be recycled after a session
+    # is garbage-collected, which would serve a dead session's
+    # localCheckpoint to an unrelated new session.
+    key = (spark.sparkContext.applicationId, sf_dir)
     cached = _CLUSTER_CACHE.get(key)
     if cached is not None:
         return cached

@@ -1,6 +1,8 @@
-"""bench.py contract: one JSON line on stdout with the fields the driver
-records, all queries succeeding (no -1 sentinels). Runs at sf0.001 in a
-subprocess so the bench path is tested exactly as the driver invokes it."""
+"""bench.py contract: one JSON line on stdout, <= 2,000 bytes (the
+driver keeps only the last 2,000 bytes of stdout), with per-query
+timings as a positional centisecond array in queries() order and no
+failure sentinels. Runs at sf0.001 in a subprocess so the bench path is
+tested exactly as the driver invokes it."""
 
 from __future__ import annotations
 
@@ -25,13 +27,20 @@ def test_bench_emits_valid_contract_json():
     assert proc.returncode == 0, proc.stderr[-2000:]
     lines = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")]
     assert len(lines) == 1, f"expected exactly one JSON line, got: {proc.stdout!r}"
+    assert len(lines[0]) + 1 <= 2000, f"bench line {len(lines[0])}B exceeds driver cap"
     doc = json.loads(lines[0])
-    for key in ("metric", "value", "unit", "queries", "sf"):
+    for key in ("metric", "value", "unit", "n_queries", "queries_cs", "sf"):
         assert key in doc
     assert doc["unit"] == "sec"
     assert doc["sf"] == 0.001
     assert doc["value"] > 0
-    failed = [q for q, t in doc["queries"].items() if t < 0]
+
+    sys.path.insert(0, REPO)
+    import __spark_entry__ as entrymod
+
+    names = list(entrymod.queries())
+    assert doc["n_queries"] == len(doc["queries_cs"]) == len(names)
+    failed = [n for n, cs in zip(names, doc["queries_cs"]) if cs < 0]
     assert not failed, f"bench queries failed: {failed}"
     tp = doc["throughput"]
     assert tp["backfill_rows_per_sec"] > 0

@@ -61,3 +61,17 @@ def test_survivors_bounded_by_docs(spark, sf_dir):
     assert len(sv) > 0
     for r in sv:
         assert 0 < r["n_kept"] <= r["n_docs"]
+
+
+def test_cluster_cache_keyed_on_application_id(spark, sf_dir):
+    from postgres_opensearch_cdc_spark.queries import graph_dedup
+
+    graph_dedup._CLUSTER_CACHE.clear()
+    first = graph_dedup._doc_clusters(spark, sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir)
+    assert key in graph_dedup._CLUSTER_CACHE
+    # second call is a cache hit: same DataFrame object, no recompute
+    assert graph_dedup._doc_clusters(spark, sf_dir) is first
+    # a different sf_dir misses (never serves another dataset's clusters)
+    other = (spark.sparkContext.applicationId, sf_dir + "/other")
+    assert other not in graph_dedup._CLUSTER_CACHE
