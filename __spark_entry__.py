@@ -19,6 +19,7 @@ from postgres_opensearch_cdc_spark.queries import (
     patterns,
     querydsl,
     querydsl_aggs,
+    querydsl_aggs2,
     relational,
     relational2,
     relational3,
@@ -36,6 +37,7 @@ _MODULES = [
     training_pipeline,
     timeseries,
     querydsl_aggs,
+    querydsl_aggs2,
     graph_dedup,
     relational2,
     relational3,
@@ -56,10 +58,13 @@ _MODULES = [
 #       (r5-green) precedes dedup_cc_survivors so the connected-
 #       components labeling is computed once and reused via
 #       _CLUSTER_CACHE,
-#   (c) 30 re-confirmations of the oldest green rows (the 2 r1-era +
-#       28 r2-era entries) so no entry's latest driver row ages past
-#       four rounds.
-# After this window the r1-r6 union covers all 151 entries.
+#   (c) 15 new round-6 operators (pipeline-agg family, extended metric
+#       aggs, pinned query, TPC-H Q13) so they get driver rows in the
+#       round they were built,
+#   (d) 15 re-confirmations of the oldest green rows (the 2 r1-era +
+#       13 r2-era entries).
+# After this window the r1-r6 union covers all 151 pre-round-6 entries
+# plus the 15 new ones.
 _PRIORITY = [
     # (a) never driver-checked (added late in round 5)
     "span_near_query", "geo_bounding_box", "top_metrics_agg",
@@ -70,28 +75,34 @@ _PRIORITY = [
     # (b) r5 hash-reds, oracle HUGEINT-cast this round
     "ts_hierarchical_rollup", "adjacency_matrix_agg",
     "dedup_cc_clusters", "dedup_cc_survivors",
-    # (c) oldest-green re-confirmations (r1/r2-era rows)
+    # (c) new round-6 operators
+    "extended_stats_agg", "derivative_agg", "stats_bucket_agg",
+    "percentiles_bucket_agg", "max_bucket_day", "bucket_sort_agg",
+    "bucket_selector_agg", "normalize_pct_agg", "rate_agg",
+    "geo_centroid_agg", "geo_grid_agg", "matrix_stats_agg",
+    "diversified_sampler_agg", "pinned_query", "customer_order_counts",
+    # (d) oldest-green re-confirmations (r1/r2-era rows)
     "cube_status_priority", "case_bucketing",
     "q01_term_filter", "q02_fulltext_match", "q02b_fulltext_tfidf",
     "q02c_fulltext_bm25", "q02d_querystring_should", "q02e_querystring_must",
     "q03_range_filter", "q04_bool_filter", "q05_terms_agg",
-    "q06_date_histogram", "q07_filtered_metrics", "q08_top_n",
-    "q09_limit", "q10_count", "q12_index_pattern_union",
-    "cdc_incremental_agg", "cdc_mirror_count", "cdc_op_stats",
-    "join_left_anti", "join_pricing_summary", "join_shipping_priority",
-    "join_local_supplier_volume", "join_returned_items", "join_promo_share",
-    "join_disjunctive_filter", "window_running_sum", "window_rank_in_group",
-    "set_ops_nations",
+    "q06_date_histogram", "q07_filtered_metrics",
 ]
 
 # Round-7 rotation TODO: after this window lands, every entry has a
-# driver row.  Next-oldest rows are the remaining 14 r2-era greens
-# (rollup_status_priority, distinct_agg, percentiles_value, stats_agg,
-# date_arithmetic, string_funcs, subquery_exists, subquery_in,
-# subquery_scalar, subquery_correlated_scalar, unpivot_metrics,
-# q01b_like_prefix, null_semantics, string_normalize) then the r4-era
-# block — rotate those in, plus re-checks of anything round 6 leaves
-# red, plus driver rows for any operator added in round 6.
+# driver row.  Next-oldest rows are the remaining r2-era greens
+# (q08_top_n, q09_limit, q10_count, q12_index_pattern_union,
+# cdc_incremental_agg, cdc_mirror_count, cdc_op_stats, join_left_anti,
+# join_pricing_summary, join_shipping_priority,
+# join_local_supplier_volume, join_returned_items, join_promo_share,
+# join_disjunctive_filter, window_running_sum, window_rank_in_group,
+# set_ops_nations, rollup_status_priority, distinct_agg,
+# percentiles_value, stats_agg, date_arithmetic, string_funcs,
+# subquery_exists, subquery_in, subquery_scalar,
+# subquery_correlated_scalar, unpivot_metrics, q01b_like_prefix,
+# null_semantics, string_normalize) then the r4-era block — rotate
+# those in, plus re-checks of anything round 6 leaves red, plus driver
+# rows for any operator added late in round 6.
 
 
 def entry(spark: SparkSession) -> DataFrame:

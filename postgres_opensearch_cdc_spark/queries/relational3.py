@@ -144,12 +144,33 @@ def inactive_high_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def customer_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 (customer distribution): histogram of customers by how
+    many orders they placed, including zero-order customers via the
+    left outer join. Two cascaded aggregations — the first shuffles on
+    o_custkey (pre-aggregated to (custkey, count) before joining the
+    customer side), the second on the tiny count domain."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
 QUERIES = {
     "priority_late_orders": priority_late_orders,
     "forecast_revenue": forecast_revenue,
     "ship_lag_priority": ship_lag_priority,
     "small_quantity_revenue": small_quantity_revenue,
     "inactive_high_balance": inactive_high_balance,
+    "customer_order_counts": customer_order_counts,
 }
 
 ORACLE = {
@@ -206,5 +227,15 @@ ORACLE = {
           AND (SELECT COUNT(*) FROM orders
                WHERE o_custkey = c_custkey) < 8
         GROUP BY c_nationkey ORDER BY c_nationkey
+    """,
+    "customer_order_counts": """
+        WITH per_cust AS (
+            SELECT c_custkey, COUNT(o_orderkey) AS c_count
+            FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+            GROUP BY c_custkey
+        )
+        SELECT c_count, COUNT(*) AS custdist
+        FROM per_cust GROUP BY c_count
+        ORDER BY custdist DESC, c_count DESC
     """,
 }

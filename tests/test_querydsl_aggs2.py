@@ -1,0 +1,106 @@
+"""Aggregation-DSL batch-4 (pipeline aggs + extended metrics)
+invariants and plan shapes. Value correctness is oracle-checked by
+tools/check_parity.py; these tests pin the semantic invariants and the
+scale-relevant physical plans."""
+
+from __future__ import annotations
+
+from postgres_opensearch_cdc_spark.queries.querydsl_aggs2 import (
+    bucket_selector_agg,
+    bucket_sort_agg,
+    derivative_agg,
+    diversified_sampler_agg,
+    extended_stats_agg,
+    geo_grid_agg,
+    max_bucket_day,
+    normalize_pct_agg,
+    pinned_query,
+    stats_bucket_agg,
+)
+from postgres_opensearch_cdc_spark.queries.relational3 import (
+    customer_order_counts,
+)
+from postgres_opensearch_cdc_spark.registry import load_table
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_derivative_telescopes_to_range(spark, sf_dir):
+    rows = derivative_agg(spark, sf_dir).collect()
+    assert rows[0]["deriv"] is None  # ES: first bucket has no derivative
+    # derivatives telescope: first count + sum of derivs = last count
+    assert rows[0]["n"] + sum(r["deriv"] for r in rows[1:]) == rows[-1]["n"]
+
+
+def test_stats_bucket_consistent_with_series(spark, sf_dir):
+    r = stats_bucket_agg(spark, sf_dir).first()
+    assert r["min_n"] <= r["avg_n"] <= r["max_n"]
+    assert r["sum_n"] == load_table(spark, sf_dir, "events").filter(
+        "event_type = 'purchase'"
+    ).count()
+
+
+def test_max_bucket_is_series_max(spark, sf_dir):
+    top = max_bucket_day(spark, sf_dir).first()
+    stats = stats_bucket_agg(spark, sf_dir).first()
+    assert top["value"] == stats["max_n"]
+
+
+def test_bucket_sort_is_page_two(spark, sf_dir):
+    page = bucket_sort_agg(spark, sf_dir).collect()
+    assert len(page) == 10
+    counts = [r["doc_count"] for r in page]
+    assert counts == sorted(counts, reverse=True)
+
+
+def test_bucket_selector_keeps_only_matching(spark, sf_dir):
+    for r in bucket_selector_agg(spark, sf_dir).collect():
+        assert r["errors"] * 5 > r["total"]
+
+
+def test_normalize_sums_to_100(spark, sf_dir):
+    rows = normalize_pct_agg(spark, sf_dir).collect()
+    assert abs(sum(r["pct"] for r in rows) - 100.0) < 0.01
+
+
+def test_diversified_sampler_caps_per_source(spark, sf_dir):
+    n_sources = (
+        load_table(spark, sf_dir, "documents").select("source").distinct().count()
+    )
+    sampled = sum(
+        r["doc_count"] for r in diversified_sampler_agg(spark, sf_dir).collect()
+    )
+    assert 0 < sampled <= 3 * n_sources
+
+
+def test_pinned_ids_lead_results(spark, sf_dir):
+    rows = pinned_query(spark, sf_dir).collect()
+    assert len(rows) == 15
+    pinned = [r["event_id"] for r in rows if r["pinned"]]
+    assert pinned  # the small pinned ids exist at every sf
+    # every pinned row outranks every organic row in the result set
+    first_organic = next(i for i, r in enumerate(rows) if not r["pinned"])
+    assert all(r["pinned"] for r in rows[:first_organic])
+
+
+def test_q13_covers_all_customers(spark, sf_dir):
+    rows = customer_order_counts(spark, sf_dir).collect()
+    assert sum(r["custdist"] for r in rows) == load_table(
+        spark, sf_dir, "customer"
+    ).count()
+
+
+def test_single_shuffle_metric_aggs(spark, sf_dir):
+    # extended_stats / geo_grid: one partial+final agg pair, at most the
+    # agg exchange plus the top-k sort exchange — no join shuffles
+    assert _plan(extended_stats_agg(spark, sf_dir)).count("Exchange (") <= 2
+    assert _plan(geo_grid_agg(spark, sf_dir)).count("Exchange (") <= 2
+
+
+def test_pinned_query_uses_topk(spark, sf_dir):
+    # orderBy+limit must compile to per-partition heaps, not global sort
+    assert "TakeOrderedAndProject" in _plan(pinned_query(spark, sf_dir))
