@@ -61,10 +61,11 @@ _MODULES = [
 #   (c) 15 new round-6 operators (pipeline-agg family, extended metric
 #       aggs, pinned query, TPC-H Q13) so they get driver rows in the
 #       round they were built,
-#   (d) 15 re-confirmations of the oldest green rows (the 2 r1-era +
-#       13 r2-era entries).
+#   (d) 4 entries whose semantics changed or were added late this round,
+#   (e) 11 re-confirmations of the oldest green rows (the 2 r1-era +
+#       9 r2-era entries).
 # After this window the r1-r6 union covers all 151 pre-round-6 entries
-# plus the 15 new ones.
+# plus the 17 new ones.
 _PRIORITY = [
     # (a) never driver-checked (added late in round 5)
     "span_near_query", "geo_bounding_box", "top_metrics_agg",
@@ -81,12 +82,16 @@ _PRIORITY = [
     "bucket_selector_agg", "normalize_pct_agg", "rate_agg",
     "geo_centroid_agg", "geo_grid_agg", "matrix_stats_agg",
     "diversified_sampler_agg", "pinned_query", "customer_order_counts",
-    # (d) oldest-green re-confirmations (r1/r2-era rows)
+    # (d) entries whose semantics changed this round (forecast_revenue's
+    # vacuous 2024 filter -> 1995; the de-vacuoused anti-join and bag
+    # EXCEPT ALL) and the two late-round additions
+    "join_left_anti", "set_ops_nations",
+    "frequent_item_sets_agg", "top_supplier_revenue",
+    # (e) oldest-green re-confirmations (r1/r2-era rows)
     "cube_status_priority", "case_bucketing",
     "q01_term_filter", "q02_fulltext_match", "q02b_fulltext_tfidf",
     "q02c_fulltext_bm25", "q02d_querystring_should", "q02e_querystring_must",
-    "q03_range_filter", "q04_bool_filter", "q05_terms_agg",
-    "q06_date_histogram", "q07_filtered_metrics",
+    "q03_range_filter",
 ]
 
 # Round-7 rotation TODO: after this window lands, every entry has a

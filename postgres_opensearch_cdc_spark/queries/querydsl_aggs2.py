@@ -291,8 +291,33 @@ def pinned_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def frequent_item_sets_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`frequent_item_sets` aggregation (market basket): 2-item sets of
+    event types co-occurring in the same user's history, with support =
+    number of users exhibiting both. The per-user distinct item list is
+    aggregated first (one shuffle on user_id, ≤5 items each), pairs are
+    generated from that tiny relation, and the final count is keyed on
+    the 25-pair domain — the raw event scan never self-joins."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.select("user_id", "event_type").distinct()
+    a = per_user.alias("a")
+    b = per_user.alias("b")
+    return (
+        a.join(b, "user_id")
+        .filter(F.col("a.event_type") < F.col("b.event_type"))
+        .groupBy(
+            F.col("a.event_type").alias("item_a"),
+            F.col("b.event_type").alias("item_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("support"))
+        .orderBy(F.col("support").desc(), "item_a", "item_b")
+        .limit(10)
+    )
+
+
 QUERIES = {
     "extended_stats_agg": extended_stats_agg,
+    "frequent_item_sets_agg": frequent_item_sets_agg,
     "derivative_agg": derivative_agg,
     "stats_bucket_agg": stats_bucket_agg,
     "percentiles_bucket_agg": percentiles_bucket_agg,
@@ -319,6 +344,18 @@ _DAILY_PURCHASES = """
 """
 
 ORACLE = {
+    "frequent_item_sets_agg": """
+        WITH per_user AS (
+            SELECT DISTINCT user_id, event_type FROM events
+        )
+        SELECT a.event_type AS item_a, b.event_type AS item_b,
+               COUNT(*) AS support
+        FROM per_user a JOIN per_user b USING (user_id)
+        WHERE a.event_type < b.event_type
+        GROUP BY 1, 2
+        ORDER BY support DESC, item_a, item_b
+        LIMIT 10
+    """,
     "extended_stats_agg": """
         SELECT event_type, COUNT(*) AS doc_count,
                ROUND(MIN(value), 4) AS v_min, ROUND(MAX(value), 4) AS v_max,

@@ -18,13 +18,18 @@ from postgres_opensearch_cdc_spark.registry import load_table
 
 def join_left_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X1 (TDD :174-187): LEFT JOIN ... IS NULL as a left-anti join —
-    customers with no orders. Anti joins broadcast the key set when small;
-    at scale this is a shuffled hash anti-join with only the key column
-    moving, never the payload."""
+    customers with no URGENT-priority orders. (The fixture gives every
+    customer at least one order, so the unfiltered form of X1 is
+    vacuously empty at every sf; anti-joining against the filtered
+    order set keeps the operator AND a non-empty answer.) Anti joins
+    broadcast the key set when small; at scale this is a shuffled hash
+    anti-join with only the key column moving, never the payload."""
     cust = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders")
+    urgent = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
     return cust.join(
-        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+        urgent, cust.c_custkey == urgent.o_custkey, "left_anti"
     ).select("c_custkey", "c_name", "c_mktsegment")
 
 
@@ -170,16 +175,21 @@ def window_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def set_ops_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """INTERSECT/EXCEPT as query operators: nations that have customers
-    but no suppliers. Set ops hash-aggregate on the full row — cheap on
-    key-only projections."""
+    """EXCEPT ALL as a query operator with real bag semantics: the
+    multiset of customer nation keys minus the multiset of supplier
+    nation keys — each nation survives with multiplicity
+    (#customers − #suppliers). (The distinct-set form "nations with
+    customers but no suppliers" is vacuously empty in the fixture —
+    every nation has both; the bag difference is non-empty at every sf
+    because customers outnumber suppliers.) Set ops hash-aggregate on
+    the projected key column only."""
     cust_nations = load_table(spark, sf_dir, "customer").select(
         F.col("c_nationkey").alias("nationkey")
     )
     supp_nations = load_table(spark, sf_dir, "supplier").select(
         F.col("s_nationkey").alias("nationkey")
     )
-    return cust_nations.distinct().exceptAll(supp_nations.distinct())
+    return cust_nations.exceptAll(supp_nations)
 
 
 def rollup_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -393,7 +403,9 @@ ORACLE = {
     "join_left_anti": """
         SELECT c_custkey, c_name, c_mktsegment
         FROM customer
-        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        WHERE NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND o_orderpriority = '1-URGENT')
     """,
     "join_pricing_summary": """
         SELECT l_returnflag, l_linestatus,
@@ -477,9 +489,9 @@ ORACLE = {
         FROM events
     """,
     "set_ops_nations": """
-        SELECT DISTINCT c_nationkey AS nationkey FROM customer
-        EXCEPT
-        SELECT DISTINCT s_nationkey AS nationkey FROM supplier
+        SELECT c_nationkey AS nationkey FROM customer
+        EXCEPT ALL
+        SELECT s_nationkey AS nationkey FROM supplier
     """,
     "rollup_status_priority": """
         SELECT o_orderstatus, o_orderpriority,

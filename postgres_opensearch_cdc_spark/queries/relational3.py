@@ -45,11 +45,14 @@ def forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q6 (forecasting revenue change): one filter + one global
     aggregate — the canonical pushdown showcase. Every predicate
     (shipdate year, discount band, quantity cap) reaches the parquet
-    scan; the plan is scan → partial sum → single-row exchange."""
+    scan; the plan is scan → partial sum → single-row exchange.
+    The year filter targets 1995 — the fixture lineitem's shipdate
+    domain is 1995-2001 (an earlier 2024 filter selected zero rows,
+    making the aggregate vacuously NULL)."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.filter(
-        (F.col("l_shipdate") >= F.lit("2024-01-01").cast("timestamp"))
-        & (F.col("l_shipdate") < F.lit("2025-01-01").cast("timestamp"))
+        (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp"))
         & (F.col("l_discount") >= 0.02)
         & (F.col("l_discount") <= 0.06)
         & (F.col("l_quantity") < 24)
@@ -152,15 +155,57 @@ def customer_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer side), the second on the tiny count domain."""
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
-    per_cust = (
-        cust.join(orders, cust["c_custkey"] == orders["o_custkey"], "left")
-        .groupBy("c_custkey")
-        .agg(F.count("o_orderkey").alias("c_count"))
+    order_cnt = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders")
     )
     return (
-        per_cust.groupBy("c_count")
+        cust.join(order_cnt, cust["c_custkey"] == order_cnt["o_custkey"], "left")
+        .select(F.coalesce(F.col("n_orders"), F.lit(0)).alias("c_count"))
+        .groupBy("c_count")
         .agg(F.count(F.lit(1)).alias("custdist"))
         .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+REVENUE_Q_START = "1996-04-01"
+REVENUE_Q_END = "1996-07-01"
+
+
+def top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 (top supplier): suppliers whose quarterly shipped
+    revenue equals the maximum over all suppliers. The revenue "view"
+    is one filtered partial+final agg on l_suppkey; the max is a 1-row
+    broadcast joined back (ties all surface, per the spec); the
+    supplier dimension joins broadcast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    revenue = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit(REVENUE_Q_START).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(REVENUE_Q_END).cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            )
+        )
+    )
+    # max + equality on the UNROUNDED sums: each engine's max is bitwise
+    # one of its own values, so the argmax join is exact within the
+    # engine; rounding happens only at output
+    max_rev = revenue.agg(F.max("revenue").alias("max_revenue"))
+    return (
+        revenue.join(
+            F.broadcast(max_rev), revenue["revenue"] == max_rev["max_revenue"]
+        )
+        .join(F.broadcast(sup), revenue["l_suppkey"] == sup["s_suppkey"])
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round(F.col("revenue"), 2).alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
     )
 
 
@@ -171,6 +216,7 @@ QUERIES = {
     "small_quantity_revenue": small_quantity_revenue,
     "inactive_high_balance": inactive_high_balance,
     "customer_order_counts": customer_order_counts,
+    "top_supplier_revenue": top_supplier_revenue,
 }
 
 ORACLE = {
@@ -187,8 +233,8 @@ ORACLE = {
     "forecast_revenue": """
         SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue
         FROM lineitem
-        WHERE l_shipdate >= TIMESTAMP '2024-01-01'
-          AND l_shipdate < TIMESTAMP '2025-01-01'
+        WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+          AND l_shipdate < TIMESTAMP '1996-01-01'
           AND l_discount BETWEEN 0.02 AND 0.06
           AND l_quantity < 24
     """,
@@ -237,5 +283,18 @@ ORACLE = {
         SELECT c_count, COUNT(*) AS custdist
         FROM per_cust GROUP BY c_count
         ORDER BY custdist DESC, c_count DESC
+    """,
+    "top_supplier_revenue": f"""
+        WITH revenue AS (
+            SELECT l_suppkey, SUM(l_extendedprice * (1 - l_discount)) AS rev
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '{REVENUE_Q_START}'
+              AND l_shipdate < TIMESTAMP '{REVENUE_Q_END}'
+            GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name, ROUND(rev, 2) AS total_revenue
+        FROM revenue JOIN supplier ON l_suppkey = s_suppkey
+        WHERE rev = (SELECT MAX(rev) FROM revenue)
+        ORDER BY s_suppkey
     """,
 }

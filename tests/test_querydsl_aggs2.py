@@ -11,6 +11,7 @@ from postgres_opensearch_cdc_spark.queries.querydsl_aggs2 import (
     derivative_agg,
     diversified_sampler_agg,
     extended_stats_agg,
+    frequent_item_sets_agg,
     geo_grid_agg,
     max_bucket_day,
     normalize_pct_agg,
@@ -19,6 +20,7 @@ from postgres_opensearch_cdc_spark.queries.querydsl_aggs2 import (
 )
 from postgres_opensearch_cdc_spark.queries.relational3 import (
     customer_order_counts,
+    top_supplier_revenue,
 )
 from postgres_opensearch_cdc_spark.registry import load_table
 
@@ -104,3 +106,24 @@ def test_single_shuffle_metric_aggs(spark, sf_dir):
 def test_pinned_query_uses_topk(spark, sf_dir):
     # orderBy+limit must compile to per-partition heaps, not global sort
     assert "TakeOrderedAndProject" in _plan(pinned_query(spark, sf_dir))
+
+
+def test_frequent_item_sets_support_bounded(spark, sf_dir):
+    rows = frequent_item_sets_agg(spark, sf_dir).collect()
+    assert rows
+    n_users = load_table(spark, sf_dir, "events").select("user_id").distinct().count()
+    for r in rows:
+        assert r["item_a"] < r["item_b"]  # canonical pair ordering
+        assert 0 < r["support"] <= n_users
+    # the pair self-join must run on the per-user distinct item list,
+    # never the raw event scan: the join's build (first) child in the
+    # formatted tree must be the distinct HashAggregate, not a scan
+    lines = _plan(frequent_item_sets_agg(spark, sf_dir)).splitlines()
+    join_idx = next(i for i, l in enumerate(lines) if "Join" in l)
+    assert "HashAggregate" in lines[join_idx + 1]
+
+
+def test_top_supplier_is_argmax(spark, sf_dir):
+    rows = top_supplier_revenue(spark, sf_dir).collect()
+    assert rows  # 1995-era quarter exists in the fixture's shipdates
+    assert len({r["total_revenue"] for r in rows}) == 1  # all tied at max
