@@ -62,8 +62,8 @@ _MODULES = [
 #       aggs, pinned query, TPC-H Q13) so they get driver rows in the
 #       round they were built,
 #   (d) 4 entries whose semantics changed or were added late this round,
-#   (e) 11 re-confirmations of the oldest green rows (the 2 r1-era +
-#       9 r2-era entries).
+#   (e) 10 re-confirmations of the oldest green rows (the 2 r1-era +
+#       8 r2-era entries).
 # After this window the r1-r6 union covers all 151 pre-round-6 entries
 # plus the 17 new ones.
 _PRIORITY = [
@@ -73,9 +73,11 @@ _PRIORITY = [
     "boxplot_agg", "mad_agg", "auto_date_histogram", "t_test_agg",
     "cumulative_cardinality", "priority_late_orders", "forecast_revenue",
     "ship_lag_priority", "small_quantity_revenue", "inactive_high_balance",
-    # (b) r5 hash-reds, oracle HUGEINT-cast this round
+    # (b) r5 hash-reds, oracle HUGEINT-cast this round; minhash leads
+    # the cc pair so the pair-set/cluster memoization is hit in driver
+    # run order (clusters+survivors then pay CC and a cache lookup)
     "ts_hierarchical_rollup", "adjacency_matrix_agg",
-    "dedup_cc_clusters", "dedup_cc_survivors",
+    "dedup_minhash_lsh", "dedup_cc_clusters", "dedup_cc_survivors",
     # (c) new round-6 operators
     "extended_stats_agg", "derivative_agg", "stats_bucket_agg",
     "percentiles_bucket_agg", "max_bucket_day", "bucket_sort_agg",
@@ -91,7 +93,6 @@ _PRIORITY = [
     "cube_status_priority", "case_bucketing",
     "q01_term_filter", "q02_fulltext_match", "q02b_fulltext_tfidf",
     "q02c_fulltext_bm25", "q02d_querystring_should", "q02e_querystring_must",
-    "q03_range_filter",
 ]
 
 # Round-7 rotation TODO: after this window lands, every entry has a
