@@ -40,6 +40,13 @@ def main() -> None:
     # doesn't absorb session startup
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     spark.read.parquet(f"{sf_dir}/region.parquet").collect()
+    # ... and the interpreted higher-order-function evaluator + string
+    # codegen paths (several surface entries lead with HOF-heavy plans;
+    # without this the first one absorbs the interpreter warm-up)
+    spark.range(10_000).selectExpr(
+        "aggregate(array_sort(split(repeat(concat('w', id % 7, ' '), 8), ' ')), "
+        "0L, (acc, x) -> acc + length(x)) AS s"
+    ).selectExpr("sum(s)").collect()
 
     qs = dict(entrymod.queries())
     # bench the production form of the sketch query (sketches only); the
