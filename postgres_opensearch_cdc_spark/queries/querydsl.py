@@ -642,8 +642,70 @@ def span_near_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+INTERVAL_T1, INTERVAL_T2, INTERVAL_MAX_GAPS = "hash", "join", 2
+DF_ANCHOR, DF_PIVOT_DAYS, DF_BOOST = "2024-02-01", 7, 5.0
+
+
+def intervals_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``intervals`` query (``all_of`` with ``ordered: true`` and
+    ``max_gaps``): '{T1}' followed by '{T2}' with at most MAX_GAPS
+    tokens between them — the ORDERED counterpart of span_near's
+    unordered min-distance. Positions come from transform's
+    (element, index) lambda (never element_at from inside a lambda —
+    see span_near_query's O(n²) note); per-doc interval count and the
+    tightest gap ride out of the same small gap array. All HOFs inside
+    the scan projection: zero shuffle, no token explosion."""
+    from postgres_opensearch_cdc_spark.functions.dedup import _ensure_parallelism
+
+    docs = _ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    toks = F.split(F.lower(F.col("text")), r"\s+")
+
+    def positions(term: str):
+        return F.filter(
+            F.transform(toks, lambda t, i: F.when(t == term, i)),
+            lambda x: x.isNotNull(),
+        )
+
+    pos_a, pos_b = positions(INTERVAL_T1), positions(INTERVAL_T2)
+    gaps = F.filter(
+        F.flatten(
+            F.transform(pos_a, lambda a: F.transform(pos_b, lambda b: b - a - 1))
+        ),
+        lambda g: (g >= 0) & (g <= INTERVAL_MAX_GAPS),
+    )
+    return (
+        docs.select(
+            "doc_id",
+            F.size(gaps).cast("long").alias("n_intervals"),
+            F.array_min(gaps).cast("long").alias("min_gap"),
+        )
+        .filter(F.col("n_intervals") > 0)
+        .orderBy("doc_id")
+    )
+
+
+def distance_feature_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``distance_feature`` query: organic score (value) plus the
+    recency boost ``boost * pivot / (pivot + |distance|)`` against an
+    anchor date — the decaying-proximity ranking ES applies to date and
+    geo fields. Day distance is exact integer math; the top-k order-by
+    compiles to TakeOrderedAndProject."""
+    ev = load_table(spark, sf_dir, "events")
+    dist = F.abs(F.datediff(F.to_date("ts"), F.lit(DF_ANCHOR).cast("date")))
+    score = F.round(
+        F.col("value") + DF_BOOST * DF_PIVOT_DAYS / (DF_PIVOT_DAYS + dist), 4
+    )
+    return (
+        ev.select("event_id", "event_type", score.alias("score"))
+        .orderBy(F.col("score").desc(), "event_id")
+        .limit(15)
+    )
+
+
 QUERIES = {
     "q02f_match_phrase": q02f_match_phrase,
+    "intervals_query": intervals_query,
+    "distance_feature_query": distance_feature_query,
     "q01d_regexp_match": q01d_regexp_match,
     "q02g_fuzzy_match": q02g_fuzzy_match,
     "q02h_multi_match": q02h_multi_match,
@@ -678,6 +740,39 @@ _TERMS_SET_SQL = " + ".join(
 )
 
 ORACLE = {
+    "intervals_query": rf"""
+        WITH t AS (
+            SELECT doc_id,
+                   regexp_split_to_array(lower(text), '\s+') AS toks
+            FROM documents
+        ),
+        pos AS (
+            SELECT doc_id,
+                   list_filter(range(1, len(toks) + 1),
+                               i -> toks[i] = '{INTERVAL_T1}') AS pa,
+                   list_filter(range(1, len(toks) + 1),
+                               i -> toks[i] = '{INTERVAL_T2}') AS pb
+            FROM t
+        ),
+        g AS (
+            SELECT doc_id,
+                   list_filter(flatten(list_transform(pa,
+                       a -> list_transform(pb, b -> b - a - 1))),
+                       x -> x >= 0 AND x <= {INTERVAL_MAX_GAPS}) AS gaps
+            FROM pos
+        )
+        SELECT doc_id, CAST(len(gaps) AS BIGINT) AS n_intervals,
+               CAST(list_min(gaps) AS BIGINT) AS min_gap
+        FROM g WHERE len(gaps) > 0 ORDER BY doc_id
+    """,
+    "distance_feature_query": f"""
+        SELECT event_id, event_type,
+               ROUND(value + {DF_BOOST} * {DF_PIVOT_DAYS} / ({DF_PIVOT_DAYS}
+                     + abs(date_diff('day', DATE '{DF_ANCHOR}', ts::DATE))),
+                     4) AS score
+        FROM events
+        ORDER BY score DESC, event_id LIMIT 15
+    """,
     "wildcard_query": """
         SELECT source, count(*) AS doc_count
         FROM documents WHERE source LIKE 'src1%'

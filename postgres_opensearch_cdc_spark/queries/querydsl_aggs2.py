@@ -291,6 +291,27 @@ def pinned_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def moving_percentiles_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`moving_percentiles` pipeline agg: exact p50/p90 of the daily
+    event count over a trailing 7-day frame. The percentile aggregate
+    runs as a window function over the aggregated day series (tens of
+    rows) — the raw scan only feeds the date histogram."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy("day").rowsBetween(-6, 0)
+    return (
+        daily.select(
+            "day",
+            "n",
+            F.round(F.expr("percentile(n, 0.5)").over(w), 4).alias("p50_7d"),
+            F.round(F.expr("percentile(n, 0.9)").over(w), 4).alias("p90_7d"),
+        )
+        .orderBy("day")
+    )
+
+
 def frequent_item_sets_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`frequent_item_sets` aggregation (market basket): 2-item sets of
     event types co-occurring in the same user's history, with support =
@@ -318,6 +339,7 @@ def frequent_item_sets_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "extended_stats_agg": extended_stats_agg,
     "frequent_item_sets_agg": frequent_item_sets_agg,
+    "moving_percentiles_agg": moving_percentiles_agg,
     "derivative_agg": derivative_agg,
     "stats_bucket_agg": stats_bucket_agg,
     "percentiles_bucket_agg": percentiles_bucket_agg,
@@ -344,6 +366,18 @@ _DAILY_PURCHASES = """
 """
 
 ORACLE = {
+    "moving_percentiles_agg": """
+        WITH daily AS (
+            SELECT date_trunc('day', ts)::DATE AS day, COUNT(*) AS n
+            FROM events GROUP BY 1
+        )
+        SELECT day, n,
+               ROUND(quantile_cont(n, 0.5) OVER (ORDER BY day
+                     ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS p50_7d,
+               ROUND(quantile_cont(n, 0.9) OVER (ORDER BY day
+                     ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS p90_7d
+        FROM daily ORDER BY day
+    """,
     "frequent_item_sets_agg": """
         WITH per_user AS (
             SELECT DISTINCT user_id, event_type FROM events

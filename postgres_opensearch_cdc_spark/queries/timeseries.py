@@ -234,8 +234,116 @@ def ts_regression_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense daily grid per event type with LINEAR interpolation across
+    gaps (TimescaleDB ``time_bucket_gapfill`` + ``interpolate`` — the
+    complement of ts_gapfill_locf's step fill). Same deterministic
+    sparse subset (event_id % 101) so gaps exist at every SF; the
+    bracketing observations come from two ignore-nulls window scans
+    (last known behind, first known ahead) over the grid — sized by
+    types × days, never the raw input. Edges outside the known range
+    stay NULL, per the reference semantics."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") % 101 == 0)
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+    ).agg(F.round(F.sum("value"), 4).alias("obs"))
+    bounds = daily.agg(F.min("day").alias("mn"), F.max("day").alias("mx"))
+    grid = (
+        daily.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(F.sequence(F.col("mn"), F.col("mx"))).alias("day"),
+        )
+    )
+    g = grid.join(daily, ["event_type", "day"], "left")
+    back = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ahead = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    known_day = F.when(F.col("obs").isNotNull(), F.col("day"))
+    g = g.select(
+        "event_type",
+        "day",
+        "obs",
+        F.last("obs", ignorenulls=True).over(back).alias("pv"),
+        F.last(known_day, ignorenulls=True).over(back).alias("pd"),
+        F.first("obs", ignorenulls=True).over(ahead).alias("nv"),
+        F.first(known_day, ignorenulls=True).over(ahead).alias("nd"),
+    )
+    interp = F.when(F.col("obs").isNotNull(), F.col("obs")).otherwise(
+        F.col("pv")
+        + (F.col("nv") - F.col("pv"))
+        * F.datediff(F.col("day"), F.col("pd"))
+        / F.datediff(F.col("nd"), F.col("pd"))
+    )
+    return g.select(
+        "event_type",
+        "day",
+        "obs",
+        F.round(interp, 4).alias("filled"),
+    ).orderBy("event_type", "day")
+
+
+def ts_calendar_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar heatmap rollup: event volume and mean value per
+    (ISO day-of-week, hour-of-day) cell — the 7×24 punchcard a
+    monitoring dashboard renders. One partial+final aggregation keyed
+    on the 168-cell domain."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            (F.weekday(F.col("ts")) + F.lit(1)).cast("long").alias("isodow"),
+            F.hour("ts").cast("long").alias("hod"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+        .orderBy("isodow", "hod")
+    )
+
+
+EWMA_DECAY, EWMA_SPAN = 0.7, 14  # alpha = 1 - decay = 0.3
+
+
+def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average of the daily event count
+    over a trailing 14-day frame: weights decay^(k-1-i) normalized by
+    the closed-form geometric sum, so the short head frames are proper
+    weighted means. The frame list is collected over the aggregated day
+    series only; the weighting is one array transform + fold per row of
+    that tiny series."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy("day").rowsBetween(-(EWMA_SPAN - 1), 0)
+    frame = F.collect_list("n").over(w)
+    num = F.expr(
+        f"aggregate(transform(l, (x, i) -> x * pow({EWMA_DECAY}, size(l) - 1 - i)), "
+        "cast(0 as double), (acc, x) -> acc + x)"
+    )
+    den = (1 - F.pow(F.lit(EWMA_DECAY), F.size(F.col("l")))) / (1 - EWMA_DECAY)
+    return (
+        daily.select("day", "n", frame.alias("l"))
+        .select("day", "n", F.round(num / den, 4).alias("ewma"))
+        .orderBy("day")
+    )
+
+
 QUERIES = {
     "ts_gapfill_locf": ts_gapfill_locf,
+    "ts_interpolate_linear": ts_interpolate_linear,
+    "ts_calendar_heatmap": ts_calendar_heatmap,
+    "ts_ewma": ts_ewma,
     "ts_ohlc_daily": ts_ohlc_daily,
     "ts_moving_avg": ts_moving_avg,
     "ts_zscore_anomaly": ts_zscore_anomaly,
@@ -245,6 +353,67 @@ QUERIES = {
 }
 
 ORACLE = {
+    "ts_interpolate_linear": """
+        WITH sparse AS (SELECT * FROM events WHERE event_id % 101 = 0),
+        daily AS (
+            SELECT event_type, date_trunc('day', ts)::DATE AS day,
+                   ROUND(SUM(value), 4) AS obs
+            FROM sparse GROUP BY 1, 2
+        ),
+        bounds AS (SELECT MIN(day) AS mn, MAX(day) AS mx FROM daily),
+        grid AS (
+            SELECT t.event_type, g.day::DATE AS day
+            FROM (SELECT DISTINCT event_type FROM daily) t,
+                 (SELECT unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS day
+                  FROM bounds) g
+        ),
+        j AS (
+            SELECT g.event_type, g.day, d.obs
+            FROM grid g LEFT JOIN daily d USING (event_type, day)
+        ),
+        spanned AS (
+            SELECT event_type, day, obs,
+                   last_value(obs IGNORE NULLS) OVER back AS pv,
+                   last_value(CASE WHEN obs IS NOT NULL THEN day END
+                              IGNORE NULLS) OVER back AS pd,
+                   first_value(obs IGNORE NULLS) OVER ahead AS nv,
+                   first_value(CASE WHEN obs IS NOT NULL THEN day END
+                               IGNORE NULLS) OVER ahead AS nd
+            FROM j
+            WINDOW back AS (PARTITION BY event_type ORDER BY day
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                   ahead AS (PARTITION BY event_type ORDER BY day
+                             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        )
+        SELECT event_type, day, obs,
+               ROUND(CASE WHEN obs IS NOT NULL THEN obs
+                          ELSE pv + (nv - pv)
+                               * date_diff('day', pd, day)
+                               / date_diff('day', pd, nd) END, 4) AS filled
+        FROM spanned ORDER BY event_type, day
+    """,
+    "ts_calendar_heatmap": """
+        SELECT isodow(ts) AS isodow, CAST(hour(ts) AS BIGINT) AS hod,
+               COUNT(*) AS n, ROUND(AVG(value), 4) AS avg_value
+        FROM events GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    "ts_ewma": """
+        WITH daily AS (
+            SELECT date_trunc('day', ts)::DATE AS day, COUNT(*) AS n
+            FROM events GROUP BY 1
+        ),
+        framed AS (
+            SELECT day, n,
+                   list(n) OVER (ORDER BY day
+                       ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) AS l
+            FROM daily
+        )
+        SELECT day, n,
+               ROUND(list_sum(list_transform(l,
+                         (x, i) -> x * pow(0.7, len(l) - i)))
+                     / ((1 - pow(0.7, len(l))) / 0.3), 4) AS ewma
+        FROM framed ORDER BY day
+    """,
     "ts_gapfill_locf": """
         WITH sparse AS (SELECT * FROM events WHERE event_id % 101 = 0),
         hourly AS (

@@ -6,8 +6,12 @@ from __future__ import annotations
 from pyspark.sql import Window, functions as F
 
 from postgres_opensearch_cdc_spark.queries.timeseries import (
+    EWMA_DECAY,
+    ts_calendar_heatmap,
+    ts_ewma,
     ts_gapfill_locf,
     ts_hierarchical_rollup,
+    ts_interpolate_linear,
     ts_moving_avg,
     ts_ohlc_daily,
     ts_retention_cohort,
@@ -65,6 +69,48 @@ def test_hierarchical_rollup_levels_agree(spark, sf_dir):
     assert total["hour"][0] == total["day"][0] == total["week"][0]
     assert abs(total["hour"][1] - total["week"][1]) < 0.5
     out.unpersist()
+
+
+def test_interpolation_bounded_by_bracket(spark, sf_dir):
+    out = ts_interpolate_linear(spark, sf_dir).cache()
+    # interpolated points exist and sit strictly between their brackets'
+    # extremes: every filled gap value is within [min, max] of the
+    # type's observed values
+    gaps = out.filter(F.col("obs").isNull() & F.col("filled").isNotNull())
+    assert gaps.count() > 0, "sparse subset must leave gaps to fill"
+    stats = (
+        out.filter(F.col("obs").isNotNull())
+        .groupBy("event_type")
+        .agg(F.min("obs").alias("lo"), F.max("obs").alias("hi"))
+    )
+    bad = gaps.join(stats, "event_type").filter(
+        (F.col("filled") < F.col("lo")) | (F.col("filled") > F.col("hi"))
+    )
+    assert bad.count() == 0
+    # observed points pass through unchanged
+    assert out.filter(
+        F.col("obs").isNotNull() & (F.col("filled") != F.col("obs"))
+    ).count() == 0
+    out.unpersist()
+
+
+def test_calendar_heatmap_covers_week(spark, sf_dir):
+    rows = ts_calendar_heatmap(spark, sf_dir).collect()
+    assert {r["isodow"] for r in rows} == set(range(1, 8))
+    assert all(0 <= r["hod"] <= 23 for r in rows)
+
+
+def test_ewma_smooths_toward_series(spark, sf_dir):
+    rows = ts_ewma(spark, sf_dir).collect()
+    # first frame has one point: ewma == n exactly
+    assert abs(rows[0]["ewma"] - rows[0]["n"]) < 1e-6
+    # ewma stays within the min/max envelope of the series
+    lo = min(r["n"] for r in rows)
+    hi = max(r["n"] for r in rows)
+    assert all(lo - 1e-6 <= r["ewma"] <= hi + 1e-6 for r in rows)
+    # heavier weight on the current point than a plain mean: the ewma
+    # tracks the latest value more closely than the frame average
+    assert 0 < EWMA_DECAY < 1
 
 
 def test_retention_offsets_start_at_zero(spark, sf_dir):
