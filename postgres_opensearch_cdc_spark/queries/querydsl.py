@@ -702,10 +702,38 @@ def distance_feature_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RANDOM_SCORE_SEED = 42
+
+
+def random_score_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``function_score`` with ``random_score`` (seed + field): the
+    reproducible pseudo-random ranking ES derives from a seeded hash of
+    the field — here a portable md5 of seed:event_id mapped to [0, 1),
+    so every engine, run, and parallelism ranks identically. Top-k by
+    the random score compiles to TakeOrderedAndProject."""
+    ev = load_table(spark, sf_dir, "events")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"{RANDOM_SCORE_SEED}:"), F.col("event_id"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    rscore = F.round(h / F.lit(float(2**32)), 6)
+    return (
+        ev.select("event_id", "event_type", rscore.alias("rscore"))
+        .orderBy(F.col("rscore").desc(), "event_id")
+        .limit(15)
+    )
+
+
 QUERIES = {
     "q02f_match_phrase": q02f_match_phrase,
     "intervals_query": intervals_query,
     "distance_feature_query": distance_feature_query,
+    "random_score_query": random_score_query,
     "q01d_regexp_match": q01d_regexp_match,
     "q02g_fuzzy_match": q02g_fuzzy_match,
     "q02h_multi_match": q02h_multi_match,
@@ -772,6 +800,14 @@ ORACLE = {
                      4) AS score
         FROM events
         ORDER BY score DESC, event_id LIMIT 15
+    """,
+    "random_score_query": f"""
+        SELECT event_id, event_type,
+               ROUND((('0x' || substr(md5('{RANDOM_SCORE_SEED}:'
+                       || CAST(event_id AS VARCHAR)), 1, 8))::BIGINT
+                      / 4294967296.0), 6) AS rscore
+        FROM events
+        ORDER BY rscore DESC, event_id LIMIT 15
     """,
     "wildcard_query": """
         SELECT source, count(*) AS doc_count

@@ -336,10 +336,53 @@ def frequent_item_sets_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_EARTH_KM = 6371.0
+
+
+def geo_line_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`geo_line` aggregation: per-user travel path over the
+    deterministic synthetic coordinates, ordered by time — total
+    haversine path length and point count for the 10 longest tracks.
+    Each segment distance is rounded before summing (the per-row
+    round-3 haversine is engine-identical, proven by
+    geo_distance_filter), so the path sums agree bit-for-bit. The lag
+    window partitions on user_id — high cardinality, fully parallel."""
+    ev = load_table(spark, sf_dir, "events")
+    lat = F.radians((F.col("user_id") * 1201 % 18000) / F.lit(100.0) - F.lit(90.0))
+    lon = F.radians((F.col("event_id") * 13 % 36000) / F.lit(100.0) - F.lit(180.0))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pts = ev.select(
+        "user_id", "ts", "event_id", lat.alias("la"), lon.alias("lo")
+    ).select(
+        "user_id",
+        "la",
+        "lo",
+        F.lag("la").over(w).alias("pla"),
+        F.lag("lo").over(w).alias("plo"),
+    )
+    h = (
+        F.sin((F.col("la") - F.col("pla")) / 2) ** 2
+        + F.cos(F.col("pla"))
+        * F.cos(F.col("la"))
+        * F.sin((F.col("lo") - F.col("plo")) / 2) ** 2
+    )
+    seg = F.round(2 * F.lit(_EARTH_KM) * F.asin(F.sqrt(h)), 3)
+    return (
+        pts.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.round(F.sum(seg), 2).alias("track_km"),
+        )
+        .orderBy(F.col("track_km").desc(), "user_id")
+        .limit(10)
+    )
+
+
 QUERIES = {
     "extended_stats_agg": extended_stats_agg,
     "frequent_item_sets_agg": frequent_item_sets_agg,
     "moving_percentiles_agg": moving_percentiles_agg,
+    "geo_line_agg": geo_line_agg,
     "derivative_agg": derivative_agg,
     "stats_bucket_agg": stats_bucket_agg,
     "percentiles_bucket_agg": percentiles_bucket_agg,
@@ -366,6 +409,31 @@ _DAILY_PURCHASES = """
 """
 
 ORACLE = {
+    "geo_line_agg": """
+        WITH p1 AS (
+            SELECT user_id, ts, event_id,
+                   radians((user_id * 1201 % 18000) / 100.0 - 90.0) AS la,
+                   radians((event_id * 13 % 36000) / 100.0 - 180.0) AS lo
+            FROM events
+        ),
+        p2 AS (
+            SELECT user_id, la, lo,
+                   lag(la) OVER w AS pla, lag(lo) OVER w AS plo
+            FROM p1
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        segs AS (
+            SELECT user_id,
+                   ROUND(2 * 6371.0 * asin(sqrt(
+                       pow(sin((la - pla) / 2), 2)
+                       + cos(pla) * cos(la) * pow(sin((lo - plo) / 2), 2)
+                   )), 3) AS seg
+            FROM p2
+        )
+        SELECT user_id, COUNT(*) AS n_points, ROUND(SUM(seg), 2) AS track_km
+        FROM segs GROUP BY 1
+        ORDER BY track_km DESC, user_id LIMIT 10
+    """,
     "moving_percentiles_agg": """
         WITH daily AS (
             SELECT date_trunc('day', ts)::DATE AS day, COUNT(*) AS n

@@ -123,6 +123,17 @@ def test_frequent_item_sets_support_bounded(spark, sf_dir):
     assert "HashAggregate" in lines[join_idx + 1]
 
 
+def test_geo_line_tracks_are_positive_and_ranked(spark, sf_dir):
+    from postgres_opensearch_cdc_spark.queries.querydsl_aggs2 import geo_line_agg
+
+    rows = geo_line_agg(spark, sf_dir).collect()
+    assert rows
+    kms = [r["track_km"] for r in rows]
+    assert all(k is not None and k > 0 for k in kms)
+    assert kms == sorted(kms, reverse=True)
+    assert all(r["n_points"] >= 2 for r in rows)  # a track needs segments
+
+
 def test_top_supplier_is_argmax(spark, sf_dir):
     rows = top_supplier_revenue(spark, sf_dir).collect()
     assert rows  # 1995-era quarter exists in the fixture's shipdates
