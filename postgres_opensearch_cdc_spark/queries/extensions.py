@@ -430,7 +430,40 @@ def multimodal_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroid audit: vector count, centroid L2
+    norm, and the mean vector norm per label — the cluster-quality
+    numbers an ANN/IVF pipeline monitors (a collapsing centroid norm
+    signals mixed clusters). The per-dimension mean runs as one
+    posexplode + (label, dim)-keyed partial aggregation — 64 rows per
+    vector, map-side combined; no vector ever crosses the shuffle
+    whole."""
+    from postgres_opensearch_cdc_spark.functions.similarity import _as_double, l2_norm
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "label", "vec_id", _as_double(F.col("embedding")).alias("v")
+    )
+    per_label = base.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(F.avg(l2_norm(F.col("v"))), 4).alias("mean_vec_norm"),
+    )
+    dims = base.select("label", F.posexplode(F.col("v")).alias("dim", "val"))
+    cent = (
+        dims.groupBy("label", "dim")
+        .agg(F.avg("val").alias("m"))
+        .groupBy("label")
+        .agg(F.round(F.sqrt(F.sum(F.col("m") * F.col("m"))), 4).alias("centroid_norm"))
+    )
+    return (
+        per_label.join(cent, "label")
+        .select("label", "n_vecs", "centroid_norm", "mean_vec_norm")
+        .orderBy("label")
+    )
+
+
 QUERIES = {
+    "embedding_centroids": embedding_centroids,
     "pipeline_quality_filter": pipeline_quality_filter,
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -450,6 +483,30 @@ QUERIES = {
 _TOKS = "regexp_split_to_array(lower(text), '\\s+')"
 
 ORACLE = {
+    "embedding_centroids": """
+        WITH base AS (
+            SELECT label, vec_id,
+                   list_transform(embedding, x -> x::DOUBLE) AS v
+            FROM embeddings
+        ),
+        per_label AS (
+            SELECT label, COUNT(*) AS n_vecs,
+                   ROUND(AVG(sqrt(list_sum(list_transform(v, x -> x * x)))),
+                         4) AS mean_vec_norm
+            FROM base GROUP BY label
+        ),
+        dims AS (
+            SELECT label, i AS dim, v[i] AS val
+            FROM base, unnest(range(1, len(v) + 1)) AS u(i)
+        ),
+        cent AS (
+            SELECT label, ROUND(sqrt(SUM(m * m)), 4) AS centroid_norm
+            FROM (SELECT label, dim, AVG(val) AS m FROM dims GROUP BY 1, 2)
+            GROUP BY label
+        )
+        SELECT label, n_vecs, centroid_norm, mean_vec_norm
+        FROM per_label JOIN cent USING (label) ORDER BY label
+    """,
     "pipeline_quality_filter": f"""
         WITH enriched AS (
             SELECT doc_id, lang,

@@ -307,7 +307,61 @@ def quality_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def quality_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram conditional language-model quality score — the stronger
+    perplexity proxy over quality_unigram_lm: per document, the mean
+    -ln p(w2 | w1) under corpus MLE counts (c(w1 w2) / c_prefix(w1),
+    prefix counts taken from the bigram relation itself so the
+    conditional normalizes exactly). Repetitive templates score LOW,
+    token soup scores HIGH — the two tails a curation run trims.
+
+    The bigram pairs come from arrays_zip over two slices (children
+    evaluate once per row — never element_at(toks, i) inside a lambda,
+    see SCALE.md §5); counting shuffles on the bigram/prefix hash keys
+    and both count relations are Zipf-bounded, broadcastable at scale.
+    Output: the per-source audit (mean/extremes of doc scores)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = docs.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.expr(
+                "arrays_zip(slice(split(lower(text), '\\\\s+'), 1, "
+                "size(split(lower(text), '\\\\s+')) - 1), "
+                "slice(split(lower(text), '\\\\s+'), 2, "
+                "size(split(lower(text), '\\\\s+')) - 1))"
+            )
+        ).alias("s"),
+    ).select(
+        "doc_id",
+        "source",
+        F.col("s.0").alias("prev"),
+        F.concat(F.col("s.0"), F.lit(" "), F.col("s.1")).alias("bigram"),
+    )
+    b_cnt = pairs.groupBy("bigram").agg(F.count(F.lit(1)).alias("bc"))
+    p_cnt = pairs.groupBy("prev").agg(F.count(F.lit(1)).alias("pc"))
+    scored = (
+        pairs.join(b_cnt, "bigram")
+        .join(p_cnt, "prev")
+        .withColumn("neg_logp", -F.log(F.col("bc") / F.col("pc")))
+    )
+    per_doc = scored.groupBy("doc_id", "source").agg(
+        F.avg("neg_logp").alias("doc_nlp")
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("doc_nlp"), 4).alias("mean_nlp"),
+            F.round(F.min("doc_nlp"), 4).alias("min_nlp"),
+            F.round(F.max("doc_nlp"), 4).alias("max_nlp"),
+        )
+        .orderBy("source")
+    )
+
+
 QUERIES = {
+    "quality_bigram_lm": quality_bigram_lm,
     "quality_repetition": quality_repetition,
     "pii_scrub": pii_scrub,
     "contamination_ngram": contamination_ngram,
@@ -423,6 +477,35 @@ ORACLE["shard_packing"] = f"""
         FROM packed
         GROUP BY lang, shard
         ORDER BY lang, shard
+    """
+
+ORACLE["quality_bigram_lm"] = r"""
+        WITH t AS (
+            SELECT doc_id, source,
+                   regexp_split_to_array(lower(text), '\s+') AS toks
+            FROM documents
+        ),
+        pairs AS (
+            SELECT doc_id, source, toks[i] AS prev,
+                   toks[i] || ' ' || toks[i + 1] AS bigram
+            FROM t, unnest(range(1, len(toks))) AS u(i)
+        ),
+        b_cnt AS (SELECT bigram, count(*) AS bc FROM pairs GROUP BY bigram),
+        p_cnt AS (SELECT prev, count(*) AS pc FROM pairs GROUP BY prev),
+        scored AS (
+            SELECT doc_id, source, -ln(bc * 1.0 / pc) AS neg_logp
+            FROM pairs JOIN b_cnt USING (bigram) JOIN p_cnt USING (prev)
+        ),
+        per_doc AS (
+            SELECT doc_id, source, avg(neg_logp) AS doc_nlp
+            FROM scored GROUP BY 1, 2
+        )
+        SELECT source,
+               count(*) AS n_docs,
+               ROUND(avg(doc_nlp), 4) AS mean_nlp,
+               ROUND(min(doc_nlp), 4) AS min_nlp,
+               ROUND(max(doc_nlp), 4) AS max_nlp
+        FROM per_doc GROUP BY source ORDER BY source
     """
 
 ORACLE["quality_unigram_lm"] = r"""

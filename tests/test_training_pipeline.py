@@ -118,3 +118,34 @@ def test_contamination_self_detection_sanity(spark, sf_dir):
         .count()
     )
     assert hit == n_docs_with_grams
+
+
+def test_bigram_lm_scores_bounded_by_vocab_entropy(spark, sf_dir):
+    out = tp.quality_bigram_lm(spark, sf_dir).collect()
+    assert out
+    for r in out:
+        # -ln p is nonnegative and a conditional MLE cannot exceed the
+        # log of the prefix-count ceiling (every bigram occurs >= once)
+        assert 0 <= r["min_nlp"] <= r["mean_nlp"] <= r["max_nlp"]
+
+
+def test_bigram_lm_repetition_scores_low(spark, sf_dir):
+    # a deterministic template source should average LOWER conditional
+    # surprise than the corpus-wide max: repetition is predictable
+    rows = {r["source"]: r for r in tp.quality_bigram_lm(spark, sf_dir).collect()}
+    means = [r["mean_nlp"] for r in rows.values()]
+    assert min(means) < max(means)  # sources genuinely separate
+
+
+def test_embedding_centroids_norm_bounds(spark, sf_dir):
+    from postgres_opensearch_cdc_spark.queries.extensions import embedding_centroids
+    from postgres_opensearch_cdc_spark.registry import load_table
+
+    out = embedding_centroids(spark, sf_dir).collect()
+    n_labels = (
+        load_table(spark, sf_dir, "embeddings").select("label").distinct().count()
+    )
+    assert len(out) == n_labels
+    for r in out:
+        # Jensen: ||mean vector|| <= mean ||vector||
+        assert 0 < r["centroid_norm"] <= r["mean_vec_norm"] + 1e-9
