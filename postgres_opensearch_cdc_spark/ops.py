@@ -280,3 +280,69 @@ class OpStatsListener(StreamingQueryListener):
             "events": sum(b.get("events", 0) for b in self.batches),
             "deletes": sum(b.get("deletes", 0) or 0 for b in self.batches),
         }
+
+
+@dataclass(frozen=True)
+class SloThresholds:
+    """The reference's operational alarm thresholds
+    (aurora-postgresql-cdc-opensearchtdd.md:1213-1219), re-expressed in
+    the Spark pipeline's units: source/apply lag comes from the stream's
+    micro-batch progress, error and duration from the batch metrics."""
+
+    source_lag_critical_s: float = 60.0   # DMS CDCLatencySource > 60 s
+    apply_lag_warning_s: float = 30.0     # DMS CDCLatencyTarget > 30 s
+    iterator_age_critical_ms: float = 60_000.0  # Kinesis iterator age
+    errors_per_min_critical: float = 10.0       # Lambda errors > 10/min
+    batch_duration_warning_ms: float = 50_000.0  # Lambda duration
+
+
+def evaluate_slos(
+    progress: list[dict], thresholds: SloThresholds | None = None
+) -> list[dict]:
+    """Evaluate streaming micro-batch progress records against the
+    reference's alarm table; returns one alarm dict per breach
+    (metric, severity, observed, threshold, batch_id). Records are the
+    dicts a StreamingQuery's ``recentProgress``/listener yields:
+    ``batchId``, ``batchDuration`` (ms), ``sources[0].metrics`` with
+    optional ``maxOffsetsBehindLatest``-style lag, and the observed
+    ``cdc_stats`` row with an ``errors`` count. Pure driver-side
+    bookkeeping over per-batch scalars — nothing here touches the data
+    plane, matching the reference's CloudWatch-side evaluation."""
+    t = thresholds or SloThresholds()
+    alarms: list[dict] = []
+
+    def alarm(metric, severity, observed, threshold, batch_id):
+        alarms.append(
+            {
+                "metric": metric,
+                "severity": severity,
+                "observed": observed,
+                "threshold": threshold,
+                "batch_id": batch_id,
+            }
+        )
+
+    for p in progress:
+        bid = p.get("batchId")
+        dur = p.get("batchDuration")
+        if dur is not None and dur > t.batch_duration_warning_ms:
+            alarm("batch_duration_ms", "warning", dur,
+                  t.batch_duration_warning_ms, bid)
+        lag_s = p.get("sourceLagSeconds")
+        if lag_s is not None and lag_s > t.source_lag_critical_s:
+            alarm("source_lag_s", "critical", lag_s,
+                  t.source_lag_critical_s, bid)
+        elif lag_s is not None and lag_s > t.apply_lag_warning_s:
+            alarm("source_lag_s", "warning", lag_s, t.apply_lag_warning_s, bid)
+        age_ms = p.get("iteratorAgeMs")
+        if age_ms is not None and age_ms > t.iterator_age_critical_ms:
+            alarm("iterator_age_ms", "critical", age_ms,
+                  t.iterator_age_critical_ms, bid)
+        errors = (p.get("observed") or {}).get("errors")
+        batch_minutes = (dur / 60_000.0) if dur else 1.0
+        if errors is not None and errors / max(batch_minutes, 1e-9) > \
+                t.errors_per_min_critical:
+            alarm("errors_per_min", "critical",
+                  errors / max(batch_minutes, 1e-9),
+                  t.errors_per_min_critical, bid)
+    return alarms

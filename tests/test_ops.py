@@ -169,3 +169,35 @@ def test_ilm_step_is_idempotent_and_ordered(spark, tmp_path):
     tos = [t["to"] for t in trans if t["gen"] == g0]
     assert tos == ["hot(rolled)", "warm", "deleted"]
     assert mgr.step(spark, now="2026-04-15 00:00:00") == []
+
+
+def test_slo_alarms_fire_per_reference_thresholds():
+    from postgres_opensearch_cdc_spark.ops import SloThresholds, evaluate_slos
+
+    progress = [
+        # healthy batch: nothing fires
+        {"batchId": 0, "batchDuration": 400, "sourceLagSeconds": 1.0,
+         "iteratorAgeMs": 100, "observed": {"errors": 0}},
+        # warning lag (30-60 s band) + slow batch
+        {"batchId": 1, "batchDuration": 60_000, "sourceLagSeconds": 45.0},
+        # critical lag + stale iterator + error storm
+        {"batchId": 2, "batchDuration": 1_000, "sourceLagSeconds": 90.0,
+         "iteratorAgeMs": 120_000, "observed": {"errors": 5}},
+    ]
+    alarms = evaluate_slos(progress)
+    by_batch = {}
+    for a in alarms:
+        by_batch.setdefault(a["batch_id"], []).append((a["metric"], a["severity"]))
+    assert 0 not in by_batch
+    assert ("source_lag_s", "warning") in by_batch[1]
+    assert ("batch_duration_ms", "warning") in by_batch[1]
+    assert ("source_lag_s", "critical") in by_batch[2]
+    assert ("iterator_age_ms", "critical") in by_batch[2]
+    # 5 errors in a 1 s batch is 300/min — above the 10/min threshold
+    assert ("errors_per_min", "critical") in by_batch[2]
+
+    # thresholds are tunable: raise the duration bar and batch 1 quiets
+    quiet = evaluate_slos(progress, SloThresholds(batch_duration_warning_ms=120_000))
+    assert not any(
+        a["metric"] == "batch_duration_ms" for a in quiet
+    )
