@@ -375,6 +375,50 @@ def nested_query_same_element(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def nested_agg_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OpenSearch ``nested`` + ``reverse_nested`` aggregations: orders
+    as parent docs with lineitems nested; per order-priority bucket the
+    nested scope counts and averages the RETURNED ('R') items, and the
+    reverse_nested hop counts how many PARENT orders contain at least
+    one such item. Built over the nested document shape
+    (collect_list of structs — the same co-partitioned groupBy as the
+    mirror compaction), then aggregated by filtering the nested array
+    per parent, exactly how the DSL evaluates an agg inside ``nested``
+    and hops back out. The DuckDB oracle is the equivalent flat join +
+    conditional aggregation — semantic equivalence of the two
+    formulations is the point of the check."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    nested = li.groupBy(F.col("l_orderkey").alias("orderkey")).agg(
+        F.collect_list(
+            F.struct(
+                F.col("l_quantity").alias("qty"),
+                F.col("l_returnflag").alias("rf"),
+            )
+        ).alias("items")
+    )
+    matching = F.filter(F.col("items"), lambda it: it["rf"] == "R")
+    per_parent = (
+        orders.join(nested, orders["o_orderkey"] == nested["orderkey"])
+        .select(
+            "o_orderpriority",
+            F.size(matching).cast("long").alias("n_matching"),
+            F.aggregate(
+                matching, F.lit(0.0), lambda acc, it: acc + it["qty"]
+            ).alias("qty_sum"),
+        )
+    )
+    return (
+        per_parent.groupBy("o_orderpriority")
+        .agg(
+            F.sum("n_matching").alias("item_count"),
+            F.round(F.sum("qty_sum") / F.sum("n_matching"), 4).alias("avg_qty"),
+            F.sum((F.col("n_matching") > 0).cast("long")).alias("parent_count"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
 def bucket_script_error_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``bucket_script`` pipeline agg: per-day error rate computed from
     two sibling metrics of the same date_histogram (errors / total).
@@ -734,6 +778,7 @@ QUERIES = {
     "intervals_query": intervals_query,
     "distance_feature_query": distance_feature_query,
     "random_score_query": random_score_query,
+    "nested_agg_items": nested_agg_items,
     "q01d_regexp_match": q01d_regexp_match,
     "q02g_fuzzy_match": q02g_fuzzy_match,
     "q02h_multi_match": q02h_multi_match,
@@ -768,6 +813,19 @@ _TERMS_SET_SQL = " + ".join(
 )
 
 ORACLE = {
+    "nested_agg_items": """
+        SELECT o_orderpriority,
+               CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS item_count,
+               ROUND(SUM(CASE WHEN l_returnflag = 'R' THEN l_quantity
+                              ELSE 0 END)
+                     / SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END),
+                     4) AS avg_qty,
+               COUNT(DISTINCT CASE WHEN l_returnflag = 'R'
+                                   THEN o_orderkey END) AS parent_count
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        GROUP BY 1 ORDER BY 1
+    """,
     "intervals_query": rf"""
         WITH t AS (
             SELECT doc_id,

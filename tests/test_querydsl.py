@@ -177,3 +177,29 @@ def test_pipeline_agg_cumsum_is_consistent(spark, sf_dir):
     for r in rows:
         running += r.sum_value
         assert abs(r.cumulative_sum - round(running, 4)) < 1e-6
+
+
+def test_nested_agg_matches_flat_formulation(spark, sf_dir):
+    """The nested-scope aggregation over collect_list docs must equal
+    the flat join+conditional-agg it models."""
+    out = {r["o_orderpriority"]: r for r in querydsl.nested_agg_items(spark, sf_dir).collect()}
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    flat = {
+        r["o_orderpriority"]: r
+        for r in orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum((F.col("l_returnflag") == "R").cast("long")).alias("item_count"),
+            F.countDistinct(
+                F.when(F.col("l_returnflag") == "R", F.col("o_orderkey"))
+            ).alias("parent_count"),
+        )
+        .collect()
+    }
+    assert set(out) == set(flat)
+    for k in out:
+        assert out[k]["item_count"] == flat[k]["item_count"]
+        assert out[k]["parent_count"] == flat[k]["parent_count"]
+        # reverse_nested invariant: parents <= items matched
+        assert out[k]["parent_count"] <= out[k]["item_count"]
