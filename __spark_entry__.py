@@ -108,10 +108,11 @@ _PRIORITY = [
 # subquery_correlated_scalar, unpivot_metrics, q01b_like_prefix,
 # null_semantics, string_normalize) then the r4-era block — rotate
 # those in, plus re-checks of anything round 6 leaves red, plus driver
-# rows for the 11 operators added after the round-6 window froze:
+# rows for the 14 operators added after the round-6 window froze:
 # intervals_query, distance_feature_query, random_score_query,
 # nested_agg_items, moving_percentiles_agg, geo_line_agg,
 # ts_interpolate_linear, ts_calendar_heatmap, ts_ewma,
+# ts_downsample_lttb, ts_time_weighted_avg, ts_state_agg,
 # quality_bigram_lm, embedding_centroids (all have sf0.001+sf0.01
 # local parity).
 

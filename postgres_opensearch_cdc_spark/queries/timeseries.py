@@ -339,11 +339,160 @@ def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+LTTB_BUCKETS = 30
+
+
+def ts_downsample_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-Triangle-Three-Buckets downsampling (the TimescaleDB
+    ``lttb`` hyperfunction), parallel variant: the click series reduced
+    to LTTB_BUCKETS visually-representative points. Each interior
+    bucket keeps the point maximizing the triangle area against the
+    NEIGHBOR BUCKET AVERAGES (the parallelizable form — classic LTTB
+    anchors on the previously SELECTED point, a sequential dependency
+    no engine can partition); first and last buckets keep their first/
+    last points exactly, as in the reference algorithm. Bucket averages
+    are rounded before the area math so the per-row area expression —
+    pure IEEE *,+,- over identical operands — is bit-identical in both
+    engines and the per-bucket argmax agrees everywhere."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "click"
+    )
+    pts = ev.select(
+        # exact integer MICROseconds: unix_timestamp() truncates the
+        # sub-second part while DuckDB's epoch()::BIGINT rounds it —
+        # micros are exact in both engines
+        F.unix_micros("ts").alias("t"),
+        F.col("value").alias("v"),
+        "event_id",
+    )
+    # equal-TIME buckets from pure integer arithmetic over broadcast
+    # bounds: no global sort, no driver action — the per-point bucket id
+    # is a map-side expression, so every later step partitions on it
+    bounds = pts.agg(F.min("t").alias("mn"), F.max("t").alias("mx"))
+    bucketed = pts.crossJoin(F.broadcast(bounds)).withColumn(
+        "bucket",
+        F.least(
+            # integer DIV, never float division: a double quotient that
+            # rounds up across an integer boundary would flip a point's
+            # bucket relative to the oracle's integer arithmetic
+            F.expr(f"((t - mn) * {LTTB_BUCKETS}) DIV (mx - mn + 1)"),
+            F.lit(LTTB_BUCKETS - 1).cast("long"),
+        ),
+    )
+    avgs = bucketed.groupBy("bucket").agg(
+        F.round(F.avg("t"), 6).alias("at"), F.round(F.avg("v"), 6).alias("av")
+    )
+    wb = Window.orderBy("bucket")  # 30-row series
+    nb = F.broadcast(
+        avgs.select(
+            "bucket",
+            F.lag("at").over(wb).alias("pt"),
+            F.lag("av").over(wb).alias("pv"),
+            F.lead("at").over(wb).alias("nt"),
+            F.lead("av").over(wb).alias("nv"),
+        )
+    )
+    area = F.abs(
+        (F.col("pt") - F.col("nt")) * (F.col("v") - F.col("nv"))
+        - (F.col("pt") - F.col("t")) * (F.col("nv") - F.col("pv"))
+    )
+    joined = bucketed.join(nb, "bucket")
+    w_area = Window.partitionBy("bucket").orderBy(
+        F.col("area").desc(), "t", "event_id"
+    )
+    w_first = Window.partitionBy("bucket").orderBy("t", "event_id")
+    w_last = Window.partitionBy("bucket").orderBy(
+        F.col("t").desc(), F.col("event_id").desc()
+    )
+    picked = (
+        joined.withColumn("area", area)
+        .withColumn(
+            "rn",
+            F.when(F.col("bucket") == 0, F.row_number().over(w_first))
+            .when(
+                F.col("bucket") == LTTB_BUCKETS - 1,
+                F.row_number().over(w_last),
+            )
+            .otherwise(F.row_number().over(w_area)),
+        )
+        .filter(F.col("rn") == 1)
+    )
+    return picked.select(
+        "bucket", "t", F.round("v", 4).alias("v")
+    ).orderBy("bucket")
+
+
+def ts_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average (TimescaleDB ``time_weight('LOCF')``):
+    per (event_type, day), each observation weighted by how long it
+    held (seconds until the next observation in the day; the day's last
+    point carries no weight). Integer-second durations make the weights
+    exact; one window pass per (type, day) partition, then a keyed
+    aggregation."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy(
+        "event_type", F.date_trunc("day", F.col("ts"))
+    ).orderBy("ts", "event_id")
+    t = F.unix_micros(F.col("ts"))  # exact micros; seconds would truncate
+    obs = ev.select(
+        "event_type",
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+        F.col("value").alias("v"),
+        (F.lead(t).over(w) - t).alias("dur"),
+    ).filter(F.col("dur").isNotNull())
+    return (
+        obs.groupBy("event_type", "day")
+        .agg(
+            F.count(F.lit(1)).alias("n_weighted"),
+            F.round(F.sum(F.col("v") * F.col("dur")) / F.sum("dur"), 4).alias(
+                "twa"
+            ),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+def ts_state_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """State aggregation (TimescaleDB ``state_agg``): treating each
+    user's event_type as a state machine, the total seconds spent in
+    each state (duration = time until the user's next event; final
+    events carry no duration) plus interval counts and the share of
+    tracked time. Durations are exact integer seconds, so every engine
+    agrees bit-for-bit; the lag/lead pass partitions on user_id."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = F.unix_micros(F.col("ts"))  # exact micros; seconds would truncate
+    spans = ev.select(
+        F.col("event_type").alias("state"),
+        (F.lead(t).over(w) - t).alias("dur"),
+    ).filter(F.col("dur").isNotNull())
+    total = spans.agg(F.sum("dur").alias("total_dur"))
+    return (
+        spans.groupBy("state")
+        .agg(
+            F.count(F.lit(1)).alias("n_intervals"),
+            F.sum("dur").alias("micros_in_state"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "state",
+            "n_intervals",
+            "micros_in_state",
+            F.round(F.col("micros_in_state") * 100.0 / F.col("total_dur"), 4)
+            .alias("pct_time"),
+        )
+        .orderBy("state")
+    )
+
+
 QUERIES = {
     "ts_gapfill_locf": ts_gapfill_locf,
     "ts_interpolate_linear": ts_interpolate_linear,
     "ts_calendar_heatmap": ts_calendar_heatmap,
     "ts_ewma": ts_ewma,
+    "ts_downsample_lttb": ts_downsample_lttb,
+    "ts_time_weighted_avg": ts_time_weighted_avg,
+    "ts_state_agg": ts_state_agg,
     "ts_ohlc_daily": ts_ohlc_daily,
     "ts_moving_avg": ts_moving_avg,
     "ts_zscore_anomaly": ts_zscore_anomaly,
@@ -353,6 +502,81 @@ QUERIES = {
 }
 
 ORACLE = {
+    "ts_downsample_lttb": f"""
+        WITH pts AS (
+            SELECT epoch_us(ts) AS t, value AS v, event_id
+            FROM events WHERE event_type = 'click'
+        ),
+        bounds AS (SELECT MIN(t) AS mn, MAX(t) AS mx FROM pts),
+        bucketed AS (
+            SELECT p.*, LEAST(((t - mn) * {LTTB_BUCKETS}) // (mx - mn + 1),
+                              {LTTB_BUCKETS - 1}) AS bucket
+            FROM pts p, bounds
+        ),
+        avgs AS (
+            SELECT bucket, ROUND(AVG(t), 6) AS at, ROUND(AVG(v), 6) AS av
+            FROM bucketed GROUP BY bucket
+        ),
+        nb AS (
+            SELECT bucket,
+                   lag(at) OVER (ORDER BY bucket) AS pt,
+                   lag(av) OVER (ORDER BY bucket) AS pv,
+                   lead(at) OVER (ORDER BY bucket) AS nt,
+                   lead(av) OVER (ORDER BY bucket) AS nv
+            FROM avgs
+        ),
+        scored AS (
+            SELECT b.bucket, b.t, b.v, b.event_id,
+                   abs((pt - nt) * (b.v - nv) - (pt - b.t) * (nv - pv)) AS area
+            FROM bucketed b JOIN nb USING (bucket)
+        ),
+        picked AS (
+            SELECT bucket, t, v,
+                   CASE
+                     WHEN bucket = 0 THEN
+                       ROW_NUMBER() OVER (PARTITION BY bucket
+                                          ORDER BY t, event_id)
+                     WHEN bucket = {LTTB_BUCKETS - 1} THEN
+                       ROW_NUMBER() OVER (PARTITION BY bucket
+                                          ORDER BY t DESC, event_id DESC)
+                     ELSE
+                       ROW_NUMBER() OVER (PARTITION BY bucket
+                                          ORDER BY area DESC, t, event_id)
+                   END AS rn
+            FROM scored
+        )
+        SELECT bucket, t, ROUND(v, 4) AS v
+        FROM picked WHERE rn = 1 ORDER BY bucket
+    """,
+    "ts_time_weighted_avg": """
+        WITH obs AS (
+            SELECT event_type, date_trunc('day', ts)::DATE AS day, value AS v,
+                   lead(epoch_us(ts)) OVER w - epoch_us(ts) AS dur
+            FROM events
+            WINDOW w AS (PARTITION BY event_type, date_trunc('day', ts)
+                         ORDER BY ts, event_id)
+        )
+        SELECT event_type, day, COUNT(*) AS n_weighted,
+               ROUND(SUM(v * dur) / SUM(dur), 4) AS twa
+        FROM obs WHERE dur IS NOT NULL
+        GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    "ts_state_agg": """
+        WITH spans AS (
+            SELECT event_type AS state,
+                   lead(epoch_us(ts)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) - epoch_us(ts) AS dur
+            FROM events
+        ),
+        valid AS (SELECT * FROM spans WHERE dur IS NOT NULL),
+        total AS (SELECT SUM(dur) AS total_dur FROM valid)
+        SELECT state, COUNT(*) AS n_intervals,
+               CAST(SUM(dur) AS BIGINT) AS micros_in_state,
+               ROUND(SUM(dur) * 100.0 / (SELECT total_dur FROM total), 4)
+                   AS pct_time
+        FROM valid GROUP BY state ORDER BY state
+    """,
     "ts_interpolate_linear": """
         WITH sparse AS (SELECT * FROM events WHERE event_id % 101 = 0),
         daily AS (

@@ -121,3 +121,44 @@ def test_retention_offsets_start_at_zero(spark, sf_dir):
     zero = out.filter(F.col("week_offset") == 0).count()
     assert zero == cohorts
     out.unpersist()
+
+
+def test_lttb_keeps_endpoints_and_bucket_order(spark, sf_dir):
+    from postgres_opensearch_cdc_spark.queries.timeseries import (
+        LTTB_BUCKETS,
+        ts_downsample_lttb,
+    )
+    from postgres_opensearch_cdc_spark.registry import load_table
+
+    rows = ts_downsample_lttb(spark, sf_dir).collect()
+    assert 0 < len(rows) <= LTTB_BUCKETS
+    assert len({r["bucket"] for r in rows}) == len(rows)  # one point/bucket
+    clicks = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "click")
+        .agg(F.min(F.unix_micros("ts")), F.max(F.unix_micros("ts")))
+        .first()
+    )
+    # the algorithm pins the series endpoints exactly
+    assert rows[0]["t"] == clicks[0]
+    assert rows[-1]["t"] == clicks[1]
+
+
+def test_time_weighted_avg_within_value_range(spark, sf_dir):
+    from postgres_opensearch_cdc_spark.queries.timeseries import ts_time_weighted_avg
+
+    rows = ts_time_weighted_avg(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # a weighted mean of values stays inside the global value range
+        assert 0.0 <= r["twa"] <= 500.5
+        assert r["n_weighted"] >= 1
+
+
+def test_state_agg_partitions_tracked_time(spark, sf_dir):
+    from postgres_opensearch_cdc_spark.queries.timeseries import ts_state_agg
+
+    rows = ts_state_agg(spark, sf_dir).collect()
+    assert rows
+    assert abs(sum(r["pct_time"] for r in rows) - 100.0) < 0.01
+    assert all(r["micros_in_state"] > 0 for r in rows)
