@@ -23,6 +23,7 @@ from postgres_opensearch_cdc_spark.queries import (
     relational,
     relational2,
     relational3,
+    relational4,
     scalar_sql,
     timeseries,
     training_pipeline,
@@ -41,6 +42,7 @@ _MODULES = [
     graph_dedup,
     relational2,
     relational3,
+    relational4,
     dashboard,
     cdc_queries,
     relational,
@@ -114,7 +116,9 @@ _PRIORITY = [
 # ts_interpolate_linear, ts_calendar_heatmap, ts_ewma,
 # ts_downsample_lttb, ts_time_weighted_avg, ts_state_agg,
 # quality_bigram_lm, embedding_centroids (all have sf0.001+sf0.01
-# local parity).
+# local parity), and the relational batch-4 TPC-H analogs
+# profit_by_nation_year, important_part_value, bracket_revenue,
+# waiting_suppliers (ditto).
 
 
 def entry(spark: SparkSession) -> DataFrame:
