@@ -18,6 +18,7 @@ from postgres_opensearch_cdc_spark.queries import (
     graph_dedup,
     patterns,
     querydsl,
+    querydsl3,
     querydsl_aggs,
     querydsl_aggs2,
     relational,
@@ -35,6 +36,7 @@ _MODULES = [
     patterns,
     extensions,
     querydsl,
+    querydsl3,
     training_pipeline,
     timeseries,
     querydsl_aggs,
@@ -116,9 +118,13 @@ _PRIORITY = [
 # ts_interpolate_linear, ts_calendar_heatmap, ts_ewma,
 # ts_downsample_lttb, ts_time_weighted_avg, ts_state_agg,
 # quality_bigram_lm, embedding_centroids (all have sf0.001+sf0.01
-# local parity), and the relational batch-4 TPC-H analogs
+# local parity), the relational batch-4 TPC-H analogs
 # profit_by_nation_year, important_part_value, bracket_revenue,
-# waiting_suppliers (ditto).
+# waiting_suppliers, and the query-DSL batch-7 entries ids_query,
+# exists_missing_agg, rank_feature_query, script_score_query,
+# span_first_query, match_phrase_prefix, weighted_avg_agg,
+# categorize_text_agg, significant_text, variable_width_histogram
+# (all with sf0.001+sf0.01 local parity).
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -1,0 +1,367 @@
+"""Query-DSL batch 7: the remaining OpenSearch query/agg node types a
+dashboard user of the reference stack (TDD :1624-1653,
+DASHBOARD_GUIDE.md:30-135) reaches for — ``ids``, ``exists``/
+``missing`` buckets, ``rank_feature`` (saturation), ``script_score``,
+``span_first``, ``match_phrase_prefix``, ``weighted_avg``,
+``categorize_text``, ``significant_text``, and
+``variable_width_histogram`` (equi-depth form).
+
+Every implementation is a single declarative Catalyst plan (no Python
+row path); every entry has a value-checked DuckDB oracle. Scale notes
+inline per query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from postgres_opensearch_cdc_spark.functions.fulltext import (
+    analyze_sql,
+    analyze_tokens,
+)
+from postgres_opensearch_cdc_spark.registry import load_table
+
+# Fixture constants shared by Spark plans and oracle SQL.
+IDS = [3, 7, 17, 29, 42]
+RECENT_CUTOFF = "2001-01-01"  # orders at/after this date = "recent"
+RF_PIVOT, RF_BOOST = 50.0, 2.0  # rank_feature saturation params
+SPAN_FIRST_TERM, SPAN_FIRST_END = "spark", 10
+PHRASE_PREFIX_RE = r"\bwindow st[a-z]*"  # match_phrase_prefix "window st"
+SIG_TEXT_FG_SOURCE = "src1"
+SIG_TEXT_MIN_BG = 25
+VWH_BUCKETS = 8
+
+
+def ids_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``ids`` query: fetch documents by an explicit id list. Compiles
+    to an IN-filter pushed to the parquet scan (``PushedFilters:
+    [In(doc_id, ...)]``) — at 100 TB with id-sorted/bucketed files this
+    is a row-group-pruned point lookup, the mirror-side equivalent of
+    the reference's ``_mget``."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.filter(F.col("doc_id").isin(IDS))
+        .select("doc_id", "source", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+def exists_missing_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``exists`` / ``missing`` aggregations over a genuinely sparse
+    field: customers' most recent order date since RECENT_CUTOFF (NULL
+    for customers with no recent order — the fixture's only natural
+    nullable field shape). Per market segment: total customers, those
+    where the field exists, and the ``missing`` bucket. The order side
+    pre-aggregates to (custkey, max_date) before the join, so only one
+    row per customer crosses the shuffle; the final agg is a 5-key
+    partial."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    recent = (
+        orders.filter(F.col("o_orderdate") >= F.lit(RECENT_CUTOFF).cast("timestamp"))
+        .groupBy("o_custkey")
+        .agg(F.max("o_orderdate").alias("last_recent"))
+    )
+    return (
+        cust.join(recent, cust["c_custkey"] == recent["o_custkey"], "left")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.count("last_recent").alias("field_exists"),
+            F.sum(F.col("last_recent").isNull().cast("long")).alias(
+                "field_missing"
+            ),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+def rank_feature_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``rank_feature`` with the ``saturation`` function: score =
+    boost * value / (value + pivot) — monotone, bounded relevance from
+    a numeric feature. Pure scan-stage codegen; the top-k compiles to
+    TakeOrderedAndProject (no global sort)."""
+    ev = load_table(spark, sf_dir, "events")
+    score = F.round(
+        F.lit(RF_BOOST) * F.col("value") / (F.col("value") + F.lit(RF_PIVOT)), 6
+    )
+    return (
+        ev.select("event_id", "event_type", score.alias("score"))
+        .orderBy(F.col("score").desc(), "event_id")
+        .limit(15)
+    )
+
+
+def script_score_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``script_score``: a custom scoring expression over the organic
+    fields and a JSON payload attribute — ``log1p(value) + sqrt(k)``.
+    The script compiles to JVM expressions in the scan projection (the
+    exact capability script engines interpret per-doc); top-k is
+    TakeOrderedAndProject."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("double")
+    score = F.round(F.log1p(F.col("value")) + F.sqrt(k), 6)
+    return (
+        ev.select("event_id", score.alias("score"))
+        .orderBy(F.col("score").desc(), "event_id")
+        .limit(15)
+    )
+
+
+def span_first_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``span_first``: the term must occur within the first ``end``
+    token positions. ``array_position`` over the whitespace tokenization
+    gives the 1-based first occurrence — scan-stage codegen, no explode;
+    emits the position so the oracle value-checks it."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.col("text")), r"\s+")
+    first_pos = F.array_position(toks, SPAN_FIRST_TERM)
+    return (
+        docs.select("doc_id", first_pos.alias("first_pos"))
+        .filter((F.col("first_pos") >= 1) & (F.col("first_pos") <= SPAN_FIRST_END))
+        .orderBy("doc_id")
+    )
+
+
+def match_phrase_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``match_phrase_prefix``: a phrase whose final term is a prefix
+    ("window st" → "window stream", "window stats", ...). On the
+    whitespace-tokenized corpus the positional constraint folds into a
+    word-boundary regex count — map-only scan + TakeOrderedAndProject,
+    same shape as ``match_phrase`` (q02f)."""
+    docs = load_table(spark, sf_dir, "documents")
+    n = F.regexp_count(F.col("text"), F.lit(PHRASE_PREFIX_RE))
+    return (
+        docs.select("doc_id", n.alias("phrase_count"))
+        .filter(F.col("phrase_count") > 0)
+        .orderBy(F.col("phrase_count").desc(), "doc_id")
+    )
+
+
+def weighted_avg_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``weighted_avg`` aggregation: per event type, the value average
+    weighted by the JSON payload's ``k`` attribute — sum(v*w)/sum(w) as
+    two partial-aggregated sums in ONE pass (the engine's scripted
+    two-accumulator form, but JVM-side)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = F.get_json_object(F.col("props"), "$.k").cast("double")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.round(F.sum(F.col("value") * w) / F.sum(w), 4).alias("weighted_avg"),
+            F.count(F.lit(1)).alias("doc_count"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def categorize_text_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``categorize_text``: bucket free text by a normalized token
+    pattern — here the first two ANALYZED tokens (lowercase, stopword-
+    stripped, stemmed), the deterministic core of the log-categorizer.
+    The analyzer chain is shared verbatim with the oracle SQL; one
+    small-key shuffle over the category dictionary."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = analyze_tokens(F.col("text"))
+    cat = F.concat_ws(" ", F.element_at(toks, 1), F.element_at(toks, 2))
+    return (
+        docs.select(cat.alias("category"))
+        .groupBy("category")
+        .agg(F.count(F.lit(1)).alias("doc_count"))
+        .orderBy(F.col("doc_count").desc(), "category")
+        .limit(15)
+    )
+
+
+def significant_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``significant_text``: analyzed tokens over-represented in the
+    foreground source vs the whole corpus by OCCURRENCE frequency
+    (significant_terms uses document frequency — this is the free-text
+    twin that re-analyzes the source field). Score = (fg/fg_total) /
+    (bg/bg_total). One explode, one term-keyed agg; corpus totals ride
+    along as a broadcast one-row cross join. At 100 TB the term
+    dictionary is small by Zipf's law and the agg partials combine
+    map-side."""
+    docs = load_table(spark, sf_dir, "documents")
+    is_fg = (F.col("source") == SIG_TEXT_FG_SOURCE).cast("long")
+    base = docs.select(
+        is_fg.alias("is_fg"),
+        F.explode(analyze_tokens(F.col("text"))).alias("term"),
+    )
+    per_term = base.groupBy("term").agg(
+        F.sum("is_fg").alias("fg"), F.count(F.lit(1)).alias("bg")
+    )
+    # corpus totals from token-array sizes: a map-only 1-row aggregate
+    # over a second cheap scan — NOT a second explode of the corpus
+    # (sum over terms of occurrences == total analyzed tokens)
+    n_toks = F.size(analyze_tokens(F.col("text"))).cast("long")
+    totals = docs.select(
+        (n_toks * is_fg).alias("fg_toks"), n_toks.alias("toks")
+    ).agg(F.sum("fg_toks").alias("fg_total"), F.sum("toks").alias("bg_total"))
+    return (
+        per_term.crossJoin(F.broadcast(totals))
+        .filter((F.col("fg") > 0) & (F.col("bg") >= SIG_TEXT_MIN_BG))
+        .select(
+            "term",
+            "fg",
+            "bg",
+            F.round(
+                (F.col("fg") / F.col("fg_total"))
+                / (F.col("bg") / F.col("bg_total")),
+                6,
+            ).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), "term")
+        .limit(10)
+    )
+
+
+def variable_width_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``variable_width_histogram`` (equi-depth form): buckets sized to
+    equal document counts rather than equal value widths — the
+    deterministic counterpart of ES's clustering heuristic. ntile over
+    a (value, id)-ordered window assigns buckets identically in every
+    engine; per-bucket min/max/avg/count summarize the variable widths.
+    At scale the single global sort is the cost — the production path
+    would assign buckets from approx quantile cuts computed map-side;
+    the window form here is the exact oracle-checkable twin."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.orderBy("value", "event_id")
+    bucketed = ev.select(
+        "value", F.ntile(VWH_BUCKETS).over(w).alias("bucket")
+    )
+    return (
+        bucketed.groupBy("bucket")
+        .agg(
+            F.round(F.min("value"), 2).alias("lo"),
+            F.round(F.max("value"), 2).alias("hi"),
+            F.round(F.avg("value"), 4).alias("centroid"),
+            F.count(F.lit(1)).alias("doc_count"),
+        )
+        .orderBy("bucket")
+    )
+
+
+QUERIES = {
+    "ids_query": ids_query,
+    "exists_missing_agg": exists_missing_agg,
+    "rank_feature_query": rank_feature_query,
+    "script_score_query": script_score_query,
+    "span_first_query": span_first_query,
+    "match_phrase_prefix": match_phrase_prefix,
+    "weighted_avg_agg": weighted_avg_agg,
+    "categorize_text_agg": categorize_text_agg,
+    "significant_text": significant_text,
+    "variable_width_histogram": variable_width_histogram,
+}
+
+_IDS_SQL = ", ".join(str(i) for i in IDS)
+
+ORACLE = {
+    "ids_query": f"""
+        SELECT doc_id, source, n_chars FROM documents
+        WHERE doc_id IN ({_IDS_SQL}) ORDER BY doc_id
+    """,
+    "exists_missing_agg": f"""
+        WITH recent AS (
+            SELECT o_custkey, MAX(o_orderdate) AS last_recent
+            FROM orders WHERE o_orderdate >= TIMESTAMP '{RECENT_CUTOFF}'
+            GROUP BY o_custkey
+        )
+        SELECT c_mktsegment,
+               COUNT(*) AS n_customers,
+               COUNT(last_recent) AS field_exists,
+               CAST(SUM(CASE WHEN last_recent IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS field_missing
+        FROM customer LEFT JOIN recent ON c_custkey = o_custkey
+        GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+    "rank_feature_query": f"""
+        SELECT event_id, event_type,
+               ROUND({RF_BOOST} * value / (value + {RF_PIVOT}), 6) AS score
+        FROM events
+        ORDER BY score DESC, event_id LIMIT 15
+    """,
+    "script_score_query": """
+        SELECT event_id,
+               ROUND(LN(1 + value)
+                     + SQRT(CAST(json_extract_string(props, '$.k')
+                                 AS DOUBLE)), 6) AS score
+        FROM events
+        ORDER BY score DESC, event_id LIMIT 15
+    """,
+    "span_first_query": rf"""
+        SELECT doc_id,
+               CAST(list_position(regexp_split_to_array(lower(text), '\s+'),
+                                  '{SPAN_FIRST_TERM}') AS BIGINT) AS first_pos
+        FROM documents
+        WHERE list_position(regexp_split_to_array(lower(text), '\s+'),
+                            '{SPAN_FIRST_TERM}')
+              BETWEEN 1 AND {SPAN_FIRST_END}
+        ORDER BY doc_id
+    """,
+    "match_phrase_prefix": rf"""
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '{PHRASE_PREFIX_RE}'))
+                    AS INTEGER) AS phrase_count
+        FROM documents
+        WHERE len(regexp_extract_all(text, '{PHRASE_PREFIX_RE}')) > 0
+        ORDER BY phrase_count DESC, doc_id
+    """,
+    "weighted_avg_agg": """
+        SELECT event_type,
+               ROUND(SUM(value * k) / SUM(k), 4) AS weighted_avg,
+               COUNT(*) AS doc_count
+        FROM (
+            SELECT event_type, value,
+                   CAST(json_extract_string(props, '$.k') AS DOUBLE) AS k
+            FROM events
+        )
+        GROUP BY event_type ORDER BY event_type
+    """,
+    "categorize_text_agg": f"""
+        WITH toks AS (
+            SELECT {analyze_sql('text')} AS t FROM documents
+        )
+        SELECT concat_ws(' ', t[1], t[2]) AS category,
+               COUNT(*) AS doc_count
+        FROM toks
+        GROUP BY category
+        ORDER BY doc_count DESC, category LIMIT 15
+    """,
+    "significant_text": f"""
+        WITH terms AS (
+            SELECT CASE WHEN source = '{SIG_TEXT_FG_SOURCE}'
+                        THEN 1 ELSE 0 END AS is_fg,
+                   unnest({analyze_sql('text')}) AS term
+            FROM documents
+        ),
+        per_term AS (
+            SELECT term, CAST(SUM(is_fg) AS BIGINT) AS fg,
+                   COUNT(*) AS bg
+            FROM terms GROUP BY term
+        ),
+        totals AS (
+            SELECT CAST(SUM(fg) AS DOUBLE) AS fg_total,
+                   CAST(SUM(bg) AS DOUBLE) AS bg_total
+            FROM per_term
+        )
+        SELECT term, fg, bg,
+               ROUND((fg / fg_total) / (bg / bg_total), 6) AS score
+        FROM per_term, totals
+        WHERE fg > 0 AND bg >= {SIG_TEXT_MIN_BG}
+        ORDER BY score DESC, term LIMIT 10
+    """,
+    "variable_width_histogram": f"""
+        WITH bucketed AS (
+            SELECT value,
+                   ntile({VWH_BUCKETS}) OVER (ORDER BY value, event_id)
+                       AS bucket
+            FROM events
+        )
+        SELECT bucket, ROUND(MIN(value), 2) AS lo, ROUND(MAX(value), 2) AS hi,
+               ROUND(AVG(value), 4) AS centroid, COUNT(*) AS doc_count
+        FROM bucketed
+        GROUP BY bucket ORDER BY bucket
+    """,
+}
