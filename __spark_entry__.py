@@ -26,6 +26,7 @@ from postgres_opensearch_cdc_spark.queries import (
     relational3,
     relational4,
     scalar_sql,
+    sequences,
     timeseries,
     training_pipeline,
     windows_pivot,
@@ -41,6 +42,7 @@ _MODULES = [
     timeseries,
     querydsl_aggs,
     querydsl_aggs2,
+    sequences,
     graph_dedup,
     relational2,
     relational3,
@@ -123,7 +125,9 @@ _PRIORITY = [
 # waiting_suppliers, and the query-DSL batch-7 entries ids_query,
 # exists_missing_agg, rank_feature_query, script_score_query,
 # span_first_query, match_phrase_prefix, weighted_avg_agg,
-# categorize_text_agg, significant_text, variable_width_histogram
+# categorize_text_agg, significant_text, variable_width_histogram,
+# and the event-sequence batch eql_sequence, eql_sequence_until,
+# funnel_steps, change_point_cusum
 # (all with sf0.001+sf0.01 local parity).
 
 
