@@ -29,6 +29,7 @@ from postgres_opensearch_cdc_spark.queries import (
     sequences,
     timeseries,
     training_pipeline,
+    training_pipeline2,
     windows_pivot,
 )
 
@@ -39,6 +40,7 @@ _MODULES = [
     querydsl,
     querydsl3,
     training_pipeline,
+    training_pipeline2,
     timeseries,
     querydsl_aggs,
     querydsl_aggs2,
@@ -127,7 +129,9 @@ _PRIORITY = [
 # span_first_query, match_phrase_prefix, weighted_avg_agg,
 # categorize_text_agg, significant_text, variable_width_histogram,
 # and the event-sequence batch eql_sequence, eql_sequence_until,
-# funnel_steps, change_point_cusum
+# funnel_steps, change_point_cusum, and the training-pipeline batch-2
+# entries length_percentile_filter, mixture_temperature_sample,
+# chunk_dedup_stats, ann_radial_search
 # (all with sf0.001+sf0.01 local parity).
 
 
