@@ -28,6 +28,7 @@ from postgres_opensearch_cdc_spark.queries import (
     scalar_sql,
     sequences,
     timeseries,
+    timeseries2,
     training_pipeline,
     training_pipeline2,
     windows_pivot,
@@ -42,6 +43,7 @@ _MODULES = [
     training_pipeline,
     training_pipeline2,
     timeseries,
+    timeseries2,
     querydsl_aggs,
     querydsl_aggs2,
     sequences,
@@ -131,7 +133,9 @@ _PRIORITY = [
 # and the event-sequence batch eql_sequence, eql_sequence_until,
 # funnel_steps, change_point_cusum, and the training-pipeline batch-2
 # entries length_percentile_filter, mixture_temperature_sample,
-# chunk_dedup_stats, ann_radial_search
+# chunk_dedup_stats, ann_radial_search, and the time-series batch-2
+# entries bucket_correlation_agg, ts_seasonal_profile, ts_autocorr,
+# ts_rolling_corr
 # (all with sf0.001+sf0.01 local parity).
 
 

@@ -1,0 +1,190 @@
+"""Time-series batch 2: cross-series statistics — the ES
+``bucket_correlation`` pipeline aggregation, seasonal (hour-of-day)
+decomposition, lag-k autocorrelation, and rolling cross-correlation.
+
+All four reduce the raw event stream to a tiny date/hour-keyed series
+with ONE partial-aggregated shuffle, then run the statistics on that
+~30-to-720-row frame — the plans scale with the calendar, not the
+event count. Value-checked against DuckDB oracles (corr/regr_slope are
+the standard two-pass-free co-moment forms in both engines; outputs
+are rounded to 4 decimals)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from postgres_opensearch_cdc_spark.registry import load_table
+
+CORR_A, CORR_B = "click", "view"
+ACF_LAGS = (1, 7)
+ROLL_CORR_DAYS = 7
+
+
+def _daily_counts(ev: DataFrame, *types: str) -> DataFrame:
+    aggs = [
+        F.sum((F.col("event_type") == t).cast("long")).alias(f"n_{t}")
+        for t in types
+    ]
+    return ev.groupBy(F.to_date("ts").alias("day")).agg(*aggs)
+
+
+def bucket_correlation_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``bucket_correlation`` pipeline agg: Pearson correlation (and
+    regression slope) between the daily click and view count series.
+    The date histogram is the only event-scale shuffle; the correlation
+    runs on the ~30-row series."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = _daily_counts(ev, CORR_A, CORR_B)
+    return daily.agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.round(F.corr(f"n_{CORR_A}", f"n_{CORR_B}"), 4).alias("correlation"),
+        F.round(
+            F.covar_samp(f"n_{CORR_A}", f"n_{CORR_B}")
+            / F.var_samp(f"n_{CORR_B}"),
+            4,
+        ).alias("slope"),
+    )
+
+
+def ts_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal decomposition, hour-of-day component: mean hourly event
+    count per hour-of-day and the seasonal index (hod mean / global
+    hourly mean). Two cascaded tiny aggregations after the one
+    event-scale (day, hour) rollup; the index denominator rides along
+    as a 1-row broadcast."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.to_date("ts").alias("day"), F.hour("ts").alias("hod")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    per_hod = hourly.groupBy("hod").agg(F.avg("cnt").alias("mean_cnt"))
+    overall = hourly.agg(F.avg("cnt").alias("global_mean"))
+    return (
+        per_hod.crossJoin(F.broadcast(overall))
+        .select(
+            "hod",
+            F.round("mean_cnt", 4).alias("mean_cnt"),
+            F.round(F.col("mean_cnt") / F.col("global_mean"), 4).alias(
+                "seasonal_idx"
+            ),
+        )
+        .orderBy("hod")
+    )
+
+
+def ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-k autocorrelation of the daily event-count series (k = 1 and
+    7): corr(x_t, x_{t-k}) over the aligned pairs — the stationarity /
+    weekly-seasonality diagnostic. Lags come from one ordered window
+    over the ~30-row series; each lag's correlation is a tiny
+    aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.orderBy("day")
+    lagged = daily.select(
+        "cnt",
+        *[F.lag("cnt", k).over(w).alias(f"lag{k}") for k in ACF_LAGS],
+    )
+    return lagged.agg(
+        *[
+            F.round(F.corr("cnt", f"lag{k}"), 4).alias(f"acf{k}")
+            for k in ACF_LAGS
+        ]
+    )
+
+
+def ts_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day cross-correlation between the daily click and view
+    series: corr as a WINDOW aggregate over a trailing row frame —
+    emitted only for fully-populated frames. The moving statistic a
+    Dashboards panel overlays on the histogram."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = _daily_counts(ev, CORR_A, CORR_B)
+    w = (
+        Window.orderBy("day")
+        .rowsBetween(-(ROLL_CORR_DAYS - 1), Window.currentRow)
+    )
+    wn = Window.orderBy("day")
+    return (
+        daily.select(
+            "day",
+            F.corr(f"n_{CORR_A}", f"n_{CORR_B}").over(w).alias("rc"),
+            F.row_number().over(wn).alias("rn"),
+        )
+        .filter(F.col("rn") >= ROLL_CORR_DAYS)
+        .select("day", F.round("rc", 4).alias("rolling_corr"))
+        .orderBy("day")
+    )
+
+
+QUERIES = {
+    "bucket_correlation_agg": bucket_correlation_agg,
+    "ts_seasonal_profile": ts_seasonal_profile,
+    "ts_autocorr": ts_autocorr,
+    "ts_rolling_corr": ts_rolling_corr,
+}
+
+_DAILY_AB = f"""
+    SELECT CAST(ts AS DATE) AS day,
+           CAST(SUM(CASE WHEN event_type = '{CORR_A}' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_a,
+           CAST(SUM(CASE WHEN event_type = '{CORR_B}' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_b
+    FROM events GROUP BY day
+"""
+
+ORACLE = {
+    "bucket_correlation_agg": f"""
+        WITH daily AS ({_DAILY_AB})
+        SELECT COUNT(*) AS n_days,
+               ROUND(corr(n_a, n_b), 4) AS correlation,
+               ROUND(covar_samp(n_a, n_b) / var_samp(n_b), 4) AS slope
+        FROM daily
+    """,
+    "ts_seasonal_profile": """
+        WITH hourly AS (
+            SELECT CAST(ts AS DATE) AS day,
+                   EXTRACT(hour FROM ts) AS hod, COUNT(*) AS cnt
+            FROM events GROUP BY day, hod
+        ), per_hod AS (
+            SELECT hod, AVG(cnt) AS mean_cnt FROM hourly GROUP BY hod
+        ), overall AS (
+            SELECT AVG(cnt) AS global_mean FROM hourly
+        )
+        SELECT CAST(hod AS INTEGER) AS hod,
+               ROUND(mean_cnt, 4) AS mean_cnt,
+               ROUND(mean_cnt / global_mean, 4) AS seasonal_idx
+        FROM per_hod, overall ORDER BY hod
+    """,
+    "ts_autocorr": f"""
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS day, COUNT(*) AS cnt
+            FROM events GROUP BY day
+        ), lagged AS (
+            SELECT cnt,
+                   {", ".join(
+                       f"LAG(cnt, {k}) OVER (ORDER BY day) AS lag{k}"
+                       for k in ACF_LAGS
+                   )}
+            FROM daily
+        )
+        SELECT {", ".join(
+            f"ROUND(corr(cnt, lag{k}), 4) AS acf{k}" for k in ACF_LAGS
+        )}
+        FROM lagged
+    """,
+    "ts_rolling_corr": f"""
+        WITH daily AS ({_DAILY_AB}), rolled AS (
+            SELECT day,
+                   corr(n_a, n_b) OVER (
+                       ORDER BY day
+                       ROWS BETWEEN {ROLL_CORR_DAYS - 1} PRECEDING
+                                AND CURRENT ROW) AS rc,
+                   row_number() OVER (ORDER BY day) AS rn
+            FROM daily
+        )
+        SELECT day, ROUND(rc, 4) AS rolling_corr
+        FROM rolled WHERE rn >= {ROLL_CORR_DAYS} ORDER BY day
+    """,
+}
