@@ -19,6 +19,7 @@ from postgres_opensearch_cdc_spark.queries import (
     patterns,
     querydsl,
     querydsl3,
+    querydsl4,
     querydsl_aggs,
     querydsl_aggs2,
     relational,
@@ -40,6 +41,7 @@ _MODULES = [
     extensions,
     querydsl,
     querydsl3,
+    querydsl4,
     training_pipeline,
     training_pipeline2,
     timeseries,
@@ -135,7 +137,9 @@ _PRIORITY = [
 # entries length_percentile_filter, mixture_temperature_sample,
 # chunk_dedup_stats, ann_radial_search, and the time-series batch-2
 # entries bucket_correlation_agg, ts_seasonal_profile, ts_autocorr,
-# ts_rolling_corr
+# ts_rolling_corr, and the query-DSL batch-8 entries has_child_query,
+# has_parent_query, terms_lookup_filter, geo_polygon_query,
+# global_agg_compare
 # (all with sf0.001+sf0.01 local parity).
 
 
