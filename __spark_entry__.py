@@ -74,10 +74,10 @@ _MODULES = [
 #       aggs, pinned query, TPC-H Q13) so they get driver rows in the
 #       round they were built,
 #   (d) 4 entries whose semantics changed or were added late this round,
-#   (e) 10 re-confirmations of the oldest green rows (the 2 r1-era +
-#       8 r2-era entries).
+#   (e) 10 first-time rows for the round-6-continuation batches
+#       (relational4 / sequences / querydsl3 / training_pipeline2).
 # After this window the r1-r6 union covers all 151 pre-round-6 entries
-# plus the 17 new ones.
+# plus 27 of the 62 round-6 additions.
 _PRIORITY = [
     # (a) never driver-checked (added late in round 5)
     "span_near_query", "geo_bounding_box", "top_metrics_agg",
@@ -101,10 +101,14 @@ _PRIORITY = [
     # EXCEPT ALL) and the two late-round additions
     "join_left_anti", "set_ops_nations",
     "frequent_item_sets_agg", "top_supplier_revenue",
-    # (e) oldest-green re-confirmations (r1/r2-era rows)
-    "cube_status_priority", "case_bucketing",
-    "q01_term_filter", "q02_fulltext_match", "q02b_fulltext_tfidf",
-    "q02c_fulltext_bm25", "q02d_querystring_should", "q02e_querystring_must",
+    # (e) first driver rows for entries added later in round 6 (worth
+    # more than re-confirming old greens — every entry here is new):
+    # TPC-H Q9/Q21 analogs, EQL sequences + change point, significant
+    # text, temperature sampling, chunk dedup, radial search
+    "profit_by_nation_year", "waiting_suppliers",
+    "eql_sequence", "funnel_steps", "change_point_cusum",
+    "significant_text", "variable_width_histogram",
+    "mixture_temperature_sample", "chunk_dedup_stats", "ann_radial_search",
 ]
 
 # Round-7 rotation TODO: after this window lands, every entry has a
@@ -140,7 +144,9 @@ _PRIORITY = [
 # ts_rolling_corr, and the query-DSL batch-8 entries has_child_query,
 # has_parent_query, terms_lookup_filter, geo_polygon_query,
 # global_agg_compare
-# (all with sf0.001+sf0.01 local parity).
+# (all with sf0.001+sf0.01 local parity). Ten of these (the _PRIORITY
+# (e) block above) already sit in the round-6 window; rotate the rest
+# in for round 7.
 
 
 def entry(spark: SparkSession) -> DataFrame:
