@@ -145,12 +145,38 @@ def global_agg_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def transform_entity_centric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transforms-API analog: the continuous pivot that maintains an
+    entity-centric index from the event stream — one feature row per
+    user (event counts by type, activity span, value stats). ONE
+    partial-aggregated shuffle on the entity key; in production this
+    runs incrementally per micro-batch against the same groupBy plan
+    (the streaming mirror's foreachBatch applies the delta)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum((F.col("event_type") == "click").cast("long")).alias("n_click"),
+            F.sum((F.col("event_type") == "view").cast("long")).alias("n_view"),
+            F.sum((F.col("event_type") == "purchase").cast("long")).alias(
+                "n_purchase"
+            ),
+            F.countDistinct(F.to_date("ts")).alias("active_days"),
+            F.max("ts").alias("last_seen"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
 QUERIES = {
     "has_child_query": has_child_query,
     "has_parent_query": has_parent_query,
     "terms_lookup_filter": terms_lookup_filter,
     "geo_polygon_query": geo_polygon_query,
     "global_agg_compare": global_agg_compare,
+    "transform_entity_centric": transform_entity_centric,
 }
 
 _POLY_SQL = " AND ".join(
@@ -203,6 +229,21 @@ ORACLE = {
         )
         WHERE {_POLY_SQL}
         GROUP BY event_type ORDER BY event_type
+    """,
+    "transform_entity_centric": """
+        SELECT user_id,
+               COUNT(*) AS n_events,
+               CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_click,
+               CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_view,
+               CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_purchase,
+               COUNT(DISTINCT CAST(ts AS DATE)) AS active_days,
+               MAX(ts) AS last_seen,
+               ROUND(AVG(value), 4) AS avg_value
+        FROM events
+        GROUP BY user_id ORDER BY user_id
     """,
     "global_agg_compare": """
         SELECT CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)

@@ -170,11 +170,77 @@ def ann_radial_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+KNN_JOIN_QUERIES = 5  # first N label-0 vectors act as the query batch
+KNN_JOIN_K = 3
+
+
+def knn_join_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch kNN join: top-K cosine neighbors for EACH of a batch of
+    query vectors (the first KNN_JOIN_QUERIES label-0 vectors) in one
+    pass — the building block of embedding-cluster audits and
+    retrieval-eval harnesses. All query vectors constant-fold into a
+    single corpus scan; ranking is a per-query window with a
+    deterministic (rounded score, id) tie-break. At 100 TB the window
+    shuffle carries (queries × corpus) scored ROWS, so the production
+    path pre-filters with the SRP/IVF candidate structures
+    (functions/similarity.py) and only ranks candidates; the exact
+    form here is the oracle-checkable verifier."""
+    from postgres_opensearch_cdc_spark.functions.similarity import cosine
+    from pyspark.sql import Window
+
+    vecs = load_table(spark, sf_dir, "embeddings")
+    qrows = (
+        vecs.filter(F.col("label") == 0)
+        .orderBy("vec_id")
+        .limit(KNN_JOIN_QUERIES)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    scored = vecs.select(
+        "vec_id",
+        *[
+            F.round(
+                cosine(
+                    F.col("embedding"),
+                    F.array(*[F.lit(float(x)) for x in r["embedding"]]),
+                ),
+                6,
+            ).alias(f"s{r['vec_id']}")
+            for r in qrows
+        ],
+    )
+    stacked = scored.select(
+        "vec_id",
+        F.expr(
+            "stack(%d, %s) AS (query_id, cos_sim)"
+            % (
+                len(qrows),
+                ", ".join(
+                    f"CAST({r['vec_id']} AS BIGINT), s{r['vec_id']}"
+                    for r in qrows
+                ),
+            )
+        ),
+    ).filter(F.col("vec_id") != F.col("query_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id")
+    )
+    return (
+        stacked.select(
+            "query_id", "vec_id", "cos_sim", F.row_number().over(w).alias("rank")
+        )
+        .filter(F.col("rank") <= KNN_JOIN_K)
+        .select("query_id", "vec_id", "cos_sim", F.col("rank").cast("long").alias("rank"))
+        .orderBy("query_id", "rank")
+    )
+
+
 QUERIES = {
     "length_percentile_filter": length_percentile_filter,
     "mixture_temperature_sample": mixture_temperature_sample,
     "chunk_dedup_stats": chunk_dedup_stats,
     "ann_radial_search": ann_radial_search,
+    "knn_join_topk": knn_join_topk,
 }
 
 _HASH60_SQL = "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT"
@@ -240,6 +306,27 @@ ORACLE = {
                CAST(SUM(c - 1) AS BIGINT) AS dup_occurrences,
                CAST(MAX(c) AS BIGINT) AS max_chunk_freq
         FROM per_chunk
+    """,
+    "knn_join_topk": f"""
+        WITH q AS (
+            SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+            FROM embeddings WHERE label = 0
+            ORDER BY vec_id LIMIT {KNN_JOIN_QUERIES}
+        ), scored AS (
+            SELECT q.query_id, e.vec_id,
+                   ROUND({_COS_SQL}, 6) AS cos_sim
+            FROM embeddings e, q
+            WHERE e.vec_id <> q.query_id
+        ), ranked AS (
+            SELECT query_id, vec_id, cos_sim,
+                   row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY cos_sim DESC, vec_id) AS rank
+            FROM scored
+        )
+        SELECT query_id, vec_id, cos_sim, CAST(rank AS BIGINT) AS rank
+        FROM ranked WHERE rank <= {KNN_JOIN_K}
+        ORDER BY query_id, rank
     """,
     "ann_radial_search": "\nUNION ALL\n".join(
         f"""

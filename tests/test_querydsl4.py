@@ -76,3 +76,16 @@ def test_global_bucket_contains_the_query_bucket(spark, sf_dir):
     r = global_agg_compare(spark, sf_dir).collect()[0]
     assert 0 < r["query_count"] < r["global_count"]
     assert r["query_avg_value"] is not None and r["global_avg_value"] is not None
+
+
+def test_transform_entity_centric_accounts_for_all_events(spark, sf_dir):
+    from postgres_opensearch_cdc_spark.queries.querydsl4 import (
+        transform_entity_centric,
+    )
+
+    rows = transform_entity_centric(spark, sf_dir).collect()
+    total = load_table(spark, sf_dir, "events").count()
+    assert sum(r["n_events"] for r in rows) == total
+    for r in rows:
+        assert r["n_click"] + r["n_view"] + r["n_purchase"] <= r["n_events"]
+        assert 1 <= r["active_days"]

@@ -65,3 +65,23 @@ def test_radial_search_is_one_scan_and_thresholded(spark, sf_dir):
     rows = df.collect()
     assert rows and all(r["cos_sim"] >= RADIAL_MIN_COS for r in rows)
     assert all(r["vec_id"] != r["query_id"] for r in rows)
+
+
+def test_knn_join_returns_k_per_query(spark, sf_dir):
+    from postgres_opensearch_cdc_spark.queries.training_pipeline2 import (
+        KNN_JOIN_K,
+        KNN_JOIN_QUERIES,
+        knn_join_topk,
+    )
+
+    rows = knn_join_topk(spark, sf_dir).collect()
+    assert len(rows) == KNN_JOIN_QUERIES * KNN_JOIN_K
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rs in by_q.items():
+        ranks = [r["rank"] for r in rs]
+        assert ranks == [1, 2, 3]
+        sims = [r["cos_sim"] for r in rs]
+        assert sims == sorted(sims, reverse=True)
+        assert all(r["vec_id"] != q for r in rs)
