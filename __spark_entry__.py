@@ -143,7 +143,8 @@ _PRIORITY = [
 # entries bucket_correlation_agg, ts_seasonal_profile, ts_autocorr,
 # ts_rolling_corr, and the query-DSL batch-8 entries has_child_query,
 # has_parent_query, terms_lookup_filter, geo_polygon_query,
-# global_agg_compare, plus knn_join_topk and transform_entity_centric
+# global_agg_compare, plus knn_join_topk, transform_entity_centric,
+# ts_seasonal_anomaly, event_transition_matrix
 # (all with sf0.001+sf0.01 local parity). Ten of these (the _PRIORITY
 # (e) block above) already sit in the round-6 window; rotate the rest
 # in for round 7.

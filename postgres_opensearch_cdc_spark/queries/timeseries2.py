@@ -118,11 +118,75 @@ def ts_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ANOM_SIGMA = 2.5
+
+
+def ts_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-adjusted anomaly detection: hourly counts minus the
+    hour-of-day seasonal mean, flagged where the residual exceeds
+    ANOM_SIGMA residual standard deviations — the deseasonalized twin
+    of the plain z-score detector (ts_zscore_anomaly). Three cascaded
+    tiny aggregations over the (day, hod) rollup; the residual sigma is
+    a 1-row broadcast. Emits the anomalous cells with their residual
+    z-score."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.to_date("ts").alias("day"), F.hour("ts").alias("hod")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    seasonal = hourly.groupBy("hod").agg(F.avg("cnt").alias("hod_mean"))
+    resid = hourly.join(F.broadcast(seasonal), "hod").select(
+        "day", "hod", "cnt", (F.col("cnt") - F.col("hod_mean")).alias("r")
+    )
+    sigma = resid.agg(F.stddev_samp("r").alias("sd"))
+    return (
+        resid.crossJoin(F.broadcast(sigma))
+        .filter(F.abs(F.col("r")) > ANOM_SIGMA * F.col("sd"))
+        .select(
+            "day",
+            "hod",
+            "cnt",
+            F.round(F.col("r") / F.col("sd"), 4).alias("resid_z"),
+        )
+        .orderBy("day", "hod")
+    )
+
+
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of event types: for each
+    user's time-ordered stream, count (from_type -> to_type) steps and
+    the per-from transition probability — the path-analysis aggregate
+    behind journey dashboards. The lead() lookup is one user-keyed
+    window (same single-shuffle shape as the EQL sequence); the matrix
+    itself is a 25-key aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    steps = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    per_from = Window.partitionBy("from_type")
+    return (
+        steps.groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n_steps"))
+        .select(
+            "from_type",
+            "to_type",
+            "n_steps",
+            F.round(
+                F.col("n_steps") / F.sum("n_steps").over(per_from), 4
+            ).alias("p_transition"),
+        )
+        .orderBy("from_type", "to_type")
+    )
+
+
 QUERIES = {
     "bucket_correlation_agg": bucket_correlation_agg,
     "ts_seasonal_profile": ts_seasonal_profile,
     "ts_autocorr": ts_autocorr,
     "ts_rolling_corr": ts_rolling_corr,
+    "ts_seasonal_anomaly": ts_seasonal_anomaly,
+    "event_transition_matrix": event_transition_matrix,
 }
 
 _DAILY_AB = f"""
@@ -173,6 +237,43 @@ ORACLE = {
             f"ROUND(corr(cnt, lag{k}), 4) AS acf{k}" for k in ACF_LAGS
         )}
         FROM lagged
+    """,
+    "ts_seasonal_anomaly": f"""
+        WITH hourly AS (
+            SELECT CAST(ts AS DATE) AS day,
+                   EXTRACT(hour FROM ts) AS hod, COUNT(*) AS cnt
+            FROM events GROUP BY day, hod
+        ), seasonal AS (
+            SELECT hod, AVG(cnt) AS hod_mean FROM hourly GROUP BY hod
+        ), resid AS (
+            SELECT day, h.hod, cnt, cnt - hod_mean AS r
+            FROM hourly h JOIN seasonal s ON h.hod = s.hod
+        ), sigma AS (
+            SELECT stddev_samp(r) AS sd FROM resid
+        )
+        SELECT day, CAST(hod AS INTEGER) AS hod, cnt,
+               ROUND(r / sd, 4) AS resid_z
+        FROM resid, sigma
+        WHERE ABS(r) > {ANOM_SIGMA} * sd
+        ORDER BY day, hod
+    """,
+    "event_transition_matrix": """
+        WITH steps AS (
+            SELECT event_type AS from_type,
+                   LEAD(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS to_type
+            FROM events
+        ), matrix AS (
+            SELECT from_type, to_type, COUNT(*) AS n_steps
+            FROM steps WHERE to_type IS NOT NULL
+            GROUP BY from_type, to_type
+        )
+        SELECT from_type, to_type, n_steps,
+               ROUND(n_steps / CAST(SUM(n_steps) OVER (
+                   PARTITION BY from_type) AS DOUBLE), 4) AS p_transition
+        FROM matrix
+        ORDER BY from_type, to_type
     """,
     "ts_rolling_corr": f"""
         WITH daily AS ({_DAILY_AB}), rolled AS (

@@ -44,3 +44,28 @@ def test_rolling_corr_trims_warmup(spark, sf_dir):
     # number of emitted frames = n_days - (window - 1)
     n_days = bucket_correlation_agg(spark, sf_dir).collect()[0]["n_days"]
     assert len(rows) == n_days - (ROLL_CORR_DAYS - 1)
+
+
+def test_seasonal_anomaly_flags_are_extreme(spark, sf_dir):
+    from postgres_opensearch_cdc_spark.queries.timeseries2 import (
+        ANOM_SIGMA,
+        ts_seasonal_anomaly,
+    )
+
+    rows = ts_seasonal_anomaly(spark, sf_dir).collect()
+    assert rows, "no anomalies at 2.5 sigma — fixture drift?"
+    assert all(abs(r["resid_z"]) > ANOM_SIGMA for r in rows)
+
+
+def test_transition_matrix_rows_are_distributions(spark, sf_dir):
+    from postgres_opensearch_cdc_spark.queries.timeseries2 import (
+        event_transition_matrix,
+    )
+
+    rows = event_transition_matrix(spark, sf_dir).collect()
+    by_from = {}
+    for r in rows:
+        by_from.setdefault(r["from_type"], []).append(r["p_transition"])
+    assert len(by_from) == 5
+    for f, ps in by_from.items():
+        assert abs(sum(ps) - 1.0) < 0.01, f"row {f} does not sum to 1"
