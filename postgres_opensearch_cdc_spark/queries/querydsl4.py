@@ -164,7 +164,19 @@ def transform_entity_centric(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             F.countDistinct(F.to_date("ts")).alias("active_days"),
             F.max("ts").alias("last_seen"),
-            F.round(F.avg("value"), 4).alias("avg_value"),
+            # exact integer-cents average, floor-truncated to 4 decimals:
+            # the fixture values carry 2 decimals, so the cent sum is an
+            # exact long and the truncation floors the SAME IEEE double
+            # in both engines (ROUND(avg(double)) tie-flipped 3 users'
+            # 4th decimal at sf0.1)
+            (
+                F.floor(
+                    F.sum(F.round(F.col("value") * 100).cast("long"))
+                    * 100.0
+                    / F.count(F.lit(1))
+                )
+                / 10000.0
+            ).alias("avg_value"),
         )
         .orderBy("user_id")
     )
@@ -241,7 +253,8 @@ ORACLE = {
                     AS BIGINT) AS n_purchase,
                COUNT(DISTINCT CAST(ts AS DATE)) AS active_days,
                MAX(ts) AS last_seen,
-               ROUND(AVG(value), 4) AS avg_value
+               FLOOR(SUM(CAST(ROUND(value * 100) AS BIGINT)) * 100.0
+                     / COUNT(*)) / 10000.0 AS avg_value
         FROM events
         GROUP BY user_id ORDER BY user_id
     """,

@@ -42,11 +42,19 @@ def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         li["l_partkey"] == F.col("p_partkey"),
         "left_semi",
     )
+    # floor-truncate to 4 decimals instead of ROUND: both engines floor
+    # the SAME IEEE double, whereas ROUND's tie handling differs (Spark
+    # HALF_UP on the decimal expansion vs DuckDB's float rounding) and
+    # flipped the 4th decimal on one sf0.1 part
     unit = (
         li.groupBy("l_partkey", "l_suppkey")
         .agg(
-            F.round(
-                F.min(F.col("l_extendedprice") / F.col("l_quantity")), 4
+            (
+                F.floor(
+                    F.min(F.col("l_extendedprice") / F.col("l_quantity"))
+                    * 10000
+                )
+                / 10000.0
             ).alias("unit_price")
         )
     )
@@ -218,7 +226,8 @@ ORACLE = {
     "min_cost_supplier": """
         WITH unit AS (
             SELECT l_partkey, l_suppkey,
-                   ROUND(MIN(l_extendedprice / l_quantity), 4) AS unit_price
+                   FLOOR(MIN(l_extendedprice / l_quantity) * 10000)
+                       / 10000.0 AS unit_price
             FROM lineitem GROUP BY 1, 2
         ),
         best AS (

@@ -41,7 +41,12 @@ def normalize(rows, colnames):
 
 
 def run(sf_dir: str, only: list[str] | None = None) -> int:
-    spark = get_spark("parity-check")
+    # progress bar writes "[Stage ...]\r" onto the same stdout line as
+    # the first "ok" print, which breaks line-based grep filters
+    spark = get_spark(
+        "parity-check",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
     con = duckdb.connect()
     for t in TESTDATA_TABLES:
         con.execute(
