@@ -94,13 +94,15 @@ def rank_feature_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def script_score_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``script_score``: a custom scoring expression over the organic
-    fields and a JSON payload attribute — ``log1p(value) + sqrt(k)``.
+    fields and a JSON payload attribute — ``sqrt(value) + sqrt(k)``.
     The script compiles to JVM expressions in the scan projection (the
     exact capability script engines interpret per-doc); top-k is
-    TakeOrderedAndProject."""
+    TakeOrderedAndProject. sqrt is correctly-rounded IEEE (bitwise
+    identical across engines), unlike log/log1p whose libm
+    implementations can differ by 1 ULP and tie-flip the rounding."""
     ev = load_table(spark, sf_dir, "events")
     k = F.get_json_object(F.col("props"), "$.k").cast("double")
-    score = F.round(F.log1p(F.col("value")) + F.sqrt(k), 6)
+    score = F.round(F.sqrt(F.col("value")) + F.sqrt(k), 6)
     return (
         ev.select("event_id", score.alias("score"))
         .orderBy(F.col("score").desc(), "event_id")
@@ -163,7 +165,13 @@ def categorize_text_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     small-key shuffle over the category dictionary."""
     docs = load_table(spark, sf_dir, "documents")
     toks = analyze_tokens(F.col("text"))
-    cat = F.concat_ws(" ", F.element_at(toks, 1), F.element_at(toks, 2))
+    # try_element_at, not element_at: under ANSI mode (Spark 4 default)
+    # element_at THROWS on a doc with <2 analyzed tokens (empty / all
+    # stopwords), while the oracle's t[2] quietly returns NULL;
+    # concat_ws skips NULLs identically in both engines
+    cat = F.concat_ws(
+        " ", F.try_element_at(toks, F.lit(1)), F.try_element_at(toks, F.lit(2))
+    )
     return (
         docs.select(cat.alias("category"))
         .groupBy("category")
@@ -284,7 +292,7 @@ ORACLE = {
     """,
     "script_score_query": """
         SELECT event_id,
-               ROUND(LN(1 + value)
+               ROUND(SQRT(value)
                      + SQRT(CAST(json_extract_string(props, '$.k')
                                  AS DOUBLE)), 6) AS score
         FROM events

@@ -20,6 +20,17 @@ ACF_LAGS = (1, 7)
 ROLL_CORR_DAYS = 7
 
 
+def _safe_corr(a: str, b: str):
+    """Pearson correlation as covar/(sd·sd) with try_divide: under ANSI
+    mode (Spark 4 default) the built-in corr THROWS DIVIDE_BY_ZERO on a
+    zero-variance series, while DuckDB's corr returns NULL — this form
+    returns NULL like the oracle. Works as a plain or windowed
+    aggregate."""
+    return F.try_divide(
+        F.covar_samp(a, b), F.stddev_samp(a) * F.stddev_samp(b)
+    )
+
+
 def _daily_counts(ev: DataFrame, *types: str) -> DataFrame:
     aggs = [
         F.sum((F.col("event_type") == t).cast("long")).alias(f"n_{t}")
@@ -37,10 +48,14 @@ def bucket_correlation_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = _daily_counts(ev, CORR_A, CORR_B)
     return daily.agg(
         F.count(F.lit(1)).alias("n_days"),
-        F.round(F.corr(f"n_{CORR_A}", f"n_{CORR_B}"), 4).alias("correlation"),
+        F.round(_safe_corr(f"n_{CORR_A}", f"n_{CORR_B}"), 4).alias(
+            "correlation"
+        ),
         F.round(
-            F.covar_samp(f"n_{CORR_A}", f"n_{CORR_B}")
-            / F.var_samp(f"n_{CORR_B}"),
+            F.try_divide(
+                F.covar_samp(f"n_{CORR_A}", f"n_{CORR_B}"),
+                F.var_samp(f"n_{CORR_B}"),
+            ),
             4,
         ).alias("slope"),
     )
@@ -86,11 +101,18 @@ def ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cnt",
         *[F.lag("cnt", k).over(w).alias(f"lag{k}") for k in ACF_LAGS],
     )
+    def acf(k: int):
+        # mask the marginal stddev of cnt to pairwise-complete rows
+        # (the first k rows have NULL lag; covar_samp already does
+        # pairwise deletion, the stddevs must match it)
+        paired_cnt = F.when(F.col(f"lag{k}").isNotNull(), F.col("cnt"))
+        return F.try_divide(
+            F.covar_samp("cnt", f"lag{k}"),
+            F.stddev_samp(paired_cnt) * F.stddev_samp(f"lag{k}"),
+        )
+
     return lagged.agg(
-        *[
-            F.round(F.corr("cnt", f"lag{k}"), 4).alias(f"acf{k}")
-            for k in ACF_LAGS
-        ]
+        *[F.round(acf(k), 4).alias(f"acf{k}") for k in ACF_LAGS]
     )
 
 
@@ -109,7 +131,14 @@ def ts_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         daily.select(
             "day",
-            F.corr(f"n_{CORR_A}", f"n_{CORR_B}").over(w).alias("rc"),
+            # decompose over the SAME frame: three windowed aggregates,
+            # combined null-safely (built-in windowed corr throws on a
+            # zero-variance frame under ANSI)
+            F.try_divide(
+                F.covar_samp(f"n_{CORR_A}", f"n_{CORR_B}").over(w),
+                F.stddev_samp(f"n_{CORR_A}").over(w)
+                * F.stddev_samp(f"n_{CORR_B}").over(w),
+            ).alias("rc"),
             F.row_number().over(wn).alias("rn"),
         )
         .filter(F.col("rn") >= ROLL_CORR_DAYS)
@@ -202,7 +231,9 @@ ORACLE = {
     "bucket_correlation_agg": f"""
         WITH daily AS ({_DAILY_AB})
         SELECT COUNT(*) AS n_days,
-               ROUND(corr(n_a, n_b), 4) AS correlation,
+               ROUND(covar_samp(n_a, n_b)
+                     / (stddev_samp(n_a) * stddev_samp(n_b)), 4)
+                   AS correlation,
                ROUND(covar_samp(n_a, n_b) / var_samp(n_b), 4) AS slope
         FROM daily
     """,
@@ -234,7 +265,10 @@ ORACLE = {
             FROM daily
         )
         SELECT {", ".join(
-            f"ROUND(corr(cnt, lag{k}), 4) AS acf{k}" for k in ACF_LAGS
+            f"ROUND(covar_samp(cnt, lag{k}) / "
+            f"(stddev_samp(CASE WHEN lag{k} IS NOT NULL THEN cnt END)"
+            f" * stddev_samp(lag{k})), 4) AS acf{k}"
+            for k in ACF_LAGS
         )}
         FROM lagged
     """,
@@ -278,12 +312,14 @@ ORACLE = {
     "ts_rolling_corr": f"""
         WITH daily AS ({_DAILY_AB}), rolled AS (
             SELECT day,
-                   corr(n_a, n_b) OVER (
-                       ORDER BY day
-                       ROWS BETWEEN {ROLL_CORR_DAYS - 1} PRECEDING
-                                AND CURRENT ROW) AS rc,
+                   covar_samp(n_a, n_b) OVER w
+                       / (stddev_samp(n_a) OVER w
+                          * stddev_samp(n_b) OVER w) AS rc,
                    row_number() OVER (ORDER BY day) AS rn
             FROM daily
+            WINDOW w AS (ORDER BY day
+                         ROWS BETWEEN {ROLL_CORR_DAYS - 1} PRECEDING
+                                  AND CURRENT ROW)
         )
         SELECT day, ROUND(rc, 4) AS rolling_corr
         FROM rolled WHERE rn >= {ROLL_CORR_DAYS} ORDER BY day

@@ -25,6 +25,50 @@ RADIAL_QUERY_IDS = [0, 1, 2]
 RADIAL_MIN_COS = 0.25
 
 
+def _collect_query_vectors(df) -> dict:
+    """ONE driver round-trip for the whole query batch (never a
+    per-query .head() loop — that is N scans)."""
+    return {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in df.select("vec_id", "embedding").collect()
+    }
+
+
+def _score_stack(vecs, qvecs: dict):
+    """One corpus scan scoring every query vector (constant-folded
+    literal arrays, one rounded cosine column per query), unpivoted to
+    (query_id, vec_id, cos_sim) rows with self-matches dropped —
+    shared by the radial and kNN-join entries."""
+    from postgres_opensearch_cdc_spark.functions.similarity import cosine
+
+    scored = vecs.select(
+        "vec_id",
+        *[
+            F.round(
+                cosine(
+                    F.col("embedding"),
+                    F.array(*[F.lit(x) for x in qv]),
+                ),
+                6,
+            ).alias(f"s{qid}")
+            for qid, qv in sorted(qvecs.items())
+        ],
+    )
+    return scored.select(
+        "vec_id",
+        F.expr(
+            "stack(%d, %s) AS (query_id, cos_sim)"
+            % (
+                len(qvecs),
+                ", ".join(
+                    f"CAST({qid} AS BIGINT), s{qid}" for qid in sorted(qvecs)
+                ),
+            )
+        ),
+    ).filter(F.col("vec_id") != F.col("query_id"))
+
+
+
 def length_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-adaptive length filter: drop documents outside the global
     [p05, p95] band of n_chars — the data-driven twin of a fixed length
@@ -126,45 +170,13 @@ def ann_radial_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     query vectors constant-fold into ONE scan that emits a score per
     query; the threshold filters before anything shuffles, so the
     output is proportional to matches, not to corpus × queries."""
-    from postgres_opensearch_cdc_spark.functions.similarity import cosine
-
     vecs = load_table(spark, sf_dir, "embeddings")
-    qrows = {
-        qid: list(
-            vecs.filter(F.col("vec_id") == qid).select("embedding").head()[0]
-        )
-        for qid in RADIAL_QUERY_IDS
-    }
-    scored = vecs.select(
-        "vec_id",
-        *[
-            F.round(
-                cosine(
-                    F.col("embedding"),
-                    F.array(*[F.lit(float(x)) for x in qv]),
-                ),
-                6,
-            ).alias(f"s{qid}")
-            for qid, qv in qrows.items()
-        ],
-    )
-    stacked = scored.select(
-        "vec_id",
-        F.expr(
-            "stack(%d, %s) AS (query_id, cos_sim)"
-            % (
-                len(RADIAL_QUERY_IDS),
-                ", ".join(
-                    f"CAST({qid} AS BIGINT), s{qid}" for qid in RADIAL_QUERY_IDS
-                ),
-            )
-        ),
+    qvecs = _collect_query_vectors(
+        vecs.filter(F.col("vec_id").isin(RADIAL_QUERY_IDS))
     )
     return (
-        stacked.filter(
-            (F.col("cos_sim") >= RADIAL_MIN_COS)
-            & (F.col("vec_id") != F.col("query_id"))
-        )
+        _score_stack(vecs, qvecs)
+        .filter(F.col("cos_sim") >= RADIAL_MIN_COS)
         .select("query_id", "vec_id", "cos_sim")
         .orderBy("query_id", F.col("cos_sim").desc(), "vec_id")
     )
@@ -185,43 +197,13 @@ def knn_join_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     path pre-filters with the SRP/IVF candidate structures
     (functions/similarity.py) and only ranks candidates; the exact
     form here is the oracle-checkable verifier."""
-    from postgres_opensearch_cdc_spark.functions.similarity import cosine
     from pyspark.sql import Window
 
     vecs = load_table(spark, sf_dir, "embeddings")
-    qrows = (
-        vecs.filter(F.col("label") == 0)
-        .orderBy("vec_id")
-        .limit(KNN_JOIN_QUERIES)
-        .select("vec_id", "embedding")
-        .collect()
+    qvecs = _collect_query_vectors(
+        vecs.filter(F.col("label") == 0).orderBy("vec_id").limit(KNN_JOIN_QUERIES)
     )
-    scored = vecs.select(
-        "vec_id",
-        *[
-            F.round(
-                cosine(
-                    F.col("embedding"),
-                    F.array(*[F.lit(float(x)) for x in r["embedding"]]),
-                ),
-                6,
-            ).alias(f"s{r['vec_id']}")
-            for r in qrows
-        ],
-    )
-    stacked = scored.select(
-        "vec_id",
-        F.expr(
-            "stack(%d, %s) AS (query_id, cos_sim)"
-            % (
-                len(qrows),
-                ", ".join(
-                    f"CAST({r['vec_id']} AS BIGINT), s{r['vec_id']}"
-                    for r in qrows
-                ),
-            )
-        ),
-    ).filter(F.col("vec_id") != F.col("query_id"))
+    stacked = _score_stack(vecs, qvecs)
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("vec_id")
     )

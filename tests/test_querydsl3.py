@@ -5,8 +5,6 @@ balance, and the exists/missing partition property."""
 
 from __future__ import annotations
 
-import re
-
 from postgres_opensearch_cdc_spark.queries.querydsl3 import (
     VWH_BUCKETS,
     exists_missing_agg,
@@ -15,27 +13,18 @@ from postgres_opensearch_cdc_spark.queries.querydsl3 import (
     significant_text,
     variable_width_histogram,
 )
-
-
-def _plan(df) -> str:
-    return df._sc._jvm.PythonSQLUtils.explainString(
-        df._jdf.queryExecution(), "formatted"
-    )
-
-
-def _nodes(plan: str, name: str) -> int:
-    return len(re.findall(rf"^\(\d+\) {re.escape(name)}", plan, re.M))
+from postgres_opensearch_cdc_spark.testing import count_nodes, explain_plan
 
 
 def test_ids_filter_reaches_the_scan(spark, sf_dir):
-    plan = _plan(ids_query(spark, sf_dir))
+    plan = explain_plan(ids_query(spark, sf_dir))
     assert "In(doc_id" in plan, "id list not pushed to parquet"
 
 
 def test_rank_feature_is_top_k_not_global_sort(spark, sf_dir):
-    plan = _plan(rank_feature_query(spark, sf_dir))
+    plan = explain_plan(rank_feature_query(spark, sf_dir))
     assert "TakeOrderedAndProject" in plan
-    assert _nodes(plan, "Sort") == 0, "top-k must not global-sort"
+    assert count_nodes(plan, "Sort") == 0, "top-k must not global-sort"
 
 
 def test_exists_plus_missing_partitions_the_segment(spark, sf_dir):
@@ -54,7 +43,7 @@ def test_variable_width_buckets_are_balanced_and_ordered(spark, sf_dir):
 
 
 def test_significant_text_is_single_explode_single_agg(spark, sf_dir):
-    plan = _plan(significant_text(spark, sf_dir))
-    assert _nodes(plan, "Generate") == 1, "token explode must happen once"
+    plan = explain_plan(significant_text(spark, sf_dir))
+    assert count_nodes(plan, "Generate") == 1, "token explode must happen once"
     rows = significant_text(spark, sf_dir).collect()
     assert rows and all(r["score"] > 0 for r in rows)

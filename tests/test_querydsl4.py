@@ -4,8 +4,6 @@ inside the bounding box, and the global-vs-query bucket arithmetic."""
 
 from __future__ import annotations
 
-import re
-
 from postgres_opensearch_cdc_spark.queries.querydsl4 import (
     HC_MIN_CHILDREN,
     POLYGON,
@@ -16,16 +14,7 @@ from postgres_opensearch_cdc_spark.queries.querydsl4 import (
     terms_lookup_filter,
 )
 from postgres_opensearch_cdc_spark.registry import load_table
-
-
-def _plan(df) -> str:
-    return df._sc._jvm.PythonSQLUtils.explainString(
-        df._jdf.queryExecution(), "formatted"
-    )
-
-
-def _nodes(plan: str, name: str) -> int:
-    return len(re.findall(rf"^\(\d+\) {re.escape(name)}", plan, re.M))
+from postgres_opensearch_cdc_spark.testing import count_nodes, explain_plan
 
 
 def test_has_child_scores_meet_min_children(spark, sf_dir):
@@ -36,13 +25,13 @@ def test_has_child_scores_meet_min_children(spark, sf_dir):
 
 
 def test_has_parent_is_a_semi_join(spark, sf_dir):
-    plan = _plan(has_parent_query(spark, sf_dir))
+    plan = explain_plan(has_parent_query(spark, sf_dir))
     assert "LeftSemi" in plan, "parent filter must compile to a semi-join"
 
 
 def test_terms_lookup_broadcasts_the_watchlist(spark, sf_dir):
-    plan = _plan(terms_lookup_filter(spark, sf_dir))
-    assert _nodes(plan, "BroadcastExchange") >= 1
+    plan = explain_plan(terms_lookup_filter(spark, sf_dir))
+    assert count_nodes(plan, "BroadcastExchange") >= 1
     rows = terms_lookup_filter(spark, sf_dir).collect()
     total_events = load_table(spark, sf_dir, "events").count()
     assert 0 < sum(r["doc_count"] for r in rows) < total_events

@@ -11,12 +11,7 @@ from postgres_opensearch_cdc_spark.queries.querydsl_aggs import (
     range_agg_value,
     sampler_terms_agg,
 )
-
-
-def _plan(df) -> str:
-    return df._sc._jvm.PythonSQLUtils.explainString(
-        df._jdf.queryExecution(), "formatted"
-    )
+from postgres_opensearch_cdc_spark.testing import count_nodes, explain_plan
 
 
 def test_range_buckets_partition_the_table(spark, sf_dir):
@@ -63,9 +58,9 @@ def test_geo_rings_within_filter(spark):
 def test_aggs_are_single_pass_partial_final(spark, sf_dir):
     # one scan, partial+final hash aggregate, no join/window in the plan
     # formatted plans print each node twice (tree + detail): 2 == one scan
-    plan = _plan(range_agg_value(spark, sf_dir))
+    plan = explain_plan(range_agg_value(spark, sf_dir))
     assert plan.count("Scan parquet") == 2
     assert "HashAggregate" in plan
     assert "Join" not in plan and "Window" not in plan
-    plan2 = _plan(adjacency_matrix_agg(spark, sf_dir))
+    plan2 = explain_plan(adjacency_matrix_agg(spark, sf_dir))
     assert plan2.count("Scan parquet") == 2

@@ -23,12 +23,7 @@ from postgres_opensearch_cdc_spark.queries.relational3 import (
     top_supplier_revenue,
 )
 from postgres_opensearch_cdc_spark.registry import load_table
-
-
-def _plan(df) -> str:
-    return df._sc._jvm.PythonSQLUtils.explainString(
-        df._jdf.queryExecution(), "formatted"
-    )
+from postgres_opensearch_cdc_spark.testing import count_nodes, explain_plan
 
 
 def test_derivative_telescopes_to_range(spark, sf_dir):
@@ -99,13 +94,13 @@ def test_q13_covers_all_customers(spark, sf_dir):
 def test_single_shuffle_metric_aggs(spark, sf_dir):
     # extended_stats / geo_grid: one partial+final agg pair, at most the
     # agg exchange plus the top-k sort exchange — no join shuffles
-    assert _plan(extended_stats_agg(spark, sf_dir)).count("Exchange (") <= 2
-    assert _plan(geo_grid_agg(spark, sf_dir)).count("Exchange (") <= 2
+    assert explain_plan(extended_stats_agg(spark, sf_dir)).count("Exchange (") <= 2
+    assert explain_plan(geo_grid_agg(spark, sf_dir)).count("Exchange (") <= 2
 
 
 def test_pinned_query_uses_topk(spark, sf_dir):
     # orderBy+limit must compile to per-partition heaps, not global sort
-    assert "TakeOrderedAndProject" in _plan(pinned_query(spark, sf_dir))
+    assert "TakeOrderedAndProject" in explain_plan(pinned_query(spark, sf_dir))
 
 
 def test_frequent_item_sets_support_bounded(spark, sf_dir):
@@ -118,7 +113,7 @@ def test_frequent_item_sets_support_bounded(spark, sf_dir):
     # the pair self-join must run on the per-user distinct item list,
     # never the raw event scan: the join's build (first) child in the
     # formatted tree must be the distinct HashAggregate, not a scan
-    lines = _plan(frequent_item_sets_agg(spark, sf_dir)).splitlines()
+    lines = explain_plan(frequent_item_sets_agg(spark, sf_dir)).splitlines()
     join_idx = next(i for i, l in enumerate(lines) if "Join" in l)
     assert "HashAggregate" in lines[join_idx + 1]
 

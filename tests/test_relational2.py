@@ -10,16 +10,11 @@ from postgres_opensearch_cdc_spark.queries.relational2 import (
     nation_market_share,
     volume_shipping,
 )
-
-
-def _plan(df) -> str:
-    return df._sc._jvm.PythonSQLUtils.explainString(
-        df._jdf.queryExecution(), "formatted"
-    )
+from postgres_opensearch_cdc_spark.testing import count_nodes, explain_plan
 
 
 def test_q18_preaggregates_before_join(spark, sf_dir):
-    plan = _plan(large_quantity_customers(spark, sf_dir))
+    plan = explain_plan(large_quantity_customers(spark, sf_dir))
     # the having-filter aggregate must sit BELOW the joins (lineitem is
     # reduced to one row per order first) and top-100 is TakeOrdered
     assert "TakeOrderedAndProject" in plan
@@ -29,14 +24,14 @@ def test_q18_preaggregates_before_join(spark, sf_dir):
 
 
 def test_nation_is_broadcast(spark, sf_dir):
-    plan = _plan(volume_shipping(spark, sf_dir))
+    plan = explain_plan(volume_shipping(spark, sf_dir))
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
 
 
 def test_market_share_single_fact_scan(spark, sf_dir):
     # numerator and denominator come from ONE conditional aggregation —
     # exactly one lineitem scan in the plan
-    plan = _plan(nation_market_share(spark, sf_dir))
+    plan = explain_plan(nation_market_share(spark, sf_dir))
     # one file-index mention per scanned table: lineitem read exactly once
     assert plan.count("lineitem.parquet") == 1
     rows = nation_market_share(spark, sf_dir).collect()
@@ -44,7 +39,7 @@ def test_market_share_single_fact_scan(spark, sf_dir):
 
 
 def test_min_cost_supplier_prunes_fact_early(spark, sf_dir):
-    plan = _plan(min_cost_supplier(spark, sf_dir))
+    plan = explain_plan(min_cost_supplier(spark, sf_dir))
     # the semi join against the filtered part dim must be broadcast
     assert "LeftSemi" in plan
     out = min_cost_supplier(spark, sf_dir)

@@ -16,33 +16,20 @@ from postgres_opensearch_cdc_spark.queries.relational4 import (
     waiting_suppliers,
 )
 from postgres_opensearch_cdc_spark.registry import load_table
-
-
-def _plan(df) -> str:
-    return df._sc._jvm.PythonSQLUtils.explainString(
-        df._jdf.queryExecution(), "formatted"
-    )
-
-
-def _nodes(plan: str, name: str) -> int:
-    """Count operator nodes in the detail section (the tree section
-    repeats each node, so a raw substring count double-counts)."""
-    import re
-
-    return len(re.findall(rf"^\(\d+\) {re.escape(name)}", plan, re.M))
+from postgres_opensearch_cdc_spark.testing import count_nodes, explain_plan
 
 
 def test_profit_dims_broadcast_and_part_filter_pushes_down(spark, sf_dir):
-    plan = _plan(profit_by_nation_year(spark, sf_dir))
-    assert _nodes(plan, "BroadcastHashJoin") == 3, "all three dims must broadcast"
+    plan = explain_plan(profit_by_nation_year(spark, sf_dir))
+    assert count_nodes(plan, "BroadcastHashJoin") == 3, "all three dims must broadcast"
     assert "EqualTo(p_type,STANDARD)" in plan, "part filter not pushed to scan"
 
 
 def test_bracket_revenue_is_one_scan(spark, sf_dir):
     """The OR-of-conjunctions must stay one disjunctive filter over a
     single lineitem scan, not a union of three scans."""
-    plan = _plan(bracket_revenue(spark, sf_dir))
-    assert _nodes(plan, "Scan parquet") == 2, "expected one lineitem + one part scan"
+    plan = explain_plan(bracket_revenue(spark, sf_dir))
+    assert count_nodes(plan, "Scan parquet") == 2, "expected one lineitem + one part scan"
     assert "Union" not in plan
 
 
@@ -61,13 +48,38 @@ def test_important_parts_exceed_threshold(spark, sf_dir):
 
 def test_waiting_suppliers_are_sole_late_offenders(spark, sf_dir):
     """Every blamed supplier must come from an order with >1 supplier
-    where it was the only late one — re-derive the per-order flags
-    independently and cross-check the top-10 counts."""
+    where it was the only late one — re-derive the per-order flags in
+    plain Python from the raw tables and cross-check the counts."""
+    from collections import defaultdict
+
+    from postgres_opensearch_cdc_spark.queries.relational4 import LATE_DAYS
+
+    orders = {
+        r["o_orderkey"]: r["o_orderdate"]
+        for r in load_table(spark, sf_dir, "orders").collect()
+    }
+    per_order = defaultdict(lambda: (set(), set()))  # (suppliers, late)
+    for r in (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_shipdate")
+        .collect()
+    ):
+        supps, late = per_order[r["l_orderkey"]]
+        supps.add(r["l_suppkey"])
+        odate = orders[r["l_orderkey"]]
+        if (r["l_shipdate"] - odate).days > LATE_DAYS:
+            late.add(r["l_suppkey"])
+    blame = defaultdict(int)
+    for supps, late in per_order.values():
+        if len(supps) > 1 and len(late) == 1:
+            blame[next(iter(late))] += 1
+    expected = sorted(blame.values(), reverse=True)[:10]
+
     rows = waiting_suppliers(spark, sf_dir).collect()
     assert 0 < len(rows) <= 10
     counts = [r["numwait"] for r in rows]
     assert counts == sorted(counts, reverse=True)
-    assert all(c >= 1 for c in counts)
+    assert counts == expected
 
 
 def test_bracket_predicate_matches_manual_filter(spark, sf_dir):

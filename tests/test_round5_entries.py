@@ -20,21 +20,16 @@ from postgres_opensearch_cdc_spark.queries.querydsl_aggs import (
 )
 from postgres_opensearch_cdc_spark.queries.training_pipeline import quality_unigram_lm
 from postgres_opensearch_cdc_spark.registry import load_table
-
-
-def _plan(df) -> str:
-    return df._sc._jvm.PythonSQLUtils.explainString(
-        df._jdf.queryExecution(), "formatted"
-    )
+from postgres_opensearch_cdc_spark.testing import count_nodes, explain_plan
 
 
 def test_wildcard_prefix_reaches_the_scan(spark, sf_dir):
-    plan = _plan(wildcard_query(spark, sf_dir))
+    plan = explain_plan(wildcard_query(spark, sf_dir))
     assert "StringStartsWith(source,src1)" in plan, "prefix not pushed to parquet"
 
 
 def test_top_metrics_uses_partial_agg_not_window(spark, sf_dir):
-    plan = _plan(top_metrics_agg(spark, sf_dir))
+    plan = explain_plan(top_metrics_agg(spark, sf_dir))
     assert "max_by" in plan
     assert "Window" not in plan, "top_metrics must not sort whole partitions"
 

@@ -4,33 +4,22 @@ consistency, funnel monotonicity, and change-point sanity."""
 
 from __future__ import annotations
 
-import re
-
 from postgres_opensearch_cdc_spark.queries.sequences import (
     change_point_cusum,
     eql_sequence,
     eql_sequence_until,
     funnel_steps,
 )
-
-
-def _plan(df) -> str:
-    return df._sc._jvm.PythonSQLUtils.explainString(
-        df._jdf.queryExecution(), "formatted"
-    )
-
-
-def _nodes(plan: str, name: str) -> int:
-    return len(re.findall(rf"^\(\d+\) {re.escape(name)}", plan, re.M))
+from postgres_opensearch_cdc_spark.testing import count_nodes, explain_plan
 
 
 def test_eql_sequence_has_no_self_join(spark, sf_dir):
     """The future-B lookup must be a window running-min, not a pairwise
     self-join: one events scan, zero joins."""
-    plan = _plan(eql_sequence(spark, sf_dir))
-    assert _nodes(plan, "Scan parquet") == 1
+    plan = explain_plan(eql_sequence(spark, sf_dir))
+    assert count_nodes(plan, "Scan parquet") == 1
     assert "Join" not in plan
-    assert _nodes(plan, "Window") == 1
+    assert count_nodes(plan, "Window") == 1
 
 
 def test_until_partitions_the_sequence_matches(spark, sf_dir):

@@ -4,8 +4,6 @@ consistency, and the radial search's single-scan plan shape."""
 
 from __future__ import annotations
 
-import re
-
 from pyspark.sql import functions as F
 
 from postgres_opensearch_cdc_spark.queries.training_pipeline2 import (
@@ -16,16 +14,7 @@ from postgres_opensearch_cdc_spark.queries.training_pipeline2 import (
     mixture_temperature_sample,
 )
 from postgres_opensearch_cdc_spark.registry import load_table
-
-
-def _plan(df) -> str:
-    return df._sc._jvm.PythonSQLUtils.explainString(
-        df._jdf.queryExecution(), "formatted"
-    )
-
-
-def _nodes(plan: str, name: str) -> int:
-    return len(re.findall(rf"^\(\d+\) {re.escape(name)}", plan, re.M))
+from postgres_opensearch_cdc_spark.testing import count_nodes, explain_plan
 
 
 def test_length_band_accounts_for_every_doc(spark, sf_dir):
@@ -58,10 +47,10 @@ def test_chunk_stats_are_consistent(spark, sf_dir):
 
 def test_radial_search_is_one_scan_and_thresholded(spark, sf_dir):
     df = ann_radial_search(spark, sf_dir)
-    plan = _plan(df)
+    plan = explain_plan(df)
     # one embeddings scan for all three queries (the 3 head() lookups
     # happen at build time, not in this plan)
-    assert _nodes(plan, "Scan parquet") == 1
+    assert count_nodes(plan, "Scan parquet") == 1
     rows = df.collect()
     assert rows and all(r["cos_sim"] >= RADIAL_MIN_COS for r in rows)
     assert all(r["vec_id"] != r["query_id"] for r in rows)
