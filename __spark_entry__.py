@@ -144,7 +144,8 @@ _PRIORITY = [
 # ts_rolling_corr, and the query-DSL batch-8 entries has_child_query,
 # has_parent_query, terms_lookup_filter, geo_polygon_query,
 # global_agg_compare, plus knn_join_topk, transform_entity_centric,
-# ts_seasonal_anomaly, event_transition_matrix
+# ts_seasonal_anomaly, event_transition_matrix, ks_test_agg,
+# min_sum_bucket_agg
 # (all with sf0.001+sf0.01 local parity). Ten of these (the _PRIORITY
 # (e) block above) already sit in the round-6 window; rotate the rest
 # in for round 7.

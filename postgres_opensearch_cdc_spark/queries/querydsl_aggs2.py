@@ -378,11 +378,80 @@ def geo_line_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+KS_A, KS_B = "click", "view"
+
+
+def ks_test_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`bucket_count_ks_test` analog: the exact two-sample
+    Kolmogorov-Smirnov D statistic between the value distributions of
+    two event types — D = sup|F_a(x) − F_b(x)| over the pooled sample,
+    via cumulative counts in a RANGE window (ties collapse correctly:
+    every row of equal value sees the same cumulative count). The
+    ratios divide exact integers, so both engines compute identical
+    doubles. At 100 TB the global range window becomes per-bucket ECDF
+    partials merged on the ~1k-point quantile grid; this exact form is
+    the oracle-checkable verifier."""
+    ev = load_table(spark, sf_dir, "events")
+    sample = ev.filter(F.col("event_type").isin(KS_A, KS_B)).select(
+        "value",
+        (F.col("event_type") == KS_A).cast("long").alias("is_a"),
+        (F.col("event_type") == KS_B).cast("long").alias("is_b"),
+    )
+    totals = sample.agg(
+        F.sum("is_a").alias("n_a"), F.sum("is_b").alias("n_b")
+    )
+    w = Window.orderBy("value").rangeBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ecdf = sample.select(
+        F.sum("is_a").over(w).alias("cum_a"),
+        F.sum("is_b").over(w).alias("cum_b"),
+    )
+    return (
+        ecdf.crossJoin(F.broadcast(totals))
+        .agg(
+            F.first("n_a").alias("n_a"),
+            F.first("n_b").alias("n_b"),
+            F.round(
+                F.max(
+                    F.abs(
+                        F.col("cum_a") / F.col("n_a")
+                        - F.col("cum_b") / F.col("n_b")
+                    )
+                ),
+                6,
+            ).alias("d_stat"),
+        )
+    )
+
+
+def min_sum_bucket_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`min_bucket` + `sum_bucket` pipeline aggs in one result: the day
+    whose purchase count is the minimum over the date histogram
+    (earliest day on ties, ES's first-key reporting) plus the sum over
+    all buckets. Bucket series only — no full-data window."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = _daily(ev, "purchase")
+    bottom = daily.agg(
+        F.min("n").alias("min_n"), F.sum("n").alias("sum_value")
+    )
+    return (
+        daily.join(F.broadcast(bottom), daily["n"] == bottom["min_n"])
+        .agg(
+            F.min("day").alias("min_day"),
+            F.max("n").alias("min_value"),
+            F.first("sum_value").alias("sum_value"),
+        )
+    )
+
+
 QUERIES = {
     "extended_stats_agg": extended_stats_agg,
     "frequent_item_sets_agg": frequent_item_sets_agg,
     "moving_percentiles_agg": moving_percentiles_agg,
     "geo_line_agg": geo_line_agg,
+    "ks_test_agg": ks_test_agg,
+    "min_sum_bucket_agg": min_sum_bucket_agg,
     "derivative_agg": derivative_agg,
     "stats_bucket_agg": stats_bucket_agg,
     "percentiles_bucket_agg": percentiles_bucket_agg,
@@ -492,6 +561,33 @@ ORACLE = {
         WITH daily AS ({_DAILY_PURCHASES})
         SELECT MIN(day) AS day, MAX(n) AS value
         FROM daily WHERE n = (SELECT MAX(n) FROM daily)
+    """,
+    "ks_test_agg": f"""
+        WITH sample AS (
+            SELECT value,
+                   CASE WHEN event_type = '{KS_A}' THEN 1 ELSE 0 END AS is_a,
+                   CASE WHEN event_type = '{KS_B}' THEN 1 ELSE 0 END AS is_b
+            FROM events WHERE event_type IN ('{KS_A}', '{KS_B}')
+        ), totals AS (
+            SELECT CAST(SUM(is_a) AS BIGINT) AS n_a,
+                   CAST(SUM(is_b) AS BIGINT) AS n_b
+            FROM sample
+        ), ecdf AS (
+            SELECT SUM(is_a) OVER w AS cum_a, SUM(is_b) OVER w AS cum_b
+            FROM sample
+            WINDOW w AS (ORDER BY value RANGE BETWEEN UNBOUNDED PRECEDING
+                                                 AND CURRENT ROW)
+        )
+        SELECT ANY_VALUE(n_a) AS n_a, ANY_VALUE(n_b) AS n_b,
+               ROUND(MAX(ABS(cum_a / CAST(n_a AS DOUBLE)
+                             - cum_b / CAST(n_b AS DOUBLE))), 6) AS d_stat
+        FROM ecdf, totals
+    """,
+    "min_sum_bucket_agg": f"""
+        WITH daily AS ({_DAILY_PURCHASES})
+        SELECT MIN(day) AS min_day, MAX(n) AS min_value,
+               (SELECT CAST(SUM(n) AS BIGINT) FROM daily) AS sum_value
+        FROM daily WHERE n = (SELECT MIN(n) FROM daily)
     """,
     "bucket_sort_agg": """
         SELECT user_id, COUNT(*) AS doc_count

@@ -133,3 +133,23 @@ def test_top_supplier_is_argmax(spark, sf_dir):
     rows = top_supplier_revenue(spark, sf_dir).collect()
     assert rows  # 1995-era quarter exists in the fixture's shipdates
     assert len({r["total_revenue"] for r in rows}) == 1  # all tied at max
+
+
+def test_ks_test_is_bounded_and_positive(spark, sf_dir):
+    from postgres_opensearch_cdc_spark.queries.querydsl_aggs2 import ks_test_agg
+
+    r = ks_test_agg(spark, sf_dir).collect()[0]
+    assert r["n_a"] > 0 and r["n_b"] > 0
+    assert 0 <= r["d_stat"] <= 1
+
+
+def test_min_sum_bucket_consistent_with_max_bucket(spark, sf_dir):
+    from postgres_opensearch_cdc_spark.queries.querydsl_aggs2 import (
+        max_bucket_day,
+        min_sum_bucket_agg,
+    )
+
+    lo = min_sum_bucket_agg(spark, sf_dir).collect()[0]
+    hi = max_bucket_day(spark, sf_dir).collect()[0]
+    assert lo["min_value"] <= hi["value"]
+    assert lo["sum_value"] >= hi["value"]
