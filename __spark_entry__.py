@@ -145,8 +145,10 @@ _PRIORITY = [
 # has_parent_query, terms_lookup_filter, geo_polygon_query,
 # global_agg_compare, plus knn_join_topk, transform_entity_centric,
 # ts_seasonal_anomaly, event_transition_matrix, ks_test_agg,
-# min_sum_bucket_agg
-# (all with sf0.001+sf0.01 local parity). Ten of these (the _PRIORITY
+# min_sum_bucket_agg, window_percent_rank, fuzzy_name_join
+# (all with sf0.001+sf0.01 local parity; the definitive end-of-round
+# sf0.01 sweep passed 219/219 and the last two additions were each
+# verified at sf0.001/0.01/0.1). Ten of these (the _PRIORITY
 # (e) block above) already sit in the round-6 window; rotate the rest
 # in for round 7.
 

@@ -37,6 +37,54 @@ def window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def window_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank within group: each order's price percentile rank
+    inside its priority class — the relative-standing window the
+    ntile/cume_dist pair doesn't cover (rank-1)/(n-1) semantics,
+    ties share a rank). One shuffle on the partition key."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice")
+    return (
+        orders.select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.round(F.percent_rank().over(w), 6).alias("price_pct_rank"),
+        )
+        .orderBy("o_orderkey")
+        .limit(1000)
+    )
+
+
+FUZZY_JOIN_MAX_DIST = 1
+
+
+def fuzzy_name_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy string join: suppliers matched to a probe list of
+    (possibly misspelled) names by Levenshtein distance ≤
+    FUZZY_JOIN_MAX_DIST — the entity-resolution join ES serves with
+    per-term fuzzy queries, as a broadcast nested-loop join whose
+    probe side is a literal VALUES relation. At 100 TB the probe side
+    stays broadcast and the distance filter runs in the scan stage;
+    for large×large fuzzy joins the production path is q-gram blocking
+    first (same LSH-candidate pattern as the dedup suite)."""
+    sup = load_table(spark, sf_dir, "supplier")
+    probes = spark.createDataFrame(
+        [("Supplier#000000001",), ("Supplier#000000010",), ("Suplier#000000003",)],
+        ["probe_name"],
+    )
+    dist = F.levenshtein(F.col("s_name"), F.col("probe_name"))
+    return (
+        sup.crossJoin(F.broadcast(probes))
+        .filter(dist <= FUZZY_JOIN_MAX_DIST)
+        .select(
+            "probe_name",
+            "s_name",
+            dist.cast("long").alias("edit_dist"),
+        )
+        .orderBy("probe_name", "s_name")
+    )
+
+
 def window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ntile + cume_dist: price-quartile assignment — the bucketing shape
     quantile-based feature engineering uses."""
@@ -172,6 +220,8 @@ QUERIES = {
     "asof_last_purchase": asof_last_purchase,
     "window_frames": window_frames,
     "window_ntile": window_ntile,
+    "window_percent_rank": window_percent_rank,
+    "fuzzy_name_join": fuzzy_name_join,
     "pivot_event_type": pivot_event_type,
     "join_outer_full": join_outer_full,
     "join_cross": join_cross,
@@ -181,6 +231,25 @@ QUERIES = {
 }
 
 ORACLE = {
+    "window_percent_rank": """
+        SELECT o_orderkey, o_orderpriority,
+               ROUND(percent_rank() OVER (
+                   PARTITION BY o_orderpriority ORDER BY o_totalprice
+               ), 6) AS price_pct_rank
+        FROM orders
+        ORDER BY o_orderkey LIMIT 1000
+    """,
+    "fuzzy_name_join": f"""
+        WITH probes(probe_name) AS (
+            VALUES ('Supplier#000000001'), ('Supplier#000000010'),
+                   ('Suplier#000000003')
+        )
+        SELECT probe_name, s_name,
+               CAST(levenshtein(s_name, probe_name) AS BIGINT) AS edit_dist
+        FROM supplier, probes
+        WHERE levenshtein(s_name, probe_name) <= {FUZZY_JOIN_MAX_DIST}
+        ORDER BY probe_name, s_name
+    """,
     "asof_last_purchase": """
         WITH v AS (
             SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'

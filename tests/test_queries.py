@@ -64,3 +64,20 @@ def test_dedup_exact_partitions_docs(spark, sf_dir):
     total_docs = load_table(spark, sf_dir, "documents").count()
     agg = df.groupBy().sum("dupe_count").head()[0]
     assert agg == total_docs
+
+
+def test_fuzzy_join_includes_exact_and_near_matches(spark, sf_dir):
+    from postgres_opensearch_cdc_spark.queries.windows_pivot import fuzzy_name_join
+
+    rows = fuzzy_name_join(spark, sf_dir).collect()
+    dists = {r["edit_dist"] for r in rows}
+    assert dists <= {0, 1} and 0 in dists and 1 in dists
+
+
+def test_percent_rank_bounds_and_ties(spark, sf_dir):
+    from postgres_opensearch_cdc_spark.queries.windows_pivot import (
+        window_percent_rank,
+    )
+
+    rows = window_percent_rank(spark, sf_dir).collect()
+    assert rows and all(0.0 <= r["price_pct_rank"] <= 1.0 for r in rows)
