@@ -83,6 +83,10 @@ def _ensure_parallelism(df: DataFrame) -> DataFrame:
     single-row-group file pinning the scan to one task). On an already
     well-partitioned 100 TB source this is a no-op — no gratuitous
     shuffle of document payloads."""
+    if df.isStreaming:
+        # .rdd is illegal on a streaming frame; micro-batch parallelism
+        # is the source's concern (maxFilesPerTrigger etc.)
+        return df
     target = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     if df.rdd.getNumPartitions() < max(2, target // 4):
         return df.repartition(target)
@@ -120,16 +124,25 @@ def word_shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> Data
     return df.select(F.col(id_col).alias("id"), F.explode(shingles).alias("shingle"))
 
 
-def shingle_arrays(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
+def shingle_arrays(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    carry: list[str] | None = None,
+) -> DataFrame:
     """Per-doc distinct shingle ARRAY (no explode): the input to the
-    shuffle-free signature path."""
+    shuffle-free signature path. `carry` columns (e.g. an event-time
+    column for the streaming operator) ride along unchanged."""
     df = _ensure_parallelism(df)
     toks = F.split(F.lower(F.col(text_col)), r"\s+")
     idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
     shingles = F.array_distinct(
         F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
     )
-    return df.select(F.col(id_col).alias("id"), shingles.alias("sh_arr"))
+    return df.select(
+        F.col(id_col).alias("id"), *(carry or []), shingles.alias("sh_arr")
+    )
 
 
 def minhash_signatures_from_arrays(
@@ -152,21 +165,25 @@ def minhash_signatures_from_arrays(
         def _member(a: int, b: int):
             return lambda x: (F.lit(a) * x + F.lit(b)) % F.lit(MINHASH_PRIME)
 
+        passthrough = [c for c in arrays.columns if c not in ("id", "sh_arr")]
         based = arrays.select(
-            "id", F.transform(F.col("sh_arr"), lambda s: md5_base32(s)).alias("_xs")
+            "id",
+            *passthrough,
+            F.transform(F.col("sh_arr"), lambda s: md5_base32(s)).alias("_xs"),
         )
         hash_cols = [
             F.array_min(F.transform(F.col("_xs"), _member(a, b))).alias(f"h{i}")
             for i, (a, b) in enumerate(fam)
         ]
-        return based.select("id", *hash_cols)
+        return based.select("id", *passthrough, *hash_cols)
     hash_cols = [
         F.array_min(
             F.transform(F.col("sh_arr"), lambda s: _salted_hash(s, seed + i, hasher))
         ).alias(f"h{i}")
         for i in range(num_hashes)
     ]
-    return arrays.select("id", *hash_cols)
+    passthrough = [c for c in arrays.columns if c not in ("id", "sh_arr")]
+    return arrays.select("id", *passthrough, *hash_cols)
 
 
 def minhash_signatures(

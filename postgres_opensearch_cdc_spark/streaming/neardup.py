@@ -51,6 +51,98 @@ from postgres_opensearch_cdc_spark.functions.dedup import (
 )
 
 
+def band_keys(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    hasher: str = "xxhash64",
+    carry: list[str] | None = None,
+) -> DataFrame:
+    """(id, [carry...], band, k0..k{r-1}) — `bands` rows per doc, all
+    scan-stage projections (shingle → shuffle-free MinHash signature →
+    banded key split). Shared by the durable NearDupSink and the
+    within-watermark operator."""
+    rpb = num_hashes // bands
+    arrays = shingle_arrays(docs, text_col, id_col, n=shingle_n, carry=carry)
+    sigs = minhash_signatures_from_arrays(
+        arrays, num_hashes=num_hashes, hasher=hasher
+    )
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            *[F.col(f"h{b * rpb + r}").alias(f"k{r}") for r in range(rpb)],
+        )
+        for b in range(bands)
+    ]
+    carry_cols = list(carry or [])
+    return sigs.select(
+        F.col("id"), *carry_cols, F.explode(F.array(*band_structs)).alias("bk")
+    ).select("id", *carry_cols, "bk.band", *[f"bk.k{r}" for r in range(rpb)])
+
+
+def within_watermark_neardup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ts_col: str = "ts",
+    *,
+    watermark: str = "1 hour",
+    window: str = "10 minutes",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    hasher: str = "xxhash64",
+) -> DataFrame:
+    """Streaming near-dup suppression entirely inside Structured
+    Streaming state (no external store): MinHash band keys feed
+    dropDuplicatesWithinWatermark — each band key is claimed by the
+    FIRST document that arrives with it inside the watermark horizon —
+    then a chained windowed aggregation counts the bands each document
+    still owns. A document that owns ALL its bands collided with
+    nobody earlier and survives; sharing ANY band with an earlier
+    arrival suppresses it (stricter than the batch pipeline's
+    any-band-candidate + exact-verify: in-stream there is no second
+    look, matching first-seen-wins semantics).
+
+    State is b longs per claimed band key, EVICTED at the watermark —
+    bounded by the arrival rate × horizon, not by stream history (the
+    durable-corpus complement is NearDupSink, whose store grows with
+    the survivor corpus instead). Output is append-mode: survivors
+    emit when their window passes the watermark.
+
+    Requires Spark's chained-stateful-operator support
+    (dedup-within-watermark → time-window aggregation, Spark 3.5+)."""
+    keys = band_keys(
+        docs.select(id_col, text_col, ts_col),
+        id_col,
+        text_col,
+        num_hashes=num_hashes,
+        bands=bands,
+        shingle_n=shingle_n,
+        hasher=hasher,
+        carry=[ts_col],
+    )
+    rpb = num_hashes // bands
+    key_cols = ["band"] + [f"k{r}" for r in range(rpb)]
+    claims = keys.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        key_cols
+    )
+    return (
+        claims.groupBy(F.window(ts_col, window).alias("w"), F.col("id"))
+        .agg(F.count(F.lit(1)).alias("bands_owned"))
+        .filter(F.col("bands_owned") == bands)
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("id").alias(id_col),
+            "bands_owned",
+        )
+    )
+
+
 @dataclass
 class NearDupSink:
     """foreachBatch sink keeping only first-seen near-unique documents.
@@ -96,24 +188,15 @@ class NearDupSink:
 
     def _band_keys(self, docs: DataFrame) -> DataFrame:
         """(id, band, k0..k{r-1}) — b rows per doc, all projections."""
-        arrays = shingle_arrays(docs, self.text_col, self.id_col, n=self.shingle_n)
-        sigs = minhash_signatures_from_arrays(
-            arrays, num_hashes=self.num_hashes, hasher=self.hasher
+        return band_keys(
+            docs,
+            self.id_col,
+            self.text_col,
+            num_hashes=self.num_hashes,
+            bands=self.bands,
+            shingle_n=self.shingle_n,
+            hasher=self.hasher,
         )
-        rpb = self._rpb
-        band_structs = [
-            F.struct(
-                F.lit(b).alias("band"),
-                *[
-                    F.col(f"h{b * rpb + r}").alias(f"k{r}")
-                    for r in range(rpb)
-                ],
-            )
-            for b in range(self.bands)
-        ]
-        return sigs.select(
-            F.col("id"), F.explode(F.array(*band_structs)).alias("bk")
-        ).select("id", "bk.band", *[f"bk.k{r}" for r in range(self._rpb)])
 
     def apply_batch(self, batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession

@@ -94,3 +94,58 @@ def test_through_real_stream(spark, sink, tmp_path):
         fh.write(_json.dumps({"doc_id": 22, "text": FAR2}) + "\n")
     run_once()
     assert surviving_ids(spark, sink) == {1, 9, 22}
+
+
+def test_within_watermark_neardup_stream(spark, tmp_path):
+    """Pure-state-store variant: a real checkpointed stream through
+    dropDuplicatesWithinWatermark (band claims) chained into the
+    windowed owns-all-bands aggregation. A near-dup arriving after the
+    original is suppressed; unrelated docs survive; results emit once
+    the watermark passes their window."""
+    from datetime import datetime, timedelta
+
+    from postgres_opensearch_cdc_spark.streaming.neardup import (
+        within_watermark_neardup,
+    )
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    t0 = datetime(2024, 1, 1, 0, 0, 0)
+    schema = "doc_id long, text string, ts timestamp"
+
+    batch1 = [(1, BASE, t0), (9, FAR, t0 + timedelta(seconds=30))]
+    batch2 = [
+        (11, NEAR, t0 + timedelta(minutes=2)),
+        (12, FAR2, t0 + timedelta(minutes=3)),
+    ]
+    # far-future row advances the watermark so earlier windows flush
+    flush = [(99, "flush marker row", t0 + timedelta(days=2))]
+    spark.createDataFrame(batch1, schema).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(src)
+    result = within_watermark_neardup(
+        stream, watermark="1 hour", window="10 minutes"
+    )
+    q = (
+        result.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(batch2, schema).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        spark.createDataFrame(flush, schema).write.mode("append").parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    emitted = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    # 1 and 9 own all their bands; 11 shares bands with 1 -> suppressed;
+    # 12 unrelated -> survives. 99's window hasn't flushed.
+    assert emitted == {1, 9, 12}
