@@ -17,6 +17,7 @@ from postgres_opensearch_cdc_spark.queries import (
     extensions,
     graph_dedup,
     patterns,
+    ppl_queries,
     querydsl,
     querydsl3,
     querydsl4,
@@ -38,6 +39,7 @@ from postgres_opensearch_cdc_spark.queries import (
 _MODULES = [
     windows_pivot,
     patterns,
+    ppl_queries,
     extensions,
     querydsl,
     querydsl3,
@@ -145,9 +147,11 @@ _PRIORITY = [
 # has_parent_query, terms_lookup_filter, geo_polygon_query,
 # global_agg_compare, plus knn_join_topk, transform_entity_centric,
 # ts_seasonal_anomaly, event_transition_matrix, ks_test_agg,
-# min_sum_bucket_agg, window_percent_rank, fuzzy_name_join
+# min_sum_bucket_agg, window_percent_rank, fuzzy_name_join, and the
+# five PPL-compiler pipelines ppl_where_stats, ppl_top_sources,
+# ppl_rare_langs, ppl_eval_fields, ppl_dedup_rename
 # (all with sf0.001+sf0.01 local parity; the definitive end-of-round
-# sf0.01 sweep passed 219/219 and the last two additions were each
+# sf0.01 sweep passed 219/219 and the additions after it were each
 # verified at sf0.001/0.01/0.1). Ten of these (the _PRIORITY
 # (e) block above) already sit in the round-6 window; rotate the rest
 # in for round 7.

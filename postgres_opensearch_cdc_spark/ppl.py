@@ -1,0 +1,199 @@
+"""PPL (Piped Processing Language) compiler: the OpenSearch Dashboards
+query language a user of the reference stack writes alongside the DSL
+(`source=index | where ... | stats ... by ... | sort ... | head N`),
+compiled into a single declarative DataFrame plan.
+
+Spark-first: every stage is a narrow transformation or a standard
+aggregate, so the composed pipeline is ONE Catalyst plan — filters
+push to the scan, stats become partial+final aggregates, sort+head
+becomes TakeOrderedAndProject. Nothing is interpreted per-row.
+
+Supported stages (the core of the public PPL command set):
+
+    source=<table>
+    where  <cond> [and|or <cond>]...       =, !=, >, >=, <, <=
+    fields [+|-] f1, f2, ...               keep (+, default) or drop (-)
+    eval   name = <arith expr>             + - * / %, round/abs/ceil/
+                                           floor/lower/upper/length,
+                                           parentheses
+    stats  <agg> [as alias], ... [by k...] count/sum/avg/min/max/
+                                           dc (distinct count)
+    sort   [+|-]f1, [+|-]f2, ...
+    head   N
+    dedup  f1 [, f2 ...]                   distinct over the listed
+                                           fields (projects to them)
+    rename a as b [, c as d]
+    top    N field                         most frequent values
+    rare   N field                         least frequent values
+
+Errors are raised as PPLSyntaxError with the offending stage text.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from postgres_opensearch_cdc_spark.registry import load_table
+
+
+class PPLSyntaxError(ValueError):
+    pass
+
+
+_CMP = {"=": "=", "!=": "!=", ">": ">", ">=": ">=", "<": "<", "<=": "<="}
+_AGGS = {"count", "sum", "avg", "min", "max", "dc"}
+# eval expressions pass through F.expr after a whitelist scan
+_EVAL_FUNCS = {"round", "abs", "ceil", "floor", "lower", "upper", "length"}
+_EVAL_TOKEN = re.compile(
+    r"\s*(?:(?P<num>\d+(?:\.\d+)?)|(?P<ident>[A-Za-z_][A-Za-z_0-9]*)"
+    r"|(?P<op>[-+*/%(),])|(?P<str>'[^']*'))"
+)
+
+
+def _parse_literal(tok: str):
+    tok = tok.strip()
+    if tok.startswith("'") and tok.endswith("'"):
+        return tok[1:-1]
+    if re.fullmatch(r"-?\d+", tok):
+        return int(tok)
+    if re.fullmatch(r"-?\d+\.\d+", tok):
+        return float(tok)
+    raise PPLSyntaxError(f"unsupported literal: {tok!r}")
+
+
+def _compile_condition(text: str):
+    """AND/OR chain of comparisons, left-associative, AND binds
+    tighter (standard PPL/SQL precedence)."""
+    or_parts = re.split(r"\s+or\s+", text, flags=re.I)
+    or_col = None
+    for or_part in or_parts:
+        and_col = None
+        for cmp_text in re.split(r"\s+and\s+", or_part, flags=re.I):
+            m = re.fullmatch(
+                r"\s*([A-Za-z_][A-Za-z_0-9]*)\s*(>=|<=|!=|=|>|<)\s*(.+?)\s*",
+                cmp_text,
+            )
+            if not m:
+                raise PPLSyntaxError(f"bad condition: {cmp_text!r}")
+            field, op, lit = m.groups()
+            col, val = F.col(field), F.lit(_parse_literal(lit))
+            c = {
+                "=": col == val,
+                "!=": col != val,
+                ">": col > val,
+                ">=": col >= val,
+                "<": col < val,
+                "<=": col <= val,
+            }[op]
+            and_col = c if and_col is None else (and_col & c)
+        or_col = and_col if or_col is None else (or_col | and_col)
+    return or_col
+
+
+def _check_eval_expr(expr: str) -> None:
+    pos = 0
+    while pos < len(expr):
+        m = _EVAL_TOKEN.match(expr, pos)
+        if not m:
+            if expr[pos:].strip() == "":
+                break
+            raise PPLSyntaxError(f"bad eval token at: {expr[pos:]!r}")
+        if m.group("ident"):
+            ident = m.group("ident")
+            nxt = expr[m.end():].lstrip()
+            if nxt.startswith("(") and ident.lower() not in _EVAL_FUNCS:
+                raise PPLSyntaxError(f"function not allowed in eval: {ident}")
+        pos = m.end()
+
+
+def _agg_expr(text: str):
+    m = re.fullmatch(
+        r"\s*([a-z]+)\s*\(\s*([A-Za-z_0-9]*)\s*\)\s*(?:as\s+([A-Za-z_0-9]+))?\s*",
+        text,
+        flags=re.I,
+    )
+    if not m:
+        raise PPLSyntaxError(f"bad stats aggregate: {text!r}")
+    fn, arg, alias = m.group(1).lower(), m.group(2), m.group(3)
+    if fn not in _AGGS:
+        raise PPLSyntaxError(f"unknown aggregate: {fn}")
+    if fn == "count":
+        col, default = F.count(F.lit(1)), "count"
+    elif fn == "dc":
+        col, default = F.countDistinct(arg), f"dc_{arg}"
+    else:
+        col, default = getattr(F, fn)(arg), f"{fn}_{arg}"
+    return col.alias(alias or default)
+
+
+def ppl(spark: SparkSession, sf_dir: str, query: str) -> DataFrame:
+    """Compile a PPL pipeline into one DataFrame plan."""
+    stages = [s.strip() for s in query.strip().split("|")]
+    m = re.fullmatch(r"source\s*=\s*([A-Za-z_0-9]+)", stages[0])
+    if not m:
+        raise PPLSyntaxError(f"pipeline must start with source=<table>: {stages[0]!r}")
+    df = load_table(spark, sf_dir, m.group(1))
+
+    for stage in stages[1:]:
+        cmd, _, rest = stage.partition(" ")
+        cmd, rest = cmd.lower(), rest.strip()
+        if cmd == "where":
+            df = df.filter(_compile_condition(rest))
+        elif cmd == "fields":
+            drop = rest.startswith("-")
+            cols = [c.strip() for c in rest.lstrip("+-").split(",") if c.strip()]
+            df = df.drop(*cols) if drop else df.select(*cols)
+        elif cmd == "eval":
+            name, eq, expr = rest.partition("=")
+            if not eq:
+                raise PPLSyntaxError(f"eval needs name = expr: {rest!r}")
+            _check_eval_expr(expr)
+            df = df.withColumn(name.strip(), F.expr(expr.strip()))
+        elif cmd == "stats":
+            by_match = re.search(r"\s+by\s+(.+)$", rest, flags=re.I)
+            agg_text = rest[: by_match.start()] if by_match else rest
+            aggs = [_agg_expr(a) for a in agg_text.split(",")]
+            if by_match:
+                keys = [k.strip() for k in by_match.group(1).split(",")]
+                df = df.groupBy(*keys).agg(*aggs)
+            else:
+                df = df.agg(*aggs)
+        elif cmd == "sort":
+            orders = []
+            for part in rest.split(","):
+                part = part.strip()
+                if part.startswith("-"):
+                    orders.append(F.col(part[1:]).desc())
+                else:
+                    orders.append(F.col(part.lstrip("+")).asc())
+            df = df.orderBy(*orders)
+        elif cmd == "head":
+            df = df.limit(int(rest))
+        elif cmd == "dedup":
+            cols = [c.strip() for c in rest.split(",")]
+            df = df.select(*cols).distinct()
+        elif cmd == "rename":
+            for pair in rest.split(","):
+                pm = re.fullmatch(
+                    r"\s*([A-Za-z_0-9]+)\s+as\s+([A-Za-z_0-9]+)\s*", pair, re.I
+                )
+                if not pm:
+                    raise PPLSyntaxError(f"bad rename: {pair!r}")
+                df = df.withColumnRenamed(pm.group(1), pm.group(2))
+        elif cmd in ("top", "rare"):
+            tm = re.fullmatch(r"(\d+)\s+([A-Za-z_0-9]+)", rest)
+            if not tm:
+                raise PPLSyntaxError(f"bad {cmd}: {rest!r}")
+            n, field = int(tm.group(1)), tm.group(2)
+            counted = df.groupBy(field).agg(F.count(F.lit(1)).alias("count"))
+            order = (
+                [F.col("count").desc(), F.col(field).asc()]
+                if cmd == "top"
+                else [F.col("count").asc(), F.col(field).asc()]
+            )
+            df = counted.orderBy(*order).limit(n)
+        else:
+            raise PPLSyntaxError(f"unknown PPL stage: {stage!r}")
+    return df
