@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from postgres_opensearch_cdc_spark.queries import (
     cdc_queries,
     dashboard,
+    dsl_queries,
     extensions,
     graph_dedup,
     patterns,
@@ -40,6 +41,7 @@ _MODULES = [
     windows_pivot,
     patterns,
     ppl_queries,
+    dsl_queries,
     extensions,
     querydsl,
     querydsl3,
@@ -149,7 +151,9 @@ _PRIORITY = [
 # ts_seasonal_anomaly, event_transition_matrix, ks_test_agg,
 # min_sum_bucket_agg, window_percent_rank, fuzzy_name_join, and the
 # five PPL-compiler pipelines ppl_where_stats, ppl_top_sources,
-# ppl_rare_langs, ppl_eval_fields, ppl_dedup_rename
+# ppl_rare_langs, ppl_eval_fields, ppl_dedup_rename, and the three
+# DSL-JSON-compiler bodies dsl_bool_filtered_terms, dsl_should_hits,
+# dsl_date_histogram
 # (all with sf0.001+sf0.01 local parity; the definitive end-of-round
 # sf0.01 sweep passed 219/219 and the additions after it were each
 # verified at sf0.001/0.01/0.1). Ten of these (the _PRIORITY

@@ -1,0 +1,213 @@
+"""Query-DSL JSON compiler: accept the OpenSearch request-body shape a
+reference user already writes — ``{"query": {...}, "aggs": {...},
+"size": N, "sort": [...]}`` — and compile it into one DataFrame plan.
+
+This is the third query interface next to the Python builders and the
+PPL compiler (ppl.py): the DSL JSON itself. Supported node types cover
+the request bodies the reference's dashboards issue
+(DASHBOARD_GUIDE.md:30-135; TDD :1624-1653):
+
+query context:
+    term, terms, range (gt/gte/lt/lte; ISO date strings cast to
+    timestamp), exists, ids, prefix, wildcard (* → %), match
+    (analyzed OR over whitespace tokens), match_phrase,
+    bool (must / filter / must_not / should + minimum_should_match),
+    match_all
+
+aggregations (one bucket level + metric sub-aggs, the dashboard
+panel shape):
+    terms (field, size), date_histogram (calendar_interval: day|hour),
+    metrics: avg, sum, min, max, value_count, cardinality
+
+top level: size, sort ([{field: {"order": asc|desc}}...]), _source
+(projection list).
+
+Everything compiles to built-in expressions — filters push to the
+scan, buckets become partial+final aggregates, size+sort becomes
+TakeOrderedAndProject. Unknown nodes raise DSLError.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+
+from postgres_opensearch_cdc_spark.registry import load_table
+
+
+class DSLError(ValueError):
+    pass
+
+
+_DATE_RE = re.compile(r"^\d{4}-\d{2}-\d{2}([ T]\d{2}:\d{2}:\d{2})?$")
+
+
+def _lit(v):
+    if isinstance(v, str) and _DATE_RE.match(v):
+        return F.lit(v).cast("timestamp")
+    return F.lit(v)
+
+
+def _match_tokens(field: str, text: str) -> Column:
+    """Analyzed OR: any whitespace token present as a whole word."""
+    cond = None
+    for tok in text.lower().split():
+        c = F.lower(F.col(field)).rlike(rf"\b{re.escape(tok)}\b")
+        cond = c if cond is None else (cond | c)
+    if cond is None:
+        raise DSLError("match with empty query text")
+    return cond
+
+
+def compile_query(node: dict, id_col: str = "doc_id") -> Column:
+    if not isinstance(node, dict) or len(node) != 1:
+        raise DSLError(f"query node must have exactly one key: {node!r}")
+    kind, body = next(iter(node.items()))
+    if kind == "match_all":
+        return F.lit(True)
+    if kind == "term":
+        ((f, v),) = body.items()
+        if isinstance(v, dict):
+            v = v["value"]
+        return F.col(f) == _lit(v)
+    if kind == "terms":
+        ((f, vs),) = body.items()
+        return F.col(f).isin(list(vs))
+    if kind == "range":
+        ((f, bounds),) = body.items()
+        cond = None
+        ops = {
+            "gte": lambda c, v: c >= v,
+            "gt": lambda c, v: c > v,
+            "lte": lambda c, v: c <= v,
+            "lt": lambda c, v: c < v,
+        }
+        for op, v in bounds.items():
+            if op not in ops:
+                raise DSLError(f"bad range op: {op}")
+            c = ops[op](F.col(f), _lit(v))
+            cond = c if cond is None else (cond & c)
+        if cond is None:
+            raise DSLError("empty range")
+        return cond
+    if kind == "exists":
+        return F.col(body["field"]).isNotNull()
+    if kind == "ids":
+        return F.col(id_col).isin(list(body["values"]))
+    if kind == "prefix":
+        ((f, v),) = body.items()
+        if isinstance(v, dict):
+            v = v["value"]
+        return F.col(f).startswith(v)
+    if kind == "wildcard":
+        ((f, v),) = body.items()
+        if isinstance(v, dict):
+            v = v["value"]
+        return F.col(f).like(v.replace("*", "%").replace("?", "_"))
+    if kind == "match":
+        ((f, v),) = body.items()
+        if isinstance(v, dict):
+            v = v["query"]
+        return _match_tokens(f, v)
+    if kind == "match_phrase":
+        ((f, v),) = body.items()
+        if isinstance(v, dict):
+            v = v["query"]
+        return F.col(f).rlike(rf"\b{re.escape(v)}\b")
+    if kind == "bool":
+        cond = None
+
+        def _and(c):
+            nonlocal cond
+            cond = c if cond is None else (cond & c)
+
+        for sub in body.get("must", []):
+            _and(compile_query(sub, id_col))
+        for sub in body.get("filter", []):
+            _and(compile_query(sub, id_col))
+        for sub in body.get("must_not", []):
+            _and(~compile_query(sub, id_col))
+        shoulds = body.get("should", [])
+        if shoulds:
+            msm = int(body.get("minimum_should_match", 1))
+            hits = None
+            for sub in shoulds:
+                h = compile_query(sub, id_col).cast("int")
+                hits = h if hits is None else (hits + h)
+            _and(hits >= msm)
+        if cond is None:
+            raise DSLError("empty bool")
+        return cond
+    raise DSLError(f"unknown query node: {kind}")
+
+
+_METRICS = {"avg", "sum", "min", "max", "value_count", "cardinality"}
+
+
+def _metric(name: str, spec: dict) -> Column:
+    ((kind, body),) = spec.items()
+    if kind not in _METRICS:
+        raise DSLError(f"unknown metric agg: {kind}")
+    f = body["field"]
+    if kind == "value_count":
+        return F.count(f).alias(name)
+    if kind == "cardinality":
+        return F.countDistinct(f).alias(name)
+    return F.round(getattr(F, kind)(f), 4).alias(name)
+
+
+def _compile_aggs(df: DataFrame, aggs: dict) -> DataFrame:
+    if len(aggs) != 1:
+        raise DSLError("exactly one top-level bucket agg is supported")
+    ((name, spec),) = aggs.items()
+    sub = spec.get("aggs", {})
+    metrics = [_metric(n, s) for n, s in sub.items()]
+    if "terms" in spec:
+        body = spec["terms"]
+        f, size = body["field"], int(body.get("size", 10))
+        return (
+            df.groupBy(F.col(f).alias(name))
+            .agg(F.count(F.lit(1)).alias("doc_count"), *metrics)
+            .orderBy(F.col("doc_count").desc(), F.col(name))
+            .limit(size)
+        )
+    if "date_histogram" in spec:
+        body = spec["date_histogram"]
+        f = body["field"]
+        interval = body.get("calendar_interval", "day")
+        if interval not in ("day", "hour"):
+            raise DSLError(f"unsupported calendar_interval: {interval}")
+        key = F.date_trunc(interval, F.col(f)).alias(name)
+        return (
+            df.groupBy(key)
+            .agg(F.count(F.lit(1)).alias("doc_count"), *metrics)
+            .orderBy(name)
+        )
+    raise DSLError(f"unknown bucket agg in {name!r}")
+
+
+def search(
+    spark: SparkSession, sf_dir: str, table: str, body: dict,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Execute a request body against a registry table; returns the
+    aggregation frame when ``aggs`` is present, else the (sorted,
+    sized, projected) hits."""
+    df = load_table(spark, sf_dir, table)
+    if "query" in body:
+        df = df.filter(compile_query(body["query"], id_col))
+    if "aggs" in body:
+        return _compile_aggs(df, body["aggs"])
+    if "_source" in body:
+        df = df.select(*body["_source"])
+    if "sort" in body:
+        orders = []
+        for s in body["sort"]:
+            ((f, spec),) = s.items()
+            order = spec.get("order", "asc") if isinstance(spec, dict) else spec
+            orders.append(F.col(f).desc() if order == "desc" else F.col(f).asc())
+        df = df.orderBy(*orders)
+    if "size" in body:
+        df = df.limit(int(body["size"]))
+    return df

@@ -1,0 +1,112 @@
+"""Request-body DSL JSON executed through the dsl.py compiler, each
+value-checked against handwritten DuckDB SQL — verifying the THIRD
+query interface (raw OpenSearch request bodies) end to end. The JSON
+below is exactly what a reference dashboard panel posts
+(DASHBOARD_GUIDE.md:30-135)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from postgres_opensearch_cdc_spark.dsl import search
+
+DSL_BOOL_AGG = {
+    "query": {
+        "bool": {
+            "must": [{"term": {"event_type": "purchase"}}],
+            "filter": [
+                {"range": {"value": {"gte": 100}}},
+                {"range": {"ts": {"gte": "2024-01-05", "lt": "2024-01-25"}}},
+            ],
+        }
+    },
+    "aggs": {
+        "by_user": {
+            "terms": {"field": "user_id", "size": 5},
+            "aggs": {
+                "avg_value": {"avg": {"field": "value"}},
+                "users_seen": {"value_count": {"field": "event_id"}},
+            },
+        }
+    },
+}
+
+DSL_SHOULD_HITS = {
+    "query": {
+        "bool": {
+            "should": [
+                {"match": {"text": "spark streaming"}},
+                {"prefix": {"source": "src1"}},
+            ],
+            "minimum_should_match": 2,
+            "must_not": [{"term": {"lang": "zh"}}],
+        }
+    },
+    "_source": ["doc_id", "source", "n_chars"],
+    "sort": [{"n_chars": {"order": "desc"}}, {"doc_id": {"order": "asc"}}],
+    "size": 20,
+}
+
+DSL_DATE_HISTOGRAM = {
+    "query": {"terms": {"event_type": ["purchase", "signup"]}},
+    "aggs": {
+        "per_day": {
+            "date_histogram": {"field": "ts", "calendar_interval": "day"},
+            "aggs": {"total": {"sum": {"field": "value"}}},
+        }
+    },
+}
+
+
+def dsl_bool_filtered_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bool must+filter (term, numeric range, date range that prunes
+    the scan) feeding a terms bucket with avg + value_count metrics —
+    the canonical dashboard panel body."""
+    return search(spark, sf_dir, "events", DSL_BOOL_AGG, id_col="event_id")
+
+
+def dsl_should_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bool should with minimum_should_match=2 plus must_not, hits mode
+    with _source projection, explicit sort, and size."""
+    return search(spark, sf_dir, "documents", DSL_SHOULD_HITS)
+
+
+def dsl_date_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """terms query + date_histogram bucket with a sum metric."""
+    return search(spark, sf_dir, "events", DSL_DATE_HISTOGRAM, id_col="event_id")
+
+
+QUERIES = {
+    "dsl_bool_filtered_terms": dsl_bool_filtered_terms,
+    "dsl_should_hits": dsl_should_hits,
+    "dsl_date_histogram": dsl_date_histogram,
+}
+
+ORACLE = {
+    "dsl_bool_filtered_terms": """
+        SELECT user_id AS by_user, COUNT(*) AS doc_count,
+               ROUND(AVG(value), 4) AS avg_value,
+               COUNT(event_id) AS users_seen
+        FROM events
+        WHERE event_type = 'purchase' AND value >= 100
+          AND ts >= TIMESTAMP '2024-01-05' AND ts < TIMESTAMP '2024-01-25'
+        GROUP BY user_id
+        ORDER BY doc_count DESC, by_user LIMIT 5
+    """,
+    "dsl_should_hits": r"""
+        SELECT doc_id, source, n_chars FROM documents
+        WHERE (regexp_matches(lower(text), '\bspark\b')
+               OR regexp_matches(lower(text), '\bstreaming\b'))::INT
+              + (source LIKE 'src1%')::INT >= 2
+          AND NOT lang = 'zh'
+        ORDER BY n_chars DESC, doc_id LIMIT 20
+    """,
+    "dsl_date_histogram": """
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS per_day,
+               COUNT(*) AS doc_count,
+               ROUND(SUM(value), 4) AS total
+        FROM events
+        WHERE event_type IN ('purchase', 'signup')
+        GROUP BY per_day ORDER BY per_day
+    """,
+}

@@ -1,0 +1,121 @@
+"""Request-body DSL compiler: node semantics, pushdown, and error
+handling — the parity gate value-checks the three entry bodies; these
+pin per-node behavior."""
+
+from __future__ import annotations
+
+import pytest
+
+from postgres_opensearch_cdc_spark.dsl import DSLError, compile_query, search
+from postgres_opensearch_cdc_spark.registry import load_table
+from postgres_opensearch_cdc_spark.testing import explain_plan
+
+
+def test_term_and_range_push_to_scan(spark, sf_dir):
+    body = {
+        "query": {
+            "bool": {
+                "must": [{"term": {"event_type": "click"}}],
+                "filter": [{"range": {"value": {"gte": 100}}}],
+            }
+        },
+        "size": 5,
+    }
+    plan = explain_plan(search(spark, sf_dir, "events", body, id_col="event_id"))
+    assert "EqualTo(event_type,click)" in plan
+    assert "GreaterThanOrEqual(value,100" in plan
+
+
+def test_date_string_casts_to_timestamp(spark, sf_dir):
+    df = search(
+        spark,
+        sf_dir,
+        "events",
+        {"query": {"range": {"ts": {"gte": "2024-01-10", "lt": "2024-01-11"}}}},
+        id_col="event_id",
+    )
+    days = {str(r["ts"])[:10] for r in df.collect()}
+    assert days == {"2024-01-10"}
+
+
+def test_must_not_excludes(spark, sf_dir):
+    df = search(
+        spark,
+        sf_dir,
+        "events",
+        {"query": {"bool": {"must_not": [{"term": {"event_type": "error"}}]}}},
+        id_col="event_id",
+    )
+    assert df.filter("event_type = 'error'").count() == 0
+
+
+def test_minimum_should_match_two(spark, sf_dir):
+    df = search(
+        spark,
+        sf_dir,
+        "documents",
+        {
+            "query": {
+                "bool": {
+                    "should": [
+                        {"match": {"text": "spark"}},
+                        {"match": {"text": "window"}},
+                        {"match": {"text": "vector"}},
+                    ],
+                    "minimum_should_match": 2,
+                }
+            }
+        },
+    )
+    for r in df.select("text").collect():
+        hits = sum(1 for t in ("spark", "window", "vector") if t in r["text"])
+        assert hits >= 2
+
+
+def test_ids_and_wildcard(spark, sf_dir):
+    got = {
+        r["doc_id"]
+        for r in search(
+            spark, sf_dir, "documents", {"query": {"ids": {"values": [1, 2, 3]}}}
+        ).collect()
+    }
+    assert got == {1, 2, 3}
+    wc = search(
+        spark, sf_dir, "documents", {"query": {"wildcard": {"source": "src1*"}}}
+    )
+    assert all(r["source"].startswith("src1") for r in wc.collect())
+
+
+def test_terms_bucket_orders_and_sizes(spark, sf_dir):
+    df = search(
+        spark,
+        sf_dir,
+        "documents",
+        {
+            "aggs": {
+                "by_lang": {
+                    "terms": {"field": "lang", "size": 3},
+                    "aggs": {"chars": {"sum": {"field": "n_chars"}}},
+                }
+            }
+        },
+    )
+    rows = df.collect()
+    assert len(rows) == 3
+    counts = [r["doc_count"] for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    assert all(r["chars"] > 0 for r in rows)
+
+
+def test_unknown_nodes_raise(spark, sf_dir):
+    with pytest.raises(DSLError, match="unknown query node"):
+        compile_query({"fuzzy_wuzzy": {"f": 1}})
+    with pytest.raises(DSLError, match="unknown metric"):
+        search(
+            spark,
+            sf_dir,
+            "events",
+            {"aggs": {"x": {"terms": {"field": "event_type"},
+                            "aggs": {"m": {"median": {"field": "value"}}}}}},
+            id_col="event_id",
+        )
