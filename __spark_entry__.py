@@ -151,7 +151,8 @@ _PRIORITY = [
 # ts_seasonal_anomaly, event_transition_matrix, ks_test_agg,
 # min_sum_bucket_agg, window_percent_rank, fuzzy_name_join, and the
 # five PPL-compiler pipelines ppl_where_stats, ppl_top_sources,
-# ppl_rare_langs, ppl_eval_fields, ppl_dedup_rename, and the three
+# ppl_rare_langs, ppl_eval_fields, ppl_dedup_rename, ppl_parse_stats,
+# and the three
 # DSL-JSON-compiler bodies dsl_bool_filtered_terms, dsl_should_hits,
 # dsl_date_histogram
 # (all with sf0.001+sf0.01 local parity; the definitive end-of-round

@@ -23,6 +23,8 @@ Supported stages (the core of the public PPL command set):
     dedup  f1 [, f2 ...]                   distinct over the listed
                                            fields (projects to them)
     rename a as b [, c as d]
+    parse  field '<regex>'                 extract every named group
+                                           ((?<name>...)) as a column
     top    N field                         most frequent values
     rare   N field                         least frequent values
 
@@ -182,6 +184,27 @@ def ppl(spark: SparkSession, sf_dir: str, query: str) -> DataFrame:
                 if not pm:
                     raise PPLSyntaxError(f"bad rename: {pair!r}")
                 df = df.withColumnRenamed(pm.group(1), pm.group(2))
+        elif cmd == "parse":
+            pm = re.fullmatch(r"([A-Za-z_0-9]+)\s+'(.+)'", rest, re.S)
+            if not pm:
+                raise PPLSyntaxError(f"parse needs: field '<regex>': {rest!r}")
+            field, pattern = pm.group(1), pm.group(2)
+            # introspect named groups with Python re (accepts both
+            # (?P<n>...) and Java's (?<n>...)); hand Spark the Java form
+            py_pattern = re.sub(r"\(\?<([A-Za-z][A-Za-z0-9]*)>", r"(?P<\1>", pattern)
+            try:
+                compiled = re.compile(py_pattern)
+            except re.error as exc:
+                raise PPLSyntaxError(f"bad parse regex: {exc}") from exc
+            if not compiled.groupindex:
+                raise PPLSyntaxError("parse regex needs >=1 named group")
+            java_pattern = re.sub(
+                r"\(\?P<([A-Za-z][A-Za-z0-9]*)>", r"(?<\1>", pattern
+            )
+            for name, idx in compiled.groupindex.items():
+                df = df.withColumn(
+                    name, F.regexp_extract(F.col(field), java_pattern, idx)
+                )
         elif cmd in ("top", "rare"):
             tm = re.fullmatch(r"(\d+)\s+([A-Za-z_0-9]+)", rest)
             if not tm:

@@ -29,6 +29,10 @@ PPL_DEDUP_RENAME = (
     "source=events | fields event_type | dedup event_type "
     "| rename event_type as type | sort +type"
 )
+PPL_PARSE_STATS = (
+    "source=events | parse props '\"k\": (?<kval>[0-9]+)' "
+    "| stats count() as n by kval | sort -n, +kval | head 10"
+)
 
 
 def ppl_where_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -61,12 +65,21 @@ def ppl_dedup_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ppl(spark, sf_dir, PPL_DEDUP_RENAME)
 
 
+def ppl_parse_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``parse`` (regex named-group extraction from the raw JSON
+    payload) feeding a stats-by — the log-field-extraction pipeline
+    PPL is most used for. regexp_extract runs in the scan
+    projection."""
+    return ppl(spark, sf_dir, PPL_PARSE_STATS)
+
+
 QUERIES = {
     "ppl_where_stats": ppl_where_stats,
     "ppl_top_sources": ppl_top_sources,
     "ppl_rare_langs": ppl_rare_langs,
     "ppl_eval_fields": ppl_eval_fields,
     "ppl_dedup_rename": ppl_dedup_rename,
+    "ppl_parse_stats": ppl_parse_stats,
 }
 
 ORACLE = {
@@ -93,5 +106,11 @@ ORACLE = {
     """,
     "ppl_dedup_rename": """
         SELECT DISTINCT event_type AS type FROM events ORDER BY type
+    """,
+    "ppl_parse_stats": """
+        SELECT regexp_extract(props, '"k": ([0-9]+)', 1) AS kval,
+               COUNT(*) AS n
+        FROM events
+        GROUP BY kval ORDER BY n DESC, kval LIMIT 10
     """,
 }

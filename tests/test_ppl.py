@@ -66,3 +66,19 @@ def test_top_matches_manual_count(spark, sf_dir):
     rows = ppl(spark, sf_dir, "source=events | top 2 event_type").collect()
     assert len(rows) == 2
     assert rows[0]["count"] >= rows[1]["count"]
+
+
+def test_parse_extracts_named_groups(spark, sf_dir):
+    df = ppl(
+        spark,
+        sf_dir,
+        "source=events | parse props '\"k\": (?<kval>[0-9]+)' "
+        "| fields event_id, kval | head 5",
+    )
+    rows = df.collect()
+    assert rows and all(r["kval"].isdigit() for r in rows)
+
+
+def test_parse_requires_named_group(spark, sf_dir):
+    with pytest.raises(PPLSyntaxError, match="named group"):
+        ppl(spark, sf_dir, "source=events | parse props '([0-9]+)'")
