@@ -17,6 +17,8 @@ query context:
 aggregations (one bucket level + metric sub-aggs, the dashboard
 panel shape):
     terms (field, size), date_histogram (calendar_interval: day|hour),
+    histogram (field, interval), range (field, ranges with from/to),
+    filters (named sub-queries → doc_count buckets),
     metrics: avg, sum, min, max, value_count, cardinality
 
 top level: size, sort ([{field: {"order": asc|desc}}...]), _source
@@ -184,6 +186,58 @@ def _compile_aggs(df: DataFrame, aggs: dict) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("doc_count"), *metrics)
             .orderBy(name)
         )
+    if "histogram" in spec:
+        body = spec["histogram"]
+        f, interval = body["field"], float(body["interval"])
+        key = (F.floor(F.col(f) / interval) * interval).alias(name)
+        return (
+            df.groupBy(key)
+            .agg(F.count(F.lit(1)).alias("doc_count"), *metrics)
+            .orderBy(name)
+        )
+    if "range" in spec:
+        # ES semantics: ranges are INDEPENDENT buckets (overlaps count
+        # in every matching one) — one conditional count per range in a
+        # single pass, then unpivot; doc_count buckets only
+        if metrics:
+            raise DSLError("range agg supports doc_count buckets only")
+        body = spec["range"]
+        f = body["field"]
+        counts, labels = [], []
+        for i, r in enumerate(body["ranges"]):
+            lo, hi = r.get("from"), r.get("to")
+            label = f"{lo if lo is not None else '*'}-{hi if hi is not None else '*'}"
+            cond = F.lit(True)
+            if lo is not None:
+                cond = cond & (F.col(f) >= F.lit(lo))
+            if hi is not None:
+                cond = cond & (F.col(f) < F.lit(hi))
+            counts.append(F.sum(cond.cast("long")).alias(f"_r{i}"))
+            labels.append(label)
+        wide = df.agg(*counts)
+        stack_args = ", ".join(
+            f"'{label}', _r{i}" for i, label in enumerate(labels)
+        )
+        return wide.select(
+            F.expr(
+                f"stack({len(labels)}, {stack_args}) AS ({name}, doc_count)"
+            )
+        ).orderBy(name)
+    if "filters" in spec:
+        named = spec["filters"]["filters"]
+        if metrics:
+            raise DSLError("filters agg supports doc_count buckets only")
+        counts = [
+            F.sum(compile_query(q).cast("long")).alias(n)
+            for n, q in named.items()
+        ]
+        wide = df.agg(*counts)
+        stack_args = ", ".join(f"'{n}', {n}" for n in named)
+        return wide.select(
+            F.expr(
+                f"stack({len(named)}, {stack_args}) AS ({name}, doc_count)"
+            )
+        ).orderBy(name)
     raise DSLError(f"unknown bucket agg in {name!r}")
 
 

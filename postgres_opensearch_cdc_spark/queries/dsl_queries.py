@@ -76,10 +76,50 @@ def dsl_date_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return search(spark, sf_dir, "events", DSL_DATE_HISTOGRAM, id_col="event_id")
 
 
+DSL_HISTOGRAM = {
+    "aggs": {
+        "val_bucket": {
+            "histogram": {"field": "value", "interval": 100},
+            "aggs": {"max_v": {"max": {"field": "value"}}},
+        }
+    }
+}
+
+DSL_FILTERS_RANGE = {
+    "query": {"exists": {"field": "value"}},
+    "aggs": {
+        "bands": {
+            "range": {
+                "field": "value",
+                "ranges": [
+                    {"to": 100},
+                    {"from": 50, "to": 300},
+                    {"from": 300},
+                ],
+            }
+        }
+    },
+}
+
+
+def dsl_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """numeric histogram bucket (fixed interval) with a max metric."""
+    return search(spark, sf_dir, "events", DSL_HISTOGRAM, id_col="event_id")
+
+
+def dsl_range_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """range aggregation with OVERLAPPING independent buckets — each
+    range counts every matching doc (ES semantics), one conditional-
+    sum pass, no second scan."""
+    return search(spark, sf_dir, "events", DSL_FILTERS_RANGE, id_col="event_id")
+
+
 QUERIES = {
     "dsl_bool_filtered_terms": dsl_bool_filtered_terms,
     "dsl_should_hits": dsl_should_hits,
     "dsl_date_histogram": dsl_date_histogram,
+    "dsl_value_histogram": dsl_value_histogram,
+    "dsl_range_buckets": dsl_range_buckets,
 }
 
 ORACLE = {
@@ -108,5 +148,27 @@ ORACLE = {
         FROM events
         WHERE event_type IN ('purchase', 'signup')
         GROUP BY per_day ORDER BY per_day
+    """,
+    "dsl_value_histogram": """
+        SELECT FLOOR(value / 100.0) * 100.0 AS val_bucket,
+               COUNT(*) AS doc_count,
+               ROUND(MAX(value), 4) AS max_v
+        FROM events
+        GROUP BY val_bucket ORDER BY val_bucket
+    """,
+    "dsl_range_buckets": """
+        SELECT '*-100' AS bands,
+               CAST(SUM(CASE WHEN value < 100 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS doc_count
+        FROM events WHERE value IS NOT NULL
+        UNION ALL
+        SELECT '50-300',
+               CAST(SUM(CASE WHEN value >= 50 AND value < 300
+                             THEN 1 ELSE 0 END) AS BIGINT)
+        FROM events WHERE value IS NOT NULL
+        UNION ALL
+        SELECT '300-*',
+               CAST(SUM(CASE WHEN value >= 300 THEN 1 ELSE 0 END) AS BIGINT)
+        FROM events WHERE value IS NOT NULL
     """,
 }

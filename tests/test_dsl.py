@@ -119,3 +119,25 @@ def test_unknown_nodes_raise(spark, sf_dir):
                             "aggs": {"m": {"median": {"field": "value"}}}}}},
             id_col="event_id",
         )
+
+
+def test_range_buckets_overlap_independently(spark, sf_dir):
+    from postgres_opensearch_cdc_spark.queries.dsl_queries import (
+        dsl_range_buckets,
+    )
+
+    rows = {r["bands"]: r["doc_count"] for r in dsl_range_buckets(spark, sf_dir).collect()}
+    total = load_table(spark, sf_dir, "events").count()
+    # overlapping ranges double-count: the three bucket sums exceed the corpus
+    assert sum(rows.values()) > total
+    assert set(rows) == {"*-100", "50-300", "300-*"}
+
+
+def test_histogram_buckets_align_to_interval(spark, sf_dir):
+    from postgres_opensearch_cdc_spark.queries.dsl_queries import (
+        dsl_value_histogram,
+    )
+
+    for r in dsl_value_histogram(spark, sf_dir).collect():
+        assert r["val_bucket"] % 100 == 0
+        assert r["val_bucket"] <= r["max_v"] < r["val_bucket"] + 100
