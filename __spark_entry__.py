@@ -154,7 +154,8 @@ _PRIORITY = [
 # ppl_rare_langs, ppl_eval_fields, ppl_dedup_rename, ppl_parse_stats,
 # and the three
 # DSL-JSON-compiler bodies dsl_bool_filtered_terms, dsl_should_hits,
-# dsl_date_histogram, dsl_value_histogram, dsl_range_buckets
+# dsl_date_histogram, dsl_value_histogram, dsl_range_buckets,
+# dsl_filters_named, ppl_span_histogram
 # (all with sf0.001+sf0.01 local parity; the definitive end-of-round
 # sf0.01 sweep passed 219/219 and the additions after it were each
 # verified at sf0.001/0.01/0.1). Ten of these (the _PRIORITY

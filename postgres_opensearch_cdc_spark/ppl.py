@@ -17,7 +17,9 @@ Supported stages (the core of the public PPL command set):
                                            floor/lower/upper/length,
                                            parentheses
     stats  <agg> [as alias], ... [by k...] count/sum/avg/min/max/
-                                           dc (distinct count)
+                                           dc (distinct count); a by-key
+                                           may be span(ts_field, 1d|1h)
+                                           [as alias] for time bucketing
     sort   [+|-]f1, [+|-]f2, ...
     head   N
     dedup  f1 [, f2 ...]                   distinct over the listed
@@ -158,7 +160,34 @@ def ppl(spark: SparkSession, sf_dir: str, query: str) -> DataFrame:
             agg_text = rest[: by_match.start()] if by_match else rest
             aggs = [_agg_expr(a) for a in agg_text.split(",")]
             if by_match:
-                keys = [k.strip() for k in by_match.group(1).split(",")]
+                keys = []
+                # comma-split that respects parentheses (span(ts, 1d))
+                by_parts, depth, cur = [], 0, []
+                for ch in by_match.group(1):
+                    if ch == "," and depth == 0:
+                        by_parts.append("".join(cur))
+                        cur = []
+                    else:
+                        depth += ch == "("
+                        depth -= ch == ")"
+                        cur.append(ch)
+                by_parts.append("".join(cur))
+                for k in by_parts:
+                    k = k.strip()
+                    sm = re.fullmatch(
+                        r"span\(\s*([A-Za-z_0-9]+)\s*,\s*1(d|h)\s*\)"
+                        r"(?:\s+as\s+([A-Za-z_0-9]+))?",
+                        k,
+                        flags=re.I,
+                    )
+                    if sm:
+                        f, unit, alias = sm.groups()
+                        trunc = {"d": "day", "h": "hour"}[unit.lower()]
+                        keys.append(
+                            F.date_trunc(trunc, F.col(f)).alias(alias or f)
+                        )
+                    else:
+                        keys.append(F.col(k))
                 df = df.groupBy(*keys).agg(*aggs)
             else:
                 df = df.agg(*aggs)

@@ -114,12 +114,44 @@ def dsl_range_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return search(spark, sf_dir, "events", DSL_FILTERS_RANGE, id_col="event_id")
 
 
+DSL_FILTERS_NAMED = {
+    "aggs": {
+        "segments": {
+            "filters": {
+                "filters": {
+                    "errors": {"term": {"event_type": "error"}},
+                    "big_purchases": {
+                        "bool": {
+                            "must": [
+                                {"term": {"event_type": "purchase"}},
+                                {"range": {"value": {"gte": 300}}},
+                            ]
+                        }
+                    },
+                    "early_january": {
+                        "range": {"ts": {"lt": "2024-01-08"}}
+                    },
+                }
+            }
+        }
+    }
+}
+
+
+def dsl_filters_named(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """named ``filters`` buckets — each an arbitrary sub-query
+    (term, bool+range, date range), all counted in ONE conditional
+    aggregate pass."""
+    return search(spark, sf_dir, "events", DSL_FILTERS_NAMED, id_col="event_id")
+
+
 QUERIES = {
     "dsl_bool_filtered_terms": dsl_bool_filtered_terms,
     "dsl_should_hits": dsl_should_hits,
     "dsl_date_histogram": dsl_date_histogram,
     "dsl_value_histogram": dsl_value_histogram,
     "dsl_range_buckets": dsl_range_buckets,
+    "dsl_filters_named": dsl_filters_named,
 }
 
 ORACLE = {
@@ -170,5 +202,21 @@ ORACLE = {
         SELECT '300-*',
                CAST(SUM(CASE WHEN value >= 300 THEN 1 ELSE 0 END) AS BIGINT)
         FROM events WHERE value IS NOT NULL
+    """,
+    "dsl_filters_named": """
+        SELECT 'errors' AS segments,
+               CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS doc_count
+        FROM events
+        UNION ALL
+        SELECT 'big_purchases',
+               CAST(SUM(CASE WHEN event_type = 'purchase' AND value >= 300
+                             THEN 1 ELSE 0 END) AS BIGINT)
+        FROM events
+        UNION ALL
+        SELECT 'early_january',
+               CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-08'
+                             THEN 1 ELSE 0 END) AS BIGINT)
+        FROM events
     """,
 }

@@ -33,6 +33,11 @@ PPL_PARSE_STATS = (
     "source=events | parse props '\"k\": (?<kval>[0-9]+)' "
     "| stats count() as n by kval | sort -n, +kval | head 10"
 )
+PPL_SPAN_HISTOGRAM = (
+    "source=events | where event_type = 'error' "
+    "| stats count() as n, dc(user_id) as users by span(ts, 1d) as day "
+    "| sort +day"
+)
 
 
 def ppl_where_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -73,6 +78,12 @@ def ppl_parse_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ppl(spark, sf_dir, PPL_PARSE_STATS)
 
 
+def ppl_span_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``stats ... by span(ts, 1d)`` — PPL's time-bucketed histogram
+    (count + distinct users per day of error events)."""
+    return ppl(spark, sf_dir, PPL_SPAN_HISTOGRAM)
+
+
 QUERIES = {
     "ppl_where_stats": ppl_where_stats,
     "ppl_top_sources": ppl_top_sources,
@@ -80,6 +91,7 @@ QUERIES = {
     "ppl_eval_fields": ppl_eval_fields,
     "ppl_dedup_rename": ppl_dedup_rename,
     "ppl_parse_stats": ppl_parse_stats,
+    "ppl_span_histogram": ppl_span_histogram,
 }
 
 ORACLE = {
@@ -112,5 +124,11 @@ ORACLE = {
                COUNT(*) AS n
         FROM events
         GROUP BY kval ORDER BY n DESC, kval LIMIT 10
+    """,
+    "ppl_span_histogram": """
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+               COUNT(*) AS n, COUNT(DISTINCT user_id) AS users
+        FROM events WHERE event_type = 'error'
+        GROUP BY day ORDER BY day
     """,
 }
