@@ -29,6 +29,22 @@ Supported stages (the core of the public PPL command set):
                                            ((?<name>...)) as a column
     top    N field                         most frequent values
     rare   N field                         least frequent values
+    eventstats <agg> [as alias], ... [by k...]
+                                           window aggregates appended
+                                           as columns (rows kept)
+    fillnull with <lit> in f1 [, f2 ...]   coalesce nulls to a literal
+    trendline sma(N, field) [as alias]     simple moving average over
+                                           the current sort order
+                                           (null until N points seen)
+    join [type=inner|left] on <field> <table>
+                                           equi-join on a shared column
+    lookup <table> <lookup_field> as <local_field>
+                                           broadcast enrichment join
+                                           (appends the lookup table's
+                                           other columns)
+
+Where conditions support =, !=, >, >=, <, <=, ``f in (v1, v2, ...)``,
+``like(f, 'pat%')`` (SQL-LIKE wildcards), and ``not <cond>``.
 
 Errors are raised as PPLSyntaxError with the offending stage text.
 """
@@ -75,25 +91,66 @@ def _compile_condition(text: str):
     for or_part in or_parts:
         and_col = None
         for cmp_text in re.split(r"\s+and\s+", or_part, flags=re.I):
-            m = re.fullmatch(
-                r"\s*([A-Za-z_][A-Za-z_0-9]*)\s*(>=|<=|!=|=|>|<)\s*(.+?)\s*",
-                cmp_text,
-            )
-            if not m:
-                raise PPLSyntaxError(f"bad condition: {cmp_text!r}")
-            field, op, lit = m.groups()
-            col, val = F.col(field), F.lit(_parse_literal(lit))
-            c = {
-                "=": col == val,
-                "!=": col != val,
-                ">": col > val,
-                ">=": col >= val,
-                "<": col < val,
-                "<=": col <= val,
-            }[op]
+            c = _compile_comparison(cmp_text)
             and_col = c if and_col is None else (and_col & c)
         or_col = and_col if or_col is None else (or_col | and_col)
     return or_col
+
+
+def _compile_comparison(cmp_text: str):
+    cmp_text = cmp_text.strip()
+    nm = re.match(r"not\s+(.+)$", cmp_text, flags=re.I)
+    if nm:
+        return ~_compile_comparison(nm.group(1))
+    im = re.fullmatch(
+        r"([A-Za-z_][A-Za-z_0-9]*)\s+in\s*\(\s*(.+?)\s*\)", cmp_text, flags=re.I
+    )
+    if im:
+        field, items = im.groups()
+        vals = [_parse_literal(v) for v in _split_top_level(items)]
+        return F.col(field).isin(vals)
+    lm = re.fullmatch(
+        r"like\s*\(\s*([A-Za-z_][A-Za-z_0-9]*)\s*,\s*'([^']*)'\s*\)",
+        cmp_text,
+        flags=re.I,
+    )
+    if lm:
+        return F.col(lm.group(1)).like(lm.group(2))
+    m = re.fullmatch(
+        r"\s*([A-Za-z_][A-Za-z_0-9]*)\s*(>=|<=|!=|=|>|<)\s*(.+?)\s*",
+        cmp_text,
+    )
+    if not m:
+        raise PPLSyntaxError(f"bad condition: {cmp_text!r}")
+    field, op, lit = m.groups()
+    col, val = F.col(field), F.lit(_parse_literal(lit))
+    return {
+        "=": col == val,
+        "!=": col != val,
+        ">": col > val,
+        ">=": col >= val,
+        "<": col < val,
+        "<=": col <= val,
+    }[op]
+
+
+def _split_top_level(text: str) -> list[str]:
+    """Comma-split that respects parentheses and quoted strings."""
+    parts, depth, cur, in_str = [], 0, [], False
+    for ch in text:
+        if ch == "'":
+            in_str = not in_str
+        if ch == "," and depth == 0 and not in_str:
+            parts.append("".join(cur).strip())
+            cur = []
+            continue
+        if not in_str:
+            depth += ch == "("
+            depth -= ch == ")"
+        cur.append(ch)
+    if cur:
+        parts.append("".join(cur).strip())
+    return parts
 
 
 def _check_eval_expr(expr: str) -> None:
@@ -139,6 +196,7 @@ def ppl(spark: SparkSession, sf_dir: str, query: str) -> DataFrame:
     if not m:
         raise PPLSyntaxError(f"pipeline must start with source=<table>: {stages[0]!r}")
     df = load_table(spark, sf_dir, m.group(1))
+    last_sort: list = []  # remembered for trendline's window order
 
     for stage in stages[1:]:
         cmd, _, rest = stage.partition(" ")
@@ -199,6 +257,7 @@ def ppl(spark: SparkSession, sf_dir: str, query: str) -> DataFrame:
                     orders.append(F.col(part[1:]).desc())
                 else:
                     orders.append(F.col(part.lstrip("+")).asc())
+            last_sort = orders
             df = df.orderBy(*orders)
         elif cmd == "head":
             df = df.limit(int(rest))
@@ -234,6 +293,100 @@ def ppl(spark: SparkSession, sf_dir: str, query: str) -> DataFrame:
                 df = df.withColumn(
                     name, F.regexp_extract(F.col(field), java_pattern, idx)
                 )
+        elif cmd == "eventstats":
+            from pyspark.sql import Window
+
+            by_match = re.search(r"\s+by\s+(.+)$", rest, flags=re.I)
+            agg_text = rest[: by_match.start()] if by_match else rest
+            keys = (
+                [k.strip() for k in by_match.group(1).split(",")]
+                if by_match
+                else []
+            )
+            w = Window.partitionBy(*keys) if keys else Window.partitionBy()
+            for a in _split_top_level(agg_text):
+                m2 = re.fullmatch(
+                    r"\s*([a-z]+)\s*\(\s*([A-Za-z_0-9]*)\s*\)"
+                    r"\s*(?:as\s+([A-Za-z_0-9]+))?\s*",
+                    a,
+                    flags=re.I,
+                )
+                if not m2 or m2.group(1).lower() not in _AGGS:
+                    raise PPLSyntaxError(f"bad eventstats aggregate: {a!r}")
+                fn, arg, alias = m2.group(1).lower(), m2.group(2), m2.group(3)
+                if fn == "count":
+                    wcol, default = F.count(F.lit(1)).over(w), "count"
+                elif fn == "dc":
+                    # exact distinct over the partition via collect_set
+                    # size (no approx: oracle parity is exact)
+                    wcol = F.size(F.collect_set(arg).over(w)).cast("long")
+                    default = f"dc_{arg}"
+                else:
+                    wcol, default = getattr(F, fn)(arg).over(w), f"{fn}_{arg}"
+                df = df.withColumn(alias or default, wcol)
+        elif cmd == "fillnull":
+            fm = re.fullmatch(
+                r"with\s+(.+?)\s+in\s+(.+)$", rest, flags=re.I | re.S
+            )
+            if not fm:
+                raise PPLSyntaxError(f"fillnull needs: with <lit> in f1[,f2]: {rest!r}")
+            val = _parse_literal(fm.group(1))
+            for f in fm.group(2).split(","):
+                f = f.strip()
+                df = df.withColumn(f, F.coalesce(F.col(f), F.lit(val)))
+        elif cmd == "trendline":
+            tm = re.fullmatch(
+                r"sma\(\s*(\d+)\s*,\s*([A-Za-z_0-9]+)\s*\)"
+                r"(?:\s+as\s+([A-Za-z_0-9]+))?",
+                rest,
+                flags=re.I,
+            )
+            if not tm:
+                raise PPLSyntaxError(f"trendline needs sma(N, field): {rest!r}")
+            if not last_sort:
+                raise PPLSyntaxError("trendline requires a preceding sort")
+            from pyspark.sql import Window
+
+            n, field, alias = int(tm.group(1)), tm.group(2), tm.group(3)
+            w = Window.orderBy(*last_sort).rowsBetween(-(n - 1), 0)
+            sma = F.when(
+                F.count(F.lit(1)).over(w) >= n, F.avg(field).over(w)
+            )
+            df = df.withColumn(alias or f"{field}_trendline", sma)
+        elif cmd == "join":
+            jm = re.fullmatch(
+                r"(?:type\s*=\s*(inner|left)\s+)?on\s+([A-Za-z_0-9]+)"
+                r"\s+([A-Za-z_0-9]+)",
+                rest,
+                flags=re.I,
+            )
+            if not jm:
+                raise PPLSyntaxError(
+                    f"join needs: [type=inner|left] on <field> <table>: {rest!r}"
+                )
+            how = (jm.group(1) or "inner").lower()
+            right = load_table(spark, sf_dir, jm.group(3))
+            df = df.join(right, on=jm.group(2), how=how)
+        elif cmd == "lookup":
+            lm = re.fullmatch(
+                r"([A-Za-z_0-9]+)\s+([A-Za-z_0-9]+)"
+                r"(?:\s+as\s+([A-Za-z_0-9]+))?",
+                rest,
+                flags=re.I,
+            )
+            if not lm:
+                raise PPLSyntaxError(
+                    f"lookup needs: <table> <lookup_field> [as <local_field>]: {rest!r}"
+                )
+            table, lk_field, local = lm.group(1), lm.group(2), lm.group(3)
+            right = load_table(spark, sf_dir, table)
+            # enrichment dimension: broadcast, left-preserving
+            if local:
+                df = df.join(
+                    F.broadcast(right), df[local] == right[lk_field], "left"
+                ).drop(right[lk_field])
+            else:
+                df = df.join(F.broadcast(right), on=lk_field, how="left")
         elif cmd in ("top", "rare"):
             tm = re.fullmatch(r"(\d+)\s+([A-Za-z_0-9]+)", rest)
             if not tm:

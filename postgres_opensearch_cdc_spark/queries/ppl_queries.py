@@ -38,6 +38,40 @@ PPL_SPAN_HISTOGRAM = (
     "| stats count() as n, dc(user_id) as users by span(ts, 1d) as day "
     "| sort +day"
 )
+PPL_EVENTSTATS_SHARE = (
+    "source=events | eventstats count() as type_total by event_type "
+    "| stats count() as user_n, max(type_total) as type_total "
+    "by event_type, user_id "
+    "| eval share_bp = floor(user_n * 10000 / type_total) "
+    "| where share_bp >= 30 "
+    "| fields event_type, user_id, user_n, share_bp "
+    "| sort -share_bp, +event_type, +user_id | head 20"
+)
+PPL_TRENDLINE_DAILY = (
+    "source=events | where event_type in ('click', 'view') "
+    "| stats count() as n by span(ts, 1d) as day "
+    "| sort +day | trendline sma(7, n) as n_sma7 "
+    "| fillnull with 0.0 in n_sma7 "
+    "| sort +day | head 40"
+)
+PPL_JOIN_SEGMENT = (
+    "source=orders | rename o_custkey as c_custkey "
+    "| join on c_custkey customer "
+    "| stats count() as n_orders, sum(o_totalprice) as rev by c_mktsegment "
+    "| eval revenue = round(rev, 2) "
+    "| fields c_mktsegment, n_orders, revenue | sort +c_mktsegment"
+)
+PPL_LOOKUP_NATION = (
+    "source=customer | lookup nation n_nationkey as c_nationkey "
+    "| stats count() as n_cust, sum(c_acctbal) as bal by n_name "
+    "| eval bal_r = round(bal, 2) "
+    "| fields n_name, n_cust, bal_r | sort +n_name"
+)
+PPL_IN_LIKE = (
+    "source=part | where p_size in (5, 10, 15) and like(p_type, '%ROMO%') "
+    "and not p_brand = 'Brand#5' "
+    "| stats count() as n by p_brand | sort -n, +p_brand | head 10"
+)
 
 
 def ppl_where_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -84,6 +118,42 @@ def ppl_span_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ppl(spark, sf_dir, PPL_SPAN_HISTOGRAM)
 
 
+def ppl_eventstats_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``eventstats`` (window aggregate appended without collapsing
+    rows) feeding a grouped share-of-total: users contributing >=0.3%
+    of their event type's volume. The window count and the group-by
+    are two shuffles on the same key (event_type) — Catalyst reuses
+    the partitioning."""
+    return ppl(spark, sf_dir, PPL_EVENTSTATS_SHARE)
+
+
+def ppl_trendline_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``trendline sma(7, n)`` over the daily event series + ``fillnull``
+    — PPL's moving-average smoothing. The window is over the small
+    post-aggregate series (days), so the single-partition window is
+    bounded regardless of input scale."""
+    return ppl(spark, sf_dir, PPL_TRENDLINE_DAILY)
+
+
+def ppl_join_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``join`` — revenue by market segment via the orders⋈customer
+    equi-join (rename aligns the key names first, as PPL users do)."""
+    return ppl(spark, sf_dir, PPL_JOIN_SEGMENT)
+
+
+def ppl_lookup_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``lookup`` — broadcast enrichment of customers with their
+    nation row, then stats by the looked-up name. The lookup table is
+    a dimension: broadcast hash join, no shuffle of the fact side."""
+    return ppl(spark, sf_dir, PPL_LOOKUP_NATION)
+
+
+def ppl_in_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """where-clause extensions: ``in (...)``, ``like(f, pat)`` and
+    ``not`` — all compiled into scan-pushable predicates."""
+    return ppl(spark, sf_dir, PPL_IN_LIKE)
+
+
 QUERIES = {
     "ppl_where_stats": ppl_where_stats,
     "ppl_top_sources": ppl_top_sources,
@@ -92,6 +162,11 @@ QUERIES = {
     "ppl_dedup_rename": ppl_dedup_rename,
     "ppl_parse_stats": ppl_parse_stats,
     "ppl_span_histogram": ppl_span_histogram,
+    "ppl_eventstats_share": ppl_eventstats_share,
+    "ppl_trendline_daily": ppl_trendline_daily,
+    "ppl_join_segment": ppl_join_segment,
+    "ppl_lookup_nation": ppl_lookup_nation,
+    "ppl_in_like": ppl_in_like,
 }
 
 ORACLE = {
@@ -130,5 +205,53 @@ ORACLE = {
                COUNT(*) AS n, COUNT(DISTINCT user_id) AS users
         FROM events WHERE event_type = 'error'
         GROUP BY day ORDER BY day
+    """,
+    "ppl_eventstats_share": """
+        WITH e AS (
+            SELECT event_type, user_id,
+                   COUNT(*) OVER (PARTITION BY event_type) AS type_total
+            FROM events
+        ), g AS (
+            SELECT event_type, user_id, COUNT(*) AS user_n,
+                   MAX(type_total) AS type_total
+            FROM e GROUP BY 1, 2
+        )
+        SELECT event_type, user_id, user_n,
+               CAST(FLOOR(user_n * 10000 / type_total) AS BIGINT) AS share_bp
+        FROM g
+        WHERE FLOOR(user_n * 10000 / type_total) >= 30
+        ORDER BY share_bp DESC, event_type, user_id LIMIT 20
+    """,
+    "ppl_trendline_daily": """
+        WITH d AS (
+            SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                   COUNT(*) AS n
+            FROM events WHERE event_type IN ('click', 'view')
+            GROUP BY 1
+        )
+        SELECT day, n,
+               COALESCE(CASE WHEN COUNT(*) OVER w >= 7
+                             THEN AVG(n) OVER w END, 0.0) AS n_sma7
+        FROM d
+        WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        ORDER BY day LIMIT 40
+    """,
+    "ppl_join_segment": """
+        SELECT c_mktsegment, COUNT(*) AS n_orders,
+               ROUND(SUM(o_totalprice), 2) AS revenue
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY 1 ORDER BY 1
+    """,
+    "ppl_lookup_nation": """
+        SELECT n_name, COUNT(*) AS n_cust,
+               ROUND(SUM(c_acctbal), 2) AS bal_r
+        FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY 1 ORDER BY 1
+    """,
+    "ppl_in_like": """
+        SELECT p_brand, COUNT(*) AS n FROM part
+        WHERE p_size IN (5, 10, 15) AND p_type LIKE '%ROMO%'
+          AND NOT p_brand = 'Brand#5'
+        GROUP BY 1 ORDER BY n DESC, p_brand LIMIT 10
     """,
 }

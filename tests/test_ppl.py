@@ -82,3 +82,86 @@ def test_parse_extracts_named_groups(spark, sf_dir):
 def test_parse_requires_named_group(spark, sf_dir):
     with pytest.raises(PPLSyntaxError, match="named group"):
         ppl(spark, sf_dir, "source=events | parse props '([0-9]+)'")
+
+
+def test_in_like_not_push_to_scan(spark, sf_dir):
+    df = ppl(
+        spark,
+        sf_dir,
+        "source=part | where p_size in (5, 10) and like(p_type, 'P%') "
+        "and not p_brand = 'Brand#5'",
+    )
+    plan = explain_plan(df)
+    assert "In(p_size" in plan, "IN filter not pushed to parquet"
+    assert "StringStartsWith(p_type,P)" in plan, "LIKE prefix not pushed"
+    rows = df.collect()
+    assert all(
+        r["p_size"] in (5, 10)
+        and r["p_type"].startswith("P")
+        and r["p_brand"] != "Brand#5"
+        for r in rows
+    )
+
+
+def test_eventstats_keeps_rows(spark, sf_dir):
+    df = ppl(
+        spark,
+        sf_dir,
+        "source=events | eventstats count() as type_total by event_type",
+    )
+    base = load_table(spark, sf_dir, "events")
+    assert df.count() == base.count(), "eventstats must not collapse rows"
+    manual = {
+        r["event_type"]: r["n"]
+        for r in base.groupBy("event_type").count().withColumnRenamed("count", "n").collect()
+    }
+    for r in df.select("event_type", "type_total").distinct().collect():
+        assert r["type_total"] == manual[r["event_type"]]
+
+
+def test_fillnull_coalesces(spark, sf_dir):
+    df = ppl(
+        spark,
+        sf_dir,
+        "source=events | eval v = value | fillnull with 0.0 in v",
+    )
+    assert df.filter("v IS NULL").count() == 0
+
+
+def test_trendline_requires_sort(spark, sf_dir):
+    with pytest.raises(PPLSyntaxError, match="sort"):
+        ppl(spark, sf_dir, "source=events | trendline sma(3, value)")
+
+
+def test_trendline_sma_values(spark, sf_dir):
+    df = ppl(
+        spark,
+        sf_dir,
+        "source=nation | sort +n_nationkey | trendline sma(3, n_nationkey) as s",
+    )
+    rows = df.orderBy("n_nationkey").collect()
+    keys = [r["n_nationkey"] for r in rows]
+    for i, r in enumerate(rows):
+        if i < 2:
+            assert r["s"] is None, "sma emitted before 3 points seen"
+        else:
+            expect = sum(keys[i - 2 : i + 1]) / 3.0
+            assert abs(r["s"] - expect) < 1e-12
+
+
+def test_join_and_lookup_broadcasts(spark, sf_dir):
+    df = ppl(
+        spark,
+        sf_dir,
+        "source=customer | lookup nation n_nationkey as c_nationkey",
+    )
+    assert "BroadcastHashJoin" in explain_plan(df), "lookup must broadcast"
+    base = load_table(spark, sf_dir, "customer")
+    assert df.count() == base.count(), "lookup must be left-preserving"
+    joined = ppl(
+        spark,
+        sf_dir,
+        "source=orders | rename o_custkey as c_custkey "
+        "| join on c_custkey customer",
+    )
+    assert "c_mktsegment" in joined.columns
