@@ -14,12 +14,19 @@ query context:
     bool (must / filter / must_not / should + minimum_should_match),
     match_all
 
-aggregations (one bucket level + metric sub-aggs, the dashboard
-panel shape):
+aggregations (the dashboard panel shapes):
     terms (field, size), date_histogram (calendar_interval: day|hour),
     histogram (field, interval), range (field, ranges with from/to),
     filters (named sub-queries → doc_count buckets),
+    composite (sources + size + after-key pagination — the
+    scale-friendly cursor over an unbounded key space),
     metrics: avg, sum, min, max, value_count, cardinality
+
+Sub-aggregations: a keyed bucket (terms/date_histogram/histogram) may
+nest ONE inner terms bucket (the stacked-bar / grouped-panel shape —
+result is one flat row per (outer, inner) pair, inner buckets ranked
+per outer bucket), or a ``top_hits`` (size, sort, _source) returning
+the top documents per bucket via a ranked window.
 
 top level: size, sort ([{field: {"order": asc|desc}}...]), _source
 (projection list).
@@ -159,12 +166,154 @@ def _metric(name: str, spec: dict) -> Column:
     return F.round(getattr(F, kind)(f), 4).alias(name)
 
 
+def _key_expr(spec: dict, name: str) -> Column:
+    """Grouping key for the keyed bucket kinds (terms / date_histogram /
+    histogram)."""
+    if "terms" in spec:
+        return F.col(spec["terms"]["field"]).alias(name)
+    if "date_histogram" in spec:
+        body = spec["date_histogram"]
+        interval = body.get("calendar_interval", "day")
+        if interval not in ("day", "hour"):
+            raise DSLError(f"unsupported calendar_interval: {interval}")
+        return F.date_trunc(interval, F.col(body["field"])).alias(name)
+    if "histogram" in spec:
+        body = spec["histogram"]
+        interval = float(body["interval"])
+        return (F.floor(F.col(body["field"]) / interval) * interval).alias(name)
+    raise DSLError(f"not a keyed bucket: {list(spec)}")
+
+
+def _compile_nested(df: DataFrame, name: str, spec: dict,
+                    inner_name: str, inner_spec: dict) -> DataFrame:
+    """Outer keyed bucket with one inner terms bucket: one flat row per
+    (outer, inner) pair. Inner buckets are ranked per outer bucket by
+    doc_count desc (ES ordering); outer terms size keeps the top-N
+    outer buckets by total doc_count. All ranking happens on the
+    post-aggregate frame (bounded by distinct key pairs), never on the
+    input rows."""
+    from pyspark.sql import Window
+
+    outer_key = _key_expr(spec, name)
+    inner_body = inner_spec["terms"]
+    inner_key = F.col(inner_body["field"]).alias(inner_name)
+    inner_size = int(inner_body.get("size", 10))
+    metrics = [_metric(n, s) for n, s in inner_spec.get("aggs", {}).items()]
+    grouped = df.groupBy(outer_key, inner_key).agg(
+        F.count(F.lit(1)).alias("doc_count"), *metrics
+    )
+    # outer totals FIRST (ES outer-bucket ordering counts every doc in
+    # the bucket, not just the kept inner buckets), then rank inner
+    w_total = Window.partitionBy(name)
+    ranked = grouped.withColumn("_total", F.sum("doc_count").over(w_total))
+    w_inner = Window.partitionBy(name).orderBy(
+        F.col("doc_count").desc(), F.col(inner_name)
+    )
+    ranked = ranked.withColumn("_ir", F.row_number().over(w_inner)).filter(
+        F.col("_ir") <= inner_size
+    )
+    if "terms" in spec and "size" in spec["terms"]:
+        outer_size = int(spec["terms"]["size"])
+        w_outer = Window.orderBy(F.col("_total").desc(), F.col(name))
+        ranked = ranked.withColumn("_or", F.dense_rank().over(w_outer)).filter(
+            F.col("_or") <= outer_size
+        ).drop("_or")
+    return ranked.drop("_ir", "_total").orderBy(
+        name, F.col("doc_count").desc(), F.col(inner_name)
+    )
+
+
+def _compile_top_hits(df: DataFrame, name: str, spec: dict,
+                      th: dict) -> DataFrame:
+    """Per-bucket top documents: rank rows inside each bucket by the
+    top_hits sort and keep the first ``size``. The window runs per
+    bucket key — partition-parallel, no global sort."""
+    from pyspark.sql import Window
+
+    key = _key_expr(spec, name)
+    size = int(th.get("size", 3))
+    orders = []
+    for s in th.get("sort", []):
+        ((f, o),) = s.items()
+        order = o.get("order", "asc") if isinstance(o, dict) else o
+        orders.append(F.col(f).desc() if order == "desc" else F.col(f).asc())
+    if not orders:
+        raise DSLError("top_hits needs a sort for deterministic results")
+    out = df.withColumn(name, key)
+    w = Window.partitionBy(name).orderBy(*orders)
+    out = out.withColumn("_rank", F.row_number().over(w)).filter(
+        F.col("_rank") <= size
+    )
+    cols = [name, "_rank"] + list(th.get("_source", []))
+    if len(cols) == 2:
+        raise DSLError("top_hits needs _source columns for a flat result")
+    return out.select(*cols).orderBy(name, "_rank")
+
+
+def _compile_composite(df: DataFrame, name: str, body: dict,
+                       metrics: list) -> DataFrame:
+    """Composite agg: distinct source-key tuples in key order with
+    doc_count, ``after``-cursor pagination. The cursor compiles to a
+    lexicographic predicate evaluated BEFORE the aggregate, so each
+    page shuffles only the keys past the cursor — pagination over an
+    unbounded key space without global state."""
+    keys, key_names = [], []
+    for src in body["sources"]:
+        ((n, s),) = src.items()
+        keys.append(_key_expr(s, n))
+        key_names.append(n)
+    after = body.get("after")
+    if after:
+        # materialize the key columns, then compile the cursor to a
+        # lexicographic (k1, k2, ...) > (a1, a2, ...) predicate
+        for k, n in zip(keys, key_names):
+            df = df.withColumn(n, k)
+        cond, eq_prefix = None, None
+        for n in key_names:
+            gt = F.col(n) > _lit(after[n])
+            c = gt if eq_prefix is None else (eq_prefix & gt)
+            cond = c if cond is None else (cond | c)
+            eq = F.col(n) == _lit(after[n])
+            eq_prefix = eq if eq_prefix is None else (eq_prefix & eq)
+        grouped = df.filter(cond).groupBy(*key_names).agg(
+            F.count(F.lit(1)).alias("doc_count"), *metrics
+        )
+    else:
+        grouped = df.groupBy(*keys).agg(
+            F.count(F.lit(1)).alias("doc_count"), *metrics
+        )
+    size = int(body.get("size", 10))
+    return grouped.orderBy(*key_names).limit(size)
+
+
+_BUCKET_KINDS = ("terms", "date_histogram", "histogram", "range",
+                 "filters", "composite")
+
+
 def _compile_aggs(df: DataFrame, aggs: dict) -> DataFrame:
     if len(aggs) != 1:
         raise DSLError("exactly one top-level bucket agg is supported")
     ((name, spec),) = aggs.items()
     sub = spec.get("aggs", {})
+    # split sub-aggs into metrics vs one nested bucket / top_hits
+    nested = {
+        n: s for n, s in sub.items()
+        if isinstance(s, dict) and ("terms" in s or "top_hits" in s)
+        and not set(s) & _METRICS
+    }
+    if nested:
+        if len(nested) != 1 or len(sub) != len(nested):
+            raise DSLError(
+                "exactly one nested bucket (optionally with its own "
+                "metric aggs) is supported"
+            )
+        ((inner_name, inner_spec),) = nested.items()
+        if "top_hits" in inner_spec:
+            return _compile_top_hits(df, name, spec, inner_spec["top_hits"])
+        return _compile_nested(df, name, spec, inner_name, inner_spec)
     metrics = [_metric(n, s) for n, s in sub.items()]
+    if "composite" in spec:
+        return _compile_composite(df, name, spec["composite"], metrics)
     if "terms" in spec:
         body = spec["terms"]
         f, size = body["field"], int(body.get("size", 10))

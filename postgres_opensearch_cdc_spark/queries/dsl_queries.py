@@ -145,6 +145,83 @@ def dsl_filters_named(spark: SparkSession, sf_dir: str) -> DataFrame:
     return search(spark, sf_dir, "events", DSL_FILTERS_NAMED, id_col="event_id")
 
 
+DSL_NESTED_DAY_TYPE = {
+    "aggs": {
+        "per_day": {
+            "date_histogram": {"field": "ts", "calendar_interval": "day"},
+            "aggs": {
+                "etype": {
+                    "terms": {"field": "event_type", "size": 3},
+                    "aggs": {"sum_v": {"sum": {"field": "value"}}},
+                }
+            },
+        }
+    }
+}
+
+DSL_TOP_HITS_BY_TYPE = {
+    "query": {"range": {"value": {"gte": 200}}},
+    "aggs": {
+        "by_type": {
+            "terms": {"field": "event_type"},
+            "aggs": {
+                "top": {
+                    "top_hits": {
+                        "size": 2,
+                        "sort": [
+                            {"value": {"order": "desc"}},
+                            {"event_id": {"order": "asc"}},
+                        ],
+                        "_source": ["event_id", "user_id", "value"],
+                    }
+                }
+            },
+        }
+    },
+}
+
+DSL_COMPOSITE_AFTER = {
+    "aggs": {
+        "pages": {
+            "composite": {
+                "size": 50,
+                "sources": [
+                    {"etype": {"terms": {"field": "event_type"}}},
+                    {"uid": {"terms": {"field": "user_id"}}},
+                ],
+                "after": {"etype": "purchase", "uid": 40},
+            }
+        }
+    }
+}
+
+
+def dsl_nested_day_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """date_histogram with a NESTED terms sub-bucket (top-3 event
+    types per day + per-pair avg) — the stacked-bar panel body. One
+    flat row per (day, type); ranking runs on the post-aggregate
+    frame only."""
+    return search(spark, sf_dir, "events", DSL_NESTED_DAY_TYPE,
+                  id_col="event_id")
+
+
+def dsl_top_hits_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """terms bucket with a ``top_hits`` sub-agg — the top-2 documents
+    per event type by value, via a per-bucket ranked window (partition-
+    parallel, no global sort)."""
+    return search(spark, sf_dir, "events", DSL_TOP_HITS_BY_TYPE,
+                  id_col="event_id")
+
+
+def dsl_composite_after(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``composite`` agg with an ``after`` cursor — keyset pagination
+    over the (event_type, user_id) space. The cursor compiles to a
+    lexicographic predicate BEFORE the aggregate, so each page only
+    shuffles keys past the cursor."""
+    return search(spark, sf_dir, "events", DSL_COMPOSITE_AFTER,
+                  id_col="event_id")
+
+
 QUERIES = {
     "dsl_bool_filtered_terms": dsl_bool_filtered_terms,
     "dsl_should_hits": dsl_should_hits,
@@ -152,6 +229,9 @@ QUERIES = {
     "dsl_value_histogram": dsl_value_histogram,
     "dsl_range_buckets": dsl_range_buckets,
     "dsl_filters_named": dsl_filters_named,
+    "dsl_nested_day_type": dsl_nested_day_type,
+    "dsl_top_hits_by_type": dsl_top_hits_by_type,
+    "dsl_composite_after": dsl_composite_after,
 }
 
 ORACLE = {
@@ -218,5 +298,39 @@ ORACLE = {
                CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-08'
                              THEN 1 ELSE 0 END) AS BIGINT)
         FROM events
+    """,
+    "dsl_nested_day_type": """
+        WITH g AS (
+            SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS per_day,
+                   event_type AS etype, COUNT(*) AS doc_count,
+                   ROUND(SUM(value), 4) AS sum_v
+            FROM events GROUP BY 1, 2
+        ), r AS (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY per_day
+                ORDER BY doc_count DESC, etype) AS ir
+            FROM g
+        )
+        SELECT per_day, etype, doc_count, sum_v FROM r WHERE ir <= 3
+        ORDER BY per_day, doc_count DESC, etype
+    """,
+    "dsl_top_hits_by_type": """
+        WITH r AS (
+            SELECT event_type AS by_type, event_id, user_id, value,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY event_type
+                       ORDER BY value DESC, event_id) AS _rank
+            FROM events WHERE value >= 200
+        )
+        SELECT by_type, _rank, event_id, user_id, value
+        FROM r WHERE _rank <= 2
+        ORDER BY by_type, _rank
+    """,
+    "dsl_composite_after": """
+        SELECT event_type AS etype, user_id AS uid, COUNT(*) AS doc_count
+        FROM events
+        WHERE event_type > 'purchase'
+           OR (event_type = 'purchase' AND user_id > 40)
+        GROUP BY 1, 2 ORDER BY etype, uid LIMIT 50
     """,
 }

@@ -141,3 +141,83 @@ def test_histogram_buckets_align_to_interval(spark, sf_dir):
     for r in dsl_value_histogram(spark, sf_dir).collect():
         assert r["val_bucket"] % 100 == 0
         assert r["val_bucket"] <= r["max_v"] < r["val_bucket"] + 100
+
+
+def test_nested_terms_ranks_within_outer(spark, sf_dir):
+    body = {
+        "aggs": {
+            "day": {
+                "date_histogram": {"field": "ts", "calendar_interval": "day"},
+                "aggs": {"et": {"terms": {"field": "event_type", "size": 2}}},
+            }
+        }
+    }
+    rows = search(spark, sf_dir, "events", body, id_col="event_id").collect()
+    per_day = {}
+    for r in rows:
+        per_day.setdefault(r["day"], []).append(r["doc_count"])
+    for day, counts in per_day.items():
+        assert len(counts) <= 2, "inner size not enforced"
+        assert counts == sorted(counts, reverse=True), "inner not ranked"
+
+
+def test_nested_outer_terms_size_keeps_top_totals(spark, sf_dir):
+    body = {
+        "aggs": {
+            "ou": {
+                "terms": {"field": "event_type", "size": 2},
+                "aggs": {"lang": {"terms": {"field": "user_id", "size": 1}}},
+            }
+        }
+    }
+    rows = search(spark, sf_dir, "events", body, id_col="event_id").collect()
+    outer = {r["ou"] for r in rows}
+    totals = {
+        r["event_type"]: r["count"]
+        for r in load_table(spark, sf_dir, "events").groupBy("event_type").count().collect()
+    }
+    top2 = sorted(totals, key=lambda k: (-totals[k], k))[:2]
+    assert outer == set(top2), "outer size must keep top-N by total doc_count"
+
+
+def test_top_hits_requires_sort_and_source(spark, sf_dir):
+    with pytest.raises(DSLError, match="sort"):
+        search(
+            spark, sf_dir, "events",
+            {"aggs": {"t": {"terms": {"field": "event_type"},
+                            "aggs": {"h": {"top_hits": {"size": 1,
+                                                        "_source": ["event_id"]}}}}}},
+            id_col="event_id",
+        )
+
+
+def test_composite_pages_are_disjoint_and_exhaustive(spark, sf_dir):
+    base = {
+        "sources": [
+            {"et": {"terms": {"field": "event_type"}}},
+            {"u": {"terms": {"field": "user_id"}}},
+        ],
+        "size": 40,
+    }
+    seen, after, pages = [], None, 0
+    while True:
+        body = dict(base)
+        if after:
+            body["after"] = after
+        page = search(
+            spark, sf_dir, "events",
+            {"aggs": {"p": {"composite": body}}}, id_col="event_id",
+        ).collect()
+        if not page:
+            break
+        seen.extend((r["et"], r["u"]) for r in page)
+        after = {"et": page[-1]["et"], "u": page[-1]["u"]}
+        pages += 1
+        assert pages < 100, "pagination did not terminate"
+    assert len(seen) == len(set(seen)), "pages overlap"
+    truth = {
+        (r["event_type"], r["user_id"])
+        for r in load_table(spark, sf_dir, "events")
+        .select("event_type", "user_id").distinct().collect()
+    }
+    assert set(seen) == truth, "pagination missed key tuples"
