@@ -34,6 +34,7 @@ from postgres_opensearch_cdc_spark.queries import (
     timeseries2,
     training_pipeline,
     training_pipeline2,
+    training_pipeline3,
     windows_pivot,
 )
 
@@ -48,6 +49,7 @@ _MODULES = [
     querydsl4,
     training_pipeline,
     training_pipeline2,
+    training_pipeline3,
     timeseries,
     timeseries2,
     querydsl_aggs,

@@ -1,0 +1,198 @@
+"""Training-data pipeline batch 3: deterministic stratified
+train/val/test splitting, cross-source n-gram overlap (pairwise
+corpus contamination), and vocabulary coverage curves — dataset-
+construction operations a pretraining pipeline runs after filtering
+and dedup (absent from the reference; SURVEY §2.7 extension class).
+
+Scale shapes:
+- the split is a pure map-side hash classification (no shuffle beyond
+  the final per-(lang, split) rollup);
+- source overlap shuffles DISTINCT (gram, source) pairs once and joins
+  per gram — never doc×doc;
+- vocabulary ranking windows over the VOCAB (≪ corpus) after a single
+  explode+count pass.
+All hash fates use the md5-backed hash60, so every entry replays
+bit-for-bit in the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from postgres_opensearch_cdc_spark.functions import text as textfn
+from postgres_opensearch_cdc_spark.functions.dedup import hash60
+from postgres_opensearch_cdc_spark.registry import load_table
+
+SPLIT_SALT = 7
+SPLIT_DENOM = 100
+TRAIN_LT, VAL_LT = 80, 90  # train: [0,80), val: [80,90), test: [90,100)
+OVERLAP_N = 2  # bigrams: dense enough to overlap at every test SF
+COVERAGE_KS = [5, 10, 20, 30]
+
+
+def stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified train/val/test split: each document's
+    fate is hash60(doc_id:salt) mod 100 classified into 80/10/10 —
+    reproducible across runs, engines, and partitionings (no rand()),
+    stratified per language by construction since the hash is uniform
+    within every stratum. Output is the split manifest: docs + token
+    sums per (lang, split). Map-side classification; the only shuffle
+    is the tiny final rollup."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.pmod(
+        hash60(F.col("doc_id").cast("string"), salt=SPLIT_SALT),
+        F.lit(SPLIT_DENOM),
+    )
+    split = (
+        F.when(bucket < TRAIN_LT, "train")
+        .when(bucket < VAL_LT, "val")
+        .otherwise("test")
+    )
+    return (
+        docs.select(
+            "lang",
+            split.alias("split"),
+            textfn.token_count(F.col("text")).alias("toks"),
+        )
+        .groupBy("lang", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("toks").alias("tokens"),
+        )
+        .orderBy("lang", "split")
+    )
+
+
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise cross-source n-gram overlap: for every source pair,
+    how many DISTINCT bigrams they share — the corpus-contamination
+    matrix run before mixing sources into one training set. One
+    explode to (gram, source) distinct pairs, one self-equi-join on
+    the gram hash (per-gram fan-out bounded by #sources, never
+    doc×doc), then a rollup per pair. Grams are md5-hashed before the
+    join: fixed width beats shuffling raw n-gram strings."""
+    from postgres_opensearch_cdc_spark.queries.training_pipeline import _ngrams
+
+    docs = load_table(spark, sf_dir, "documents")
+    grams = _ngrams(textfn.tokens(F.col("text")), OVERLAP_N)
+    src_grams = (
+        docs.select("source", F.explode(grams).alias("gram"))
+        .select("source", F.md5(F.col("gram")).alias("g"))
+        .distinct()
+    )
+    a, b = src_grams.alias("a"), src_grams.alias("b")
+    return (
+        a.join(b, (F.col("a.g") == F.col("b.g"))
+               & (F.col("a.source") < F.col("b.source")))
+        .groupBy(
+            F.col("a.source").alias("src_a"),
+            F.col("b.source").alias("src_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("shared_grams"))
+        .orderBy("src_a", "src_b")
+    )
+
+
+def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve: rank unigrams by corpus frequency and
+    report, at each vocabulary size K, the fraction of all corpus
+    tokens covered (in exact basis points — floor of an integer ratio,
+    so the value is engine-deterministic). The tokenizer-design
+    question ("how big a vocab covers 99% of tokens?") as one
+    explode+count pass; the ranking window runs over the vocabulary,
+    which stays tiny relative to the corpus at any scale."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(textfn.tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w_rank = Window.orderBy(F.col("n").desc(), F.col("tok"))
+    w_cum = w_rank.rowsBetween(Window.unboundedPreceding, 0)
+    ranked = counts.withColumn("k", F.row_number().over(w_rank)).withColumn(
+        "cum_tokens", F.sum("n").over(w_cum)
+    )
+    total = docs.agg(
+        F.sum(textfn.token_count(F.col("text"))).alias("total_tokens")
+    )
+    return (
+        ranked.filter(F.col("k").isin(COVERAGE_KS))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "k",
+            F.col("tok").alias("kth_token"),
+            "cum_tokens",
+            F.floor(F.col("cum_tokens") * 10000 / F.col("total_tokens"))
+            .cast("long")
+            .alias("coverage_bp"),
+        )
+        .orderBy("k")
+    )
+
+
+QUERIES = {
+    "stratified_split": stratified_split,
+    "source_overlap_matrix": source_overlap_matrix,
+    "vocab_coverage": vocab_coverage,
+}
+
+_TOKS_SQL = r"regexp_split_to_array(lower(text), '\s+')"
+
+
+ORACLE = {
+    "stratified_split": f"""
+        WITH t AS (
+            SELECT lang,
+                   ('0x' || substr(md5(doc_id::VARCHAR || ':{SPLIT_SALT}'),
+                                   1, 15))::BIGINT % {SPLIT_DENOM} AS b,
+                   len({_TOKS_SQL}) AS toks
+            FROM documents
+        )
+        SELECT lang,
+               CASE WHEN b < {TRAIN_LT} THEN 'train'
+                    WHEN b < {VAL_LT} THEN 'val'
+                    ELSE 'test' END AS split,
+               COUNT(*) AS n_docs,
+               CAST(SUM(toks) AS BIGINT) AS tokens
+        FROM t GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    "source_overlap_matrix": f"""
+        WITH g AS (
+            SELECT DISTINCT source,
+                   md5(unnest(list_transform(
+                       range(1, len({_TOKS_SQL}) - {OVERLAP_N - 1} + 1),
+                       i -> list_aggregate(
+                           ({_TOKS_SQL})[i:i+{OVERLAP_N - 1}],
+                           'string_agg', ' ')))) AS gram
+            FROM documents
+        )
+        SELECT a.source AS src_a, b.source AS src_b,
+               COUNT(*) AS shared_grams
+        FROM g a JOIN g b ON a.gram = b.gram AND a.source < b.source
+        GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    "vocab_coverage": f"""
+        WITH c AS (
+            SELECT t AS tok, COUNT(*) AS n
+            FROM (SELECT unnest({_TOKS_SQL}) AS t FROM documents)
+            GROUP BY 1
+        ), r AS (
+            SELECT tok, n,
+                   ROW_NUMBER() OVER (ORDER BY n DESC, tok) AS k,
+                   CAST(SUM(n) OVER (ORDER BY n DESC, tok
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+            FROM c
+        ), tot AS (
+            SELECT CAST(SUM(len({_TOKS_SQL})) AS BIGINT) AS total_tokens
+            FROM documents
+        )
+        SELECT k, tok AS kth_token, cum_tokens,
+               CAST(FLOOR(cum_tokens * 10000 / total_tokens) AS BIGINT)
+                   AS coverage_bp
+        FROM r, tot
+        WHERE k IN ({", ".join(str(k) for k in COVERAGE_KS)})
+        ORDER BY k
+    """,
+}
