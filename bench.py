@@ -47,6 +47,19 @@ def main() -> None:
         "aggregate(array_sort(split(repeat(concat('w', id % 7, ' '), 8), ' ')), "
         "0L, (acc, x) -> acc + length(x)) AS s"
     ).selectExpr("sum(s)").collect()
+    # ... and the two-arg (element, index) lambda + nested-transform +
+    # filter/flatten paths (span/interval/n-gram entries lead with these;
+    # the first such plan otherwise absorbs the lambda-binding warm-up)
+    spark.range(5_000).selectExpr(
+        "size(filter(flatten(transform(split(repeat(concat('t', id % 5, ' '), 6), ' '), "
+        "(t, i) -> transform(sequence(0, 2), j -> CASE WHEN t = 't1' THEN i + j END))), "
+        "x -> x IS NOT NULL)) AS s"
+    ).selectExpr("sum(s)").collect()
+    # parquet footers for every surface table (file listing + schema are
+    # per-table one-offs a live engine holds open)
+    for t in ("nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"):
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").limit(1).collect()
 
     qs = dict(entrymod.queries())
     # bench the production form of the sketch query (sketches only); the

@@ -302,6 +302,72 @@ def q12_index_pattern_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cust.unionByName(supp, allowMissingColumns=True)
 
 
+# custom analyzer chain: letter tokenizer, lowercase, stopwords,
+# one-way synonyms, then the shared suffix stemmer — the index-settings
+# shape (analysis.analyzer.custom) a reference user configures per field
+_CHAIN_TOKENIZER = "letter"
+_CHAIN_FILTERS = (
+    ("lowercase",),
+    ("stop", ("the", "a", "and", "of")),
+    ("synonym", (("streaming", "stream"), ("grouped", "group"))),
+    ("stemmer",),
+)
+_CHAIN_QUERY = "Streaming Joins"
+# search-as-you-type chain: edge n-grams 2..5 over lowercased tokens
+_EDGE_FILTERS = (("lowercase",), ("edge_ngram", 2, 5))
+_EDGE_PREFIX = "spar"
+
+
+def analyzer_custom_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-composable analyzer chain applied at query time: the query
+    string runs through the Python replica, documents through the
+    column form, and scoring is summed term frequency over the
+    analyzed terms. The whole chain is HOF composition in the scan
+    projection; only (doc_id, tf) reaches the top-k."""
+    from postgres_opensearch_cdc_spark.functions.analysis import (
+        analyze_col,
+        analyze_text,
+    )
+
+    terms = list(dict.fromkeys(
+        analyze_text(_CHAIN_QUERY, _CHAIN_TOKENIZER, _CHAIN_FILTERS)
+    ))
+    docs = load_table(spark, sf_dir, "documents")
+    arr = analyze_col(F.col("text"), _CHAIN_TOKENIZER, _CHAIN_FILTERS)
+    def _eq(term):
+        # single-arg factory: a two-parameter lambda would make the HOF
+        # pass (element, index) and shadow the closed-over term
+        return lambda x: x == term
+
+    tf = None
+    for t in terms:
+        c = F.size(F.filter(arr, _eq(t)))
+        tf = c if tf is None else (tf + c)
+    return (
+        docs.select("doc_id", tf.cast("long").alias("tf"))
+        .filter(F.col("tf") > 0)
+        .orderBy(F.col("tf").desc(), "doc_id")
+        .limit(20)
+    )
+
+
+def analyzer_edge_ngram_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Search-as-you-type via an edge-ngram analyzer: the 2..5-prefix
+    grams are the index; a typed prefix exact-matches its gram. Counts
+    tokens starting with the prefix, per document."""
+    from postgres_opensearch_cdc_spark.functions.analysis import analyze_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    arr = analyze_col(F.col("text"), "whitespace", _EDGE_FILTERS)
+    hits = F.size(F.filter(arr, lambda g: g == _EDGE_PREFIX))
+    return (
+        docs.select("doc_id", hits.cast("long").alias("prefix_hits"))
+        .filter(F.col("prefix_hits") > 0)
+        .orderBy(F.col("prefix_hits").desc(), "doc_id")
+        .limit(20)
+    )
+
+
 QUERIES = {
     "q01_term_filter": q01_term_filter,
     "q02_fulltext_match": q02_fulltext_match,
@@ -319,7 +385,43 @@ QUERIES = {
     "q10_count": q10_count,
     "q11_time_range": q11_time_range,
     "q12_index_pattern_union": q12_index_pattern_union,
+    "analyzer_custom_chain": analyzer_custom_chain,
+    "analyzer_edge_ngram_prefix": analyzer_edge_ngram_prefix,
 }
+
+
+def _analyzer_oracles() -> dict:
+    from postgres_opensearch_cdc_spark.functions.analysis import (
+        analyze_chain_sql,
+        analyze_text,
+    )
+
+    terms = list(dict.fromkeys(
+        analyze_text(_CHAIN_QUERY, _CHAIN_TOKENIZER, _CHAIN_FILTERS)
+    ))
+    chain = analyze_chain_sql("text", _CHAIN_TOKENIZER, _CHAIN_FILTERS)
+    tf = " + ".join(
+        f"len(list_filter(toks, x -> x = '{t}'))" for t in terms
+    )
+    edge = analyze_chain_sql("text", "whitespace", _EDGE_FILTERS)
+    return {
+        "analyzer_custom_chain": f"""
+            SELECT doc_id, tf FROM (
+                SELECT doc_id, CAST({tf} AS BIGINT) AS tf
+                FROM (SELECT doc_id, {chain} AS toks FROM documents)
+            ) WHERE tf > 0 ORDER BY tf DESC, doc_id LIMIT 20
+        """,
+        "analyzer_edge_ngram_prefix": f"""
+            SELECT doc_id, prefix_hits FROM (
+                SELECT doc_id,
+                       CAST(len(list_filter({edge}, g -> g = '{_EDGE_PREFIX}'))
+                            AS BIGINT) AS prefix_hits
+                FROM documents
+            ) WHERE prefix_hits > 0
+            ORDER BY prefix_hits DESC, doc_id LIMIT 20
+        """,
+    }
+
 
 ORACLE = {
     "q01_term_filter": """
@@ -442,3 +544,4 @@ ORACLE["q02d_querystring_should"] = query_string_bm25_sql(
 ORACLE["q02e_querystring_must"] = query_string_bm25_sql(
     QUERYSTRING_FIXTURE, mode="must"
 )
+ORACLE.update(_analyzer_oracles())

@@ -67,10 +67,12 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise cross-source n-gram overlap: for every source pair,
     how many DISTINCT bigrams they share — the corpus-contamination
     matrix run before mixing sources into one training set. One
-    explode to (gram, source) distinct pairs, one self-equi-join on
-    the gram hash (per-gram fan-out bounded by #sources, never
-    doc×doc), then a rollup per pair. Grams are md5-hashed before the
-    join: fixed width beats shuffling raw n-gram strings."""
+    explode to distinct (gram, source) pairs, then ONE groupBy per
+    gram collecting its (small, ≤#sources) source set and expanding
+    the in-gram pairs with array lambdas — the gram set is computed
+    once, vs twice for the equivalent self-join, and per-gram fan-out
+    is bounded by #sources², never doc×doc. Grams are md5-hashed
+    before the shuffle: fixed width beats raw n-gram strings."""
     from postgres_opensearch_cdc_spark.queries.training_pipeline import _ngrams
 
     docs = load_table(spark, sf_dir, "documents")
@@ -80,14 +82,27 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", F.md5(F.col("gram")).alias("g"))
         .distinct()
     )
-    a, b = src_grams.alias("a"), src_grams.alias("b")
+    per_gram = src_grams.groupBy("g").agg(
+        F.sort_array(F.collect_set("source")).alias("ss")
+    )
+    pairs = per_gram.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "ss",
+                    lambda a, i: F.transform(
+                        F.slice(F.col("ss"), i + 2, F.size("ss")),
+                        lambda b: F.struct(
+                            a.alias("src_a"), b.alias("src_b")
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    )
     return (
-        a.join(b, (F.col("a.g") == F.col("b.g"))
-               & (F.col("a.source") < F.col("b.source")))
-        .groupBy(
-            F.col("a.source").alias("src_a"),
-            F.col("b.source").alias("src_b"),
-        )
+        pairs.select("p.src_a", "p.src_b")
+        .groupBy("src_a", "src_b")
         .agg(F.count(F.lit(1)).alias("shared_grams"))
         .orderBy("src_a", "src_b")
     )
