@@ -27,6 +27,14 @@ Supported stages (the core of the public PPL command set):
     rename a as b [, c as d]
     parse  field '<regex>'                 extract every named group
                                            ((?<name>...)) as a column
+    grok   field '<pattern>'               parse with %{SYNTAX:name}
+                                           grok patterns (NUMBER, INT,
+                                           WORD, NOTSPACE, IP,
+                                           TIMESTAMP_ISO8601,
+                                           GREEDYDATA, QUOTEDSTRING)
+    patterns field [as alias]              mask letters/digits to
+                                           reveal the log template
+                                           (punctuation skeleton)
     top    N field                         most frequent values
     rare   N field                         least frequent values
     eventstats <agg> [as alias], ... [by k...]
@@ -60,6 +68,36 @@ from postgres_opensearch_cdc_spark.registry import load_table
 
 class PPLSyntaxError(ValueError):
     pass
+
+
+# The core grok pattern library (the subset the public grok sets share);
+# each expands to a plain regex fragment the parse machinery compiles.
+GROK_PATTERNS = {
+    "INT": r"[+-]?\d+",
+    "NUMBER": r"[+-]?\d+(?:\.\d+)?",
+    "WORD": r"\w+",
+    "NOTSPACE": r"\S+",
+    "IP": r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}",
+    "TIMESTAMP_ISO8601": r"\d{4}-\d{2}-\d{2}[T ]\d{2}:\d{2}:\d{2}(?:\.\d+)?",
+    "GREEDYDATA": r".*",
+    "QUOTEDSTRING": r"\"[^\"]*\"",
+}
+
+
+def _grok_to_regex(pattern: str) -> str:
+    """Expand %{SYNTAX:name} (and bare %{SYNTAX}) into named-group
+    regex; everything outside %{...} is matched literally."""
+    out, pos = [], 0
+    for m in re.finditer(r"%\{(\w+)(?::(\w+))?\}", pattern):
+        out.append(re.escape(pattern[pos:m.start()]))
+        syntax, name = m.group(1), m.group(2)
+        if syntax not in GROK_PATTERNS:
+            raise PPLSyntaxError(f"unknown grok pattern: %{{{syntax}}}")
+        frag = GROK_PATTERNS[syntax]
+        out.append(f"(?<{name}>{frag})" if name else f"(?:{frag})")
+        pos = m.end()
+    out.append(re.escape(pattern[pos:]))
+    return "".join(out)
 
 
 _CMP = {"=": "=", "!=": "!=", ">": ">", ">=": ">=", "<": "<", "<=": "<="}
@@ -272,11 +310,13 @@ def ppl(spark: SparkSession, sf_dir: str, query: str) -> DataFrame:
                 if not pm:
                     raise PPLSyntaxError(f"bad rename: {pair!r}")
                 df = df.withColumnRenamed(pm.group(1), pm.group(2))
-        elif cmd == "parse":
+        elif cmd in ("parse", "grok"):
             pm = re.fullmatch(r"([A-Za-z_0-9]+)\s+'(.+)'", rest, re.S)
             if not pm:
-                raise PPLSyntaxError(f"parse needs: field '<regex>': {rest!r}")
+                raise PPLSyntaxError(f"{cmd} needs: field '<pattern>': {rest!r}")
             field, pattern = pm.group(1), pm.group(2)
+            if cmd == "grok":
+                pattern = _grok_to_regex(pattern)
             # introspect named groups with Python re (accepts both
             # (?P<n>...) and Java's (?<n>...)); hand Spark the Java form
             py_pattern = re.sub(r"\(\?<([A-Za-z][A-Za-z0-9]*)>", r"(?P<\1>", pattern)
@@ -285,7 +325,7 @@ def ppl(spark: SparkSession, sf_dir: str, query: str) -> DataFrame:
             except re.error as exc:
                 raise PPLSyntaxError(f"bad parse regex: {exc}") from exc
             if not compiled.groupindex:
-                raise PPLSyntaxError("parse regex needs >=1 named group")
+                raise PPLSyntaxError(f"{cmd} regex needs >=1 named group")
             java_pattern = re.sub(
                 r"\(\?P<([A-Za-z][A-Za-z0-9]*)>", r"(?<\1>", pattern
             )
@@ -293,6 +333,16 @@ def ppl(spark: SparkSession, sf_dir: str, query: str) -> DataFrame:
                 df = df.withColumn(
                     name, F.regexp_extract(F.col(field), java_pattern, idx)
                 )
+        elif cmd == "patterns":
+            tm = re.fullmatch(
+                r"([A-Za-z_0-9]+)(?:\s+as\s+([A-Za-z_0-9]+))?", rest, flags=re.I
+            )
+            if not tm:
+                raise PPLSyntaxError(f"patterns needs: field [as alias]: {rest!r}")
+            field, alias = tm.group(1), tm.group(2) or "patterns_field"
+            df = df.withColumn(
+                alias, F.regexp_replace(F.col(field), "[a-zA-Z0-9]", "")
+            )
         elif cmd == "eventstats":
             from pyspark.sql import Window
 

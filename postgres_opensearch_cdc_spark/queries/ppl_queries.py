@@ -72,6 +72,15 @@ PPL_IN_LIKE = (
     "and not p_brand = 'Brand#5' "
     "| stats count() as n by p_brand | sort -n, +p_brand | head 10"
 )
+PPL_GROK_STATS = (
+    "source=events | grok props '\"k\": %{INT:kv}' "
+    "| where event_type = 'click' "
+    "| stats count() as n by kv | sort -n, +kv | head 5"
+)
+PPL_PATTERNS_TEMPLATE = (
+    "source=events | patterns props as tpl "
+    "| stats count() as n by tpl | sort -n, +tpl"
+)
 
 
 def ppl_where_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -154,6 +163,20 @@ def ppl_in_like(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ppl(spark, sf_dir, PPL_IN_LIKE)
 
 
+def ppl_grok_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``grok`` — %{SYNTAX:name} pattern extraction (the named-pattern
+    layer over parse), feeding a stats-by. The expanded regex runs as
+    regexp_extract in the scan projection."""
+    return ppl(spark, sf_dir, PPL_GROK_STATS)
+
+
+def ppl_patterns_template(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``patterns`` — mask letters/digits to reveal each message's
+    punctuation template, then count templates: the log-template
+    discovery command."""
+    return ppl(spark, sf_dir, PPL_PATTERNS_TEMPLATE)
+
+
 QUERIES = {
     "ppl_where_stats": ppl_where_stats,
     "ppl_top_sources": ppl_top_sources,
@@ -167,6 +190,8 @@ QUERIES = {
     "ppl_join_segment": ppl_join_segment,
     "ppl_lookup_nation": ppl_lookup_nation,
     "ppl_in_like": ppl_in_like,
+    "ppl_grok_stats": ppl_grok_stats,
+    "ppl_patterns_template": ppl_patterns_template,
 }
 
 ORACLE = {
@@ -253,5 +278,16 @@ ORACLE = {
         WHERE p_size IN (5, 10, 15) AND p_type LIKE '%ROMO%'
           AND NOT p_brand = 'Brand#5'
         GROUP BY 1 ORDER BY n DESC, p_brand LIMIT 10
+    """,
+    "ppl_grok_stats": r"""
+        SELECT regexp_extract(props, '"k": ([+-]?\d+)', 1) AS kv,
+               COUNT(*) AS n
+        FROM events WHERE event_type = 'click'
+        GROUP BY 1 ORDER BY n DESC, kv LIMIT 5
+    """,
+    "ppl_patterns_template": """
+        SELECT regexp_replace(props, '[a-zA-Z0-9]', '', 'g') AS tpl,
+               COUNT(*) AS n
+        FROM events GROUP BY 1 ORDER BY n DESC, tpl
     """,
 }

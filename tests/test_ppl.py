@@ -165,3 +165,28 @@ def test_join_and_lookup_broadcasts(spark, sf_dir):
         "| join on c_custkey customer",
     )
     assert "c_mktsegment" in joined.columns
+
+
+def test_grok_expands_patterns(spark, sf_dir):
+    df = ppl(
+        spark,
+        sf_dir,
+        "source=events | grok props '\"k\": %{INT:kv}'",
+    )
+    rows = df.select("props", "kv").collect()
+    import re as _re
+
+    for r in rows:
+        m = _re.search(r'"k": ([+-]?\d+)', r["props"])
+        assert r["kv"] == (m.group(1) if m else "")
+
+
+def test_grok_unknown_pattern_raises(spark, sf_dir):
+    with pytest.raises(PPLSyntaxError, match="unknown grok pattern"):
+        ppl(spark, sf_dir, "source=events | grok props '%{NOPE:x}'")
+
+
+def test_patterns_masks_alphanumerics(spark, sf_dir):
+    df = ppl(spark, sf_dir, "source=events | patterns props as tpl")
+    r = df.select("tpl").first()
+    assert r["tpl"] == '{"": }'
