@@ -109,6 +109,22 @@ def run(sf_dir: str, only: list[str] | None = None) -> int:
             print(f"FAIL  {name}: values differ, e.g. {diffs}")
             failures += 1
             continue
+        # Vacuity audit: a 0-row or all-NULL result "passes" without
+        # testing anything (round-6 manual audit caught 3 such entries)
+        # — surface it so a filter gone vacuous can't hide behind green.
+        if not srows:
+            print(f"ok    {name}: 0 rows match  [VACUOUS: empty result]")
+            continue
+        null_cols = [
+            c for i, c in enumerate(scols)
+            if all(r[i] is None for r in srows)
+        ]
+        if null_cols:
+            print(
+                f"ok    {name}: {len(srows)} rows match  "
+                f"[VACUOUS: all-NULL column(s) {null_cols}]"
+            )
+            continue
         print(f"ok    {name}: {len(srows)} rows match")
     return failures
 
