@@ -82,10 +82,14 @@ class MirrorSink:
                 F.lit("u").alias(self.op_col),
                 *[F.col(c) for c in current.columns if c != self.op_col],
             ).withColumn("_pri", F.lit(0))
-            unioned = (
-                batch.withColumn("_pri", F.lit(1))
-                .select(as_changes.columns)
-                .unionByName(as_changes)
+            # schema-evolving merge: a column added upstream (ALTER TABLE
+            # ADD COLUMN) appears on new rows and null-fills the mirror
+            # history; a column absent from this batch null-fills the
+            # batch side — the sink analogue of dynamic mapping
+            # (reference W5: new fields indexed on arrival, old docs
+            # return null)
+            unioned = batch.withColumn("_pri", F.lit(1)).unionByName(
+                as_changes, allowMissingColumns=True
             )
         else:
             unioned = batch.withColumn("_pri", F.lit(1))
@@ -205,10 +209,9 @@ class PartitionedMirrorSink:
                     F.lit("u").alias(self.op_col),
                     *[F.col(c) for c in current.columns if c != self.op_col],
                 ).withColumn("_pri", F.lit(0))
-                unioned = (
-                    batch.withColumn("_pri", F.lit(1))
-                    .select(as_changes.columns)
-                    .unionByName(as_changes)
+                # schema-evolving merge (see MirrorSink.apply_batch)
+                unioned = batch.withColumn("_pri", F.lit(1)).unionByName(
+                    as_changes, allowMissingColumns=True
                 )
             else:
                 unioned = batch.withColumn("_pri", F.lit(1))
@@ -349,7 +352,9 @@ class VersionedMirrorSink:
             return None
         out = dfs[0]
         for d in dfs[1:]:
-            out = out.unionByName(d)
+            # commits written before a schema evolution lack the added
+            # columns — null-fill them on read (dynamic-mapping analogue)
+            out = out.unionByName(d, allowMissingColumns=True)
         return out
 
     def read(self, spark: SparkSession) -> DataFrame:
@@ -397,10 +402,9 @@ class VersionedMirrorSink:
                     .withColumn("_bucket", self._bucket())
                     .withColumn("_pri", F.lit(0))
                 )
-                unioned = (
-                    batch.withColumn("_pri", F.lit(1))
-                    .select(as_changes.columns)
-                    .unionByName(as_changes)
+                # schema-evolving merge (see MirrorSink.apply_batch)
+                unioned = batch.withColumn("_pri", F.lit(1)).unionByName(
+                    as_changes, allowMissingColumns=True
                 )
         if "_pri" not in unioned.columns:
             unioned = unioned.withColumn("_pri", F.lit(1))

@@ -108,3 +108,38 @@ def test_equal_seq_replay_batch_row_wins(spark, sink):
     sink.apply_batch(chg(spark, [("d", 1, None, -1), ("u", 2, "b2", -1)]), batch_id=1)
     state = {r["id"]: r["v"] for r in sink.read(spark).collect()}
     assert state == {2: "b2"}
+
+
+def test_versioned_mirror_schema_evolution(spark, tmp_path):
+    """Schema evolution across commits: a column added mid-stream
+    null-fills untouched buckets' older commit files on read, and the
+    evolved column survives later batches without it."""
+    from postgres_opensearch_cdc_spark.streaming.apply import VersionedMirrorSink
+
+    sink = VersionedMirrorSink(
+        path=str(tmp_path / "vmirror"),
+        key_cols=["id"],
+        seq_cols=["offset"],
+        num_buckets=4,
+    )
+    b1 = spark.createDataFrame(
+        [("c", 1, "ok", 1), ("c", 2, "new", 2), ("c", 3, "x", 3)],
+        "op string, id long, status string, offset long",
+    )
+    sink.apply_batch(b1, 0)
+    b2 = spark.createDataFrame(
+        [("u", 2, "upd", 4, "gold")],
+        "op string, id long, status string, offset long, tier string",
+    )
+    sink.apply_batch(b2, 1)
+    rows = {r["id"]: r for r in sink.read(spark).collect()}
+    assert rows[2]["tier"] == "gold"
+    assert rows[1]["tier"] is None and rows[3]["tier"] is None
+    b3 = spark.createDataFrame(
+        [("u", 3, "y", 5)],
+        "op string, id long, status string, offset long",
+    )
+    sink.apply_batch(b3, 2)
+    rows = {r["id"]: r for r in sink.read(spark).collect()}
+    assert rows[3]["status"] == "y"
+    assert rows[2]["tier"] == "gold", "evolved column lost across commits"

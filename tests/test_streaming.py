@@ -201,3 +201,36 @@ def test_mirror_equal_seq_replay_batch_row_wins(spark, workdir):
     sink.apply_batch(replay, batch_id=1)
     state = {r["id"]: r["status"] for r in sink.read(spark).collect()}
     assert state == {2: "b2"}
+
+
+def test_mirror_schema_evolution_add_column(spark, workdir):
+    """Upstream ALTER TABLE ADD COLUMN mid-stream: the new column
+    appears on new rows, null-fills history, and survives later
+    batches that don't carry it — the sink analogue of the reference's
+    dynamic mapping (W5)."""
+    sink = MirrorSink(
+        path=os.path.join(workdir, "mirror"),
+        key_cols=["id"],
+        seq_cols=["offset"],
+    )
+    b1 = spark.createDataFrame(
+        [("c", 1, "ok", 1), ("c", 2, "new", 2)],
+        "op string, id long, status string, offset long",
+    )
+    sink.apply_batch(b1, 0)
+    b2 = spark.createDataFrame(
+        [("u", 2, "upd", 3, "gold")],
+        "op string, id long, status string, offset long, tier string",
+    )
+    sink.apply_batch(b2, 1)
+    rows = {r["id"]: r for r in sink.read(spark).collect()}
+    assert rows[2]["tier"] == "gold" and rows[2]["status"] == "upd"
+    assert rows[1]["tier"] is None, "pre-evolution rows must null-fill"
+    b3 = spark.createDataFrame(
+        [("u", 1, "ok2", 4)],
+        "op string, id long, status string, offset long",
+    )
+    sink.apply_batch(b3, 2)
+    rows = {r["id"]: r for r in sink.read(spark).collect()}
+    assert rows[1]["status"] == "ok2" and rows[1]["tier"] is None
+    assert rows[2]["tier"] == "gold", "evolved column lost on later batch"
