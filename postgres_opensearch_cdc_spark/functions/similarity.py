@@ -287,3 +287,127 @@ def ivf_topk(
         .drop("_cell")
     )
     return brute_force_topk(candidates, query_vec, k=k, id_col=id_col, vec_col=vec_col)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) + asymmetric distance computation (ADC)
+# ---------------------------------------------------------------------------
+
+def pq_codes(vec: Column, codebook: list[list[list[float]]]) -> list[Column]:
+    """Per-subspace PQ code columns for one vector column.
+
+    ``codebook[m][j]`` is codeword j of subspace m (each of dimension
+    dim/M). Code m = argmin_j L2²(subvector_m, codeword_mj), computed
+    as array_position of the min over a literal-codeword distance
+    array — scan-stage projection, no shuffle, no UDF. First-match
+    argmin ties with DuckDB's list_position semantics."""
+    m_count = len(codebook)
+    dsub = len(codebook[0][0])
+    codes = []
+    for m in range(m_count):
+        sub = F.slice(_as_double(vec), m * dsub + 1, dsub)
+        # distances rounded to 6 before the argmin so the encoding is
+        # robust to last-bit engine divergence (same convention as the
+        # IVF cell assignment); tie → lower codeword via first-match
+        dists = F.array(*[
+            F.round(
+                F.aggregate(
+                    F.zip_with(
+                        sub,
+                        F.array(*[F.lit(float(c)) for c in codeword]),
+                        lambda x, c: (x - c) * (x - c),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                6,
+            )
+            for codeword in codebook[m]
+        ])
+        codes.append(F.array_position(dists, F.array_min(dists)).alias(f"c{m}"))
+    return codes
+
+
+def pq_adc_topk(
+    vectors: DataFrame,
+    query_vec: list[float],
+    codebook: list[list[list[float]]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ-ADC approximate nearest neighbours: encode each vector to M
+    sub-codes against the codebook, precompute the query→codeword
+    distance table driver-side (M×K floats — constant-folded literals),
+    and score by table lookup: dist ≈ Σ_m table[m][code_m].
+
+    The 100 TB story: codes are M bytes per vector vs 4·dim — the
+    index fits in memory at corpus scale; the scan projects only the
+    code columns, the ADC sum is a literal-array lookup, and the
+    finish is TakeOrderedAndProject (per-partition heaps). Encoding is
+    embarrassingly parallel and incremental (new vectors encode
+    independently)."""
+    m_count = len(codebook)
+    dsub = len(codebook[0][0])
+    # driver-side query distance table, same summation order as the
+    # Spark/DuckDB forms (d ascending) so all three agree bit-for-bit
+    table = [
+        [
+            sum(
+                (float(query_vec[m * dsub + d]) - float(cw[d])) ** 2
+                for d in range(dsub)
+            )
+            for cw in codebook[m]
+        ]
+        for m in range(m_count)
+    ]
+    coded = vectors.select(F.col(id_col), *pq_codes(F.col(vec_col), codebook))
+    score = None
+    for m in range(m_count):
+        lut = F.array(*[F.lit(float(x)) for x in table[m]])
+        term = F.element_at(lut, F.col(f"c{m}").cast("int"))
+        score = term if score is None else (score + term)
+    return (
+        coded.select(F.col(id_col), F.round(score, 6).alias("adc_dist"))
+        .orderBy(F.col("adc_dist").asc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def pq_train(
+    vectors: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    iterations: int = 5,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Train a PQ codebook: one seeded k-means per subspace over the
+    sliced subvectors (kmeans_train's plan shape — literal-broadcast
+    assignment, one k×dsub partial-agg shuffle per iteration, k tiny
+    rows collected). Returns codebook[m][k][dsub] for pq_adc_topk.
+    The oracle-checked entry freezes seed codewords instead (float-mean
+    training isn't portable across engines, same note as IVF)."""
+    first = vectors.select(vec_col).head()
+    if first is None:
+        raise ValueError("cannot train on an empty vector table")
+    dim = len(first[0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    codebook = []
+    for mi in range(m):
+        sub = vectors.select(
+            F.col(id_col),
+            F.slice(_as_double(F.col(vec_col)), mi * dsub + 1, dsub).alias(
+                vec_col
+            ),
+        )
+        codebook.append(
+            kmeans_train(
+                sub, k=k, iterations=iterations, seed=seed + mi,
+                id_col=id_col, vec_col=vec_col,
+            )
+        )
+    return codebook

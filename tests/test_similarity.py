@@ -169,3 +169,44 @@ def test_kmeans_init_sample_plan_is_take_ordered(spark, sf_dir):
     )
     assert "TakeOrderedAndProject" in plan
     assert "Exchange" not in plan
+
+
+def test_pq_train_deterministic_and_adc_recall(clustered):
+    """PQ usefulness contract on clusterable data: the trained codebook
+    is seed-deterministic, codes compress to M small ints, and ADC
+    recall@10 within the top-50 candidate set ≥ 0.8 vs the exact L2
+    baseline (ADC is the candidate generator; production reranks the
+    candidate set exactly)."""
+    from postgres_opensearch_cdc_spark.functions.similarity import (
+        pq_adc_topk,
+        pq_codes,
+        pq_train,
+    )
+
+    cb1 = pq_train(clustered, m=4, k=8, iterations=4, seed=7)
+    cb2 = pq_train(clustered, m=4, k=8, iterations=4, seed=7)
+    assert cb1 == cb2
+    q = [float(x) for x in clustered.filter(F.col("vec_id") == 0).head()["embedding"]]
+    rest = clustered.filter(F.col("vec_id") != 0)
+    # exact L2 baseline
+    lit_q = F.array(*[F.lit(x) for x in q])
+    l2 = F.aggregate(
+        F.zip_with(
+            F.transform("embedding", lambda x: x.cast("double")),
+            lit_q,
+            lambda a, b: (a - b) * (a - b),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    truth = {
+        r["vec_id"]
+        for r in rest.select("vec_id", l2.alias("d"))
+        .orderBy("d", "vec_id").limit(10).collect()
+    }
+    cand = {r["vec_id"] for r in pq_adc_topk(rest, q, cb1, k=50).collect()}
+    assert len(truth & cand) / 10 >= 0.8
+    # codes are within [1, k] — the M-byte-per-vector compression claim
+    coded = rest.select(*pq_codes(F.col("embedding"), cb1)).collect()
+    for r in coded:
+        assert all(1 <= r[f"c{m}"] <= 8 for m in range(4))
