@@ -192,6 +192,44 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_adc_topk(vecs.filter(F.col("vec_id") != 0), q, codebook, k=10)
 
 
+_PQ_RERANK_CAND = 50
+
+
+def ann_pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase vector retrieval — the production PQ pattern: ADC over
+    the compressed codes generates a candidate set (top-50), then ONLY
+    the candidates are scored with exact cosine for the final top-10.
+    At 100 TB phase 1 touches M-byte codes (memory-resident), phase 2
+    touches 50 full vectors — the full-precision scan never happens.
+    Same frozen seed codebook as ann_pq_adc_topk, so both phases replay
+    in the DuckDB oracle."""
+    from postgres_opensearch_cdc_spark.functions.similarity import (
+        brute_force_topk,
+        pq_adc_topk,
+    )
+
+    vecs = load_table(spark, sf_dir, "embeddings")
+    q = [float(x) for x in vecs.filter(F.col("vec_id") == 0).head()["embedding"]]
+    seed_rows = (
+        vecs.filter(F.col("vec_id").isin(_PQ_SEED_IDS))
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    seeds = [
+        [float(x) for x in r["embedding"]]
+        for r in sorted(seed_rows, key=lambda r: r["vec_id"])
+    ]
+    dsub = len(seeds[0]) // _PQ_M
+    codebook = [
+        [s[m * dsub:(m + 1) * dsub] for s in seeds] for m in range(_PQ_M)
+    ]
+    corpus = vecs.filter(F.col("vec_id") != 0)
+    cands = pq_adc_topk(corpus, q, codebook, k=_PQ_RERANK_CAND).select("vec_id")
+    return brute_force_topk(
+        corpus.join(F.broadcast(cands), "vec_id", "left_semi"), q, k=10
+    )
+
+
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN probe, fully value-checked: coarse centroids are the
     embeddings of fixed seed ids (vec_id 1..10, cell = rank by id) —
@@ -509,6 +547,7 @@ QUERIES = {
     "ann_filtered_topk": ann_filtered_topk,
     "ann_ivf_topk": ann_ivf_topk,
     "ann_pq_adc_topk": ann_pq_adc_topk,
+    "ann_pq_rerank_topk": ann_pq_rerank_topk,
     "text_stats": text_stats,
     "text_fingerprint": text_fingerprint,
     "text_lang_id": text_lang_id,
@@ -844,6 +883,59 @@ ORACLE["ann_pq_adc_topk"] = """
         )
         SELECT vec_id, adc_dist FROM adc
         ORDER BY adc_dist, vec_id LIMIT 10
+    """
+ORACLE["ann_pq_rerank_topk"] = """
+        WITH q AS (
+            SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0
+        ),
+        cb AS (
+            SELECT CAST(row_number() OVER (ORDER BY vec_id) AS BIGINT) AS j,
+                   embedding::DOUBLE[] AS cv
+            FROM embeddings WHERE vec_id BETWEEN 1 AND 16
+        ),
+        ev AS (
+            SELECT vec_id, embedding::DOUBLE[] AS ev
+            FROM embeddings WHERE vec_id <> 0
+        ),
+        enc AS (
+            SELECT e.vec_id, m.m, c.j,
+                   ROUND((e.ev[m.m*8+1] - c.cv[m.m*8+1]) * (e.ev[m.m*8+1] - c.cv[m.m*8+1]) + (e.ev[m.m*8+2] - c.cv[m.m*8+2]) * (e.ev[m.m*8+2] - c.cv[m.m*8+2]) + (e.ev[m.m*8+3] - c.cv[m.m*8+3]) * (e.ev[m.m*8+3] - c.cv[m.m*8+3]) + (e.ev[m.m*8+4] - c.cv[m.m*8+4]) * (e.ev[m.m*8+4] - c.cv[m.m*8+4]) + (e.ev[m.m*8+5] - c.cv[m.m*8+5]) * (e.ev[m.m*8+5] - c.cv[m.m*8+5]) + (e.ev[m.m*8+6] - c.cv[m.m*8+6]) * (e.ev[m.m*8+6] - c.cv[m.m*8+6]) + (e.ev[m.m*8+7] - c.cv[m.m*8+7]) * (e.ev[m.m*8+7] - c.cv[m.m*8+7]) + (e.ev[m.m*8+8] - c.cv[m.m*8+8]) * (e.ev[m.m*8+8] - c.cv[m.m*8+8]), 6) AS dist
+            FROM ev e CROSS JOIN range(0, 8) m(m) CROSS JOIN cb c
+        ),
+        codes AS (
+            SELECT vec_id, m, j FROM (
+                SELECT vec_id, m, j,
+                       row_number() OVER (
+                           PARTITION BY vec_id, m ORDER BY dist, j) AS rn
+                FROM enc
+            ) WHERE rn = 1
+        ),
+        qtab AS (
+            SELECT m.m, c.j,
+                   (q.qv[m.m*8+1] - c.cv[m.m*8+1]) * (q.qv[m.m*8+1] - c.cv[m.m*8+1]) + (q.qv[m.m*8+2] - c.cv[m.m*8+2]) * (q.qv[m.m*8+2] - c.cv[m.m*8+2]) + (q.qv[m.m*8+3] - c.cv[m.m*8+3]) * (q.qv[m.m*8+3] - c.cv[m.m*8+3]) + (q.qv[m.m*8+4] - c.cv[m.m*8+4]) * (q.qv[m.m*8+4] - c.cv[m.m*8+4]) + (q.qv[m.m*8+5] - c.cv[m.m*8+5]) * (q.qv[m.m*8+5] - c.cv[m.m*8+5]) + (q.qv[m.m*8+6] - c.cv[m.m*8+6]) * (q.qv[m.m*8+6] - c.cv[m.m*8+6]) + (q.qv[m.m*8+7] - c.cv[m.m*8+7]) * (q.qv[m.m*8+7] - c.cv[m.m*8+7]) + (q.qv[m.m*8+8] - c.cv[m.m*8+8]) * (q.qv[m.m*8+8] - c.cv[m.m*8+8]) AS qd
+            FROM q CROSS JOIN range(0, 8) m(m) CROSS JOIN cb c
+        ),
+        adc AS (
+            SELECT codes.vec_id,
+                   ROUND(MAX(CASE WHEN codes.m = 0 THEN qtab.qd END)
+                 + MAX(CASE WHEN codes.m = 1 THEN qtab.qd END)
+                 + MAX(CASE WHEN codes.m = 2 THEN qtab.qd END)
+                 + MAX(CASE WHEN codes.m = 3 THEN qtab.qd END)
+                 + MAX(CASE WHEN codes.m = 4 THEN qtab.qd END)
+                 + MAX(CASE WHEN codes.m = 5 THEN qtab.qd END)
+                 + MAX(CASE WHEN codes.m = 6 THEN qtab.qd END)
+                 + MAX(CASE WHEN codes.m = 7 THEN qtab.qd END), 6) AS adc_dist
+            FROM codes JOIN qtab ON qtab.m = codes.m AND qtab.j = codes.j
+            GROUP BY codes.vec_id
+        )
+        SELECT e.vec_id,
+               ROUND(list_dot_product(e.ev, q.qv) /
+                     (sqrt(list_dot_product(e.ev, e.ev)) *
+                      sqrt(list_dot_product(q.qv, q.qv))), 6) AS cos_sim
+        FROM ev e
+        JOIN (SELECT vec_id FROM adc ORDER BY adc_dist, vec_id LIMIT 50) c
+          USING (vec_id), q
+        ORDER BY cos_sim DESC, e.vec_id LIMIT 10
     """
 
 _SIMHASH_BITS = 60
