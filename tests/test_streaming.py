@@ -234,3 +234,25 @@ def test_mirror_schema_evolution_add_column(spark, workdir):
     rows = {r["id"]: r for r in sink.read(spark).collect()}
     assert rows[1]["status"] == "ok2" and rows[1]["tier"] is None
     assert rows[2]["tier"] == "gold", "evolved column lost on later batch"
+
+
+def test_mirror_type_widening(spark, workdir):
+    """Upstream type widening (INT -> BIGINT) flows through the merge:
+    the union coerces to the wider type and values past int range
+    survive."""
+    sink = MirrorSink(
+        path=os.path.join(workdir, "mirror_w"),
+        key_cols=["id"],
+        seq_cols=["offset"],
+    )
+    b1 = spark.createDataFrame(
+        [("c", 1, 5, 1)], "op string, id long, qty int, offset long"
+    )
+    sink.apply_batch(b1, 0)
+    b2 = spark.createDataFrame(
+        [("u", 1, 6_000_000_000, 2)], "op string, id long, qty long, offset long"
+    )
+    sink.apply_batch(b2, 1)
+    out = sink.read(spark)
+    assert out.schema["qty"].dataType.typeName() == "long"
+    assert out.collect()[0]["qty"] == 6_000_000_000
