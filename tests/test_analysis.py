@@ -83,3 +83,54 @@ def test_letter_tokenizer_splits_punctuation(spark):
 def test_unknown_filter_raises(spark):
     with pytest.raises(ValueError, match="unknown token filter"):
         analyze_text("x", "whitespace", (("bogus",),))
+
+
+def _rand_chain(rng):
+    import random as _r  # noqa: F401
+
+    filters = []
+    pool = [
+        ("lowercase",),
+        ("stop", ("the", "of", "and")),
+        ("length", 2, 8),
+        ("stemmer",),
+        ("synonym", (("streaming", "stream"), ("tables", "table"))),
+        ("edge_ngram", 2, 4),
+    ]
+    for f in pool:
+        if rng.random() < 0.5:
+            filters.append(f)
+    if not filters:
+        filters.append(("lowercase",))
+    tok = rng.choice(["whitespace", "letter"])
+    return tok, tuple(filters)
+
+
+def test_random_chains_tri_form_equality(spark):
+    """20 seeded random chains: Column, Python, and SQL forms must agree
+    on every sample — the analyzer contract holds for ANY composition,
+    not just the fixtures."""
+    import random
+
+    import duckdb as _duck
+
+    con = _duck.connect()
+    df = spark.createDataFrame([(s,) for s in SAMPLES], ["text"])
+    for seed in range(20):
+        rng = random.Random(seed)
+        tok, filters = _rand_chain(rng)
+        got_col = [
+            r["a"]
+            for r in df.select(
+                analyze_col(F.col("text"), tok, filters).alias("a")
+            ).collect()
+        ]
+        got_py = [analyze_text(s, tok, filters) for s in SAMPLES]
+        sql = analyze_chain_sql("text", tok, filters)
+        got_sql = [
+            con.execute(
+                f"SELECT {sql} AS a FROM (SELECT ? AS text)", [s]
+            ).fetchone()[0]
+            for s in SAMPLES
+        ]
+        assert got_col == got_py == got_sql, (seed, tok, filters)
