@@ -43,7 +43,6 @@ PPL_EVENTSTATS_SHARE = (
     "| stats count() as user_n, max(type_total) as type_total "
     "by event_type, user_id "
     "| eval share_bp = floor(user_n * 10000 / type_total) "
-    "| where share_bp >= 30 "
     "| fields event_type, user_id, user_n, share_bp "
     "| sort -share_bp, +event_type, +user_id | head 20"
 )
@@ -129,10 +128,12 @@ def ppl_span_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def ppl_eventstats_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``eventstats`` (window aggregate appended without collapsing
-    rows) feeding a grouped share-of-total: users contributing >=0.3%
-    of their event type's volume. The window count and the group-by
-    are two shuffles on the same key (event_type) — Catalyst reuses
-    the partitioning."""
+    rows) feeding a grouped share-of-total: the top-20 users by share
+    of their event type's volume (rank-based, so the entry is
+    non-vacuous at every SF — a fixed share threshold goes empty as
+    the user count grows). The window count and the group-by are two
+    shuffles on the same key (event_type) — Catalyst reuses the
+    partitioning."""
     return ppl(spark, sf_dir, PPL_EVENTSTATS_SHARE)
 
 
@@ -244,7 +245,6 @@ ORACLE = {
         SELECT event_type, user_id, user_n,
                CAST(FLOOR(user_n * 10000 / type_total) AS BIGINT) AS share_bp
         FROM g
-        WHERE FLOOR(user_n * 10000 / type_total) >= 30
         ORDER BY share_bp DESC, event_type, user_id LIMIT 20
     """,
     "ppl_trendline_daily": """

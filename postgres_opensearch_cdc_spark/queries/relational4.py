@@ -22,7 +22,9 @@ from postgres_opensearch_cdc_spark.registry import load_table
 
 LATE_DAYS = 80  # ship-lag threshold standing in for commit<receipt
 COST_FACTOR = 0.6  # stand-in supply cost: 60% of part retail price
-IMPORTANCE_FRACTION = 0.0005  # Q11 threshold fraction of global value
+IMPORTANCE_MULTIPLE = 1.5  # Q11 threshold: multiple of the MEAN part value
+# (TPC-H's fixed global fraction shrinks per part as the part count grows
+# — vacuous at sf0.1; a mean-relative threshold is scale-free)
 
 
 def profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -60,8 +62,10 @@ def profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def important_part_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q11 analog (important stock identification, partsupp-free):
-    parts whose total ordered net value exceeds IMPORTANCE_FRACTION of
-    the global total. The HAVING-against-a-scalar-subquery decorrelates
+    parts whose total ordered net value exceeds IMPORTANCE_MULTIPLE x
+    the mean per-part value (scale-free — a fixed global fraction goes
+    vacuous as the part count grows). The HAVING-against-a-scalar-
+    subquery decorrelates
     into a second aggregation over the SAME per-part partials (Spark
     reuses the shuffle via the cached intermediate at runtime; at scale
     the per-part aggregate is one shuffle and the global total is a
@@ -71,7 +75,9 @@ def important_part_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("value")
     )
     total = per_part.agg(
-        (F.sum("value") * F.lit(IMPORTANCE_FRACTION)).alias("threshold")
+        (F.sum("value") / F.count(F.lit(1)) * F.lit(IMPORTANCE_MULTIPLE)).alias(
+            "threshold"
+        )
     )
     return (
         per_part.crossJoin(F.broadcast(total))
@@ -201,7 +207,8 @@ ORACLE = {
         )
         SELECT l_partkey, ROUND(value, 2) AS part_value
         FROM per_part
-        WHERE value > (SELECT SUM(value) * {IMPORTANCE_FRACTION} FROM per_part)
+        WHERE value > (SELECT SUM(value) / COUNT(*) * {IMPORTANCE_MULTIPLE}
+                       FROM per_part)
         ORDER BY part_value DESC, l_partkey
     """,
     "bracket_revenue": f"""
