@@ -306,24 +306,29 @@ def pq_codes(vec: Column, codebook: list[list[list[float]]]) -> list[Column]:
     codes = []
     for m in range(m_count):
         sub = F.slice(_as_double(vec), m * dsub + 1, dsub)
+        # ONE literal k×dsub matrix iterated with transform (shared
+        # loop) instead of k unrolled zip_with expressions — keeps the
+        # expression tree (and Catalyst's per-query analysis cost)
+        # O(dsub + k) per subspace instead of O(k × dsub); see
+        # _nearest_cell for the same trick on IVF.
+        mat = F.array(*[
+            F.array(*[F.lit(float(c)) for c in codeword])
+            for codeword in codebook[m]
+        ])
         # distances rounded to 6 before the argmin so the encoding is
         # robust to last-bit engine divergence (same convention as the
         # IVF cell assignment); tie → lower codeword via first-match
-        dists = F.array(*[
-            F.round(
+        dists = F.transform(
+            mat,
+            lambda cw: F.round(
                 F.aggregate(
-                    F.zip_with(
-                        sub,
-                        F.array(*[F.lit(float(c)) for c in codeword]),
-                        lambda x, c: (x - c) * (x - c),
-                    ),
+                    F.zip_with(sub, cw, lambda x, c: (x - c) * (x - c)),
                     F.lit(0.0),
                     lambda acc, x: acc + x,
                 ),
                 6,
-            )
-            for codeword in codebook[m]
-        ])
+            ),
+        )
         codes.append(F.array_position(dists, F.array_min(dists)).alias(f"c{m}"))
     return codes
 
