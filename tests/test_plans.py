@@ -121,3 +121,53 @@ def test_shard_packing_single_window_exchange(spark, sf_dir):
     assert "Window" in p
     assert "hashpartitioning(lang" in p
     assert "SinglePartition" not in p.split("Window")[0]  # window input is partitioned
+
+
+def test_composite_after_cursor_pushes_to_scan(spark, sf_dir):
+    """The composite agg's after-cursor must reach the parquet scan as
+    a pushed filter — the keyset-pagination scale contract."""
+    from postgres_opensearch_cdc_spark.queries import dsl_queries
+
+    p = plan(dsl_queries.dsl_composite_after(spark, sf_dir))
+    pushed = p.split("PushedFilters")[1].splitlines()[0]
+    assert "GreaterThan(event_type,purchase)" in pushed
+    assert "GreaterThan(user_id,40)" in pushed
+
+
+def test_top_hits_has_no_global_sort_before_window(spark, sf_dir):
+    """top_hits ranks per bucket: the window partitions by the bucket
+    key (partition-parallel), never a global Sort over all rows."""
+    from postgres_opensearch_cdc_spark.queries import dsl_queries
+
+    p = plan(dsl_queries.dsl_top_hits_by_type(spark, sf_dir))
+    assert "Window" in p
+    # the window's exchange must be keyed by the bucket (partition-
+    # parallel), never a single-partition global window
+    assert "hashpartitioning(by_type" in p
+    assert "SinglePartition" not in p
+
+
+def test_ppl_pipeline_compiles_to_pushdown_and_topk(spark, sf_dir):
+    """A full PPL pipeline must produce the same plan features as the
+    hand-built queries: scan-pushed filter + TakeOrderedAndProject."""
+    from postgres_opensearch_cdc_spark.ppl import ppl
+
+    p = plan(ppl(
+        spark, sf_dir,
+        "source=events | where value > 400 "
+        "| stats count() as n by user_id | sort -n, +user_id | head 5",
+    ))
+    pushed = p.split("PushedFilters")[1].splitlines()[0]
+    assert "GreaterThan(value,400" in pushed
+    assert "TakeOrderedAndProject" in p
+    assert p.count("HashAggregate") >= 2, "stats must be partial+final"
+
+
+def test_pq_adc_is_scan_projection_plus_topk(spark, sf_dir):
+    """PQ-ADC must stay a scan projection finished by
+    TakeOrderedAndProject — no Exchange (shuffle) anywhere."""
+    import __spark_entry__ as entrymod
+
+    p = plan(entrymod.queries()["ann_pq_adc_topk"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in p
+    assert "Exchange" not in p, "ADC scan must not shuffle"
