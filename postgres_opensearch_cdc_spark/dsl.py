@@ -29,7 +29,9 @@ per outer bucket), or a ``top_hits`` (size, sort, _source) returning
 the top documents per bucket via a ranked window.
 
 top level: size, sort ([{field: {"order": asc|desc}}...]), _source
-(projection list).
+(projection list), knn ({field: {"query_vector": [...], "k": N}} —
+the vector-search clause: exact cosine top-k as a scan projection +
+TakeOrderedAndProject, optionally pre-filtered by ``query``).
 
 Everything compiles to built-in expressions — filters push to the
 scan, buckets become partial+final aggregates, size+sort becomes
@@ -400,6 +402,22 @@ def search(
     df = load_table(spark, sf_dir, table)
     if "query" in body:
         df = df.filter(compile_query(body["query"], id_col))
+    if "knn" in body:
+        # vector-search clause: exact cosine top-k over the (already
+        # query-filtered) scan — the pre-filter strategy, same plan as
+        # functions.similarity.brute_force_topk
+        from postgres_opensearch_cdc_spark.functions.similarity import (
+            brute_force_topk,
+        )
+
+        ((field, spec),) = body["knn"].items()
+        return brute_force_topk(
+            df,
+            [float(x) for x in spec["query_vector"]],
+            k=int(spec.get("k", 10)),
+            id_col=id_col,
+            vec_col=field,
+        )
     if "aggs" in body:
         return _compile_aggs(df, body["aggs"])
     if "_source" in body:

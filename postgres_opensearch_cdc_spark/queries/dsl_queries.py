@@ -222,6 +222,29 @@ def dsl_composite_after(spark: SparkSession, sf_dir: str) -> DataFrame:
                   id_col="event_id")
 
 
+def dsl_knn_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``knn`` request-body clause with a boolean pre-filter — vector
+    search through the THIRD interface: the body carries the raw query
+    vector (as a client would paste it), the filter prunes before
+    scoring, and the plan is the exact-cosine scan projection +
+    TakeOrderedAndProject."""
+    from postgres_opensearch_cdc_spark.registry import load_table
+    from pyspark.sql import functions as F
+
+    vecs = load_table(spark, sf_dir, "embeddings")
+    q = [float(x) for x in vecs.filter(F.col("vec_id") == 0).head()["embedding"]]
+    body = {
+        "query": {
+            "bool": {
+                "must": [{"range": {"label": {"gte": 1}}}],
+                "must_not": [{"ids": {"values": [0]}}],
+            }
+        },
+        "knn": {"embedding": {"query_vector": q, "k": 10}},
+    }
+    return search(spark, sf_dir, "embeddings", body, id_col="vec_id")
+
+
 QUERIES = {
     "dsl_bool_filtered_terms": dsl_bool_filtered_terms,
     "dsl_should_hits": dsl_should_hits,
@@ -232,6 +255,7 @@ QUERIES = {
     "dsl_nested_day_type": dsl_nested_day_type,
     "dsl_top_hits_by_type": dsl_top_hits_by_type,
     "dsl_composite_after": dsl_composite_after,
+    "dsl_knn_query": dsl_knn_query,
 }
 
 ORACLE = {
@@ -332,5 +356,17 @@ ORACLE = {
         WHERE event_type > 'purchase'
            OR (event_type = 'purchase' AND user_id > 40)
         GROUP BY 1, 2 ORDER BY etype, uid LIMIT 50
+    """,
+    "dsl_knn_query": """
+        WITH q AS (
+            SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0
+        )
+        SELECT vec_id,
+               ROUND(list_dot_product(e.ev, q.qv) /
+                     (sqrt(list_dot_product(e.ev, e.ev)) *
+                      sqrt(list_dot_product(q.qv, q.qv))), 6) AS cos_sim
+        FROM (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings
+              WHERE label >= 1 AND vec_id <> 0) e, q
+        ORDER BY cos_sim DESC, vec_id LIMIT 10
     """,
 }

@@ -221,3 +221,20 @@ def test_composite_pages_are_disjoint_and_exhaustive(spark, sf_dir):
         .select("event_type", "user_id").distinct().collect()
     }
     assert set(seen) == truth, "pagination missed key tuples"
+
+
+def test_knn_clause_prefilters_and_excludes(spark, sf_dir):
+    from postgres_opensearch_cdc_spark.registry import load_table
+    from pyspark.sql import functions as F
+
+    vecs = load_table(spark, sf_dir, "embeddings")
+    q = [float(x) for x in vecs.filter(F.col("vec_id") == 0).head()["embedding"]]
+    body = {
+        "query": {"bool": {"must_not": [{"ids": {"values": [0]}}]}},
+        "knn": {"embedding": {"query_vector": q, "k": 5}},
+    }
+    out = search(spark, sf_dir, "embeddings", body, id_col="vec_id").collect()
+    assert len(out) == 5
+    assert all(r["vec_id"] != 0 for r in out), "pre-filter must exclude id 0"
+    sims = [r["cos_sim"] for r in out]
+    assert sims == sorted(sims, reverse=True)
