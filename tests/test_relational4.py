@@ -9,7 +9,7 @@ from pyspark.sql import functions as F
 
 from postgres_opensearch_cdc_spark.queries.relational4 import (
     BRACKETS,
-    IMPORTANCE_FRACTION,
+    IMPORTANCE_MULTIPLE,
     bracket_revenue,
     important_part_value,
     profit_by_nation_year,
@@ -35,12 +35,13 @@ def test_bracket_revenue_is_one_scan(spark, sf_dir):
 
 def test_important_parts_exceed_threshold(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem")
-    total = li.agg(
-        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
-    ).collect()[0][0]
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("v")
+    )
+    stats = per_part.agg(F.sum("v"), F.count(F.lit(1))).collect()[0]
     rows = important_part_value(spark, sf_dir).collect()
     assert rows, "threshold selected nothing — fixture drifted?"
-    floor = total * IMPORTANCE_FRACTION
+    floor = stats[0] / stats[1] * IMPORTANCE_MULTIPLE
     assert all(r["part_value"] > floor * 0.999 for r in rows)
     values = [r["part_value"] for r in rows]
     assert values == sorted(values, reverse=True)
