@@ -164,14 +164,19 @@ _PRIORITY = [
 # (e) block above) already sit in the round-6 window; rotate the rest
 # in for round 7.
 #
-# Round-6 IN-ROUND additions (each verified at sf0.001+sf0.01, several
-# at sf0.1, none driver-checked yet — include in the round-7 window):
+# Round-6 IN-ROUND additions (each verified at sf0.001+sf0.01 — most
+# also at sf0.1 via the full 251-entry sf0.1 sweep — none
+# driver-checked yet; include in the round-7 window):
 # PPL commands ppl_eventstats_share, ppl_trendline_daily,
 # ppl_join_segment, ppl_lookup_nation, ppl_in_like, ppl_grok_stats,
 # ppl_patterns_template; DSL bodies dsl_nested_day_type,
-# dsl_top_hits_by_type, dsl_composite_after; training-pipeline batch 3
-# stratified_split, source_overlap_matrix, vocab_coverage; analyzer
-# chains analyzer_custom_chain, analyzer_edge_ngram_prefix.
+# dsl_top_hits_by_type, dsl_composite_after, dsl_knn_query;
+# training-pipeline batch 3 stratified_split, source_overlap_matrix,
+# vocab_coverage; analyzer chains analyzer_custom_chain,
+# analyzer_edge_ngram_prefix; PQ vector search ann_pq_adc_topk,
+# ann_pq_rerank_topk.  Also re-check important_part_value and
+# ppl_eventstats_share (thresholds made scale-free after the sf0.1
+# vacuity audit — semantics changed this round).
 
 
 def entry(spark: SparkSession) -> DataFrame:
