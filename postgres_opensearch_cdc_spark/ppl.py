@@ -103,10 +103,15 @@ def _grok_to_regex(pattern: str) -> str:
 _CMP = {"=": "=", "!=": "!=", ">": ">", ">=": ">=", "<": "<", "<=": "<="}
 _AGGS = {"count", "sum", "avg", "min", "max", "dc"}
 # eval expressions pass through F.expr after a whitelist scan
-_EVAL_FUNCS = {"round", "abs", "ceil", "floor", "lower", "upper", "length"}
+_EVAL_FUNCS = {
+    "round", "abs", "ceil", "floor", "lower", "upper", "length",
+    # string/conditional set (PPL eval built-ins): all 1-based,
+    # engine-portable between Spark SQL and DuckDB
+    "concat", "substring", "trim", "replace", "coalesce", "if",
+}
 _EVAL_TOKEN = re.compile(
     r"\s*(?:(?P<num>\d+(?:\.\d+)?)|(?P<ident>[A-Za-z_][A-Za-z_0-9]*)"
-    r"|(?P<op>[-+*/%(),])|(?P<str>'[^']*'))"
+    r"|(?P<op>[-+*/%(),]|>=|<=|!=|[<>=])|(?P<str>'[^']*'))"
 )
 
 

@@ -80,6 +80,11 @@ PPL_PATTERNS_TEMPLATE = (
     "source=events | patterns props as tpl "
     "| stats count() as n by tpl | sort -n, +tpl"
 )
+PPL_EVAL_STRINGS = (
+    "source=customer | eval seg = substring(c_mktsegment, 1, 3) "
+    "| eval band = if(c_acctbal > 5000, 'high', 'low') "
+    "| stats count() as n by seg, band | sort +seg, +band"
+)
 
 
 def ppl_where_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -178,6 +183,13 @@ def ppl_patterns_template(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ppl(spark, sf_dir, PPL_PATTERNS_TEMPLATE)
 
 
+def ppl_eval_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """eval's string/conditional built-ins (substring, if) deriving
+    grouping keys — compiled into the scan projection like every other
+    eval."""
+    return ppl(spark, sf_dir, PPL_EVAL_STRINGS)
+
+
 QUERIES = {
     "ppl_where_stats": ppl_where_stats,
     "ppl_top_sources": ppl_top_sources,
@@ -193,6 +205,7 @@ QUERIES = {
     "ppl_in_like": ppl_in_like,
     "ppl_grok_stats": ppl_grok_stats,
     "ppl_patterns_template": ppl_patterns_template,
+    "ppl_eval_strings": ppl_eval_strings,
 }
 
 ORACLE = {
@@ -289,5 +302,11 @@ ORACLE = {
         SELECT regexp_replace(props, '[a-zA-Z0-9]', '', 'g') AS tpl,
                COUNT(*) AS n
         FROM events GROUP BY 1 ORDER BY n DESC, tpl
+    """,
+    "ppl_eval_strings": """
+        SELECT substring(c_mktsegment, 1, 3) AS seg,
+               CASE WHEN c_acctbal > 5000 THEN 'high' ELSE 'low' END AS band,
+               COUNT(*) AS n
+        FROM customer GROUP BY 1, 2 ORDER BY 1, 2
     """,
 }

@@ -190,3 +190,21 @@ def test_patterns_masks_alphanumerics(spark, sf_dir):
     df = ppl(spark, sf_dir, "source=events | patterns props as tpl")
     r = df.select("tpl").first()
     assert r["tpl"] == '{"": }'
+
+
+def test_eval_string_functions(spark, sf_dir):
+    df = ppl(
+        spark,
+        sf_dir,
+        "source=nation | eval tag = concat(trim(n_name), '-', 'x') "
+        "| eval flag = if(n_regionkey >= 2, 'hi', 'lo') | head 3",
+    )
+    rows = df.collect()
+    for r in rows:
+        assert r["tag"] == f"{r['n_name'].strip()}-x"
+        assert r["flag"] == ("hi" if r["n_regionkey"] >= 2 else "lo")
+
+
+def test_eval_still_blocks_unknown_functions(spark, sf_dir):
+    with pytest.raises(PPLSyntaxError, match="not allowed"):
+        ppl(spark, sf_dir, "source=nation | eval x = reflect('a', 'b')")
