@@ -422,13 +422,32 @@ def search(
         return _compile_aggs(df, body["aggs"])
     if "_source" in body:
         df = df.select(*body["_source"])
+    sort_spec: list[tuple[str, str]] = []
     if "sort" in body:
-        orders = []
         for s in body["sort"]:
             ((f, spec),) = s.items()
             order = spec.get("order", "asc") if isinstance(spec, dict) else spec
-            orders.append(F.col(f).desc() if order == "desc" else F.col(f).asc())
-        df = df.orderBy(*orders)
+            sort_spec.append((f, order))
+    if "search_after" in body:
+        # hits keyset pagination: strictly-after the cursor tuple in
+        # the sort order (each field honoring its direction). Compiles
+        # to a scan-pushable lexicographic predicate — constant driver
+        # state per page, the counterpart of the composite cursor.
+        if len(body["search_after"]) != len(sort_spec) or not sort_spec:
+            raise DSLError("search_after needs one value per sort field")
+        cond, eq_prefix = None, None
+        for (f, order), v in zip(sort_spec, body["search_after"]):
+            past = F.col(f) < _lit(v) if order == "desc" else F.col(f) > _lit(v)
+            c = past if eq_prefix is None else (eq_prefix & past)
+            cond = c if cond is None else (cond | c)
+            eq = F.col(f) == _lit(v)
+            eq_prefix = eq if eq_prefix is None else (eq_prefix & eq)
+        df = df.filter(cond)
+    if sort_spec:
+        df = df.orderBy(*[
+            F.col(f).desc() if order == "desc" else F.col(f).asc()
+            for f, order in sort_spec
+        ])
     if "size" in body:
         df = df.limit(int(body["size"]))
     return df

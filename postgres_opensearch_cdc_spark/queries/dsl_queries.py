@@ -245,6 +245,24 @@ def dsl_knn_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return search(spark, sf_dir, "embeddings", body, id_col="vec_id")
 
 
+DSL_SEARCH_AFTER = {
+    "query": {"term": {"event_type": "view"}},
+    "_source": ["event_id", "user_id", "value"],
+    "sort": [{"value": {"order": "desc"}}, {"event_id": {"order": "asc"}}],
+    "search_after": [250.0, 100],
+    "size": 20,
+}
+
+
+def dsl_search_after(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``search_after`` hits pagination: strictly-after the cursor
+    tuple under a mixed-direction sort, compiled to a scan-pushable
+    lexicographic predicate — constant driver state per page (the hits
+    counterpart of the composite cursor)."""
+    return search(spark, sf_dir, "events", DSL_SEARCH_AFTER,
+                  id_col="event_id")
+
+
 QUERIES = {
     "dsl_bool_filtered_terms": dsl_bool_filtered_terms,
     "dsl_should_hits": dsl_should_hits,
@@ -256,6 +274,7 @@ QUERIES = {
     "dsl_top_hits_by_type": dsl_top_hits_by_type,
     "dsl_composite_after": dsl_composite_after,
     "dsl_knn_query": dsl_knn_query,
+    "dsl_search_after": dsl_search_after,
 }
 
 ORACLE = {
@@ -368,5 +387,11 @@ ORACLE = {
         FROM (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings
               WHERE label >= 1 AND vec_id <> 0) e, q
         ORDER BY cos_sim DESC, vec_id LIMIT 10
+    """,
+    "dsl_search_after": """
+        SELECT event_id, user_id, value FROM events
+        WHERE event_type = 'view'
+          AND (value < 250.0 OR (value = 250.0 AND event_id > 100))
+        ORDER BY value DESC, event_id LIMIT 20
     """,
 }

@@ -238,3 +238,37 @@ def test_knn_clause_prefilters_and_excludes(spark, sf_dir):
     assert all(r["vec_id"] != 0 for r in out), "pre-filter must exclude id 0"
     sims = [r["cos_sim"] for r in out]
     assert sims == sorted(sims, reverse=True)
+
+
+def test_search_after_pages_are_disjoint_and_ordered(spark, sf_dir):
+    base = {
+        "_source": ["event_id", "value"],
+        "sort": [{"value": {"order": "desc"}}, {"event_id": {"order": "asc"}}],
+        "size": 30,
+    }
+    seen, cursor = [], None
+    while True:
+        body = dict(base)
+        if cursor:
+            body["search_after"] = cursor
+        page = search(spark, sf_dir, "events", body, id_col="event_id").collect()
+        if not page:
+            break
+        keys = [(r["value"], r["event_id"]) for r in page]
+        # strictly descending by (value asc tiebreak id)
+        for a, b in zip(keys, keys[1:]):
+            assert a[0] > b[0] or (a[0] == b[0] and a[1] < b[1])
+        seen.extend(r["event_id"] for r in page)
+        cursor = [page[-1]["value"], page[-1]["event_id"]]
+        if len(seen) > 200:
+            break
+    assert len(seen) == len(set(seen)), "pages overlap"
+
+
+def test_search_after_requires_matching_sort(spark, sf_dir):
+    with pytest.raises(DSLError, match="search_after"):
+        search(
+            spark, sf_dir, "events",
+            {"search_after": [1], "_source": ["event_id"]},
+            id_col="event_id",
+        )
