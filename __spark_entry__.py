@@ -174,9 +174,11 @@ _PRIORITY = [
 # training-pipeline batch 3 stratified_split, source_overlap_matrix,
 # vocab_coverage; analyzer chains analyzer_custom_chain,
 # analyzer_edge_ngram_prefix; PQ vector search ann_pq_adc_topk,
-# ann_pq_rerank_topk.  Also re-check important_part_value and
-# ppl_eventstats_share (thresholds made scale-free after the sf0.1
-# vacuity audit — semantics changed this round).
+# ann_pq_rerank_topk; DSL search_after (dsl_search_after); PPL eval
+# string built-ins (ppl_eval_strings).  Also re-check
+# important_part_value and ppl_eventstats_share (thresholds made
+# scale-free after the sf0.1 vacuity audit — semantics changed this
+# round).
 
 
 def entry(spark: SparkSession) -> DataFrame:
