@@ -214,8 +214,10 @@ def _compile_nested(df: DataFrame, name: str, spec: dict,
     ranked = ranked.withColumn("_ir", F.row_number().over(w_inner)).filter(
         F.col("_ir") <= inner_size
     )
-    if "terms" in spec and "size" in spec["terms"]:
-        outer_size = int(spec["terms"]["size"])
+    if "terms" in spec:
+        # ES default size is 10 — same default as the un-nested terms
+        # path, so adding a sub-bucket never silently unbounds output
+        outer_size = int(spec["terms"].get("size", 10))
         w_outer = Window.orderBy(F.col("_total").desc(), F.col(name))
         ranked = ranked.withColumn("_or", F.dense_rank().over(w_outer)).filter(
             F.col("_or") <= outer_size
@@ -242,10 +244,23 @@ def _compile_top_hits(df: DataFrame, name: str, spec: dict,
     if not orders:
         raise DSLError("top_hits needs a sort for deterministic results")
     out = df.withColumn(name, key)
+    # full per-bucket doc_count BEFORE the hit filter — the outer terms
+    # size (ES default 10) ranks buckets by their complete count, not
+    # by the kept hits
+    out = out.withColumn(
+        "_total", F.count(F.lit(1)).over(Window.partitionBy(name))
+    )
     w = Window.partitionBy(name).orderBy(*orders)
     out = out.withColumn("_rank", F.row_number().over(w)).filter(
         F.col("_rank") <= size
     )
+    if "terms" in spec:
+        outer_size = int(spec["terms"].get("size", 10))
+        w_outer = Window.orderBy(F.col("_total").desc(), F.col(name))
+        out = out.withColumn("_or", F.dense_rank().over(w_outer)).filter(
+            F.col("_or") <= outer_size
+        ).drop("_or")
+    out = out.drop("_total")
     cols = [name, "_rank"] + list(th.get("_source", []))
     if len(cols) == 2:
         raise DSLError("top_hits needs _source columns for a flat result")
@@ -266,24 +281,22 @@ def _compile_composite(df: DataFrame, name: str, body: dict,
         key_names.append(n)
     after = body.get("after")
     if after:
-        # materialize the key columns, then compile the cursor to a
-        # lexicographic (k1, k2, ...) > (a1, a2, ...) predicate
-        for k, n in zip(keys, key_names):
-            df = df.withColumn(n, k)
+        # compile the cursor to a lexicographic (k1, k2, ...) >
+        # (a1, a2, ...) predicate over the key EXPRESSIONS themselves —
+        # never withColumn-materialized names, which would corrupt a
+        # later source whose underlying field shadows an earlier
+        # source's name
         cond, eq_prefix = None, None
-        for n in key_names:
-            gt = F.col(n) > _lit(after[n])
+        for k, n in zip(keys, key_names):
+            gt = k > _lit(after[n])
             c = gt if eq_prefix is None else (eq_prefix & gt)
             cond = c if cond is None else (cond | c)
-            eq = F.col(n) == _lit(after[n])
+            eq = k == _lit(after[n])
             eq_prefix = eq if eq_prefix is None else (eq_prefix & eq)
-        grouped = df.filter(cond).groupBy(*key_names).agg(
-            F.count(F.lit(1)).alias("doc_count"), *metrics
-        )
-    else:
-        grouped = df.groupBy(*keys).agg(
-            F.count(F.lit(1)).alias("doc_count"), *metrics
-        )
+        df = df.filter(cond)
+    grouped = df.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("doc_count"), *metrics
+    )
     size = int(body.get("size", 10))
     return grouped.orderBy(*key_names).limit(size)
 
@@ -405,23 +418,29 @@ def search(
     if "knn" in body:
         # vector-search clause: exact cosine top-k over the (already
         # query-filtered) scan — the pre-filter strategy, same plan as
-        # functions.similarity.brute_force_topk
+        # functions.similarity.brute_force_topk. Unsupported clause
+        # combinations raise instead of being silently dropped.
+        for clause in ("aggs", "sort", "_source"):
+            if clause in body:
+                raise DSLError(f"knn cannot be combined with {clause!r}")
         from postgres_opensearch_cdc_spark.functions.similarity import (
             brute_force_topk,
         )
 
         ((field, spec),) = body["knn"].items()
-        return brute_force_topk(
+        k = int(spec.get("k", 10))
+        hits = brute_force_topk(
             df,
             [float(x) for x in spec["query_vector"]],
-            k=int(spec.get("k", 10)),
+            k=k,
             id_col=id_col,
             vec_col=field,
         )
+        if "size" in body:  # ES: size caps the returned hits below k
+            hits = hits.limit(min(k, int(body["size"])))
+        return hits
     if "aggs" in body:
         return _compile_aggs(df, body["aggs"])
-    if "_source" in body:
-        df = df.select(*body["_source"])
     sort_spec: list[tuple[str, str]] = []
     if "sort" in body:
         for s in body["sort"]:
@@ -433,6 +452,9 @@ def search(
         # the sort order (each field honoring its direction). Compiles
         # to a scan-pushable lexicographic predicate — constant driver
         # state per page, the counterpart of the composite cursor.
+        # Contract: cursor sort fields must be non-null (ES handles
+        # nulls via an explicit "missing" sentinel; rows whose sort
+        # field is NULL would otherwise vanish from every later page).
         if len(body["search_after"]) != len(sort_spec) or not sort_spec:
             raise DSLError("search_after needs one value per sort field")
         cond, eq_prefix = None, None
@@ -450,4 +472,7 @@ def search(
         ])
     if "size" in body:
         df = df.limit(int(body["size"]))
+    if "_source" in body:
+        # projection LAST: ES allows sort/cursor fields outside _source
+        df = df.select(*body["_source"])
     return df

@@ -323,8 +323,14 @@ def ppl(spark: SparkSession, sf_dir: str, query: str) -> DataFrame:
             if cmd == "grok":
                 pattern = _grok_to_regex(pattern)
             # introspect named groups with Python re (accepts both
-            # (?P<n>...) and Java's (?<n>...)); hand Spark the Java form
-            py_pattern = re.sub(r"\(\?<([A-Za-z][A-Za-z0-9]*)>", r"(?P<\1>", pattern)
+            # (?P<n>...) and Java's (?<n>...)). Names may contain
+            # underscores (standard grok style: %{IP:client_ip}) —
+            # Java named groups can't, so Spark gets the pattern with
+            # names STRIPPED to plain groups (extraction is by index,
+            # and stripping preserves group numbering).
+            py_pattern = re.sub(
+                r"\(\?<([A-Za-z][A-Za-z0-9_]*)>", r"(?P<\1>", pattern
+            )
             try:
                 compiled = re.compile(py_pattern)
             except re.error as exc:
@@ -332,7 +338,7 @@ def ppl(spark: SparkSession, sf_dir: str, query: str) -> DataFrame:
             if not compiled.groupindex:
                 raise PPLSyntaxError(f"{cmd} regex needs >=1 named group")
             java_pattern = re.sub(
-                r"\(\?P<([A-Za-z][A-Za-z0-9]*)>", r"(?<\1>", pattern
+                r"\(\?P<[A-Za-z][A-Za-z0-9_]*>", "(", py_pattern
             )
             for name, idx in compiled.groupindex.items():
                 df = df.withColumn(
@@ -358,7 +364,7 @@ def ppl(spark: SparkSession, sf_dir: str, query: str) -> DataFrame:
                 if by_match
                 else []
             )
-            w = Window.partitionBy(*keys) if keys else Window.partitionBy()
+            parsed = []
             for a in _split_top_level(agg_text):
                 m2 = re.fullmatch(
                     r"\s*([a-z]+)\s*\(\s*([A-Za-z_0-9]*)\s*\)"
@@ -369,16 +375,35 @@ def ppl(spark: SparkSession, sf_dir: str, query: str) -> DataFrame:
                 if not m2 or m2.group(1).lower() not in _AGGS:
                     raise PPLSyntaxError(f"bad eventstats aggregate: {a!r}")
                 fn, arg, alias = m2.group(1).lower(), m2.group(2), m2.group(3)
-                if fn == "count":
-                    wcol, default = F.count(F.lit(1)).over(w), "count"
-                elif fn == "dc":
-                    # exact distinct over the partition via collect_set
-                    # size (no approx: oracle parity is exact)
-                    wcol = F.size(F.collect_set(arg).over(w)).cast("long")
+                default = "count" if fn == "count" else f"{fn}_{arg}"
+                if fn == "dc":
                     default = f"dc_{arg}"
-                else:
-                    wcol, default = getattr(F, fn)(arg).over(w), f"{fn}_{arg}"
-                df = df.withColumn(alias or default, wcol)
+                parsed.append((fn, arg, alias or default))
+            if keys:
+                w = Window.partitionBy(*keys)
+                for fn, arg, out_name in parsed:
+                    if fn == "count":
+                        wcol = F.count(F.lit(1)).over(w)
+                    elif fn == "dc":
+                        # exact distinct over the partition via
+                        # collect_set size (no approx: parity is exact)
+                        wcol = F.size(F.collect_set(arg).over(w)).cast("long")
+                    else:
+                        wcol = getattr(F, fn)(arg).over(w)
+                    df = df.withColumn(out_name, wcol)
+            else:
+                # global eventstats: a keyless window would move the
+                # whole table into ONE partition — use a broadcast
+                # 1-row aggregate crossJoin instead (same columns)
+                aggs = []
+                for fn, arg, out_name in parsed:
+                    if fn == "count":
+                        aggs.append(F.count(F.lit(1)).alias(out_name))
+                    elif fn == "dc":
+                        aggs.append(F.countDistinct(arg).alias(out_name))
+                    else:
+                        aggs.append(getattr(F, fn)(arg).alias(out_name))
+                df = df.crossJoin(F.broadcast(df.agg(*aggs)))
         elif cmd == "fillnull":
             fm = re.fullmatch(
                 r"with\s+(.+?)\s+in\s+(.+)$", rest, flags=re.I | re.S

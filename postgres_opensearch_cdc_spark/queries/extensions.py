@@ -161,20 +161,9 @@ _PQ_SEED_IDS = list(range(1, 17))  # deterministic PQ codebook seeds
 _PQ_M = 8  # subspaces (64-dim -> 8 x 8-dim subvectors, 16 codewords each)
 
 
-def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Product-quantization ANN with asymmetric distance (ADC), fully
-    value-checked: the codebook is frozen to the subvectors of fixed
-    seed ids (vec_id 1..16, codeword rank = id order) — deterministic
-    and engine-portable, so DuckDB replays encode (per-subspace argmin
-    with distances rounded to 6, tie → lower codeword) and the ADC
-    table-lookup sum. The plan is the 100 TB shape: codes are M bytes
-    per vector (vs 4·dim), encoding is a scan projection, the query
-    table is M×K constant-folded literals, and the finish is
-    TakeOrderedAndProject. kmeans-trained codebooks remain the
-    production trainer (same contract as ann_ivf_topk's note)."""
-    from postgres_opensearch_cdc_spark.functions.similarity import pq_adc_topk
-
-    vecs = load_table(spark, sf_dir, "embeddings")
+def _pq_frozen_codebook(vecs) -> tuple[list, list]:
+    """(query vector of vec_id 0, frozen seed codebook[m][k][dsub]) —
+    the single source both PQ entries and their oracles derive from."""
     q = [float(x) for x in vecs.filter(F.col("vec_id") == 0).head()["embedding"]]
     seed_rows = (
         vecs.filter(F.col("vec_id").isin(_PQ_SEED_IDS))
@@ -189,6 +178,24 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     codebook = [
         [s[m * dsub:(m + 1) * dsub] for s in seeds] for m in range(_PQ_M)
     ]
+    return q, codebook
+
+
+def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with asymmetric distance (ADC), fully
+    value-checked: the codebook is frozen to the subvectors of fixed
+    seed ids (vec_id 1..16, codeword rank = id order) — deterministic
+    and engine-portable, so DuckDB replays encode (per-subspace argmin
+    with distances rounded to 6, tie → lower codeword) and the ADC
+    table-lookup sum. The plan is the 100 TB shape: codes are M bytes
+    per vector (vs 4·dim), encoding is a scan projection, the query
+    table is M×K constant-folded literals, and the finish is
+    TakeOrderedAndProject. kmeans-trained codebooks remain the
+    production trainer (same contract as ann_ivf_topk's note)."""
+    from postgres_opensearch_cdc_spark.functions.similarity import pq_adc_topk
+
+    vecs = load_table(spark, sf_dir, "embeddings")
+    q, codebook = _pq_frozen_codebook(vecs)
     return pq_adc_topk(vecs.filter(F.col("vec_id") != 0), q, codebook, k=10)
 
 
@@ -209,20 +216,7 @@ def ann_pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     vecs = load_table(spark, sf_dir, "embeddings")
-    q = [float(x) for x in vecs.filter(F.col("vec_id") == 0).head()["embedding"]]
-    seed_rows = (
-        vecs.filter(F.col("vec_id").isin(_PQ_SEED_IDS))
-        .select("vec_id", "embedding")
-        .collect()
-    )
-    seeds = [
-        [float(x) for x in r["embedding"]]
-        for r in sorted(seed_rows, key=lambda r: r["vec_id"])
-    ]
-    dsub = len(seeds[0]) // _PQ_M
-    codebook = [
-        [s[m * dsub:(m + 1) * dsub] for s in seeds] for m in range(_PQ_M)
-    ]
+    q, codebook = _pq_frozen_codebook(vecs)
     corpus = vecs.filter(F.col("vec_id") != 0)
     cands = pq_adc_topk(corpus, q, codebook, k=_PQ_RERANK_CAND).select("vec_id")
     return brute_force_topk(
@@ -832,12 +826,11 @@ ORACLE["ann_ivf_topk"] = f"""
         ORDER BY cos_sim DESC, e.vec_id LIMIT 10
     """
 
-# PQ-ADC oracle: replays the frozen-seed codebook (vec_id 1..16,
-# codeword rank = id order), per-subspace argmin encode (distances
-# rounded to 6, tie -> lower codeword), the query distance table, and
-# the ADC lookup sum (explicit m-ascending chain, matching the Spark
-# fold order) -- all in SQL against the same parquet.
-ORACLE["ann_pq_adc_topk"] = """
+# PQ oracle CTE chain shared by the ADC and rerank entries: frozen-seed
+# codebook (vec_id 1..16), per-subspace argmin encode (distances rounded
+# to 6, tie -> lower codeword), query distance table, ADC lookup sum
+# (explicit m-ascending chain matching the Spark fold order).
+_PQ_CTES = """
         WITH q AS (
             SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0
         ),
@@ -881,53 +874,13 @@ ORACLE["ann_pq_adc_topk"] = """
             FROM codes JOIN qtab ON qtab.m = codes.m AND qtab.j = codes.j
             GROUP BY codes.vec_id
         )
-        SELECT vec_id, adc_dist FROM adc
+        """
+
+ORACLE["ann_pq_adc_topk"] = _PQ_CTES + """SELECT vec_id, adc_dist FROM adc
         ORDER BY adc_dist, vec_id LIMIT 10
     """
-ORACLE["ann_pq_rerank_topk"] = """
-        WITH q AS (
-            SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0
-        ),
-        cb AS (
-            SELECT CAST(row_number() OVER (ORDER BY vec_id) AS BIGINT) AS j,
-                   embedding::DOUBLE[] AS cv
-            FROM embeddings WHERE vec_id BETWEEN 1 AND 16
-        ),
-        ev AS (
-            SELECT vec_id, embedding::DOUBLE[] AS ev
-            FROM embeddings WHERE vec_id <> 0
-        ),
-        enc AS (
-            SELECT e.vec_id, m.m, c.j,
-                   ROUND((e.ev[m.m*8+1] - c.cv[m.m*8+1]) * (e.ev[m.m*8+1] - c.cv[m.m*8+1]) + (e.ev[m.m*8+2] - c.cv[m.m*8+2]) * (e.ev[m.m*8+2] - c.cv[m.m*8+2]) + (e.ev[m.m*8+3] - c.cv[m.m*8+3]) * (e.ev[m.m*8+3] - c.cv[m.m*8+3]) + (e.ev[m.m*8+4] - c.cv[m.m*8+4]) * (e.ev[m.m*8+4] - c.cv[m.m*8+4]) + (e.ev[m.m*8+5] - c.cv[m.m*8+5]) * (e.ev[m.m*8+5] - c.cv[m.m*8+5]) + (e.ev[m.m*8+6] - c.cv[m.m*8+6]) * (e.ev[m.m*8+6] - c.cv[m.m*8+6]) + (e.ev[m.m*8+7] - c.cv[m.m*8+7]) * (e.ev[m.m*8+7] - c.cv[m.m*8+7]) + (e.ev[m.m*8+8] - c.cv[m.m*8+8]) * (e.ev[m.m*8+8] - c.cv[m.m*8+8]), 6) AS dist
-            FROM ev e CROSS JOIN range(0, 8) m(m) CROSS JOIN cb c
-        ),
-        codes AS (
-            SELECT vec_id, m, j FROM (
-                SELECT vec_id, m, j,
-                       row_number() OVER (
-                           PARTITION BY vec_id, m ORDER BY dist, j) AS rn
-                FROM enc
-            ) WHERE rn = 1
-        ),
-        qtab AS (
-            SELECT m.m, c.j,
-                   (q.qv[m.m*8+1] - c.cv[m.m*8+1]) * (q.qv[m.m*8+1] - c.cv[m.m*8+1]) + (q.qv[m.m*8+2] - c.cv[m.m*8+2]) * (q.qv[m.m*8+2] - c.cv[m.m*8+2]) + (q.qv[m.m*8+3] - c.cv[m.m*8+3]) * (q.qv[m.m*8+3] - c.cv[m.m*8+3]) + (q.qv[m.m*8+4] - c.cv[m.m*8+4]) * (q.qv[m.m*8+4] - c.cv[m.m*8+4]) + (q.qv[m.m*8+5] - c.cv[m.m*8+5]) * (q.qv[m.m*8+5] - c.cv[m.m*8+5]) + (q.qv[m.m*8+6] - c.cv[m.m*8+6]) * (q.qv[m.m*8+6] - c.cv[m.m*8+6]) + (q.qv[m.m*8+7] - c.cv[m.m*8+7]) * (q.qv[m.m*8+7] - c.cv[m.m*8+7]) + (q.qv[m.m*8+8] - c.cv[m.m*8+8]) * (q.qv[m.m*8+8] - c.cv[m.m*8+8]) AS qd
-            FROM q CROSS JOIN range(0, 8) m(m) CROSS JOIN cb c
-        ),
-        adc AS (
-            SELECT codes.vec_id,
-                   ROUND(MAX(CASE WHEN codes.m = 0 THEN qtab.qd END)
-                 + MAX(CASE WHEN codes.m = 1 THEN qtab.qd END)
-                 + MAX(CASE WHEN codes.m = 2 THEN qtab.qd END)
-                 + MAX(CASE WHEN codes.m = 3 THEN qtab.qd END)
-                 + MAX(CASE WHEN codes.m = 4 THEN qtab.qd END)
-                 + MAX(CASE WHEN codes.m = 5 THEN qtab.qd END)
-                 + MAX(CASE WHEN codes.m = 6 THEN qtab.qd END)
-                 + MAX(CASE WHEN codes.m = 7 THEN qtab.qd END), 6) AS adc_dist
-            FROM codes JOIN qtab ON qtab.m = codes.m AND qtab.j = codes.j
-            GROUP BY codes.vec_id
-        )
+
+ORACLE["ann_pq_rerank_topk"] = _PQ_CTES + """
         SELECT e.vec_id,
                ROUND(list_dot_product(e.ev, q.qv) /
                      (sqrt(list_dot_product(e.ev, e.ev)) *

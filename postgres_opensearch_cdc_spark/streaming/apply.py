@@ -28,6 +28,19 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F, types a
 from postgres_opensearch_cdc_spark.cdc.envelope import OP_DELETE
 
 
+def _require_merge_columns(batch: DataFrame, key_cols, seq_cols, op_col) -> None:
+    """Schema evolution null-fills PAYLOAD columns only: a batch missing
+    a key/sequence/op column is a producer bug, and silently null-
+    filling it would partition the merge window by NULL keys and
+    collapse the batch into one arbitrary row. Fail loudly instead."""
+    missing = [c for c in [*key_cols, *seq_cols, op_col] if c not in batch.columns]
+    if missing:
+        raise ValueError(
+            f"changelog batch is missing merge-critical column(s) {missing}; "
+            "only payload columns may evolve"
+        )
+
+
 @dataclass
 class MirrorSink:
     """Parquet-backed keyed mirror maintained by idempotent merge.
@@ -67,6 +80,9 @@ class MirrorSink:
         would lift the constraint at the cost of a tombstone-compaction
         job; the reference has the identical semantics via immediate
         DELETE-by-id, consumer.py:93-100.)"""
+        _require_merge_columns(
+            batch, self.key_cols, self.seq_cols, self.op_col
+        )
         spark = batch.sparkSession
         # _pri breaks seq ties deterministically: an incoming batch row
         # (1) beats the mirrored row (0) at equal seq, so a replayed
@@ -189,6 +205,9 @@ class PartitionedMirrorSink:
         return spark.read.parquet(self.path).drop("_bucket")
 
     def apply_batch(self, batch: DataFrame, batch_id: int) -> None:
+        _require_merge_columns(
+            batch, self.key_cols, self.seq_cols, self.op_col
+        )
         spark = batch.sparkSession
         prior = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
@@ -368,6 +387,9 @@ class VersionedMirrorSink:
         return sliced.drop("_bucket")
 
     def apply_batch(self, batch: DataFrame, batch_id: int) -> None:
+        _require_merge_columns(
+            batch, self.key_cols, self.seq_cols, self.op_col
+        )
         import json
         import uuid
 
@@ -500,6 +522,7 @@ class MultiTableMirrorSink:
     route_col: str = "target_table"
 
     def apply_batch(self, batch: DataFrame, batch_id: int) -> None:
+        # merge-column validation happens in each routed per-table sink
         batch = batch.localCheckpoint(eager=True)  # materialize once, slice many
         for table, sink in self.sinks.items():
             slice_df = batch.filter(F.col(self.route_col) == table).drop(self.route_col)

@@ -272,3 +272,71 @@ def test_search_after_requires_matching_sort(spark, sf_dir):
             {"search_after": [1], "_source": ["event_id"]},
             id_col="event_id",
         )
+
+
+def test_terms_default_size_applies_with_subaggs(spark, sf_dir):
+    """Adding a sub-bucket or top_hits must not silently unbound the
+    outer terms bucket count (ES default size 10)."""
+    nested = {
+        "aggs": {"u": {"terms": {"field": "user_id"},
+                       "aggs": {"t": {"terms": {"field": "event_type",
+                                                "size": 1}}}}}
+    }
+    rows = search(spark, sf_dir, "events", nested, id_col="event_id").collect()
+    assert len({r["u"] for r in rows}) <= 10
+    th = {
+        "aggs": {"u": {"terms": {"field": "user_id"},
+                       "aggs": {"h": {"top_hits": {
+                           "size": 1,
+                           "sort": [{"event_id": "asc"}],
+                           "_source": ["event_id"]}}}}}
+    }
+    rows = search(spark, sf_dir, "events", th, id_col="event_id").collect()
+    assert len({r["u"] for r in rows}) <= 10
+
+
+def test_knn_rejects_unsupported_clauses(spark, sf_dir):
+    body = {
+        "knn": {"embedding": {"query_vector": [0.0] * 64, "k": 3}},
+        "aggs": {"x": {"terms": {"field": "label"}}},
+    }
+    with pytest.raises(DSLError, match="knn cannot be combined"):
+        search(spark, sf_dir, "embeddings", body, id_col="vec_id")
+
+
+def test_sort_field_outside_source(spark, sf_dir):
+    """ES allows sorting (and cursoring) on fields excluded from
+    _source — the projection must happen last."""
+    body = {
+        "_source": ["event_id"],
+        "sort": [{"value": {"order": "desc"}}, {"event_id": "asc"}],
+        "search_after": [250.0, 100],
+        "size": 5,
+    }
+    out = search(spark, sf_dir, "events", body, id_col="event_id")
+    assert out.columns == ["event_id"]
+    assert len(out.collect()) == 5
+
+
+def test_composite_source_name_shadowing_field(spark, sf_dir):
+    """A source whose NAME equals another source's underlying FIELD
+    must not corrupt cursor pages (the cursor compiles against key
+    expressions, not materialized columns)."""
+    body = {
+        "aggs": {"p": {"composite": {
+            "size": 1000,
+            "sources": [
+                {"user_id": {"terms": {"field": "event_type"}}},
+                {"x": {"terms": {"field": "user_id"}}},
+            ],
+        }}}
+    }
+    page1 = search(spark, sf_dir, "events", body, id_col="event_id").collect()
+    body["aggs"]["p"]["composite"]["after"] = {
+        "user_id": page1[0]["user_id"], "x": page1[0]["x"],
+    }
+    page2 = search(spark, sf_dir, "events", body, id_col="event_id").collect()
+    keys1 = {(r["user_id"], r["x"]) for r in page1}
+    keys2 = {(r["user_id"], r["x"]) for r in page2}
+    assert keys2 <= keys1 - {(page1[0]["user_id"], page1[0]["x"])}
+    assert len(keys1 - keys2) == 1, "page 2 must drop exactly the cursor tuple"

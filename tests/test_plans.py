@@ -141,10 +141,16 @@ def test_top_hits_has_no_global_sort_before_window(spark, sf_dir):
 
     p = plan(dsl_queries.dsl_top_hits_by_type(spark, sf_dir))
     assert "Window" in p
-    # the window's exchange must be keyed by the bucket (partition-
-    # parallel), never a single-partition global window
+    # the INPUT-SIZED work (per-bucket hit ranking + bucket totals)
+    # must window by the bucket key — partition-parallel. The outer
+    # terms-size dense_rank IS a single-partition window, but it runs
+    # over the already-filtered hits (≤ size × #buckets rows), the
+    # same bounded-frame pattern as the nested-bucket outer ranking.
     assert "hashpartitioning(by_type" in p
-    assert "SinglePartition" not in p
+    first_window_input = p.split("Window")[0]
+    assert "SinglePartition" not in first_window_input, (
+        "the first (input-sized) window must not be global"
+    )
 
 
 def test_ppl_pipeline_compiles_to_pushdown_and_topk(spark, sf_dir):

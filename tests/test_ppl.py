@@ -208,3 +208,24 @@ def test_eval_string_functions(spark, sf_dir):
 def test_eval_still_blocks_unknown_functions(spark, sf_dir):
     with pytest.raises(PPLSyntaxError, match="not allowed"):
         ppl(spark, sf_dir, "source=nation | eval x = reflect('a', 'b')")
+
+
+def test_grok_snake_case_names(spark, sf_dir):
+    """Standard grok style uses snake_case names (%{INT:k_val}) — the
+    Java pattern is handed plain groups so underscores work."""
+    df = ppl(spark, sf_dir, "source=events | grok props '\"k\": %{INT:k_val}'")
+    r = df.select("props", "k_val").first()
+    import re as _re
+
+    m = _re.search(r'"k": ([+-]?\d+)', r["props"])
+    assert r["k_val"] == m.group(1)
+
+
+def test_global_eventstats_has_no_single_partition_window(spark, sf_dir):
+    df = ppl(spark, sf_dir, "source=events | eventstats count() as total")
+    plan = explain_plan(df)
+    assert "Window" not in plan, "global eventstats must not use a window"
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    base = load_table(spark, sf_dir, "events")
+    rows = df.select("total").distinct().collect()
+    assert len(rows) == 1 and rows[0]["total"] == base.count()

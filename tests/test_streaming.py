@@ -256,3 +256,23 @@ def test_mirror_type_widening(spark, workdir):
     out = sink.read(spark)
     assert out.schema["qty"].dataType.typeName() == "long"
     assert out.collect()[0]["qty"] == 6_000_000_000
+
+
+def test_mirror_rejects_missing_key_column(spark, workdir):
+    """Schema evolution null-fills PAYLOAD columns only: a batch
+    missing a key/seq/op column is a producer bug and must fail
+    loudly, not collapse the merge window onto NULL keys."""
+    sink = MirrorSink(
+        path=os.path.join(workdir, "mirror_g"),
+        key_cols=["id"],
+        seq_cols=["offset"],
+    )
+    good = spark.createDataFrame(
+        [("c", 1, "ok", 1)], "op string, id long, status string, offset long"
+    )
+    sink.apply_batch(good, 0)
+    bad = spark.createDataFrame(
+        [("u", "x", 2)], "op string, status string, offset long"
+    )
+    with pytest.raises(ValueError, match="merge-critical"):
+        sink.apply_batch(bad, 1)
