@@ -361,13 +361,13 @@ def _compile_aggs(df: DataFrame, aggs: dict) -> DataFrame:
         )
     if "range" in spec:
         # ES semantics: ranges are INDEPENDENT buckets (overlaps count
-        # in every matching one) — one conditional count per range in a
-        # single pass, then unpivot; doc_count buckets only
-        if metrics:
-            raise DSLError("range agg supports doc_count buckets only")
+        # in every matching one) — one conditional aggregate per range
+        # (doc_count + any metric sub-aggs) in a SINGLE pass, then
+        # unpivot
         body = spec["range"]
         f = body["field"]
-        counts, labels = [], []
+        agg_cols, labels = [], []
+        metric_names = list(sub)
         for i, r in enumerate(body["ranges"]):
             lo, hi = r.get("from"), r.get("to")
             label = f"{lo if lo is not None else '*'}-{hi if hi is not None else '*'}"
@@ -376,15 +376,30 @@ def _compile_aggs(df: DataFrame, aggs: dict) -> DataFrame:
                 cond = cond & (F.col(f) >= F.lit(lo))
             if hi is not None:
                 cond = cond & (F.col(f) < F.lit(hi))
-            counts.append(F.sum(cond.cast("long")).alias(f"_r{i}"))
+            agg_cols.append(F.sum(cond.cast("long")).alias(f"_r{i}"))
+            for j, mspec in enumerate(sub.values()):
+                ((kind, mb),) = mspec.items()
+                if kind not in _METRICS:
+                    raise DSLError(f"unknown metric agg: {kind}")
+                guarded = F.when(cond, F.col(mb["field"]))
+                if kind == "value_count":
+                    mcol = F.count(guarded)
+                elif kind == "cardinality":
+                    mcol = F.countDistinct(guarded)
+                else:
+                    mcol = F.round(getattr(F, kind)(guarded), 4)
+                agg_cols.append(mcol.alias(f"_m{i}_{j}"))
             labels.append(label)
-        wide = df.agg(*counts)
+        wide = df.agg(*agg_cols)
         stack_args = ", ".join(
-            f"'{label}', _r{i}" for i, label in enumerate(labels)
+            f"'{label}', _r{i}"
+            + "".join(f", _m{i}_{j}" for j in range(len(metric_names)))
+            for i, label in enumerate(labels)
         )
+        out_cols = ", ".join([name, "doc_count"] + metric_names)
         return wide.select(
             F.expr(
-                f"stack({len(labels)}, {stack_args}) AS ({name}, doc_count)"
+                f"stack({len(labels)}, {stack_args}) AS ({out_cols})"
             )
         ).orderBy(name)
     if "filters" in spec:

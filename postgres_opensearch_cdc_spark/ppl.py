@@ -18,8 +18,11 @@ Supported stages (the core of the public PPL command set):
                                            parentheses
     stats  <agg> [as alias], ... [by k...] count/sum/avg/min/max/
                                            dc (distinct count); a by-key
-                                           may be span(ts_field, 1d|1h)
+                                           may be span(ts_field, N<unit>)
                                            [as alias] for time bucketing
+                                           (units m/h/d/w; N-unit spans
+                                           floor the epoch to the span
+                                           width)
     sort   [+|-]f1, [+|-]f2, ...
     head   N
     dedup  f1 [, f2 ...]                   distinct over the listed
@@ -276,17 +279,31 @@ def ppl(spark: SparkSession, sf_dir: str, query: str) -> DataFrame:
                 for k in by_parts:
                     k = k.strip()
                     sm = re.fullmatch(
-                        r"span\(\s*([A-Za-z_0-9]+)\s*,\s*1(d|h)\s*\)"
+                        r"span\(\s*([A-Za-z_0-9]+)\s*,\s*(\d+)(m|h|d|w)\s*\)"
                         r"(?:\s+as\s+([A-Za-z_0-9]+))?",
                         k,
                         flags=re.I,
                     )
                     if sm:
-                        f, unit, alias = sm.groups()
-                        trunc = {"d": "day", "h": "hour"}[unit.lower()]
-                        keys.append(
-                            F.date_trunc(trunc, F.col(f)).alias(alias or f)
-                        )
+                        f, n, unit, alias = sm.groups()
+                        n, unit = int(n), unit.lower()
+                        if n == 1 and unit in ("h", "d"):
+                            trunc = {"d": "day", "h": "hour"}[unit]
+                            key = F.date_trunc(trunc, F.col(f))
+                        elif n == 1 and unit == "w":
+                            key = F.date_trunc("week", F.col(f))
+                        else:
+                            # N-unit buckets: floor the epoch to the span
+                            # width (epoch-aligned, the Unix-origin
+                            # convention) — pure arithmetic, replayable
+                            # in any engine
+                            secs = n * {"m": 60, "h": 3600, "d": 86400,
+                                        "w": 604800}[unit]
+                            key = F.timestamp_seconds(
+                                (F.unix_timestamp(F.col(f)) / secs)
+                                .cast("long") * secs
+                            )
+                        keys.append(key.alias(alias or f))
                     else:
                         keys.append(F.col(k))
                 df = df.groupBy(*keys).agg(*aggs)

@@ -245,6 +245,31 @@ def dsl_knn_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return search(spark, sf_dir, "embeddings", body, id_col="vec_id")
 
 
+DSL_RANGE_METRICS = {
+    "query": {"exists": {"field": "value"}},
+    "aggs": {
+        "bands": {
+            "range": {
+                "field": "value",
+                "ranges": [
+                    {"to": 100},
+                    {"from": 100, "to": 300},
+                    {"from": 300},
+                ],
+            },
+            "aggs": {"sum_v": {"sum": {"field": "value"}}},
+        }
+    },
+}
+
+
+def dsl_range_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """range buckets WITH metric sub-aggs: per-range doc_count and a
+    conditional sum, all in one aggregate pass (no per-range rescan)."""
+    return search(spark, sf_dir, "events", DSL_RANGE_METRICS,
+                  id_col="event_id")
+
+
 DSL_SEARCH_AFTER = {
     "query": {"term": {"event_type": "view"}},
     "_source": ["event_id", "user_id", "value"],
@@ -275,6 +300,7 @@ QUERIES = {
     "dsl_composite_after": dsl_composite_after,
     "dsl_knn_query": dsl_knn_query,
     "dsl_search_after": dsl_search_after,
+    "dsl_range_metrics": dsl_range_metrics,
 }
 
 ORACLE = {
@@ -393,5 +419,24 @@ ORACLE = {
         WHERE event_type = 'view'
           AND (value < 250.0 OR (value = 250.0 AND event_id > 100))
         ORDER BY value DESC, event_id LIMIT 20
+    """,
+    "dsl_range_metrics": """
+        SELECT '*-100' AS bands,
+               CAST(SUM(CASE WHEN value < 100 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS doc_count,
+               ROUND(SUM(CASE WHEN value < 100 THEN value END), 4) AS sum_v
+        FROM events WHERE value IS NOT NULL
+        UNION ALL
+        SELECT '100-300',
+               CAST(SUM(CASE WHEN value >= 100 AND value < 300
+                             THEN 1 ELSE 0 END) AS BIGINT),
+               ROUND(SUM(CASE WHEN value >= 100 AND value < 300
+                             THEN value END), 4)
+        FROM events WHERE value IS NOT NULL
+        UNION ALL
+        SELECT '300-*',
+               CAST(SUM(CASE WHEN value >= 300 THEN 1 ELSE 0 END) AS BIGINT),
+               ROUND(SUM(CASE WHEN value >= 300 THEN value END), 4)
+        FROM events WHERE value IS NOT NULL
     """,
 }

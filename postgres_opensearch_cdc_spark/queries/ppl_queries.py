@@ -80,6 +80,12 @@ PPL_PATTERNS_TEMPLATE = (
     "source=events | patterns props as tpl "
     "| stats count() as n by tpl | sort -n, +tpl"
 )
+PPL_SPAN_15M = (
+    "source=events | where event_type = 'purchase' "
+    "| stats count() as n, sum(value) as v by span(ts, 15m) as bucket "
+    "| eval v_r = round(v, 2) "
+    "| fields bucket, n, v_r | sort +bucket | head 50"
+)
 PPL_EVAL_STRINGS = (
     "source=customer | eval seg = substring(c_mktsegment, 1, 3) "
     "| eval band = if(c_acctbal > 5000, 'high', 'low') "
@@ -183,6 +189,12 @@ def ppl_patterns_template(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ppl(spark, sf_dir, PPL_PATTERNS_TEMPLATE)
 
 
+def ppl_span_15m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``span(ts, 15m)`` — N-unit sub-hour time bucketing via
+    epoch-floored arithmetic (engine-portable, scan-stage)."""
+    return ppl(spark, sf_dir, PPL_SPAN_15M)
+
+
 def ppl_eval_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """eval's string/conditional built-ins (substring, if) deriving
     grouping keys — compiled into the scan projection like every other
@@ -206,6 +218,7 @@ QUERIES = {
     "ppl_grok_stats": ppl_grok_stats,
     "ppl_patterns_template": ppl_patterns_template,
     "ppl_eval_strings": ppl_eval_strings,
+    "ppl_span_15m": ppl_span_15m,
 }
 
 ORACLE = {
@@ -308,5 +321,12 @@ ORACLE = {
                CASE WHEN c_acctbal > 5000 THEN 'high' ELSE 'low' END AS band,
                COUNT(*) AS n
         FROM customer GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    "ppl_span_15m": """
+        SELECT CAST(to_timestamp((CAST(FLOOR(epoch(ts)) AS BIGINT) // 900)
+                    * 900) AS TIMESTAMP) AS bucket,
+               COUNT(*) AS n, ROUND(SUM(value), 2) AS v_r
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY 1 ORDER BY 1 LIMIT 50
     """,
 }
