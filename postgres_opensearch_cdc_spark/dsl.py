@@ -176,7 +176,8 @@ def _key_expr(spec: dict, name: str) -> Column:
     if "date_histogram" in spec:
         body = spec["date_histogram"]
         interval = body.get("calendar_interval", "day")
-        if interval not in ("day", "hour"):
+        if interval not in ("hour", "day", "week", "month", "quarter",
+                            "year"):
             raise DSLError(f"unsupported calendar_interval: {interval}")
         return F.date_trunc(interval, F.col(body["field"])).alias(name)
     if "histogram" in spec:
@@ -332,17 +333,25 @@ def _compile_aggs(df: DataFrame, aggs: dict) -> DataFrame:
     if "terms" in spec:
         body = spec["terms"]
         f, size = body["field"], int(body.get("size", 10))
-        return (
-            df.groupBy(F.col(f).alias(name))
-            .agg(F.count(F.lit(1)).alias("doc_count"), *metrics)
-            .orderBy(F.col("doc_count").desc(), F.col(name))
-            .limit(size)
+        grouped = df.groupBy(F.col(f).alias(name)).agg(
+            F.count(F.lit(1)).alias("doc_count"), *metrics
         )
+        order = body.get("order", {"_count": "desc"})
+        ((ofield, odir),) = order.items()
+        if ofield == "_count":
+            ofield = "doc_count"
+        elif ofield == "_key":
+            ofield = name
+        elif ofield not in grouped.columns:
+            raise DSLError(f"terms order references unknown agg: {ofield}")
+        ocol = F.col(ofield).desc() if odir == "desc" else F.col(ofield).asc()
+        return grouped.orderBy(ocol, F.col(name)).limit(size)
     if "date_histogram" in spec:
         body = spec["date_histogram"]
         f = body["field"]
         interval = body.get("calendar_interval", "day")
-        if interval not in ("day", "hour"):
+        if interval not in ("hour", "day", "week", "month", "quarter",
+                            "year"):
             raise DSLError(f"unsupported calendar_interval: {interval}")
         key = F.date_trunc(interval, F.col(f)).alias(name)
         return (

@@ -270,6 +270,44 @@ def dsl_range_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
                   id_col="event_id")
 
 
+DSL_WEEK_HISTOGRAM = {
+    "aggs": {
+        "per_week": {
+            "date_histogram": {"field": "ts", "calendar_interval": "week"},
+            "aggs": {"total": {"sum": {"field": "value"}}},
+        }
+    }
+}
+
+
+def dsl_week_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """calendar_interval: week (Monday-start in both engines) with a
+    sum metric — the widened calendar set."""
+    return search(spark, sf_dir, "events", DSL_WEEK_HISTOGRAM,
+                  id_col="event_id")
+
+
+DSL_TERMS_ORDERED = {
+    "aggs": {
+        "by_type": {
+            "terms": {
+                "field": "event_type",
+                "size": 4,
+                "order": {"total_v": "desc"},
+            },
+            "aggs": {"total_v": {"sum": {"field": "value"}}},
+        }
+    }
+}
+
+
+def dsl_terms_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """terms bucket ordered by a metric sub-agg (ES ``order``) instead
+    of doc_count — top types by total value."""
+    return search(spark, sf_dir, "events", DSL_TERMS_ORDERED,
+                  id_col="event_id")
+
+
 DSL_SEARCH_AFTER = {
     "query": {"term": {"event_type": "view"}},
     "_source": ["event_id", "user_id", "value"],
@@ -301,6 +339,8 @@ QUERIES = {
     "dsl_knn_query": dsl_knn_query,
     "dsl_search_after": dsl_search_after,
     "dsl_range_metrics": dsl_range_metrics,
+    "dsl_week_histogram": dsl_week_histogram,
+    "dsl_terms_ordered": dsl_terms_ordered,
 }
 
 ORACLE = {
@@ -438,5 +478,17 @@ ORACLE = {
                CAST(SUM(CASE WHEN value >= 300 THEN 1 ELSE 0 END) AS BIGINT),
                ROUND(SUM(CASE WHEN value >= 300 THEN value END), 4)
         FROM events WHERE value IS NOT NULL
+    """,
+    "dsl_week_histogram": """
+        SELECT CAST(date_trunc('week', ts) AS TIMESTAMP) AS per_week,
+               COUNT(*) AS doc_count,
+               ROUND(SUM(value), 4) AS total
+        FROM events GROUP BY 1 ORDER BY 1
+    """,
+    "dsl_terms_ordered": """
+        SELECT event_type AS by_type, COUNT(*) AS doc_count,
+               ROUND(SUM(value), 4) AS total_v
+        FROM events GROUP BY 1
+        ORDER BY total_v DESC, by_type LIMIT 4
     """,
 }

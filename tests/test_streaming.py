@@ -276,3 +276,28 @@ def test_mirror_rejects_missing_key_column(spark, workdir):
     )
     with pytest.raises(ValueError, match="merge-critical"):
         sink.apply_batch(bad, 1)
+
+
+def test_multitable_schema_evolution_is_per_table(spark, workdir):
+    """Routed tables evolve independently: a new column arriving for
+    one table must not leak into the other's mirror."""
+    from postgres_opensearch_cdc_spark.streaming.apply import MultiTableMirrorSink
+
+    a = MirrorSink(path=os.path.join(workdir, "ma"), key_cols=["id"],
+                   seq_cols=["offset"])
+    b = MirrorSink(path=os.path.join(workdir, "mb"), key_cols=["id"],
+                   seq_cols=["offset"])
+    multi = MultiTableMirrorSink(sinks={"a": a, "b": b})
+    b1 = spark.createDataFrame(
+        [("c", 1, "x", 1, "a"), ("c", 1, "y", 1, "b")],
+        "op string, id long, status string, offset long, target_table string",
+    )
+    multi.apply_batch(b1, 0)
+    b2 = spark.createDataFrame(
+        [("u", 1, "x2", 2, "gold", "a")],
+        "op string, id long, status string, offset long, tier string, "
+        "target_table string",
+    )
+    multi.apply_batch(b2, 1)
+    assert a.read(spark).collect()[0]["tier"] == "gold"
+    assert "tier" not in b.read(spark).columns, "evolution leaked across tables"
