@@ -15,8 +15,10 @@ query context:
     match_all
 
 aggregations (the dashboard panel shapes):
-    terms (field, size), date_histogram (calendar_interval: day|hour),
-    histogram (field, interval), range (field, ranges with from/to),
+    terms (field, size, order by _key/_count/any metric sub-agg),
+    date_histogram (calendar_interval: hour|day|week|month|quarter|
+    year), histogram (field, interval), range (field, ranges with
+    from/to + metric sub-aggs as per-range conditional aggregates),
     filters (named sub-queries → doc_count buckets),
     composite (sources + size + after-key pagination — the
     scale-friendly cursor over an unbounded key space),
@@ -29,9 +31,13 @@ per outer bucket), or a ``top_hits`` (size, sort, _source) returning
 the top documents per bucket via a ranked window.
 
 top level: size, sort ([{field: {"order": asc|desc}}...]), _source
-(projection list), knn ({field: {"query_vector": [...], "k": N}} —
-the vector-search clause: exact cosine top-k as a scan projection +
-TakeOrderedAndProject, optionally pre-filtered by ``query``).
+(projection list, applied LAST so sort/cursor fields need not be
+projected), search_after (one cursor value per sort field → a
+scan-pushed lexicographic predicate; cursor fields must be non-null),
+knn ({field: {"query_vector": [...], "k": N}} — the vector-search
+clause: exact cosine top-k as a scan projection +
+TakeOrderedAndProject, optionally pre-filtered by ``query``; raises
+on aggs/sort/_source).
 
 Everything compiles to built-in expressions — filters push to the
 scan, buckets become partial+final aggregates, size+sort becomes
