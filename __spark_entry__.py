@@ -174,8 +174,10 @@ _PRIORITY = [
 # training-pipeline batch 3 stratified_split, source_overlap_matrix,
 # vocab_coverage; analyzer chains analyzer_custom_chain,
 # analyzer_edge_ngram_prefix; PQ vector search ann_pq_adc_topk,
-# ann_pq_rerank_topk; DSL search_after (dsl_search_after); PPL eval
-# string built-ins (ppl_eval_strings).  Also re-check
+# ann_pq_rerank_topk; DSL search_after (dsl_search_after), range
+# metrics (dsl_range_metrics), week histogram (dsl_week_histogram),
+# metric-ordered terms (dsl_terms_ordered); PPL eval string built-ins
+# (ppl_eval_strings) and 15-minute span (ppl_span_15m).  Also re-check
 # important_part_value and ppl_eventstats_share (thresholds made
 # scale-free after the sf0.1 vacuity audit — semantics changed this
 # round).
