@@ -342,6 +342,9 @@ def _compile_aggs(df: DataFrame, aggs: dict) -> DataFrame:
         grouped = df.groupBy(F.col(f).alias(name)).agg(
             F.count(F.lit(1)).alias("doc_count"), *metrics
         )
+        min_dc = int(body.get("min_doc_count", 1))
+        if min_dc > 1:
+            grouped = grouped.filter(F.col("doc_count") >= min_dc)
         order = body.get("order", {"_count": "desc"})
         ((ofield, odir),) = order.items()
         if ofield == "_count":

@@ -340,3 +340,18 @@ def test_composite_source_name_shadowing_field(spark, sf_dir):
     keys2 = {(r["user_id"], r["x"]) for r in page2}
     assert keys2 <= keys1 - {(page1[0]["user_id"], page1[0]["x"])}
     assert len(keys1 - keys2) == 1, "page 2 must drop exactly the cursor tuple"
+
+
+def test_terms_min_doc_count(spark, sf_dir):
+    body = {"aggs": {"u": {"terms": {"field": "user_id", "size": 10000,
+                                     "min_doc_count": 5}}}}
+    rows = search(spark, sf_dir, "events", body, id_col="event_id").collect()
+    assert rows and all(r["doc_count"] >= 5 for r in rows)
+    # count parity with a manual groupBy
+    from postgres_opensearch_cdc_spark.registry import load_table
+
+    manual = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id").count().filter("count >= 5").count()
+    )
+    assert len(rows) == manual
