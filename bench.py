@@ -56,10 +56,14 @@ def main() -> None:
         "x -> x IS NOT NULL)) AS s"
     ).selectExpr("sum(s)").collect()
     # parquet footers for every surface table (file listing + schema are
-    # per-table one-offs a live engine holds open)
+    # per-table one-offs a live engine holds open) — through the
+    # registry so the events nanos-vs-micros branch and explicit
+    # schemas apply, exactly as every query reads them
+    from postgres_opensearch_cdc_spark.registry import load_table as _lt
+
     for t in ("nation", "customer", "supplier", "part", "orders",
               "lineitem", "events", "documents", "embeddings"):
-        spark.read.parquet(f"{sf_dir}/{t}.parquet").limit(1).collect()
+        _lt(spark, sf_dir, t).limit(1).collect()
     # spawn the Python/Arrow worker pool once (reused for the session);
     # otherwise the first mapInPandas entry absorbs the process launches
     spark.range(10_000).repartition(8).mapInPandas(

@@ -150,7 +150,9 @@ def compile_query(node: dict, id_col: str = "doc_id") -> Column:
             msm = int(body.get("minimum_should_match", 1))
             hits = None
             for sub in shoulds:
-                h = compile_query(sub, id_col).cast("int")
+                # NULL clause counts as 0 (ES semantics) — an un-coalesced
+                # NULL would poison the whole sum and drop the doc
+                h = F.coalesce(compile_query(sub, id_col).cast("int"), F.lit(0))
                 hits = h if hits is None else (hits + h)
             _and(hits >= msm)
         if cond is None:
@@ -172,6 +174,20 @@ def _metric(name: str, spec: dict) -> Column:
     if kind == "cardinality":
         return F.countDistinct(f).alias(name)
     return F.round(getattr(F, kind)(f), 4).alias(name)
+
+
+def _lexicographic_after(pairs) -> Column:
+    """Strictly-after-the-cursor predicate for keyset pagination:
+    OR-of-AND chain over (expr, cursor_value, ascending) tuples —
+    shared by the composite ``after`` and hits ``search_after``."""
+    cond, eq_prefix = None, None
+    for expr, value, ascending in pairs:
+        past = expr > _lit(value) if ascending else expr < _lit(value)
+        c = past if eq_prefix is None else (eq_prefix & past)
+        cond = c if cond is None else (cond | c)
+        eq = expr == _lit(value)
+        eq_prefix = eq if eq_prefix is None else (eq_prefix & eq)
+    return cond
 
 
 def _key_expr(spec: dict, name: str) -> Column:
@@ -288,19 +304,15 @@ def _compile_composite(df: DataFrame, name: str, body: dict,
         key_names.append(n)
     after = body.get("after")
     if after:
-        # compile the cursor to a lexicographic (k1, k2, ...) >
-        # (a1, a2, ...) predicate over the key EXPRESSIONS themselves —
-        # never withColumn-materialized names, which would corrupt a
-        # later source whose underlying field shadows an earlier
-        # source's name
-        cond, eq_prefix = None, None
-        for k, n in zip(keys, key_names):
-            gt = k > _lit(after[n])
-            c = gt if eq_prefix is None else (eq_prefix & gt)
-            cond = c if cond is None else (cond | c)
-            eq = k == _lit(after[n])
-            eq_prefix = eq if eq_prefix is None else (eq_prefix & eq)
-        df = df.filter(cond)
+        missing = [n for n in key_names if n not in after]
+        if missing:
+            raise DSLError(f"composite after is missing source key(s) {missing}")
+        # cursor over the key EXPRESSIONS themselves — never withColumn-
+        # materialized names, which would corrupt a later source whose
+        # underlying field shadows an earlier source's name
+        df = df.filter(_lexicographic_after(
+            [(k, after[n], True) for k, n in zip(keys, key_names)]
+        ))
     grouped = df.groupBy(*keys).agg(
         F.count(F.lit(1)).alias("doc_count"), *metrics
     )
@@ -490,14 +502,10 @@ def search(
         # field is NULL would otherwise vanish from every later page).
         if len(body["search_after"]) != len(sort_spec) or not sort_spec:
             raise DSLError("search_after needs one value per sort field")
-        cond, eq_prefix = None, None
-        for (f, order), v in zip(sort_spec, body["search_after"]):
-            past = F.col(f) < _lit(v) if order == "desc" else F.col(f) > _lit(v)
-            c = past if eq_prefix is None else (eq_prefix & past)
-            cond = c if cond is None else (cond | c)
-            eq = F.col(f) == _lit(v)
-            eq_prefix = eq if eq_prefix is None else (eq_prefix & eq)
-        df = df.filter(cond)
+        df = df.filter(_lexicographic_after(
+            [(F.col(f), v, order != "desc")
+             for (f, order), v in zip(sort_spec, body["search_after"])]
+        ))
     if sort_spec:
         df = df.orderBy(*[
             F.col(f).desc() if order == "desc" else F.col(f).asc()

@@ -20,9 +20,13 @@ Supported stages (the core of the public PPL command set):
                                            dc (distinct count); a by-key
                                            may be span(ts_field, N<unit>)
                                            [as alias] for time bucketing
-                                           (units m/h/d/w; N-unit spans
+                                           (units m=minute, h, d, w,
+                                           M=month [1M only] —
+                                           case-sensitive; N-unit spans
                                            floor the epoch to the span
-                                           width)
+                                           width, weeks anchored to the
+                                           epoch's first Monday so Nw
+                                           shares 1w boundaries)
     sort   [+|-]f1, [+|-]f2, ...
     head   N
     dedup  f1 [, f2 ...]                   distinct over the listed
@@ -265,43 +269,47 @@ def ppl(spark: SparkSession, sf_dir: str, query: str) -> DataFrame:
             aggs = [_agg_expr(a) for a in agg_text.split(",")]
             if by_match:
                 keys = []
-                # comma-split that respects parentheses (span(ts, 1d))
-                by_parts, depth, cur = [], 0, []
-                for ch in by_match.group(1):
-                    if ch == "," and depth == 0:
-                        by_parts.append("".join(cur))
-                        cur = []
-                    else:
-                        depth += ch == "("
-                        depth -= ch == ")"
-                        cur.append(ch)
-                by_parts.append("".join(cur))
+                # comma-split that respects parens/quotes (span(ts, 1d))
+                by_parts = _split_top_level(by_match.group(1))
                 for k in by_parts:
                     k = k.strip()
+                    # the UNIT is case-sensitive (PPL convention:
+                    # m=minute, M=month); only the keyword/field parts
+                    # are case-insensitive
                     sm = re.fullmatch(
-                        r"span\(\s*([A-Za-z_0-9]+)\s*,\s*(\d+)(m|h|d|w)\s*\)"
-                        r"(?:\s+as\s+([A-Za-z_0-9]+))?",
+                        r"(?i:span)\(\s*([A-Za-z_0-9]+)\s*,"
+                        r"\s*(\d+)(m|h|d|w|M)\s*\)"
+                        r"(?:\s+(?i:as)\s+([A-Za-z_0-9]+))?",
                         k,
-                        flags=re.I,
                     )
                     if sm:
                         f, n, unit, alias = sm.groups()
-                        n, unit = int(n), unit.lower()
-                        if n == 1 and unit in ("h", "d"):
+                        n = int(n)
+                        if n < 1:
+                            raise PPLSyntaxError(f"span width must be >= 1: {k!r}")
+                        if unit == "M":
+                            # months are irregular — calendar truncation
+                            # only, and only 1M is well-defined
+                            if n != 1:
+                                raise PPLSyntaxError(
+                                    "only span(field, 1M) is supported for months"
+                                )
+                            key = F.date_trunc("month", F.col(f))
+                        elif n == 1 and unit in ("h", "d"):
                             trunc = {"d": "day", "h": "hour"}[unit]
                             key = F.date_trunc(trunc, F.col(f))
-                        elif n == 1 and unit == "w":
-                            key = F.date_trunc("week", F.col(f))
                         else:
                             # N-unit buckets: floor the epoch to the span
-                            # width (epoch-aligned, the Unix-origin
-                            # convention) — pure arithmetic, replayable
-                            # in any engine
+                            # width. Weeks anchor to the epoch's first
+                            # Monday (1970-01-05) so every Nw span shares
+                            # the 1w/date_trunc('week') boundaries;
+                            # m/h/d anchor to the Unix origin.
                             secs = n * {"m": 60, "h": 3600, "d": 86400,
                                         "w": 604800}[unit]
+                            anchor = 345600 if unit == "w" else 0
                             key = F.timestamp_seconds(
-                                (F.unix_timestamp(F.col(f)) / secs)
-                                .cast("long") * secs
+                                ((F.unix_timestamp(F.col(f)) - anchor) / secs)
+                                .cast("long") * secs + anchor
                             )
                         keys.append(key.alias(alias or f))
                     else:
@@ -411,7 +419,10 @@ def ppl(spark: SparkSession, sf_dir: str, query: str) -> DataFrame:
             else:
                 # global eventstats: a keyless window would move the
                 # whole table into ONE partition — use a broadcast
-                # 1-row aggregate crossJoin instead (same columns)
+                # 1-row aggregate crossJoin instead (same columns).
+                # Aggregate BEFORE dropping, then drop colliding names
+                # so an alias shadowing an input column REPLACES it —
+                # identical semantics to the keyed withColumn path.
                 aggs = []
                 for fn, arg, out_name in parsed:
                     if fn == "count":
@@ -420,7 +431,9 @@ def ppl(spark: SparkSession, sf_dir: str, query: str) -> DataFrame:
                         aggs.append(F.countDistinct(arg).alias(out_name))
                     else:
                         aggs.append(getattr(F, fn)(arg).alias(out_name))
-                df = df.crossJoin(F.broadcast(df.agg(*aggs)))
+                totals = df.agg(*aggs)
+                collide = [n for _, _, n in parsed if n in df.columns]
+                df = df.drop(*collide).crossJoin(F.broadcast(totals))
         elif cmd == "fillnull":
             fm = re.fullmatch(
                 r"with\s+(.+?)\s+in\s+(.+)$", rest, flags=re.I | re.S

@@ -202,7 +202,15 @@ class PartitionedMirrorSink:
         return any(e.startswith("_bucket=") for e in os.listdir(self.path))
 
     def read(self, spark: SparkSession) -> DataFrame:
-        return spark.read.parquet(self.path).drop("_bucket")
+        # mergeSchema: partition-pruned merges leave MIXED-schema bucket
+        # files after a schema evolution (only touched buckets carry the
+        # new column); footer-of-one-file inference would silently drop
+        # it from the whole mirror
+        return (
+            spark.read.option("mergeSchema", "true")
+            .parquet(self.path)
+            .drop("_bucket")
+        )
 
     def apply_batch(self, batch: DataFrame, batch_id: int) -> None:
         _require_merge_columns(
@@ -221,7 +229,8 @@ class PartitionedMirrorSink:
                     for r in batch.select("_bucket").distinct().collect()
                 ]
                 current = (
-                    spark.read.parquet(self.path)
+                    spark.read.option("mergeSchema", "true")
+                    .parquet(self.path)
                     .filter(F.col("_bucket").isin(touched))  # partition pruning
                 )
                 as_changes = current.select(

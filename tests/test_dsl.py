@@ -355,3 +355,36 @@ def test_terms_min_doc_count(spark, sf_dir):
         .groupBy("user_id").count().filter("count >= 5").count()
     )
     assert len(rows) == manual
+
+
+def test_should_null_clause_counts_as_zero(spark):
+    """ES semantics: a should clause evaluating to NULL (e.g. a range
+    on a NULL field) counts as 0 hits, not NULL — a doc matching
+    another clause must still satisfy minimum_should_match=1."""
+    df = spark.createDataFrame(
+        [(1, None, "click"), (2, 50.0, "view")],
+        "id long, v double, t string",
+    )
+    cond = compile_query({
+        "bool": {
+            "should": [
+                {"range": {"v": {"gte": 10}}},
+                {"term": {"t": "click"}},
+            ],
+            "minimum_should_match": 1,
+        }
+    }, id_col="id")
+    got = {r["id"] for r in df.filter(cond).collect()}
+    assert got == {1, 2}, "NULL clause poisoned the msm sum"
+
+
+def test_composite_after_missing_key_raises_dsl_error(spark, sf_dir):
+    body = {"aggs": {"p": {"composite": {
+        "sources": [
+            {"et": {"terms": {"field": "event_type"}}},
+            {"u": {"terms": {"field": "user_id"}}},
+        ],
+        "after": {"et": "purchase"},
+    }}}}
+    with pytest.raises(DSLError, match="missing source key"):
+        search(spark, sf_dir, "events", body, id_col="event_id")

@@ -143,3 +143,39 @@ def test_versioned_mirror_schema_evolution(spark, tmp_path):
     rows = {r["id"]: r for r in sink.read(spark).collect()}
     assert rows[3]["status"] == "y"
     assert rows[2]["tier"] == "gold", "evolved column lost across commits"
+
+
+def test_partitioned_mirror_schema_evolution_across_buckets(spark, tmp_path):
+    """A batch that evolves the schema touches only SOME buckets —
+    untouched buckets keep old-schema files. Reads must mergeSchema so
+    the evolved column survives, and later merges must not destroy it."""
+    from postgres_opensearch_cdc_spark.streaming.apply import PartitionedMirrorSink
+
+    sink = PartitionedMirrorSink(
+        path=str(tmp_path / "pmirror"),
+        key_cols=["id"],
+        seq_cols=["offset"],
+        num_buckets=8,
+    )
+    b1 = spark.createDataFrame(
+        [("c", i, f"s{i}", i) for i in range(1, 9)],
+        "op string, id long, status string, offset long",
+    )
+    sink.apply_batch(b1, 0)
+    b2 = spark.createDataFrame(
+        [("u", 1, "s1b", 100, "gold")],
+        "op string, id long, status string, offset long, tier string",
+    )
+    sink.apply_batch(b2, 1)
+    rows = {r["id"]: r for r in sink.read(spark).collect()}
+    assert rows[1]["tier"] == "gold"
+    assert all(rows[i]["tier"] is None for i in range(2, 9))
+    # a later batch touching id=1's bucket must preserve tier for id=1
+    b3 = spark.createDataFrame(
+        [("u", 1, "s1c", 200)],
+        "op string, id long, status string, offset long",
+    )
+    sink.apply_batch(b3, 2)
+    rows = {r["id"]: r for r in sink.read(spark).collect()}
+    assert rows[1]["status"] == "s1c"
+    assert "tier" in sink.read(spark).columns, "evolved column dropped on read"

@@ -229,3 +229,43 @@ def test_global_eventstats_has_no_single_partition_window(spark, sf_dir):
     base = load_table(spark, sf_dir, "events")
     rows = df.select("total").distinct().collect()
     assert len(rows) == 1 and rows[0]["total"] == base.count()
+
+
+def test_span_unit_is_case_sensitive(spark, sf_dir):
+    """PPL convention: m=minute, M=month. 1M must be a MONTH bucket."""
+    monthly = ppl(
+        spark, sf_dir,
+        "source=events | stats count() as n by span(ts, 1M) as b | sort +b",
+    ).collect()
+    assert len(monthly) <= 2, "1M parsed as minutes, not months"
+    with pytest.raises(PPLSyntaxError, match="1M"):
+        ppl(spark, sf_dir, "source=events | stats count() by span(ts, 2M)")
+    with pytest.raises(PPLSyntaxError, match=">= 1"):
+        ppl(spark, sf_dir, "source=events | stats count() by span(ts, 0m)")
+
+
+def test_week_spans_share_monday_boundaries(spark, sf_dir):
+    """span(ts, 2w) buckets must align with span(ts, 1w)'s Monday
+    boundaries (epoch's first Monday anchor), not the Thursday Unix
+    origin."""
+    w1 = {r["b"] for r in ppl(
+        spark, sf_dir,
+        "source=events | stats count() as n by span(ts, 1w) as b",
+    ).collect()}
+    w2 = {r["b"] for r in ppl(
+        spark, sf_dir,
+        "source=events | stats count() as n by span(ts, 2w) as b",
+    ).collect()}
+    for b in w1 | w2:
+        assert b.weekday() == 0 and (b.hour, b.minute) == (0, 0), (
+            f"{b} is not a Monday midnight — wrong week anchor"
+        )
+
+
+def test_global_eventstats_alias_replaces_column(spark, sf_dir):
+    df = ppl(
+        spark, sf_dir,
+        "source=events | eventstats max(value) as value | where value > 10",
+    )
+    assert df.columns.count("value") == 1
+    assert df.count() > 0  # max(value) > 10, all rows keep the replaced col

@@ -53,17 +53,12 @@ def main() -> None:
         "pq-scale", extra_conf={"spark.ui.showConsoleProgress": "false"}
     )
     spark.sparkContext.setLogLevel("ERROR")
+    from postgres_opensearch_cdc_spark.queries.extensions import (
+        _pq_frozen_codebook,
+    )
+
     vecs = load_table(spark, sf_dir, "embeddings")
-    q = [float(x) for x in vecs.filter(F.col("vec_id") == 0).head()["embedding"]]
-    seeds = [
-        [float(x) for x in r["embedding"]]
-        for r in sorted(
-            vecs.filter(F.col("vec_id").between(1, 16)).collect(),
-            key=lambda r: r["vec_id"],
-        )
-    ]
-    dsub = len(seeds[0]) // 8
-    cb = [[s[m * dsub:(m + 1) * dsub] for s in seeds] for m in range(8)]
+    q, cb = _pq_frozen_codebook(vecs)
     # untimed warm-up: the PQ expression tree's codegen compile is a
     # per-plan-structure one-off (a live engine compiles once, runs
     # warm) — without this the 1x point measures the compiler
