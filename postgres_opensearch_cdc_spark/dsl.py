@@ -209,6 +209,21 @@ def _key_expr(spec: dict, name: str) -> Column:
     raise DSLError(f"not a keyed bucket: {list(spec)}")
 
 
+def _reject_outer_terms_options(spec: dict) -> None:
+    """The nested-bucket and top_hits paths rank outer terms buckets by
+    total doc_count desc only; the flat terms path honors ``order`` and
+    ``min_doc_count`` but these paths do not — raise instead of letting
+    a sub-agg silently revert the requested ordering."""
+    if "terms" in spec:
+        unsupported = set(spec["terms"]) & {"order", "min_doc_count"}
+        if unsupported:
+            raise DSLError(
+                f"terms option(s) {sorted(unsupported)} are not supported "
+                "with a nested bucket or top_hits sub-agg (outer buckets "
+                "rank by doc_count desc)"
+            )
+
+
 def _compile_nested(df: DataFrame, name: str, spec: dict,
                     inner_name: str, inner_spec: dict) -> DataFrame:
     """Outer keyed bucket with one inner terms bucket: one flat row per
@@ -219,6 +234,7 @@ def _compile_nested(df: DataFrame, name: str, spec: dict,
     input rows."""
     from pyspark.sql import Window
 
+    _reject_outer_terms_options(spec)
     outer_key = _key_expr(spec, name)
     inner_body = inner_spec["terms"]
     inner_key = F.col(inner_body["field"]).alias(inner_name)
@@ -257,6 +273,7 @@ def _compile_top_hits(df: DataFrame, name: str, spec: dict,
     bucket key — partition-parallel, no global sort."""
     from pyspark.sql import Window
 
+    _reject_outer_terms_options(spec)
     key = _key_expr(spec, name)
     size = int(th.get("size", 3))
     orders = []
@@ -297,9 +314,29 @@ def _compile_composite(df: DataFrame, name: str, body: dict,
     lexicographic predicate evaluated BEFORE the aggregate, so each
     page shuffles only the keys past the cursor — pagination over an
     unbounded key space without global state."""
+    # per-source options (order: desc, missing_bucket, ...) are NOT
+    # implemented — the after-cursor predicate assumes every source is
+    # ascending and non-null, so silently accepting a desc source
+    # would paginate wrongly with no error. Same convention as the knn
+    # clause: raise on anything unsupported instead of dropping it.
+    _SOURCE_KEYS = {
+        "terms": {"field"},
+        "date_histogram": {"field", "calendar_interval"},
+        "histogram": {"field", "interval"},
+    }
     keys, key_names = [], []
     for src in body["sources"]:
         ((n, s),) = src.items()
+        ((kind, kbody),) = s.items()
+        allowed = _SOURCE_KEYS.get(kind)
+        if allowed is not None:
+            extra = set(kbody) - allowed
+            if extra:
+                raise DSLError(
+                    f"unsupported composite source option(s) on {n!r}: "
+                    f"{sorted(extra)} (sources paginate ascending, "
+                    "non-missing only)"
+                )
         keys.append(_key_expr(s, n))
         key_names.append(n)
     after = body.get("after")

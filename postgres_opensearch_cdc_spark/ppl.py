@@ -307,9 +307,16 @@ def ppl(spark: SparkSession, sf_dir: str, query: str) -> DataFrame:
                             secs = n * {"m": 60, "h": 3600, "d": 86400,
                                         "w": 604800}[unit]
                             anchor = 345600 if unit == "w" else 0
+                            # floor, not cast("long"): cast truncates
+                            # toward zero, so pre-anchor timestamps
+                            # (pre-1970; 1970-01-01..04 for weeks)
+                            # would land one bucket too high and
+                            # diverge from floor-division oracles
                             key = F.timestamp_seconds(
-                                ((F.unix_timestamp(F.col(f)) - anchor) / secs)
-                                .cast("long") * secs + anchor
+                                F.floor(
+                                    (F.unix_timestamp(F.col(f)) - anchor)
+                                    / secs
+                                ).cast("long") * secs + anchor
                             )
                         keys.append(key.alias(alias or f))
                     else:
@@ -475,8 +482,15 @@ def ppl(spark: SparkSession, sf_dir: str, query: str) -> DataFrame:
                     f"join needs: [type=inner|left] on <field> <table>: {rest!r}"
                 )
             how = (jm.group(1) or "inner").lower()
+            on_field = jm.group(2)
             right = load_table(spark, sf_dir, jm.group(3))
-            df = df.join(right, on=jm.group(2), how=how)
+            # only the join key may be shared: right payload columns
+            # that collide with existing left names would yield
+            # duplicate columns and ambiguous-reference errors in any
+            # later stage — drop them (left side wins)
+            dup = [c for c in right.columns
+                   if c != on_field and c in df.columns]
+            df = df.join(right.drop(*dup), on=on_field, how=how)
         elif cmd == "lookup":
             lm = re.fullmatch(
                 r"([A-Za-z_0-9]+)\s+([A-Za-z_0-9]+)"
@@ -490,7 +504,14 @@ def ppl(spark: SparkSession, sf_dir: str, query: str) -> DataFrame:
                 )
             table, lk_field, local = lm.group(1), lm.group(2), lm.group(3)
             right = load_table(spark, sf_dir, table)
-            # enrichment dimension: broadcast, left-preserving
+            # enrichment dimension: broadcast, left-preserving. The
+            # documented contract appends only the ENRICHMENT columns,
+            # so right columns whose names already exist on the left
+            # are dropped first — keeping them would create duplicate
+            # names that break any later stage referencing them.
+            dup = [c for c in right.columns
+                   if c != lk_field and c in df.columns]
+            right = right.drop(*dup)
             if local:
                 df = df.join(
                     F.broadcast(right), df[local] == right[lk_field], "left"

@@ -388,3 +388,36 @@ def test_composite_after_missing_key_raises_dsl_error(spark, sf_dir):
     }}}}
     with pytest.raises(DSLError, match="missing source key"):
         search(spark, sf_dir, "events", body, id_col="event_id")
+
+
+def test_composite_source_options_raise(spark, sf_dir):
+    """Per-source options (order: desc, missing_bucket) are not
+    implemented — the after-cursor assumes ascending, non-missing
+    sources, so accepting them would paginate wrongly with no error."""
+    for opt in ({"order": "desc"}, {"missing_bucket": True}):
+        body = {"aggs": {"p": {"composite": {
+            "sources": [{"et": {"terms": {"field": "event_type", **opt}}}],
+        }}}}
+        with pytest.raises(DSLError, match="composite source option"):
+            search(spark, sf_dir, "events", body, id_col="event_id")
+
+
+def test_nested_terms_outer_options_raise(spark, sf_dir):
+    """The flat terms path honors order/min_doc_count; the nested and
+    top_hits paths rank by doc_count desc only — adding a sub-agg must
+    raise rather than silently revert the requested ordering."""
+    nested = {"aggs": {"t": {
+        "terms": {"field": "event_type", "order": {"_key": "asc"}},
+        "aggs": {"u": {"terms": {"field": "user_id"}}},
+    }}}
+    with pytest.raises(DSLError, match="order"):
+        search(spark, sf_dir, "events", nested, id_col="event_id")
+    th = {"aggs": {"t": {
+        "terms": {"field": "event_type", "min_doc_count": 2},
+        "aggs": {"h": {"top_hits": {
+            "size": 1, "sort": [{"value": {"order": "desc"}}],
+            "_source": ["event_id"],
+        }}},
+    }}}
+    with pytest.raises(DSLError, match="min_doc_count"):
+        search(spark, sf_dir, "events", th, id_col="event_id")

@@ -269,3 +269,64 @@ def test_global_eventstats_alias_replaces_column(spark, sf_dir):
     )
     assert df.columns.count("value") == 1
     assert df.count() > 0  # max(value) > 10, all rows keep the replaced col
+
+
+def test_span_floors_pre_anchor_timestamps(spark, tmp_path):
+    """Timestamps BEFORE the span anchor must floor down into the
+    earlier bucket (floor division), not truncate toward zero: the
+    Unix epoch 1970-01-01..04 precedes the week anchor (Monday
+    1970-01-05), so a 1w span must bucket it at Monday 1969-12-29."""
+    import datetime
+
+    d = str(tmp_path)
+    frame = spark.createDataFrame(
+        [
+            (1, datetime.datetime(1970, 1, 2, 12, 0, 0), 1, "click", 1.0, "{}"),
+            (2, datetime.datetime(1970, 1, 6, 0, 0, 0), 1, "click", 1.0, "{}"),
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    # INT96 (the writer default) reads as nanos in the footer sniffer;
+    # write plain micros like the driver testdata
+    prev = spark.conf.get("spark.sql.parquet.outputTimestampType")
+    spark.conf.set("spark.sql.parquet.outputTimestampType",
+                   "TIMESTAMP_MICROS")
+    try:
+        frame.write.parquet(f"{d}/events.parquet")
+    finally:
+        spark.conf.set("spark.sql.parquet.outputTimestampType", prev)
+    rows = ppl(
+        spark, d,
+        "source=events | stats count() as n by span(ts, 1w) as b | sort +b",
+    ).collect()
+    buckets = [r["b"] for r in rows]
+    assert buckets[0] == datetime.datetime(1969, 12, 29), (
+        f"pre-anchor ts truncated up to {buckets[0]} instead of flooring"
+    )
+    assert buckets[1] == datetime.datetime(1970, 1, 5)
+
+
+def test_join_drops_colliding_right_columns(spark, sf_dir):
+    """join/lookup keep only the ENRICHMENT columns: right-side names
+    that already exist on the left would otherwise duplicate and make
+    any later stage referencing them ambiguous."""
+    df = ppl(
+        spark, sf_dir,
+        # both customer and nation have c_nationkey on the left after
+        # the first lookup; a second lookup of the same table must not
+        # duplicate the enrichment columns it already appended
+        "source=customer | lookup nation n_nationkey as c_nationkey "
+        "| lookup nation n_nationkey as c_nationkey "
+        "| where n_nationkey >= 0",
+    )
+    assert df.columns.count("n_name") == 1
+    assert df.count() > 0  # the where stage resolves unambiguously
+    joined = ppl(
+        spark, sf_dir,
+        "source=orders | rename o_custkey as c_custkey "
+        "| eval c_name = 'x' | join on c_custkey customer "
+        "| where c_mktsegment != ''",
+    )
+    assert joined.columns.count("c_name") == 1
+    assert joined.count() > 0
