@@ -24,6 +24,7 @@ from postgres_opensearch_cdc_spark.queries import (
     querydsl4,
     querydsl_aggs,
     querydsl_aggs2,
+    querystring_queries,
     relational,
     relational2,
     relational3,
@@ -43,6 +44,7 @@ _MODULES = [
     patterns,
     ppl_queries,
     dsl_queries,
+    querystring_queries,
     extensions,
     querydsl,
     querydsl3,
@@ -66,121 +68,81 @@ _MODULES = [
 ]
 
 # The driver's correctness harness samples the FIRST 50 entries of
-# queries().  Union of r1-r5 driver rows = 135 of 151 entries (132
-# currently green).  This round-6 window lists, in order:
-#   (a) the 16 entries added late in round 5 that have never had a
-#       driver row (includes cumulative_cardinality + ship_lag_priority,
-#       whose oracles were BIGINT-cast this round),
-#   (b) re-checks of the 3 r5 hash-reds, all HUGEINT oracle artifacts
-#       fixed this round by CAST(SUM(...) AS BIGINT); dedup_cc_clusters
-#       (r5-green) precedes dedup_cc_survivors so the connected-
-#       components labeling is computed once and reused via
-#       _CLUSTER_CACHE,
-#   (c) 15 new round-6 operators (pipeline-agg family, extended metric
-#       aggs, pinned query, TPC-H Q13) so they get driver rows in the
-#       round they were built,
-#   (d) 4 entries whose semantics changed or were added late this round,
-#   (e) 10 first-time rows for the round-6-continuation batches
-#       (relational4 / sequences / querydsl3 / training_pipeline2).
-# After this window the r1-r6 union covers all 151 pre-round-6 entries
-# plus 27 of the 62 round-6 additions.
+# queries().  Union of r1-r6 driver rows = 178 of 258 entries, all
+# green; 80 entries (every round-6 addition listed below plus the
+# late-round batches) have never had a driver row — all 80 pass the
+# local check_parity.py rerun at sf0.01.  This round-7 window fills
+# all 50 slots from that list, in order:
+#   (a) the PPL compiler pipelines (16 entries) — a whole query
+#       interface with zero driver evidence until now; includes the
+#       two whose semantics changed late in round 6
+#       (ppl_eventstats_share scale-free threshold, ppl_span_15m),
+#   (b) the request-body DSL JSON compiler bodies (14 entries) — the
+#       other undriven interface; includes dsl_terms_ordered (late
+#       semantics change),
+#   (c) the product-quantization ANN pair and the analyzer-chain pair,
+#   (d) important_part_value (threshold made scale-free late in r6),
+#   (e) the 5 NEW qs_* entries — the Lucene query-string search-bar
+#       parser added this round (the last reference interface that had
+#       no counterpart), each syntax shape oracle-checked,
+#   (f) 10 of the remaining never-checked batch entries (timeseries-2
+#       + training-pipeline-3).
+# After this window the r1-r7 union covers 233 of 263 entries.
 _PRIORITY = [
-    # (a) never driver-checked (added late in round 5)
-    "span_near_query", "geo_bounding_box", "top_metrics_agg",
-    "serial_diff_daily", "moving_fn_minmax", "string_stats_agg",
-    "boxplot_agg", "mad_agg", "auto_date_histogram", "t_test_agg",
-    "cumulative_cardinality", "priority_late_orders", "forecast_revenue",
-    "ship_lag_priority", "small_quantity_revenue", "inactive_high_balance",
-    # (b) r5 hash-reds, oracle HUGEINT-cast this round; minhash leads
-    # the cc pair so the pair-set/cluster memoization is hit in driver
-    # run order (clusters+survivors then pay CC and a cache lookup)
-    "ts_hierarchical_rollup", "adjacency_matrix_agg",
-    "dedup_minhash_lsh", "dedup_cc_clusters", "dedup_cc_survivors",
-    # (c) new round-6 operators
-    "extended_stats_agg", "derivative_agg", "stats_bucket_agg",
-    "percentiles_bucket_agg", "max_bucket_day", "bucket_sort_agg",
-    "bucket_selector_agg", "normalize_pct_agg", "rate_agg",
-    "geo_centroid_agg", "geo_grid_agg", "matrix_stats_agg",
-    "diversified_sampler_agg", "pinned_query", "customer_order_counts",
-    # (d) entries whose semantics changed this round (forecast_revenue's
-    # vacuous 2024 filter -> 1995; the de-vacuoused anti-join and bag
-    # EXCEPT ALL) and the two late-round additions
-    "join_left_anti", "set_ops_nations",
-    "frequent_item_sets_agg", "top_supplier_revenue",
-    # (e) first driver rows for entries added later in round 6 (worth
-    # more than re-confirming old greens — every entry here is new):
-    # TPC-H Q9/Q21 analogs, EQL sequences + change point, significant
-    # text, temperature sampling, chunk dedup, radial search
-    "profit_by_nation_year", "waiting_suppliers",
-    "eql_sequence", "funnel_steps", "change_point_cusum",
-    "significant_text", "variable_width_histogram",
-    "mixture_temperature_sample", "chunk_dedup_stats", "ann_radial_search",
+    # (a) PPL compiler — never driver-checked
+    "ppl_where_stats", "ppl_top_sources", "ppl_rare_langs",
+    "ppl_eval_fields", "ppl_dedup_rename", "ppl_parse_stats",
+    "ppl_span_histogram", "ppl_eventstats_share", "ppl_trendline_daily",
+    "ppl_join_segment", "ppl_lookup_nation", "ppl_in_like",
+    "ppl_grok_stats", "ppl_patterns_template", "ppl_eval_strings",
+    "ppl_span_15m",
+    # (b) DSL JSON compiler — never driver-checked
+    "dsl_bool_filtered_terms", "dsl_should_hits", "dsl_date_histogram",
+    "dsl_value_histogram", "dsl_range_buckets", "dsl_filters_named",
+    "dsl_nested_day_type", "dsl_top_hits_by_type", "dsl_composite_after",
+    "dsl_knn_query", "dsl_search_after", "dsl_range_metrics",
+    "dsl_week_histogram", "dsl_terms_ordered",
+    # (c) PQ ANN + analyzer chains
+    "ann_pq_adc_topk", "ann_pq_rerank_topk",
+    "analyzer_custom_chain", "analyzer_edge_ngram_prefix",
+    # (d) late-round-6 semantics change
+    "important_part_value",
+    # (e) NEW this round: Lucene query-string parser, one entry per
+    # syntax shape (term conjunction, spaced comparison, wildcard,
+    # grouped/bracket ranges + NOT + _exists_, analyzed free text)
+    "qs_term_conjunction", "qs_spaced_comparison", "qs_wildcard_terms",
+    "qs_grouped_ranges", "qs_free_text",
+    # (f) timeseries-2 / training-pipeline-3 never-checked batch
+    "ts_interpolate_linear", "ts_ewma", "ts_downsample_lttb",
+    "ts_time_weighted_avg", "ts_state_agg", "ts_calendar_heatmap",
+    "bucket_correlation_agg", "ts_seasonal_profile",
+    "stratified_split", "source_overlap_matrix",
 ]
 
-# Round-7 rotation TODO: after this window lands, every entry has a
-# driver row.  Next-oldest rows are the remaining r2-era greens
-# (q08_top_n, q09_limit, q10_count, q12_index_pattern_union,
-# cdc_incremental_agg, cdc_mirror_count, cdc_op_stats, join_left_anti,
-# join_pricing_summary, join_shipping_priority,
-# join_local_supplier_volume, join_returned_items, join_promo_share,
-# join_disjunctive_filter, window_running_sum, window_rank_in_group,
-# set_ops_nations, rollup_status_priority, distinct_agg,
-# percentiles_value, stats_agg, date_arithmetic, string_funcs,
-# subquery_exists, subquery_in, subquery_scalar,
-# subquery_correlated_scalar, unpivot_metrics, q01b_like_prefix,
-# null_semantics, string_normalize) then the r4-era block — rotate
-# those in, plus re-checks of anything round 6 leaves red, plus driver
-# rows for the 14 operators added after the round-6 window froze:
-# intervals_query, distance_feature_query, random_score_query,
-# nested_agg_items, moving_percentiles_agg, geo_line_agg,
-# ts_interpolate_linear, ts_calendar_heatmap, ts_ewma,
-# ts_downsample_lttb, ts_time_weighted_avg, ts_state_agg,
-# quality_bigram_lm, embedding_centroids (all have sf0.001+sf0.01
-# local parity), the relational batch-4 TPC-H analogs
-# profit_by_nation_year, important_part_value, bracket_revenue,
-# waiting_suppliers, and the query-DSL batch-7 entries ids_query,
-# exists_missing_agg, rank_feature_query, script_score_query,
-# span_first_query, match_phrase_prefix, weighted_avg_agg,
-# categorize_text_agg, significant_text, variable_width_histogram,
-# and the event-sequence batch eql_sequence, eql_sequence_until,
-# funnel_steps, change_point_cusum, and the training-pipeline batch-2
-# entries length_percentile_filter, mixture_temperature_sample,
-# chunk_dedup_stats, ann_radial_search, and the time-series batch-2
-# entries bucket_correlation_agg, ts_seasonal_profile, ts_autocorr,
-# ts_rolling_corr, and the query-DSL batch-8 entries has_child_query,
-# has_parent_query, terms_lookup_filter, geo_polygon_query,
-# global_agg_compare, plus knn_join_topk, transform_entity_centric,
-# ts_seasonal_anomaly, event_transition_matrix, ks_test_agg,
-# min_sum_bucket_agg, window_percent_rank, fuzzy_name_join, and the
-# five PPL-compiler pipelines ppl_where_stats, ppl_top_sources,
-# ppl_rare_langs, ppl_eval_fields, ppl_dedup_rename, ppl_parse_stats,
-# and the three
-# DSL-JSON-compiler bodies dsl_bool_filtered_terms, dsl_should_hits,
-# dsl_date_histogram, dsl_value_histogram, dsl_range_buckets,
-# dsl_filters_named, ppl_span_histogram
-# (all with sf0.001+sf0.01 local parity; the definitive end-of-round
-# sf0.01 sweep passed 219/219 and the additions after it were each
-# verified at sf0.001/0.01/0.1). Ten of these (the _PRIORITY
-# (e) block above) already sit in the round-6 window; rotate the rest
-# in for round 7.
-#
-# Round-6 IN-ROUND additions (each verified at sf0.001+sf0.01 — most
-# also at sf0.1 via the full 251-entry sf0.1 sweep — none
-# driver-checked yet; include in the round-7 window):
-# PPL commands ppl_eventstats_share, ppl_trendline_daily,
-# ppl_join_segment, ppl_lookup_nation, ppl_in_like, ppl_grok_stats,
-# ppl_patterns_template; DSL bodies dsl_nested_day_type,
-# dsl_top_hits_by_type, dsl_composite_after, dsl_knn_query;
-# training-pipeline batch 3 stratified_split, source_overlap_matrix,
-# vocab_coverage; analyzer chains analyzer_custom_chain,
-# analyzer_edge_ngram_prefix; PQ vector search ann_pq_adc_topk,
-# ann_pq_rerank_topk; DSL search_after (dsl_search_after), range
-# metrics (dsl_range_metrics), week histogram (dsl_week_histogram),
-# metric-ordered terms (dsl_terms_ordered); PPL eval string built-ins
-# (ppl_eval_strings) and 15-minute span (ppl_span_15m).  Also re-check
-# important_part_value and ppl_eventstats_share (thresholds made
-# scale-free after the sf0.1 vacuity audit — semantics changed this
-# round).
+# Round-8 rotation TODO (pre-staged): the 35 remaining never-checked
+# entries, then re-confirmations of the oldest r1/r2-era rows.
+# Never-checked (all local-green at sf0.01 via check_parity.py):
+#   vocab_coverage, ts_autocorr, ts_rolling_corr, ts_seasonal_anomaly,
+#   event_transition_matrix, moving_percentiles_agg, geo_line_agg,
+#   ks_test_agg, min_sum_bucket_agg, eql_sequence_until,
+#   bracket_revenue, window_percent_rank, fuzzy_name_join,
+#   embedding_centroids, intervals_query, distance_feature_query,
+#   random_score_query, nested_agg_items, ids_query,
+#   exists_missing_agg, rank_feature_query, script_score_query,
+#   span_first_query, match_phrase_prefix, weighted_avg_agg,
+#   categorize_text_agg, has_child_query, has_parent_query,
+#   terms_lookup_filter, geo_polygon_query, global_agg_compare,
+#   transform_entity_centric, quality_bigram_lm,
+#   length_percentile_filter, knn_join_topk
+# Re-checks (15 oldest driver rows, r1/r2-era):
+#   q08_top_n, q09_limit, q10_count, q12_index_pattern_union,
+#   cdc_incremental_agg, cdc_mirror_count, cdc_op_stats,
+#   join_pricing_summary, join_shipping_priority,
+#   join_local_supplier_volume, window_running_sum,
+#   window_rank_in_group, rollup_status_priority, distinct_agg,
+#   subquery_exists
+# After round 8 every entry has a driver row and the oldest rows are
+# re-confirmed.
 
 
 def entry(spark: SparkSession) -> DataFrame:

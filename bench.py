@@ -104,12 +104,20 @@ def main() -> None:
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     q_names = list(timings)
     q_cs = [int(round(timings[n] * 100)) for n in q_names]
+    # guard the positional array against order drift: the cs array is
+    # only decodable given queries() order at the same commit, so a
+    # mid-round reorder must be detectable — first 8 hex of md5 over
+    # the ordered name list travels with the timings
+    import hashlib
+
+    order_md5 = hashlib.md5(",".join(q_names).encode()).hexdigest()[:8]
     payload = {
         "metric": "query_surface_total_runtime",
         "value": round(total, 3),
         "unit": "sec",
         "sf": sf_val,
         "n_queries": len(q_cs),
+        "order_md5": order_md5,
         "queries_cs": q_cs,
         "throughput": throughput,
     }

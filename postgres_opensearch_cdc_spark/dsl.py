@@ -12,7 +12,8 @@ query context:
     timestamp), exists, ids, prefix, wildcard (* → %), match
     (analyzed OR over whitespace tokens), match_phrase,
     bool (must / filter / must_not / should + minimum_should_match),
-    match_all
+    match_all, query_string (the Dashboards search-bar syntax, parsed
+    by querystring.py into these same nodes)
 
 aggregations (the dashboard panel shapes):
     terms (field, size, order by _key/_count/any metric sub-agg),
@@ -83,6 +84,22 @@ def compile_query(node: dict, id_col: str = "doc_id") -> Column:
     kind, body = next(iter(node.items()))
     if kind == "match_all":
         return F.lit(True)
+    if kind == "query_string":
+        # the Dashboards search-bar syntax (status:ACTIVE AND amount > 0)
+        # — parsed into these same node dicts, then compiled through
+        # this very function, so both interfaces share one plan path
+        from postgres_opensearch_cdc_spark.querystring import (
+            parse_query_string,
+        )
+
+        if isinstance(body, str):
+            body = {"query": body}
+        parsed = parse_query_string(
+            body["query"],
+            default_field=body.get("default_field"),
+            default_operator=body.get("default_operator", "OR"),
+        )
+        return compile_query(parsed, id_col)
     if kind == "term":
         ((f, v),) = body.items()
         if isinstance(v, dict):

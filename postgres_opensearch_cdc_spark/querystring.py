@@ -1,0 +1,265 @@
+"""Lucene query-string parser: the search-bar syntax a reference user
+types into OpenSearch Dashboards (DASHBOARD_GUIDE.md:89 —
+``status:ACTIVE AND card_type:DEBIT``; :122-135 —
+``is_active:true AND pending_amount > 0``, wildcards ``card*``),
+parsed into the same node dicts the request-body DSL compiler
+(dsl.py) already executes, so both interfaces share one compilation
+path and produce identical Catalyst plans.
+
+Supported syntax (the subset the reference's dashboards exercise):
+
+    field:value                 term (true/false/numbers coerced)
+    field:"a phrase"            match_phrase
+    field:val*                  wildcard (* any run, ? one char)
+    field:>N  :>=N  :<N  :<=N   one-sided range
+    field > N  (>=, <, <=)      same, spaced comparison form
+    field:[a TO b]              range, [ ] inclusive, { } exclusive,
+                                * for an open end; mixed [a TO b}
+    _exists_:field              exists
+    bare terms / "phrase" / w*  analyzed against default_field
+    AND OR NOT ( )              boolean structure, NOT binds tightest;
+                                adjacent clauses join with
+                                default_operator (OR, like ES)
+
+Output is a plain DSL node tree (term / range / wildcard /
+match_phrase / match / exists / bool) — dsl.compile_query turns it
+into pushdown-friendly Column expressions; nothing here touches a
+DataFrame. Errors raise QueryStringError with the offending text.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column
+
+
+class QueryStringError(ValueError):
+    pass
+
+
+_TOKEN_RE = re.compile(
+    r"""\s*(?:
+        (?P<quoted>"[^"]*")
+      | (?P<lparen>\()
+      | (?P<rparen>\))
+      | (?P<lbrack>[\[{])
+      | (?P<rbrack>[\]}])
+      | (?P<cmp>>=|<=|>|<)
+      | (?P<colon>:)
+      | (?P<word>[^\s():<>=\[\]{}"]+)
+    )""",
+    re.X,
+)
+
+_RESERVED = {"AND", "OR", "NOT", "TO"}
+
+
+def _tokenize(text: str) -> list[tuple[str, str]]:
+    toks, pos = [], 0
+    while pos < len(text):
+        m = _TOKEN_RE.match(text, pos)
+        if not m or m.end() == m.start():
+            if text[pos:].strip() == "":
+                break
+            raise QueryStringError(f"cannot tokenize at: {text[pos:]!r}")
+        for name, val in m.groupdict().items():
+            if val is not None:
+                toks.append((name, val))
+        pos = m.end()
+    return toks
+
+
+def _coerce(tok: str):
+    """Literal coercion for term/range values: booleans and numbers
+    become typed Python literals so `is_active:true` compares a
+    boolean column against True, not the string 'true'; everything
+    else stays a string (dsl._lit upgrades ISO dates to timestamps)."""
+    low = tok.lower()
+    if low == "true":
+        return True
+    if low == "false":
+        return False
+    if re.fullmatch(r"-?\d+", tok):
+        return int(tok)
+    if re.fullmatch(r"-?\d+\.\d+", tok):
+        return float(tok)
+    return tok
+
+
+class _Parser:
+    def __init__(self, toks, default_field, default_operator):
+        self.toks = toks
+        self.i = 0
+        self.default_field = default_field
+        if default_operator not in ("OR", "AND"):
+            raise QueryStringError(
+                f"default_operator must be OR or AND: {default_operator!r}"
+            )
+        self.default_operator = default_operator
+
+    def _peek(self):
+        return self.toks[self.i] if self.i < len(self.toks) else (None, None)
+
+    def _next(self):
+        t = self._peek()
+        self.i += 1
+        return t
+
+    # -- grammar ----------------------------------------------------
+    # Adjacent clauses with no connective join with default_operator;
+    # explicit AND binds tighter than OR (Lucene precedence), NOT
+    # tightest.  Parsing collects a flat [node, op, node, ...] chain,
+    # then groups AND runs inside OR.
+
+    def parse(self) -> dict:
+        node = self._or_chain()
+        kind, val = self._peek()
+        if kind is not None:
+            raise QueryStringError(f"unexpected trailing token: {val!r}")
+        return node
+
+    def _or_chain(self) -> dict:
+        groups = [[self._unary()]]  # list of AND-groups
+        while True:
+            kind, val = self._peek()
+            if kind is None or kind == "rparen":
+                break
+            if kind == "word" and val == "OR":
+                self._next()
+                groups.append([self._unary()])
+            elif kind == "word" and val == "AND":
+                self._next()
+                groups[-1].append(self._unary())
+            else:  # implicit connective
+                if self.default_operator == "AND":
+                    groups[-1].append(self._unary())
+                else:
+                    groups.append([self._unary()])
+        ands = [
+            g[0] if len(g) == 1 else {"bool": {"must": g}} for g in groups
+        ]
+        if len(ands) == 1:
+            return ands[0]
+        return {"bool": {"should": ands, "minimum_should_match": 1}}
+
+    def _unary(self) -> dict:
+        kind, val = self._peek()
+        if kind == "word" and val == "NOT":
+            self._next()
+            return {"bool": {"must_not": [self._unary()]}}
+        if kind == "lparen":
+            self._next()
+            node = self._or_chain()
+            k2, v2 = self._next()
+            if k2 != "rparen":
+                raise QueryStringError(f"expected ')', got {v2!r}")
+            return node
+        return self._clause()
+
+    def _clause(self) -> dict:
+        kind, val = self._next()
+        if kind == "quoted":
+            return self._default_clause("match_phrase", val[1:-1])
+        if kind != "word":
+            raise QueryStringError(f"expected a clause, got {val!r}")
+        if val in _RESERVED:
+            raise QueryStringError(f"operator {val} is not a value")
+        nk, _ = self._peek()
+        if nk == "colon":
+            self._next()
+            return self._field_clause(val)
+        if nk == "cmp":
+            _, op = self._next()
+            vk, vv = self._next()
+            if vk != "word":
+                raise QueryStringError(f"{val} {op} needs a value, got {vv!r}")
+            return {"range": {val: {_CMP_OP[op]: _coerce(vv)}}}
+        return self._default_clause("term", val)
+
+    def _field_clause(self, field: str) -> dict:
+        if field == "_exists_":
+            vk, vv = self._next()
+            if vk != "word":
+                raise QueryStringError(f"_exists_: needs a field, got {vv!r}")
+            return {"exists": {"field": vv}}
+        kind, val = self._next()
+        if kind == "quoted":
+            return {"match_phrase": {field: val[1:-1]}}
+        if kind == "cmp":
+            vk, vv = self._next()
+            if vk != "word":
+                raise QueryStringError(
+                    f"{field}:{val} needs a value, got {vv!r}"
+                )
+            return {"range": {field: {_CMP_OP[val]: _coerce(vv)}}}
+        if kind == "lbrack":
+            return self._bracket_range(field, val)
+        if kind != "word" or val in _RESERVED:
+            raise QueryStringError(f"{field}: needs a value, got {val!r}")
+        if "*" in val or "?" in val:
+            return {"wildcard": {field: val}}
+        return {"term": {field: _coerce(val)}}
+
+    def _bracket_range(self, field: str, open_br: str) -> dict:
+        lk, lo = self._next()
+        tk, to_kw = self._next()
+        hk, hi = self._next()
+        ck, close_br = self._next()
+        if (lk, hk) != ("word", "word") or (tk, to_kw) != ("word", "TO") \
+                or ck != "rbrack":
+            raise QueryStringError(
+                f"bad range on {field}: expected [a TO b] / {{a TO b}}"
+            )
+        bounds: dict = {}
+        if lo != "*":
+            bounds["gte" if open_br == "[" else "gt"] = _coerce(lo)
+        if hi != "*":
+            bounds["lte" if close_br == "]" else "lt"] = _coerce(hi)
+        if not bounds:
+            raise QueryStringError(f"unbounded range on {field}")
+        return {"range": {field: bounds}}
+
+    def _default_clause(self, kind: str, text: str) -> dict:
+        if self.default_field is None:
+            raise QueryStringError(
+                f"bare {text!r} needs default_field (no field: prefix)"
+            )
+        f = self.default_field
+        if kind == "term":
+            if "*" in text or "?" in text:
+                return {"wildcard": {f: text}}
+            # bare free text is ANALYZED against the default field
+            # (ES query_string semantics), not exact-term-matched
+            return {"match": {f: text}}
+        return {kind: {f: text}}
+
+
+_CMP_OP = {">": "gt", ">=": "gte", "<": "lt", "<=": "lte"}
+
+
+def parse_query_string(
+    text: str,
+    default_field: str | None = None,
+    default_operator: str = "OR",
+) -> dict:
+    """Parse a Lucene query string into a DSL node tree (the dict
+    shape dsl.compile_query executes)."""
+    toks = _tokenize(text)
+    if not toks:
+        raise QueryStringError("empty query string")
+    return _Parser(toks, default_field, default_operator).parse()
+
+
+def compile_query_string(
+    text: str,
+    default_field: str | None = None,
+    default_operator: str = "OR",
+    id_col: str = "doc_id",
+) -> Column:
+    """Parse + compile to a pushdown-friendly Column predicate."""
+    from postgres_opensearch_cdc_spark.dsl import compile_query
+
+    return compile_query(
+        parse_query_string(text, default_field, default_operator), id_col
+    )

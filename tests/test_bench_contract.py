@@ -40,6 +40,14 @@ def test_bench_emits_valid_contract_json():
 
     names = list(entrymod.queries())
     assert doc["n_queries"] == len(doc["queries_cs"]) == len(names)
+    # positional array is only decodable at this exact entry order —
+    # the checksum pins it so a mid-round reorder can't silently
+    # mis-attribute timings
+    import hashlib
+
+    assert doc["order_md5"] == hashlib.md5(
+        ",".join(names).encode()
+    ).hexdigest()[:8]
     failed = [n for n, cs in zip(names, doc["queries_cs"]) if cs < 0]
     assert not failed, f"bench queries failed: {failed}"
     tp = doc["throughput"]

@@ -1,0 +1,156 @@
+"""Lucene query-string parser: node-tree shapes, plan equality with
+the equivalent request-body DSL JSON (both compile through
+dsl.compile_query, so the Catalyst plans must be identical), pushdown,
+and error handling. The parity gate value-checks the five qs_*
+entries; these pin the parser itself."""
+
+from __future__ import annotations
+
+import pytest
+
+from postgres_opensearch_cdc_spark.dsl import search
+from postgres_opensearch_cdc_spark.querystring import (
+    QueryStringError,
+    parse_query_string,
+)
+from postgres_opensearch_cdc_spark.testing import explain_plan
+
+
+def test_field_term_and_coercion():
+    assert parse_query_string("status:ACTIVE") == {
+        "term": {"status": "ACTIVE"}
+    }
+    assert parse_query_string("is_active:true") == {
+        "term": {"is_active": True}
+    }
+    assert parse_query_string("status_enum:0") == {"term": {"status_enum": 0}}
+    assert parse_query_string("rate:1.5") == {"term": {"rate": 1.5}}
+
+
+def test_and_or_not_precedence():
+    """a OR b AND c parses as a OR (b AND c) — AND binds tighter."""
+    node = parse_query_string("a:1 OR b:2 AND c:3")
+    assert node == {
+        "bool": {
+            "should": [
+                {"term": {"a": 1}},
+                {"bool": {"must": [{"term": {"b": 2}}, {"term": {"c": 3}}]}},
+            ],
+            "minimum_should_match": 1,
+        }
+    }
+    assert parse_query_string("NOT a:1") == {
+        "bool": {"must_not": [{"term": {"a": 1}}]}
+    }
+
+
+def test_grouping_overrides_precedence():
+    node = parse_query_string("(a:1 OR b:2) AND c:3")
+    assert node["bool"]["must"][0]["bool"]["should"] == [
+        {"term": {"a": 1}},
+        {"term": {"b": 2}},
+    ]
+
+
+def test_comparison_forms_agree():
+    """field:>N and field > N produce the same range node."""
+    assert (
+        parse_query_string("amount:>1000")
+        == parse_query_string("amount > 1000")
+        == {"range": {"amount": {"gt": 1000}}}
+    )
+    assert parse_query_string("amount:<=2.5") == {
+        "range": {"amount": {"lte": 2.5}}
+    }
+
+
+def test_bracket_ranges():
+    assert parse_query_string("v:[100 TO 500}") == {
+        "range": {"v": {"gte": 100, "lt": 500}}
+    }
+    assert parse_query_string("v:{1 TO 9]") == {
+        "range": {"v": {"gt": 1, "lte": 9}}
+    }
+    assert parse_query_string("d:[2024-01-05 TO *]") == {
+        "range": {"d": {"gte": "2024-01-05"}}
+    }
+    with pytest.raises(QueryStringError, match="unbounded"):
+        parse_query_string("v:[* TO *]")
+
+
+def test_wildcard_phrase_exists_and_default_field():
+    assert parse_query_string("card_type:card*") == {
+        "wildcard": {"card_type": "card*"}
+    }
+    assert parse_query_string('msg:"timed out"') == {
+        "match_phrase": {"msg": "timed out"}
+    }
+    assert parse_query_string("_exists_:value") == {
+        "exists": {"field": "value"}
+    }
+    assert parse_query_string("spark", default_field="text") == {
+        "match": {"text": "spark"}
+    }
+    assert parse_query_string("card*", default_field="text") == {
+        "wildcard": {"text": "card*"}
+    }
+    with pytest.raises(QueryStringError, match="default_field"):
+        parse_query_string("spark")
+
+
+def test_default_operator():
+    assert parse_query_string("a b", default_field="t") == {
+        "bool": {
+            "should": [{"match": {"t": "a"}}, {"match": {"t": "b"}}],
+            "minimum_should_match": 1,
+        }
+    }
+    assert parse_query_string("a b", default_field="t",
+                              default_operator="AND") == {
+        "bool": {"must": [{"match": {"t": "a"}}, {"match": {"t": "b"}}]}
+    }
+
+
+def test_errors():
+    for bad in ("", "f:", "f:[1 TO", "(a:1", "AND", "f:AND", "a:1)"):
+        with pytest.raises(QueryStringError):
+            parse_query_string(bad)
+
+
+def test_plan_matches_equivalent_dsl_json(spark, sf_dir):
+    """The search-bar string and the hand-written request-body JSON
+    must compile to the SAME Catalyst plan — one compilation path."""
+    qs_body = {
+        "query": {"query_string": {
+            "query": "o_orderstatus:F AND o_totalprice > 1000.0",
+        }},
+        "_source": ["o_orderkey"], "size": 10,
+        "sort": [{"o_orderkey": {"order": "asc"}}],
+    }
+    dsl_body = {
+        "query": {"bool": {"must": [
+            {"term": {"o_orderstatus": "F"}},
+            {"range": {"o_totalprice": {"gt": 1000.0}}},
+        ]}},
+        "_source": ["o_orderkey"], "size": 10,
+        "sort": [{"o_orderkey": {"order": "asc"}}],
+    }
+    import re
+
+    p1 = explain_plan(search(spark, sf_dir, "orders", qs_body,
+                             id_col="o_orderkey"))
+    p2 = explain_plan(search(spark, sf_dir, "orders", dsl_body,
+                             id_col="o_orderkey"))
+    # expression IDs (#7L vs #0L) differ per-DataFrame; strip them
+    assert re.sub(r"#\d+", "#", p1) == re.sub(r"#\d+", "#", p2)
+    assert "EqualTo(o_orderstatus,F)" in p1, "term not pushed to scan"
+    assert "GreaterThan(o_totalprice,1000.0)" in p1, "range not pushed"
+
+
+def test_query_string_accepts_bare_string_body(spark, sf_dir):
+    df = search(
+        spark, sf_dir, "orders",
+        {"query": {"query_string": "o_orderstatus:F"}, "size": 5},
+        id_col="o_orderkey",
+    )
+    assert df.count() == 5
