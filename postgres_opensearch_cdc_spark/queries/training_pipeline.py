@@ -155,15 +155,27 @@ def contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     shared grams. Grams are md5-hashed before the join (fixed-width
     shuffle keys); the benchmark gram set is distinct-ed and broadcast."""
     docs = load_table(spark, sf_dir, "documents")
-    grams = _ensure_parallelism(docs).select(
-        "doc_id", F.explode(_ngrams(_toks(F.col("text")), CONTAM_N)).alias("gram")
-    ).select("doc_id", F.md5(F.col("gram")).alias("gram_h"))
+
+    # split FIRST, shingle second: filtering above _ensure_parallelism's
+    # repartition pins the doc_id predicates above the Exchange, so BOTH
+    # sides were scanning and shuffling the full document payload. With
+    # the filter on the raw scan each side reads only its own docs
+    # (PushedFilters at the parquet scan) and only the corpus side —
+    # the CPU-heavy one — pays the parallelism-spreading shuffle.
+    def _grams(side: DataFrame) -> DataFrame:
+        return side.select(
+            "doc_id",
+            F.explode(_ngrams(_toks(F.col("text")), CONTAM_N)).alias("gram"),
+        ).select("doc_id", F.md5(F.col("gram")).alias("gram_h"))
+
     bench = (
-        grams.filter(F.col("doc_id") < BENCHMARK_MAX_DOC_ID)
+        _grams(docs.filter(F.col("doc_id") < BENCHMARK_MAX_DOC_ID))
         .select("gram_h")
         .distinct()
     )
-    corpus = grams.filter(F.col("doc_id") >= BENCHMARK_MAX_DOC_ID)
+    corpus = _grams(_ensure_parallelism(
+        docs.filter(F.col("doc_id") >= BENCHMARK_MAX_DOC_ID)
+    ))
     return (
         corpus.join(F.broadcast(bench), "gram_h")
         .groupBy("doc_id")

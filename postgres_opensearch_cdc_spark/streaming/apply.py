@@ -201,16 +201,49 @@ class PartitionedMirrorSink:
             return False
         return any(e.startswith("_bucket=") for e in os.listdir(self.path))
 
+    # -- schema sidecar -------------------------------------------------
+    # Partition-pruned merges leave MIXED-schema bucket files after a
+    # schema evolution (only touched buckets carry the new column).
+    # mergeSchema handles that, but it runs a footer-merge job over
+    # every file it reads ON EVERY BATCH — O(|mirror|) plan-time work
+    # that defeats the pruning this sink exists for. Instead the sink
+    # persists the running column superset (what unionByName produced)
+    # in a root-level sidecar after each write and reads with that
+    # EXPLICIT schema: zero footer jobs, files missing a column yield
+    # nulls, plan cost independent of mirror size. The sidecar sits
+    # outside the _bucket= partition dirs so dynamic overwrite never
+    # touches it; mirrors written before the sidecar existed fall back
+    # to mergeSchema once and gain the sidecar on their next write.
+
+    def _schema_path(self) -> str:
+        return os.path.join(self.path, "_mirror_schema.json")
+
+    def _stored_schema(self) -> "T.StructType | None":
+        import json
+
+        try:
+            with open(self._schema_path()) as fh:
+                return T.StructType.fromJson(json.load(fh))
+        except (OSError, ValueError, KeyError):
+            return None
+
+    def _store_schema(self, schema: "T.StructType") -> None:
+        import json
+
+        tmp = self._schema_path() + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(schema.jsonValue(), fh)
+        os.replace(tmp, self._schema_path())  # atomic on POSIX
+
+    def _reader(self, spark: SparkSession):
+        stored = self._stored_schema()
+        reader = spark.read.option("basePath", self.path)
+        if stored is not None:
+            return reader.schema(stored)
+        return reader.option("mergeSchema", "true")
+
     def read(self, spark: SparkSession) -> DataFrame:
-        # mergeSchema: partition-pruned merges leave MIXED-schema bucket
-        # files after a schema evolution (only touched buckets carry the
-        # new column); footer-of-one-file inference would silently drop
-        # it from the whole mirror
-        return (
-            spark.read.option("mergeSchema", "true")
-            .parquet(self.path)
-            .drop("_bucket")
-        )
+        return self._reader(spark).parquet(self.path).drop("_bucket")
 
     def apply_batch(self, batch: DataFrame, batch_id: int) -> None:
         _require_merge_columns(
@@ -223,16 +256,28 @@ class PartitionedMirrorSink:
             batch = batch.withColumn("_bucket", self._bucket())
             existed = self.exists()
             touched: list = []
+            current = None
             if existed:
                 touched = [
                     r["_bucket"]
                     for r in batch.select("_bucket").distinct().collect()
                 ]
+                # list only touched bucket DIRECTORIES (basePath keeps
+                # _bucket as a partition column) and read them with the
+                # sidecar schema — scan AND schema resolution are both
+                # O(|touched buckets|), no whole-mirror footer sweep.
+                # Buckets new in this batch have no directory yet and
+                # are skipped (nothing to merge).
+                touched_dirs = [
+                    p for b in touched
+                    if os.path.isdir(p := f"{self.path}/_bucket={b}")
+                ]
                 current = (
-                    spark.read.option("mergeSchema", "true")
-                    .parquet(self.path)
-                    .filter(F.col("_bucket").isin(touched))  # partition pruning
-                )
+                    self._reader(spark)
+                    .parquet(*touched_dirs)
+                    .filter(F.col("_bucket").isin(touched))
+                ) if touched_dirs else None
+            if current is not None:
                 as_changes = current.select(
                     F.lit("u").alias(self.op_col),
                     *[F.col(c) for c in current.columns if c != self.op_col],
@@ -260,6 +305,11 @@ class PartitionedMirrorSink:
                 .partitionBy("_bucket")
                 .parquet(self.path)
             )
+            # persist the running column superset (unionByName already
+            # folded any evolved columns in) — next batch plans with it
+            # instead of sweeping footers; _bucket stays a discovered
+            # partition column
+            self._store_schema(merged.drop("_bucket").schema)
             if existed and touched:
                 # dynamic overwrite only rewrites buckets PRESENT in the
                 # output: a touched bucket whose keys were all deleted
