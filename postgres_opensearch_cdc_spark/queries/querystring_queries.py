@@ -48,11 +48,11 @@ def qs_spaced_comparison(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def qs_wildcard_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Wildcard clauses (``card*`` shape) OR-ed, feeding a terms agg —
-    the search-bar-plus-panel combination."""
+    """Wildcard clauses (``card*`` shape) OR-ed through field grouping,
+    feeding a terms agg — the search-bar-plus-panel combination."""
     body = {
         "query": {"query_string": {
-            "query": "p_type:PROMO* OR p_type:ECONOMY*",
+            "query": "p_type:(PROMO* OR ECONOMY*)",
         }},
         "aggs": {"ptype": {"terms": {"field": "p_type", "size": 15}}},
     }

@@ -114,8 +114,13 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokens covered (in exact basis points — floor of an integer ratio,
     so the value is engine-deterministic). The tokenizer-design
     question ("how big a vocab covers 99% of tokens?") as one
-    explode+count pass; the ranking window runs over the vocabulary,
-    which stays tiny relative to the corpus at any scale."""
+    explode+count pass. The global (n desc, tok) rank+cumsum is
+    computed TWO-LEVEL so no single partition ever holds the whole
+    vocabulary: tokens bucket by floor(log2(n)) (monotone in n, so
+    bucket-desc-then-local order IS the global order), per-bucket
+    windows rank and cumsum in parallel, and only the per-bucket
+    totals — one row per bucket, ~64 rows at any corpus size — pay a
+    driver-small prefix scan that is broadcast back."""
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")
@@ -123,11 +128,33 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select(F.explode(textfn.tokens(F.col("text"))).alias("tok"))
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("n"))
+    ).withColumn("_b", F.floor(F.log2("n")).cast("long"))
+    # level 1: parallel per-bucket rank + running sum
+    w_local = Window.partitionBy("_b").orderBy(F.col("n").desc(), "tok")
+    local = counts.withColumn(
+        "_lk", F.row_number().over(w_local)
+    ).withColumn(
+        "_lcum", F.sum("n").over(w_local.rowsBetween(
+            Window.unboundedPreceding, 0))
     )
-    w_rank = Window.orderBy(F.col("n").desc(), F.col("tok"))
-    w_cum = w_rank.rowsBetween(Window.unboundedPreceding, 0)
-    ranked = counts.withColumn("k", F.row_number().over(w_rank)).withColumn(
-        "cum_tokens", F.sum("n").over(w_cum)
+    # level 2: exclusive prefix over bucket totals (rows = #buckets)
+    w_pfx = Window.orderBy(F.col("_b").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = (
+        counts.groupBy("_b")
+        .agg(F.count(F.lit(1)).alias("_bn"), F.sum("n").alias("_bsum"))
+        .select(
+            "_b",
+            F.coalesce(F.sum("_bn").over(w_pfx), F.lit(0)).alias("_ok"),
+            F.coalesce(F.sum("_bsum").over(w_pfx), F.lit(0)).alias("_ocum"),
+        )
+    )
+    ranked = (
+        local.join(F.broadcast(offsets), "_b")
+        .withColumn("k", (F.col("_ok") + F.col("_lk")).cast("int"))
+        .withColumn("cum_tokens", F.col("_ocum") + F.col("_lcum"))
+        .drop("_b", "_lk", "_lcum", "_ok", "_ocum")
     )
     total = docs.agg(
         F.sum(textfn.token_count(F.col("text"))).alias("total_tokens")

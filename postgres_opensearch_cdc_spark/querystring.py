@@ -15,6 +15,9 @@ Supported syntax (the subset the reference's dashboards exercise):
     field > N  (>=, <, <=)      same, spaced comparison form
     field:[a TO b]              range, [ ] inclusive, { } exclusive,
                                 * for an open end; mixed [a TO b}
+    field:(a OR b*)             field grouping — the field distributes
+                                over the parenthesized values (terms /
+                                wildcards / phrases)
     _exists_:field              exists
     bare terms / "phrase" / w*  analyzed against default_field
     AND OR NOT ( )              boolean structure, NOT binds tightest;
@@ -97,6 +100,7 @@ class _Parser:
                 f"default_operator must be OR or AND: {default_operator!r}"
             )
         self.default_operator = default_operator
+        self._field_group: str | None = None  # inside field:(...)
 
     def _peek(self):
         return self.toks[self.i] if self.i < len(self.toks) else (None, None)
@@ -160,6 +164,8 @@ class _Parser:
     def _clause(self) -> dict:
         kind, val = self._next()
         if kind == "quoted":
+            if self._field_group is not None:
+                return {"match_phrase": {self._field_group: val[1:-1]}}
             return self._default_clause("match_phrase", val[1:-1])
         if kind != "word":
             raise QueryStringError(f"expected a clause, got {val!r}")
@@ -175,6 +181,13 @@ class _Parser:
             if vk != "word":
                 raise QueryStringError(f"{val} {op} needs a value, got {vv!r}")
             return {"range": {val: {_CMP_OP[op]: _coerce(vv)}}}
+        if self._field_group is not None:
+            # inside field:(...) bare values are TERMS on that field
+            # (Lucene field grouping), not analyzed default-field text
+            f = self._field_group
+            if "*" in val or "?" in val:
+                return {"wildcard": {f: val}}
+            return {"term": {f: _coerce(val)}}
         return self._default_clause("term", val)
 
     def _field_clause(self, field: str) -> dict:
@@ -184,6 +197,16 @@ class _Parser:
                 raise QueryStringError(f"_exists_: needs a field, got {vv!r}")
             return {"exists": {"field": vv}}
         kind, val = self._next()
+        if kind == "lparen":
+            # field grouping: field:(a OR b*) distributes the field
+            # over the parenthesized values
+            prev, self._field_group = self._field_group, field
+            node = self._or_chain()
+            k2, v2 = self._next()
+            if k2 != "rparen":
+                raise QueryStringError(f"expected ')', got {v2!r}")
+            self._field_group = prev
+            return node
         if kind == "quoted":
             return {"match_phrase": {field: val[1:-1]}}
         if kind == "cmp":

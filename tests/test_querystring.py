@@ -154,3 +154,37 @@ def test_query_string_accepts_bare_string_body(spark, sf_dir):
         id_col="o_orderkey",
     )
     assert df.count() == 5
+
+
+def test_field_grouping_distributes_field():
+    """field:(a OR b) — values inside the group are TERMS on the
+    field (wildcards/phrases keep their kinds); nesting restores the
+    outer context."""
+    assert parse_query_string("t:(a OR b)") == {
+        "bool": {
+            "should": [{"term": {"t": "a"}}, {"term": {"t": "b"}}],
+            "minimum_should_match": 1,
+        }
+    }
+    assert parse_query_string("t:(PROMO* OR 7)") == {
+        "bool": {
+            "should": [{"wildcard": {"t": "PROMO*"}}, {"term": {"t": 7}}],
+            "minimum_should_match": 1,
+        }
+    }
+    assert parse_query_string('t:("a b" AND NOT c)') == {
+        "bool": {"must": [
+            {"match_phrase": {"t": "a b"}},
+            {"bool": {"must_not": [{"term": {"t": "c"}}]}},
+        ]}
+    }
+    # explicit field: inside the group still wins over the group field
+    assert parse_query_string("t:(a OR u:b)") == {
+        "bool": {
+            "should": [{"term": {"t": "a"}}, {"term": {"u": "b"}}],
+            "minimum_should_match": 1,
+        }
+    }
+    # after the group closes, bare terms are back to default_field rules
+    with pytest.raises(QueryStringError, match="default_field"):
+        parse_query_string("t:(a) b")
