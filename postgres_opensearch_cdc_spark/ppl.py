@@ -59,7 +59,8 @@ Supported stages (the core of the public PPL command set):
                                            other columns)
 
 Where conditions support =, !=, >, >=, <, <=, ``f in (v1, v2, ...)``,
-``like(f, 'pat%')`` (SQL-LIKE wildcards), and ``not <cond>``.
+``like(f, 'pat%')`` (SQL-LIKE wildcards), ``not <cond>``, and
+parenthesized grouping (``(a = 1 or b = 2) and c > 3``).
 
 Errors are raised as PPLSyntaxError with the offending stage text.
 """
@@ -133,14 +134,40 @@ def _parse_literal(tok: str):
     raise PPLSyntaxError(f"unsupported literal: {tok!r}")
 
 
+def _split_bool(text: str, kw: str) -> list[str]:
+    """Split on a boolean keyword at paren depth 0, outside quotes —
+    so ``(a = 1 or b = 2) and c = 3`` and ``f in (1, 2)`` group
+    correctly."""
+    pat = re.compile(rf"\s+{kw}\s+", flags=re.I)
+    parts, depth, in_str, start, i = [], 0, False, 0, 0
+    while i < len(text):
+        ch = text[i]
+        if ch == "'":
+            in_str = not in_str
+        elif not in_str:
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif depth == 0:
+                m = pat.match(text, i)
+                if m:
+                    parts.append(text[start:i])
+                    start = i = m.end()
+                    continue
+        i += 1
+    parts.append(text[start:])
+    return parts
+
+
 def _compile_condition(text: str):
-    """AND/OR chain of comparisons, left-associative, AND binds
-    tighter (standard PPL/SQL precedence)."""
-    or_parts = re.split(r"\s+or\s+", text, flags=re.I)
+    """AND/OR chain of comparisons with parenthesized grouping,
+    left-associative, AND binds tighter (standard PPL/SQL
+    precedence)."""
     or_col = None
-    for or_part in or_parts:
+    for or_part in _split_bool(text, "or"):
         and_col = None
-        for cmp_text in re.split(r"\s+and\s+", or_part, flags=re.I):
+        for cmp_text in _split_bool(or_part, "and"):
             c = _compile_comparison(cmp_text)
             and_col = c if and_col is None else (and_col & c)
         or_col = and_col if or_col is None else (or_col | and_col)
@@ -152,6 +179,20 @@ def _compile_comparison(cmp_text: str):
     nm = re.match(r"not\s+(.+)$", cmp_text, flags=re.I)
     if nm:
         return ~_compile_comparison(nm.group(1))
+    if cmp_text.startswith("(") and cmp_text.endswith(")"):
+        # parenthesized group — but only when the parens actually wrap
+        # the WHOLE text ("(a) and (b)" reaches here already split)
+        depth, in_str = 0, False
+        for i, ch in enumerate(cmp_text):
+            if ch == "'":
+                in_str = not in_str
+            elif not in_str:
+                depth += ch == "("
+                depth -= ch == ")"
+            if depth == 0 and i < len(cmp_text) - 1:
+                break
+        else:
+            return _compile_condition(cmp_text[1:-1])
     im = re.fullmatch(
         r"([A-Za-z_][A-Za-z_0-9]*)\s+in\s*\(\s*(.+?)\s*\)", cmp_text, flags=re.I
     )

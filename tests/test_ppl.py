@@ -330,3 +330,26 @@ def test_join_drops_colliding_right_columns(spark, sf_dir):
     )
     assert joined.columns.count("c_name") == 1
     assert joined.count() > 0
+
+
+def test_where_parenthesized_grouping(spark, sf_dir):
+    """(a or b) and c groups explicitly — parens override the default
+    and-binds-tighter precedence; in-lists and like() keep their own
+    parens intact."""
+    df = ppl(
+        spark, sf_dir,
+        "source=events | where (event_type = 'click' or "
+        "event_type = 'error') and value > 150",
+    )
+    rows = df.select("event_type", "value").collect()
+    assert rows, "grouped where returned nothing"
+    for r in rows:
+        assert r["event_type"] in ("click", "error") and r["value"] > 150
+    nested = ppl(
+        spark, sf_dir,
+        "source=part | where (p_size in (5, 10) or like(p_type, 'P%')) "
+        "and not (p_brand = 'Brand#5' and p_size = 5)",
+    )
+    for r in nested.select("p_size", "p_type", "p_brand").collect():
+        assert r["p_size"] in (5, 10) or r["p_type"].startswith("P")
+        assert not (r["p_brand"] == "Brand#5" and r["p_size"] == 5)
