@@ -133,7 +133,10 @@ _PRIORITY = [
 #   categorize_text_agg, has_child_query, has_parent_query,
 #   terms_lookup_filter, geo_polygon_query, global_agg_compare,
 #   transform_entity_centric, quality_bigram_lm,
-#   length_percentile_filter, knn_join_topk
+#   length_percentile_filter, knn_join_topk, plus the two entries for
+#   the features implemented after the round-7 window froze:
+#   dsl_composite_desc (desc source pagination), dsl_nested_ordered
+#   (outer order/_key + min_doc_count with a sub-bucket)
 # Re-checks (15 oldest driver rows, r1/r2-era):
 #   q08_top_n, q09_limit, q10_count, q12_index_pattern_union,
 #   cdc_incremental_agg, cdc_mirror_count, cdc_op_stats,

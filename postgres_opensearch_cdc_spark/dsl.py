@@ -226,19 +226,33 @@ def _key_expr(spec: dict, name: str) -> Column:
     raise DSLError(f"not a keyed bucket: {list(spec)}")
 
 
-def _reject_outer_terms_options(spec: dict) -> None:
-    """The nested-bucket and top_hits paths rank outer terms buckets by
-    total doc_count desc only; the flat terms path honors ``order`` and
-    ``min_doc_count`` but these paths do not — raise instead of letting
-    a sub-agg silently revert the requested ordering."""
-    if "terms" in spec:
-        unsupported = set(spec["terms"]) & {"order", "min_doc_count"}
-        if unsupported:
-            raise DSLError(
-                f"terms option(s) {sorted(unsupported)} are not supported "
-                "with a nested bucket or top_hits sub-agg (outer buckets "
-                "rank by doc_count desc)"
-            )
+def _outer_terms_ranking(spec: dict, name: str):
+    """Outer-terms bucket ranking for the nested-bucket / top_hits
+    paths: honor ``order`` on _count (default, desc) or _key and
+    ``min_doc_count``, exactly like the flat terms path. Ordering by a
+    metric sub-agg is undefined here (the metrics live on the INNER
+    buckets) — raise rather than silently reverting to doc_count.
+    Returns (order_cols, min_doc_count) where order_cols rank the
+    post-aggregate frame using the `_total` per-bucket doc count."""
+    if "terms" not in spec:
+        return None, 1
+    body = spec["terms"]
+    order = body.get("order", {"_count": "desc"})
+    ((ofield, odir),) = order.items()
+    if odir not in ("asc", "desc"):
+        raise DSLError(f"bad terms order direction: {odir!r}")
+    if ofield == "_count":
+        ocol = F.col("_total")
+    elif ofield == "_key":
+        ocol = F.col(name)
+    else:
+        raise DSLError(
+            f"terms order by {ofield!r} is not supported with a nested "
+            "bucket or top_hits sub-agg (metrics are per inner bucket); "
+            "order by _count or _key"
+        )
+    ocol = ocol.desc() if odir == "desc" else ocol.asc()
+    return [ocol, F.col(name)], int(body.get("min_doc_count", 1))
 
 
 def _compile_nested(df: DataFrame, name: str, spec: dict,
@@ -251,7 +265,7 @@ def _compile_nested(df: DataFrame, name: str, spec: dict,
     input rows."""
     from pyspark.sql import Window
 
-    _reject_outer_terms_options(spec)
+    outer_order, outer_min_dc = _outer_terms_ranking(spec, name)
     outer_key = _key_expr(spec, name)
     inner_body = inner_spec["terms"]
     inner_key = F.col(inner_body["field"]).alias(inner_name)
@@ -264,6 +278,10 @@ def _compile_nested(df: DataFrame, name: str, spec: dict,
     # the bucket, not just the kept inner buckets), then rank inner
     w_total = Window.partitionBy(name)
     ranked = grouped.withColumn("_total", F.sum("doc_count").over(w_total))
+    if outer_min_dc > 1:
+        # min_doc_count applies to the FULL bucket count, like the
+        # flat terms path
+        ranked = ranked.filter(F.col("_total") >= outer_min_dc)
     w_inner = Window.partitionBy(name).orderBy(
         F.col("doc_count").desc(), F.col(inner_name)
     )
@@ -274,7 +292,7 @@ def _compile_nested(df: DataFrame, name: str, spec: dict,
         # ES default size is 10 — same default as the un-nested terms
         # path, so adding a sub-bucket never silently unbounds output
         outer_size = int(spec["terms"].get("size", 10))
-        w_outer = Window.orderBy(F.col("_total").desc(), F.col(name))
+        w_outer = Window.orderBy(*outer_order)
         ranked = ranked.withColumn("_or", F.dense_rank().over(w_outer)).filter(
             F.col("_or") <= outer_size
         ).drop("_or")
@@ -290,7 +308,7 @@ def _compile_top_hits(df: DataFrame, name: str, spec: dict,
     bucket key — partition-parallel, no global sort."""
     from pyspark.sql import Window
 
-    _reject_outer_terms_options(spec)
+    outer_order, outer_min_dc = _outer_terms_ranking(spec, name)
     key = _key_expr(spec, name)
     size = int(th.get("size", 3))
     orders = []
@@ -307,13 +325,15 @@ def _compile_top_hits(df: DataFrame, name: str, spec: dict,
     out = out.withColumn(
         "_total", F.count(F.lit(1)).over(Window.partitionBy(name))
     )
+    if outer_min_dc > 1:
+        out = out.filter(F.col("_total") >= outer_min_dc)
     w = Window.partitionBy(name).orderBy(*orders)
     out = out.withColumn("_rank", F.row_number().over(w)).filter(
         F.col("_rank") <= size
     )
     if "terms" in spec:
         outer_size = int(spec["terms"].get("size", 10))
-        w_outer = Window.orderBy(F.col("_total").desc(), F.col(name))
+        w_outer = Window.orderBy(*outer_order)
         out = out.withColumn("_or", F.dense_rank().over(w_outer)).filter(
             F.col("_or") <= outer_size
         ).drop("_or")
@@ -331,17 +351,18 @@ def _compile_composite(df: DataFrame, name: str, body: dict,
     lexicographic predicate evaluated BEFORE the aggregate, so each
     page shuffles only the keys past the cursor — pagination over an
     unbounded key space without global state."""
-    # per-source options (order: desc, missing_bucket, ...) are NOT
-    # implemented — the after-cursor predicate assumes every source is
-    # ascending and non-null, so silently accepting a desc source
+    # per-source `order` (asc default / desc) is honored in BOTH the
+    # page ordering and the after-cursor direction; other options
+    # (missing_bucket, ...) are NOT implemented — the cursor predicate
+    # assumes non-null keys, so silently accepting missing_bucket
     # would paginate wrongly with no error. Same convention as the knn
     # clause: raise on anything unsupported instead of dropping it.
     _SOURCE_KEYS = {
-        "terms": {"field"},
-        "date_histogram": {"field", "calendar_interval"},
-        "histogram": {"field", "interval"},
+        "terms": {"field", "order"},
+        "date_histogram": {"field", "calendar_interval", "order"},
+        "histogram": {"field", "interval", "order"},
     }
-    keys, key_names = [], []
+    keys, key_names, ascending = [], [], []
     for src in body["sources"]:
         ((n, s),) = src.items()
         ((kind, kbody),) = s.items()
@@ -351,9 +372,12 @@ def _compile_composite(df: DataFrame, name: str, body: dict,
             if extra:
                 raise DSLError(
                     f"unsupported composite source option(s) on {n!r}: "
-                    f"{sorted(extra)} (sources paginate ascending, "
-                    "non-missing only)"
+                    f"{sorted(extra)} (sources paginate non-missing only)"
                 )
+        order = kbody.get("order", "asc")
+        if order not in ("asc", "desc"):
+            raise DSLError(f"bad composite source order on {n!r}: {order!r}")
+        ascending.append(order == "asc")
         keys.append(_key_expr(s, n))
         key_names.append(n)
     after = body.get("after")
@@ -365,13 +389,17 @@ def _compile_composite(df: DataFrame, name: str, body: dict,
         # materialized names, which would corrupt a later source whose
         # underlying field shadows an earlier source's name
         df = df.filter(_lexicographic_after(
-            [(k, after[n], True) for k, n in zip(keys, key_names)]
+            [(k, after[n], asc)
+             for k, n, asc in zip(keys, key_names, ascending)]
         ))
     grouped = df.groupBy(*keys).agg(
         F.count(F.lit(1)).alias("doc_count"), *metrics
     )
     size = int(body.get("size", 10))
-    return grouped.orderBy(*key_names).limit(size)
+    return grouped.orderBy(*[
+        F.col(n).asc() if asc else F.col(n).desc()
+        for n, asc in zip(key_names, ascending)
+    ]).limit(size)
 
 
 _BUCKET_KINDS = ("terms", "date_histogram", "histogram", "range",

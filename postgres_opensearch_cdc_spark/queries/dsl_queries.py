@@ -326,6 +326,45 @@ def dsl_search_after(spark: SparkSession, sf_dir: str) -> DataFrame:
                   id_col="event_id")
 
 
+DSL_COMPOSITE_DESC = {
+    "aggs": {"page": {"composite": {
+        "sources": [
+            {"et": {"terms": {"field": "event_type", "order": "desc"}}},
+            {"u": {"terms": {"field": "user_id"}}},
+        ],
+        "size": 40,
+        "after": {"et": "signup", "u": 3},
+    }}}
+}
+
+
+def dsl_composite_desc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """composite pagination with a DESC source: the after-cursor walks
+    strictly downward on the desc key while the asc source continues
+    forward inside ties — both directions honored in one
+    lexicographic, scan-pushed predicate."""
+    return search(spark, sf_dir, "events", DSL_COMPOSITE_DESC,
+                  id_col="event_id")
+
+
+DSL_NESTED_ORDERED = {
+    "aggs": {"day_type": {
+        "terms": {"field": "event_type", "order": {"_key": "asc"},
+                  "size": 3, "min_doc_count": 2},
+        "aggs": {"top_user": {"terms": {"field": "user_id", "size": 2},
+                              "aggs": {"avg_v": {"avg": {"field": "value"}}}}},
+    }}
+}
+
+
+def dsl_nested_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nested terms with outer order by _key asc + min_doc_count —
+    the outer options the flat path honors, now honored with a
+    sub-bucket too (per-(outer,inner) flat rows)."""
+    return search(spark, sf_dir, "events", DSL_NESTED_ORDERED,
+                  id_col="event_id")
+
+
 QUERIES = {
     "dsl_bool_filtered_terms": dsl_bool_filtered_terms,
     "dsl_should_hits": dsl_should_hits,
@@ -341,9 +380,37 @@ QUERIES = {
     "dsl_range_metrics": dsl_range_metrics,
     "dsl_week_histogram": dsl_week_histogram,
     "dsl_terms_ordered": dsl_terms_ordered,
+    "dsl_composite_desc": dsl_composite_desc,
+    "dsl_nested_ordered": dsl_nested_ordered,
 }
 
 ORACLE = {
+    "dsl_composite_desc": """
+        SELECT event_type AS et, user_id AS u, COUNT(*) AS doc_count
+        FROM events
+        WHERE event_type < 'signup'
+           OR (event_type = 'signup' AND user_id > 3)
+        GROUP BY event_type, user_id
+        ORDER BY et DESC, u ASC LIMIT 40
+    """,
+    "dsl_nested_ordered": """
+        WITH g AS (
+          SELECT event_type AS day_type, user_id AS top_user,
+                 COUNT(*) AS doc_count, ROUND(AVG(value), 4) AS avg_v
+          FROM events GROUP BY 1, 2
+        ), t AS (
+          SELECT *, SUM(doc_count) OVER (PARTITION BY day_type) AS total,
+                 ROW_NUMBER() OVER (PARTITION BY day_type
+                     ORDER BY doc_count DESC, top_user) AS ir
+          FROM g
+        ), o AS (
+          SELECT *, DENSE_RANK() OVER (ORDER BY day_type ASC) AS orank
+          FROM t WHERE total >= 2 AND ir <= 2
+        )
+        SELECT day_type, top_user, doc_count, avg_v FROM o
+        WHERE orank <= 3
+        ORDER BY day_type, doc_count DESC, top_user
+    """,
     "dsl_bool_filtered_terms": """
         SELECT user_id AS by_user, COUNT(*) AS doc_count,
                ROUND(AVG(value), 4) AS avg_value,

@@ -390,34 +390,61 @@ def test_composite_after_missing_key_raises_dsl_error(spark, sf_dir):
         search(spark, sf_dir, "events", body, id_col="event_id")
 
 
-def test_composite_source_options_raise(spark, sf_dir):
-    """Per-source options (order: desc, missing_bucket) are not
-    implemented — the after-cursor assumes ascending, non-missing
-    sources, so accepting them would paginate wrongly with no error."""
-    for opt in ({"order": "desc"}, {"missing_bucket": True}):
-        body = {"aggs": {"p": {"composite": {
-            "sources": [{"et": {"terms": {"field": "event_type", **opt}}}],
-        }}}}
-        with pytest.raises(DSLError, match="composite source option"):
-            search(spark, sf_dir, "events", body, id_col="event_id")
+def test_composite_source_desc_paginates_backwards(spark, sf_dir):
+    """Per-source order: desc is honored in both page ordering and the
+    after-cursor direction; pages stay disjoint and exhaustive."""
+    base = {"sources": [{"et": {"terms": {"field": "event_type",
+                                          "order": "desc"}}}],
+            "size": 2}
+    p1 = search(spark, sf_dir, "events",
+                {"aggs": {"p": {"composite": base}}},
+                id_col="event_id").collect()
+    keys1 = [r["et"] for r in p1]
+    assert keys1 == sorted(keys1, reverse=True)
+    body2 = {"aggs": {"p": {"composite": {**base, "after": {"et": keys1[-1]}}}}}
+    p2 = search(spark, sf_dir, "events", body2, id_col="event_id").collect()
+    keys2 = [r["et"] for r in p2]
+    assert keys2 and all(k < keys1[-1] for k in keys2), (
+        "desc after-cursor must continue strictly below the last key"
+    )
 
 
-def test_nested_terms_outer_options_raise(spark, sf_dir):
-    """The flat terms path honors order/min_doc_count; the nested and
-    top_hits paths rank by doc_count desc only — adding a sub-agg must
-    raise rather than silently revert the requested ordering."""
+def test_composite_source_missing_bucket_raises(spark, sf_dir):
+    """missing_bucket stays unsupported — the cursor predicate assumes
+    non-null keys, so accepting it would paginate wrongly."""
+    body = {"aggs": {"p": {"composite": {
+        "sources": [{"et": {"terms": {"field": "event_type",
+                                      "missing_bucket": True}}}],
+    }}}}
+    with pytest.raises(DSLError, match="composite source option"):
+        search(spark, sf_dir, "events", body, id_col="event_id")
+
+
+def test_nested_terms_outer_order_and_min_doc_count(spark, sf_dir):
+    """The nested and top_hits paths honor outer order on _key/_count
+    and min_doc_count like the flat terms path; ordering by a metric
+    sub-agg (which lives on the INNER buckets) raises."""
     nested = {"aggs": {"t": {
-        "terms": {"field": "event_type", "order": {"_key": "asc"}},
-        "aggs": {"u": {"terms": {"field": "user_id"}}},
+        "terms": {"field": "event_type", "order": {"_key": "asc"},
+                  "size": 3},
+        "aggs": {"u": {"terms": {"field": "user_id", "size": 1}}},
     }}}
-    with pytest.raises(DSLError, match="order"):
-        search(spark, sf_dir, "events", nested, id_col="event_id")
+    rows = search(spark, sf_dir, "events", nested, id_col="event_id").collect()
+    outer = [r["t"] for r in rows]
+    assert outer == sorted(outer) and len(set(outer)) == 3, (
+        "_key asc must pick the 3 alphabetically-first buckets"
+    )
     th = {"aggs": {"t": {
-        "terms": {"field": "event_type", "min_doc_count": 2},
+        "terms": {"field": "event_type", "min_doc_count": 10**9},
         "aggs": {"h": {"top_hits": {
             "size": 1, "sort": [{"value": {"order": "desc"}}],
             "_source": ["event_id"],
         }}},
     }}}
-    with pytest.raises(DSLError, match="min_doc_count"):
-        search(spark, sf_dir, "events", th, id_col="event_id")
+    assert search(spark, sf_dir, "events", th, id_col="event_id").count() == 0
+    bad = {"aggs": {"t": {
+        "terms": {"field": "event_type", "order": {"avg_v": "desc"}},
+        "aggs": {"u": {"terms": {"field": "user_id"}}},
+    }}}
+    with pytest.raises(DSLError, match="order by"):
+        search(spark, sf_dir, "events", bad, id_col="event_id")
