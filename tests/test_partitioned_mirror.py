@@ -179,3 +179,33 @@ def test_partitioned_mirror_schema_evolution_across_buckets(spark, tmp_path):
     rows = {r["id"]: r for r in sink.read(spark).collect()}
     assert rows[1]["status"] == "s1c"
     assert "tier" in sink.read(spark).columns, "evolved column dropped on read"
+
+
+def test_pre_sidecar_mirror_falls_back_and_gains_sidecar(spark, sink):
+    """Mirrors written before the schema sidecar existed (or whose
+    sidecar was lost) must read via the mergeSchema fallback and gain
+    the sidecar on their next write; the sidecar must survive dynamic
+    partition overwrites and reflect evolved columns."""
+    sink.apply_batch(chg(spark, [("c", i, f"v{i}", i) for i in range(1, 9)]), 0)
+    sidecar = sink._schema_path()
+    assert os.path.exists(sidecar), "write must produce the sidecar"
+    os.remove(sidecar)  # simulate a pre-sidecar mirror
+    assert {r["id"] for r in sink.read(spark).collect()} == set(range(1, 9))
+    sink.apply_batch(chg(spark, [("u", 1, "v1b", 100)]), 1)
+    assert os.path.exists(sidecar), "next write must restore the sidecar"
+    rows = {r["id"]: r["v"] for r in sink.read(spark).collect()}
+    assert rows[1] == "v1b" and len(rows) == 8
+    # evolved column lands in the sidecar, so sidecar-schema reads see
+    # it even for untouched old-schema buckets (null-filled)
+    b_ev = spark.createDataFrame(
+        [("u", 2, "v2b", 200, "gold")],
+        "op string, id long, v string, offset long, tier string",
+    )
+    sink.apply_batch(b_ev, 2)
+    import json
+
+    with open(sidecar) as fh:
+        names = [f["name"] for f in json.load(fh)["fields"]]
+    assert "tier" in names and "_bucket" not in names
+    out = {r["id"]: r for r in sink.read(spark).collect()}
+    assert out[2]["tier"] == "gold" and out[5]["tier"] is None
