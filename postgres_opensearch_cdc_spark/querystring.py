@@ -20,6 +20,15 @@ Supported syntax (the subset the reference's dashboards exercise):
                                 wildcards / phrases)
     _exists_:field              exists
     bare terms / "phrase" / w*  analyzed against default_field
+    +clause  -clause            Lucene required / prohibited: adjacent
+                                signed clauses are cumulative must /
+                                must_not constraints; mixing a signed
+                                clause with an adjacent BARE one
+                                raises (the bare clause would be
+                                scoring-only "optional", and this
+                                engine filters)
+    foo\\:bar  \\*                backslash escapes — the escaped char
+                                loses its special meaning
     AND OR NOT ( )              boolean structure, NOT binds tightest;
                                 adjacent clauses join with
                                 default_operator (OR, like ES)
@@ -50,12 +59,23 @@ _TOKEN_RE = re.compile(
       | (?P<rbrack>[\]}])
       | (?P<cmp>>=|<=|>|<)
       | (?P<colon>:)
-      | (?P<word>[^\s():<>=\[\]{}"]+)
+      | (?P<plus>\+(?=\S))
+      | (?P<minus>-(?=[^\s\d]))
+      | (?P<word>(?:\\.|[^\s():<>=\[\]{}"\\])+)
     )""",
     re.X,
 )
 
 _RESERVED = {"AND", "OR", "NOT", "TO"}
+
+
+def _unescape(tok: str) -> str:
+    """Resolve backslash escapes (``foo\\:bar`` → ``foo:bar``)."""
+    return re.sub(r"\\(.)", r"\1", tok)
+
+
+def _has_live_wildcard(tok: str) -> bool:
+    return re.search(r"(?<!\\)[*?]", tok) is not None
 
 
 def _tokenize(text: str) -> list[tuple[str, str]]:
@@ -123,23 +143,58 @@ class _Parser:
             raise QueryStringError(f"unexpected trailing token: {val!r}")
         return node
 
+    def _signed_unary(self):
+        """Consume an optional leading +/- (Lucene required/prohibited
+        operator) and the clause it applies to. Returns (node, signed):
+        ``-x`` compiles to must_not; ``+x`` is the clause itself (a
+        filter engine has no scoring, so required == plain must)."""
+        kind, _ = self._peek()
+        sign = None
+        if kind in ("plus", "minus"):
+            self._next()
+            sign = kind
+        node = self._unary()
+        if sign == "minus":
+            node = {"bool": {"must_not": [node]}}
+        return node, sign is not None
+
     def _or_chain(self) -> dict:
-        groups = [[self._unary()]]  # list of AND-groups
+        node, last_signed = self._signed_unary()
+        groups = [[node]]  # list of AND-groups
         while True:
             kind, val = self._peek()
             if kind is None or kind == "rparen":
                 break
             if kind == "word" and val == "OR":
                 self._next()
-                groups.append([self._unary()])
+                node, last_signed = self._signed_unary()
+                groups.append([node])
             elif kind == "word" and val == "AND":
                 self._next()
-                groups[-1].append(self._unary())
+                node, last_signed = self._signed_unary()
+                groups[-1].append(node)
             else:  # implicit connective
-                if self.default_operator == "AND":
-                    groups[-1].append(self._unary())
+                node, signed = self._signed_unary()
+                if signed or last_signed:
+                    # Lucene: adjacent +/- clauses are cumulative
+                    # constraints (must / must_not), not default-
+                    # operator alternatives — but MIXING a signed
+                    # clause with a bare one leaves the bare clause
+                    # "optional", which only affects scoring, and this
+                    # engine filters. Require explicit operators there
+                    # rather than silently dropping or tightening it.
+                    if not (signed and last_signed):
+                        raise QueryStringError(
+                            "mixing +/- clauses with bare ones needs "
+                            "explicit AND/OR (no scoring: an optional "
+                            "bare clause would be dropped)"
+                        )
+                    groups[-1].append(node)
+                elif self.default_operator == "AND":
+                    groups[-1].append(node)
                 else:
-                    groups.append([self._unary()])
+                    groups.append([node])
+                last_signed = signed
         ands = [
             g[0] if len(g) == 1 else {"bool": {"must": g}} for g in groups
         ]
@@ -174,20 +229,19 @@ class _Parser:
         nk, _ = self._peek()
         if nk == "colon":
             self._next()
-            return self._field_clause(val)
+            return self._field_clause(_unescape(val))
         if nk == "cmp":
             _, op = self._next()
             vk, vv = self._next()
             if vk != "word":
                 raise QueryStringError(f"{val} {op} needs a value, got {vv!r}")
-            return {"range": {val: {_CMP_OP[op]: _coerce(vv)}}}
+            return {"range": {
+                _unescape(val): {_CMP_OP[op]: _coerce(_unescape(vv))}
+            }}
         if self._field_group is not None:
             # inside field:(...) bare values are TERMS on that field
             # (Lucene field grouping), not analyzed default-field text
-            f = self._field_group
-            if "*" in val or "?" in val:
-                return {"wildcard": {f: val}}
-            return {"term": {f: _coerce(val)}}
+            return self._value_node(self._field_group, val)
         return self._default_clause("term", val)
 
     def _field_clause(self, field: str) -> dict:
@@ -195,7 +249,7 @@ class _Parser:
             vk, vv = self._next()
             if vk != "word":
                 raise QueryStringError(f"_exists_: needs a field, got {vv!r}")
-            return {"exists": {"field": vv}}
+            return {"exists": {"field": _unescape(vv)}}
         kind, val = self._next()
         if kind == "lparen":
             # field grouping: field:(a OR b*) distributes the field
@@ -215,14 +269,26 @@ class _Parser:
                 raise QueryStringError(
                     f"{field}:{val} needs a value, got {vv!r}"
                 )
-            return {"range": {field: {_CMP_OP[val]: _coerce(vv)}}}
+            return {"range": {field: {_CMP_OP[val]: _coerce(_unescape(vv))}}}
         if kind == "lbrack":
             return self._bracket_range(field, val)
         if kind != "word" or val in _RESERVED:
             raise QueryStringError(f"{field}: needs a value, got {val!r}")
-        if "*" in val or "?" in val:
+        return self._value_node(field, val)
+
+    def _value_node(self, field: str, val: str) -> dict:
+        """Term or wildcard node for a raw value token, resolving
+        escapes. A value with LIVE (unescaped) wildcards next to
+        escaped ones can't be represented in the DSL wildcard node
+        (its * / ? are unconditionally special) — raise rather than
+        match the wrong set."""
+        if _has_live_wildcard(val):
+            if "\\" in val:
+                raise QueryStringError(
+                    f"cannot mix escaped and live wildcards: {val!r}"
+                )
             return {"wildcard": {field: val}}
-        return {"term": {field: _coerce(val)}}
+        return {"term": {field: _coerce(_unescape(val))}}
 
     def _bracket_range(self, field: str, open_br: str) -> dict:
         lk, lo = self._next()
@@ -236,9 +302,9 @@ class _Parser:
             )
         bounds: dict = {}
         if lo != "*":
-            bounds["gte" if open_br == "[" else "gt"] = _coerce(lo)
+            bounds["gte" if open_br == "[" else "gt"] = _coerce(_unescape(lo))
         if hi != "*":
-            bounds["lte" if close_br == "]" else "lt"] = _coerce(hi)
+            bounds["lte" if close_br == "]" else "lt"] = _coerce(_unescape(hi))
         if not bounds:
             raise QueryStringError(f"unbounded range on {field}")
         return {"range": {field: bounds}}
@@ -250,11 +316,15 @@ class _Parser:
             )
         f = self.default_field
         if kind == "term":
-            if "*" in text or "?" in text:
+            if _has_live_wildcard(text):
+                if "\\" in text:
+                    raise QueryStringError(
+                        f"cannot mix escaped and live wildcards: {text!r}"
+                    )
                 return {"wildcard": {f: text}}
             # bare free text is ANALYZED against the default field
             # (ES query_string semantics), not exact-term-matched
-            return {"match": {f: text}}
+            return {"match": {f: _unescape(text)}}
         return {kind: {f: text}}
 
 

@@ -188,3 +188,40 @@ def test_field_grouping_distributes_field():
     # after the group closes, bare terms are back to default_field rules
     with pytest.raises(QueryStringError, match="default_field"):
         parse_query_string("t:(a) b")
+
+
+def test_plus_minus_operators():
+    """Adjacent +/- clauses are cumulative must/must_not; a leading
+    single sign works; mixing signed with bare adjacency raises."""
+    assert parse_query_string("+status:ACTIVE -card_type:DEBIT") == {
+        "bool": {"must": [
+            {"term": {"status": "ACTIVE"}},
+            {"bool": {"must_not": [{"term": {"card_type": "DEBIT"}}]}},
+        ]}
+    }
+    assert parse_query_string("-status:CLOSED") == {
+        "bool": {"must_not": [{"term": {"status": "CLOSED"}}]}
+    }
+    # explicit operators can combine signed and bare clauses freely
+    assert parse_query_string("a:1 AND -b:2") == {
+        "bool": {"must": [
+            {"term": {"a": 1}},
+            {"bool": {"must_not": [{"term": {"b": 2}}]}},
+        ]}
+    }
+    with pytest.raises(QueryStringError, match="explicit AND/OR"):
+        parse_query_string("a:1 +b:2")
+    with pytest.raises(QueryStringError, match="explicit AND/OR"):
+        parse_query_string("+a:1 b:2", default_field="t")
+    # negative numbers are values, not prohibition operators
+    assert parse_query_string("delta:-17") == {"term": {"delta": -17}}
+
+
+def test_backslash_escapes():
+    assert parse_query_string(r"path:foo\:bar") == {
+        "term": {"path": "foo:bar"}
+    }
+    assert parse_query_string(r"name:star\*") == {"term": {"name": "star*"}}
+    assert parse_query_string(r"f:a\ b") == {"term": {"f": "a b"}}
+    with pytest.raises(QueryStringError, match="escaped and live"):
+        parse_query_string(r"f:a\*b*")
