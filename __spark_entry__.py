@@ -137,13 +137,13 @@ _PRIORITY = [
 #   the features implemented after the round-7 window froze:
 #   dsl_composite_desc (desc source pagination), dsl_nested_ordered
 #   (outer order/_key + min_doc_count with a sub-bucket)
-# Re-checks (15 oldest driver rows, r1/r2-era):
+# Re-checks (13 oldest driver rows, r1/r2-era — 37 never-checked
+# entries above + these fill the 50 slots exactly):
 #   q08_top_n, q09_limit, q10_count, q12_index_pattern_union,
 #   cdc_incremental_agg, cdc_mirror_count, cdc_op_stats,
 #   join_pricing_summary, join_shipping_priority,
 #   join_local_supplier_volume, window_running_sum,
-#   window_rank_in_group, rollup_status_priority, distinct_agg,
-#   subquery_exists
+#   window_rank_in_group, rollup_status_priority
 # After round 8 every entry has a driver row and the oldest rows are
 # re-confirmed.
 

@@ -539,7 +539,14 @@ def search(
     """Execute a request body against a registry table; returns the
     aggregation frame when ``aggs`` is present, else the (sorted,
     sized, projected) hits."""
-    df = load_table(spark, sf_dir, table)
+    return search_frame(load_table(spark, sf_dir, table), body, id_col)
+
+
+def search_frame(df: DataFrame, body: dict, id_col: str = "doc_id") -> DataFrame:
+    """Execute a request body against ANY DataFrame — the engine
+    façade points this at a live CDC mirror view, making every DSL /
+    query-string shape runnable on the always-current mirror exactly
+    as a reference user queries their index."""
     if "query" in body:
         df = df.filter(compile_query(body["query"], id_col))
     if "knn" in body:

@@ -142,6 +142,33 @@ class CdcEngine:
         """The always-current mirror as a DataFrame."""
         return self.tables[name].sink.read(self.spark)
 
+    def search(self, name: str, body: dict,
+               id_col: str | None = None) -> DataFrame:
+        """Run an OpenSearch request body (query/aggs/knn/sort/size,
+        including ``query_string``) against the always-current mirror —
+        the `_search` endpoint of the reference stack, answered by the
+        mirror instead of an index (SURVEY §3.3)."""
+        from postgres_opensearch_cdc_spark.dsl import search_frame
+
+        return search_frame(self.view(name), body,
+                            id_col=id_col or self.key_col)
+
+    def query_string(self, name: str, qs: str,
+                     default_field: str | None = None,
+                     default_operator: str = "OR", size: int | None = None,
+                     ) -> DataFrame:
+        """The Dashboards search-bar line against a mirror:
+        ``engine.query_string("card", "status:ACTIVE AND card_type:DEBIT")``
+        — parsed by querystring.py, filtered mirror rows back."""
+        body: dict = {"query": {"query_string": {
+            "query": qs,
+            "default_field": default_field,
+            "default_operator": default_operator,
+        }}}
+        if size is not None:
+            body["size"] = size
+        return self.search(name, body)
+
     def register_sql_views(self) -> None:
         """Expose every mirror as `<name>_mirror` for spark.sql — the
         engine's Dashboards/DSL analog is plain SQL (SURVEY §3.3)."""

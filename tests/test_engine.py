@@ -127,3 +127,35 @@ def test_default_engine_merge_is_partition_pruned(spark, tmp_path):
     new_buckets = {f.rsplit("_bucket=", 1)[1].split(os.sep)[0] for f in new_files}
     assert len(new_buckets) == 1
     assert engine.view("card").filter("id = 7").head()["status"] == "BLOCKED"
+
+
+def test_engine_search_and_query_string_on_mirror(spark, tmp_path):
+    """The reference user's `_search` flow against the always-current
+    mirror: request-body DSL (aggs included) and the Dashboards
+    search-bar line both answer from the mirror."""
+    engine = CdcEngine(spark=spark, workdir=str(tmp_path))
+    engine.register_table("card", CARD_SCHEMA)
+    snap = spark.createDataFrame(
+        [(1, "ACTIVE", "DEBIT"), (2, "ACTIVE", "CREDIT"),
+         (3, "BLOCKED", "DEBIT"), (4, "ACTIVE", "DEBIT")],
+        CARD_SCHEMA,
+    )
+    engine.backfill("card", snap)
+
+    # the DASHBOARD_GUIDE.md:89 search-bar line, verbatim
+    hits = engine.query_string("card", "status:ACTIVE AND card_type:DEBIT")
+    assert {r["id"] for r in hits.collect()} == {1, 4}
+
+    # request body with an agg over the same mirror
+    agg = engine.search("card", {
+        "query": {"term": {"status": "ACTIVE"}},
+        "aggs": {"by_type": {"terms": {"field": "card_type"}}},
+    })
+    counts = {r["by_type"]: r["doc_count"] for r in agg.collect()}
+    assert counts == {"DEBIT": 2, "CREDIT": 1}
+
+    # prohibited-clause form; size caps hits
+    neg = engine.query_string("card", "+status:ACTIVE -card_type:CREDIT",
+                              size=1)
+    rows = neg.collect()
+    assert len(rows) == 1 and rows[0]["card_type"] == "DEBIT"
