@@ -169,6 +169,14 @@ class CdcEngine:
             body["size"] = size
         return self.search(name, body)
 
+    def ppl(self, query: str) -> DataFrame:
+        """Run a PPL pipeline whose ``source=`` (and join/lookup right
+        sides) name registered mirrors — the Dashboards PPL tab served
+        by the always-current mirror."""
+        from postgres_opensearch_cdc_spark.ppl import ppl as ppl_compile
+
+        return ppl_compile(self.spark, "", query, resolver=self.view)
+
     def register_sql_views(self) -> None:
         """Expose every mirror as `<name>_mirror` for spark.sql — the
         engine's Dashboards/DSL analog is plain SQL (SURVEY §3.3)."""

@@ -280,13 +280,23 @@ def _agg_expr(text: str):
     return col.alias(alias or default)
 
 
-def ppl(spark: SparkSession, sf_dir: str, query: str) -> DataFrame:
-    """Compile a PPL pipeline into one DataFrame plan."""
+def ppl(spark: SparkSession, sf_dir: str, query: str,
+        resolver=None) -> DataFrame:
+    """Compile a PPL pipeline into one DataFrame plan.
+
+    ``resolver(name) -> DataFrame`` overrides table lookup for the
+    ``source=`` stage and join/lookup right sides — the engine façade
+    passes one that reads live CDC mirror views, so the same pipeline
+    text runs against the always-current mirror instead of registry
+    parquet."""
+    if resolver is None:
+        def resolver(name: str) -> DataFrame:
+            return load_table(spark, sf_dir, name)
     stages = [s.strip() for s in query.strip().split("|")]
     m = re.fullmatch(r"source\s*=\s*([A-Za-z_0-9]+)", stages[0])
     if not m:
         raise PPLSyntaxError(f"pipeline must start with source=<table>: {stages[0]!r}")
-    df = load_table(spark, sf_dir, m.group(1))
+    df = resolver(m.group(1))
     last_sort: list = []  # remembered for trendline's window order
 
     for stage in stages[1:]:
@@ -524,7 +534,7 @@ def ppl(spark: SparkSession, sf_dir: str, query: str) -> DataFrame:
                 )
             how = (jm.group(1) or "inner").lower()
             on_field = jm.group(2)
-            right = load_table(spark, sf_dir, jm.group(3))
+            right = resolver(jm.group(3))
             # only the join key may be shared: right payload columns
             # that collide with existing left names would yield
             # duplicate columns and ambiguous-reference errors in any
@@ -544,7 +554,7 @@ def ppl(spark: SparkSession, sf_dir: str, query: str) -> DataFrame:
                     f"lookup needs: <table> <lookup_field> [as <local_field>]: {rest!r}"
                 )
             table, lk_field, local = lm.group(1), lm.group(2), lm.group(3)
-            right = load_table(spark, sf_dir, table)
+            right = resolver(table)
             # enrichment dimension: broadcast, left-preserving. The
             # documented contract appends only the ENRICHMENT columns,
             # so right columns whose names already exist on the left

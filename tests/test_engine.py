@@ -159,3 +159,21 @@ def test_engine_search_and_query_string_on_mirror(spark, tmp_path):
                               size=1)
     rows = neg.collect()
     assert len(rows) == 1 and rows[0]["card_type"] == "DEBIT"
+
+
+def test_engine_ppl_on_mirror(spark, tmp_path):
+    """PPL pipelines resolve source= against the mirror views."""
+    engine = CdcEngine(spark=spark, workdir=str(tmp_path))
+    engine.register_table("card", CARD_SCHEMA)
+    engine.backfill("card", spark.createDataFrame(
+        [(1, "ACTIVE", "DEBIT"), (2, "ACTIVE", "CREDIT"),
+         (3, "BLOCKED", "DEBIT")],
+        CARD_SCHEMA,
+    ))
+    rows = engine.ppl(
+        "source=card | where status = 'ACTIVE' "
+        "| stats count() as n by card_type | sort +card_type"
+    ).collect()
+    assert [(r["card_type"], r["n"]) for r in rows] == [
+        ("CREDIT", 1), ("DEBIT", 1)
+    ]
