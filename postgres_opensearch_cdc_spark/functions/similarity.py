@@ -289,6 +289,91 @@ def ivf_topk(
     return brute_force_topk(candidates, query_vec, k=k, id_col=id_col, vec_col=vec_col)
 
 
+def ivf_index_build(
+    vectors: DataFrame,
+    path: str,
+    centroids: list[list[float]] | None = None,
+    k: int = 10,
+    iterations: int = 5,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Materialize the IVF layout ivf_topk's docstring promises: the
+    vector table written partitioned by coarse cell, with the trained
+    centroids in a root sidecar. Build is one assignment projection
+    (no shuffle beyond the write); after it, every query's candidate
+    scan is a PARTITION-PRUNED read of nprobe/k of the corpus —
+    the build-once / query-many shape vector serving needs at 100 TB.
+    Returns the centroids (trained here when not supplied)."""
+    import json
+    import os
+
+    if centroids is None:
+        centroids = kmeans_train(
+            vectors, k=k, iterations=iterations, seed=seed,
+            id_col=id_col, vec_col=vec_col,
+        )
+    v = _as_double(F.col(vec_col))
+    (
+        vectors.withColumn("_cell", _nearest_cell(v, centroids))
+        .write.mode("overwrite").partitionBy("_cell").parquet(path)
+    )
+    tmp = os.path.join(path, "_ivf_centroids.json.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(centroids, fh)
+    os.replace(tmp, os.path.join(path, "_ivf_centroids.json"))
+    return centroids
+
+
+def ivf_index_topk(
+    spark: SparkSession,
+    path: str,
+    query_vec: list[float],
+    nprobe: int = 3,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Query a persisted IVF index: rank cells by cosine(query,
+    centroid) driver-side from the sidecar (k tiny vectors), then scan
+    ONLY the nprobe nearest cells' partition directories — Spark lists
+    just those leaves, so the exact-scoring plan reads nprobe/k of the
+    files no matter how large the corpus is (asserted on inputFiles in
+    tests/test_similarity.py). Same ranking/rounding as ivf_topk, so
+    both return identical results for the same centroids."""
+    import json
+    import math
+    import os
+
+    with open(os.path.join(path, "_ivf_centroids.json")) as fh:
+        centroids = json.load(fh)
+
+    def cos(a: list[float], b: list[float]) -> float:
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return d / (na * nb) if na and nb else 0.0
+
+    ranked = sorted(
+        range(len(centroids)),
+        key=lambda i: (-round(cos(query_vec, centroids[i]), 6), i),
+    )
+    probe_dirs = [
+        p for c in ranked[:nprobe]
+        if os.path.isdir(p := os.path.join(path, f"_cell={c}"))
+    ]
+    if not probe_dirs:  # degenerate: all probed cells empty
+        return spark.read.parquet(path).filter(F.lit(False)).drop("_cell")
+    candidates = (
+        spark.read.option("basePath", path).parquet(*probe_dirs)
+        .drop("_cell")
+    )
+    return brute_force_topk(
+        candidates, query_vec, k=k, id_col=id_col, vec_col=vec_col
+    )
+
+
 # ---------------------------------------------------------------------------
 # Product quantization (PQ) + asymmetric distance computation (ADC)
 # ---------------------------------------------------------------------------

@@ -210,3 +210,37 @@ def test_pq_train_deterministic_and_adc_recall(clustered):
     coded = rest.select(*pq_codes(F.col("embedding"), cb1)).collect()
     for r in coded:
         assert all(1 <= r[f"c{m}"] <= 8 for m in range(4))
+
+
+def test_ivf_index_build_and_pruned_query(spark, sf_dir, tmp_path):
+    """Persisted IVF index: query results equal the in-memory ivf_topk
+    for the same centroids, and the candidate scan reads ONLY the
+    nprobe probed cells' partition directories."""
+    import re
+
+    from postgres_opensearch_cdc_spark.functions.similarity import (
+        ivf_index_build,
+        ivf_index_topk,
+        ivf_topk,
+    )
+    from postgres_opensearch_cdc_spark.registry import load_table
+
+    vecs = load_table(spark, sf_dir, "embeddings")
+    q = [float(x) for x in vecs.filter("vec_id = 1").head()["embedding"]]
+    idx = str(tmp_path / "ivf")
+    centroids = ivf_index_build(vecs, idx, k=8, iterations=2, seed=7)
+
+    got = ivf_index_topk(spark, idx, q, nprobe=3, k=10)
+    want = ivf_topk(vecs, q, centroids, nprobe=3, k=10)
+    assert [
+        (r["vec_id"], r["cos_sim"]) for r in got.collect()
+    ] == [
+        (r["vec_id"], r["cos_sim"]) for r in want.collect()
+    ]
+
+    cells = {
+        int(m.group(1))
+        for f in got.inputFiles()
+        if (m := re.search(r"_cell=(\d+)", f))
+    }
+    assert len(cells) <= 3, f"scan touched {cells} — not partition-pruned"
