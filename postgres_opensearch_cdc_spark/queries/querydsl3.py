@@ -26,6 +26,8 @@ IDS = [3, 7, 17, 29, 42]
 RECENT_CUTOFF = "2001-01-01"  # orders at/after this date = "recent"
 RF_PIVOT, RF_BOOST = 50.0, 2.0  # rank_feature saturation params
 SPAN_FIRST_TERM, SPAN_FIRST_END = "spark", 10
+SPAN_OR_A, SPAN_OR_B = "merge", "scan"  # span_or clauses
+SPAN_NOT_INC, SPAN_NOT_EXC, SPAN_NOT_DIST = "query", "group", 2
 PHRASE_PREFIX_RE = r"\bwindow st[a-z]*"  # match_phrase_prefix "window st"
 SIG_TEXT_FG_SOURCE = "src1"
 SIG_TEXT_MIN_BG = 25
@@ -121,6 +123,63 @@ def span_first_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         docs.select("doc_id", first_pos.alias("first_pos"))
         .filter((F.col("first_pos") >= 1) & (F.col("first_pos") <= SPAN_FIRST_END))
+        .orderBy("doc_id")
+    )
+
+
+def span_or_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``span_or``: match any clause; emits the earliest first
+    occurrence position across the clause terms. ``array_position``
+    per term (scan-stage codegen, no explode) with 0-as-absent mapped
+    to null, combined by ``least`` (smallest non-null) — the
+    multi-term generalization of span_first's position probe."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.col("text")), r"\s+")
+
+    def first_pos(term: str):
+        ap = F.array_position(toks, term)
+        return F.when(ap > 0, ap)
+
+    earliest = F.least(first_pos(SPAN_OR_A), first_pos(SPAN_OR_B))
+    return (
+        docs.select("doc_id", earliest.alias("first_pos"))
+        .filter(F.col("first_pos").isNotNull())
+        .orderBy("doc_id")
+    )
+
+
+def span_not_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``span_not``: occurrences of the include term that are NOT
+    within ``dist`` tokens of any exclude-term occurrence. Positions
+    come from transform's (element, index) lambda (the span_near
+    machinery — never element_at inside a lambda, querydsl.py:664);
+    the surviving count is a filter over the include positions whose
+    min distance to every exclude position exceeds the window
+    (vacuously clear when the exclude term is absent). Emits docs with
+    >=1 clear occurrence and the count."""
+    from postgres_opensearch_cdc_spark.functions.dedup import _ensure_parallelism
+
+    docs = _ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    toks = F.split(F.lower(F.col("text")), r"\s+")
+
+    def positions(term: str):
+        return F.filter(
+            F.transform(toks, lambda t, i: F.when(t == term, i)),
+            lambda x: x.isNotNull(),
+        )
+
+    pos_inc, pos_exc = positions(SPAN_NOT_INC), positions(SPAN_NOT_EXC)
+    clear = F.filter(
+        pos_inc,
+        lambda a: F.coalesce(
+            F.array_min(F.transform(pos_exc, lambda b: F.abs(a - b)))
+            > SPAN_NOT_DIST,
+            F.lit(True),  # no exclude occurrences => trivially clear
+        ),
+    )
+    return (
+        docs.select("doc_id", F.size(clear).alias("n_clear"))
+        .filter(F.col("n_clear") > 0)
         .orderBy("doc_id")
     )
 
@@ -256,6 +315,8 @@ QUERIES = {
     "rank_feature_query": rank_feature_query,
     "script_score_query": script_score_query,
     "span_first_query": span_first_query,
+    "span_or_query": span_or_query,
+    "span_not_query": span_not_query,
     "match_phrase_prefix": match_phrase_prefix,
     "weighted_avg_agg": weighted_avg_agg,
     "categorize_text_agg": categorize_text_agg,
@@ -297,6 +358,46 @@ ORACLE = {
                                  AS DOUBLE)), 6) AS score
         FROM events
         ORDER BY score DESC, event_id LIMIT 15
+    """,
+    "span_or_query": rf"""
+        WITH t AS (
+            SELECT doc_id,
+                   regexp_split_to_array(lower(text), '\s+') AS toks
+            FROM documents
+        ), p AS (
+            SELECT doc_id,
+                   NULLIF(list_position(toks, '{SPAN_OR_A}'), 0) AS pa,
+                   NULLIF(list_position(toks, '{SPAN_OR_B}'), 0) AS pb
+            FROM t
+        )
+        SELECT doc_id,
+               CAST(LEAST(COALESCE(pa, 1 << 30), COALESCE(pb, 1 << 30))
+                    AS BIGINT) AS first_pos
+        FROM p
+        WHERE pa IS NOT NULL OR pb IS NOT NULL
+        ORDER BY doc_id
+    """,
+    "span_not_query": rf"""
+        WITH t AS (
+            SELECT doc_id,
+                   regexp_split_to_array(lower(text), '\s+') AS toks
+            FROM documents
+        ), pos AS (
+            SELECT doc_id,
+                   list_filter(range(1, len(toks) + 1),
+                               i -> toks[i] = '{SPAN_NOT_INC}') AS pi,
+                   list_filter(range(1, len(toks) + 1),
+                               i -> toks[i] = '{SPAN_NOT_EXC}') AS pe
+            FROM t
+        ), c AS (
+            SELECT doc_id,
+                   CAST(len(list_filter(pi,
+                       a -> COALESCE(list_min(
+                                list_transform(pe, b -> abs(a - b)))
+                            > {SPAN_NOT_DIST}, true))) AS INT) AS n_clear
+            FROM pos
+        )
+        SELECT doc_id, n_clear FROM c WHERE n_clear > 0 ORDER BY doc_id
     """,
     "span_first_query": rf"""
         SELECT doc_id,
