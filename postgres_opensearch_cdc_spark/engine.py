@@ -177,6 +177,34 @@ class CdcEngine:
 
         return ppl_compile(self.spark, "", query, resolver=self.view)
 
+    def scan(self, name: str, page_size: int = 1000,
+             sort: list | None = None, query: dict | None = None):
+        """Deep-pagination export (the scroll / ``helpers.scan`` flow):
+        yields hit pages walked with search_after keyset cursors, so
+        every page compiles to a scan-pushed lexicographic predicate +
+        TakeOrderedAndProject — constant driver state, no global sort,
+        no offset re-scan; the mirror-size-independent way to stream a
+        100 TB mirror out page by page. ``sort`` defaults to the key
+        column ascending (must be a unique total order for a complete
+        walk)."""
+        sort = sort or [{self.key_col: {"order": "asc"}}]
+        sort_fields = [next(iter(s)) for s in sort]
+        body: dict = {"sort": sort, "size": int(page_size)}
+        if query is not None:
+            body["query"] = query
+        cursor = None
+        while True:
+            page_body = dict(body)
+            if cursor is not None:
+                page_body["search_after"] = cursor
+            rows = self.search(name, page_body).collect()
+            if not rows:
+                return
+            yield rows
+            if len(rows) < page_size:
+                return
+            cursor = [rows[-1][f] for f in sort_fields]
+
     def register_sql_views(self) -> None:
         """Expose every mirror as `<name>_mirror` for spark.sql — the
         engine's Dashboards/DSL analog is plain SQL (SURVEY §3.3)."""

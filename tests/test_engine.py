@@ -177,3 +177,25 @@ def test_engine_ppl_on_mirror(spark, tmp_path):
     assert [(r["card_type"], r["n"]) for r in rows] == [
         ("CREDIT", 1), ("DEBIT", 1)
     ]
+
+
+def test_engine_scan_pages_are_disjoint_and_exhaustive(spark, tmp_path):
+    """scan() walks the whole mirror in keyset pages: disjoint,
+    exhaustive, honoring a query filter."""
+    engine = CdcEngine(spark=spark, workdir=str(tmp_path))
+    engine.register_table("card", CARD_SCHEMA)
+    engine.backfill("card", spark.createDataFrame(
+        [(i, "ACTIVE" if i % 3 else "BLOCKED", "DEBIT") for i in range(1, 26)],
+        CARD_SCHEMA,
+    ))
+    pages = list(engine.scan("card", page_size=7))
+    sizes = [len(p) for p in pages]
+    ids = [r["id"] for p in pages for r in p]
+    assert sizes == [7, 7, 7, 4]
+    assert ids == sorted(ids) and len(set(ids)) == 25
+    filtered = [
+        r["id"] for p in engine.scan(
+            "card", page_size=4, query={"term": {"status": "BLOCKED"}})
+        for r in p
+    ]
+    assert filtered == [i for i in range(1, 26) if i % 3 == 0]
