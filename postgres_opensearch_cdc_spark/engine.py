@@ -205,6 +205,27 @@ class CdcEngine:
                 return
             cursor = [rows[-1][f] for f in sort_fields]
 
+    def reindex(self, src: str, dst: str,
+                query: dict | None = None) -> int:
+        """The reference stack's ``_reindex``: copy a (optionally
+        query-filtered) mirror into a new table — registered on the
+        fly with the source schema — as one snapshot backfill through
+        the keyed merge, so re-running is idempotent. Returns the
+        destination row count. At scale this is a single filtered
+        scan + partitioned merge write; no driver-side row movement."""
+        src_handle = self.tables[src]
+        if dst not in self.tables:
+            self.register_table(dst, src_handle.schema)
+        df = self.view(src)
+        if query is not None:
+            from postgres_opensearch_cdc_spark.dsl import compile_query
+
+            df = df.filter(compile_query(query, id_col=self.key_col))
+        self.backfill(dst, df.select(
+            *[f.name for f in src_handle.schema.fields]
+        ))
+        return self.view(dst).count()
+
     def register_sql_views(self) -> None:
         """Expose every mirror as `<name>_mirror` for spark.sql — the
         engine's Dashboards/DSL analog is plain SQL (SURVEY §3.3)."""

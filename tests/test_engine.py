@@ -199,3 +199,21 @@ def test_engine_scan_pages_are_disjoint_and_exhaustive(spark, tmp_path):
         for r in p
     ]
     assert filtered == [i for i in range(1, 26) if i % 3 == 0]
+
+
+def test_engine_reindex_filtered_and_idempotent(spark, tmp_path):
+    engine = CdcEngine(spark=spark, workdir=str(tmp_path))
+    engine.register_table("card", CARD_SCHEMA)
+    engine.backfill("card", spark.createDataFrame(
+        [(i, "ACTIVE" if i % 2 else "BLOCKED", "DEBIT") for i in range(1, 11)],
+        CARD_SCHEMA,
+    ))
+    n = engine.reindex("card", "card_active",
+                       query={"term": {"status": "ACTIVE"}})
+    assert n == 5
+    assert {r["id"] for r in engine.view("card_active").collect()} == {
+        1, 3, 5, 7, 9
+    }
+    # idempotent: re-running converges to the same state
+    assert engine.reindex("card", "card_active",
+                          query={"term": {"status": "ACTIVE"}}) == 5
