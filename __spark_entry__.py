@@ -137,7 +137,8 @@ _PRIORITY = [
 #   features implemented after the round-7 window froze:
 #   dsl_composite_desc (desc source pagination), dsl_nested_ordered
 #   (outer order/_key + min_doc_count with a sub-bucket),
-#   span_or_query, span_not_query (span family completion)
+#   span_or_query, span_not_query (span family completion),
+#   term_suggester (did-you-mean over the aggregated vocabulary)
 # Re-checks (11 oldest driver rows, r1/r2-era — 39 never-checked
 # entries above + these fill the 50 slots exactly):
 #   q08_top_n, q09_limit, q10_count, q12_index_pattern_union,

@@ -28,6 +28,7 @@ RF_PIVOT, RF_BOOST = 50.0, 2.0  # rank_feature saturation params
 SPAN_FIRST_TERM, SPAN_FIRST_END = "spark", 10
 SPAN_OR_A, SPAN_OR_B = "merge", "scan"  # span_or clauses
 SPAN_NOT_INC, SPAN_NOT_EXC, SPAN_NOT_DIST = "query", "group", 2
+SUGGEST_TEXT, SUGGEST_MAX_DIST, SUGGEST_SIZE = "pert", 2, 8
 PHRASE_PREFIX_RE = r"\bwindow st[a-z]*"  # match_phrase_prefix "window st"
 SIG_TEXT_FG_SOURCE = "src1"
 SIG_TEXT_MIN_BG = 25
@@ -184,6 +185,32 @@ def span_not_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def term_suggester(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``suggest`` with the ``term`` suggester (did-you-mean): corpus
+    vocabulary terms within edit distance {SUGGEST_MAX_DIST} of the
+    misspelled input, ranked by document frequency then distance. The
+    levenshtein filter runs on the AGGREGATED vocabulary (distinct
+    terms, tiny vs the corpus), never per corpus row — one explode +
+    term-keyed agg, then a vocab-sized scan; engine-portable because
+    DuckDB ships the same levenshtein."""
+    docs = load_table(spark, sf_dir, "documents")
+    term = F.explode(
+        F.array_distinct(F.split(F.lower(F.col("text")), r"\s+"))
+    ).alias("term")
+    vocab = docs.select(term).groupBy("term").agg(
+        F.count(F.lit(1)).alias("doc_freq")
+    )
+    dist = F.levenshtein(F.col("term"), F.lit(SUGGEST_TEXT))
+    return (
+        vocab.withColumn("distance", dist)
+        .filter((F.col("distance") <= SUGGEST_MAX_DIST)
+                & (F.col("distance") > 0)
+                & (F.length("term") >= 3))
+        .orderBy(F.col("doc_freq").desc(), F.col("distance"), F.col("term"))
+        .limit(SUGGEST_SIZE)
+    )
+
+
 def match_phrase_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``match_phrase_prefix``: a phrase whose final term is a prefix
     ("window st" → "window stream", "window stats", ...). On the
@@ -317,6 +344,7 @@ QUERIES = {
     "span_first_query": span_first_query,
     "span_or_query": span_or_query,
     "span_not_query": span_not_query,
+    "term_suggester": term_suggester,
     "match_phrase_prefix": match_phrase_prefix,
     "weighted_avg_agg": weighted_avg_agg,
     "categorize_text_agg": categorize_text_agg,
@@ -398,6 +426,25 @@ ORACLE = {
             FROM pos
         )
         SELECT doc_id, n_clear FROM c WHERE n_clear > 0 ORDER BY doc_id
+    """,
+    "term_suggester": rf"""
+        WITH vocab AS (
+            SELECT tok AS term, COUNT(*) AS doc_freq
+            FROM (
+                SELECT unnest(list_distinct(
+                    regexp_split_to_array(lower(text), '\s+'))) AS tok
+                FROM documents
+            )
+            GROUP BY tok
+        )
+        SELECT term, doc_freq,
+               CAST(levenshtein(term, '{SUGGEST_TEXT}') AS INT) AS distance
+        FROM vocab
+        WHERE levenshtein(term, '{SUGGEST_TEXT}') <= {SUGGEST_MAX_DIST}
+          AND levenshtein(term, '{SUGGEST_TEXT}') > 0
+          AND length(term) >= 3
+        ORDER BY doc_freq DESC, distance, term
+        LIMIT {SUGGEST_SIZE}
     """,
     "span_first_query": rf"""
         SELECT doc_id,
