@@ -29,6 +29,8 @@ SPAN_FIRST_TERM, SPAN_FIRST_END = "spark", 10
 SPAN_OR_A, SPAN_OR_B = "merge", "scan"  # span_or clauses
 SPAN_NOT_INC, SPAN_NOT_EXC, SPAN_NOT_DIST = "query", "group", 2
 SUGGEST_TEXT, SUGGEST_MAX_DIST, SUGGEST_SIZE = "pert", 2, 8
+SPAN_CONT_B1, SPAN_CONT_B2, SPAN_CONT_L, SPAN_CONT_SLOP = (
+    "join", "merge", "key", 8)
 PHRASE_PREFIX_RE = r"\bwindow st[a-z]*"  # match_phrase_prefix "window st"
 SIG_TEXT_FG_SOURCE = "src1"
 SIG_TEXT_MIN_BG = 25
@@ -211,6 +213,46 @@ def term_suggester(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def span_containing_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``span_containing``: the big span (two terms within ``slop``)
+    must strictly contain an occurrence of the little term. Windows
+    come from the span_near pairwise machinery ((element, index)
+    transform positions, struct lo/hi per pair, width-filtered); the
+    containment test is an exists over the window list per little-term
+    position. All array HOFs inside the scan projection — zero
+    shuffle, no token explosion. Emits the count of contained little
+    positions per matching doc."""
+    from postgres_opensearch_cdc_spark.functions.dedup import _ensure_parallelism
+
+    docs = _ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    toks = F.split(F.lower(F.col("text")), r"\s+")
+
+    def positions(term: str):
+        return F.filter(
+            F.transform(toks, lambda t, i: F.when(t == term, i)),
+            lambda x: x.isNotNull(),
+        )
+
+    pos1, pos2, posl = (positions(SPAN_CONT_B1), positions(SPAN_CONT_B2),
+                        positions(SPAN_CONT_L))
+    wins = F.filter(
+        F.flatten(F.transform(pos1, lambda a: F.transform(
+            pos2, lambda b: F.struct(
+                F.least(a, b).alias("lo"), F.greatest(a, b).alias("hi"))
+        ))),
+        lambda w: (w["hi"] - w["lo"]) <= SPAN_CONT_SLOP,
+    )
+    contained = F.filter(
+        posl,
+        lambda p: F.exists(wins, lambda w: (p > w["lo"]) & (p < w["hi"])),
+    )
+    return (
+        docs.select("doc_id", F.size(contained).alias("n_contained"))
+        .filter(F.col("n_contained") > 0)
+        .orderBy("doc_id")
+    )
+
+
 def match_phrase_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``match_phrase_prefix``: a phrase whose final term is a prefix
     ("window st" → "window stream", "window stats", ...). On the
@@ -345,6 +387,7 @@ QUERIES = {
     "span_or_query": span_or_query,
     "span_not_query": span_not_query,
     "term_suggester": term_suggester,
+    "span_containing_query": span_containing_query,
     "match_phrase_prefix": match_phrase_prefix,
     "weighted_avg_agg": weighted_avg_agg,
     "categorize_text_agg": categorize_text_agg,
@@ -445,6 +488,39 @@ ORACLE = {
           AND length(term) >= 3
         ORDER BY doc_freq DESC, distance, term
         LIMIT {SUGGEST_SIZE}
+    """,
+    "span_containing_query": rf"""
+        WITH t AS (
+            SELECT doc_id,
+                   regexp_split_to_array(lower(text), '\s+') AS toks
+            FROM documents
+        ), p AS (
+            SELECT doc_id,
+                   list_filter(range(1, len(toks) + 1),
+                               i -> toks[i] = '{SPAN_CONT_B1}') AS pa,
+                   list_filter(range(1, len(toks) + 1),
+                               i -> toks[i] = '{SPAN_CONT_B2}') AS pb,
+                   list_filter(range(1, len(toks) + 1),
+                               i -> toks[i] = '{SPAN_CONT_L}') AS pl
+            FROM t
+        ), w AS (
+            SELECT doc_id, pl,
+                   list_filter(
+                       flatten(list_transform(pa, a -> list_transform(
+                           pb, b -> {{'lo': least(a, b),
+                                      'hi': greatest(a, b)}}))),
+                       w -> w.hi - w.lo <= {SPAN_CONT_SLOP}) AS wins
+            FROM p
+        ), c AS (
+            SELECT doc_id,
+                   CAST(len(list_filter(pl,
+                       p -> len(list_filter(wins,
+                           w -> p > w.lo AND p < w.hi)) > 0)) AS INT)
+                       AS n_contained
+            FROM w
+        )
+        SELECT doc_id, n_contained FROM c
+        WHERE n_contained > 0 ORDER BY doc_id
     """,
     "span_first_query": rf"""
         SELECT doc_id,
