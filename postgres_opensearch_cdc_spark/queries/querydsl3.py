@@ -31,6 +31,7 @@ SPAN_NOT_INC, SPAN_NOT_EXC, SPAN_NOT_DIST = "query", "group", 2
 SUGGEST_TEXT, SUGGEST_MAX_DIST, SUGGEST_SIZE = "pert", 2, 8
 SPAN_CONT_B1, SPAN_CONT_B2, SPAN_CONT_L, SPAN_CONT_SLOP = (
     "join", "merge", "key", 8)
+RANK_EVAL_T1, RANK_EVAL_T2, RANK_EVAL_K = "spark", "streaming", 10
 PHRASE_PREFIX_RE = r"\bwindow st[a-z]*"  # match_phrase_prefix "window st"
 SIG_TEXT_FG_SOURCE = "src1"
 SIG_TEXT_MIN_BG = 25
@@ -253,6 +254,39 @@ def span_containing_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def rank_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``_rank_eval``: precision@5 / precision@10 / MRR for one ranked
+    query. Ranking = docs matching either term, ordered by n_chars
+    desc (deterministic tie-break doc_id); relevant = docs containing
+    BOTH terms. The ranking is a TakeOrderedAndProject top-K — never a
+    global sort — and the metrics fold into ONE single-row aggregate
+    over those K rows, so evaluation cost is O(K) after the scan
+    regardless of corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    has1 = F.lower(F.col("text")).rlike(rf"\b{RANK_EVAL_T1}\b")
+    has2 = F.lower(F.col("text")).rlike(rf"\b{RANK_EVAL_T2}\b")
+    topk = (
+        docs.filter(has1 | has2)
+        .select("doc_id", "n_chars", (has1 & has2).alias("rel"))
+        .orderBy(F.col("n_chars").desc(), "doc_id")
+        .limit(RANK_EVAL_K)
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("n_chars").desc(), "doc_id")
+    ranked = topk.withColumn("rank", F.row_number().over(w))
+    rel_int = F.col("rel").cast("int")
+    return ranked.agg(
+        F.round(F.sum(F.when(F.col("rank") <= 5, rel_int)) / 5.0, 4)
+        .alias("precision_at_5"),
+        F.round(F.sum(rel_int) / float(RANK_EVAL_K), 4)
+        .alias("precision_at_10"),
+        F.round(F.coalesce(
+            F.max(F.when(F.col("rel"), 1.0 / F.col("rank"))), F.lit(0.0)
+        ), 4).alias("mrr"),
+    )
+
+
 def match_phrase_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``match_phrase_prefix``: a phrase whose final term is a prefix
     ("window st" → "window stream", "window stats", ...). On the
@@ -388,6 +422,7 @@ QUERIES = {
     "span_not_query": span_not_query,
     "term_suggester": term_suggester,
     "span_containing_query": span_containing_query,
+    "rank_eval": rank_eval,
     "match_phrase_prefix": match_phrase_prefix,
     "weighted_avg_agg": weighted_avg_agg,
     "categorize_text_agg": categorize_text_agg,
@@ -521,6 +556,28 @@ ORACLE = {
         )
         SELECT doc_id, n_contained FROM c
         WHERE n_contained > 0 ORDER BY doc_id
+    """,
+    "rank_eval": rf"""
+        WITH m AS (
+            SELECT doc_id, n_chars,
+                   regexp_matches(lower(text), '\b{RANK_EVAL_T1}\b') AND
+                   regexp_matches(lower(text), '\b{RANK_EVAL_T2}\b') AS rel
+            FROM documents
+            WHERE regexp_matches(lower(text), '\b{RANK_EVAL_T1}\b')
+               OR regexp_matches(lower(text), '\b{RANK_EVAL_T2}\b')
+            ORDER BY n_chars DESC, doc_id
+            LIMIT {RANK_EVAL_K}
+        ), r AS (
+            SELECT rel,
+                   ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id) AS rank
+            FROM m
+        )
+        SELECT ROUND(SUM(CASE WHEN rank <= 5 THEN rel::INT END) / 5.0, 4)
+                   AS precision_at_5,
+               ROUND(SUM(rel::INT) / {RANK_EVAL_K}.0, 4) AS precision_at_10,
+               ROUND(COALESCE(MAX(CASE WHEN rel THEN 1.0 / rank END), 0.0), 4)
+                   AS mrr
+        FROM r
     """,
     "span_first_query": rf"""
         SELECT doc_id,
