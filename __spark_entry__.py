@@ -135,18 +135,18 @@ _PRIORITY = [
 #   categorize_text_agg, has_child_query, has_parent_query,
 #   terms_lookup_filter, geo_polygon_query, global_agg_compare,
 #   transform_entity_centric, quality_bigram_lm,
-#   length_percentile_filter, knn_join_topk, plus the seven entries for
+#   length_percentile_filter, knn_join_topk, plus the eight entries for
 #   features implemented after the round-7 window froze:
 #   dsl_composite_desc (desc source pagination), dsl_nested_ordered
 #   (outer order/_key + min_doc_count with a sub-bucket),
 #   span_or_query, span_not_query, span_containing_query (span
 #   family completion), term_suggester (did-you-mean over the
-#   aggregated vocabulary), rank_eval (precision@k / MRR)
-# Re-checks (8 oldest driver rows, r1/r2-era — 42 never-checked
+#   aggregated vocabulary), rank_eval (precision@k / MRR),
+#   ppl_dispersion_stats (stddev/var/percentile stats aggregates)
+# Re-checks (7 oldest driver rows, r1/r2-era — 43 never-checked
 # entries above + these fill the 50 slots exactly):
 #   q08_top_n, q09_limit, q10_count, q12_index_pattern_union,
-#   cdc_incremental_agg, cdc_mirror_count, cdc_op_stats,
-#   join_pricing_summary
+#   cdc_incremental_agg, cdc_mirror_count, cdc_op_stats
 # After round 8 every entry has a driver row and the oldest rows are
 # re-confirmed.
 

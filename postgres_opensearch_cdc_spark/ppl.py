@@ -17,7 +17,11 @@ Supported stages (the core of the public PPL command set):
                                            floor/lower/upper/length,
                                            parentheses
     stats  <agg> [as alias], ... [by k...] count/sum/avg/min/max/
-                                           dc (distinct count); a by-key
+                                           dc (distinct count)/
+                                           stddev/var (sample forms)/
+                                           percentile(field, N)
+                                           (exact, linear
+                                           interpolation); a by-key
                                            may be span(ts_field, N<unit>)
                                            [as alias] for time bucketing
                                            (units m=minute, h, d, w,
@@ -109,7 +113,11 @@ def _grok_to_regex(pattern: str) -> str:
 
 
 _CMP = {"=": "=", "!=": "!=", ">": ">", ">=": ">=", "<": "<", "<=": "<="}
-_AGGS = {"count", "sum", "avg", "min", "max", "dc"}
+_AGGS = {"count", "sum", "avg", "min", "max", "dc", "stddev", "var",
+         "percentile"}
+# names whose pyspark function differs from the PPL keyword (F.var
+# does not exist; stddev must be the SAMPLE form explicitly)
+_EVENTSTATS_FN = {"stddev": F.stddev_samp, "var": F.var_samp}
 # eval expressions pass through F.expr after a whitelist scan
 _EVAL_FUNCS = {
     "round", "abs", "ceil", "floor", "lower", "upper", "length",
@@ -262,19 +270,41 @@ def _check_eval_expr(expr: str) -> None:
 
 def _agg_expr(text: str):
     m = re.fullmatch(
-        r"\s*([a-z]+)\s*\(\s*([A-Za-z_0-9]*)\s*\)\s*(?:as\s+([A-Za-z_0-9]+))?\s*",
+        r"\s*([a-z]+)\s*\(\s*([A-Za-z_0-9]*)\s*"
+        r"(?:,\s*(\d+)\s*)?\)\s*(?:as\s+([A-Za-z_0-9]+))?\s*",
         text,
         flags=re.I,
     )
     if not m:
         raise PPLSyntaxError(f"bad stats aggregate: {text!r}")
-    fn, arg, alias = m.group(1).lower(), m.group(2), m.group(3)
+    fn, arg, extra, alias = (m.group(1).lower(), m.group(2), m.group(3),
+                             m.group(4))
     if fn not in _AGGS:
         raise PPLSyntaxError(f"unknown aggregate: {fn}")
+    if extra is not None and fn != "percentile":
+        raise PPLSyntaxError(f"{fn}() takes one argument: {text!r}")
     if fn == "count":
         col, default = F.count(F.lit(1)), "count"
     elif fn == "dc":
         col, default = F.countDistinct(arg), f"dc_{arg}"
+    elif fn == "stddev":
+        # sample stddev (PPL STDDEV_SAMP); round at the call site via
+        # an eval stage when engine-exact parity matters
+        col, default = F.stddev_samp(arg), f"stddev_{arg}"
+    elif fn == "var":
+        col, default = F.var_samp(arg), f"var_{arg}"
+    elif fn == "percentile":
+        if extra is None:
+            raise PPLSyntaxError(
+                f"percentile needs percentile(field, N): {text!r}"
+            )
+        pct = int(extra)
+        if not 0 <= pct <= 100:
+            raise PPLSyntaxError(f"percentile out of [0,100]: {pct}")
+        # exact linear-interpolation percentile — same definition as
+        # DuckDB's quantile_cont, so oracles replay it
+        col = F.expr(f"percentile({arg}, {pct / 100})")
+        default = f"p{pct}_{arg}"
     else:
         col, default = getattr(F, fn)(arg), f"{fn}_{arg}"
     return col.alias(alias or default)
@@ -317,7 +347,8 @@ def ppl(spark: SparkSession, sf_dir: str, query: str,
         elif cmd == "stats":
             by_match = re.search(r"\s+by\s+(.+)$", rest, flags=re.I)
             agg_text = rest[: by_match.start()] if by_match else rest
-            aggs = [_agg_expr(a) for a in agg_text.split(",")]
+            # paren-aware split: percentile(value, 90) carries a comma
+            aggs = [_agg_expr(a) for a in _split_top_level(agg_text)]
             if by_match:
                 keys = []
                 # comma-split that respects parens/quotes (span(ts, 1d))
@@ -458,6 +489,10 @@ def ppl(spark: SparkSession, sf_dir: str, query: str,
                 if not m2 or m2.group(1).lower() not in _AGGS:
                     raise PPLSyntaxError(f"bad eventstats aggregate: {a!r}")
                 fn, arg, alias = m2.group(1).lower(), m2.group(2), m2.group(3)
+                if fn == "percentile":
+                    raise PPLSyntaxError(
+                        "percentile is a stats aggregate, not eventstats"
+                    )
                 default = "count" if fn == "count" else f"{fn}_{arg}"
                 if fn == "dc":
                     default = f"dc_{arg}"
@@ -472,7 +507,9 @@ def ppl(spark: SparkSession, sf_dir: str, query: str,
                         # collect_set size (no approx: parity is exact)
                         wcol = F.size(F.collect_set(arg).over(w)).cast("long")
                     else:
-                        wcol = getattr(F, fn)(arg).over(w)
+                        wcol = _EVENTSTATS_FN.get(fn, getattr(F, fn, None))(
+                            arg
+                        ).over(w)
                     df = df.withColumn(out_name, wcol)
             else:
                 # global eventstats: a keyless window would move the
@@ -488,7 +525,11 @@ def ppl(spark: SparkSession, sf_dir: str, query: str,
                     elif fn == "dc":
                         aggs.append(F.countDistinct(arg).alias(out_name))
                     else:
-                        aggs.append(getattr(F, fn)(arg).alias(out_name))
+                        aggs.append(
+                            _EVENTSTATS_FN.get(fn, getattr(F, fn, None))(
+                                arg
+                            ).alias(out_name)
+                        )
                 totals = df.agg(*aggs)
                 collide = [n for _, _, n in parsed if n in df.columns]
                 df = df.drop(*collide).crossJoin(F.broadcast(totals))

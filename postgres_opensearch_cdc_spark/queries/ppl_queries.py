@@ -201,8 +201,26 @@ def ppl_eval_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
     eval."""
     return ppl(spark, sf_dir, PPL_EVAL_STRINGS)
 
+PPL_DISPERSION_STATS = (
+    "source=events | stats avg(value) as avg_v, stddev(value) as sd_v, "
+    "var(value) as var_v, percentile(value, 90) as p90_v by event_type "
+    "| eval avg_r = round(avg_v, 4) | eval sd_r = round(sd_v, 4) "
+    "| eval var_r = round(var_v, 4) | eval p90_r = round(p90_v, 4) "
+    "| fields event_type, avg_r, sd_r, var_r, p90_r | sort +event_type"
+)
+
+
+def ppl_dispersion_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stats with the dispersion aggregates (stddev/var sample forms,
+    exact linear-interpolation percentile) — all partial+final
+    aggregates in one pass; eval-rounding after stats pins engine
+    parity at 4 decimals."""
+    return ppl(spark, sf_dir, PPL_DISPERSION_STATS)
+
+
 
 QUERIES = {
+    "ppl_dispersion_stats": ppl_dispersion_stats,
     "ppl_where_stats": ppl_where_stats,
     "ppl_top_sources": ppl_top_sources,
     "ppl_rare_langs": ppl_rare_langs,
@@ -222,6 +240,16 @@ QUERIES = {
 }
 
 ORACLE = {
+    "ppl_dispersion_stats": """
+        SELECT event_type,
+               ROUND(AVG(value), 4) AS avg_r,
+               ROUND(STDDEV_SAMP(value), 4) AS sd_r,
+               ROUND(VAR_SAMP(value), 4) AS var_r,
+               ROUND(QUANTILE_CONT(value, 0.90), 4) AS p90_r
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
     "ppl_where_stats": """
         SELECT user_id, COUNT(*) AS cnt,
                ROUND(SUM(value), 2) AS sum_r
