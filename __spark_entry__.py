@@ -87,8 +87,8 @@ _MODULES = [
 #       no counterpart), each syntax shape oracle-checked,
 #   (f) 10 of the remaining never-checked batch entries (timeseries-2
 #       + training-pipeline-3).
-# After this window the r1-r7 union covers 233 of the 270 entries
-# (the surface grew by 7 more late-round additions, all staged in the
+# After this window the r1-r7 union covers 233 of the 271 entries
+# (the surface grew by 8 more late-round additions, all staged in the
 # round-8 list below).
 _PRIORITY = [
     # (a) PPL compiler — never driver-checked
