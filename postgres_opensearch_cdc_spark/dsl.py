@@ -20,7 +20,8 @@ aggregations (the dashboard panel shapes):
     date_histogram (calendar_interval: hour|day|week|month|quarter|
     year), histogram (field, interval), range (field, ranges with
     from/to + metric sub-aggs as per-range conditional aggregates),
-    filters (named sub-queries → doc_count buckets),
+    filters (named sub-queries → doc_count buckets + optional metric
+    sub-aggs as per-bucket conditional aggregates),
     composite (sources + size + after-key pagination — the
     scale-friendly cursor over an unbounded key space),
     metrics: avg, sum, min, max, value_count, cardinality
@@ -515,18 +516,38 @@ def _compile_aggs(df: DataFrame, aggs: dict) -> DataFrame:
             )
         ).orderBy(name)
     if "filters" in spec:
+        # named buckets with optional metric sub-aggs: ONE pass of
+        # conditional aggregates per (bucket, metric), then unpivot —
+        # the same single-scan shape as the range agg (buckets are
+        # independent; overlapping filters count in every match)
         named = spec["filters"]["filters"]
-        if metrics:
-            raise DSLError("filters agg supports doc_count buckets only")
-        counts = [
-            F.sum(compile_query(q).cast("long")).alias(n)
-            for n, q in named.items()
-        ]
-        wide = df.agg(*counts)
-        stack_args = ", ".join(f"'{n}', {n}" for n in named)
+        metric_names = list(sub)
+        agg_cols = []
+        for i, (n, q) in enumerate(named.items()):
+            cond = compile_query(q)
+            agg_cols.append(F.sum(cond.cast("long")).alias(f"_f{i}"))
+            for j, mspec in enumerate(sub.values()):
+                ((kind, mb),) = mspec.items()
+                if kind not in _METRICS:
+                    raise DSLError(f"unknown metric agg: {kind}")
+                guarded = F.when(cond, F.col(mb["field"]))
+                if kind == "value_count":
+                    mcol = F.count(guarded)
+                elif kind == "cardinality":
+                    mcol = F.countDistinct(guarded)
+                else:
+                    mcol = F.round(getattr(F, kind)(guarded), 4)
+                agg_cols.append(mcol.alias(f"_m{i}_{j}"))
+        wide = df.agg(*agg_cols)
+        stack_args = ", ".join(
+            f"'{n}', _f{i}"
+            + "".join(f", _m{i}_{j}" for j in range(len(metric_names)))
+            for i, n in enumerate(named)
+        )
+        out_cols = ", ".join([name, "doc_count"] + metric_names)
         return wide.select(
             F.expr(
-                f"stack({len(named)}, {stack_args}) AS ({name}, doc_count)"
+                f"stack({len(named)}, {stack_args}) AS ({out_cols})"
             )
         ).orderBy(name)
     raise DSLError(f"unknown bucket agg in {name!r}")

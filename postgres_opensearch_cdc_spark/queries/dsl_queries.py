@@ -365,6 +365,32 @@ def dsl_nested_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
                   id_col="event_id")
 
 
+DSL_FILTERS_METRICS = {
+    "aggs": {
+        "segments": {
+            "filters": {"filters": {
+                "clicks": {"term": {"event_type": "click"}},
+                "big_values": {"range": {"value": {"gte": 300}}},
+                "week1": {"range": {"ts": {"lt": "2024-01-08"}}},
+            }},
+            "aggs": {
+                "avg_value": {"avg": {"field": "value"}},
+                "users": {"cardinality": {"field": "user_id"}},
+            },
+        }
+    }
+}
+
+
+def dsl_filters_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """filters agg WITH metric sub-aggs: one pass of per-bucket
+    conditional aggregates (avg + cardinality guarded by each named
+    filter), then unpivot — overlapping buckets each count their own
+    matches, single scan."""
+    return search(spark, sf_dir, "events", DSL_FILTERS_METRICS,
+                  id_col="event_id")
+
+
 QUERIES = {
     "dsl_bool_filtered_terms": dsl_bool_filtered_terms,
     "dsl_should_hits": dsl_should_hits,
@@ -382,9 +408,32 @@ QUERIES = {
     "dsl_terms_ordered": dsl_terms_ordered,
     "dsl_composite_desc": dsl_composite_desc,
     "dsl_nested_ordered": dsl_nested_ordered,
+    "dsl_filters_metrics": dsl_filters_metrics,
 }
 
 ORACLE = {
+    "dsl_filters_metrics": """
+        WITH w AS (
+          SELECT
+            CAST(SUM((event_type = 'click')::LONG) AS BIGINT) AS f0,
+            ROUND(AVG(CASE WHEN event_type = 'click' THEN value END), 4) AS m00,
+            COUNT(DISTINCT CASE WHEN event_type = 'click' THEN user_id END) AS m01,
+            CAST(SUM((value >= 300)::LONG) AS BIGINT) AS f1,
+            ROUND(AVG(CASE WHEN value >= 300 THEN value END), 4) AS m10,
+            COUNT(DISTINCT CASE WHEN value >= 300 THEN user_id END) AS m11,
+            CAST(SUM((ts < TIMESTAMP '2024-01-08')::LONG) AS BIGINT) AS f2,
+            ROUND(AVG(CASE WHEN ts < TIMESTAMP '2024-01-08' THEN value END), 4) AS m20,
+            COUNT(DISTINCT CASE WHEN ts < TIMESTAMP '2024-01-08' THEN user_id END) AS m21
+          FROM events
+        )
+        SELECT 'clicks' AS segments, f0 AS doc_count,
+               m00 AS avg_value, m01 AS users FROM w
+        UNION ALL
+        SELECT 'big_values', f1, m10, m11 FROM w
+        UNION ALL
+        SELECT 'week1', f2, m20, m21 FROM w
+        ORDER BY segments
+    """,
     "dsl_composite_desc": """
         SELECT event_type AS et, user_id AS u, COUNT(*) AS doc_count
         FROM events
