@@ -26,6 +26,12 @@ AGGS = [
     ("min(value)", "MIN(value)"),
     ("max(value)", "MAX(value)"),
     ("dc(event_type)", "COUNT(DISTINCT event_type)"),
+    # dispersion aggregates (round 7): sample forms + exact
+    # linear-interpolation percentile — both engines agree well below
+    # the 6-decimal comparison on this data scale
+    ("stddev(value)", "STDDEV_SAMP(value)"),
+    ("var(user_id)", "VAR_SAMP(user_id)"),
+    ("percentile(value, 75)", "QUANTILE_CONT(value, 0.75)"),
 ]
 
 
