@@ -28,6 +28,8 @@ SPLIT_DENOM = 100
 TRAIN_LT, VAL_LT = 80, 90  # train: [0,80), val: [80,90), test: [90,100)
 OVERLAP_N = 2  # bigrams: dense enough to overlap at every test SF
 COVERAGE_KS = [5, 10, 20, 30]
+QLC_BUCKETS = 64     # hashed feature space (fasttext-style bag of words)
+QLC_THRESH = 0.0     # keep docs scoring above this
 
 
 def stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -174,7 +176,47 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def quality_linear_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filter as pure column math: a fasttext-style
+    linear classifier over hashed unigram features. Tokens hash into
+    {QLC_BUCKETS} buckets; each bucket's weight derives
+    deterministically from md5 (stand-in for trained weights — swap in
+    a real weight table as a broadcast join at deployment); the doc
+    score is the mean feature weight and keep = score > threshold.
+    This is the CCNet/phi-style "LM quality classifier" shape run
+    entirely in the scan+aggregate path: NO Python UDF, no model
+    server round-trip — per-token hashing and weight lookup are
+    codegen expressions, then two keyed partial aggs (doc, then
+    source). At 100 TB swap the md5 weights for a broadcast K-row
+    weight table; the plan is otherwise unchanged."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "source",
+        F.explode(textfn.tokens(F.col("text"))).alias("tok"),
+    )
+    bucket = hash60(F.col("tok")) % QLC_BUCKETS
+    weight = (
+        (hash60(F.concat(F.lit("w:"), bucket.cast("string"))) % 2001 - 1000)
+        / 1000.0
+    )
+    per_doc = (
+        toks.select("doc_id", "source", weight.alias("w"))
+        .groupBy("doc_id", "source")
+        .agg(F.round(F.avg("w"), 6).alias("score"))
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("score") > QLC_THRESH).cast("long")).alias("n_kept"),
+            F.round(F.avg("score"), 4).alias("avg_score"),
+        )
+        .orderBy("source")
+    )
+
+
 QUERIES = {
+    "quality_linear_classifier": quality_linear_classifier,
     "stratified_split": stratified_split,
     "source_overlap_matrix": source_overlap_matrix,
     "vocab_coverage": vocab_coverage,
@@ -184,6 +226,27 @@ _TOKS_SQL = r"regexp_split_to_array(lower(text), '\s+')"
 
 
 ORACLE = {
+    "quality_linear_classifier": f"""
+        WITH tk AS (
+            SELECT doc_id, source, unnest({_TOKS_SQL}) AS tok
+            FROM documents
+        ), w AS (
+            SELECT doc_id, source,
+                   ((('0x' || substr(md5('w:' ||
+                        ((('0x' || substr(md5(tok), 1, 15))::BIGINT)
+                         % {QLC_BUCKETS})::VARCHAR), 1, 15))::BIGINT
+                     % 2001 - 1000) / 1000.0) AS w
+            FROM tk
+        ), d AS (
+            SELECT doc_id, source, ROUND(AVG(w), 6) AS score
+            FROM w GROUP BY 1, 2
+        )
+        SELECT source,
+               COUNT(*) AS n_docs,
+               CAST(SUM((score > {QLC_THRESH})::LONG) AS BIGINT) AS n_kept,
+               ROUND(AVG(score), 4) AS avg_score
+        FROM d GROUP BY source ORDER BY source
+    """,
     "stratified_split": f"""
         WITH t AS (
             SELECT lang,
