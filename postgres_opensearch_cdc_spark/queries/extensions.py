@@ -527,8 +527,65 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+EMB_OUTLIER_TOPN = 5
+
+
+def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding OUTLIERS: the vectors farthest (L2) from
+    their label's centroid — the mislabeled/noisy-embedding audit run
+    before training on labeled vector data. Centroids come from the
+    same (label, dim)-keyed partial agg as embedding_centroids, get
+    re-assembled into a per-label array (≤ #labels rows) and BROADCAST;
+    each vector's distance is then one codegen zip_with+aggregate in
+    the scan projection, and the top-N per label ranks scalar rows in
+    a per-label window. No vector crosses a shuffle whole; driver
+    traffic is #labels × dim doubles."""
+    from postgres_opensearch_cdc_spark.functions.similarity import _as_double
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "label", "vec_id", _as_double(F.col("embedding")).alias("v")
+    )
+    dims = base.select("label", F.posexplode(F.col("v")).alias("dim", "val"))
+    cent_vec = (
+        dims.groupBy("label", "dim")
+        .agg(F.avg("val").alias("m"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "m"))),
+                lambda s: s["m"],
+            ).alias("c")
+        )
+    )
+    joined = base.join(F.broadcast(cent_vec), "label")
+    dist = F.sqrt(
+        F.aggregate(
+            F.zip_with("v", "c", lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("label").orderBy(
+        F.col("dist").desc(), F.col("vec_id")
+    )
+    return (
+        joined.select(
+            "label", "vec_id", F.round(dist, 4).alias("dist")
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= EMB_OUTLIER_TOPN)
+        .drop("rn")
+        .orderBy("label", F.col("dist").desc(), "vec_id")
+    )
+
+
+
 QUERIES = {
     "embedding_centroids": embedding_centroids,
+    "embedding_outliers": embedding_outliers,
     "pipeline_quality_filter": pipeline_quality_filter,
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -550,6 +607,29 @@ QUERIES = {
 _TOKS = "regexp_split_to_array(lower(text), '\\s+')"
 
 ORACLE = {
+    "embedding_outliers": f"""
+        WITH base AS (
+            SELECT label, vec_id,
+                   list_transform(embedding, x -> x::DOUBLE) AS v
+            FROM embeddings
+        ), dims AS (
+            SELECT label, vec_id, i AS dim, v[i] AS val
+            FROM base, unnest(range(1, len(v) + 1)) AS u(i)
+        ), cent AS (
+            SELECT label, dim, AVG(val) AS m FROM dims GROUP BY 1, 2
+        ), d AS (
+            SELECT label, vec_id,
+                   ROUND(sqrt(SUM((val - m) * (val - m))), 4) AS dist
+            FROM dims JOIN cent USING (label, dim)
+            GROUP BY 1, 2
+        )
+        SELECT label, vec_id, dist FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY label ORDER BY dist DESC, vec_id) AS rn
+            FROM d
+        ) WHERE rn <= {EMB_OUTLIER_TOPN}
+        ORDER BY label, dist DESC, vec_id
+    """,
     "embedding_centroids": """
         WITH base AS (
             SELECT label, vec_id,
