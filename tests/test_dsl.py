@@ -448,3 +448,20 @@ def test_nested_terms_outer_order_and_min_doc_count(spark, sf_dir):
     }}}
     with pytest.raises(DSLError, match="order by"):
         search(spark, sf_dir, "events", bad, id_col="event_id")
+
+
+def test_composite_desc_cursor_pushes_to_scan(spark, sf_dir):
+    """The desc after-cursor compiles to a scan-pushed OR-of-AND
+    predicate (PushedFilters), not a post-scan filter only."""
+    body = {"aggs": {"p": {"composite": {
+        "sources": [
+            {"et": {"terms": {"field": "event_type", "order": "desc"}}},
+            {"u": {"terms": {"field": "user_id"}}},
+        ],
+        "after": {"et": "signup", "u": 3},
+    }}}}
+    plan = explain_plan(search(spark, sf_dir, "events", body,
+                               id_col="event_id"))
+    assert "PushedFilters: [Or(LessThan(event_type,signup)" in plan, (
+        "desc cursor predicate not pushed to the parquet scan"
+    )
