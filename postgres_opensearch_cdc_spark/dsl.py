@@ -150,6 +150,20 @@ def compile_query(node: dict, id_col: str = "doc_id") -> Column:
         if isinstance(v, dict):
             v = v["query"]
         return F.col(f).rlike(rf"\b{re.escape(v)}\b")
+    if kind == "fuzzy":
+        # edit-distance term match (ES fuzzy query): levenshtein runs
+        # as a codegen expression over the scan — no index, so at
+        # 100 TB pair it with a pushable prefix/length pre-filter
+        # (ES's own prefix_length knob exists for the same reason)
+        ((f, v),) = body.items()
+        fuzziness = 2
+        if isinstance(v, dict):
+            fuzziness = int(v.get("fuzziness", 2))
+            v = v["value"]
+        return (
+            F.levenshtein(F.lower(F.col(f)), F.lit(str(v).lower()))
+            <= fuzziness
+        )
     if kind == "bool":
         cond = None
 

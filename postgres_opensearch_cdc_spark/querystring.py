@@ -18,6 +18,7 @@ Supported syntax (the subset the reference's dashboards exercise):
     field:(a OR b*)             field grouping — the field distributes
                                 over the parenthesized values (terms /
                                 wildcards / phrases)
+    term~  term~1               fuzzy (edit distance; default 2)
     _exists_:field              exists
     bare terms / "phrase" / w*  analyzed against default_field
     +clause  -clause            Lucene required / prohibited: adjacent
@@ -288,6 +289,13 @@ class _Parser:
                     f"cannot mix escaped and live wildcards: {val!r}"
                 )
             return {"wildcard": {field: val}}
+        fm = re.fullmatch(r"(.+?)~(\d?)", val)
+        if fm and not fm.group(1).endswith("\\"):
+            # Lucene fuzzy suffix: term~ (edit distance 2) / term~1
+            fuzz = int(fm.group(2)) if fm.group(2) else 2
+            return {"fuzzy": {field: {
+                "value": _unescape(fm.group(1)), "fuzziness": fuzz,
+            }}}
         return {"term": {field: _coerce(_unescape(val))}}
 
     def _bracket_range(self, field: str, open_br: str) -> dict:
@@ -322,6 +330,12 @@ class _Parser:
                         f"cannot mix escaped and live wildcards: {text!r}"
                     )
                 return {"wildcard": {f: text}}
+            fm = re.fullmatch(r"(.+?)~(\d?)", text)
+            if fm and not fm.group(1).endswith("\\"):
+                fuzz = int(fm.group(2)) if fm.group(2) else 2
+                return {"fuzzy": {f: {
+                    "value": _unescape(fm.group(1)), "fuzziness": fuzz,
+                }}}
             # bare free text is ANALYZED against the default field
             # (ES query_string semantics), not exact-term-matched
             return {"match": {f: _unescape(text)}}

@@ -225,3 +225,24 @@ def test_backslash_escapes():
     assert parse_query_string(r"f:a\ b") == {"term": {"f": "a b"}}
     with pytest.raises(QueryStringError, match="escaped and live"):
         parse_query_string(r"f:a\*b*")
+
+
+def test_fuzzy_suffix(spark, sf_dir):
+    """term~ / term~1 parse to the fuzzy node (levenshtein filter);
+    escaped tilde stays a literal term."""
+    assert parse_query_string("lang:en~1") == {
+        "fuzzy": {"lang": {"value": "en", "fuzziness": 1}}
+    }
+    assert parse_query_string("status:ACTIVE~") == {
+        "fuzzy": {"status": {"value": "ACTIVE", "fuzziness": 2}}
+    }
+    assert parse_query_string(r"path:a\~b") == {"term": {"path": "a~b"}}
+    # end-to-end: fuzzy matches within the distance only
+    rows = search(
+        spark, sf_dir, "documents",
+        {"query": {"query_string": "lang:fn~1"}, "size": 500,
+         "_source": ["lang"]},
+    ).collect()
+    langs = {r["lang"] for r in rows}
+    assert rows and langs <= {"en", "fi", "fr", "fn"}, langs
+    assert "zh" not in langs  # distance 2 from 'fn' — outside ~1
