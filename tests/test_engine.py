@@ -217,3 +217,31 @@ def test_engine_reindex_filtered_and_idempotent(spark, tmp_path):
     # idempotent: re-running converges to the same state
     assert engine.reindex("card", "card_active",
                           query={"term": {"status": "ACTIVE"}}) == 5
+
+
+def test_engine_search_reflects_streamed_changes(spark, tmp_path):
+    """The query surface answers from post-stream mirror state: a
+    query-string search after a CDC batch sees the update, not the
+    snapshot — the always-current contract through the _search path."""
+    engine = CdcEngine(spark=spark, workdir=str(tmp_path))
+    engine.register_table("card", CARD_SCHEMA)
+    engine.backfill("card", spark.createDataFrame(
+        [(1, "ACTIVE", "DEBIT"), (2, "ACTIVE", "CREDIT")], CARD_SCHEMA,
+    ))
+    assert {r["id"] for r in
+            engine.query_string("card", "status:ACTIVE").collect()} == {1, 2}
+    log_dir = str(tmp_path / "log")
+    os.makedirs(log_dir)
+    with open(os.path.join(log_dir, "b1.json"), "w") as f:
+        f.write("\n".join([
+            envelope("u", 1, "BLOCKED", "DEBIT", 10),
+            envelope("c", 3, "ACTIVE", "DEBIT", 11),
+        ]))
+    engine.start_stream("card", log_dir)
+    engine.await_all()
+    assert {r["id"] for r in
+            engine.query_string("card", "status:ACTIVE").collect()} == {2, 3}
+    agg = engine.search("card", {"aggs": {
+        "st": {"terms": {"field": "status"}}}})
+    assert {r["st"]: r["doc_count"] for r in agg.collect()} == {
+        "ACTIVE": 2, "BLOCKED": 1}
