@@ -18,7 +18,15 @@ STR_VALUES = ["click", "view", "purchase", "error", "signup"]
 
 
 def _leaf(rng: random.Random) -> tuple[dict, str]:
-    kind = rng.choice(["term", "terms", "range", "exists", "prefix", "wildcard"])
+    kind = rng.choice(["term", "terms", "range", "exists", "prefix",
+                       "wildcard", "fuzzy"])
+    if kind == "fuzzy":
+        v = rng.choice(["clack", "vie", "purchse", "eror"])
+        n = rng.randint(1, 2)
+        return (
+            {"fuzzy": {"event_type": {"value": v, "fuzziness": n}}},
+            f"levenshtein(lower(event_type), '{v}') <= {n}",
+        )
     if kind == "term":
         v = rng.choice(STR_VALUES)
         return {"term": {"event_type": v}}, f"event_type = '{v}'"
