@@ -12,8 +12,9 @@ query context:
     timestamp), exists, ids, prefix, wildcard (* → %), match
     (analyzed OR over whitespace tokens), match_phrase,
     bool (must / filter / must_not / should + minimum_should_match),
-    match_all, query_string (the Dashboards search-bar syntax, parsed
-    by querystring.py into these same nodes)
+    match_all, fuzzy (edit-distance term), wrapper (base64-wrapped
+    DSL), query_string (the Dashboards search-bar syntax, parsed by
+    querystring.py into these same nodes)
 
 aggregations (the dashboard panel shapes):
     terms (field, size, order by _key/_count/any metric sub-agg),
@@ -164,6 +165,17 @@ def compile_query(node: dict, id_col: str = "doc_id") -> Column:
             F.levenshtein(F.lower(F.col(f)), F.lit(str(v).lower()))
             <= fuzziness
         )
+    if kind == "wrapper":
+        # base64-wrapped DSL (the ES wrapper query — clients that must
+        # smuggle JSON through non-JSON config): decode and recurse
+        import base64
+        import json
+
+        try:
+            inner = json.loads(base64.b64decode(body["query"]))
+        except Exception as exc:
+            raise DSLError(f"wrapper query does not decode: {exc}") from exc
+        return compile_query(inner, id_col)
     if kind == "bool":
         cond = None
 

@@ -226,6 +226,23 @@ class CdcEngine:
         ))
         return self.view(dst).count()
 
+    def msearch(self, name: str, bodies: list) -> list:
+        """Multi-search: one DataFrame per request body (the ES
+        `_msearch` bulk endpoint). Plans are independent; callers can
+        collect them concurrently — Spark schedules the jobs in
+        parallel within the session."""
+        return [self.search(name, b) for b in bodies]
+
+    def explain(self, name: str, body: dict) -> str:
+        """The `_explain`/profile analog: the formatted physical plan
+        a request body compiles to against the mirror — pushdown,
+        exchanges, and codegen spans, for query debugging."""
+        df = self.search(name, body)
+        return df._jdf.queryExecution().explainString(
+            df._sc._jvm.org.apache.spark.sql.execution.ExplainMode
+            .fromString("formatted")
+        )
+
     def register_sql_views(self) -> None:
         """Expose every mirror as `<name>_mirror` for spark.sql — the
         engine's Dashboards/DSL analog is plain SQL (SURVEY §3.3)."""

@@ -63,8 +63,9 @@ Supported stages (the core of the public PPL command set):
                                            other columns)
 
 Where conditions support =, !=, >, >=, <, <=, ``f in (v1, v2, ...)``,
-``like(f, 'pat%')`` (SQL-LIKE wildcards), ``not <cond>``, and
-parenthesized grouping (``(a = 1 or b = 2) and c > 3``).
+``like(f, 'pat%')`` (SQL-LIKE wildcards), ``isnull(f)`` /
+``isnotnull(f)``, ``not <cond>``, and parenthesized grouping
+(``(a = 1 or b = 2) and c > 3``).
 
 Errors are raised as PPLSyntaxError with the offending stage text.
 """
@@ -201,6 +202,15 @@ def _compile_comparison(cmp_text: str):
                 break
         else:
             return _compile_condition(cmp_text[1:-1])
+    nlm = re.fullmatch(
+        r"(isnull|isnotnull)\s*\(\s*([A-Za-z_][A-Za-z_0-9]*)\s*\)",
+        cmp_text,
+        flags=re.I,
+    )
+    if nlm:
+        col = F.col(nlm.group(2))
+        return col.isNull() if nlm.group(1).lower() == "isnull" \
+            else col.isNotNull()
     im = re.fullmatch(
         r"([A-Za-z_][A-Za-z_0-9]*)\s+in\s*\(\s*(.+?)\s*\)", cmp_text, flags=re.I
     )

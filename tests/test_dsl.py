@@ -465,3 +465,17 @@ def test_composite_desc_cursor_pushes_to_scan(spark, sf_dir):
     assert "PushedFilters: [Or(LessThan(event_type,signup)" in plan, (
         "desc cursor predicate not pushed to the parquet scan"
     )
+
+
+def test_wrapper_query_decodes_and_recurses(spark, sf_dir):
+    import base64
+    import json
+
+    inner = {"term": {"event_type": "click"}}
+    b64 = base64.b64encode(json.dumps(inner).encode()).decode()
+    df = search(spark, sf_dir, "events",
+                {"query": {"wrapper": {"query": b64}}, "size": 5},
+                id_col="event_id")
+    assert all(r["event_type"] == "click" for r in df.collect())
+    with pytest.raises(DSLError, match="does not decode"):
+        compile_query({"wrapper": {"query": "!!!not-base64-json"}})

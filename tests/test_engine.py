@@ -245,3 +245,19 @@ def test_engine_search_reflects_streamed_changes(spark, tmp_path):
         "st": {"terms": {"field": "status"}}}})
     assert {r["st"]: r["doc_count"] for r in agg.collect()} == {
         "ACTIVE": 2, "BLOCKED": 1}
+
+
+def test_engine_msearch_and_explain(spark, tmp_path):
+    engine = CdcEngine(spark=spark, workdir=str(tmp_path))
+    engine.register_table("card", CARD_SCHEMA)
+    engine.backfill("card", spark.createDataFrame(
+        [(1, "ACTIVE", "DEBIT"), (2, "BLOCKED", "CREDIT")], CARD_SCHEMA,
+    ))
+    r1, r2 = engine.msearch("card", [
+        {"query": {"term": {"status": "ACTIVE"}}},
+        {"aggs": {"st": {"terms": {"field": "status"}}}},
+    ])
+    assert {r["id"] for r in r1.collect()} == {1}
+    assert {r["st"] for r in r2.collect()} == {"ACTIVE", "BLOCKED"}
+    plan = engine.explain("card", {"query": {"term": {"status": "ACTIVE"}}})
+    assert "Physical Plan" in plan and "ACTIVE" in plan

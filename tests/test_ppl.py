@@ -353,3 +353,16 @@ def test_where_parenthesized_grouping(spark, sf_dir):
     for r in nested.select("p_size", "p_type", "p_brand").collect():
         assert r["p_size"] in (5, 10) or r["p_type"].startswith("P")
         assert not (r["p_brand"] == "Brand#5" and r["p_size"] == 5)
+
+
+def test_where_isnull_isnotnull(spark, sf_dir):
+    base = load_table(spark, sf_dir, "events")
+    n_null = base.filter("value IS NULL").count()
+    got = ppl(spark, sf_dir, "source=events | where isnull(value)").count()
+    assert got == n_null
+    got_not = ppl(
+        spark, sf_dir,
+        "source=events | where isnotnull(value) and event_type = 'click'",
+    ).count()
+    assert got_not == base.filter(
+        "value IS NOT NULL AND event_type = 'click'").count()
