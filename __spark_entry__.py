@@ -87,8 +87,8 @@ _MODULES = [
 #       no counterpart), each syntax shape oracle-checked,
 #   (f) 10 of the remaining never-checked batch entries (timeseries-2
 #       + training-pipeline-3).
-# After this window the r1-r7 union covers 233 of the 274 entries
-# (the surface grew by 11 more late-round additions, all staged in the
+# After this window the r1-r7 union covers 233 of the 275 entries
+# (the surface grew by 12 more late-round additions, all staged in the
 # round-8 list below).
 _PRIORITY = [
     # (a) PPL compiler — never driver-checked
@@ -135,7 +135,7 @@ _PRIORITY = [
 #   categorize_text_agg, has_child_query, has_parent_query,
 #   terms_lookup_filter, geo_polygon_query, global_agg_compare,
 #   transform_entity_centric, quality_bigram_lm,
-#   length_percentile_filter, knn_join_topk, plus the eleven entries for
+#   length_percentile_filter, knn_join_topk, plus the twelve entries for
 #   features implemented after the round-7 window froze:
 #   dsl_composite_desc (desc source pagination), dsl_nested_ordered
 #   (outer order/_key + min_doc_count with a sub-bucket),
@@ -145,10 +145,11 @@ _PRIORITY = [
 #   ppl_dispersion_stats (stddev/var/percentile stats aggregates),
 #   dsl_filters_metrics (filters agg with metric sub-aggs),
 #   quality_linear_classifier (fasttext-style hashed-feature filter),
-#   embedding_outliers (farthest-from-centroid label audit)
-# Re-checks (4 oldest driver rows, r1/r2-era — 46 never-checked
+#   embedding_outliers (farthest-from-centroid label audit),
+#   ppl_ad_zscore (the ad command — z-score analog of hosted RCF)
+# Re-checks (3 oldest driver rows, r1/r2-era — 47 never-checked
 # entries above + these fill the 50 slots exactly):
-#   q08_top_n, q09_limit, q10_count, q12_index_pattern_union
+#   q08_top_n, q09_limit, q10_count
 # After round 8 every entry has a driver row and the oldest rows are
 # re-confirmed.
 

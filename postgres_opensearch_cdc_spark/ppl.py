@@ -55,6 +55,10 @@ Supported stages (the core of the public PPL command set):
     trendline sma(N, field) [as alias]     simple moving average over
                                            the current sort order
                                            (null until N points seen)
+    ad <field> [threshold=N] [by k]        z-score anomaly detection
+                                           (deterministic analog of
+                                           the hosted RCF `ad`):
+                                           appends score + anomaly
     join [type=inner|left] on <field> <table>
                                            equi-join on a shared column
     lookup <table> <lookup_field> as <local_field>
@@ -620,6 +624,49 @@ def ppl(spark: SparkSession, sf_dir: str, query: str,
                 ).drop(right[lk_field])
             else:
                 df = df.join(F.broadcast(right), on=lk_field, how="left")
+        elif cmd == "ad":
+            # anomaly detection command. The hosted PPL `ad` runs an
+            # RCF model; this engine's deterministic analog is the
+            # z-score detector (same interface: rows back with score +
+            # anomaly flag appended). |z| uses the population stddev
+            # over the whole frame (or per `by` group), computed as a
+            # broadcast 1-row (or per-key window) aggregate — the same
+            # shapes as eventstats, no single-partition pass over data
+            # rows.
+            am = re.fullmatch(
+                r"([A-Za-z_0-9]+)(?:\s+threshold\s*=\s*"
+                r"(\d+(?:\.\d+)?))?(?:\s+by\s+([A-Za-z_0-9]+))?",
+                rest,
+                flags=re.I,
+            )
+            if not am:
+                raise PPLSyntaxError(
+                    f"ad needs: <field> [threshold=N] [by <key>]: {rest!r}"
+                )
+            fld, thr, key = am.group(1), float(am.group(2) or 3.0), am.group(3)
+            if key:
+                from pyspark.sql import Window
+
+                w = Window.partitionBy(key)
+                mu = F.avg(fld).over(w)
+                sd = F.stddev_pop(fld).over(w)
+                z = F.when(sd > 0, (F.col(fld) - mu) / sd).otherwise(F.lit(0.0))
+                df = df.withColumn("score", F.round(z, 4)).withColumn(
+                    "anomaly", (F.abs(F.col("score")) > thr).cast("int")
+                )
+            else:
+                stats_row = df.agg(
+                    F.avg(fld).alias("_mu"),
+                    F.stddev_pop(fld).alias("_sd"),
+                )
+                df = df.crossJoin(F.broadcast(stats_row))
+                z = F.when(
+                    F.col("_sd") > 0,
+                    (F.col(fld) - F.col("_mu")) / F.col("_sd"),
+                ).otherwise(F.lit(0.0))
+                df = df.withColumn("score", F.round(z, 4)).withColumn(
+                    "anomaly", (F.abs(F.col("score")) > thr).cast("int")
+                ).drop("_mu", "_sd")
         elif cmd in ("top", "rare"):
             tm = re.fullmatch(r"(\d+)\s+([A-Za-z_0-9]+)", rest)
             if not tm:

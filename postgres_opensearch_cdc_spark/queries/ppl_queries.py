@@ -218,8 +218,26 @@ def ppl_dispersion_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ppl(spark, sf_dir, PPL_DISPERSION_STATS)
 
 
+PPL_AD_ZSCORE = (
+    "source=events | where isnotnull(value) "
+    "| ad value threshold=2.5 by event_type "
+    "| where anomaly = 1 | fields event_id, event_type, score "
+    "| sort +event_id"
+)
+
+
+def ppl_ad_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The `ad` command (deterministic z-score analog of the hosted
+    RCF detector): per-event_type mean/stddev_pop windows, |z| above
+    the threshold flags the row. Composes with the rest of the
+    pipeline (filter on the appended anomaly column, projection,
+    sort)."""
+    return ppl(spark, sf_dir, PPL_AD_ZSCORE)
+
+
 
 QUERIES = {
+    "ppl_ad_zscore": ppl_ad_zscore,
     "ppl_dispersion_stats": ppl_dispersion_stats,
     "ppl_where_stats": ppl_where_stats,
     "ppl_top_sources": ppl_top_sources,
@@ -240,6 +258,21 @@ QUERIES = {
 }
 
 ORACLE = {
+    "ppl_ad_zscore": """
+        WITH s AS (
+            SELECT event_id, event_type, value,
+                   AVG(value) OVER (PARTITION BY event_type) AS mu,
+                   STDDEV_POP(value) OVER (PARTITION BY event_type) AS sd
+            FROM events WHERE value IS NOT NULL
+        ), z AS (
+            SELECT event_id, event_type,
+                   ROUND(CASE WHEN sd > 0 THEN (value - mu) / sd
+                              ELSE 0.0 END, 4) AS score
+            FROM s
+        )
+        SELECT event_id, event_type, score FROM z
+        WHERE ABS(score) > 2.5 ORDER BY event_id
+    """,
     "ppl_dispersion_stats": """
         SELECT event_type,
                ROUND(AVG(value), 4) AS avg_r,
