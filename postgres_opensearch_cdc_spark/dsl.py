@@ -61,6 +61,23 @@ class DSLError(ValueError):
 
 
 _DATE_RE = re.compile(r"^\d{4}-\d{2}-\d{2}([ T]\d{2}:\d{2}:\d{2})?$")
+_IDENT_RE = re.compile(r"[A-Za-z_][A-Za-z0-9_]*\Z")
+
+
+def _sql_ident(name: str) -> str:
+    """User-supplied agg/metric names become output COLUMN names inside
+    a generated stack() expression — validate instead of interpolating
+    raw text into SQL (a name with a quote/space/comma would break or
+    inject into the expression)."""
+    if not _IDENT_RE.fullmatch(name):
+        raise DSLError(f"agg name {name!r} is not a valid identifier")
+    return name
+
+
+def _sql_str(label) -> str:
+    """Single-quoted SQL string literal with quotes escaped — bucket
+    labels are user data, never raw SQL."""
+    return "'" + str(label).replace("'", "''") + "'"
 
 
 def _lit(v):
@@ -157,14 +174,20 @@ def compile_query(node: dict, id_col: str = "doc_id") -> Column:
         # 100 TB pair it with a pushable prefix/length pre-filter
         # (ES's own prefix_length knob exists for the same reason)
         ((f, v),) = body.items()
-        fuzziness = 2
+        fuzziness: "int | str" = "AUTO"
         if isinstance(v, dict):
-            fuzziness = int(v.get("fuzziness", 2))
+            fuzziness = v.get("fuzziness", "AUTO")
             v = v["value"]
-        return (
-            F.levenshtein(F.lower(F.col(f)), F.lit(str(v).lower()))
-            <= fuzziness
-        )
+        term = str(v)
+        if isinstance(fuzziness, str):
+            if fuzziness.upper() != "AUTO":
+                raise DSLError(f"bad fuzziness {fuzziness!r}")
+            # ES AUTO: 0 edits for terms of length 0-2, 1 for 3-5,
+            # 2 for >= 6 — short terms no longer over-match
+            fuzziness = 0 if len(term) <= 2 else (1 if len(term) <= 5 else 2)
+        # term-level query: case-SENSITIVE, unanalyzed (ES semantics —
+        # no lower() on either side)
+        return F.levenshtein(F.col(f), F.lit(term)) <= int(fuzziness)
     if kind == "wrapper":
         # base64-wrapped DSL (the ES wrapper query — clients that must
         # smuggle JSON through non-JSON config): decode and recurse
@@ -531,11 +554,14 @@ def _compile_aggs(df: DataFrame, aggs: dict) -> DataFrame:
             labels.append(label)
         wide = df.agg(*agg_cols)
         stack_args = ", ".join(
-            f"'{label}', _r{i}"
+            f"{_sql_str(label)}, _r{i}"
             + "".join(f", _m{i}_{j}" for j in range(len(metric_names)))
             for i, label in enumerate(labels)
         )
-        out_cols = ", ".join([name, "doc_count"] + metric_names)
+        out_cols = ", ".join(
+            [_sql_ident(name), "doc_count"]
+            + [_sql_ident(m) for m in metric_names]
+        )
         return wide.select(
             F.expr(
                 f"stack({len(labels)}, {stack_args}) AS ({out_cols})"
@@ -566,11 +592,14 @@ def _compile_aggs(df: DataFrame, aggs: dict) -> DataFrame:
                 agg_cols.append(mcol.alias(f"_m{i}_{j}"))
         wide = df.agg(*agg_cols)
         stack_args = ", ".join(
-            f"'{n}', _f{i}"
+            f"{_sql_str(n)}, _f{i}"
             + "".join(f", _m{i}_{j}" for j in range(len(metric_names)))
             for i, n in enumerate(named)
         )
-        out_cols = ", ".join([name, "doc_count"] + metric_names)
+        out_cols = ", ".join(
+            [_sql_ident(name), "doc_count"]
+            + [_sql_ident(m) for m in metric_names]
+        )
         return wide.select(
             F.expr(
                 f"stack({len(named)}, {stack_args}) AS ({out_cols})"

@@ -651,7 +651,12 @@ def ppl(spark: SparkSession, sf_dir: str, query: str,
                 mu = F.avg(fld).over(w)
                 sd = F.stddev_pop(fld).over(w)
                 z = F.when(sd > 0, (F.col(fld) - mu) / sd).otherwise(F.lit(0.0))
-                df = df.withColumn("score", F.round(z, 4)).withColumn(
+                # NULL field values score 0 / anomaly 0 (not NULL): the
+                # column contract is 0/1, and an un-coalesced NULL makes
+                # `where anomaly = 1` silently skip those rows
+                df = df.withColumn(
+                    "score", F.coalesce(F.round(z, 4), F.lit(0.0))
+                ).withColumn(
                     "anomaly", (F.abs(F.col("score")) > thr).cast("int")
                 )
             else:
@@ -664,7 +669,10 @@ def ppl(spark: SparkSession, sf_dir: str, query: str,
                     F.col("_sd") > 0,
                     (F.col(fld) - F.col("_mu")) / F.col("_sd"),
                 ).otherwise(F.lit(0.0))
-                df = df.withColumn("score", F.round(z, 4)).withColumn(
+                # NULL field → score 0 / anomaly 0 (see `by` branch)
+                df = df.withColumn(
+                    "score", F.coalesce(F.round(z, 4), F.lit(0.0))
+                ).withColumn(
                     "anomaly", (F.abs(F.col("score")) > thr).cast("int")
                 ).drop("_mu", "_sd")
         elif cmd in ("top", "rare"):

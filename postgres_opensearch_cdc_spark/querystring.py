@@ -79,6 +79,25 @@ def _has_live_wildcard(tok: str) -> bool:
     return re.search(r"(?<!\\)[*?]", tok) is not None
 
 
+def _fuzzy_suffix(val: str) -> "tuple[str, int] | None":
+    """Split a Lucene fuzzy suffix (``term~`` → distance 2, ``term~N``).
+    Greedy prefix anchors the split at the LAST tilde, so the whole
+    numeric suffix is captured: ``term~25`` is a parse error (Lucene
+    caps edit distance at 2), not a silent fuzziness-5 query on
+    ``term~2`` or a literal term. Returns (raw_prefix, fuzziness), or
+    None when ``val`` has no fuzzy suffix (escaped tilde, or non-digit
+    text after the tilde)."""
+    fm = re.fullmatch(r"(.+)~(\d*)", val)
+    if not fm or fm.group(1).endswith("\\"):
+        return None
+    fuzz = int(fm.group(2)) if fm.group(2) else 2
+    if fuzz > 2:
+        raise QueryStringError(
+            f"fuzziness {fuzz} out of range 0..2 in {val!r}"
+        )
+    return fm.group(1), fuzz
+
+
 def _tokenize(text: str) -> list[tuple[str, str]]:
     toks, pos = [], 0
     while pos < len(text):
@@ -289,12 +308,11 @@ class _Parser:
                     f"cannot mix escaped and live wildcards: {val!r}"
                 )
             return {"wildcard": {field: val}}
-        fm = re.fullmatch(r"(.+?)~(\d?)", val)
-        if fm and not fm.group(1).endswith("\\"):
+        fz = _fuzzy_suffix(val)
+        if fz is not None:
             # Lucene fuzzy suffix: term~ (edit distance 2) / term~1
-            fuzz = int(fm.group(2)) if fm.group(2) else 2
             return {"fuzzy": {field: {
-                "value": _unescape(fm.group(1)), "fuzziness": fuzz,
+                "value": _unescape(fz[0]), "fuzziness": fz[1],
             }}}
         return {"term": {field: _coerce(_unescape(val))}}
 
@@ -330,11 +348,10 @@ class _Parser:
                         f"cannot mix escaped and live wildcards: {text!r}"
                     )
                 return {"wildcard": {f: text}}
-            fm = re.fullmatch(r"(.+?)~(\d?)", text)
-            if fm and not fm.group(1).endswith("\\"):
-                fuzz = int(fm.group(2)) if fm.group(2) else 2
+            fz = _fuzzy_suffix(text)
+            if fz is not None:
                 return {"fuzzy": {f: {
-                    "value": _unescape(fm.group(1)), "fuzziness": fuzz,
+                    "value": _unescape(fz[0]), "fuzziness": fz[1],
                 }}}
             # bare free text is ANALYZED against the default field
             # (ES query_string semantics), not exact-term-matched

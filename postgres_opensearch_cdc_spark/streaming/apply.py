@@ -230,6 +230,9 @@ class PartitionedMirrorSink:
     def _store_schema(self, schema: "T.StructType") -> None:
         import json
 
+        # sidecar now precedes the first data write — the mirror dir
+        # may not exist yet
+        os.makedirs(self.path, exist_ok=True)
         tmp = self._schema_path() + ".tmp"
         with open(tmp, "w") as fh:
             json.dump(schema.jsonValue(), fh)
@@ -300,16 +303,21 @@ class PartitionedMirrorSink:
                 .drop("_rn", "_pri")
             )
             merged = merged.localCheckpoint(eager=True)
+            # persist the running column superset (unionByName already
+            # folded any evolved columns in) BEFORE the data write — next
+            # batch plans with it instead of sweeping footers; _bucket
+            # stays a discovered partition column. Order matters: a crash
+            # between sidecar and data write leaves a sidecar listing a
+            # column the files lack, which is benign (explicit-schema
+            # reads null-fill it); the reverse order risked a sidecar
+            # MISSING an evolved column, silently dropping it on every
+            # later read and merge.
+            self._store_schema(merged.drop("_bucket").schema)
             (
                 merged.write.mode("overwrite")
                 .partitionBy("_bucket")
                 .parquet(self.path)
             )
-            # persist the running column superset (unionByName already
-            # folded any evolved columns in) — next batch plans with it
-            # instead of sweeping footers; _bucket stays a discovered
-            # partition column
-            self._store_schema(merged.drop("_bucket").schema)
             if existed and touched:
                 # dynamic overwrite only rewrites buckets PRESENT in the
                 # output: a touched bucket whose keys were all deleted

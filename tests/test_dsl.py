@@ -479,3 +479,73 @@ def test_wrapper_query_decodes_and_recurses(spark, sf_dir):
     assert all(r["event_type"] == "click" for r in df.collect())
     with pytest.raises(DSLError, match="does not decode"):
         compile_query({"wrapper": {"query": "!!!not-base64-json"}})
+
+
+def test_fuzzy_is_case_sensitive_with_auto_fuzziness(spark):
+    """ES `fuzzy` is a TERM-LEVEL query: case-sensitive, unanalyzed,
+    default fuzziness AUTO (0 edits for len 0-2, 1 for 3-5, 2 for
+    >= 6) — short terms must not over-match at distance 2."""
+    df = spark.createDataFrame(
+        [("ab",), ("xy",), ("click",), ("clack",), ("clik",),
+         ("CLICK",), ("clucks",)],
+        "w string",
+    )
+
+    def hits(q):
+        return {r["w"] for r in df.filter(compile_query(q)).collect()}
+
+    # AUTO on a 2-char term = 0 edits: exact only
+    assert hits({"fuzzy": {"w": "ab"}}) == {"ab"}
+    # AUTO on a 5-char term = 1 edit (clucks is 2 edits — excluded)
+    assert hits({"fuzzy": {"w": "click"}}) == {"click", "clik", "clack"}
+    # case-SENSITIVE: 'CLICK' is 5 edits from 'click', never a match
+    assert "CLICK" not in hits({"fuzzy": {"w": {"value": "click", "fuzziness": 2}}})
+    # explicit fuzziness still honored
+    assert hits({"fuzzy": {"w": {"value": "click", "fuzziness": 2}}}) == {
+        "click", "clik", "clack", "clucks"
+    }
+    with pytest.raises(DSLError, match="bad fuzziness"):
+        compile_query({"fuzzy": {"w": {"value": "click", "fuzziness": "MAX"}}})
+
+
+def test_bucket_labels_and_agg_names_are_injection_safe(spark):
+    """filters/range aggs build a stack() SQL string: bucket labels
+    with quotes must be escaped (data, not SQL), and agg / metric
+    alias names that are not identifiers must raise instead of
+    breaking the generated expression."""
+    from postgres_opensearch_cdc_spark.dsl import search_frame
+
+    df = spark.createDataFrame(
+        [("click", 10.0), ("view", 20.0)], "event_type string, value double"
+    )
+    body = {"aggs": {"by_kind": {
+        "filters": {"filters": {
+            "o'brien's, bucket": {"term": {"event_type": "click"}},
+            "plain": {"term": {"event_type": "view"}},
+        }},
+        "aggs": {"v_sum": {"sum": {"field": "value"}}},
+    }}}
+    rows = {r["by_kind"]: r for r in search_frame(df, body).collect()}
+    assert rows["o'brien's, bucket"]["doc_count"] == 1
+    assert rows["o'brien's, bucket"]["v_sum"] == 10.0
+    assert rows["plain"]["v_sum"] == 20.0
+    # non-identifier metric alias → loud error, not broken SQL
+    bad_metric = {"aggs": {"by_kind": {
+        "filters": {"filters": {"a": {"term": {"event_type": "click"}}}},
+        "aggs": {"v sum, x": {"sum": {"field": "value"}}},
+    }}}
+    with pytest.raises(DSLError, match="not a valid identifier"):
+        search_frame(df, bad_metric).collect()
+    # non-identifier outer agg name (becomes a column) → same error
+    bad_name = {"aggs": {"by kind'": {
+        "filters": {"filters": {"a": {"term": {"event_type": "click"}}}},
+    }}}
+    with pytest.raises(DSLError, match="not a valid identifier"):
+        search_frame(df, bad_name).collect()
+    # range agg shares the stack() builder — quoted label path works
+    rng = {"aggs": {"vr": {
+        "range": {"field": "value", "ranges": [{"from": 0, "to": 15}]},
+        "aggs": {"v_max": {"max": {"field": "value"}}},
+    }}}
+    out = search_frame(df, rng).collect()
+    assert len(out) == 1 and out[0]["doc_count"] == 1 and out[0]["v_max"] == 10.0

@@ -25,7 +25,7 @@ def _leaf(rng: random.Random) -> tuple[dict, str]:
         n = rng.randint(1, 2)
         return (
             {"fuzzy": {"event_type": {"value": v, "fuzziness": n}}},
-            f"levenshtein(lower(event_type), '{v}') <= {n}",
+            f"levenshtein(event_type, '{v}') <= {n}",
         )
     if kind == "term":
         v = rng.choice(STR_VALUES)

@@ -209,3 +209,58 @@ def test_pre_sidecar_mirror_falls_back_and_gains_sidecar(spark, sink):
     assert "tier" in names and "_bucket" not in names
     out = {r["id"]: r for r in sink.read(spark).collect()}
     assert out[2]["tier"] == "gold" and out[5]["tier"] is None
+
+
+def test_sidecar_persisted_before_data_write(spark, sink, monkeypatch):
+    """Crash-ordering contract: the schema sidecar must be stored
+    BEFORE the data write. A crash between the two then leaves a
+    sidecar listing a column the files lack (benign — null-filled);
+    the old write-then-store order could leave a STALE sidecar that
+    silently drops an evolved column on every later read and merge."""
+    sink.apply_batch(chg(spark, [("c", i, f"v{i}", i) for i in range(1, 9)]), 0)
+    before = file_state(sink.path)
+    seen = {}
+    orig = PartitionedMirrorSink._store_schema
+
+    def spy(self, schema):
+        seen["files_at_store"] = file_state(self.path)
+        seen["names"] = [f.name for f in schema.fields]
+        return orig(self, schema)
+
+    monkeypatch.setattr(PartitionedMirrorSink, "_store_schema", spy)
+    b_ev = spark.createDataFrame(
+        [("u", 1, "v1b", 100, "gold")],
+        "op string, id long, v string, offset long, tier string",
+    )
+    sink.apply_batch(b_ev, 1)
+    assert "tier" in seen["names"], "sidecar must carry the evolved column"
+    assert seen["files_at_store"] == before, (
+        "sidecar must be stored before any data file is rewritten"
+    )
+
+
+def test_crash_between_sidecar_and_write_is_benign(spark, sink):
+    """Simulate the (now only possible) crash window: sidecar already
+    lists an evolved column, data write never happened. Reads must
+    null-fill the phantom column and a batch replay must converge."""
+    import json
+
+    sink.apply_batch(chg(spark, [("c", i, f"v{i}", i) for i in range(1, 9)]), 0)
+    with open(sink._schema_path()) as fh:
+        sc = json.load(fh)
+    sc["fields"].append(
+        {"name": "tier", "type": "string", "nullable": True, "metadata": {}}
+    )
+    with open(sink._schema_path(), "w") as fh:
+        json.dump(sc, fh)
+    rows = sink.read(spark).collect()
+    assert len(rows) == 8 and all(r["tier"] is None for r in rows)
+    # checkpoint recovery replays the evolving batch: converges
+    b_ev = spark.createDataFrame(
+        [("u", 2, "v2b", 100, "gold")],
+        "op string, id long, v string, offset long, tier string",
+    )
+    sink.apply_batch(b_ev, 1)
+    out = {r["id"]: r for r in sink.read(spark).collect()}
+    assert out[2]["tier"] == "gold" and out[5]["tier"] is None
+    assert out[2]["v"] == "v2b" and len(out) == 8

@@ -366,3 +366,48 @@ def test_where_isnull_isnotnull(spark, sf_dir):
     ).count()
     assert got_not == base.filter(
         "value IS NOT NULL AND event_type = 'click'").count()
+
+
+def test_ad_null_field_scores_zero_not_null(spark, sf_dir):
+    """Rows whose detected field is NULL must get score 0.0 / anomaly 0
+    (the documented 0/1 contract) — an un-coalesced NULL would make
+    `where anomaly = 1` (and `= 0`) silently skip them."""
+    frame = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", 10.0), (3, "a", 10.0), (4, "a", 99.0),
+         (5, "a", None), (6, "b", None)],
+        "event_id long, event_type string, value double",
+    )
+
+    def resolver(name):
+        assert name == "events"
+        return frame
+
+    out = {
+        r["event_id"]: r
+        for r in ppl(
+            spark, sf_dir,
+            "source=events | ad value threshold=1.5 by event_type",
+            resolver=resolver,
+        ).collect()
+    }
+    assert out[5]["score"] == 0.0 and out[5]["anomaly"] == 0
+    assert out[6]["score"] == 0.0 and out[6]["anomaly"] == 0
+    assert out[4]["anomaly"] == 1  # the real outlier still flags
+    # global (no `by`) branch has the same contract
+    out2 = {
+        r["event_id"]: r
+        for r in ppl(
+            spark, sf_dir,
+            "source=events | ad value threshold=1.5",
+            resolver=resolver,
+        ).collect()
+    }
+    assert out2[5]["anomaly"] == 0 and out2[5]["score"] == 0.0
+    # anomaly is never NULL anywhere — `where anomaly = 0` keeps nulls
+    n_zero = ppl(
+        spark, sf_dir,
+        "source=events | ad value threshold=1.5 by event_type "
+        "| where anomaly = 0",
+        resolver=resolver,
+    ).count()
+    assert n_zero == 5

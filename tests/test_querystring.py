@@ -246,3 +246,28 @@ def test_fuzzy_suffix(spark, sf_dir):
     langs = {r["lang"] for r in rows}
     assert rows and langs <= {"en", "fi", "fr", "fn"}, langs
     assert "zh" not in langs  # distance 2 from 'fn' — outside ~1
+
+
+def test_fuzzy_suffix_multi_digit_rejected():
+    """`term~25` must be a parse error (Lucene caps edit distance at
+    2), not a silent literal term or a mis-split fuzziness — the
+    greedy suffix split captures the WHOLE numeric tail."""
+    with pytest.raises(QueryStringError, match="fuzziness 25"):
+        parse_query_string("f:term~25")
+    with pytest.raises(QueryStringError, match="fuzziness 3"):
+        parse_query_string("f:term~3")
+    with pytest.raises(QueryStringError, match="fuzziness 9"):
+        parse_query_string("term~9", default_field="text")
+    # boundary values still parse
+    assert parse_query_string("f:term~0") == {
+        "fuzzy": {"f": {"value": "term", "fuzziness": 0}}
+    }
+    assert parse_query_string("f:term~2") == {
+        "fuzzy": {"f": {"value": "term", "fuzziness": 2}}
+    }
+    # tilde followed by non-digits is NOT a fuzzy suffix — literal term
+    assert parse_query_string("f:a~b") == {"term": {"f": "a~b"}}
+    # the LAST tilde anchors the split: value may itself contain tildes
+    assert parse_query_string("f:a~b~1") == {
+        "fuzzy": {"f": {"value": "a~b", "fuzziness": 1}}
+    }
