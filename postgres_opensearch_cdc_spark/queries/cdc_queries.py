@@ -149,6 +149,59 @@ def cdc_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def engine_search_mirror(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine façade composed end-to-end and value-checked: a
+    CdcEngine mirror (versioned commit-manifest sink — the 100 TB
+    mode) is built from the events changelog in TWO incremental
+    apply_batch merges (the exact foreachBatch body the checkpointed
+    stream runs), then an OpenSearch request body — range filter +
+    terms agg with a sum sub-agg — is answered by ``engine.search``
+    over the live mirror. The oracle replays compaction (last-write-
+    wins by event_id per key, deletes suppressed) + filter + agg in
+    DuckDB, so a value match proves mirror maintenance ∘ DSL compiler
+    as one path, not two tested halves.
+
+    Sequencing: seq = event_id (the Kafka-offset analog). The batch
+    split is an event_id RANGE so per-key order never goes backward
+    across batches (the sink's ST2 contract — reference consumer.py
+    relies on Kafka per-partition order the same way)."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from postgres_opensearch_cdc_spark.engine import CdcEngine
+
+    events = load_table(spark, sf_dir, "events")
+    log = events_as_changelog(events).select(
+        "op", "key", "event_id", "event_type",
+        F.round(F.col("value"), 2).alias("value"),
+    )
+    eng = CdcEngine(
+        spark, tempfile.mkdtemp(prefix="engine_mirror_"),
+        key_col="key", seq_col="event_id", sink_mode="versioned",
+    )
+    handle = eng.register_table(
+        "user_state",
+        T.StructType([
+            T.StructField("key", T.LongType()),
+            T.StructField("event_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]),
+    )
+    mid = events.agg(F.max("event_id")).head()[0] // 2
+    handle.sink.apply_batch(log.filter(F.col("event_id") <= mid), 0)
+    handle.sink.apply_batch(log.filter(F.col("event_id") > mid), 1)
+    return eng.search("user_state", {
+        "query": {"range": {"value": {"gte": 100}}},
+        "aggs": {"by_state": {
+            "terms": {"field": "event_type", "size": 20,
+                      "order": {"_key": "asc"}},
+            "aggs": {"value_sum": {"sum": {"field": "value"}}},
+        }},
+    })
+
+
 QUERIES = {
     "cdc_mirror_compact": cdc_mirror_compact,
     "cdc_scd2_history": cdc_scd2_history,
@@ -157,6 +210,7 @@ QUERIES = {
     "cdc_mirror_count": cdc_mirror_count,
     "cdc_op_stats": cdc_op_stats,
     "cdc_deleted_keys": cdc_deleted_keys,
+    "engine_search_mirror": engine_search_mirror,
 }
 
 # The op-mapping CASE is inlined in each oracle: signup→c, error→d, else u.
@@ -248,5 +302,21 @@ ORACLE = {
                 PARTITION BY key ORDER BY ts DESC, event_id DESC) = 1
         )
         SELECT key AS user_id FROM latest WHERE op = 'd'
+    """,
+    # mirror maintenance ∘ DSL search as one path: last-write-wins by
+    # event_id per key (the engine entry's seq), deletes suppressed,
+    # then the request body's range filter + terms/sum agg
+    "engine_search_mirror": f"""
+        WITH log AS ({_LOG}),
+        latest AS (
+            SELECT key, event_type, ROUND(value, 2) AS value, op FROM log
+            QUALIFY row_number() OVER (
+                PARTITION BY key ORDER BY event_id DESC) = 1
+        )
+        SELECT event_type AS by_state, COUNT(*) AS doc_count,
+               ROUND(SUM(value), 4) AS value_sum
+        FROM latest
+        WHERE op <> 'd' AND value >= 100
+        GROUP BY event_type ORDER BY by_state
     """,
 }

@@ -255,6 +255,45 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ann_ivf_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERSISTED IVF index, value-checked against the same oracle as
+    ann_ivf_topk: the corpus is materialized partitioned by coarse cell
+    (cell-partitioned parquet + centroid sidecar, similarity.py
+    ivf_index_build) and the query scans ONLY the nprobe nearest cells'
+    partition DIRECTORIES — Spark lists just those leaves, so the
+    exact-scoring read touches nprobe/k of the files no matter the
+    corpus size (the build-once / query-many layout vector serving
+    needs at 100 TB; pruning asserted on inputFiles in
+    tests/test_plans.py). Identical frozen-seed quantizer (vec_id
+    1..10) and identical results to the inline probe, so one oracle
+    proves index path ≡ inline path. The index is rebuilt into a fresh
+    temp dir per call (race-free; corpus write is trivial at test SF —
+    production builds once and serves many)."""
+    import tempfile
+
+    from postgres_opensearch_cdc_spark.functions.similarity import (
+        ivf_index_build,
+        ivf_index_topk,
+    )
+
+    vecs = load_table(spark, sf_dir, "embeddings")
+    q = [float(x) for x in vecs.filter(F.col("vec_id") == 0).head()["embedding"]]
+    seed_rows = (
+        vecs.filter(F.col("vec_id").isin(_IVF_SEED_IDS))
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    centroids = [
+        [float(x) for x in r["embedding"]]
+        for r in sorted(seed_rows, key=lambda r: r["vec_id"])
+    ]
+    path = tempfile.mkdtemp(prefix="ivf_index_")
+    ivf_index_build(
+        vecs.filter(F.col("vec_id") != 0), path, centroids=centroids
+    )
+    return ivf_index_topk(spark, path, q, nprobe=3, k=10)
+
+
 def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document text statistics: token count, distinct tokens, mean
     token length, type-token ratio, quality score — the standard
@@ -597,6 +636,7 @@ QUERIES = {
     "ann_cosine_topk": ann_cosine_topk,
     "ann_filtered_topk": ann_filtered_topk,
     "ann_ivf_topk": ann_ivf_topk,
+    "ann_ivf_index_topk": ann_ivf_index_topk,
     "ann_pq_adc_topk": ann_pq_adc_topk,
     "ann_pq_rerank_topk": ann_pq_rerank_topk,
     "text_stats": text_stats,
@@ -905,6 +945,11 @@ ORACLE["ann_ivf_topk"] = f"""
         FROM embeddings e JOIN assign USING (vec_id), q
         ORDER BY cos_sim DESC, e.vec_id LIMIT 10
     """
+
+# identical results contract: the persisted cell-partitioned index must
+# return exactly what the inline probe returns for the same frozen
+# quantizer — one oracle text proves both
+ORACLE["ann_ivf_index_topk"] = ORACLE["ann_ivf_topk"]
 
 # PQ oracle CTE chain shared by the ADC and rerank entries: frozen-seed
 # codebook (vec_id 1..16), per-subspace argmin encode (distances rounded

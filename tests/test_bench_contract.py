@@ -53,3 +53,11 @@ def test_bench_emits_valid_contract_json():
     tp = doc["throughput"]
     assert tp["backfill_rows_per_sec"] > 0
     assert tp["stream_upsert_events_per_sec"] > 0
+    # range bucket_expr merge mode: clustered batch must touch ≪ 32
+    # buckets (the scale claim the metric exists to evidence)
+    assert tp["partitioned_merge_range_batch_sec"] > 0
+    assert 1 <= tp["range_touched_buckets"] <= 4, tp["range_touched_buckets"]
+    # isolated warm medians for the 10 heaviest entries
+    wm = doc["warm_medians_cs"]
+    assert len(wm) == 10 and all(v >= 0 for v in wm.values())
+    assert set(wm) <= set(names) | {"approx_sketches"}

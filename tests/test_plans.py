@@ -177,3 +177,25 @@ def test_pq_adc_is_scan_projection_plus_topk(spark, sf_dir):
     p = plan(entrymod.queries()["ann_pq_adc_topk"](spark, sf_dir))
     assert "TakeOrderedAndProject" in p
     assert "Exchange" not in p, "ADC scan must not shuffle"
+
+
+def test_ivf_index_entry_scans_only_probed_cells(spark, sf_dir):
+    """The oracle-checked persisted-IVF entry must read ONLY the nprobe
+    probed cells' partition directories (the build-once layout's whole
+    point) and finish with TakeOrderedAndProject — no shuffle."""
+    import re
+
+    import __spark_entry__ as entrymod
+
+    got = entrymod.queries()["ann_ivf_index_topk"](spark, sf_dir)
+    cells = {
+        int(m.group(1))
+        for f in got.inputFiles()
+        if (m := re.search(r"_cell=(\d+)", f))
+    }
+    assert cells and len(cells) <= 3, (
+        f"scan touched cells {cells} — not partition-pruned to nprobe=3"
+    )
+    p = plan(got)
+    assert "TakeOrderedAndProject" in p
+    assert "Exchange" not in p, "pruned exact-scoring scan must not shuffle"
