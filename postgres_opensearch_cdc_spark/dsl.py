@@ -119,6 +119,21 @@ def compile_query(node: dict, id_col: str = "doc_id") -> Column:
             default_operator=body.get("default_operator", "OR"),
         )
         return compile_query(parsed, id_col)
+    if kind == "simple_query_string":
+        # the LENIENT search-bar variant: + | - "phrase" prefix* ( ) —
+        # never errors on user input; parses into these same nodes
+        from postgres_opensearch_cdc_spark.querystring import (
+            parse_simple_query_string,
+        )
+
+        if isinstance(body, str):
+            body = {"query": body}
+        parsed = parse_simple_query_string(
+            body["query"],
+            fields=body.get("fields", ["text"]),
+            default_operator=body.get("default_operator", "OR"),
+        )
+        return compile_query(parsed, id_col)
     if kind == "term":
         ((f, v),) = body.items()
         if isinstance(v, dict):

@@ -129,6 +129,8 @@ _EVAL_FUNCS = {
     # string/conditional set (PPL eval built-ins): all 1-based,
     # engine-portable between Spark SQL and DuckDB
     "concat", "substring", "trim", "replace", "coalesce", "if",
+    # array producer for the expand command (multivalue fields)
+    "split",
 }
 _EVAL_TOKEN = re.compile(
     r"\s*(?:(?P<num>\d+(?:\.\d+)?)|(?P<ident>[A-Za-z_][A-Za-z_0-9]*)"
@@ -675,6 +677,54 @@ def ppl(spark: SparkSession, sf_dir: str, query: str,
                 ).withColumn(
                     "anomaly", (F.abs(F.col("score")) > thr).cast("int")
                 ).drop("_mu", "_sd")
+        elif cmd == "expand":
+            # multivalue fan-out: one output row per array element,
+            # other fields preserved (the OpenSearch `expand` command).
+            # explode is a generator in the scan stage — no shuffle;
+            # at 100 TB the fan-out multiplies rows map-side only
+            em = re.fullmatch(
+                r"([A-Za-z_0-9]+)(?:\s+as\s+([A-Za-z_0-9]+))?",
+                rest, flags=re.I,
+            )
+            if not em:
+                raise PPLSyntaxError(f"expand needs: <field> [as <alias>]: {rest!r}")
+            fld, alias = em.group(1), em.group(2)
+            df = df.withColumn(alias or fld, F.explode(F.col(fld)))
+            if alias and alias != fld:
+                df = df.drop(fld)
+        elif cmd == "fieldsummary":
+            # per-field profile (the OpenSearch fieldsummary command):
+            # count / distinct / min / max / nulls for each requested
+            # field, ONE aggregation pass (all per-field aggregates are
+            # partial+final over the scan), then a constant-width stack
+            # unpivot of the 1-row wide result. min/max surface as
+            # strings so mixed-type fields share one output column.
+            fm = re.fullmatch(
+                r"includefields\s*=\s*([A-Za-z_0-9,\s]+)", rest, flags=re.I
+            )
+            if not fm:
+                raise PPLSyntaxError(
+                    f"fieldsummary needs: includefields=f1[,f2...]: {rest!r}"
+                )
+            flds = [f.strip() for f in fm.group(1).split(",") if f.strip()]
+            aggs = []
+            for i, f in enumerate(flds):
+                aggs += [
+                    F.count(F.col(f)).alias(f"_c{i}"),
+                    F.countDistinct(F.col(f)).alias(f"_d{i}"),
+                    F.min(F.col(f)).cast("string").alias(f"_mn{i}"),
+                    F.max(F.col(f)).cast("string").alias(f"_mx{i}"),
+                    F.sum(F.col(f).isNull().cast("long")).alias(f"_n{i}"),
+                ]
+            wide = df.agg(*aggs)
+            stack_args = ", ".join(
+                f"'{f}', _c{i}, _d{i}, _mn{i}, _mx{i}, _n{i}"
+                for i, f in enumerate(flds)
+            )
+            df = wide.select(F.expr(
+                f"stack({len(flds)}, {stack_args}) AS "
+                "(field, count, distinct_count, min, max, nulls)"
+            ))
         elif cmd in ("top", "rare"):
             tm = re.fullmatch(r"(\d+)\s+([A-Za-z_0-9]+)", rest)
             if not tm:

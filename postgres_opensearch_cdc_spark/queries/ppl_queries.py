@@ -218,6 +218,37 @@ def ppl_dispersion_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ppl(spark, sf_dir, PPL_DISPERSION_STATS)
 
 
+PPL_FIELDSUMMARY = (
+    "source=events | fieldsummary includefields=value, user_id, event_type "
+    "| sort +field"
+)
+
+
+def ppl_fieldsummary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The `fieldsummary` data-profiling command: per-field count /
+    distinct / min / max / nulls in ONE aggregation pass (every
+    per-field aggregate is partial+final over the scan), unpivoted by
+    a constant-width stack. min/max surface as strings so mixed-type
+    fields share one column."""
+    return ppl(spark, sf_dir, PPL_FIELDSUMMARY)
+
+
+PPL_EXPAND_TOKENS = (
+    "source=documents | where doc_id < 25 "
+    "| eval tok = split(text, ' ') | expand tok "
+    "| stats count() as cnt by tok | sort -cnt, +tok | head 20"
+)
+
+
+def ppl_expand_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The `expand` multivalue command: eval splits text into an array,
+    expand fans out one row per element (a scan-stage generator — no
+    shuffle), then a token frequency stats/sort/head. The doc_id
+    pre-filter pushes to the parquet scan so the fan-out touches only
+    the selected partition of the corpus."""
+    return ppl(spark, sf_dir, PPL_EXPAND_TOKENS)
+
+
 PPL_AD_ZSCORE = (
     "source=events | where isnotnull(value) "
     "| ad value threshold=2.5 by event_type "
@@ -239,6 +270,8 @@ def ppl_ad_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "ppl_ad_zscore": ppl_ad_zscore,
     "ppl_dispersion_stats": ppl_dispersion_stats,
+    "ppl_fieldsummary": ppl_fieldsummary,
+    "ppl_expand_tokens": ppl_expand_tokens,
     "ppl_where_stats": ppl_where_stats,
     "ppl_top_sources": ppl_top_sources,
     "ppl_rare_langs": ppl_rare_langs,
@@ -258,6 +291,39 @@ QUERIES = {
 }
 
 ORACLE = {
+    "ppl_fieldsummary": """
+        SELECT * FROM (
+            SELECT 'event_type' AS field,
+                   COUNT(event_type) AS "count",
+                   COUNT(DISTINCT event_type) AS distinct_count,
+                   CAST(MIN(event_type) AS VARCHAR) AS "min",
+                   CAST(MAX(event_type) AS VARCHAR) AS "max",
+                   CAST(SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS nulls
+            FROM events
+            UNION ALL
+            SELECT 'user_id', COUNT(user_id), COUNT(DISTINCT user_id),
+                   CAST(MIN(user_id) AS VARCHAR),
+                   CAST(MAX(user_id) AS VARCHAR),
+                   CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT)
+            FROM events
+            UNION ALL
+            SELECT 'value', COUNT(value), COUNT(DISTINCT value),
+                   CAST(MIN(value) AS VARCHAR),
+                   CAST(MAX(value) AS VARCHAR),
+                   CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT)
+            FROM events
+        ) ORDER BY field
+    """,
+    "ppl_expand_tokens": """
+        SELECT tok, COUNT(*) AS cnt FROM (
+            SELECT unnest(string_split(text, ' ')) AS tok
+            FROM documents WHERE doc_id < 25
+        )
+        GROUP BY tok ORDER BY cnt DESC, tok LIMIT 20
+    """,
     "ppl_ad_zscore": """
         WITH s AS (
             SELECT event_id, event_type, value,

@@ -31,6 +31,11 @@ SPAN_NOT_INC, SPAN_NOT_EXC, SPAN_NOT_DIST = "query", "group", 2
 SUGGEST_TEXT, SUGGEST_MAX_DIST, SUGGEST_SIZE = "pert", 2, 8
 SPAN_CONT_B1, SPAN_CONT_B2, SPAN_CONT_L, SPAN_CONT_SLOP = (
     "join", "merge", "key", 8)
+# span_within: little span (L1, L2 within LSLOP) strictly inside the
+# big span (B1, B2 within BSLOP)
+SPAN_WITHIN_B1, SPAN_WITHIN_B2, SPAN_WITHIN_BSLOP = "hash", "batch", 12
+SPAN_WITHIN_L1, SPAN_WITHIN_L2, SPAN_WITHIN_LSLOP = "row", "filter", 3
+CONST_SCORE_TYPE, CONST_SCORE_MIN, CONST_SCORE_BOOST = "click", 100.0, 1.2
 RANK_EVAL_T1, RANK_EVAL_T2, RANK_EVAL_K = "spark", "streaming", 10
 PHRASE_PREFIX_RE = r"\bwindow st[a-z]*"  # match_phrase_prefix "window st"
 SIG_TEXT_FG_SOURCE = "src1"
@@ -254,6 +259,68 @@ def span_containing_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def span_within_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``span_within``: the dual of span_containing — the LITTLE span
+    (two terms within SPAN_WITHIN_LSLOP) must lie strictly inside a
+    BIG span (two terms within SPAN_WITHIN_BSLOP). Both window lists
+    come from the span_near pairwise machinery ((element, index)
+    transform positions → lo/hi structs → width filter); the match
+    test is window-in-window (little.lo > big.lo AND little.hi <
+    big.hi), observable as distinct from span_containing because the
+    little side is itself a span, not a single position. All array
+    HOFs in the scan projection — zero shuffle. Emits the count of
+    little windows inside any big window."""
+    from postgres_opensearch_cdc_spark.functions.dedup import _ensure_parallelism
+
+    docs = _ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    toks = F.split(F.lower(F.col("text")), r"\s+")
+
+    def positions(term: str):
+        return F.filter(
+            F.transform(toks, lambda t, i: F.when(t == term, i)),
+            lambda x: x.isNotNull(),
+        )
+
+    def windows(term_a: str, term_b: str, slop: int):
+        return F.filter(
+            F.flatten(F.transform(positions(term_a), lambda a: F.transform(
+                positions(term_b), lambda b: F.struct(
+                    F.least(a, b).alias("lo"), F.greatest(a, b).alias("hi"))
+            ))),
+            lambda w: (w["hi"] - w["lo"]) <= slop,
+        )
+
+    big = windows(SPAN_WITHIN_B1, SPAN_WITHIN_B2, SPAN_WITHIN_BSLOP)
+    little = windows(SPAN_WITHIN_L1, SPAN_WITHIN_L2, SPAN_WITHIN_LSLOP)
+    within = F.filter(
+        little,
+        lambda l: F.exists(
+            big, lambda w: (l["lo"] > w["lo"]) & (l["hi"] < w["hi"])
+        ),
+    )
+    return (
+        docs.select("doc_id", F.size(within).alias("n_within"))
+        .filter(F.col("n_within") > 0)
+        .orderBy("doc_id")
+    )
+
+
+def constant_score_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``constant_score``: wrap a filter context and assign every hit
+    the fixed ``boost`` as its score (no relevance computation — the
+    classic way to mix a pure filter into a scored bool). The filter
+    pushes to the parquet scan; the score is a literal projection."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.filter(
+            (F.col("event_type") == CONST_SCORE_TYPE)
+            & (F.col("value") >= CONST_SCORE_MIN)
+        )
+        .select("event_id", F.lit(CONST_SCORE_BOOST).alias("score"))
+        .orderBy("event_id")
+    )
+
+
 def rank_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``_rank_eval``: precision@5 / precision@10 / MRR for one ranked
     query. Ranking = docs matching either term, ordered by n_chars
@@ -422,6 +489,8 @@ QUERIES = {
     "span_not_query": span_not_query,
     "term_suggester": term_suggester,
     "span_containing_query": span_containing_query,
+    "span_within_query": span_within_query,
+    "constant_score_query": constant_score_query,
     "rank_eval": rank_eval,
     "match_phrase_prefix": match_phrase_prefix,
     "weighted_avg_agg": weighted_avg_agg,
@@ -556,6 +625,55 @@ ORACLE = {
         )
         SELECT doc_id, n_contained FROM c
         WHERE n_contained > 0 ORDER BY doc_id
+    """,
+    # positions are 1-based here vs 0-based in Spark's (element, index)
+    # transform — window-in-window strict inequalities are invariant
+    # under the constant shift
+    "span_within_query": rf"""
+        WITH t AS (
+            SELECT doc_id,
+                   regexp_split_to_array(lower(text), '\s+') AS toks
+            FROM documents
+        ), p AS (
+            SELECT doc_id,
+                   list_filter(range(1, len(toks) + 1),
+                               i -> toks[i] = '{SPAN_WITHIN_B1}') AS ba,
+                   list_filter(range(1, len(toks) + 1),
+                               i -> toks[i] = '{SPAN_WITHIN_B2}') AS bb,
+                   list_filter(range(1, len(toks) + 1),
+                               i -> toks[i] = '{SPAN_WITHIN_L1}') AS la,
+                   list_filter(range(1, len(toks) + 1),
+                               i -> toks[i] = '{SPAN_WITHIN_L2}') AS lb
+            FROM t
+        ), w AS (
+            SELECT doc_id,
+                   list_filter(
+                       flatten(list_transform(ba, a -> list_transform(
+                           bb, b -> {{'lo': least(a, b),
+                                      'hi': greatest(a, b)}}))),
+                       w -> w.hi - w.lo <= {SPAN_WITHIN_BSLOP}) AS big,
+                   list_filter(
+                       flatten(list_transform(la, a -> list_transform(
+                           lb, b -> {{'lo': least(a, b),
+                                      'hi': greatest(a, b)}}))),
+                       w -> w.hi - w.lo <= {SPAN_WITHIN_LSLOP}) AS little
+            FROM p
+        ), c AS (
+            SELECT doc_id,
+                   CAST(len(list_filter(little,
+                       l -> len(list_filter(big,
+                           w -> l.lo > w.lo AND l.hi < w.hi)) > 0)) AS INT)
+                       AS n_within
+            FROM w
+        )
+        SELECT doc_id, n_within FROM c
+        WHERE n_within > 0 ORDER BY doc_id
+    """,
+    "constant_score_query": f"""
+        SELECT event_id, {CONST_SCORE_BOOST}::DOUBLE AS score FROM events
+        WHERE event_type = '{CONST_SCORE_TYPE}'
+          AND value >= {CONST_SCORE_MIN}
+        ORDER BY event_id
     """,
     "rank_eval": rf"""
         WITH m AS (

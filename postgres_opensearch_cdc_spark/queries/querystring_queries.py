@@ -91,12 +91,63 @@ def qs_free_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     return search(spark, sf_dir, "documents", body)
 
 
+def sqs_required_prohibited(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``simple_query_string`` — the LENIENT search-bar variant (never
+    400s on user syntax): ``+`` AND, ``-`` NOT, default_operator=AND.
+    All clauses analyzed token matches against the text field."""
+    body = {
+        "query": {"simple_query_string": {
+            "query": "+hash +join -slow",
+            "fields": ["text"],
+            "default_operator": "AND",
+        }},
+        "_source": ["doc_id", "source"],
+        "sort": [{"doc_id": {"order": "asc"}}],
+        "size": 100,
+    }
+    return search(spark, sf_dir, "documents", body)
+
+
+def sqs_or_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """simple_query_string ``|`` alternation mixing an analyzed term
+    with a quoted phrase."""
+    body = {
+        "query": {"simple_query_string": {
+            "query": 'vector | "merge join" | scan',
+            "fields": ["text"],
+        }},
+        "_source": ["doc_id", "n_chars"],
+        "sort": [{"doc_id": {"order": "asc"}}],
+        "size": 200,
+    }
+    return search(spark, sf_dir, "documents", body)
+
+
+def sqs_prefix_keyword(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """simple_query_string trailing-``*`` prefix clauses on a keyword
+    field (term-level startswith — same node the DSL ``prefix`` query
+    compiles to a scan-pushable StringStartsWith)."""
+    body = {
+        "query": {"simple_query_string": {
+            "query": "PROMO* | ECONOMY*",
+            "fields": ["p_type"],
+        }},
+        "_source": ["p_partkey", "p_type"],
+        "sort": [{"p_partkey": {"order": "asc"}}],
+        "size": 60,
+    }
+    return search(spark, sf_dir, "part", body, id_col="p_partkey")
+
+
 QUERIES = {
     "qs_term_conjunction": qs_term_conjunction,
     "qs_spaced_comparison": qs_spaced_comparison,
     "qs_wildcard_terms": qs_wildcard_terms,
     "qs_grouped_ranges": qs_grouped_ranges,
     "qs_free_text": qs_free_text,
+    "sqs_required_prohibited": sqs_required_prohibited,
+    "sqs_or_phrase": sqs_or_phrase,
+    "sqs_prefix_keyword": sqs_prefix_keyword,
 }
 
 ORACLE = {
@@ -130,5 +181,24 @@ ORACLE = {
                OR regexp_matches(lower(text), '\bstreaming\b'))
           AND lang = 'en'
         ORDER BY doc_id LIMIT 40
+    """,
+    "sqs_required_prohibited": r"""
+        SELECT doc_id, source FROM documents
+        WHERE regexp_matches(lower(text), '\bhash\b')
+          AND regexp_matches(lower(text), '\bjoin\b')
+          AND NOT regexp_matches(lower(text), '\bslow\b')
+        ORDER BY doc_id LIMIT 100
+    """,
+    "sqs_or_phrase": r"""
+        SELECT doc_id, n_chars FROM documents
+        WHERE regexp_matches(lower(text), '\bvector\b')
+           OR regexp_matches(text, '\bmerge join\b')
+           OR regexp_matches(lower(text), '\bscan\b')
+        ORDER BY doc_id LIMIT 200
+    """,
+    "sqs_prefix_keyword": """
+        SELECT p_partkey, p_type FROM part
+        WHERE p_type LIKE 'PROMO%' OR p_type LIKE 'ECONOMY%'
+        ORDER BY p_partkey LIMIT 60
     """,
 }

@@ -387,3 +387,129 @@ def compile_query_string(
     return compile_query(
         parse_query_string(text, default_field, default_operator), id_col
     )
+
+
+# ---------------------------------------------------------------------------
+# simple_query_string — the LENIENT search-bar variant (never errors on
+# user input; reference stack exposes it beside query_string for
+# user-facing search boxes where a syntax error must not 400)
+# ---------------------------------------------------------------------------
+
+_SQS_TOKEN_RE = re.compile(
+    r"""\s*(?:
+        (?P<quoted>"[^"]*"?)          # phrase; unterminated quote tolerated
+      | (?P<lparen>\()
+      | (?P<rparen>\))
+      | (?P<op>[|+])
+      | (?P<minus>-)
+      | (?P<word>[^\s()|+"-][^\s()|"]*)
+    )""",
+    re.X,
+)
+
+
+def _sqs_tokenize(text: str) -> list[tuple[str, str]]:
+    toks, pos = [], 0
+    while pos < len(text):
+        m = _SQS_TOKEN_RE.match(text, pos)
+        if not m or m.end() == m.start():
+            pos += 1  # lenient: skip any char the grammar can't place
+            continue
+        for name, val in m.groupdict().items():
+            if val is not None:
+                toks.append((name, val))
+        pos = m.end()
+    return toks
+
+
+class _SQSParser:
+    """simple_query_string grammar: ``+`` AND, ``|`` OR, leading ``-``
+    NOT, ``"phrase"``, trailing ``*`` prefix, ``( )`` grouping,
+    whitespace = default_operator. Clauses left-fold with per-separator
+    operators (ES documents no precedence for this query — the fold IS
+    the contract here, pinned by tests). Lenient by specification:
+    stray operators and unbalanced parens degrade to no-ops, never
+    raise."""
+
+    def __init__(self, toks, fields, default_operator):
+        self.toks = toks
+        self.fields = list(fields)
+        self.default_and = str(default_operator).upper() == "AND"
+
+    def parse(self) -> dict:
+        node = self._expr(stop_at_rparen=False)
+        return node if node is not None else {"match_all": {}}
+
+    def _leaf(self, node_of_field) -> dict:
+        if len(self.fields) == 1:
+            return node_of_field(self.fields[0])
+        return {"bool": {
+            "should": [node_of_field(f) for f in self.fields],
+            "minimum_should_match": 1,
+        }}
+
+    def _combine(self, acc, node, op_and: bool) -> dict:
+        if op_and:
+            return {"bool": {"must": [acc, node]}}
+        return {"bool": {"should": [acc, node], "minimum_should_match": 1}}
+
+    def _expr(self, stop_at_rparen: bool) -> "dict | None":
+        acc, pending = None, None
+        while self.toks:
+            kind, val = self.toks[0]
+            if kind == "rparen":
+                self.toks.pop(0)
+                if stop_at_rparen:
+                    break
+                continue  # unbalanced ')' — lenient skip
+            if kind == "op":
+                self.toks.pop(0)
+                pending = val
+                continue
+            node = self._clause()
+            if node is None:
+                continue
+            if acc is None:
+                acc = node
+            else:
+                op_and = pending == "+" or (pending is None and self.default_and)
+                acc = self._combine(acc, node, op_and)
+            pending = None
+        return acc
+
+    def _clause(self) -> "dict | None":
+        kind, val = self.toks.pop(0)
+        if kind == "minus":
+            inner = self._clause() if self.toks else None
+            if inner is None:
+                return None  # trailing '-' — lenient no-op
+            return {"bool": {"must_not": [inner]}}
+        if kind == "lparen":
+            return self._expr(stop_at_rparen=True)
+        if kind == "quoted":
+            phrase = val.strip('"')
+            if not phrase:
+                return None
+            return self._leaf(lambda f: {"match_phrase": {f: phrase}})
+        if kind == "word":
+            if val.endswith("*") and len(val) > 1:
+                stem = val.rstrip("*")
+                return self._leaf(lambda f, s=stem: {"prefix": {f: s}})
+            if val == "*":
+                return None  # bare wildcard — lenient no-op
+            return self._leaf(lambda f, v=val: {"match": {f: v}})
+        return None  # any other token — lenient skip
+
+
+def parse_simple_query_string(
+    text: str,
+    fields: "list[str] | tuple[str, ...]" = ("text",),
+    default_operator: str = "OR",
+) -> dict:
+    """Parse an ES ``simple_query_string`` into the same DSL node tree
+    dsl.compile_query executes — one plan path for every interface.
+    Unlike parse_query_string this NEVER raises on user input (the
+    query's documented contract): anything unparseable degrades."""
+    return _SQSParser(
+        _sqs_tokenize(text), fields, default_operator
+    ).parse()

@@ -411,3 +411,46 @@ def test_ad_null_field_scores_zero_not_null(spark, sf_dir):
         resolver=resolver,
     ).count()
     assert n_zero == 5
+
+
+def test_expand_fans_out_and_aliases(spark, sf_dir):
+    """expand: one row per array element; `as alias` keeps the element
+    column under the alias and drops the array."""
+    frame = spark.createDataFrame(
+        [(1, ["a", "b"]), (2, ["c"])], "id long, xs array<string>"
+    )
+
+    def resolver(name):
+        return frame
+
+    rows = ppl(spark, sf_dir, "source=t | expand xs | sort +id, +xs",
+               resolver=resolver).collect()
+    assert [(r["id"], r["xs"]) for r in rows] == [(1, "a"), (1, "b"), (2, "c")]
+    out = ppl(spark, sf_dir, "source=t | expand xs as x", resolver=resolver)
+    assert "x" in out.columns and "xs" not in out.columns
+    with pytest.raises(PPLSyntaxError, match="expand needs"):
+        ppl(spark, sf_dir, "source=t | expand ", resolver=resolver)
+
+
+def test_fieldsummary_profile_counts(spark, sf_dir):
+    """fieldsummary: count / distinct / min / max / nulls per field in
+    one pass; min/max stringified."""
+    frame = spark.createDataFrame(
+        [(1, "a", 2.0), (2, "a", None), (3, None, 8.5)],
+        "id long, s string, v double",
+    )
+
+    def resolver(name):
+        return frame
+
+    rows = {r["field"]: r for r in ppl(
+        spark, sf_dir,
+        "source=t | fieldsummary includefields=s, v | sort +field",
+        resolver=resolver,
+    ).collect()}
+    assert rows["s"]["count"] == 2 and rows["s"]["distinct_count"] == 1
+    assert rows["s"]["nulls"] == 1 and rows["s"]["min"] == "a"
+    assert rows["v"]["count"] == 2 and rows["v"]["nulls"] == 1
+    assert rows["v"]["min"] == "2.0" and rows["v"]["max"] == "8.5"
+    with pytest.raises(PPLSyntaxError, match="fieldsummary needs"):
+        ppl(spark, sf_dir, "source=t | fieldsummary s, v", resolver=resolver)

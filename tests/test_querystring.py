@@ -271,3 +271,54 @@ def test_fuzzy_suffix_multi_digit_rejected():
     assert parse_query_string("f:a~b~1") == {
         "fuzzy": {"f": {"value": "a~b", "fuzziness": 1}}
     }
+
+
+def test_simple_query_string_grammar_and_lenience(spark, sf_dir):
+    """simple_query_string: + AND, | OR, - NOT, "phrase", trailing *
+    prefix, ( ) grouping, whitespace = default_operator; LENIENT —
+    garbage input never raises, it degrades to match_all / partial
+    trees. Compiles through the same DSL path as every interface."""
+    from postgres_opensearch_cdc_spark.querystring import (
+        parse_simple_query_string as sqs,
+    )
+
+    assert sqs("hash join") == {"bool": {
+        "should": [{"match": {"text": "hash"}}, {"match": {"text": "join"}}],
+        "minimum_should_match": 1,
+    }}
+    assert sqs("+hash +join -slow", default_operator="AND") == {"bool": {
+        "must": [
+            {"bool": {"must": [{"match": {"text": "hash"}},
+                               {"match": {"text": "join"}}]}},
+            {"bool": {"must_not": [{"match": {"text": "slow"}}]}},
+        ]}}
+    assert sqs('a | "b c"') == {"bool": {
+        "should": [{"match": {"text": "a"}},
+                   {"match_phrase": {"text": "b c"}}],
+        "minimum_should_match": 1,
+    }}
+    assert sqs("pro*") == {"prefix": {"text": "pro"}}
+    # grouping binds before the fold continues
+    assert sqs("(a | b) c", default_operator="AND")["bool"]["must"][0] == {
+        "bool": {"should": [{"match": {"text": "a"}},
+                            {"match": {"text": "b"}}],
+                 "minimum_should_match": 1}}
+    # multi-field leaf fans out as a should
+    assert sqs("x", fields=["text", "source"]) == {"bool": {
+        "should": [{"match": {"text": "x"}}, {"match": {"source": "x"}}],
+        "minimum_should_match": 1,
+    }}
+    # lenience: none of these raise, all produce an executable node
+    import random
+
+    from postgres_opensearch_cdc_spark.dsl import compile_query
+
+    rng = random.Random(7)
+    alphabet = 'ab" ()|+-*~:<>['
+    for _ in range(300):
+        junk = "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 24)))
+        node = sqs(junk)
+        compile_query(node)  # must compile to a Column, never raise
+    assert sqs("") == {"match_all": {}}
+    assert sqs("((( | + -") == {"match_all": {}}
+    assert sqs("- -") == {"match_all": {}}
