@@ -298,14 +298,22 @@ def ivf_index_build(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    files_per_cell: int = 1,
 ) -> list[list[float]]:
     """Materialize the IVF layout ivf_topk's docstring promises: the
     vector table written partitioned by coarse cell, with the trained
-    centroids in a root sidecar. Build is one assignment projection
-    (no shuffle beyond the write); after it, every query's candidate
-    scan is a PARTITION-PRUNED read of nprobe/k of the corpus —
-    the build-once / query-many shape vector serving needs at 100 TB.
-    Returns the centroids (trained here when not supplied)."""
+    centroids in a root sidecar. The build CLUSTERS each cell into
+    ``files_per_cell`` files (one repartition — build-once cost), so a
+    query opens nprobe×files_per_cell files instead of
+    nprobe×input_partitions: per-query task count is independent of
+    how the corpus happened to be partitioned (measured in SCALE.md
+    §13 — the unclustered layout was scheduling-bound, 96 files per
+    probe at 32 input partitions). Raise files_per_cell at 100 TB so
+    individual files stay in the 128 MB-1 GB band and a probe still
+    parallelizes. Every query's candidate scan is a PARTITION-PRUNED
+    read of nprobe/k of the corpus — the build-once / query-many
+    shape vector serving needs. Returns the centroids (trained here
+    when not supplied)."""
     import json
     import os
 
@@ -315,10 +323,15 @@ def ivf_index_build(
             id_col=id_col, vec_col=vec_col,
         )
     v = _as_double(F.col(vec_col))
-    (
-        vectors.withColumn("_cell", _nearest_cell(v, centroids))
-        .write.mode("overwrite").partitionBy("_cell").parquet(path)
-    )
+    assigned = vectors.withColumn("_cell", _nearest_cell(v, centroids))
+    if files_per_cell == 1:
+        clustered = assigned.repartition(F.col("_cell"))
+    else:
+        clustered = assigned.repartition(
+            F.col("_cell"),
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(files_per_cell)),
+        )
+    clustered.write.mode("overwrite").partitionBy("_cell").parquet(path)
     tmp = os.path.join(path, "_ivf_centroids.json.tmp")
     with open(tmp, "w") as fh:
         json.dump(centroids, fh)
