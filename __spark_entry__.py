@@ -113,15 +113,19 @@ _PRIORITY = [
     "q08_top_n",
 ]
 
-# Round-9 rotation TODO (pre-staged): every entry now has a driver
-# row, so the window becomes pure re-confirmation, oldest rows first:
+# Round-9 rotation TODO (pre-staged). New entries always outrank
+# re-checks; the 7 entries added AFTER the round-8 window froze are
+# never driver-checked (all local-green at sf0.01):
+#   sqs_required_prohibited, sqs_or_phrase, sqs_prefix_keyword (the
+#   simple_query_string lenient search-bar interface),
+#   span_within_query, constant_score_query,
+#   ppl_fieldsummary, ppl_expand_tokens
+# Then pure re-confirmation, oldest driver rows first:
 #   q09_limit, q10_count (r1-era, locally re-verified in round 8),
 #   then the r1/r2-era dashboard + training-pipeline rows
 #   (q01_term_filter, q02_match_text, dedup_exact, dedup_minhash_lsh,
 #   ann_cosine_topk, text_stats, quality_repetition, pii_scrub,
-#   contamination_ngram, token_budget, ...) in original driver order,
-# plus driver rows for any entries added in round 9 (new entries
-# always outrank re-checks).
+#   contamination_ngram, token_budget, ...) in original driver order.
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -226,6 +226,76 @@ class CdcEngine:
         ))
         return self.view(dst).count()
 
+    def count(self, name: str, query: dict | None = None) -> int:
+        """The ``_count`` endpoint: filtered live-row count of the
+        mirror (compiles to a pushed-filter scan + count aggregate)."""
+        df = self.view(name)
+        if query is not None:
+            from postgres_opensearch_cdc_spark.dsl import compile_query
+
+            df = df.filter(compile_query(query, id_col=self.key_col))
+        return df.count()
+
+    def delete_by_query(self, name: str, query: dict) -> int:
+        """The reference stack's ``_delete_by_query``: matching mirror
+        rows are re-emitted as op='d' changes THROUGH THE KEYED MERGE
+        (never a rewrite-in-place), so the operation composes with
+        concurrent stream batches, stays idempotent under replay (the
+        deletes carry each row's own sequence; a batch row beats the
+        mirrored row at equal seq), and costs one partition-pruned
+        merge. Returns the number of rows deleted."""
+        from postgres_opensearch_cdc_spark.dsl import compile_query
+
+        handle = self.tables[name]
+        op_col = handle.sink.op_col
+        matched = self.view(name).filter(
+            compile_query(query, id_col=self.key_col)
+        )
+        batch = matched.select(
+            F.lit("d").alias(op_col),
+            *[c for c in matched.columns if c != op_col],
+        )
+        n = batch.count()
+        if n:
+            handle.sink.apply_batch(batch, batch_id=-1)
+        return n
+
+    def update_by_query(self, name: str, query: dict,
+                        assignments: dict) -> int:
+        """The ``_update_by_query`` analog: matching rows re-emitted as
+        op='u' changes with the assignments applied, merged back
+        through the same keyed path as delete_by_query. Assignment
+        values are LITERALS (plain strings stay strings); computed
+        updates pass a Column, or ``{"script": "<sql expr>"}`` — the
+        painless-script analog, compiled by F.expr into scan-stage
+        codegen instead of being interpreted per doc. Returns the
+        number of rows updated."""
+        from pyspark.sql import Column
+
+        from postgres_opensearch_cdc_spark.dsl import compile_query
+
+        handle = self.tables[name]
+        op_col = handle.sink.op_col
+        matched = self.view(name).filter(
+            compile_query(query, id_col=self.key_col)
+        )
+        for col, val in assignments.items():
+            if isinstance(val, Column):
+                expr = val
+            elif isinstance(val, dict) and set(val) == {"script"}:
+                expr = F.expr(val["script"])
+            else:
+                expr = F.lit(val)
+            matched = matched.withColumn(col, expr)
+        batch = matched.select(
+            F.lit("u").alias(op_col),
+            *[c for c in matched.columns if c != op_col],
+        )
+        n = batch.count()
+        if n:
+            handle.sink.apply_batch(batch, batch_id=-1)
+        return n
+
     def msearch(self, name: str, bodies: list) -> list:
         """Multi-search: one DataFrame per request body (the ES
         `_msearch` bulk endpoint). Plans are independent; callers can

@@ -261,3 +261,39 @@ def test_engine_msearch_and_explain(spark, tmp_path):
     assert {r["st"] for r in r2.collect()} == {"ACTIVE", "BLOCKED"}
     plan = engine.explain("card", {"query": {"term": {"status": "ACTIVE"}}})
     assert "Physical Plan" in plan and "ACTIVE" in plan
+
+
+@pytest.mark.parametrize("sink_mode", ["versioned", "partitioned"])
+def test_engine_maintenance_apis(spark, tmp_path, sink_mode):
+    """_count / _delete_by_query / _update_by_query: maintenance flows
+    expressed as keyed-merge batches (never rewrite-in-place), so they
+    compose with streaming and replay idempotently."""
+    engine = CdcEngine(spark=spark, workdir=str(tmp_path), sink_mode=sink_mode)
+    engine.register_table("card", CARD_SCHEMA)
+    engine.backfill("card", spark.createDataFrame(
+        [(i, "ACTIVE" if i % 2 else "BLOCKED", "DEBIT") for i in range(1, 11)],
+        CARD_SCHEMA,
+    ))
+    assert engine.count("card") == 10
+    assert engine.count("card", {"term": {"status": "BLOCKED"}}) == 5
+
+    n = engine.delete_by_query("card", {"term": {"status": "BLOCKED"}})
+    assert n == 5
+    assert engine.count("card") == 5
+    assert engine.count("card", {"term": {"status": "BLOCKED"}}) == 0
+    # idempotent: nothing left to match
+    assert engine.delete_by_query("card", {"term": {"status": "BLOCKED"}}) == 0
+
+    n = engine.update_by_query(
+        "card", {"range": {"id": {"lte": 3}}},
+        {"status": "FROZEN",
+         "card_type": {"script": "upper(concat(card_type, '_X'))"}},
+    )
+    assert n == 2  # ids 1, 3 remain (evens were BLOCKED → deleted)
+    rows = {r["id"]: r for r in engine.view("card").collect()}
+    assert rows[1]["status"] == "FROZEN" and rows[1]["card_type"] == "DEBIT_X"
+    assert rows[5]["status"] == "ACTIVE"  # untouched
+    # the updated state is immediately searchable
+    hits = engine.search("card", {"query": {"term": {"status": "FROZEN"}},
+                                  "size": 10}).collect()
+    assert {r["id"] for r in hits} == {1, 3}
