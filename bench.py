@@ -98,7 +98,12 @@ def main() -> None:
     # swings observed round-over-round on heavy entries) and to
     # window-rotation cold starts; a per-entry MEDIAN over 3 warm
     # repeats, taken after the full pass has compiled every plan, is
-    # the judgeable number for those entries
+    # the judgeable number for those entries. Caveat: a warm repeat
+    # measures the engine's REPEAT cost — entries backed by a
+    # session-level memo (dedup_minhash_lsh's localCheckpointed pair
+    # set, shared with the connected-components entries by design)
+    # report the memo-hit cost here; their cold pipeline cost is the
+    # positional number above.
     import statistics
 
     heavy = sorted(
