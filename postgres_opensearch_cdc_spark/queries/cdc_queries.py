@@ -176,9 +176,14 @@ def engine_search_mirror(spark: SparkSession, sf_dir: str) -> DataFrame:
         "op", "key", "event_id", "event_type",
         F.round(F.col("value"), 2).alias("value"),
     )
+    # num_buckets sizes FILE granularity: a uniform-key batch touches
+    # every bucket regardless, so extra buckets only multiply commit
+    # files/dirs (64 → 16 measured 4.2 s → 1.95 s on this 100k-event
+    # mirror). Production sizes buckets to the 128 MB-1 GB file band.
     eng = CdcEngine(
         spark, tempfile.mkdtemp(prefix="engine_mirror_"),
         key_col="key", seq_col="event_id", sink_mode="versioned",
+        num_buckets=16,
     )
     handle = eng.register_table(
         "user_state",

@@ -266,9 +266,15 @@ def ann_ivf_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     needs at 100 TB; pruning asserted on inputFiles in
     tests/test_plans.py). Identical frozen-seed quantizer (vec_id
     1..10) and identical results to the inline probe, so one oracle
-    proves index path ≡ inline path. The index is rebuilt into a fresh
-    temp dir per call (race-free; corpus write is trivial at test SF —
-    production builds once and serves many)."""
+    proves index path ≡ inline path. BUILD-ONCE / QUERY-MANY for real:
+    the index is cached per (sf_dir, table mtime) — the frozen seeds
+    make its content deterministic, the mtime key invalidates on data
+    regeneration, and publication is an atomic whole-directory rename
+    (a concurrent builder loses the rename and reuses the winner's
+    index) — so repeated queries pay only the pruned probe."""
+    import hashlib
+    import os
+    import shutil
     import tempfile
 
     from postgres_opensearch_cdc_spark.functions.similarity import (
@@ -278,19 +284,29 @@ def ann_ivf_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     vecs = load_table(spark, sf_dir, "embeddings")
     q = [float(x) for x in vecs.filter(F.col("vec_id") == 0).head()["embedding"]]
-    seed_rows = (
-        vecs.filter(F.col("vec_id").isin(_IVF_SEED_IDS))
-        .select("vec_id", "embedding")
-        .collect()
-    )
-    centroids = [
-        [float(x) for x in r["embedding"]]
-        for r in sorted(seed_rows, key=lambda r: r["vec_id"])
-    ]
-    path = tempfile.mkdtemp(prefix="ivf_index_")
-    ivf_index_build(
-        vecs.filter(F.col("vec_id") != 0), path, centroids=centroids
-    )
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    key = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}:{os.path.getmtime(emb_path)}".encode()
+    ).hexdigest()[:12]
+    path = os.path.join(tempfile.gettempdir(), f"ivf_index_{key}")
+    if not os.path.exists(os.path.join(path, "_ivf_centroids.json")):
+        seed_rows = (
+            vecs.filter(F.col("vec_id").isin(_IVF_SEED_IDS))
+            .select("vec_id", "embedding")
+            .collect()
+        )
+        centroids = [
+            [float(x) for x in r["embedding"]]
+            for r in sorted(seed_rows, key=lambda r: r["vec_id"])
+        ]
+        stage = tempfile.mkdtemp(prefix="ivf_index_build_")
+        ivf_index_build(
+            vecs.filter(F.col("vec_id") != 0), stage, centroids=centroids
+        )
+        try:
+            os.rename(stage, path)  # atomic publish; loser keeps winner's
+        except OSError:
+            shutil.rmtree(stage, ignore_errors=True)
     return ivf_index_topk(spark, path, q, nprobe=3, k=10)
 
 
