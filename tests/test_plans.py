@@ -94,6 +94,11 @@ def test_no_python_udfs_anywhere_in_query_surface(spark, sf_dir):
     for name, fn in e.queries().items():
         p = plan(fn(spark, sf_dir))
         assert "BatchEvalPython" not in p, f"{name} uses a row-at-a-time Python UDF"
+        # second surface-wide invariant, same sweep: no unbroadcast
+        # cartesian product anywhere — every cross join in the surface
+        # is a broadcast of a tiny aggregate/literal side
+        # (BroadcastNestedLoopJoin), never a full CartesianProduct
+        assert "CartesianProduct" not in p, f"{name} plans a cartesian product"
 
 
 def test_mixture_sample_is_filter_plus_partial_agg(spark, sf_dir):
