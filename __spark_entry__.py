@@ -119,7 +119,9 @@ _PRIORITY = [
 #   sqs_required_prohibited, sqs_or_phrase, sqs_prefix_keyword (the
 #   simple_query_string lenient search-bar interface),
 #   span_within_query, constant_score_query,
-#   ppl_fieldsummary, ppl_expand_tokens
+#   ppl_fieldsummary, ppl_expand_tokens,
+#   ann_pq_index_topk (persisted PQ-codes index — ADC over
+#   ingest-time codes, same oracle as ann_pq_adc_topk)
 # Then pure re-confirmation, oldest driver rows first:
 #   q09_limit, q10_count (r1-era, locally re-verified in round 8),
 #   then the r1/r2-era dashboard + training-pipeline rows

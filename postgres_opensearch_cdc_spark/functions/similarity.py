@@ -477,6 +477,78 @@ def pq_adc_topk(
     )
 
 
+def pq_index_build(
+    vectors: DataFrame,
+    path: str,
+    codebook: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize PQ codes AT INGEST — the serving layout
+    pq_adc_topk's docstring promises: an (id, c0..c{M-1}) table (M
+    small ints per vector, ~M bytes in parquet vs 4·dim for the raw
+    vectors) plus the codebook in a root sidecar. Encoding runs once
+    here as a scan projection; every later ADC query scans only the
+    code columns and never touches a full vector. The codebook JSON
+    write is the commit point (temp + atomic rename), so a crashed
+    build is invisible to readers."""
+    import json
+    import os
+
+    coded = vectors.select(F.col(id_col), *pq_codes(F.col(vec_col), codebook))
+    coded.write.mode("overwrite").parquet(path)
+    tmp = os.path.join(path, "_pq_codebook.json.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(codebook, fh)
+    os.replace(tmp, os.path.join(path, "_pq_codebook.json"))
+
+
+def pq_index_adc_topk(
+    spark: SparkSession,
+    path: str,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ADC top-k over a persisted PQ-codes index: the query→codeword
+    distance table is computed driver-side from the sidecar codebook
+    (M×K floats, constant-folded literals) and the score is a literal
+    array lookup summed over the M code columns — the per-query encode
+    cost of the inline form disappears entirely, which is the point of
+    encoding at ingest. Same summation order and rounding as
+    pq_adc_topk, so both return identical results for the same
+    codebook (one oracle covers both). Finish is
+    TakeOrderedAndProject — no shuffle, no global sort."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_pq_codebook.json")) as fh:
+        codebook = json.load(fh)
+    m_count = len(codebook)
+    dsub = len(codebook[0][0])
+    table = [
+        [
+            sum(
+                (float(query_vec[m * dsub + d]) - float(cw[d])) ** 2
+                for d in range(dsub)
+            )
+            for cw in codebook[m]
+        ]
+        for m in range(m_count)
+    ]
+    coded = spark.read.parquet(path)
+    score = None
+    for m in range(m_count):
+        lut = F.array(*[F.lit(float(x)) for x in table[m]])
+        term = F.element_at(lut, F.col(f"c{m}").cast("int"))
+        score = term if score is None else (score + term)
+    return (
+        coded.select(F.col(id_col), F.round(score, 6).alias("adc_dist"))
+        .orderBy(F.col("adc_dist").asc(), F.col(id_col))
+        .limit(k)
+    )
+
+
 def pq_train(
     vectors: DataFrame,
     m: int = 8,

@@ -199,6 +199,43 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_adc_topk(vecs.filter(F.col("vec_id") != 0), q, codebook, k=10)
 
 
+def ann_pq_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERSISTED PQ-codes index: the same frozen codebook as
+    ann_pq_adc_topk, but the M-byte codes are materialized at ingest
+    (similarity.pq_index_build — cached per (sf_dir, table mtime),
+    atomic-rename publication like the IVF index) and the query is a
+    pure ADC lookup over the codes table: no per-query encode, full
+    vectors never read. Identical summation order and rounding, so the
+    SAME oracle proves index path ≡ inline encode path — and the
+    latency delta between this entry and ann_pq_adc_topk IS the
+    measured value of encoding at ingest."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from postgres_opensearch_cdc_spark.functions.similarity import (
+        pq_index_adc_topk,
+        pq_index_build,
+    )
+
+    vecs = load_table(spark, sf_dir, "embeddings")
+    q, codebook = _pq_frozen_codebook(vecs)
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    key = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}:{os.path.getmtime(emb_path)}".encode()
+    ).hexdigest()[:12]
+    path = os.path.join(tempfile.gettempdir(), f"pq_index_{key}")
+    if not os.path.exists(os.path.join(path, "_pq_codebook.json")):
+        stage = tempfile.mkdtemp(prefix="pq_index_build_")
+        pq_index_build(vecs.filter(F.col("vec_id") != 0), stage, codebook)
+        try:
+            os.rename(stage, path)
+        except OSError:
+            shutil.rmtree(stage, ignore_errors=True)
+    return pq_index_adc_topk(spark, path, q, k=10)
+
+
 _PQ_RERANK_CAND = 50
 
 
@@ -654,6 +691,7 @@ QUERIES = {
     "ann_ivf_topk": ann_ivf_topk,
     "ann_ivf_index_topk": ann_ivf_index_topk,
     "ann_pq_adc_topk": ann_pq_adc_topk,
+    "ann_pq_index_topk": ann_pq_index_topk,
     "ann_pq_rerank_topk": ann_pq_rerank_topk,
     "text_stats": text_stats,
     "text_fingerprint": text_fingerprint,
@@ -1020,6 +1058,9 @@ _PQ_CTES = """
 ORACLE["ann_pq_adc_topk"] = _PQ_CTES + """SELECT vec_id, adc_dist FROM adc
         ORDER BY adc_dist, vec_id LIMIT 10
     """
+# persisted PQ-codes index: identical ADC math over ingest-time codes —
+# one oracle proves index path ≡ inline encode path
+ORACLE["ann_pq_index_topk"] = ORACLE["ann_pq_adc_topk"]
 
 ORACLE["ann_pq_rerank_topk"] = _PQ_CTES + """
         SELECT e.vec_id,

@@ -244,3 +244,42 @@ def test_ivf_index_build_and_pruned_query(spark, sf_dir, tmp_path):
         if (m := re.search(r"_cell=(\d+)", f))
     }
     assert len(cells) <= 3, f"scan touched {cells} — not partition-pruned"
+
+
+def test_pq_index_matches_inline_adc(spark, tmp_path):
+    """Persisted PQ-codes index: identical results to the inline
+    encode+ADC path for the same codebook; queries read only the code
+    columns (no embedding column in the scan)."""
+    import re
+
+    from postgres_opensearch_cdc_spark.functions.similarity import (
+        pq_adc_topk,
+        pq_index_adc_topk,
+        pq_index_build,
+    )
+    from postgres_opensearch_cdc_spark.registry import load_table
+
+    vecs = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = [float(x) for x in vecs.filter("vec_id = 0").head()["embedding"]]
+    seed_rows = sorted(
+        vecs.filter("vec_id BETWEEN 1 AND 16")
+        .select("vec_id", "embedding").collect(),
+        key=lambda r: r["vec_id"],
+    )
+    seeds = [[float(x) for x in r["embedding"]] for r in seed_rows]
+    dsub = len(seeds[0]) // 8
+    codebook = [[s[m * dsub:(m + 1) * dsub] for s in seeds] for m in range(8)]
+    idx = str(tmp_path / "pq")
+    corpus = vecs.filter("vec_id <> 0")
+    pq_index_build(corpus, idx, codebook)
+    got = pq_index_adc_topk(spark, idx, q, k=10)
+    want = pq_adc_topk(corpus, q, codebook, k=10)
+    assert [(r["vec_id"], r["adc_dist"]) for r in got.collect()] == [
+        (r["vec_id"], r["adc_dist"]) for r in want.collect()
+    ]
+    # the index scan never touches a vector column
+    from tests.test_plans import plan
+
+    p = plan(got)
+    assert "embedding" not in p and re.search(r"ReadSchema:.*c0", p)
+    assert "TakeOrderedAndProject" in p and "Exchange" not in p
