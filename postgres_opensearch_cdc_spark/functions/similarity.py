@@ -477,6 +477,38 @@ def pq_adc_topk(
     )
 
 
+def ivf_index_append(
+    vectors: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    files_per_cell: int = 1,
+) -> None:
+    """Incremental IVF maintenance: encode ONLY the new vectors against
+    the index's existing centroid sidecar and append their files into
+    the cell partition dirs. Assignment is independent per vector (the
+    coarse quantizer is frozen at build time — standard IVF practice;
+    retrain + rebuild is a separate offline decision), so a CDC-fed
+    corpus keeps its ANN index current at the cost of encoding just
+    the delta. Queries see appended files through the same
+    partition-pruned directory listing; no existing file is touched."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_ivf_centroids.json")) as fh:
+        centroids = json.load(fh)
+    v = _as_double(F.col(vec_col))
+    assigned = vectors.withColumn("_cell", _nearest_cell(v, centroids))
+    if files_per_cell == 1:
+        clustered = assigned.repartition(F.col("_cell"))
+    else:
+        clustered = assigned.repartition(
+            F.col("_cell"),
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(files_per_cell)),
+        )
+    clustered.write.mode("append").partitionBy("_cell").parquet(path)
+
+
 def pq_index_build(
     vectors: DataFrame,
     path: str,
@@ -501,6 +533,26 @@ def pq_index_build(
     with open(tmp, "w") as fh:
         json.dump(codebook, fh)
     os.replace(tmp, os.path.join(path, "_pq_codebook.json"))
+
+
+def pq_index_append(
+    vectors: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incremental PQ maintenance: encode ONLY the new vectors against
+    the index's existing codebook sidecar and append their code rows.
+    PQ encoding is independent per vector, so a CDC-fed corpus keeps
+    its code table current at delta cost; no existing file is
+    touched."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_pq_codebook.json")) as fh:
+        codebook = json.load(fh)
+    coded = vectors.select(F.col(id_col), *pq_codes(F.col(vec_col), codebook))
+    coded.write.mode("append").parquet(path)
 
 
 def pq_index_adc_topk(

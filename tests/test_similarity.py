@@ -283,3 +283,71 @@ def test_pq_index_matches_inline_adc(spark, tmp_path):
     p = plan(got)
     assert "embedding" not in p and re.search(r"ReadSchema:.*c0", p)
     assert "TakeOrderedAndProject" in p and "Exchange" not in p
+
+
+def test_index_append_equals_rebuild(spark, tmp_path):
+    """Incremental maintenance: build on half the corpus, append the
+    rest — queries must return exactly what a from-scratch build over
+    the full corpus returns (both IVF and PQ), and appends must not
+    rewrite existing files."""
+    import glob
+    import os
+
+    from postgres_opensearch_cdc_spark.functions.similarity import (
+        ivf_index_append,
+        ivf_index_build,
+        ivf_index_topk,
+        pq_index_adc_topk,
+        pq_index_append,
+        pq_index_build,
+    )
+    from postgres_opensearch_cdc_spark.registry import load_table
+
+    vecs = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = [float(x) for x in vecs.filter("vec_id = 0").head()["embedding"]]
+    corpus = vecs.filter("vec_id <> 0")
+    first = corpus.filter("vec_id % 2 = 1")
+    second = corpus.filter("vec_id % 2 = 0")
+
+    seeds = [
+        [float(x) for x in r["embedding"]]
+        for r in sorted(
+            vecs.filter("vec_id BETWEEN 1 AND 10")
+            .select("vec_id", "embedding").collect(),
+            key=lambda r: r["vec_id"],
+        )
+    ]
+    inc, full = str(tmp_path / "ivf_inc"), str(tmp_path / "ivf_full")
+    ivf_index_build(first, inc, centroids=seeds)
+    before = {
+        f: os.path.getmtime(f) for f in glob.glob(f"{inc}/_cell=*/*.parquet")
+    }
+    ivf_index_append(second, inc)
+    after = {f: os.path.getmtime(f) for f in before}
+    assert after == before, "append rewrote existing files"
+    ivf_index_build(corpus, full, centroids=seeds)
+    got = [(r["vec_id"], r["cos_sim"])
+           for r in ivf_index_topk(spark, inc, q, nprobe=3, k=10).collect()]
+    want = [(r["vec_id"], r["cos_sim"])
+            for r in ivf_index_topk(spark, full, q, nprobe=3, k=10).collect()]
+    assert got == want
+
+    pq_seeds = [
+        [float(x) for x in r["embedding"]]
+        for r in sorted(
+            vecs.filter("vec_id BETWEEN 1 AND 16")
+            .select("vec_id", "embedding").collect(),
+            key=lambda r: r["vec_id"],
+        )
+    ]
+    dsub = len(pq_seeds[0]) // 8
+    cb = [[s[m * dsub:(m + 1) * dsub] for s in pq_seeds] for m in range(8)]
+    pinc, pfull = str(tmp_path / "pq_inc"), str(tmp_path / "pq_full")
+    pq_index_build(first, pinc, cb)
+    pq_index_append(second, pinc)
+    pq_index_build(corpus, pfull, cb)
+    got = [(r["vec_id"], r["adc_dist"])
+           for r in pq_index_adc_topk(spark, pinc, q, k=10).collect()]
+    want = [(r["vec_id"], r["adc_dist"])
+            for r in pq_index_adc_topk(spark, pfull, q, k=10).collect()]
+    assert got == want
