@@ -121,7 +121,9 @@ _PRIORITY = [
 #   span_within_query, constant_score_query,
 #   ppl_fieldsummary, ppl_expand_tokens,
 #   ann_pq_index_topk (persisted PQ-codes index — ADC over
-#   ingest-time codes, same oracle as ann_pq_adc_topk)
+#   ingest-time codes, same oracle as ann_pq_adc_topk),
+#   ann_ivf_append_topk (incremental index maintenance: build half +
+#   append half, full-corpus oracle proves append ≡ rebuild)
 # Then pure re-confirmation, oldest driver rows first:
 #   q09_limit, q10_count (r1-era, locally re-verified in round 8),
 #   then the r1/r2-era dashboard + training-pipeline rows

@@ -199,6 +199,58 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_adc_topk(vecs.filter(F.col("vec_id") != 0), q, codebook, k=10)
 
 
+def ann_ivf_append_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL IVF maintenance, value-checked: the index is built
+    on half the corpus (odd vec_ids) and the other half is APPENDED
+    against the frozen centroid sidecar (similarity.ivf_index_append —
+    new files into existing cell dirs, nothing rewritten). The oracle
+    is the SAME SQL as ann_ivf_topk over the full corpus, so a value
+    match proves build+append ≡ one full build — the property that
+    lets a CDC-fed corpus keep its ANN index current at delta cost.
+    Cached per (sf_dir, mtime) with atomic-rename publication, same
+    as the single-build index."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from postgres_opensearch_cdc_spark.functions.similarity import (
+        ivf_index_append,
+        ivf_index_build,
+        ivf_index_topk,
+    )
+
+    vecs = load_table(spark, sf_dir, "embeddings")
+    q = [float(x) for x in vecs.filter(F.col("vec_id") == 0).head()["embedding"]]
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    key = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}:{os.path.getmtime(emb_path)}:inc".encode()
+    ).hexdigest()[:12]
+    path = os.path.join(tempfile.gettempdir(), f"ivf_index_{key}")
+    if not os.path.exists(os.path.join(path, "_ivf_centroids.json")):
+        seed_rows = (
+            vecs.filter(F.col("vec_id").isin(_IVF_SEED_IDS))
+            .select("vec_id", "embedding")
+            .collect()
+        )
+        centroids = [
+            [float(x) for x in r["embedding"]]
+            for r in sorted(seed_rows, key=lambda r: r["vec_id"])
+        ]
+        corpus = vecs.filter(F.col("vec_id") != 0)
+        stage = tempfile.mkdtemp(prefix="ivf_index_inc_")
+        ivf_index_build(
+            corpus.filter(F.col("vec_id") % 2 == 1), stage,
+            centroids=centroids,
+        )
+        ivf_index_append(corpus.filter(F.col("vec_id") % 2 == 0), stage)
+        try:
+            os.rename(stage, path)
+        except OSError:
+            shutil.rmtree(stage, ignore_errors=True)
+    return ivf_index_topk(spark, path, q, nprobe=3, k=10)
+
+
 def ann_pq_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PERSISTED PQ-codes index: the same frozen codebook as
     ann_pq_adc_topk, but the M-byte codes are materialized at ingest
@@ -690,6 +742,7 @@ QUERIES = {
     "ann_filtered_topk": ann_filtered_topk,
     "ann_ivf_topk": ann_ivf_topk,
     "ann_ivf_index_topk": ann_ivf_index_topk,
+    "ann_ivf_append_topk": ann_ivf_append_topk,
     "ann_pq_adc_topk": ann_pq_adc_topk,
     "ann_pq_index_topk": ann_pq_index_topk,
     "ann_pq_rerank_topk": ann_pq_rerank_topk,
@@ -1004,6 +1057,9 @@ ORACLE["ann_ivf_topk"] = f"""
 # return exactly what the inline probe returns for the same frozen
 # quantizer — one oracle text proves both
 ORACLE["ann_ivf_index_topk"] = ORACLE["ann_ivf_topk"]
+# build-on-half + append-half must equal one full build — the oracle
+# over the FULL corpus proves the incremental path end to end
+ORACLE["ann_ivf_append_topk"] = ORACLE["ann_ivf_topk"]
 
 # PQ oracle CTE chain shared by the ADC and rerank entries: frozen-seed
 # codebook (vec_id 1..16), per-subspace argmin encode (distances rounded
