@@ -59,6 +59,7 @@ class CdcEngine:
     sink_mode: str = "versioned"
     num_buckets: int = 64
     tables: dict[str, TableHandle] = field(default_factory=dict)
+    aliases: dict[str, list[str]] = field(default_factory=dict)
 
     # -- lifecycle ---------------------------------------------------------
 
@@ -138,9 +139,47 @@ class CdcEngine:
 
     # -- query surface -----------------------------------------------------
 
-    def view(self, name: str) -> DataFrame:
-        """The always-current mirror as a DataFrame."""
-        return self.tables[name].sink.read(self.spark)
+    def put_alias(self, alias: str, table_names: list[str]) -> None:
+        """Index alias (the `_aliases` API): a read name resolving to
+        the UNION of member mirrors — the engine-level form of the
+        dashboard's index patterns (Q12). Write APIs reject aliases
+        (same rule as ES multi-index aliases)."""
+        if alias in self.tables:
+            raise ValueError(f"{alias!r} is already a table name")
+        missing = [t for t in table_names if t not in self.tables]
+        if missing:
+            raise ValueError(f"alias {alias!r} references unknown tables {missing}")
+        self.aliases[alias] = list(table_names)
+
+    def _resolve_write(self, name: str) -> TableHandle:
+        if name in self.aliases:
+            raise ValueError(
+                f"{name!r} is an alias — writes must target a concrete table"
+            )
+        return self.tables[name]
+
+    def view(self, name: str, version: int | None = None) -> DataFrame:
+        """The always-current mirror as a DataFrame. An alias resolves
+        to the union of its member mirrors (missing columns
+        null-filled — the multi-index dynamic-mapping behavior).
+        ``version`` time-travels a versioned-sink mirror to an older
+        committed manifest (snapshots are free until vacuum)."""
+        if name in self.aliases:
+            if version is not None:
+                raise ValueError("version applies to a single table, not an alias")
+            dfs = [self.view(t) for t in self.aliases[name]]
+            out = dfs[0]
+            for d in dfs[1:]:
+                out = out.unionByName(d, allowMissingColumns=True)
+            return out
+        sink = self.tables[name].sink
+        if version is not None:
+            if not isinstance(sink, VersionedMirrorSink):
+                raise ValueError(
+                    "time-travel requires the versioned sink_mode"
+                )
+            return sink.read(self.spark, version=version)
+        return sink.read(self.spark)
 
     def search(self, name: str, body: dict,
                id_col: str | None = None) -> DataFrame:
@@ -236,6 +275,56 @@ class CdcEngine:
             df = df.filter(compile_query(query, id_col=self.key_col))
         return df.count()
 
+    def mget(self, name: str, ids: list) -> DataFrame:
+        """The ``_mget`` endpoint: point lookups by key list — an IN
+        filter pushed to the mirror scan (row-group-pruned on an
+        id-clustered layout)."""
+        return self.view(name).filter(F.col(self.key_col).isin(list(ids)))
+
+    def bulk(self, name: str, actions: list, batch_id: int = -1) -> dict:
+        """The ``_bulk`` endpoint (reference W3): a mixed list of
+        ``{"index": {<full doc incl key>}}`` / ``{"delete": {<key>:
+        v}}`` applied as ONE keyed merge. Later actions on the same
+        key win (ES bulk ordering): each action gets a sequence number
+        above the mirror's current max, in list order, so the batch
+        composes with — and stays idempotent against — the streaming
+        path. Returns per-op counts."""
+        handle = self._resolve_write(name)
+        op_col = handle.sink.op_col
+        cur_max = None
+        if handle.sink.exists():
+            cur_max = self.view(name).agg(F.max(self.seq_col)).head()[0]
+        base = (cur_max if cur_max is not None else -1) + 1
+        field_names = [f.name for f in handle.schema.fields]
+        row_schema = T.StructType(
+            [T.StructField(op_col, T.StringType())]
+            + list(handle.schema.fields)
+            + [T.StructField(self.seq_col, T.LongType())]
+        )
+        rows, counts = [], {"index": 0, "delete": 0}
+        for i, action in enumerate(actions):
+            ((op, body),) = action.items()
+            if op == "index":
+                rows.append(
+                    ("u", *[body.get(f) for f in field_names], base + i)
+                )
+                counts["index"] += 1
+            elif op == "delete":
+                key = body[self.key_col] if isinstance(body, dict) else body
+                rows.append((
+                    "d",
+                    *[key if f == self.key_col else None for f in field_names],
+                    base + i,
+                ))
+                counts["delete"] += 1
+            else:
+                raise ValueError(f"unknown bulk action {op!r}")
+        if rows:
+            handle.sink.apply_batch(
+                self.spark.createDataFrame(rows, row_schema), batch_id
+            )
+        return counts
+
     def delete_by_query(self, name: str, query: dict) -> int:
         """The reference stack's ``_delete_by_query``: matching mirror
         rows are re-emitted as op='d' changes THROUGH THE KEYED MERGE
@@ -246,7 +335,7 @@ class CdcEngine:
         merge. Returns the number of rows deleted."""
         from postgres_opensearch_cdc_spark.dsl import compile_query
 
-        handle = self.tables[name]
+        handle = self._resolve_write(name)
         op_col = handle.sink.op_col
         matched = self.view(name).filter(
             compile_query(query, id_col=self.key_col)
@@ -274,7 +363,7 @@ class CdcEngine:
 
         from postgres_opensearch_cdc_spark.dsl import compile_query
 
-        handle = self.tables[name]
+        handle = self._resolve_write(name)
         op_col = handle.sink.op_col
         matched = self.view(name).filter(
             compile_query(query, id_col=self.key_col)

@@ -403,12 +403,27 @@ class VersionedMirrorSink:
         )
 
     def latest_manifest(self) -> dict | None:
+        return self.manifest()
+
+    def manifest(self, version: "int | None" = None) -> dict | None:
+        """Load a committed manifest: the latest, or an explicit
+        ``version`` — every un-vacuumed commit is a readable snapshot
+        (time travel for free, see class docstring)."""
         import json
 
         names = self._manifests()
         if not names:
             return None
-        with open(os.path.join(self._commits_dir, names[-1])) as fh:
+        if version is None:
+            name = names[-1]
+        else:
+            name = f"v{version:08d}.json"
+            if name not in names:
+                raise FileNotFoundError(
+                    f"no committed version {version} under {self.path} "
+                    f"(available: {[int(n[1:-5]) for n in names]})"
+                )
+        with open(os.path.join(self._commits_dir, name)) as fh:
             return json.load(fh)
 
     def exists(self) -> bool:
@@ -443,8 +458,8 @@ class VersionedMirrorSink:
             out = out.unionByName(d, allowMissingColumns=True)
         return out
 
-    def read(self, spark: SparkSession) -> DataFrame:
-        manifest = self.latest_manifest()
+    def read(self, spark: SparkSession, version: "int | None" = None) -> DataFrame:
+        manifest = self.manifest(version)
         if manifest is None:
             raise FileNotFoundError(f"no committed snapshot under {self.path}")
         sliced = self._read_manifest_slice(spark, manifest)

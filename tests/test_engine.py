@@ -297,3 +297,63 @@ def test_engine_maintenance_apis(spark, tmp_path, sink_mode):
     hits = engine.search("card", {"query": {"term": {"status": "FROZEN"}},
                                   "size": 10}).collect()
     assert {r["id"] for r in hits} == {1, 3}
+
+
+def test_engine_bulk_mget_alias_timetravel(spark, tmp_path):
+    """_bulk (mixed index/delete, later-wins ordering, seq above the
+    mirror's max so it composes with streaming), _mget point lookups,
+    index aliases (read = union, writes rejected), and time-travel
+    reads of the versioned sink's committed manifests."""
+    engine = CdcEngine(spark=spark, workdir=str(tmp_path))
+    engine.register_table("card", CARD_SCHEMA)
+    engine.backfill("card", spark.createDataFrame(
+        [(1, "ACTIVE", "DEBIT"), (2, "ACTIVE", "CREDIT")], CARD_SCHEMA))
+
+    # _bulk: index 3, delete 2, then re-index 2 LATER in the same bulk
+    # (later action on the same key must win), update 1
+    counts = engine.bulk("card", [
+        {"index": {"id": 3, "status": "NEW", "card_type": "DEBIT"}},
+        {"delete": {"id": 2}},
+        {"index": {"id": 2, "status": "REOPENED", "card_type": "CREDIT"}},
+        {"index": {"id": 1, "status": "BLOCKED", "card_type": "DEBIT"}},
+    ], batch_id=0)
+    assert counts == {"index": 3, "delete": 1}
+    rows = {r["id"]: r for r in engine.view("card").collect()}
+    assert rows[2]["status"] == "REOPENED"  # re-index after delete wins
+    assert rows[1]["status"] == "BLOCKED" and rows[3]["status"] == "NEW"
+    # a second bulk's seqs sit above the first's (composes, idempotent)
+    engine.bulk("card", [{"delete": {"id": 3}}], batch_id=1)
+    assert engine.count("card") == 2
+
+    # _mget
+    got = {r["id"] for r in engine.mget("card", [1, 2, 99]).collect()}
+    assert got == {1, 2}
+
+    # alias: union of two mirrors; writes rejected
+    engine.register_table("card_archive", CARD_SCHEMA)
+    engine.backfill("card_archive", spark.createDataFrame(
+        [(100, "CLOSED", "DEBIT")], CARD_SCHEMA))
+    engine.put_alias("all_cards", ["card", "card_archive"])
+    assert engine.count("all_cards") == 3
+    hits = engine.search("all_cards", {
+        "query": {"term": {"card_type": "DEBIT"}}, "size": 10})
+    assert {r["id"] for r in hits.collect()} == {1, 100}
+    with pytest.raises(ValueError, match="alias"):
+        engine.delete_by_query("all_cards", {"term": {"status": "CLOSED"}})
+    with pytest.raises(ValueError, match="alias"):
+        engine.bulk("all_cards", [{"delete": {"id": 1}}])
+    with pytest.raises(ValueError, match="already a table"):
+        engine.put_alias("card", ["card_archive"])
+    with pytest.raises(ValueError, match="unknown tables"):
+        engine.put_alias("bad", ["nope"])
+
+    # time travel: v1 = backfill, v2 = first bulk, v3 = second bulk
+    assert engine.count("card") == 2
+    v1 = {r["id"]: r["status"] for r in engine.view("card", version=1).collect()}
+    assert v1 == {1: "ACTIVE", 2: "ACTIVE"}
+    v2 = {r["id"]: r["status"] for r in engine.view("card", version=2).collect()}
+    assert v2 == {1: "BLOCKED", 2: "REOPENED", 3: "NEW"}
+    with pytest.raises(FileNotFoundError, match="no committed version"):
+        engine.view("card", version=99).collect()
+    with pytest.raises(ValueError, match="alias"):
+        engine.view("all_cards", version=1)
