@@ -408,6 +408,9 @@ class CdcEngine:
         for name, handle in self.tables.items():
             if handle.sink.exists():
                 self.view(name).createOrReplaceTempView(f"{name}_mirror")
+        for alias, members in self.aliases.items():
+            if all(self.tables[t].sink.exists() for t in members):
+                self.view(alias).createOrReplaceTempView(f"{alias}_mirror")
 
     def counts(self) -> dict[str, int]:
         """test.sh:29-38 count-parity probe, engine-side."""
