@@ -195,11 +195,22 @@ def compile_query(node: dict, id_col: str = "doc_id") -> Column:
             v = v["value"]
         term = str(v)
         if isinstance(fuzziness, str):
-            if fuzziness.upper() != "AUTO":
-                raise DSLError(f"bad fuzziness {fuzziness!r}")
-            # ES AUTO: 0 edits for terms of length 0-2, 1 for 3-5,
-            # 2 for >= 6 — short terms no longer over-match
-            fuzziness = 0 if len(term) <= 2 else (1 if len(term) <= 5 else 2)
+            fz = fuzziness.strip()
+            if fz.isdigit():
+                # ES accepts string-encoded integers ("1") as well as
+                # bare ints — clients port request bodies verbatim
+                fuzziness = int(fz)
+            else:
+                m = re.fullmatch(r"AUTO(?::(\d+),(\d+))?", fz.upper())
+                if m is None:
+                    raise DSLError(f"bad fuzziness {fuzziness!r}")
+                # ES AUTO[:low,high] (default 3,6): 0 edits for terms
+                # shorter than low, 1 below high, 2 otherwise — short
+                # terms no longer over-match
+                low, high = (
+                    (int(m.group(1)), int(m.group(2))) if m.group(1) else (3, 6)
+                )
+                fuzziness = 0 if len(term) < low else (1 if len(term) < high else 2)
         # term-level query: case-SENSITIVE, unanalyzed (ES semantics —
         # no lower() on either side)
         return F.levenshtein(F.col(f), F.lit(term)) <= int(fuzziness)

@@ -67,7 +67,25 @@ class CdcEngine:
         self, name: str, schema: T.StructType, bucket_expr: str | None = None
     ) -> TableHandle:
         """W4 bootstrap: declare the table with its explicit schema and
-        create its (empty) keyed mirror."""
+        create its (empty) keyed mirror.
+
+        Schema rules (validated here so the write APIs can't build
+        ambiguous rows later): the key column must be a schema field;
+        the sink's op column must NOT be (it is merge metadata the
+        engine owns). The seq column MAY be a schema field — the
+        "CDC offset embedded in the row" style engine_search_mirror
+        uses — in which case backfill/bulk fill that field instead of
+        appending a second copy."""
+        names = [f.name for f in schema.fields]
+        if self.key_col not in names:
+            raise ValueError(
+                f"schema for {name!r} must contain key column {self.key_col!r}"
+            )
+        if "op" in names:
+            raise ValueError(
+                f"schema for {name!r} must not contain 'op' — it is the "
+                "merge sink's op-code column"
+            )
         mirror_path = os.path.join(self.workdir, f"mirror_{name}")
         if self.sink_mode == "versioned":
             sink: object = VersionedMirrorSink(
@@ -102,12 +120,13 @@ class CdcEngine:
         """S2/ST1: snapshot rows are op='r' upserts applied before the
         stream — uniform with live changes (reference consumer.py:60-68)."""
         handle = self.tables[name]
-        batch = snapshot.select(
-            F.lit("r").alias("op"),
-            *[F.col(c) for c in snapshot.columns],
-            F.lit(-1).cast("long").alias(self.seq_col),
-        )
-        handle.sink.apply_batch(batch, batch_id=-1)
+        cols = [F.lit("r").alias("op"), *[F.col(c) for c in snapshot.columns]]
+        if self.seq_col not in snapshot.columns:
+            # seq embedded in the row (registered as a schema field) is
+            # used as-is; otherwise snapshot rows sit below every live
+            # change at seq -1
+            cols.append(F.lit(-1).cast("long").alias(self.seq_col))
+        handle.sink.apply_batch(snapshot.select(*cols), batch_id=-1)
 
     def start_stream(self, name: str, changelog_dir: str, available_now: bool = True):
         """S1/S3: attach the changelog stream (file-based here; the Kafka
@@ -146,6 +165,10 @@ class CdcEngine:
         (same rule as ES multi-index aliases)."""
         if alias in self.tables:
             raise ValueError(f"{alias!r} is already a table name")
+        if not table_names:
+            # ES requires at least one index per alias; an empty alias
+            # would make view() fail with a bare IndexError later
+            raise ValueError(f"alias {alias!r} needs at least one member table")
         missing = [t for t in table_names if t not in self.tables]
         if missing:
             raise ValueError(f"alias {alias!r} references unknown tables {missing}")
@@ -281,41 +304,67 @@ class CdcEngine:
         id-clustered layout)."""
         return self.view(name).filter(F.col(self.key_col).isin(list(ids)))
 
+    def _seq_high_water(self, name: str):
+        """Max sequence value EVER merged into the mirror — including
+        deletes, which are applied but not retained. The versioned
+        sink records it in each commit manifest (the durable form); the
+        other sink modes fall back to max(seq) over LIVE rows, which
+        can sit below an already-consumed stream offset after a
+        high-seq delete (documented replay hazard of the non-default
+        modes)."""
+        handle = self.tables[name]
+        if isinstance(handle.sink, VersionedMirrorSink):
+            manifest = handle.sink.latest_manifest()
+            if manifest is not None:
+                hwm = (manifest.get("max_seq") or {}).get(self.seq_col)
+                if hwm is not None:
+                    return hwm
+        if handle.sink.exists():
+            return self.view(name).agg(F.max(self.seq_col)).head()[0]
+        return None
+
     def bulk(self, name: str, actions: list, batch_id: int = -1) -> dict:
         """The ``_bulk`` endpoint (reference W3): a mixed list of
         ``{"index": {<full doc incl key>}}`` / ``{"delete": {<key>:
         v}}`` applied as ONE keyed merge. Later actions on the same
-        key win (ES bulk ordering): each action gets a sequence number
-        above the mirror's current max, in list order, so the batch
-        composes with — and stays idempotent against — the streaming
-        path. Returns per-op counts."""
+        key win (ES bulk ordering): each action gets an
+        engine-allocated sequence number (ES assigns seq_no
+        server-side the same way; a seq value in the action body is
+        ignored) above the mirror's sequence HIGH-WATER MARK — the max
+        seq ever merged, not max over live rows, so a bulk write after
+        a high-seq delete still lands above every consumed stream
+        offset and an at-least-once replayed stream batch cannot
+        silently override it. Returns per-op counts."""
         handle = self._resolve_write(name)
         op_col = handle.sink.op_col
-        cur_max = None
-        if handle.sink.exists():
-            cur_max = self.view(name).agg(F.max(self.seq_col)).head()[0]
-        base = (cur_max if cur_max is not None else -1) + 1
+        hwm = self._seq_high_water(name)
+        base = (hwm if hwm is not None else -1) + 1
         field_names = [f.name for f in handle.schema.fields]
-        row_schema = T.StructType(
-            [T.StructField(op_col, T.StringType())]
-            + list(handle.schema.fields)
-            + [T.StructField(self.seq_col, T.LongType())]
-        )
+        # the seq column may itself be a registered schema field (the
+        # engine_search_mirror style) — fill it in place, never append
+        # a duplicate column
+        fields = [T.StructField(op_col, T.StringType())] + list(handle.schema.fields)
+        if self.seq_col not in field_names:
+            fields.append(T.StructField(self.seq_col, T.LongType()))
+        row_schema = T.StructType(fields)
+
+        def _row(op, values, seq):
+            vals = [
+                seq if f == self.seq_col else values.get(f) for f in field_names
+            ]
+            if self.seq_col not in field_names:
+                vals.append(seq)
+            return (op, *vals)
+
         rows, counts = [], {"index": 0, "delete": 0}
         for i, action in enumerate(actions):
             ((op, body),) = action.items()
             if op == "index":
-                rows.append(
-                    ("u", *[body.get(f) for f in field_names], base + i)
-                )
+                rows.append(_row("u", body, base + i))
                 counts["index"] += 1
             elif op == "delete":
                 key = body[self.key_col] if isinstance(body, dict) else body
-                rows.append((
-                    "d",
-                    *[key if f == self.key_col else None for f in field_names],
-                    base + i,
-                ))
+                rows.append(_row("d", {self.key_col: key}, base + i))
                 counts["delete"] += 1
             else:
                 raise ValueError(f"unknown bulk action {op!r}")

@@ -429,7 +429,24 @@ class _SQSParser:
     operators (ES documents no precedence for this query — the fold IS
     the contract here, pinned by tests). Lenient by specification:
     stray operators and unbalanced parens degrade to no-ops, never
-    raise."""
+    raise.
+
+    Negation scope (deliberate, matches Lucene — NOT the intuitive
+    search-bar reading): ``-x`` compiles to a standalone NOT-x node
+    that participates in the fold like any positive clause, so
+    ``foo -bar`` with default_operator=OR means ``foo OR NOT bar``
+    (over-broad by design), and only with AND means ``foo AND NOT
+    bar``. This is exactly Lucene's SimpleQueryParser contract, which
+    ES/OpenSearch use unmodified: buildQueryTree (a PRIVATE method —
+    subclasses cannot rewire it) wraps a negated branch as
+    ``BooleanQuery[MUST_NOT branch, SHOULD MatchAllDocsQuery]``
+    (pinned by Lucene's own TestSimpleQueryParser.testNegationTerm)
+    and then combines that wrapper with the default operator exactly
+    like a positive clause — negations are NEVER hoisted to a shared
+    must_not of the enclosing boolean (that is the CLASSIC QueryParser
+    / query_string behavior, see _Parser._or_chain above). Users who
+    want exclusion semantics set default_operator=AND — the same
+    guidance ES gives. Pinned by test_sqs_negation_fold_*."""
 
     def __init__(self, toks, fields, default_operator):
         self.toks = toks

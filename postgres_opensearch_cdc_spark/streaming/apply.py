@@ -485,10 +485,31 @@ class VersionedMirrorSink:
             return  # replayed batch already committed — exactly-once
         version = (manifest["version"] + 1) if manifest else 1
         batch = batch.withColumn("_bucket", self._bucket())
-        # bounded driver-side listing: ≤ num_buckets distinct values
-        touched = sorted(
-            r["_bucket"] for r in batch.select("_bucket").distinct().collect()
+        # bounded driver-side listing: ≤ num_buckets rows. The same job
+        # also returns per-bucket seq maxima, folded below into the
+        # manifest's sequence high-water mark (max seq EVER merged,
+        # deletes included) — what lets a bulk/REST write allocate
+        # sequence numbers above every consumed stream offset even
+        # after a high-seq delete left no live row behind.
+        stats = (
+            batch.groupBy("_bucket")
+            .agg(*[F.max(c).alias(c) for c in self.seq_cols])
+            .collect()
         )
+        touched = sorted(r["_bucket"] for r in stats)
+        prev_hwm = dict((manifest or {}).get("max_seq") or {})
+        max_seq: dict = dict(prev_hwm)
+        for c in self.seq_cols:
+            vals = [r[c] for r in stats if r[c] is not None]
+            # only JSON-storable scalar seq types participate (the
+            # engine's long offsets; timestamp seqs are compared via
+            # live rows instead)
+            vals = [v for v in vals if isinstance(v, (int, float, str))]
+            if not vals:
+                continue
+            batch_max = max(vals)
+            prev = prev_hwm.get(c)
+            max_seq[c] = batch_max if prev is None or batch_max > prev else prev
         unioned = batch
         if manifest is not None:
             current = self._read_manifest_slice(spark, manifest, buckets=touched)
@@ -547,6 +568,7 @@ class VersionedMirrorSink:
                     "version": version,
                     "batch_id": batch_id,
                     "buckets": buckets,
+                    "max_seq": max_seq,
                     "schema": json.loads(merged.drop("_bucket").schema.json()),
                 },
                 fh,

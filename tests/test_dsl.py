@@ -506,6 +506,25 @@ def test_fuzzy_is_case_sensitive_with_auto_fuzziness(spark):
     }
     with pytest.raises(DSLError, match="bad fuzziness"):
         compile_query({"fuzzy": {"w": {"value": "click", "fuzziness": "MAX"}}})
+    # round-8 ADVICE: ES accepts string-encoded integers and
+    # AUTO:low,high as well as AUTO / bare ints — verbatim-ported
+    # request bodies must keep working
+    assert hits({"fuzzy": {"w": {"value": "click", "fuzziness": "2"}}}) == {
+        "click", "clik", "clack", "clucks"
+    }
+    assert hits({"fuzzy": {"w": {"value": "click", "fuzziness": "1"}}}) == {
+        "click", "clik", "clack"
+    }
+    # AUTO:6,9 on a 5-char term = 0 edits (below low); lowercase
+    # 'auto' accepted like ES
+    assert hits({"fuzzy": {"w": {"value": "click", "fuzziness": "AUTO:6,9"}}}) == {
+        "click"
+    }
+    assert hits({"fuzzy": {"w": {"value": "click", "fuzziness": "auto"}}}) == {
+        "click", "clik", "clack"
+    }
+    with pytest.raises(DSLError, match="bad fuzziness"):
+        compile_query({"fuzzy": {"w": {"value": "click", "fuzziness": "AUTO:2"}}})
 
 
 def test_bucket_labels_and_agg_names_are_injection_safe(spark):

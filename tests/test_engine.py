@@ -357,3 +357,88 @@ def test_engine_bulk_mget_alias_timetravel(spark, tmp_path):
         engine.view("card", version=99).collect()
     with pytest.raises(ValueError, match="alias"):
         engine.view("all_cards", version=1)
+
+
+def test_register_table_schema_rules_and_empty_alias(spark, tmp_path):
+    """Round-8 ADVICE: register_table validates the key/op column
+    conventions up front (instead of failing ambiguously at write
+    time), and put_alias rejects an empty member list (ES requires at
+    least one index per alias; view() would IndexError otherwise)."""
+    engine = CdcEngine(spark=spark, workdir=str(tmp_path))
+    with pytest.raises(ValueError, match="key column"):
+        engine.register_table("nokey", T.StructType(
+            [T.StructField("status", T.StringType())]))
+    with pytest.raises(ValueError, match="'op'"):
+        engine.register_table("hasop", T.StructType(
+            [T.StructField("id", T.LongType()),
+             T.StructField("op", T.StringType())]))
+    engine.register_table("card", CARD_SCHEMA)
+    with pytest.raises(ValueError, match="at least one member"):
+        engine.put_alias("empty", [])
+
+
+def test_bulk_and_backfill_with_seq_in_schema(spark, tmp_path):
+    """Round-8 ADVICE: a table registered with the seq column AS a
+    schema field (the engine_search_mirror style — the CDC offset
+    embedded in the row) must not get a duplicate seq column appended
+    by bulk/backfill; bulk fills the field in place with allocated
+    seqs, backfill uses the data's own values."""
+    schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("offset", T.LongType()),
+        T.StructField("status", T.StringType()),
+    ])
+    engine = CdcEngine(spark=spark, workdir=str(tmp_path))
+    engine.register_table("acct", schema)
+    # backfill: rows carry their own offsets (5, 9)
+    engine.backfill("acct", spark.createDataFrame(
+        [(1, 5, "ACTIVE"), (2, 9, "ACTIVE")], schema))
+    rows = {r["id"]: r for r in engine.view("acct").collect()}
+    assert rows[1]["offset"] == 5 and rows[2]["offset"] == 9
+    assert len(engine.view("acct").columns) == len(schema.fields) + 1  # + op
+    # bulk: allocated seq lands IN the offset field, above the max (9)
+    engine.bulk("acct", [
+        {"index": {"id": 3, "status": "NEW"}},
+        {"delete": {"id": 2}},
+    ], batch_id=0)
+    rows = {r["id"]: r for r in engine.view("acct").collect()}
+    assert set(rows) == {1, 3}
+    assert rows[3]["offset"] >= 10  # above the backfill's own seqs
+
+
+def test_bulk_seq_high_water_survives_high_seq_delete(spark, tmp_path):
+    """Round-8 ADVICE: bulk allocates sequence numbers above the max
+    seq EVER merged (the versioned sink's manifest high-water mark),
+    not max over live rows — so after a high-seq DELETE consumed from
+    the stream, a bulk write still outranks every consumed offset and
+    an at-least-once replay of that stream batch cannot silently
+    override it."""
+    from pyspark.sql import functions as F
+
+    engine = CdcEngine(spark=spark, workdir=str(tmp_path))
+    handle = engine.register_table("card", CARD_SCHEMA)
+
+    def stream_batch(batch_id):
+        # upsert id=1 @ seq 50, delete id=2 @ seq 100 — the batch a
+        # replayed consumer would deliver again
+        return spark.createDataFrame(
+            [("u", 1, "ACTIVE", "DEBIT", 50), ("d", 2, None, None, 100)],
+            ["op", "id", "status", "card_type", "offset"],
+        ).withColumn("offset", F.col("offset").cast("long"))
+
+    handle.sink.apply_batch(stream_batch(0), 0)
+    assert {r["id"] for r in engine.view("card").collect()} == {1}
+    # live max seq is 50; the merged high-water mark is 100
+    assert handle.sink.latest_manifest()["max_seq"]["offset"] == 100
+    # bulk resurrects id=2 — must be allocated seq > 100, not 51
+    engine.bulk("card", [
+        {"index": {"id": 2, "status": "REOPENED", "card_type": "CREDIT"}},
+    ], batch_id=1)
+    rows = {r["id"]: r for r in engine.view("card").collect()}
+    assert rows[2]["status"] == "REOPENED" and rows[2]["offset"] > 100
+    # at-least-once replay of the original stream batch (new batch_id,
+    # same rows — past the exactly-once guard, so the merge's
+    # last-write-wins must resolve it): the bulk write survives
+    handle.sink.apply_batch(stream_batch(0), 2)
+    rows = {r["id"]: r for r in engine.view("card").collect()}
+    assert rows[2]["status"] == "REOPENED"  # delete@100 lost to bulk@101

@@ -322,3 +322,80 @@ def test_simple_query_string_grammar_and_lenience(spark, sf_dir):
     assert sqs("") == {"match_all": {}}
     assert sqs("((( | + -") == {"match_all": {}}
     assert sqs("- -") == {"match_all": {}}
+
+
+def test_sqs_negation_fold_parse_tree():
+    """Negation scope contract (round-8 ADVICE item evaluated and
+    REJECTED with evidence): ``-x`` folds as a standalone NOT-x clause
+    under the active operator — it is NOT hoisted to a must_not of the
+    enclosing boolean. That hoisting is the CLASSIC QueryParser
+    (query_string) behavior; Lucene's SimpleQueryParser instead wraps
+    the negated branch as BooleanQuery[MUST_NOT x, SHOULD
+    MatchAllDocsQuery] (its own TestSimpleQueryParser.testNegationTerm
+    pins the wrapper) inside the PRIVATE buildQueryTree, then combines
+    it with the default operator like any positive clause. So in
+    ES/OpenSearch ``foo -bar`` with default_operator=OR genuinely
+    matches ``foo OR NOT bar`` — over-broad by design; exclusion
+    semantics need default_operator=AND (the guidance ES gives)."""
+    from postgres_opensearch_cdc_spark.querystring import (
+        parse_simple_query_string as sqs,
+    )
+
+    not_bar = {"bool": {"must_not": [{"match": {"text": "bar"}}]}}
+    assert sqs("foo -bar", default_operator="OR") == {"bool": {
+        "should": [{"match": {"text": "foo"}}, not_bar],
+        "minimum_should_match": 1,
+    }}
+    assert sqs("foo -bar", default_operator="AND") == {"bool": {
+        "must": [{"match": {"text": "foo"}}, not_bar],
+    }}
+    # explicit separators override the default on either side
+    assert sqs("foo + -bar", default_operator="OR") == {"bool": {
+        "must": [{"match": {"text": "foo"}}, not_bar],
+    }}
+    assert sqs("foo | -bar", default_operator="AND") == {"bool": {
+        "should": [{"match": {"text": "foo"}}, not_bar],
+        "minimum_should_match": 1,
+    }}
+
+
+def test_sqs_negation_fold_execution(spark, sf_dir):
+    """End-to-end proof of the fold semantics on real data: with OR,
+    ``click -error`` admits every row that is not 'error' (plus the
+    clicks); with AND it excludes 'error' from the clicks. The OR
+    result being near-corpus-size is the documented Lucene behavior,
+    not a bug."""
+    import duckdb
+
+    from postgres_opensearch_cdc_spark.dsl import search
+
+    def run(op):
+        body = {
+            "query": {"simple_query_string": {
+                "query": "click -error", "fields": ["event_type"],
+                "default_operator": op,
+            }},
+            "_source": ["event_id"], "sort": [{"event_id": "asc"}],
+            "size": 1000000,
+        }
+        df = search(spark, sf_dir, "events", body, id_col="event_id")
+        return [r["event_id"] for r in df.collect()]
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{sf_dir}/events.parquet'")
+
+    def oracle(pred):
+        return [r[0] for r in con.sql(
+            f"SELECT event_id FROM events WHERE {pred} ORDER BY event_id"
+        ).fetchall()]
+
+    got_or = run("OR")
+    assert got_or == oracle(
+        "event_type = 'click' OR NOT event_type = 'error'"
+    )
+    got_and = run("AND")
+    assert got_and == oracle(
+        "event_type = 'click' AND NOT event_type = 'error'"
+    )
+    # sanity of the distinction itself: OR is strictly broader here
+    assert len(got_and) < len(got_or)
