@@ -214,7 +214,10 @@ def minhash_signatures(
 
 
 def minhash_lsh_candidates(
-    signatures: DataFrame, bands: int = 8, rows_per_band: int = 4
+    signatures: DataFrame,
+    bands: int = 8,
+    rows_per_band: int = 4,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """LSH banding: split the signature into b bands of r hashes; docs
     agreeing on any whole band become a candidate pair. Returns distinct
@@ -225,7 +228,32 @@ def minhash_lsh_candidates(
     values), not a re-hash of it: equality is then exactly band-tuple
     equality, so an engine-portable oracle reproduces the candidate set
     bit-for-bit with no cross-tuple hash-collision corner (a few extra
-    longs per banded row is noise next to the payload savings)."""
+    longs per banded row is noise next to the payload savings).
+
+    ``bucket_cap`` bounds hot-band explosion — the one adversarial
+    input the plain band join can't survive at 100 TB: a boilerplate
+    template duplicated across 0.1% of the corpus lands its m copies
+    in ONE band bucket and the self-join emits O(m²) pairs. With a
+    cap, a bucket of size m <= bucket_cap still emits all C(m,2)
+    pairs (recall unchanged for normal buckets), while a hot bucket
+    emits only the m-1 STAR pairs linking every member to the
+    bucket's min-id representative — linear in m, which is the
+    connectivity lower bound: any sparser and the bucket could not
+    stay one connected component. A star (not a consecutive-id
+    chain) on purpose: downstream min-label-propagation
+    connected-components converges on a star in O(1) rounds, whereas
+    a chain needs O(m) propagation rounds — the planted-cluster test
+    demonstrated a 50-link chain already exceeds the CC round budget.
+    For an exact-duplicate template every star pair also survives
+    Jaccard verification, so the whole bucket still collapses to one
+    cluster. The trade is pair-level recall INSIDE hot buckets for
+    non-identical members — the standard LSH-dedup mitigation;
+    production corpora put near-identical boilerplate in those
+    buckets, where representative verification passes. Both branches
+    are window+join compositions, so the capped candidate set replays
+    exactly in the DuckDB oracle. The hot bucket's window sorts m
+    rows in one task — O(m log m), versus the O(m²) pair blowup it
+    prevents."""
     band_structs = [
         F.struct(
             F.lit(b).alias("band"),
@@ -239,11 +267,28 @@ def minhash_lsh_candidates(
     banded = signatures.select(
         "id", F.explode(F.array(*band_structs)).alias("bk")
     ).select("id", "bk.band", *[f"bk.k{r}" for r in range(rows_per_band)])
+    key_cols = ["band"] + [f"k{r}" for r in range(rows_per_band)]
+    if bucket_cap is not None:
+        from pyspark.sql import Window
+
+        if bucket_cap < 1:
+            raise ValueError(f"bucket_cap must be >= 1, got {bucket_cap}")
+        wk = Window.partitionBy(*key_cols)
+        banded = banded.withColumn(
+            "_m", F.count(F.lit(1)).over(wk)
+        ).withColumn("_rn", F.row_number().over(wk.orderBy("id")))
     a = banded.alias("a")
     b = banded.alias("b")
-    cond = (F.col("a.band") == F.col("b.band")) & (F.col("a.id") < F.col("b.id"))
-    for r in range(rows_per_band):
-        cond = cond & (F.col(f"a.k{r}") == F.col(f"b.k{r}"))
+    cond = F.col("a.id") < F.col("b.id")
+    for k in key_cols:
+        cond = cond & (F.col(f"a.{k}") == F.col(f"b.{k}"))
+    if bucket_cap is not None:
+        # small buckets: all pairs; hot buckets: star pairs from the
+        # min-id representative (rn is ordered by id, so rn=1 IS the
+        # min id and a.id < b.id already holds on star pairs)
+        cond = cond & (
+            (F.col("a._m") <= F.lit(bucket_cap)) | (F.col("a._rn") == 1)
+        )
     return (
         a.join(b, cond)
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))

@@ -91,6 +91,35 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def dedup_lsh_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hot-band-capped form of dedup_minhash_lsh (bucket_cap=2 —
+    low enough that real sf buckets exceed it, so BOTH branches run):
+    band buckets at or under the cap keep their full pair set, hot
+    buckets emit only the min-id-representative star, bounding the
+    worst bucket at m-1 candidates instead of C(m,2) — the 100 TB defense
+    against a boilerplate template flooding one band bucket
+    (functions/dedup.py minhash_lsh_candidates docstring; adversarial
+    Zipfian test in tests/test_dedup.py). Verification and threshold
+    are identical to dedup_minhash_lsh; the oracle replays the same
+    window + join in DuckDB, value-checked."""
+    docs = load_table(spark, sf_dir, "documents")
+    arrays = shingle_arrays(docs, "text", "doc_id", n=3)
+    sigs = minhash_signatures_from_arrays(arrays, num_hashes=32, hasher="md5")
+    cands = minhash_lsh_candidates(
+        sigs, bands=8, rows_per_band=4, bucket_cap=2
+    ).cache()
+    cand_ids = (
+        cands.select(F.col("id_a").alias("doc_id"))
+        .union(cands.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+    )
+    docs_cand = docs.join(F.broadcast(cand_ids), "doc_id", "left_semi")
+    sh_cand = word_shingles(docs_cand, "text", "doc_id", n=3)
+    return ngram_jaccard_pairs(
+        docs, n=3, threshold=0.4, candidates=cands, shingles=sh_cand
+    )
+
+
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """60-bit SimHash sketch per doc via portable hash60 — sketch values
     are DuckDB-reproducible and value-checked bit for bit."""
@@ -734,6 +763,7 @@ QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_lsh_capped": dedup_lsh_capped,
     "dedup_simhash": dedup_simhash,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "dedup_embedding_srp": dedup_embedding_srp,
@@ -961,7 +991,7 @@ _BAND_SELECTS = "\n            UNION ALL ".join(
 # as a reusable CTE chain ending in ``minhash_pairs`` — shared by the
 # dedup_minhash_lsh oracle below and graph_dedup's transitive-closure
 # oracle (which clusters the SAME pair set).
-MINHASH_PAIRS_CTES = f"""
+_MINHASH_BANDS_CTES = f"""
         base AS (
             SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS toks
             FROM documents
@@ -983,13 +1013,8 @@ MINHASH_PAIRS_CTES = f"""
         ),
         bands AS (
             {_BAND_SELECTS}
-        ),
-        cand AS (
-            SELECT DISTINCT a.id AS id_a, b.id AS id_b
-            FROM bands a JOIN bands b
-              ON a.band = b.band AND a.k1 = b.k1 AND a.k2 = b.k2
-             AND a.k3 = b.k3 AND a.k4 = b.k4 AND a.id < b.id
-        ),
+        ),"""
+_MINHASH_VERIFY_CTES = """
         sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
         inter AS (
             SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
@@ -1007,9 +1032,50 @@ MINHASH_PAIRS_CTES = f"""
             JOIN sizes sb ON sb.id = id_b
             WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= 0.4
         )"""
+MINHASH_PAIRS_CTES = (
+    _MINHASH_BANDS_CTES
+    + """
+        cand AS (
+            SELECT DISTINCT a.id AS id_a, b.id AS id_b
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.k1 = b.k1 AND a.k2 = b.k2
+             AND a.k3 = b.k3 AND a.k4 = b.k4 AND a.id < b.id
+        ),"""
+    + _MINHASH_VERIFY_CTES
+)
+# Capped candidate generation (dedup.minhash_lsh_candidates
+# bucket_cap=2): buckets of size <= 2 keep all pairs; hot buckets emit
+# only the min-id-representative star — identical window + join
+# composition as the Spark plan, so the candidate set replays
+# bit-for-bit.
+MINHASH_PAIRS_CAPPED_CTES = (
+    _MINHASH_BANDS_CTES
+    + """
+        ranked AS (
+            SELECT id, band, k1, k2, k3, k4,
+                   count(*) OVER (
+                       PARTITION BY band, k1, k2, k3, k4) AS m,
+                   row_number() OVER (
+                       PARTITION BY band, k1, k2, k3, k4 ORDER BY id) AS rn
+            FROM bands
+        ),
+        cand AS (
+            SELECT DISTINCT a.id AS id_a, b.id AS id_b
+            FROM ranked a JOIN ranked b
+              ON a.band = b.band AND a.k1 = b.k1 AND a.k2 = b.k2
+             AND a.k3 = b.k3 AND a.k4 = b.k4 AND a.id < b.id
+             AND (a.m <= 2 OR a.rn = 1)
+        ),"""
+    + _MINHASH_VERIFY_CTES
+)
 
 ORACLE["dedup_minhash_lsh"] = f"""
         WITH {MINHASH_PAIRS_CTES}
+        SELECT id_a, id_b, jaccard FROM minhash_pairs
+    """
+
+ORACLE["dedup_lsh_capped"] = f"""
+        WITH {MINHASH_PAIRS_CAPPED_CTES}
         SELECT id_a, id_b, jaccard FROM minhash_pairs
     """
 
