@@ -451,6 +451,87 @@ class CdcEngine:
             .fromString("formatted")
         )
 
+    def snapshot(self, name: str, dest: str,
+                 version: int | None = None) -> dict:
+        """DR export (the reference stack's automated snapshots /
+        restore-from-snapshot, backup TDD :1363-1370): write a
+        CONSISTENT committed version of a mirror as a STANDALONE copy
+        — parquet rows (op + seq columns included, so they re-apply
+        through the keyed merge on restore) plus a snapshot.json
+        carrying the registered schema, source version, and the
+        sequence high-water mark.
+
+        Vacuum interplay, defined: time-travel reads (``view(name,
+        version=N)``) live only until ``vacuum`` drops version N —
+        they are retention-bounded; an exported snapshot is a
+        separate copy and survives source vacuum indefinitely. So the
+        DR flow is snapshot-then-vacuum, and snapshot(version=N)
+        raises FileNotFoundError (listing what IS available) once N
+        has been vacuumed.
+
+        This is a logical export: one pushed-down scan of the chosen
+        version → one parquet write, fully distributed. A production
+        variant on object storage can instead file-copy the immutable
+        commit files listed in the version's manifest (no
+        decode/re-encode); the manifest protocol supports either.
+        Returns the snapshot.json contents."""
+        import json
+
+        handle = self.tables[name]
+        if version is not None and not isinstance(handle.sink, VersionedMirrorSink):
+            raise ValueError("explicit version requires the versioned sink_mode")
+        df = self.view(name, version=version)
+        df.write.parquet(os.path.join(dest, "data"))
+        max_seq: dict = {}
+        src_version = version
+        if isinstance(handle.sink, VersionedMirrorSink):
+            manifest = handle.sink.manifest(version)
+            max_seq = manifest.get("max_seq") or {}
+            src_version = manifest["version"]
+        info = {
+            "source_table": name,
+            "source_version": src_version,
+            "max_seq": max_seq,
+            "key_col": self.key_col,
+            "seq_col": self.seq_col,
+            "registered_schema": json.loads(handle.schema.json()),
+        }
+        tmp = os.path.join(dest, ".tmp-snapshot.json")
+        with open(tmp, "w") as fh:
+            json.dump(info, fh)
+        os.replace(tmp, os.path.join(dest, "snapshot.json"))
+        return info
+
+    def restore(self, path: str, as_name: str) -> TableHandle:
+        """Restore a snapshot() export into a FRESH mirror under
+        ``as_name``: rows re-apply through the keyed merge with their
+        ORIGINAL op/seq values (so the restored mirror composes with
+        replayed streams exactly like the source did at the snapshot
+        version), and the source's sequence high-water mark is carried
+        into the new mirror's manifest — a bulk write or at-least-once
+        replay against the restored table still ranks above every
+        offset the source had consumed."""
+        import json
+
+        with open(os.path.join(path, "snapshot.json")) as fh:
+            info = json.load(fh)
+        if as_name in self.tables or as_name in self.aliases:
+            raise ValueError(f"{as_name!r} already exists — restore "
+                             "targets a fresh table name")
+        if info["key_col"] != self.key_col or info["seq_col"] != self.seq_col:
+            raise ValueError(
+                f"snapshot was taken with key/seq columns "
+                f"({info['key_col']!r}, {info['seq_col']!r}); this engine "
+                f"uses ({self.key_col!r}, {self.seq_col!r})"
+            )
+        schema = T.StructType.fromJson(info["registered_schema"])
+        handle = self.register_table(as_name, schema)
+        rows = self.spark.read.parquet(os.path.join(path, "data"))
+        handle.sink.apply_batch(rows, batch_id=-1)
+        if isinstance(handle.sink, VersionedMirrorSink) and info["max_seq"]:
+            handle.sink.raise_high_water(info["max_seq"])
+        return handle
+
     def register_sql_views(self) -> None:
         """Expose every mirror as `<name>_mirror` for spark.sql — the
         engine's Dashboards/DSL analog is plain SQL (SURVEY §3.3)."""

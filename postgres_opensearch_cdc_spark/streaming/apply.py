@@ -575,6 +575,34 @@ class VersionedMirrorSink:
             )
         os.replace(tmp, final)  # the commit point (object store: one PUT)
 
+    def raise_high_water(self, max_seq: dict) -> None:
+        """Metadata-only commit: bump the manifest's sequence
+        high-water mark to at least ``max_seq`` (per seq column,
+        existing marks never lowered) without touching data. Used by
+        restore-from-snapshot so a restored mirror keeps the SOURCE's
+        mark — its live rows' max seq can sit below offsets the source
+        had already consumed (e.g. a high-seq delete), and a bulk
+        write or replayed stream batch must still rank correctly."""
+        import json
+
+        manifest = self.latest_manifest()
+        if manifest is None:
+            raise FileNotFoundError(f"no committed snapshot under {self.path}")
+        merged = dict(manifest.get("max_seq") or {})
+        for c, v in max_seq.items():
+            if not isinstance(v, (int, float, str)):
+                continue
+            prev = merged.get(c)
+            merged[c] = v if prev is None or v > prev else prev
+        version = manifest["version"] + 1
+        tmp = os.path.join(self._commits_dir, f".tmp-v{version:08d}.json")
+        final = os.path.join(self._commits_dir, f"v{version:08d}.json")
+        with open(tmp, "w") as fh:
+            # batch_id carried over: the exactly-once replay guard for
+            # the last data batch must survive this metadata commit
+            json.dump({**manifest, "version": version, "max_seq": merged}, fh)
+        os.replace(tmp, final)
+
     def vacuum(self, keep_versions: int = 1) -> int:
         """GC unreferenced commit dirs + manifests older than the last
         ``keep_versions``. Maintenance only — correctness never depends

@@ -442,3 +442,62 @@ def test_bulk_seq_high_water_survives_high_seq_delete(spark, tmp_path):
     handle.sink.apply_batch(stream_batch(0), 2)
     rows = {r["id"]: r for r in engine.view("card").collect()}
     assert rows[2]["status"] == "REOPENED"  # delete@100 lost to bulk@101
+
+
+def test_snapshot_restore_lifecycle(spark, tmp_path):
+    """DR parity (round-8 verdict ask #4): ingest -> snapshot -> keep
+    ingesting -> restore -> search equality at the snapshot version;
+    the restored mirror carries the source's seq high-water mark; the
+    exported snapshot survives source vacuum (while time-travel reads
+    do not) - the defined retention interplay."""
+    engine = CdcEngine(spark=spark, workdir=str(tmp_path / "wd"))
+    engine.register_table("card", CARD_SCHEMA)
+    engine.backfill("card", spark.createDataFrame(
+        [(1, "ACTIVE", "DEBIT"), (2, "ACTIVE", "CREDIT")], CARD_SCHEMA))  # v1
+    engine.bulk("card", [
+        {"index": {"id": 3, "status": "NEW", "card_type": "DEBIT"}},
+        {"index": {"id": 1, "status": "BLOCKED", "card_type": "DEBIT"}},
+    ], batch_id=0)  # v2 - the state we snapshot
+
+    snap_dir = str(tmp_path / "snap")
+    info = engine.snapshot("card", snap_dir)
+    assert info["source_version"] == 2
+    at_snap = {(r["id"], r["status"]) for r in engine.view("card").collect()}
+
+    # keep ingesting: delete 3, update 2 (v3)
+    engine.bulk("card", [
+        {"delete": {"id": 3}},
+        {"index": {"id": 2, "status": "CLOSED", "card_type": "CREDIT"}},
+    ], batch_id=1)
+    assert {(r["id"], r["status"]) for r in engine.view("card").collect()} != at_snap
+
+    # restore into a fresh mirror: exact equality at the snapshot state
+    engine.restore(snap_dir, "card_dr")
+    restored = {(r["id"], r["status"]) for r in engine.view("card_dr").collect()}
+    assert restored == at_snap
+    # ...and the search surface answers over it like any mirror
+    hits = engine.search("card_dr", {
+        "query": {"term": {"status": "BLOCKED"}}, "size": 10})
+    assert {r["id"] for r in hits.collect()} == {1}
+
+    # high-water mark carried: the source had consumed seqs up to the
+    # bulk's allocations; a fresh bulk on the restored mirror must
+    # allocate above them even though live rows sit lower
+    src_hwm = engine.tables["card"].sink.manifest(2)["max_seq"]["offset"]
+    dr_hwm = engine.tables["card_dr"].sink.latest_manifest()["max_seq"]["offset"]
+    assert dr_hwm == src_hwm
+
+    # restore refuses to clobber an existing table
+    with pytest.raises(ValueError, match="fresh table"):
+        engine.restore(snap_dir, "card")
+
+    # vacuum interplay: dropping old versions kills time-travel to v2
+    # but the exported snapshot still restores
+    engine.tables["card"].sink.vacuum(keep_versions=1)
+    with pytest.raises(FileNotFoundError):
+        engine.view("card", version=2).collect()
+    with pytest.raises(FileNotFoundError):
+        engine.snapshot("card", str(tmp_path / "snap2"), version=2)
+    engine.restore(snap_dir, "card_dr2")
+    assert {(r["id"], r["status"])
+            for r in engine.view("card_dr2").collect()} == at_snap
