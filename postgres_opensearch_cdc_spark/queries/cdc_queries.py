@@ -207,6 +207,159 @@ def engine_search_mirror(spark: SparkSession, sf_dir: str) -> DataFrame:
     })
 
 
+def engine_snapshot_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DR flow value-checked end-to-end (round-8 verdict ask #4,
+    reference backup TDD :1363-1370): half the events changelog is
+    merged into a mirror, `engine.snapshot` exports that consistent
+    version, the OTHER half keeps ingesting into the source, and
+    `engine.restore` rebuilds a fresh mirror from the export — which
+    must answer a search exactly as the source did AT THE SNAPSHOT,
+    oblivious to everything ingested after. The oracle replays
+    compaction over only the first half of the changelog, so a value
+    match proves export → restore → search preserves the committed
+    version bit-for-bit.
+
+    Scale shape: the export is one pushed-down scan → one parquet
+    write; the restore is one keyed merge of that data (original seqs
+    preserved); nothing is driver-side."""
+    import os
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from postgres_opensearch_cdc_spark.engine import CdcEngine
+
+    events = load_table(spark, sf_dir, "events")
+    log = events_as_changelog(events).select(
+        "op", "key", "event_id", "event_type",
+        F.round(F.col("value"), 2).alias("value"),
+    )
+    workdir = tempfile.mkdtemp(prefix="engine_dr_")
+    eng = CdcEngine(
+        spark, workdir, key_col="key", seq_col="event_id",
+        sink_mode="versioned", num_buckets=16,
+    )
+    handle = eng.register_table(
+        "user_state",
+        T.StructType([
+            T.StructField("key", T.LongType()),
+            T.StructField("event_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]),
+    )
+    mid = events.agg(F.max("event_id")).head()[0] // 2
+    handle.sink.apply_batch(log.filter(F.col("event_id") <= mid), 0)
+    eng.snapshot("user_state", os.path.join(workdir, "snap"))
+    handle.sink.apply_batch(log.filter(F.col("event_id") > mid), 1)
+    eng.restore(os.path.join(workdir, "snap"), "user_state_dr")
+    return eng.search("user_state_dr", {
+        "query": {"range": {"value": {"gte": 10}}},
+        "aggs": {"by_state": {
+            "terms": {"field": "event_type", "size": 20,
+                      "order": {"_key": "asc"}},
+            "aggs": {"value_sum": {"sum": {"field": "value"}}},
+        }},
+    })
+
+
+def engine_bulk_mirror(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The `_bulk` REST path value-checked end-to-end (round-8 verdict
+    ask #5): a mirror is backfilled from the nation table, then a
+    mixed action list — deletes, an index later deleted in the SAME
+    bulk (later action on the same key must win, ES bulk ordering), a
+    delete later resurrected, and a second composing bulk — runs
+    through the engine's keyed merge, and the surviving rows come back
+    through `engine.search`. The oracle replays the action algebra as
+    plain set operations over the same parquet, so a value match
+    proves bulk sequencing ∘ merge ∘ search as one path.
+
+    Scale shape: each bulk is ONE partition-pruned merge of a
+    driver-local action list (the REST-call analog — small by
+    contract); the search is a pushed-filter scan of the mirror."""
+    import tempfile
+
+    from postgres_opensearch_cdc_spark.engine import CdcEngine
+
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    eng = CdcEngine(
+        spark, tempfile.mkdtemp(prefix="engine_bulk_"),
+        key_col="n_nationkey", seq_col="offset", num_buckets=4,
+    )
+    eng.register_table("nation", nation.schema)
+    eng.backfill("nation", nation)
+    eng.bulk("nation", [
+        {"delete": {"n_nationkey": 3}},
+        {"index": {"n_nationkey": 25, "n_name": "ATLANTIS", "n_regionkey": 1}},
+        {"index": {"n_nationkey": 7, "n_name": "GERMANY2", "n_regionkey": 3}},
+        {"delete": {"n_nationkey": 25}},  # later delete beats its own index
+        {"index": {"n_nationkey": 3, "n_name": "CANADA2", "n_regionkey": 1}},
+        {"delete": {"n_nationkey": 0}},
+    ], batch_id=0)
+    # a second bulk composes: its seqs allocate above the first's
+    eng.bulk("nation", [
+        {"index": {"n_nationkey": 26, "n_name": "ELDORADO", "n_regionkey": 4}},
+    ], batch_id=1)
+    return eng.search("nation", {
+        "query": {"match_all": {}},
+        "_source": ["n_nationkey", "n_name", "n_regionkey"],
+        "sort": [{"n_nationkey": "asc"}],
+        "size": 100,
+    })
+
+
+def alias_union_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index aliases answered through `engine.search`, value-checked
+    (round-8 verdict ask #5): orders split into two per-year mirrors
+    registered with DIFFERENT schemas (1998 carries o_orderstatus,
+    1997 does not — the multi-index dynamic-mapping shape), an alias
+    over both, and a range query + terms agg with sum and value_count
+    metrics through the alias. The value_count over the 1998-only
+    column proves the union null-fills missing columns (count skips
+    nulls) rather than erroring or zero-filling.
+
+    Scale shape: the alias is a unionByName of two mirror scans — the
+    range filter pushes into BOTH sides' parquet scans before the
+    union (filter-through-union is a Catalyst rewrite), and the agg is
+    partial+final over the union."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from postgres_opensearch_cdc_spark.engine import CdcEngine
+
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_orderkey", "o_orderpriority",
+        F.round(F.col("o_totalprice"), 2).alias("o_totalprice"),
+        F.year("o_orderdate").alias("_yr"), "o_orderstatus",
+    )
+    eng = CdcEngine(
+        spark, tempfile.mkdtemp(prefix="engine_alias_"),
+        key_col="o_orderkey", seq_col="offset", num_buckets=8,
+    )
+    s97 = base.filter(F.col("_yr") == 1997).drop("_yr", "o_orderstatus")
+    s98 = base.filter(F.col("_yr") == 1998).drop("_yr")
+    eng.register_table("orders_1997", s97.schema)
+    eng.register_table("orders_1998", s98.schema)
+    eng.backfill("orders_1997", s97)
+    eng.backfill("orders_1998", s98)
+    eng.put_alias("orders_recent", ["orders_1997", "orders_1998"])
+    return eng.search("orders_recent", {
+        "query": {"range": {"o_totalprice": {"gte": 100000}}},
+        "aggs": {"by_priority": {
+            "terms": {"field": "o_orderpriority", "size": 10,
+                      "order": {"_key": "asc"}},
+            "aggs": {
+                "price_sum": {"sum": {"field": "o_totalprice"}},
+                "status_count": {"value_count": {"field": "o_orderstatus"}},
+            },
+        }},
+    })
+
+
 QUERIES = {
     "cdc_mirror_compact": cdc_mirror_compact,
     "cdc_scd2_history": cdc_scd2_history,
@@ -216,6 +369,9 @@ QUERIES = {
     "cdc_op_stats": cdc_op_stats,
     "cdc_deleted_keys": cdc_deleted_keys,
     "engine_search_mirror": engine_search_mirror,
+    "engine_bulk_mirror": engine_bulk_mirror,
+    "alias_union_search": alias_union_search,
+    "engine_snapshot_restore": engine_snapshot_restore,
 }
 
 # The op-mapping CASE is inlined in each oracle: signup→c, error→d, else u.
@@ -323,5 +479,65 @@ ORACLE = {
         FROM latest
         WHERE op <> 'd' AND value >= 100
         GROUP BY event_type ORDER BY by_state
+    """,
+    # the restored mirror answers AT THE SNAPSHOT: compaction replayed
+    # over only the first half of the changelog (event_id <= max/2 —
+    # the same cutoff the entry computes), deletes suppressed, then
+    # the range filter + terms/sum agg
+    "engine_snapshot_restore": f"""
+        WITH log AS ({_LOG}),
+        firsthalf AS (
+            SELECT * FROM log
+            WHERE event_id <= (SELECT max(event_id) // 2 FROM events)
+        ),
+        latest AS (
+            SELECT key, event_type, ROUND(value, 2) AS value, op
+            FROM firsthalf
+            QUALIFY row_number() OVER (
+                PARTITION BY key ORDER BY event_id DESC) = 1
+        )
+        SELECT event_type AS by_state, COUNT(*) AS doc_count,
+               ROUND(SUM(value), 4) AS value_sum
+        FROM latest
+        WHERE op <> 'd' AND value >= 10
+        GROUP BY event_type ORDER BY by_state
+    """,
+    # the bulk action algebra replayed as set operations: base table
+    # minus deleted/re-indexed keys, plus the surviving index actions
+    # (25 was deleted LATER in the same bulk — never live; 3 was
+    # resurrected after its delete; 26 came from the second bulk)
+    "engine_bulk_mirror": """
+        WITH live AS (
+            SELECT n_nationkey, n_name, n_regionkey FROM nation
+            WHERE n_nationkey NOT IN (0, 3, 7)
+            UNION ALL SELECT 3, 'CANADA2', 1
+            UNION ALL SELECT 7, 'GERMANY2', 3
+            UNION ALL SELECT 26, 'ELDORADO', 4
+        )
+        SELECT n_nationkey, n_name, n_regionkey
+        FROM live ORDER BY n_nationkey
+    """,
+    # alias = null-filled union of the two per-year mirrors; the
+    # value_count metric counts only 1998 docs (o_orderstatus is
+    # null-filled on the 1997 side)
+    "alias_union_search": """
+        WITH u AS (
+            SELECT o_orderkey, o_orderpriority,
+                   ROUND(o_totalprice, 2) AS o_totalprice,
+                   NULL AS o_orderstatus
+            FROM orders WHERE year(o_orderdate) = 1997
+            UNION ALL
+            SELECT o_orderkey, o_orderpriority,
+                   ROUND(o_totalprice, 2) AS o_totalprice,
+                   o_orderstatus
+            FROM orders WHERE year(o_orderdate) = 1998
+        )
+        SELECT o_orderpriority AS by_priority,
+               COUNT(*) AS doc_count,
+               ROUND(SUM(o_totalprice), 4) AS price_sum,
+               COUNT(o_orderstatus) AS status_count
+        FROM u
+        WHERE o_totalprice >= 100000
+        GROUP BY 1 ORDER BY 1
     """,
 }
