@@ -68,68 +68,56 @@ _MODULES = [
 ]
 
 # The driver's correctness harness samples the FIRST 50 entries of
-# queries().  Union of r1-r7 driver rows = 228 of 277 entries, all
-# green.  49 entries have never had a driver row: the 47 staged last
-# round (each passed the round-7 verdict's independent sf0.01 parity
-# rerun, and the full local check_parity.py sweep this round) plus
-# the 2 entries NEW this round (ann_ivf_index_topk — the persisted
-# cell-partitioned IVF index; engine_search_mirror — the CdcEngine
-# mirror + DSL search composed end-to-end).  This round-8 window
-# fills all 50 slots with those 49 + 1 re-check of the oldest
-# driver row (q08_top_n, r1-era), in order below.  Resolution of the
-# round-7 plan's arithmetic: the verdict asked for 47 + 3 re-checks
-# AND a driver row for engine_search_mirror (51 names for 50 slots);
-# complete driver coverage of the grown surface outranks re-checks
-# that the local parity sweep re-confirms anyway, so q09_limit /
-# q10_count re-checks are staged for round 9 (both re-verified
-# locally at sf0.01 this round, see COVERAGE.md).
-# After this window the driver union is 277/277 — every entry
-# driver-verified at least once.
+# queries().  Union of r1-r8 driver rows = 277 of the 277
+# window-freeze-era entries, all green — every entry of that surface
+# driver-verified at least once.  13 entries have never had a driver
+# row: the 9 added after the round-8 window froze (each passed the
+# round-8 verdict's independent sf0.01 parity rerun AND this round's
+# local sweep) plus the 4 NEW this round (dedup_lsh_capped — the
+# hot-band-capped LSH candidate path; engine_bulk_mirror /
+# alias_union_search / engine_snapshot_restore — the _bulk, alias,
+# and DR flows of the engine façade, value-checked end-to-end).
+# This round-9 window = those 13, then the two re-checks deferred
+# from round 8 (q09_limit, q10_count), then the OLDEST driver rows
+# (r1-era dashboard/CDC/join families and the r3-era
+# training-pipeline block) in their original driver order — 50 total.
 _PRIORITY = [
-    # (a) round-7 staged batch — never driver-checked
-    "vocab_coverage", "ts_autocorr", "ts_rolling_corr",
-    "ts_seasonal_anomaly", "event_transition_matrix",
-    "moving_percentiles_agg", "geo_line_agg", "ks_test_agg",
-    "min_sum_bucket_agg", "eql_sequence_until", "bracket_revenue",
-    "window_percent_rank", "fuzzy_name_join", "embedding_centroids",
-    "intervals_query", "distance_feature_query", "random_score_query",
-    "nested_agg_items", "ids_query", "exists_missing_agg",
-    "rank_feature_query", "script_score_query", "span_first_query",
-    "match_phrase_prefix", "weighted_avg_agg", "categorize_text_agg",
-    "has_child_query", "has_parent_query", "terms_lookup_filter",
-    "geo_polygon_query", "global_agg_compare",
-    "transform_entity_centric", "quality_bigram_lm",
-    "length_percentile_filter", "knn_join_topk",
-    # (b) features implemented after the round-7 window froze —
-    # never driver-checked
-    "dsl_composite_desc", "dsl_nested_ordered",
-    "span_or_query", "span_not_query", "span_containing_query",
-    "term_suggester", "rank_eval", "ppl_dispersion_stats",
-    "dsl_filters_metrics", "quality_linear_classifier",
-    "embedding_outliers", "ppl_ad_zscore",
-    # (c) NEW this round (round 8)
-    "ann_ivf_index_topk", "engine_search_mirror",
-    # (d) re-check of the oldest driver row (r1-era)
-    "q08_top_n",
+    # (a) added after the round-8 window froze — never driver-checked
+    "sqs_required_prohibited", "sqs_or_phrase", "sqs_prefix_keyword",
+    "span_within_query", "constant_score_query",
+    "ppl_fieldsummary", "ppl_expand_tokens",
+    "ann_pq_index_topk", "ann_ivf_append_topk",
+    # (b) NEW this round (round 9)
+    "dedup_lsh_capped", "engine_bulk_mirror",
+    "alias_union_search", "engine_snapshot_restore",
+    # (c) re-checks deferred from round 8 (r1-era)
+    "q09_limit", "q10_count",
+    # (d) oldest driver rows, original r1 order (q08 re-checked r8)
+    "q01_term_filter", "q02_fulltext_match", "q02b_fulltext_tfidf",
+    "q02c_fulltext_bm25", "q03_range_filter", "q04_bool_filter",
+    "q05_terms_agg", "q06_date_histogram", "q07_filtered_metrics",
+    "q11_time_range", "q12_index_pattern_union",
+    "cdc_mirror_compact", "cdc_scd2_history", "cdc_mirror_diff",
+    "cdc_incremental_agg", "cdc_mirror_count", "cdc_op_stats",
+    "cdc_deleted_keys",
+    "join_left_anti", "join_pricing_summary", "join_shipping_priority",
+    "join_local_supplier_volume", "join_returned_items",
+    "join_promo_share", "join_disjunctive_filter",
+    # (e) r3-era training-pipeline block, original driver order
+    "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
+    "dedup_simhash", "dedup_embedding_cosine", "ann_cosine_topk",
+    "ann_filtered_topk", "ann_ivf_topk", "text_stats",
+    "text_fingerprint",
 ]
 
-# Round-9 rotation TODO (pre-staged). New entries always outrank
-# re-checks; the 7 entries added AFTER the round-8 window froze are
-# never driver-checked (all local-green at sf0.01):
-#   sqs_required_prohibited, sqs_or_phrase, sqs_prefix_keyword (the
-#   simple_query_string lenient search-bar interface),
-#   span_within_query, constant_score_query,
-#   ppl_fieldsummary, ppl_expand_tokens,
-#   ann_pq_index_topk (persisted PQ-codes index — ADC over
-#   ingest-time codes, same oracle as ann_pq_adc_topk),
-#   ann_ivf_append_topk (incremental index maintenance: build half +
-#   append half, full-corpus oracle proves append ≡ rebuild)
-# Then pure re-confirmation, oldest driver rows first:
-#   q09_limit, q10_count (r1-era, locally re-verified in round 8),
-#   then the r1/r2-era dashboard + training-pipeline rows
-#   (q01_term_filter, q02_match_text, dedup_exact, dedup_minhash_lsh,
-#   ann_cosine_topk, text_stats, quality_repetition, pii_scrub,
-#   contamination_ngram, token_budget, ...) in original driver order.
+# Round-10 rotation TODO: any entries added after this round-9 window
+# froze outrank re-checks; then continue the oldest-rows
+# re-confirmation where (d)/(e) left off (text_lang_id,
+# q02f_match_phrase, ... in the r3 driver order, then the r1 tail:
+# window_running_sum, window_rank_in_group, window_lag_delta,
+# set_ops_nations, rollup_status_priority, distinct_agg,
+# percentiles_value, stats_agg, approx_sketches, json_extract_props,
+# date_arithmetic, string_funcs, subquery_* ...).
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -77,21 +77,49 @@ def main() -> None:
     from postgres_opensearch_cdc_spark.queries.relational import approx_sketches
 
     qs["approx_sketches"] = lambda s, d: approx_sketches(s, d, check_bounds=False)
+
+    # TWO full positional passes, per-entry MIN reported (round-8
+    # verdict ask #3): a single pass is exposed to ambient host load
+    # (±13% round-over-round swings on unchanged code, two rounds
+    # running) and to window-rotation cold starts — pass 2 runs every
+    # plan compiled and page-cached, so min(pass1, pass2) is a
+    # noise-immune number for the WHOLE surface, not just the top-10
+    # warm-median block. Exception: entries backed by a session-level
+    # memo (the dedup pair/cluster materialization shared by design
+    # across the dedup family) would report a memo HIT on pass 2 —
+    # those report their pass-1 cold-pipeline number and are tagged in
+    # the JSON so the number can't be misread. (The persisted-index
+    # ANN entries are NOT tagged: their pass-2 number measures a query
+    # against an existing index, which is exactly their build-once /
+    # query-many contract.)
+    MEMOIZED = {"dedup_minhash_lsh", "dedup_cc_clusters", "dedup_cc_survivors"}
+    passes: list[dict[str, float]] = []
+    for pass_i in range(2):
+        pass_t: dict[str, float] = {}
+        for name, fn in qs.items():
+            t0 = time.perf_counter()
+            try:
+                df = fn(spark, sf_dir)
+                n = len(df.collect())
+            except Exception as e:  # record failures as negative sentinel
+                print(f"bench error in {name} (pass {pass_i}): {e}",
+                      file=progress, flush=True)
+                pass_t[name] = -1.0
+                continue
+            dt = round(time.perf_counter() - t0, 2)
+            pass_t[name] = dt
+            print(f"pass{pass_i} {name}: {dt}s ({n} rows)",
+                  file=progress, flush=True)
+        passes.append(pass_t)
     timings: dict[str, float] = {}
     total = 0.0
-    for name, fn in qs.items():
-        t0 = time.perf_counter()
-        try:
-            df = fn(spark, sf_dir)
-            n = len(df.collect())
-        except Exception as e:  # record failures as negative sentinel
-            print(f"bench error in {name}: {e}", file=progress, flush=True)
+    for name in passes[0]:
+        t1, t2 = passes[0][name], passes[1].get(name, -1.0)
+        if t1 < 0 or t2 < 0:
             timings[name] = -1.0
             continue
-        dt = round(time.perf_counter() - t0, 2)
-        timings[name] = dt
-        total += dt
-        print(f"{name}: {dt}s ({n} rows)", file=progress, flush=True)
+        timings[name] = t1 if name in MEMOIZED else min(t1, t2)
+        total += timings[name]
 
     # isolated warm re-measure of the 10 heaviest entries: the single
     # positional pass above is exposed to ambient host load (±50%
@@ -145,6 +173,11 @@ def main() -> None:
         "sf": sf_val,
         "n_queries": len(q_cs),
         "order_md5": order_md5,
+        # per-entry MIN over 2 full positional passes (noise-immune);
+        # "memoized" entries report pass-1 (their pass 2 is a session
+        # memo hit, not a query time)
+        "passes": 2,
+        "memoized": sorted(MEMOIZED & set(timings)),
         "queries_cs": q_cs,
         "warm_medians_cs": warm_medians,
         "throughput": throughput,
