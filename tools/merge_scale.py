@@ -32,7 +32,6 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F  # noqa: E402
 
-from postgres_opensearch_cdc_spark.cdc.envelope import events_as_changelog  # noqa: E402
 from postgres_opensearch_cdc_spark.registry import load_table  # noqa: E402
 from postgres_opensearch_cdc_spark.session import get_spark  # noqa: E402
 from postgres_opensearch_cdc_spark.streaming.apply import VersionedMirrorSink  # noqa: E402
@@ -42,23 +41,36 @@ BUCKETS = 32
 
 
 def measure(spark, sf_dir: str, tmp: str) -> list[dict]:
-    log = events_as_changelog(load_table(spark, sf_dir, "events"))
+    # the orders table as an upsert changelog: every o_orderkey is a
+    # live mirror row, so mirror size tracks the sf directly (the
+    # compacted events mirror collapses to ~100 keys — no size axis)
+    orders = load_table(spark, sf_dir, "orders")
+    log = orders.select(
+        F.lit("u").alias("op"),
+        F.col("o_orderkey").alias("key"),
+        "o_orderstatus", "o_totalprice", "o_orderpriority",
+        F.lit(0).cast("long").alias("offset"),
+    )
     n = log.count()
     max_key = log.agg(F.max("key")).head()[0]
     span = max_key // BUCKETS + 1
+    # the update batch: 1000 rows re-keyed at seq 1 (a real update)
+    upd = log.withColumn("offset", F.lit(1).cast("long")).withColumn(
+        "o_orderstatus", F.lit("X")
+    )
     out = []
     for mode, bucket_expr, batch in [
         # hash mode: uniform random keys -> touches every bucket
         ("hash", None,
-         log.filter(F.col("event_id") % 97 == 0).limit(BATCH_ROWS)),
+         upd.filter(F.col("key") % 97 == 0).limit(BATCH_ROWS)),
         # range mode: batch clustered in ONE key range (monotonic PKs /
         # hot recent entities - the common CDC shape)
         ("range", f"key div {span}",
-         log.filter(F.col("key") < span).limit(BATCH_ROWS)),
+         upd.filter(F.col("key") < span).limit(BATCH_ROWS)),
     ]:
         path = os.path.join(tmp, f"mirror_{os.path.basename(sf_dir)}_{mode}")
         sink = VersionedMirrorSink(
-            path=path, key_cols=["key"], seq_cols=["ts", "event_id"],
+            path=path, key_cols=["key"], seq_cols=["offset"],
             num_buckets=BUCKETS, bucket_expr=bucket_expr,
         )
         sink.apply_batch(log, 0)  # build the mirror (untimed)
@@ -75,12 +87,29 @@ def measure(spark, sf_dir: str, tmp: str) -> list[dict]:
                              else F.pmod(F.xxhash64("key"), F.lit(BUCKETS)))
             .select("_b").distinct().count()
         )
+        # bytes REWRITTEN by one merge = the newest commit dir's size;
+        # this is the number that scales (local latency at these sizes
+        # is commit-file overhead, the bytes curve is the predictor)
+        data_dir = os.path.join(path, "data")
+        newest = max(os.listdir(data_dir))
+        commit_bytes = sum(
+            os.path.getsize(os.path.join(dp, f))
+            for dp, _, fs in os.walk(os.path.join(data_dir, newest))
+            for f in fs
+        )
+        sink.vacuum(keep_versions=1)  # live bytes only, not old commits
+        mirror_bytes = sum(
+            os.path.getsize(os.path.join(dp, f))
+            for dp, _, fs in os.walk(data_dir) for f in fs
+        )
         row = {
             "sf_dir": sf_dir, "mode": mode, "events": n,
             "mirror_rows": mirror_rows, "batch_rows": BATCH_ROWS,
             "touched_buckets": touched, "num_buckets": BUCKETS,
             "batch_sec_min": round(min(reps), 3),
             "batch_sec_all": [round(r, 3) for r in reps],
+            "commit_bytes": commit_bytes,
+            "mirror_bytes": mirror_bytes,
         }
         print(json.dumps(row), flush=True)
         out.append(row)
