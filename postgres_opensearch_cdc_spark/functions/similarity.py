@@ -601,6 +601,161 @@ def pq_index_adc_topk(
     )
 
 
+def ivfpq_index_build(
+    vectors: DataFrame,
+    path: str,
+    centroids: list[list[float]],
+    codebook: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    files_per_cell: int = 1,
+) -> None:
+    """The combined IVF+PQ serving index (the FAISS IVFPQ layout, in
+    its by_residual=false form): ONE scan projection assigns each
+    vector's coarse cell AND encodes its M PQ codes, and the
+    (id, c0..c{M-1}) rows are written partitioned by cell. A query
+    then composes BOTH scale levers: partition pruning reads only
+    nprobe/k of the files, and those files hold M-byte codes instead
+    of 4·dim floats — bytes touched per query ≈ (nprobe/k) × (M/4·dim)
+    of the raw corpus (measured in SCALE.md §16). Both sidecars
+    (codebook, centroids) publish by atomic rename; the centroid
+    sidecar is written LAST and is the readiness marker, so a crashed
+    build is invisible to ivfpq_index_topk.
+
+    The residual variant (encode vector - centroid, per-cell query
+    LUTs) buys recall at identical plan shape — nprobe per-cell scans
+    with their own constant-folded tables, unioned; this entry keeps
+    by_residual=false so the encode is engine-portable and the whole
+    path stays value-checked against DuckDB."""
+    import json
+    import os
+
+    v = _as_double(F.col(vec_col))
+    coded = vectors.select(
+        F.col(id_col),
+        *pq_codes(F.col(vec_col), codebook),
+        _nearest_cell(v, centroids).alias("_cell"),
+    )
+    if files_per_cell == 1:
+        clustered = coded.repartition(F.col("_cell"))
+    else:
+        clustered = coded.repartition(
+            F.col("_cell"),
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(files_per_cell)),
+        )
+    clustered.write.mode("overwrite").partitionBy("_cell").parquet(path)
+    tmp = os.path.join(path, "_pq_codebook.json.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(codebook, fh)
+    os.replace(tmp, os.path.join(path, "_pq_codebook.json"))
+    tmp = os.path.join(path, "_ivf_centroids.json.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(centroids, fh)
+    os.replace(tmp, os.path.join(path, "_ivf_centroids.json"))
+
+
+def ivfpq_index_append(
+    vectors: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    files_per_cell: int = 1,
+) -> None:
+    """Incremental IVFPQ maintenance: new vectors are assigned and
+    encoded against BOTH frozen sidecars and appended into the cell
+    dirs — delta cost, nothing rewritten (the same frozen-quantizer
+    practice as ivf_index_append/pq_index_append, combined)."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_ivf_centroids.json")) as fh:
+        centroids = json.load(fh)
+    with open(os.path.join(path, "_pq_codebook.json")) as fh:
+        codebook = json.load(fh)
+    v = _as_double(F.col(vec_col))
+    coded = vectors.select(
+        F.col(id_col),
+        *pq_codes(F.col(vec_col), codebook),
+        _nearest_cell(v, centroids).alias("_cell"),
+    )
+    if files_per_cell == 1:
+        clustered = coded.repartition(F.col("_cell"))
+    else:
+        clustered = coded.repartition(
+            F.col("_cell"),
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(files_per_cell)),
+        )
+    clustered.write.mode("append").partitionBy("_cell").parquet(path)
+
+
+def ivfpq_index_topk(
+    spark: SparkSession,
+    path: str,
+    query_vec: list[float],
+    nprobe: int = 3,
+    k: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Query a persisted IVFPQ index: rank cells driver-side from the
+    centroid sidecar, scan ONLY the nprobe nearest cells' partition
+    dirs (file pruning), and ADC-score their M-byte codes with the
+    constant-folded query LUT (no full vector is ever read — the index
+    holds none). Same cell ranking as ivf_index_topk and same ADC
+    math/rounding as pq_index_adc_topk, so the composed path is
+    value-checked by composing their oracles."""
+    import json
+    import math
+    import os
+
+    with open(os.path.join(path, "_ivf_centroids.json")) as fh:
+        centroids = json.load(fh)
+    with open(os.path.join(path, "_pq_codebook.json")) as fh:
+        codebook = json.load(fh)
+
+    def cos(a: list[float], b: list[float]) -> float:
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return d / (na * nb) if na and nb else 0.0
+
+    ranked = sorted(
+        range(len(centroids)),
+        key=lambda i: (-round(cos(query_vec, centroids[i]), 6), i),
+    )
+    probe_dirs = [
+        p for c in ranked[:nprobe]
+        if os.path.isdir(p := os.path.join(path, f"_cell={c}"))
+    ]
+    if not probe_dirs:  # degenerate: all probed cells empty
+        return (
+            spark.read.parquet(path).filter(F.lit(False))
+            .select(F.col(id_col), F.lit(0.0).alias("adc_dist"))
+        )
+    m_count = len(codebook)
+    dsub = len(codebook[0][0])
+    table = [
+        [
+            sum(
+                (float(query_vec[m * dsub + d]) - float(cw[d])) ** 2
+                for d in range(dsub)
+            )
+            for cw in codebook[m]
+        ]
+        for m in range(m_count)
+    ]
+    coded = spark.read.option("basePath", path).parquet(*probe_dirs)
+    score = None
+    for m in range(m_count):
+        lut = F.array(*[F.lit(float(x)) for x in table[m]])
+        term = F.element_at(lut, F.col(f"c{m}").cast("int"))
+        score = term if score is None else (score + term)
+    return (
+        coded.select(F.col(id_col), F.round(score, 6).alias("adc_dist"))
+        .orderBy(F.col("adc_dist").asc(), F.col(id_col))
+        .limit(k)
+    )
+
+
 def pq_train(
     vectors: DataFrame,
     m: int = 8,

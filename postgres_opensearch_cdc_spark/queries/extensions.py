@@ -317,6 +317,59 @@ def ann_pq_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_index_adc_topk(spark, path, q, k=10)
 
 
+def ann_ivfpq_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMBINED IVF+PQ serving index (FAISS IVFPQ layout,
+    by_residual=false), value-checked end-to-end: the corpus is
+    materialized as M-byte PQ codes partitioned by coarse cell (one
+    scan projection does both; similarity.ivfpq_index_build), and the
+    query composes BOTH scale levers — partition pruning reads only
+    the nprobe nearest cells' directories, and those files hold codes,
+    never vectors, so bytes touched ≈ (nprobe/k)·(M/4·dim) of the raw
+    corpus. Frozen seeds keep it engine-portable: coarse quantizer =
+    vec_id 1..10 (same as ann_ivf_*), codebook = vec_id 1..16 subvectors
+    (same as ann_pq_*), so the oracle is the ann_ivf assignment CTEs
+    composed with the ann_pq encode/ADC CTEs — a value match proves
+    the composition, not two tested halves. Cached per (sf_dir, mtime)
+    with atomic-rename publication like the other persisted indexes."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from postgres_opensearch_cdc_spark.functions.similarity import (
+        ivfpq_index_build,
+        ivfpq_index_topk,
+    )
+
+    vecs = load_table(spark, sf_dir, "embeddings")
+    q, codebook = _pq_frozen_codebook(vecs)
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    key = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}:{os.path.getmtime(emb_path)}:ivfpq".encode()
+    ).hexdigest()[:12]
+    path = os.path.join(tempfile.gettempdir(), f"ivfpq_index_{key}")
+    if not os.path.exists(os.path.join(path, "_ivf_centroids.json")):
+        seed_rows = (
+            vecs.filter(F.col("vec_id").isin(_IVF_SEED_IDS))
+            .select("vec_id", "embedding")
+            .collect()
+        )
+        centroids = [
+            [float(x) for x in r["embedding"]]
+            for r in sorted(seed_rows, key=lambda r: r["vec_id"])
+        ]
+        stage = tempfile.mkdtemp(prefix="ivfpq_index_build_")
+        ivfpq_index_build(
+            vecs.filter(F.col("vec_id") != 0), stage,
+            centroids=centroids, codebook=codebook,
+        )
+        try:
+            os.rename(stage, path)
+        except OSError:
+            shutil.rmtree(stage, ignore_errors=True)
+    return ivfpq_index_topk(spark, path, q, nprobe=3, k=10)
+
+
 _PQ_RERANK_CAND = 50
 
 
@@ -775,6 +828,7 @@ QUERIES = {
     "ann_ivf_append_topk": ann_ivf_append_topk,
     "ann_pq_adc_topk": ann_pq_adc_topk,
     "ann_pq_index_topk": ann_pq_index_topk,
+    "ann_ivfpq_index_topk": ann_ivfpq_index_topk,
     "ann_pq_rerank_topk": ann_pq_rerank_topk,
     "text_stats": text_stats,
     "text_fingerprint": text_fingerprint,
@@ -1178,6 +1232,46 @@ _PQ_CTES = """
         """
 
 ORACLE["ann_pq_adc_topk"] = _PQ_CTES + """SELECT vec_id, adc_dist FROM adc
+        ORDER BY adc_dist, vec_id LIMIT 10
+    """
+
+# IVFPQ = the ann_ivf assignment CTEs composed INTO the PQ chain: the
+# cell ranking/probe/assign CTEs are spliced in front of the encode,
+# and the encode is restricted to vectors assigned to probed cells —
+# exactly what the partition-pruned code scan reads. (The cb alias `c`
+# inside enc shadows the centroid CTE `c`, standard SQL scoping.)
+ORACLE["ann_ivfpq_index_topk"] = _PQ_CTES.replace(
+    "        ev AS (",
+    f"""        c AS (
+            SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell,
+                   embedding::DOUBLE[] AS cv
+            FROM embeddings WHERE vec_id BETWEEN 1 AND 10
+        ),
+        probe AS (
+            SELECT cell FROM c, q
+            ORDER BY {_COS.format(a='cv', b='qv')} DESC, cell
+            LIMIT 3
+        ),
+        cellscore AS (
+            SELECT e.vec_id, c.cell, {_COS.format(a=_EV, b='c.cv')} AS s
+            FROM embeddings e CROSS JOIN c
+            WHERE e.vec_id <> 0
+        ),
+        assign AS (
+            SELECT vec_id FROM (
+                SELECT vec_id, cell,
+                       row_number() OVER (
+                           PARTITION BY vec_id ORDER BY s DESC, cell
+                       ) AS rn
+                FROM cellscore
+            ) WHERE rn = 1 AND cell IN (SELECT cell FROM probe)
+        ),
+        ev AS (""",
+).replace(
+    "FROM ev e CROSS JOIN range(0, 8) m(m) CROSS JOIN cb c",
+    "FROM (SELECT ev.* FROM ev JOIN assign USING (vec_id)) e "
+    "CROSS JOIN range(0, 8) m(m) CROSS JOIN cb c",
+) + """SELECT vec_id, adc_dist FROM adc
         ORDER BY adc_dist, vec_id LIMIT 10
     """
 # persisted PQ-codes index: identical ADC math over ingest-time codes —

@@ -351,3 +351,75 @@ def test_index_append_equals_rebuild(spark, tmp_path):
     want = [(r["vec_id"], r["adc_dist"])
             for r in pq_index_adc_topk(spark, pfull, q, k=10).collect()]
     assert got == want
+
+
+def test_ivfpq_index_pruned_codes_only_and_append(spark, tmp_path):
+    """Combined IVF+PQ index: the query scan reads ONLY the probed
+    cells' partition dirs AND only the code columns (never a vector);
+    build-on-half + append-half returns exactly what a full build
+    returns (both sidecars frozen)."""
+    import glob
+    import os
+    import re
+
+    from postgres_opensearch_cdc_spark.functions.similarity import (
+        ivfpq_index_append,
+        ivfpq_index_build,
+        ivfpq_index_topk,
+    )
+    from postgres_opensearch_cdc_spark.registry import load_table
+
+    vecs = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = [float(x) for x in vecs.filter("vec_id = 0").head()["embedding"]]
+    corpus = vecs.filter("vec_id <> 0")
+    centroids = [
+        [float(x) for x in r["embedding"]]
+        for r in sorted(
+            vecs.filter("vec_id BETWEEN 1 AND 10")
+            .select("vec_id", "embedding").collect(),
+            key=lambda r: r["vec_id"],
+        )
+    ]
+    pq_seeds = [
+        [float(x) for x in r["embedding"]]
+        for r in sorted(
+            vecs.filter("vec_id BETWEEN 1 AND 16")
+            .select("vec_id", "embedding").collect(),
+            key=lambda r: r["vec_id"],
+        )
+    ]
+    dsub = len(pq_seeds[0]) // 8
+    cb = [[s[m * dsub:(m + 1) * dsub] for s in pq_seeds] for m in range(8)]
+
+    full = str(tmp_path / "ivfpq_full")
+    ivfpq_index_build(corpus, full, centroids=centroids, codebook=cb)
+    got = ivfpq_index_topk(spark, full, q, nprobe=3, k=10)
+
+    # partition pruning: <= nprobe cells in the scan's input files
+    cells = {
+        int(m.group(1))
+        for f in got.inputFiles()
+        if (m := re.search(r"_cell=(\d+)", f))
+    }
+    assert 1 <= len(cells) <= 3, f"scan touched {cells} — not pruned"
+    # codes only: no vector column anywhere in the plan; heap finish
+    from tests.test_plans import plan
+
+    p = plan(got)
+    assert "embedding" not in p and re.search(r"ReadSchema:.*c0", p)
+    assert "TakeOrderedAndProject" in p and "Exchange" not in p
+
+    # append ≡ rebuild, no existing file rewritten
+    inc = str(tmp_path / "ivfpq_inc")
+    ivfpq_index_build(
+        corpus.filter("vec_id % 2 = 1"), inc, centroids=centroids, codebook=cb
+    )
+    before = {
+        f: os.path.getmtime(f) for f in glob.glob(f"{inc}/_cell=*/*.parquet")
+    }
+    ivfpq_index_append(corpus.filter("vec_id % 2 = 0"), inc)
+    assert {f: os.path.getmtime(f) for f in before} == before
+    got_inc = [(r["vec_id"], r["adc_dist"])
+               for r in ivfpq_index_topk(spark, inc, q, nprobe=3, k=10).collect()]
+    want = [(r["vec_id"], r["adc_dist"]) for r in got.collect()]
+    assert got_inc == want
