@@ -90,6 +90,7 @@ _PRIORITY = [
     # (b) NEW this round (round 9)
     "dedup_lsh_capped", "engine_bulk_mirror",
     "alias_union_search", "engine_snapshot_restore",
+    "ann_ivfpq_index_topk", "engine_knn_index_search",
     # (c) re-checks deferred from round 8 (r1-era)
     "q09_limit", "q10_count",
     # (d) oldest driver rows, original r1 order (q08 re-checked r8)
@@ -106,8 +107,7 @@ _PRIORITY = [
     # (e) r3-era training-pipeline block, original driver order
     "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
     "dedup_simhash", "dedup_embedding_cosine", "ann_cosine_topk",
-    "ann_filtered_topk", "ann_ivf_topk", "text_stats",
-    "text_fingerprint",
+    "ann_filtered_topk", "ann_ivf_topk",
 ]
 
 # Round-10 rotation TODO: any entries added after this round-9 window

@@ -60,6 +60,8 @@ class CdcEngine:
     num_buckets: int = 64
     tables: dict[str, TableHandle] = field(default_factory=dict)
     aliases: dict[str, list[str]] = field(default_factory=dict)
+    # (table, field) -> built-index metadata; see put_knn_index
+    knn_indexes: dict = field(default_factory=dict)
 
     # -- lifecycle ---------------------------------------------------------
 
@@ -209,11 +211,127 @@ class CdcEngine:
         """Run an OpenSearch request body (query/aggs/knn/sort/size,
         including ``query_string``) against the always-current mirror —
         the `_search` endpoint of the reference stack, answered by the
-        mirror instead of an index (SURVEY §3.3)."""
+        mirror instead of an index (SURVEY §3.3).
+
+        A ``knn`` body uses a registered vector index (put_knn_index)
+        when one exists for the field — the OpenSearch knn_vector
+        serving path; otherwise (no index, an alias, or a ``query``
+        pre-filter, where exact pre-filtered scoring is the correct
+        semantics) it scores exactly over the scan."""
         from postgres_opensearch_cdc_spark.dsl import search_frame
 
+        if ("knn" in body and "query" not in body
+                and name not in self.aliases):
+            ((fld, spec),) = body["knn"].items()
+            if (name, fld) in self.knn_indexes:
+                hits = self._knn_index_search(name, fld, spec)
+                if "size" in body:
+                    hits = hits.limit(
+                        min(int(spec.get("k", 10)), int(body["size"]))
+                    )
+                return hits
         return search_frame(self.view(name), body,
                             id_col=id_col or self.key_col)
+
+    def put_knn_index(self, name: str, vec_field: str,
+                      cells: int = 8, m: int = 8, nprobe: int = 3,
+                      iterations: int = 3, seed: int = 42,
+                      files_per_cell: int = 1,
+                      centroids: list | None = None,
+                      codebook: list | None = None) -> dict:
+        """Build (or rebuild — the `_refresh` analog) a persisted IVFPQ
+        vector index over the CURRENT mirror — the engine-side
+        knn_vector index of the reference stack (OpenSearch k-NN).
+        Trains the coarse quantizer (seeded k-means) and PQ codebook
+        (seeded per-subspace k-means) on the live rows, materializes
+        cell-partitioned M-byte codes under the workdir, and records
+        the mirror's sequence high-water mark at build time.
+
+        Staleness contract (the Lucene-segment model, which is how the
+        reference index behaves too): queries combine (a) ANN
+        candidates from the index — rows as of the build — with (b) an
+        EXACT scan of the delta (rows whose seq is above the build
+        high-water mark: every insert AND update since, because the
+        merge bumps seq), then rerank everything against LIVE vectors
+        and keys, so deletes never return, updated vectors score with
+        their current values, and new rows are always visible. Only
+        rows untouched since the build go through the approximate
+        path — refresh cadence bounds recall, never correctness of
+        what IS returned. Rebuild cost is one scan + one clustered
+        write (ivfpq_index_build); production refreshes on a timer or
+        version delta, exactly like index refresh intervals."""
+        import json
+
+        from postgres_opensearch_cdc_spark.functions.similarity import (
+            ivfpq_index_build,
+            kmeans_train,
+            pq_train,
+        )
+
+        handle = self._resolve_write(name)
+        live = self.view(name)
+        vectors = live.select(
+            F.col(self.key_col).alias("vec_id"),
+            F.col(vec_field).alias("embedding"),
+        ).filter(F.col("embedding").isNotNull())
+        # explicit centroids/codebook support frozen-quantizer setups
+        # (and the engine-portable oracle entry); training is the
+        # production default
+        if centroids is None:
+            centroids = kmeans_train(
+                vectors, k=cells, iterations=iterations, seed=seed
+            )
+        if codebook is None:
+            codebook = pq_train(
+                vectors, m=m, k=min(16, cells * 2), iterations=iterations,
+                seed=seed,
+            )
+        cells = len(centroids)
+        path = os.path.join(self.workdir, f"knn_{name}_{vec_field}")
+        ivfpq_index_build(
+            vectors, path, centroids=centroids, codebook=codebook,
+            files_per_cell=files_per_cell,
+        )
+        hwm = self._seq_high_water(name)
+        meta = {
+            "path": path, "nprobe": int(nprobe), "cells": int(cells),
+            "built_hwm": hwm if hwm is not None else -1,
+            "vec_field": vec_field,
+        }
+        with open(os.path.join(path, "_knn_meta.json"), "w") as fh:
+            json.dump(meta, fh)
+        self.knn_indexes[(name, vec_field)] = meta
+        return meta
+
+    def _knn_index_search(self, name: str, vec_field: str,
+                          spec: dict) -> DataFrame:
+        """Two-phase index-backed knn (see put_knn_index): ANN
+        candidate ids from the persisted codes (num_candidates, the
+        OpenSearch knob) UNION the exact seq-delta ids, then one exact
+        cosine rerank over live vectors restricted to those keys —
+        a broadcast semi-join, never a full-corpus score."""
+        from postgres_opensearch_cdc_spark.functions.similarity import (
+            brute_force_topk,
+            ivfpq_index_topk,
+        )
+
+        meta = self.knn_indexes[(name, vec_field)]
+        qv = [float(x) for x in spec["query_vector"]]
+        k = int(spec.get("k", 10))
+        num_candidates = int(spec.get("num_candidates", max(50, k)))
+        cand = ivfpq_index_topk(
+            self.spark, meta["path"], qv,
+            nprobe=meta["nprobe"], k=num_candidates, id_col="vec_id",
+        ).select(F.col("vec_id").alias(self.key_col))
+        live = self.view(name)
+        delta = live.filter(
+            F.col(self.seq_col) > F.lit(meta["built_hwm"])
+        ).select(self.key_col)
+        ids = cand.unionByName(delta).distinct()
+        return brute_force_topk(
+            live.join(F.broadcast(ids), self.key_col, "left_semi"),
+            qv, k=k, id_col=self.key_col, vec_col=vec_field,
+        )
 
     def query_string(self, name: str, qs: str,
                      default_field: str | None = None,

@@ -370,6 +370,67 @@ def ann_ivfpq_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivfpq_index_topk(spark, path, q, nprobe=3, k=10)
 
 
+def engine_knn_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's knn_vector serving path value-checked end-to-end
+    (OpenSearch k-NN parity): a CdcEngine mirror is backfilled with
+    HALF the embeddings corpus (odd vec_ids), put_knn_index builds the
+    persisted IVFPQ index over it (frozen seed quantizer + codebook so
+    DuckDB can replay), the OTHER half is merged in afterwards, and a
+    knn request body runs through engine.search — which must combine
+    ANN candidates from the (now stale) index with an exact scan of
+    the post-build delta and rerank on LIVE vectors. The oracle
+    replays ADC-candidate selection over odd ids ∪ all even ids →
+    exact cosine top-10, so a value match proves the staleness
+    contract (index ∪ seq-delta ∪ rerank), not just the happy path.
+
+    Scale shape: the index probe is a partition-pruned codes scan; the
+    delta is a pushed seq-range filter; the rerank is one broadcast
+    semi-join over ≤ num_candidates + |delta| keys."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from postgres_opensearch_cdc_spark.engine import CdcEngine
+
+    vecs = load_table(spark, sf_dir, "embeddings")
+    q, codebook = _pq_frozen_codebook(vecs)
+    seed_rows = (
+        vecs.filter(F.col("vec_id").isin(_IVF_SEED_IDS))
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    centroids = [
+        [float(x) for x in r["embedding"]]
+        for r in sorted(seed_rows, key=lambda r: r["vec_id"])
+    ]
+    eng = CdcEngine(
+        spark, tempfile.mkdtemp(prefix="engine_knn_"),
+        key_col="vec_id", seq_col="offset", num_buckets=8,
+    )
+    corpus = vecs.filter(F.col("vec_id") != 0).select(
+        "vec_id", "label", "embedding"
+    )
+    eng.register_table("vecs", corpus.schema)
+    handle = eng.tables["vecs"]
+    eng.backfill("vecs", corpus.filter(F.col("vec_id") % 2 == 1))
+    eng.put_knn_index(
+        "vecs", "embedding", nprobe=3,
+        centroids=centroids, codebook=codebook,
+    )
+    # post-build merge: the even half arrives as stream-style updates
+    # at seq 1 (> the build high-water mark of -1) — the DELTA
+    handle.sink.apply_batch(
+        corpus.filter(F.col("vec_id") % 2 == 0).select(
+            F.lit("u").alias("op"), "vec_id", "label", "embedding",
+            F.lit(1).cast("long").alias("offset"),
+        ),
+        batch_id=0,
+    )
+    return eng.search("vecs", {"knn": {"embedding": {
+        "query_vector": q, "k": 10, "num_candidates": 50,
+    }}})
+
+
 _PQ_RERANK_CAND = 50
 
 
@@ -829,6 +890,7 @@ QUERIES = {
     "ann_pq_adc_topk": ann_pq_adc_topk,
     "ann_pq_index_topk": ann_pq_index_topk,
     "ann_ivfpq_index_topk": ann_ivfpq_index_topk,
+    "engine_knn_index_search": engine_knn_index_search,
     "ann_pq_rerank_topk": ann_pq_rerank_topk,
     "text_stats": text_stats,
     "text_fingerprint": text_fingerprint,
@@ -1273,6 +1335,36 @@ ORACLE["ann_ivfpq_index_topk"] = _PQ_CTES.replace(
     "CROSS JOIN range(0, 8) m(m) CROSS JOIN cb c",
 ) + """SELECT vec_id, adc_dist FROM adc
         ORDER BY adc_dist, vec_id LIMIT 10
+    """
+
+# engine knn serving path: the IVFPQ candidate CTEs restricted to the
+# INDEXED half (odd vec_ids — what the index was built from), top-50
+# ADC candidates unioned with the post-build delta (even vec_ids),
+# then the exact cosine rerank over live vectors — the staleness
+# contract engine._knn_index_search implements
+ORACLE["engine_knn_index_search"] = ORACLE["ann_ivfpq_index_topk"].replace(
+    """SELECT vec_id, embedding::DOUBLE[] AS ev
+            FROM embeddings WHERE vec_id <> 0""",
+    """SELECT vec_id, embedding::DOUBLE[] AS ev
+            FROM embeddings WHERE vec_id <> 0 AND vec_id % 2 = 1""",
+).replace(
+    """SELECT vec_id, adc_dist FROM adc
+        ORDER BY adc_dist, vec_id LIMIT 10
+    """,
+    "",
+) + f"""
+        , cand AS (
+            SELECT vec_id FROM adc ORDER BY adc_dist, vec_id LIMIT 50
+        ),
+        pool AS (
+            SELECT vec_id FROM cand
+            UNION
+            SELECT vec_id FROM embeddings
+            WHERE vec_id <> 0 AND vec_id % 2 = 0
+        )
+        SELECT e.vec_id, {_COS.format(a=_EV, b='qv')} AS cos_sim
+        FROM embeddings e JOIN pool USING (vec_id), q
+        ORDER BY cos_sim DESC, e.vec_id LIMIT 10
     """
 # persisted PQ-codes index: identical ADC math over ingest-time codes —
 # one oracle proves index path ≡ inline encode path

@@ -501,3 +501,74 @@ def test_snapshot_restore_lifecycle(spark, tmp_path):
     engine.restore(snap_dir, "card_dr2")
     assert {(r["id"], r["status"])
             for r in engine.view("card_dr2").collect()} == at_snap
+
+
+def test_engine_knn_index_staleness_contract(spark, tmp_path):
+    """put_knn_index + index-backed knn search (the OpenSearch
+    knn_vector serving path): with num_candidates covering the corpus
+    the index path must EQUAL the exact scan; after post-build bulk
+    writes the STALE index must still be correct for everything it
+    returns — deletes vanish, updated vectors score with live values,
+    new rows are visible (the seq-delta union) — and a refresh
+    (re-put) advances the high-water mark."""
+    from postgres_opensearch_cdc_spark.registry import load_table
+
+    vecs = load_table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", "label", "embedding"
+    )
+    q = [float(x) for x in vecs.filter("vec_id = 0").head()["embedding"]]
+    engine = CdcEngine(spark=spark, workdir=str(tmp_path),
+                       key_col="vec_id", seq_col="offset", num_buckets=8)
+    engine.register_table("vecs", vecs.schema)
+    engine.backfill("vecs", vecs.filter("vec_id <> 0"))
+    meta = engine.put_knn_index("vecs", "embedding", cells=4, nprobe=4)
+    assert ("vecs", "embedding") in engine.knn_indexes
+
+    n = engine.count("vecs")
+    body = {"knn": {"embedding": {
+        "query_vector": q, "k": 5, "num_candidates": n}}}
+    got = [(r["vec_id"], r["cos_sim"])
+           for r in engine.search("vecs", body).collect()]
+    # exact-path cross-check: same body on an index-less clone table
+    engine.register_table("vecs_plain", vecs.schema)
+    engine.backfill("vecs_plain", vecs.filter("vec_id <> 0"))
+    want = [(r["vec_id"], r["cos_sim"])
+            for r in engine.search("vecs_plain", body).collect()]
+    assert got == want and len(got) == 5
+
+    top1 = got[0][0]
+    # 1) delete the current #1 through _bulk: stale index must not
+    #    resurrect it (live semi-join drops the ghost)
+    engine.bulk("vecs", [{"delete": {"vec_id": top1}}], batch_id=0)
+    after_del = [r["vec_id"] for r in engine.search("vecs", body).collect()]
+    assert top1 not in after_del
+    # 2) update an existing far row's vector to the query vector: the
+    #    update bumps seq above built_hwm -> exact delta path, ranks #1
+    victim = int(vecs.selectExpr("max(vec_id) AS m").head()["m"])
+    engine.bulk("vecs", [{"index": {
+        "vec_id": victim, "label": 0, "embedding": q}}], batch_id=1)
+    after_upd = [r["vec_id"] for r in engine.search("vecs", body).collect()]
+    assert after_upd[0] == victim
+    # 3) brand-new row with the query vector: visible immediately
+    engine.bulk("vecs", [{"index": {
+        "vec_id": 999999, "label": 0, "embedding": q}}], batch_id=2)
+    after_ins = [r["vec_id"] for r in engine.search("vecs", body).collect()]
+    assert set(after_ins[:2]) == {victim, 999999}
+    # throughout: identical to the exact path over the live mirror
+    engine.bulk("vecs_plain", [{"delete": {"vec_id": top1}}], batch_id=0)
+    engine.bulk("vecs_plain", [{"index": {
+        "vec_id": victim, "label": 0, "embedding": q}}], batch_id=1)
+    engine.bulk("vecs_plain", [{"index": {
+        "vec_id": 999999, "label": 0, "embedding": q}}], batch_id=2)
+    assert after_ins == [
+        r["vec_id"] for r in engine.search("vecs_plain", body).collect()]
+
+    # refresh: rebuild advances the high-water mark past the bulks
+    meta2 = engine.put_knn_index("vecs", "embedding", cells=4, nprobe=4)
+    assert meta2["built_hwm"] > meta["built_hwm"]
+    assert after_ins == [
+        r["vec_id"] for r in engine.search("vecs", body).collect()]
+    # a query pre-filter falls back to exact pre-filtered scoring
+    filt = dict(body, query={"term": {"label": 0}})
+    pre = engine.search("vecs", filt).collect()
+    assert all(r["vec_id"] in {victim, 999999} for r in pre[:2])
