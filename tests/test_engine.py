@@ -572,3 +572,97 @@ def test_engine_knn_index_staleness_contract(spark, tmp_path):
     filt = dict(body, query={"term": {"label": 0}})
     pre = engine.search("vecs", filt).collect()
     assert all(r["vec_id"] in {victim, 999999} for r in pre[:2])
+
+
+@pytest.mark.parametrize("seed", range(5))
+def test_bulk_stream_interleaving_fuzz(spark, tmp_path, seed):
+    """Property test of the bulk/stream sequencing machinery: a seeded
+    random interleaving of _bulk action lists and stream-style
+    apply_batch merges (with occasional at-least-once REPLAYS of the
+    last stream batch under a fresh batch_id) must leave the mirror
+    exactly equal to a driver-side reference model that applies the
+    same operations in order. Pins seq allocation above the high-water
+    mark, later-wins bulk ordering, delete suppression, and replay
+    resolution in one adversarial harness."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    rng = random.Random(1000 + seed)
+    engine = CdcEngine(spark=spark, workdir=str(tmp_path), num_buckets=4)
+    handle = engine.register_table("card", CARD_SCHEMA)
+
+    model: dict[int, tuple] = {}   # id -> (status, card_type) live rows
+    model_seq: dict[int, int] = {}  # id -> seq of the live/last row
+    next_stream_seq = 0
+    last_stream: list | None = None
+    batch_no = 0
+
+    # initial backfill (seq -1) so every interleaving starts from a
+    # committed mirror — and the backfill path itself is in the mix
+    engine.backfill("card", spark.createDataFrame(
+        [(1, "ACTIVE", "DEBIT"), (2, "ACTIVE", "CREDIT")], CARD_SCHEMA))
+    model.update({1: ("ACTIVE", "DEBIT"), 2: ("ACTIVE", "CREDIT")})
+    model_seq.update({1: -1, 2: -1})
+
+    def apply_stream(rows, bid):
+        df = spark.createDataFrame(
+            rows,
+            "op string, id long, status string, card_type string, offset long",
+        )
+        handle.sink.apply_batch(df, bid)
+
+    for step in range(8):
+        kind = rng.choice(["bulk", "stream", "replay"])
+        if kind == "bulk":
+            actions, n = [], rng.randint(1, 5)
+            # model: ES bulk ordering — later actions win; seqs above
+            # every seq ever merged
+            hwm = engine._seq_high_water("card")
+            base = (hwm if hwm is not None else -1) + 1
+            for i in range(n):
+                rid = rng.randint(1, 8)
+                if rng.random() < 0.3:
+                    actions.append({"delete": {"id": rid}})
+                    model.pop(rid, None)
+                    model_seq[rid] = base + i
+                else:
+                    st = rng.choice(["ACTIVE", "BLOCKED", "NEW"])
+                    actions.append({"index": {
+                        "id": rid, "status": st, "card_type": "DEBIT"}})
+                    model[rid] = (st, "DEBIT")
+                    model_seq[rid] = base + i
+            engine.bulk("card", actions, batch_id=1000 + step)
+        elif kind == "stream":
+            rows, n = [], rng.randint(1, 4)
+            for _ in range(n):
+                rid = rng.randint(1, 8)
+                seq = next_stream_seq = max(
+                    next_stream_seq + 1,
+                    (engine._seq_high_water("card") or -1) + 1,
+                )
+                if rng.random() < 0.25:
+                    rows.append(("d", rid, None, None, seq))
+                    if model_seq.get(rid, -10) <= seq:
+                        model.pop(rid, None)
+                        model_seq[rid] = seq
+                else:
+                    st = rng.choice(["ACTIVE", "CLOSED"])
+                    rows.append(("u", rid, st, "CREDIT", seq))
+                    if model_seq.get(rid, -10) <= seq:
+                        model[rid] = (st, "CREDIT")
+                        model_seq[rid] = seq
+            apply_stream(rows, batch_no)
+            batch_no += 1
+            last_stream = rows
+        elif last_stream:
+            # at-least-once replay under a NEW batch_id: past the
+            # exactly-once guard, resolved by last-write-wins — the
+            # model is unchanged (all replayed seqs <= current seqs)
+            apply_stream(last_stream, batch_no)
+            batch_no += 1
+        got = {
+            r["id"]: (r["status"], r["card_type"])
+            for r in engine.view("card").collect()
+        }
+        assert got == model, f"divergence at step {step} ({kind})"
