@@ -601,6 +601,43 @@ def pq_index_adc_topk(
     )
 
 
+def _residual(vec: "F.Column", cell: "F.Column",
+              centroids: list[list[float]]) -> "F.Column":
+    """vec - centroid[cell] as a zip_with over ONE literal centroid
+    matrix indexed by the assigned cell (shared transform loop — the
+    Catalyst expression tree stays O(k·dim) once, not per row)."""
+    mat = F.array(*[
+        F.array(*[F.lit(float(x)) for x in c]) for c in centroids
+    ])
+    return F.zip_with(
+        vec, F.element_at(mat, cell + 1), lambda x, c: x - c
+    )
+
+
+def _encoded_for_index(
+    vectors: DataFrame,
+    centroids: list[list[float]],
+    codebook: list[list[list[float]]],
+    id_col: str,
+    vec_col: str,
+    by_residual: bool,
+) -> DataFrame:
+    """(id, c0..c{M-1}, _cell) rows for the IVFPQ layout — one scan
+    projection does assignment + encoding; with ``by_residual`` the
+    codes quantize (vec - centroid[cell]) instead of the raw vector."""
+    v = _as_double(F.col(vec_col))
+    assigned = vectors.select(
+        F.col(id_col), v.alias("_v"), _nearest_cell(v, centroids).alias("_cell")
+    )
+    enc_input = (
+        _residual(F.col("_v"), F.col("_cell"), centroids)
+        if by_residual else F.col("_v")
+    )
+    return assigned.select(
+        F.col(id_col), *pq_codes(enc_input, codebook), "_cell"
+    )
+
+
 def ivfpq_index_build(
     vectors: DataFrame,
     path: str,
@@ -609,6 +646,7 @@ def ivfpq_index_build(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     files_per_cell: int = 1,
+    by_residual: bool = False,
 ) -> None:
     """The combined IVF+PQ serving index (the FAISS IVFPQ layout, in
     its by_residual=false form): ONE scan projection assigns each
@@ -622,19 +660,21 @@ def ivfpq_index_build(
     sidecar is written LAST and is the readiness marker, so a crashed
     build is invisible to ivfpq_index_topk.
 
-    The residual variant (encode vector - centroid, per-cell query
-    LUTs) buys recall at identical plan shape — nprobe per-cell scans
-    with their own constant-folded tables, unioned; this entry keeps
-    by_residual=false so the encode is engine-portable and the whole
-    path stays value-checked against DuckDB."""
+    ``by_residual=True`` is the full FAISS form: codes quantize
+    (vector - centroid[cell]), which centers every cell's residuals
+    near the origin so the codebook's resolution is spent on the part
+    of the vector IVF hasn't already explained — better recall at the
+    same M, at the cost of one query LUT PER PROBED CELL instead of
+    one global LUT (still nprobe × M × K driver-side floats; the scan
+    shape is identical, per-cell scans unioned —
+    tests/test_similarity.py pins the recall win on clustered data).
+    The default stays by_residual=false so the oracle-checked entry's
+    encode is engine-portable (one global LUT replays in DuckDB)."""
     import json
     import os
 
-    v = _as_double(F.col(vec_col))
-    coded = vectors.select(
-        F.col(id_col),
-        *pq_codes(F.col(vec_col), codebook),
-        _nearest_cell(v, centroids).alias("_cell"),
+    coded = _encoded_for_index(
+        vectors, centroids, codebook, id_col, vec_col, by_residual
     )
     if files_per_cell == 1:
         clustered = coded.repartition(F.col("_cell"))
@@ -648,6 +688,10 @@ def ivfpq_index_build(
     with open(tmp, "w") as fh:
         json.dump(codebook, fh)
     os.replace(tmp, os.path.join(path, "_pq_codebook.json"))
+    tmp = os.path.join(path, "_ivfpq_meta.json.tmp")
+    with open(tmp, "w") as fh:
+        json.dump({"by_residual": bool(by_residual)}, fh)
+    os.replace(tmp, os.path.join(path, "_ivfpq_meta.json"))
     tmp = os.path.join(path, "_ivf_centroids.json.tmp")
     with open(tmp, "w") as fh:
         json.dump(centroids, fh)
@@ -672,11 +716,9 @@ def ivfpq_index_append(
         centroids = json.load(fh)
     with open(os.path.join(path, "_pq_codebook.json")) as fh:
         codebook = json.load(fh)
-    v = _as_double(F.col(vec_col))
-    coded = vectors.select(
-        F.col(id_col),
-        *pq_codes(F.col(vec_col), codebook),
-        _nearest_cell(v, centroids).alias("_cell"),
+    coded = _encoded_for_index(
+        vectors, centroids, codebook, id_col, vec_col,
+        _ivfpq_by_residual(path),
     )
     if files_per_cell == 1:
         clustered = coded.repartition(F.col("_cell"))
@@ -686,6 +728,19 @@ def ivfpq_index_append(
             F.pmod(F.xxhash64(F.col(id_col)), F.lit(files_per_cell)),
         )
     clustered.write.mode("append").partitionBy("_cell").parquet(path)
+
+
+def _ivfpq_by_residual(path: str) -> bool:
+    """Read the index's encoding mode; indexes written before the
+    residual option existed have no meta sidecar and are raw-encoded."""
+    import json
+    import os
+
+    meta_path = os.path.join(path, "_ivfpq_meta.json")
+    if not os.path.exists(meta_path):
+        return False
+    with open(meta_path) as fh:
+        return bool(json.load(fh).get("by_residual", False))
 
 
 def ivfpq_index_topk(
@@ -722,38 +777,62 @@ def ivfpq_index_topk(
         range(len(centroids)),
         key=lambda i: (-round(cos(query_vec, centroids[i]), 6), i),
     )
-    probe_dirs = [
-        p for c in ranked[:nprobe]
-        if os.path.isdir(p := os.path.join(path, f"_cell={c}"))
+    probe_cells = [
+        c for c in ranked[:nprobe]
+        if os.path.isdir(os.path.join(path, f"_cell={c}"))
     ]
-    if not probe_dirs:  # degenerate: all probed cells empty
+    if not probe_cells:  # degenerate: all probed cells empty
         return (
             spark.read.parquet(path).filter(F.lit(False))
             .select(F.col(id_col), F.lit(0.0).alias("adc_dist"))
         )
     m_count = len(codebook)
     dsub = len(codebook[0][0])
-    table = [
-        [
-            sum(
-                (float(query_vec[m * dsub + d]) - float(cw[d])) ** 2
-                for d in range(dsub)
-            )
-            for cw in codebook[m]
+    by_residual = _ivfpq_by_residual(path)
+
+    def lut_for(query: list[float]) -> list[list[float]]:
+        return [
+            [
+                sum(
+                    (float(query[m * dsub + d]) - float(cw[d])) ** 2
+                    for d in range(dsub)
+                )
+                for cw in codebook[m]
+            ]
+            for m in range(m_count)
         ]
-        for m in range(m_count)
-    ]
-    coded = spark.read.option("basePath", path).parquet(*probe_dirs)
-    score = None
-    for m in range(m_count):
-        lut = F.array(*[F.lit(float(x)) for x in table[m]])
-        term = F.element_at(lut, F.col(f"c{m}").cast("int"))
-        score = term if score is None else (score + term)
-    return (
-        coded.select(F.col(id_col), F.round(score, 6).alias("adc_dist"))
-        .orderBy(F.col("adc_dist").asc(), F.col(id_col))
-        .limit(k)
-    )
+
+    def scored(df, table):
+        score = None
+        for m in range(m_count):
+            lut = F.array(*[F.lit(float(x)) for x in table[m]])
+            term = F.element_at(lut, F.col(f"c{m}").cast("int"))
+            score = term if score is None else (score + term)
+        return df.select(F.col(id_col), F.round(score, 6).alias("adc_dist"))
+
+    if not by_residual:
+        coded = spark.read.option("basePath", path).parquet(
+            *[os.path.join(path, f"_cell={c}") for c in probe_cells]
+        )
+        out = scored(coded, lut_for(query_vec))
+    else:
+        # residual codes: the query table is PER PROBED CELL (LUT over
+        # q - centroid_c) — nprobe per-cell pruned scans, each with its
+        # own constant-folded table, unioned before the heap finish
+        parts = []
+        for c in probe_cells:
+            cell_df = spark.read.option("basePath", path).parquet(
+                os.path.join(path, f"_cell={c}")
+            )
+            q_res = [
+                float(x) - float(cc)
+                for x, cc in zip(query_vec, centroids[c])
+            ]
+            parts.append(scored(cell_df, lut_for(q_res)))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+    return out.orderBy(F.col("adc_dist").asc(), F.col(id_col)).limit(k)
 
 
 def pq_train(

@@ -423,3 +423,66 @@ def test_ivfpq_index_pruned_codes_only_and_append(spark, tmp_path):
                for r in ivfpq_index_topk(spark, inc, q, nprobe=3, k=10).collect()]
     want = [(r["vec_id"], r["adc_dist"]) for r in got.collect()]
     assert got_inc == want
+
+
+def test_ivfpq_residual_improves_recall(spark, clustered, tmp_path):
+    """by_residual=True (the full FAISS IVFPQ form): codes quantize
+    vec - centroid[cell], so the codebook's resolution covers only
+    what IVF hasn't explained. On clustered geometry the residual
+    index's ADC candidates must recall the exact-L2 top-10 at least
+    as well as the raw-encoded index — and well in absolute terms —
+    while append ≡ rebuild still holds with residual encoding."""
+    from pyspark.sql import functions as F
+
+    from postgres_opensearch_cdc_spark.functions.similarity import (
+        ivfpq_index_append,
+        ivfpq_index_build,
+        ivfpq_index_topk,
+        kmeans_train,
+        pq_train,
+    )
+
+    centroids = kmeans_train(clustered, k=10, iterations=5, seed=42)
+    cb = pq_train(clustered, m=4, k=8, iterations=4, seed=7)
+    q = [float(x) for x in clustered.filter("vec_id = 0").head()["embedding"]]
+    rest = clustered.filter("vec_id <> 0")
+
+    lit_q = F.array(*[F.lit(x) for x in q])
+    l2 = F.aggregate(
+        F.zip_with(
+            F.transform("embedding", lambda x: x.cast("double")),
+            lit_q, lambda a, b: (a - b) * (a - b),
+        ),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    truth = {
+        r["vec_id"]
+        for r in rest.select("vec_id", l2.alias("d"))
+        .orderBy("d", "vec_id").limit(10).collect()
+    }
+
+    def recall(by_residual, name):
+        idx = str(tmp_path / name)
+        ivfpq_index_build(rest, idx, centroids=centroids, codebook=cb,
+                          by_residual=by_residual)
+        cand = {
+            r["vec_id"]
+            for r in ivfpq_index_topk(spark, idx, q, nprobe=3, k=30).collect()
+        }
+        return len(truth & cand) / 10
+
+    raw, res = recall(False, "raw"), recall(True, "res")
+    assert res >= raw, f"residual {res} < raw {raw}"
+    assert res >= 0.9
+
+    # append ≡ rebuild with residual encoding (meta sidecar honored)
+    inc = str(tmp_path / "res_inc")
+    ivfpq_index_build(rest.filter("vec_id % 2 = 1"), inc,
+                      centroids=centroids, codebook=cb, by_residual=True)
+    ivfpq_index_append(rest.filter("vec_id % 2 = 0"), inc)
+    got = [(r["vec_id"], r["adc_dist"])
+           for r in ivfpq_index_topk(spark, inc, q, nprobe=3, k=10).collect()]
+    want = [(r["vec_id"], r["adc_dist"])
+            for r in ivfpq_index_topk(spark, str(tmp_path / "res"), q,
+                                      nprobe=3, k=10).collect()]
+    assert got == want
