@@ -152,6 +152,84 @@ class CdcEngine:
         )
         return handle.query
 
+    def start_routed_stream(self, changelog_dir: str,
+                            tables: list[str] | None = None,
+                            available_now: bool = True):
+        """ONE changelog stream carrying several tables' events — the
+        reference consumer's actual shape (3 topics → 3 indices in one
+        consumer, consumer.py:17-21) — routed by ``source.table``
+        inside a single foreachBatch/checkpoint to each registered
+        mirror (the engine-façade form of MultiTableMirrorSink).
+
+        The envelope parse uses the UNION of the routed tables'
+        schemas (PERMISSIVE from_json null-fills fields absent from a
+        given table's events); each table's slice then projects
+        exactly its own columns before its keyed merge. One checkpoint
+        covers all tables, so recovery replays every slice with the
+        same batch_id and each sink's exactly-once guard holds
+        per-mirror. Same-named columns must agree on type across the
+        routed tables (validated), and the stream-level ``offset`` is
+        the sequence for every table — tables that embed their own seq
+        column use the per-table start_stream instead."""
+        import hashlib
+
+        tables = list(tables or self.tables)
+        merged: dict[str, T.StructField] = {}
+        for t in tables:
+            fields = {f.name for f in self.tables[t].schema.fields}
+            if self.seq_col in fields:
+                raise ValueError(
+                    f"routed table {t!r} embeds seq column "
+                    f"{self.seq_col!r} — use start_stream for it"
+                )
+            for f in self.tables[t].schema.fields:
+                prev = merged.get(f.name)
+                if prev is not None and prev.dataType != f.dataType:
+                    raise ValueError(
+                        f"column {f.name!r} has conflicting types "
+                        "across routed tables"
+                    )
+                merged[f.name] = f
+        union_schema = T.StructType(list(merged.values()))
+        stream = file_changelog_stream(
+            self.spark, changelog_dir, union_schema
+        )
+        flat = stream.select(
+            "op",
+            F.col("source.table").alias("_route"),
+            *[
+                F.coalesce(F.col(f"after.{c}"), F.col(f"before.{c}")).alias(c)
+                if c == self.key_col
+                else F.col(f"after.{c}").alias(c)
+                for c in merged
+            ],
+            F.col("offset").alias(self.seq_col),
+        )
+
+        def _apply(batch: DataFrame, batch_id: int) -> None:
+            batch = batch.localCheckpoint(eager=True)  # slice many, scan once
+            for t in tables:
+                cols = ["op", *[
+                    f.name for f in self.tables[t].schema.fields
+                ], self.seq_col]
+                slice_df = batch.filter(F.col("_route") == t).select(*cols)
+                if slice_df.isEmpty():
+                    continue
+                self.tables[t].sink.apply_batch(slice_df, batch_id)
+
+        key = hashlib.md5(",".join(sorted(tables)).encode()).hexdigest()[:8]
+        ckpt = os.path.join(self.workdir, f"ckpt_routed_{key}")
+        writer = (
+            flat.writeStream.foreachBatch(_apply)
+            .option("checkpointLocation", ckpt)
+        )
+        writer = (writer.trigger(availableNow=True) if available_now
+                  else writer.trigger(processingTime="5 seconds"))
+        query = writer.start()
+        for t in tables:
+            self.tables[t].query = query
+        return query
+
     def await_all(self, timeout_s: int = 300) -> None:
         for handle in self.tables.values():
             if handle.query is not None:

@@ -666,3 +666,73 @@ def test_bulk_stream_interleaving_fuzz(spark, tmp_path, seed):
             for r in engine.view("card").collect()
         }
         assert got == model, f"divergence at step {step} ({kind})"
+
+
+def test_engine_routed_multi_table_stream(spark, tmp_path):
+    """One changelog stream, several tables (the reference's 3-topic
+    consumer): events route by source.table to each registered mirror
+    under a single checkpoint; schemas differ per table (union parse
+    null-fills); every mirror is immediately searchable."""
+    txn_schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("amount", T.DoubleType()),
+        T.StructField("status", T.StringType()),
+    ])
+    engine = CdcEngine(spark=spark, workdir=str(tmp_path))
+    engine.register_table("card", CARD_SCHEMA)
+    engine.register_table("txn", txn_schema)
+
+    def env(op, table, body, offset):
+        return json.dumps({
+            "op": op,
+            "before": body if op == "d" else None,
+            "after": None if op == "d" else body,
+            "ts_ms": 1000 + offset,
+            "source": {"schema": "public", "table": table, "lsn": offset},
+            "offset": offset,
+        })
+
+    log_dir = str(tmp_path / "log")
+    os.makedirs(log_dir)
+    with open(os.path.join(log_dir, "b1.json"), "w") as f:
+        f.write("\n".join([
+            env("r", "card", {"id": 1, "status": "ACTIVE",
+                              "card_type": "DEBIT"}, 1),
+            env("r", "txn", {"id": 10, "amount": 25.5,
+                             "status": "AUTHORIZED"}, 2),
+            env("u", "card", {"id": 1, "status": "BLOCKED",
+                              "card_type": "DEBIT"}, 3),
+            env("c", "txn", {"id": 11, "amount": 9.0,
+                             "status": "SETTLED"}, 4),
+            env("d", "txn", {"id": 10}, 5),
+        ]))
+    engine.start_routed_stream(log_dir, ["card", "txn"])
+    engine.await_all()
+
+    assert engine.counts() == {"card": 1, "txn": 1}
+    assert engine.view("card").head()["status"] == "BLOCKED"
+    txn = engine.view("txn").head()
+    assert (txn["id"], txn["amount"], txn["status"]) == (11, 9.0, "SETTLED")
+    # the routed mirrors serve the full search surface
+    hits = engine.search("txn", {"query": {"range": {"amount": {"lt": 10}}}})
+    assert [r["id"] for r in hits.collect()] == [11]
+
+    # a second drained run of the same checkpoint replays nothing new
+    engine.start_routed_stream(log_dir, ["card", "txn"])
+    engine.await_all()
+    assert engine.counts() == {"card": 1, "txn": 1}
+
+    # conflicting same-named column types are rejected up front
+    engine.register_table("bad", T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("amount", T.StringType()),
+    ]))
+    with pytest.raises(ValueError, match="conflicting types"):
+        engine.start_routed_stream(log_dir, ["txn", "bad"])
+    # tables embedding the seq column must use per-table streams
+    engine.register_table("seqy", T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("offset", T.LongType()),
+    ]))
+    with pytest.raises(ValueError, match="embeds seq column"):
+        engine.start_routed_stream(log_dir, ["seqy"])
