@@ -91,6 +91,7 @@ _PRIORITY = [
     "dedup_lsh_capped", "engine_bulk_mirror",
     "alias_union_search", "engine_snapshot_restore",
     "ann_ivfpq_index_topk", "engine_knn_index_search",
+    "engine_update_delete_search", "engine_reindex_search",
     # (c) re-checks deferred from round 8 (r1-era)
     "q09_limit", "q10_count",
     # (d) oldest driver rows, original r1 order (q08 re-checked r8)
@@ -107,7 +108,6 @@ _PRIORITY = [
     # (e) r3-era training-pipeline block, original driver order
     "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
     "dedup_simhash", "dedup_embedding_cosine", "ann_cosine_topk",
-    "ann_filtered_topk", "ann_ivf_topk",
 ]
 
 # Round-10 rotation TODO: any entries added after this round-9 window

@@ -360,6 +360,95 @@ def alias_union_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     })
 
 
+def _events_engine(spark: SparkSession, sf_dir: str, prefix: str):
+    """Shared harness for the engine maintenance entries: the events
+    changelog merged into a fresh versioned mirror in one batch
+    (seq = event_id), exactly the engine_search_mirror setup."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from postgres_opensearch_cdc_spark.engine import CdcEngine
+
+    events = load_table(spark, sf_dir, "events")
+    log = events_as_changelog(events).select(
+        "op", "key", "event_id", "event_type",
+        F.round(F.col("value"), 2).alias("value"),
+    )
+    eng = CdcEngine(
+        spark, tempfile.mkdtemp(prefix=prefix),
+        key_col="key", seq_col="event_id", sink_mode="versioned",
+        num_buckets=16,
+    )
+    handle = eng.register_table(
+        "user_state",
+        T.StructType([
+            T.StructField("key", T.LongType()),
+            T.StructField("event_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]),
+    )
+    handle.sink.apply_batch(log, 0)
+    return eng
+
+
+def engine_update_delete_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The maintenance pair value-checked end-to-end (the reference
+    stack's `_update_by_query` + `_delete_by_query`): against a live
+    events mirror, matching rows are re-emitted THROUGH THE KEYED
+    MERGE — an update_by_query with a painless-style script column
+    (value bumped by 1000 for low-value clicks) followed by a
+    delete_by_query (all 'view' rows), then a terms/sum search over
+    the surviving state. The oracle replays compaction → update →
+    delete → agg in SQL, so a value match proves the maintenance ops
+    compose with the merge semantics (same-seq batch-beats-mirror),
+    not just that they ran.
+
+    Scale shape: each maintenance op is one pushed-filter scan +
+    one partition-pruned merge; nothing driver-side."""
+    eng = _events_engine(spark, sf_dir, "engine_maint_")
+    eng.update_by_query(
+        "user_state",
+        {"bool": {"must": [
+            {"term": {"event_type": "click"}},
+            {"range": {"value": {"lt": 50}}},
+        ]}},
+        {"value": {"script": "round(value + 1000, 2)"}},
+    )
+    eng.delete_by_query("user_state", {"term": {"event_type": "view"}})
+    return eng.search("user_state", {
+        "query": {"match_all": {}},
+        "aggs": {"by_state": {
+            "terms": {"field": "event_type", "size": 20,
+                      "order": {"_key": "asc"}},
+            "aggs": {"value_sum": {"sum": {"field": "value"}}},
+        }},
+    })
+
+
+def engine_reindex_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`_reindex` value-checked end-to-end: a query-filtered copy of a
+    live mirror lands in a freshly registered destination mirror via
+    one snapshot backfill through the keyed merge, and a search over
+    the DESTINATION must agree with the oracle's filter-then-agg over
+    the source state — proving the copy is exact and the destination
+    serves the same surface. Re-running reindex is idempotent (the
+    merge's LWW absorbs the replay; pinned separately in
+    tests/test_engine.py)."""
+    eng = _events_engine(spark, sf_dir, "engine_reindex_")
+    eng.reindex("user_state", "high_value",
+                query={"range": {"value": {"gte": 100}}})
+    return eng.search("high_value", {
+        "query": {"match_all": {}},
+        "aggs": {"by_state": {
+            "terms": {"field": "event_type", "size": 20,
+                      "order": {"_key": "asc"}},
+            "aggs": {"value_sum": {"sum": {"field": "value"}}},
+        }},
+    })
+
+
 QUERIES = {
     "cdc_mirror_compact": cdc_mirror_compact,
     "cdc_scd2_history": cdc_scd2_history,
@@ -372,6 +461,8 @@ QUERIES = {
     "engine_bulk_mirror": engine_bulk_mirror,
     "alias_union_search": alias_union_search,
     "engine_snapshot_restore": engine_snapshot_restore,
+    "engine_update_delete_search": engine_update_delete_search,
+    "engine_reindex_search": engine_reindex_search,
 }
 
 # The op-mapping CASE is inlined in each oracle: signup→c, error→d, else u.
@@ -468,6 +559,46 @@ ORACLE = {
     # event_id per key (the engine entry's seq), deletes suppressed,
     # then the request body's range filter + terms/sum agg
     "engine_search_mirror": f"""
+        WITH log AS ({_LOG}),
+        latest AS (
+            SELECT key, event_type, ROUND(value, 2) AS value, op FROM log
+            QUALIFY row_number() OVER (
+                PARTITION BY key ORDER BY event_id DESC) = 1
+        )
+        SELECT event_type AS by_state, COUNT(*) AS doc_count,
+               ROUND(SUM(value), 4) AS value_sum
+        FROM latest
+        WHERE op <> 'd' AND value >= 100
+        GROUP BY event_type ORDER BY by_state
+    """,
+    # maintenance ops replayed as plain SQL over the compacted live
+    # state: update matched rows (click & value<50 -> +1000), then
+    # delete 'view' rows, then the terms/sum agg
+    "engine_update_delete_search": f"""
+        WITH log AS ({_LOG}),
+        latest AS (
+            SELECT key, event_type, ROUND(value, 2) AS value, op FROM log
+            QUALIFY row_number() OVER (
+                PARTITION BY key ORDER BY event_id DESC) = 1
+        ),
+        live AS (
+            SELECT key, event_type, value FROM latest WHERE op <> 'd'
+        ),
+        updated AS (
+            SELECT key, event_type,
+                   CASE WHEN event_type = 'click' AND value < 50
+                        THEN ROUND(value + 1000, 2) ELSE value END AS value
+            FROM live
+        )
+        SELECT event_type AS by_state, COUNT(*) AS doc_count,
+               ROUND(SUM(value), 4) AS value_sum
+        FROM updated
+        WHERE event_type <> 'view'
+        GROUP BY event_type ORDER BY by_state
+    """,
+    # the reindexed destination must answer exactly like
+    # filter-then-agg over the source's live state
+    "engine_reindex_search": f"""
         WITH log AS ({_LOG}),
         latest AS (
             SELECT key, event_type, ROUND(value, 2) AS value, op FROM log
