@@ -90,7 +90,8 @@ _PRIORITY = [
     # (b) NEW this round (round 9)
     "dedup_lsh_capped", "engine_bulk_mirror",
     "alias_union_search", "engine_snapshot_restore",
-    "ann_ivfpq_index_topk", "engine_knn_index_search",
+    "ann_ivfpq_index_topk", "ann_ivfpq_residual_topk",
+    "engine_knn_index_search",
     "engine_update_delete_search", "engine_reindex_search",
     # (c) re-checks deferred from round 8 (r1-era)
     "q09_limit", "q10_count",
@@ -107,7 +108,7 @@ _PRIORITY = [
     "join_promo_share", "join_disjunctive_filter",
     # (e) r3-era training-pipeline block, original driver order
     "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
-    "dedup_simhash", "dedup_embedding_cosine", "ann_cosine_topk",
+    "dedup_simhash", "dedup_embedding_cosine",
 ]
 
 # Round-10 rotation TODO: any entries added after this round-9 window

@@ -370,6 +370,56 @@ def ann_ivfpq_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivfpq_index_topk(spark, path, q, nprobe=3, k=10)
 
 
+def ann_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RESIDUAL IVFPQ form value-checked end-to-end (FAISS
+    by_residual=true): codes quantize vec − centroid[assigned cell],
+    and the query builds one LUT per probed cell over q − centroid.
+    Same frozen seeds as the raw-encoded twin; the oracle replays the
+    residual subtraction (list_transform over the assigned cell's
+    centroid), per-subspace argmin encode, per-cell query tables, and
+    the m-ascending ADC fold — so the recall-improving variant is
+    hash-checked, not just unit-tested. Cached per (sf_dir, mtime)
+    like the other persisted indexes."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from postgres_opensearch_cdc_spark.functions.similarity import (
+        ivfpq_index_build,
+        ivfpq_index_topk,
+    )
+
+    vecs = load_table(spark, sf_dir, "embeddings")
+    q, codebook = _pq_frozen_codebook(vecs)
+    seed_rows = (
+        vecs.filter(F.col("vec_id").isin(_IVF_SEED_IDS))
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    centroids = [
+        [float(x) for x in r["embedding"]]
+        for r in sorted(seed_rows, key=lambda r: r["vec_id"])
+    ]
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    key = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}:{os.path.getmtime(emb_path)}:ivfpqres"
+        .encode()
+    ).hexdigest()[:12]
+    path = os.path.join(tempfile.gettempdir(), f"ivfpqres_index_{key}")
+    if not os.path.exists(os.path.join(path, "_ivf_centroids.json")):
+        stage = tempfile.mkdtemp(prefix="ivfpqres_index_build_")
+        ivfpq_index_build(
+            vecs.filter(F.col("vec_id") != 0), stage,
+            centroids=centroids, codebook=codebook, by_residual=True,
+        )
+        try:
+            os.rename(stage, path)
+        except OSError:
+            shutil.rmtree(stage, ignore_errors=True)
+    return ivfpq_index_topk(spark, path, q, nprobe=3, k=10)
+
+
 def engine_knn_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The engine's knn_vector serving path value-checked end-to-end
     (OpenSearch k-NN parity): a CdcEngine mirror is backfilled with
@@ -890,6 +940,7 @@ QUERIES = {
     "ann_pq_adc_topk": ann_pq_adc_topk,
     "ann_pq_index_topk": ann_pq_index_topk,
     "ann_ivfpq_index_topk": ann_ivfpq_index_topk,
+    "ann_ivfpq_residual_topk": ann_ivfpq_residual_topk,
     "engine_knn_index_search": engine_knn_index_search,
     "ann_pq_rerank_topk": ann_pq_rerank_topk,
     "text_stats": text_stats,
@@ -1334,6 +1385,102 @@ ORACLE["ann_ivfpq_index_topk"] = _PQ_CTES.replace(
     "FROM (SELECT ev.* FROM ev JOIN assign USING (vec_id)) e "
     "CROSS JOIN range(0, 8) m(m) CROSS JOIN cb c",
 ) + """SELECT vec_id, adc_dist FROM adc
+        ORDER BY adc_dist, vec_id LIMIT 10
+    """
+
+# residual IVFPQ: codes quantize (vec - centroid[assigned cell]); the
+# query table is PER PROBED CELL over (q - centroid). Distance terms
+# are generated (d = 1..8 per subspace) and the ADC fold keeps the
+# explicit m-ascending chain so float addition order matches Spark.
+_RES_DIST = " + ".join(
+    f"(r.rv[m.m*8+{d}] - cbk.cv[m.m*8+{d}]) * "
+    f"(r.rv[m.m*8+{d}] - cbk.cv[m.m*8+{d}])" for d in range(1, 9)
+)
+_QRES_DIST = " + ".join(
+    f"(qr.qrv[m.m*8+{d}] - cbk.cv[m.m*8+{d}]) * "
+    f"(qr.qrv[m.m*8+{d}] - cbk.cv[m.m*8+{d}])" for d in range(1, 9)
+)
+_RES_ADC_FOLD = "\n                 + ".join(
+    f"MAX(CASE WHEN k.m = {m} THEN t.qd END)" for m in range(8)
+)
+ORACLE["ann_ivfpq_residual_topk"] = f"""
+        WITH q AS (
+            SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0
+        ),
+        c AS (
+            SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell,
+                   embedding::DOUBLE[] AS cv
+            FROM embeddings WHERE vec_id BETWEEN 1 AND 10
+        ),
+        probe AS (
+            SELECT cell FROM c, q
+            ORDER BY {_COS.format(a='cv', b='qv')} DESC, cell
+            LIMIT 3
+        ),
+        cellscore AS (
+            SELECT e.vec_id, c.cell, {_COS.format(a=_EV, b='c.cv')} AS s
+            FROM embeddings e CROSS JOIN c
+            WHERE e.vec_id <> 0
+        ),
+        assign AS (
+            SELECT vec_id, cell FROM (
+                SELECT vec_id, cell,
+                       row_number() OVER (
+                           PARTITION BY vec_id ORDER BY s DESC, cell
+                       ) AS rn
+                FROM cellscore
+            ) WHERE rn = 1
+        ),
+        cb AS (
+            SELECT CAST(row_number() OVER (ORDER BY vec_id) AS BIGINT) AS j,
+                   embedding::DOUBLE[] AS cv
+            FROM embeddings WHERE vec_id BETWEEN 1 AND 16
+        ),
+        ev AS (
+            SELECT vec_id, embedding::DOUBLE[] AS ev
+            FROM embeddings WHERE vec_id <> 0
+        ),
+        resid AS (
+            SELECT s.vec_id, s.cell,
+                   list_transform(range(1, 65),
+                                  i -> e.ev[i] - cc.cv[i]) AS rv
+            FROM assign s
+            JOIN ev e USING (vec_id)
+            JOIN c cc USING (cell)
+        ),
+        enc AS (
+            SELECT r.vec_id, m.m, cbk.j,
+                   ROUND({_RES_DIST}, 6) AS dist
+            FROM resid r CROSS JOIN range(0, 8) m(m) CROSS JOIN cb cbk
+        ),
+        codes AS (
+            SELECT vec_id, m, j FROM (
+                SELECT vec_id, m, j,
+                       row_number() OVER (
+                           PARTITION BY vec_id, m ORDER BY dist, j) AS rn
+                FROM enc
+            ) WHERE rn = 1
+        ),
+        qres AS (
+            SELECT p.cell,
+                   list_transform(range(1, 65),
+                                  i -> q.qv[i] - cc.cv[i]) AS qrv
+            FROM probe p JOIN c cc USING (cell), q
+        ),
+        qtab AS (
+            SELECT qr.cell, m.m, cbk.j,
+                   {_QRES_DIST} AS qd
+            FROM qres qr CROSS JOIN range(0, 8) m(m) CROSS JOIN cb cbk
+        ),
+        adc AS (
+            SELECT k.vec_id,
+                   ROUND({_RES_ADC_FOLD}, 6) AS adc_dist
+            FROM codes k
+            JOIN assign s ON s.vec_id = k.vec_id
+            JOIN qtab t ON t.cell = s.cell AND t.m = k.m AND t.j = k.j
+            GROUP BY k.vec_id
+        )
+        SELECT vec_id, adc_dist FROM adc
         ORDER BY adc_dist, vec_id LIMIT 10
     """
 
