@@ -745,3 +745,54 @@ class CdcEngine:
             for name, handle in self.tables.items()
             if handle.sink.exists()
         }
+
+    def cat_indices(self) -> list[dict]:
+        """The ``_cat/indices`` analog: one row per mirror with live
+        doc count, bytes on disk (live data files only for the
+        versioned sink — old un-vacuumed commits excluded, matching
+        the 'primary store size' reading), committed version, and the
+        sequence high-water mark. Aliases are listed with their
+        member resolution, like ES's alias cat endpoint."""
+        out = []
+        for name, handle in sorted(self.tables.items()):
+            if not handle.sink.exists():
+                out.append({"index": name, "status": "empty",
+                            "docs_count": 0, "store_bytes": 0,
+                            "version": None, "max_seq": None})
+                continue
+            row: dict = {"index": name, "status": "open",
+                         "docs_count": self.view(name).count()}
+            sink = handle.sink
+            if isinstance(sink, VersionedMirrorSink):
+                manifest = sink.latest_manifest()
+                data_dir = sink._data_dir
+                live = 0
+                for b, cid in manifest["buckets"].items():
+                    d = os.path.join(data_dir, cid, f"_bucket={b}")
+                    for dp, _, fs in os.walk(d):
+                        live += sum(
+                            os.path.getsize(os.path.join(dp, f)) for f in fs
+                        )
+                row["store_bytes"] = live
+                row["version"] = manifest["version"]
+                row["max_seq"] = (manifest.get("max_seq") or {}).get(
+                    self.seq_col
+                )
+            else:
+                size = 0
+                for dp, _, fs in os.walk(sink.path):
+                    size += sum(
+                        os.path.getsize(os.path.join(dp, f)) for f in fs
+                    )
+                row["store_bytes"] = size
+                row["version"] = None
+                row["max_seq"] = None
+            out.append(row)
+        for alias, members in sorted(self.aliases.items()):
+            out.append({"index": alias, "status": "alias",
+                        "docs_count": sum(
+                            self.view(t).count() for t in members
+                            if self.tables[t].sink.exists()
+                        ),
+                        "members": list(members)})
+        return out

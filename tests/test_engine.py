@@ -736,3 +736,36 @@ def test_engine_routed_multi_table_stream(spark, tmp_path):
     ]))
     with pytest.raises(ValueError, match="embeds seq column"):
         engine.start_routed_stream(log_dir, ["seqy"])
+
+
+def test_cat_indices(spark, tmp_path):
+    """_cat/indices analog: live doc counts, live-data store bytes
+    (old commits excluded), committed version, seq high-water mark,
+    and alias rows with member resolution."""
+    engine = CdcEngine(spark=spark, workdir=str(tmp_path))
+    engine.register_table("card", CARD_SCHEMA)
+    engine.register_table("empty_t", CARD_SCHEMA)
+    engine.backfill("card", spark.createDataFrame(
+        [(1, "ACTIVE", "DEBIT"), (2, "ACTIVE", "CREDIT")], CARD_SCHEMA))
+    engine.bulk("card", [{"delete": {"id": 2}}], batch_id=0)
+    engine.put_alias("all_cards", ["card"])
+
+    cat = {r["index"]: r for r in engine.cat_indices()}
+    assert cat["card"]["status"] == "open"
+    assert cat["card"]["docs_count"] == 1
+    assert cat["card"]["store_bytes"] > 0
+    assert cat["card"]["version"] == 2  # backfill + bulk
+    assert cat["card"]["max_seq"] == 0  # the bulk delete's seq
+    assert cat["empty_t"] == {
+        "index": "empty_t", "status": "empty", "docs_count": 0,
+        "store_bytes": 0, "version": None, "max_seq": None}
+    assert cat["all_cards"]["status"] == "alias"
+    assert cat["all_cards"]["docs_count"] == 1
+    assert cat["all_cards"]["members"] == ["card"]
+
+    # live-bytes reading: after vacuum the store size must not change
+    # (it never counted dead commits)
+    before = cat["card"]["store_bytes"]
+    engine.tables["card"].sink.vacuum(keep_versions=1)
+    after = {r["index"]: r for r in engine.cat_indices()}["card"]["store_bytes"]
+    assert after == before
