@@ -769,3 +769,67 @@ def test_cat_indices(spark, tmp_path):
     engine.tables["card"].sink.vacuum(keep_versions=1)
     after = {r["index"]: r for r in engine.cat_indices()}["card"]["store_bytes"]
     assert after == before
+
+
+def test_snapshot_crash_window_and_knn_edges(spark, tmp_path):
+    """Hardening edges: (a) a snapshot dir whose data write finished
+    but whose snapshot.json never landed (crash window) is invisible
+    to restore — fails cleanly, no partial table registered; (b) the
+    knn delta scan's seq filter is PUSHED to the mirror scan; (c) an
+    index-backed knn search with an empty delta equals the pure index
+    answer reranked on live vectors; (d) routed streams tolerate a
+    registered table receiving zero events."""
+    import re
+
+    from postgres_opensearch_cdc_spark.registry import load_table
+
+    engine = CdcEngine(spark=spark, workdir=str(tmp_path / "wd"))
+    engine.register_table("card", CARD_SCHEMA)
+    engine.backfill("card", spark.createDataFrame(
+        [(1, "ACTIVE", "DEBIT")], CARD_SCHEMA))
+
+    # (a) crash window: data exists, snapshot.json missing
+    crash_dir = str(tmp_path / "crash_snap")
+    engine.view("card").write.parquet(os.path.join(crash_dir, "data"))
+    with pytest.raises(FileNotFoundError):
+        engine.restore(crash_dir, "card_dr")
+    assert "card_dr" not in engine.tables
+
+    # (b)+(c): a vec mirror with an index and NO post-build changes
+    vecs = load_table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", "label", "embedding")
+    veng = CdcEngine(spark=spark, workdir=str(tmp_path / "vwd"),
+                     key_col="vec_id", seq_col="offset", num_buckets=4)
+    veng.register_table("vecs", vecs.schema)
+    veng.backfill("vecs", vecs.filter("vec_id <> 0"))
+    veng.put_knn_index("vecs", "embedding", cells=4, nprobe=4)
+    q = [float(x) for x in vecs.filter("vec_id = 0").head()["embedding"]]
+    n = veng.count("vecs")
+    body = {"knn": {"embedding": {
+        "query_vector": q, "k": 5, "num_candidates": n}}}
+    hits = veng.search("vecs", body)
+    plan = hits._jdf.queryExecution().explainString(
+        hits._sc._jvm.org.apache.spark.sql.execution.ExplainMode
+        .fromString("formatted"))
+    # the delta branch's seq filter reaches the parquet scan
+    assert re.search(r"PushedFilters:.*GreaterThan\(offset", plan), plan
+    got = [(r["vec_id"], r["cos_sim"]) for r in hits.collect()]
+    # empty delta: equals exact brute force (num_candidates = corpus)
+    from postgres_opensearch_cdc_spark.functions.similarity import (
+        brute_force_topk,
+    )
+
+    want = [(r["vec_id"], r["cos_sim"]) for r in brute_force_topk(
+        veng.view("vecs"), q, k=5, id_col="vec_id").collect()]
+    assert got == want
+
+    # (d) routed stream where one table gets zero events
+    log_dir = str(tmp_path / "log")
+    os.makedirs(log_dir)
+    engine.register_table("quiet", CARD_SCHEMA)
+    with open(os.path.join(log_dir, "b1.json"), "w") as f:
+        f.write(envelope("u", 1, "BLOCKED", "DEBIT", 10))
+    engine.start_routed_stream(log_dir, ["card", "quiet"])
+    engine.await_all()
+    assert engine.view("card").head()["status"] == "BLOCKED"
+    assert not engine.tables["quiet"].sink.exists()  # untouched, not empty-written
