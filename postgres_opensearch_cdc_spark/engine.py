@@ -299,7 +299,10 @@ class CdcEngine:
         from postgres_opensearch_cdc_spark.dsl import search_frame
 
         if ("knn" in body and "query" not in body
-                and name not in self.aliases):
+                and name not in self.aliases
+                # unsupported clause combos must still raise through
+                # the one DSL path, never be silently ignored here
+                and not any(c in body for c in ("aggs", "sort", "_source"))):
             ((fld, spec),) = body["knn"].items()
             if (name, fld) in self.knn_indexes:
                 hits = self._knn_index_search(name, fld, spec)

@@ -833,3 +833,27 @@ def test_snapshot_crash_window_and_knn_edges(spark, tmp_path):
     engine.await_all()
     assert engine.view("card").head()["status"] == "BLOCKED"
     assert not engine.tables["quiet"].sink.exists()  # untouched, not empty-written
+
+
+def test_knn_index_route_preserves_dsl_contracts(spark, tmp_path):
+    """The index-backed knn route must not weaken the DSL's contract:
+    knn combined with aggs/sort/_source raises DSLError even when an
+    index exists for the field (it would otherwise silently ignore
+    the extra clauses)."""
+    from postgres_opensearch_cdc_spark.dsl import DSLError
+    from postgres_opensearch_cdc_spark.registry import load_table
+
+    vecs = load_table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", "label", "embedding")
+    engine = CdcEngine(spark=spark, workdir=str(tmp_path),
+                       key_col="vec_id", seq_col="offset", num_buckets=4)
+    engine.register_table("vecs", vecs.schema)
+    engine.backfill("vecs", vecs.filter("vec_id <> 0"))
+    engine.put_knn_index("vecs", "embedding", cells=4, nprobe=4)
+    q = [float(x) for x in vecs.filter("vec_id = 0").head()["embedding"]]
+    for extra in ({"aggs": {"a": {"terms": {"field": "label"}}}},
+                  {"sort": [{"vec_id": "asc"}]},
+                  {"_source": ["vec_id"]}):
+        body = {"knn": {"embedding": {"query_vector": q, "k": 3}}, **extra}
+        with pytest.raises(DSLError, match="knn cannot be combined"):
+            engine.search("vecs", body).collect()
