@@ -70,17 +70,23 @@ _MODULES = [
 # The driver's correctness harness samples the FIRST 50 entries of
 # queries().  Union of r1-r8 driver rows = 277 of the 277
 # window-freeze-era entries, all green — every entry of that surface
-# driver-verified at least once.  13 entries have never had a driver
+# driver-verified at least once.  20 entries have never had a driver
 # row: the 9 added after the round-8 window froze (each passed the
 # round-8 verdict's independent sf0.01 parity rerun AND this round's
-# local sweep) plus the 4 NEW this round (dedup_lsh_capped — the
-# hot-band-capped LSH candidate path; engine_bulk_mirror /
-# alias_union_search / engine_snapshot_restore — the _bulk, alias,
-# and DR flows of the engine façade, value-checked end-to-end).
-# This round-9 window = those 13, then the two re-checks deferred
-# from round 8 (q09_limit, q10_count), then the OLDEST driver rows
-# (r1-era dashboard/CDC/join families and the r3-era
-# training-pipeline block) in their original driver order — 50 total.
+# full local sweeps) plus the 11 NEW this round: dedup_lsh_capped /
+# dedup_incremental / dedup_quality_survivors (the dedup family's
+# hot-band cap, batch-vs-store incremental form, and quality-aware
+# survivor selection), engine_bulk_mirror / alias_union_search /
+# engine_snapshot_restore / engine_knn_index_search /
+# engine_update_delete_search / engine_reindex_search (the engine
+# façade's _bulk, alias, DR, k-NN-index, maintenance, and reindex
+# flows value-checked end-to-end), and ann_ivfpq_index_topk /
+# ann_ivfpq_residual_topk (the combined IVF+PQ serving index, raw and
+# residual forms). This round-9 window = those 20, then the two
+# re-checks deferred from round 8 (q09_limit, q10_count), then the
+# OLDEST driver rows (r1-era dashboard/CDC/join families and the
+# r3-era training-pipeline block head) in original driver order —
+# 50 total.
 _PRIORITY = [
     # (a) added after the round-8 window froze — never driver-checked
     "sqs_required_prohibited", "sqs_or_phrase", "sqs_prefix_keyword",
@@ -88,7 +94,8 @@ _PRIORITY = [
     "ppl_fieldsummary", "ppl_expand_tokens",
     "ann_pq_index_topk", "ann_ivf_append_topk",
     # (b) NEW this round (round 9)
-    "dedup_lsh_capped", "engine_bulk_mirror",
+    "dedup_lsh_capped", "dedup_incremental", "dedup_quality_survivors",
+    "engine_bulk_mirror",
     "alias_union_search", "engine_snapshot_restore",
     "ann_ivfpq_index_topk", "ann_ivfpq_residual_topk",
     "engine_knn_index_search",
@@ -108,7 +115,6 @@ _PRIORITY = [
     "join_promo_share", "join_disjunctive_filter",
     # (e) r3-era training-pipeline block, original driver order
     "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
-    "dedup_simhash", "dedup_embedding_cosine",
 ]
 
 # Round-10 rotation TODO: any entries added after this round-9 window

@@ -92,7 +92,8 @@ def main() -> None:
     # ANN entries are NOT tagged: their pass-2 number measures a query
     # against an existing index, which is exactly their build-once /
     # query-many contract.)
-    MEMOIZED = {"dedup_minhash_lsh", "dedup_cc_clusters", "dedup_cc_survivors"}
+    MEMOIZED = {"dedup_minhash_lsh", "dedup_cc_clusters",
+                "dedup_cc_survivors", "dedup_quality_survivors"}
     passes: list[dict[str, float]] = []
     for pass_i in range(2):
         pass_t: dict[str, float] = {}

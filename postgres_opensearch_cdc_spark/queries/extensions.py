@@ -120,6 +120,37 @@ def dedup_lsh_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental exact dedup — the production batch-ingest shape: a
+    NEW batch (odd doc_ids) is deduped first within itself (min-id per
+    fingerprint) and then against the EXISTING corpus fingerprint
+    store (even doc_ids); only novel documents survive. At 100 TB the
+    store persists bucketed by fingerprint, so each ingest pays one
+    co-partitioned anti-join of (batch + store-slice) 32-byte keys —
+    never a corpus rescan. Fingerprints are the portable md5 form, so
+    the whole selection is value-checked."""
+    from postgres_opensearch_cdc_spark.functions.text import fingerprint
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    fps = docs.select(
+        "doc_id", fingerprint(F.col("text")).alias("fp")
+    )
+    store = fps.filter(F.col("doc_id") % 2 == 0).select("fp").distinct()
+    batch = fps.filter(F.col("doc_id") % 2 == 1)
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    batch_first = (
+        batch.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    return (
+        batch_first.join(store, "fp", "left_anti")
+        .select("doc_id", "fp")
+        .orderBy("doc_id")
+    )
+
+
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """60-bit SimHash sketch per doc via portable hash60 — sketch values
     are DuckDB-reproducible and value-checked bit for bit."""
@@ -928,6 +959,7 @@ QUERIES = {
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_lsh_capped": dedup_lsh_capped,
+    "dedup_incremental": dedup_incremental,
     "dedup_simhash": dedup_simhash,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "dedup_embedding_srp": dedup_embedding_srp,
@@ -1244,6 +1276,22 @@ ORACLE["dedup_minhash_lsh"] = f"""
 ORACLE["dedup_lsh_capped"] = f"""
         WITH {MINHASH_PAIRS_CAPPED_CTES}
         SELECT id_a, id_b, jaccard FROM minhash_pairs
+    """
+
+ORACLE["dedup_incremental"] = """
+        WITH fps AS (
+            SELECT doc_id,
+                   md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp
+            FROM documents
+        ),
+        store AS (SELECT DISTINCT fp FROM fps WHERE doc_id % 2 = 0),
+        batch AS (
+            SELECT doc_id, fp FROM fps WHERE doc_id % 2 = 1
+            QUALIFY row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1
+        )
+        SELECT doc_id, fp FROM batch
+        WHERE fp NOT IN (SELECT fp FROM store)
+        ORDER BY doc_id
     """
 
 # IVF oracle: replays seed-centroid construction (vec_id 1..10, cell =

@@ -96,9 +96,42 @@ def dedup_cc_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_quality_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware survivor selection: per near-dup cluster keep the
+    HIGHEST-quality document (tie → lower doc_id) instead of the
+    min-id canonical — what production dedup actually ships when docs
+    in a cluster differ (the boilerplate-stripped variant usually
+    scores higher than the raw crawl copy). Reuses the memoized
+    cluster labeling; the quality heuristic is the same portable
+    score text_stats value-checks, so the whole selection replays in
+    DuckDB.
+
+    Scale shape: clusters come from the LSH-pruned pair graph (no new
+    wide op); the selection is one row_number window over cluster_id —
+    clusters are small by construction, no skew."""
+    from postgres_opensearch_cdc_spark.functions.text import quality_score
+    from pyspark.sql import Window
+
+    cl = _doc_clusters(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", quality_score(F.col("text")).alias("quality")
+    )
+    joined = cl.select("doc_id", "cluster_id").join(docs, "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("quality").desc(), F.col("doc_id")
+    )
+    return (
+        joined.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("cluster_id", "doc_id", "quality")
+        .orderBy("cluster_id")
+    )
+
+
 QUERIES = {
     "dedup_cc_clusters": dedup_cc_clusters,
     "dedup_cc_survivors": dedup_cc_survivors,
+    "dedup_quality_survivors": dedup_quality_survivors,
 }
 
 # Recursive transitive closure over the identical pair definition used
@@ -125,7 +158,27 @@ _CLUSTERS_CTE = f"""
         )
 """
 
+# the same portable quality heuristic text_stats value-checks
+_TOKS_SQL = "regexp_split_to_array(lower(text), '\\s+')"
+_QUALITY_SQL = (
+    f"ROUND(0.5 * (len(list_distinct({_TOKS_SQL})) * 1.0 / len({_TOKS_SQL}))"
+    f" + 0.5 * least(len({_TOKS_SQL}) / 100.0, 1.0), 4)"
+)
+
 ORACLE = {
+    "dedup_quality_survivors": _CLUSTERS_CTE
+    + f""",
+        q AS (
+            SELECT doc_id, {_QUALITY_SQL} AS quality FROM documents
+        )
+        SELECT cluster_id, doc_id, quality FROM (
+            SELECT c.cluster_id, c.doc_id, q.quality,
+                   row_number() OVER (
+                       PARTITION BY c.cluster_id
+                       ORDER BY q.quality DESC, c.doc_id) AS rn
+            FROM clusters c JOIN q USING (doc_id)
+        ) WHERE rn = 1 ORDER BY cluster_id
+    """,
     "dedup_cc_clusters": _CLUSTERS_CTE
     + """
         SELECT doc_id, cluster_id FROM clusters ORDER BY doc_id

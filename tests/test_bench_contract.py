@@ -66,5 +66,6 @@ def test_bench_emits_valid_contract_json():
     # pass-1; pass 2 would be a memo hit, not a query time)
     assert doc["passes"] == 2
     assert set(doc["memoized"]) == {
-        "dedup_minhash_lsh", "dedup_cc_clusters", "dedup_cc_survivors"
+        "dedup_minhash_lsh", "dedup_cc_clusters", "dedup_cc_survivors",
+        "dedup_quality_survivors",
     }
