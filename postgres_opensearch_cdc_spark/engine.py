@@ -116,7 +116,32 @@ class CdcEngine:
             )
         handle = TableHandle(name=name, schema=schema, sink=sink)
         self.tables[name] = handle
+        self._rehydrate_knn_indexes(name)
         return handle
+
+    def _rehydrate_knn_indexes(self, name: str) -> None:
+        """A new CdcEngine over an existing workdir must find the
+        persisted vector indexes: probe ``knn_<name>_*/_knn_meta.json``
+        sidecars and repopulate ``knn_indexes`` so index-backed knn
+        (and its staleness contract) survives an engine restart rather
+        than silently falling back to exact scans. The dir name is
+        cross-checked against the meta's own ``vec_field`` so a table
+        name that prefixes another can't claim the wrong index."""
+        import glob
+        import json
+
+        for meta_path in glob.glob(
+            os.path.join(self.workdir, f"knn_{name}_*", "_knn_meta.json")
+        ):
+            try:
+                with open(meta_path) as fh:
+                    meta = json.load(fh)
+            except (OSError, ValueError):
+                continue  # crashed/partial sidecar: index not ready
+            vec_field = meta.get("vec_field")
+            expected = os.path.join(self.workdir, f"knn_{name}_{vec_field}")
+            if vec_field and os.path.dirname(meta_path) == expected:
+                self.knn_indexes.setdefault((name, vec_field), meta)
 
     def backfill(self, name: str, snapshot: DataFrame) -> None:
         """S2/ST1: snapshot rows are op='r' upserts applied before the
@@ -206,6 +231,15 @@ class CdcEngine:
             F.col("offset").alias(self.seq_col),
         )
 
+        # key covers the SOURCE DIRECTORY too: re-routing the same
+        # table set from a different changelog dir must get a fresh
+        # checkpoint, not silently reuse the old file-source log
+        key = hashlib.md5(
+            "\n".join([os.path.abspath(changelog_dir), *sorted(tables)])
+            .encode()
+        ).hexdigest()[:8]
+        ckpt = os.path.join(self.workdir, f"ckpt_routed_{key}")
+
         def _apply(batch: DataFrame, batch_id: int) -> None:
             batch = batch.localCheckpoint(eager=True)  # slice many, scan once
             for t in tables:
@@ -215,10 +249,12 @@ class CdcEngine:
                 slice_df = batch.filter(F.col("_route") == t).select(*cols)
                 if slice_df.isEmpty():
                     continue
-                self.tables[t].sink.apply_batch(slice_df, batch_id)
-
-        key = hashlib.md5(",".join(sorted(tables)).encode()).hexdigest()[:8]
-        ckpt = os.path.join(self.workdir, f"ckpt_routed_{key}")
+                # writer identity = this checkpoint: a re-route from a
+                # new dir restarts batch ids at 0, which must not alias
+                # the previous stream's batches in the replay guard
+                self.tables[t].sink.apply_batch(
+                    slice_df, batch_id, writer_id=ckpt
+                )
         writer = (
             flat.writeStream.foreachBatch(_apply)
             .option("checkpointLocation", ckpt)
@@ -350,6 +386,14 @@ class CdcEngine:
         )
 
         handle = self._resolve_write(name)
+        # hwm FIRST: a concurrent stream batch committed while the
+        # build's corpus scans run gets seq > this mark and lands in
+        # the exact delta even though it may also be in the index —
+        # the union+distinct in _knn_index_search absorbs the overlap.
+        # Reading it after the build would invert the race: rows with
+        # seq <= built_hwm but absent from the index would be
+        # invisible until the next rebuild.
+        hwm = self._seq_high_water(name)
         live = self.view(name)
         vectors = live.select(
             F.col(self.key_col).alias("vec_id"),
@@ -373,7 +417,6 @@ class CdcEngine:
             vectors, path, centroids=centroids, codebook=codebook,
             files_per_cell=files_per_cell,
         )
-        hwm = self._seq_high_water(name)
         meta = {
             "path": path, "nprobe": int(nprobe), "cells": int(cells),
             "built_hwm": hwm if hwm is not None else -1,

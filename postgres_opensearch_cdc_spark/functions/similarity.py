@@ -690,7 +690,12 @@ def ivfpq_index_build(
     os.replace(tmp, os.path.join(path, "_pq_codebook.json"))
     tmp = os.path.join(path, "_ivfpq_meta.json.tmp")
     with open(tmp, "w") as fh:
-        json.dump({"by_residual": bool(by_residual)}, fh)
+        # id_type lets the empty-probe query path construct its empty
+        # result from a literal schema instead of listing the index
+        json.dump({
+            "by_residual": bool(by_residual),
+            "id_type": vectors.schema[id_col].dataType.simpleString(),
+        }, fh)
     os.replace(tmp, os.path.join(path, "_ivfpq_meta.json"))
     tmp = os.path.join(path, "_ivf_centroids.json.tmp")
     with open(tmp, "w") as fh:
@@ -782,6 +787,20 @@ def ivfpq_index_topk(
         if os.path.isdir(os.path.join(path, f"_cell={c}"))
     ]
     if not probe_cells:  # degenerate: all probed cells empty
+        # literal empty frame — never list/read the index root: an
+        # index built from zero vectors has no part files to infer
+        # from, and a large index would list every partition just to
+        # produce nothing. id type comes from the build-time sidecar
+        # (legacy indexes without it fall back to the root read).
+        meta_path = os.path.join(path, "_ivfpq_meta.json")
+        id_type = None
+        if os.path.exists(meta_path):
+            with open(meta_path) as fh:
+                id_type = json.load(fh).get("id_type")
+        if id_type is not None:
+            return spark.createDataFrame(
+                [], f"{id_col} {id_type}, adc_dist double"
+            )
         return (
             spark.read.parquet(path).filter(F.lit(False))
             .select(F.col(id_col), F.lit(0.0).alias("adc_dist"))

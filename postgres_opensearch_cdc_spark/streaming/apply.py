@@ -65,11 +65,15 @@ class MirrorSink:
     def read(self, spark: SparkSession) -> DataFrame:
         return spark.read.parquet(self.path)
 
-    def apply_batch(self, batch: DataFrame, batch_id: int) -> None:
+    def apply_batch(self, batch: DataFrame, batch_id: int,
+                    writer_id: str | None = None) -> None:
         """foreachBatch body. Idempotent under batch replay: replaying a
         batch re-merges the same (key, seq) rows, and last-write-wins on
         the same sequence numbers is a no-op — the reference's
         PUT-by-id idempotency (consumer.py:64-68), ST5.
+        ``writer_id`` identifies the streaming query (checkpoint) for
+        sinks with a replay guard; this sink's idempotence is value-
+        level, so it only accepts the argument for interface parity.
 
         Contract (ST2): a key's events must not go BACKWARD across
         micro-batches — deletes are applied (key removed), not retained
@@ -139,7 +143,12 @@ def start_mirror_stream(
         F.count(F.lit(1)).alias("events"),
         F.sum(F.when(F.col(sink.op_col) == OP_DELETE, 1).otherwise(0)).alias("deletes"),
     )
-    writer = observed.writeStream.foreachBatch(sink.apply_batch).option(
+    def _apply(batch: DataFrame, batch_id: int) -> None:
+        # writer identity = the checkpoint: batch ids restart per
+        # checkpoint, so the sink's replay guard needs both
+        sink.apply_batch(batch, batch_id, writer_id=checkpoint_dir)
+
+    writer = observed.writeStream.foreachBatch(_apply).option(
         "checkpointLocation", checkpoint_dir
     )
     if trigger_available_now:
@@ -248,7 +257,8 @@ class PartitionedMirrorSink:
     def read(self, spark: SparkSession) -> DataFrame:
         return self._reader(spark).parquet(self.path).drop("_bucket")
 
-    def apply_batch(self, batch: DataFrame, batch_id: int) -> None:
+    def apply_batch(self, batch: DataFrame, batch_id: int,
+                    writer_id: str | None = None) -> None:
         _require_merge_columns(
             batch, self.key_cols, self.seq_cols, self.op_col
         )
@@ -468,7 +478,8 @@ class VersionedMirrorSink:
             return spark.createDataFrame([], schema)
         return sliced.drop("_bucket")
 
-    def apply_batch(self, batch: DataFrame, batch_id: int) -> None:
+    def apply_batch(self, batch: DataFrame, batch_id: int,
+                    writer_id: str | None = None) -> None:
         _require_merge_columns(
             batch, self.key_cols, self.seq_cols, self.op_col
         )
@@ -481,6 +492,12 @@ class VersionedMirrorSink:
             manifest is not None
             and batch_id >= 0
             and manifest.get("batch_id") == batch_id
+            # batch ids are only meaningful PER STREAMING QUERY: a new
+            # checkpoint (different changelog dir, re-route) restarts at
+            # batch 0, which must not alias the old stream's batch 0 —
+            # the (writer, batch) pair is Spark's documented foreachBatch
+            # dedup key
+            and manifest.get("writer_id") == writer_id
         ):
             return  # replayed batch already committed — exactly-once
         version = (manifest["version"] + 1) if manifest else 1
@@ -567,6 +584,7 @@ class VersionedMirrorSink:
                 {
                     "version": version,
                     "batch_id": batch_id,
+                    "writer_id": writer_id,
                     "buckets": buckets,
                     "max_seq": max_seq,
                     "schema": json.loads(merged.drop("_bucket").schema.json()),
@@ -653,14 +671,15 @@ class MultiTableMirrorSink:
     sinks: dict[str, MirrorSink]
     route_col: str = "target_table"
 
-    def apply_batch(self, batch: DataFrame, batch_id: int) -> None:
+    def apply_batch(self, batch: DataFrame, batch_id: int,
+                    writer_id: str | None = None) -> None:
         # merge-column validation happens in each routed per-table sink
         batch = batch.localCheckpoint(eager=True)  # materialize once, slice many
         for table, sink in self.sinks.items():
             slice_df = batch.filter(F.col(self.route_col) == table).drop(self.route_col)
             if slice_df.isEmpty():
                 continue
-            sink.apply_batch(slice_df, batch_id)
+            sink.apply_batch(slice_df, batch_id, writer_id=writer_id)
 
 
 # ---------------------------------------------------------------------------

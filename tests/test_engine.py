@@ -857,3 +857,107 @@ def test_knn_index_route_preserves_dsl_contracts(spark, tmp_path):
         body = {"knn": {"embedding": {"query_vector": q, "k": 3}}, **extra}
         with pytest.raises(DSLError, match="knn cannot be combined"):
             engine.search("vecs", body).collect()
+
+
+def test_engine_knn_index_survives_restart(spark, tmp_path):
+    """A NEW CdcEngine over an existing workdir must rehydrate the
+    persisted vector index from its _knn_meta.json sidecar (not
+    silently fall back to exact-scan knn), and index-backed search on
+    the restarted engine must match the pre-restart results."""
+    from postgres_opensearch_cdc_spark.registry import load_table
+
+    vecs = load_table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", "label", "embedding"
+    )
+    q = [float(x) for x in vecs.filter("vec_id = 0").head()["embedding"]]
+    engine = CdcEngine(spark=spark, workdir=str(tmp_path),
+                       key_col="vec_id", seq_col="offset", num_buckets=8)
+    engine.register_table("vecs", vecs.schema)
+    engine.backfill("vecs", vecs.filter("vec_id <> 0"))
+    meta = engine.put_knn_index("vecs", "embedding", cells=4, nprobe=4)
+    body = {"knn": {"embedding": {"query_vector": q, "k": 5,
+                                  "num_candidates": 50}}}
+    want = [(r["vec_id"], r["cos_sim"])
+            for r in engine.search("vecs", body).collect()]
+
+    # restart: same workdir, fresh engine object
+    engine2 = CdcEngine(spark=spark, workdir=str(tmp_path),
+                        key_col="vec_id", seq_col="offset", num_buckets=8)
+    engine2.register_table("vecs", vecs.schema)
+    assert engine2.knn_indexes.get(("vecs", "embedding")) == meta
+    got = [(r["vec_id"], r["cos_sim"])
+           for r in engine2.search("vecs", body).collect()]
+    assert got == want
+    # a fresh put_knn_index on the restarted engine still wins
+    # (setdefault never clobbers a live registration)
+    meta2 = engine2.put_knn_index("vecs", "embedding", cells=4, nprobe=4)
+    assert engine2.knn_indexes[("vecs", "embedding")] == meta2
+
+
+def test_put_knn_index_hwm_before_build_scans(spark, tmp_path, monkeypatch):
+    """The mid-build commit race (ADVICE r9, medium): a row merged
+    WHILE the index build's corpus scans run must remain visible to
+    index-backed knn afterwards. The hwm is captured before training,
+    so the mid-build row's seq lands ABOVE built_hwm and rides the
+    exact seq-delta; capturing it after the build would hide the row
+    until the next rebuild."""
+    from postgres_opensearch_cdc_spark.functions import similarity as sim
+    from postgres_opensearch_cdc_spark.registry import load_table
+
+    vecs = load_table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", "label", "embedding"
+    )
+    q = [float(x) for x in vecs.filter("vec_id = 0").head()["embedding"]]
+    engine = CdcEngine(spark=spark, workdir=str(tmp_path),
+                       key_col="vec_id", seq_col="offset", num_buckets=8)
+    engine.register_table("vecs", vecs.schema)
+    engine.backfill("vecs", vecs.filter("vec_id <> 0"))
+
+    real_kmeans = sim.kmeans_train
+
+    def racing_kmeans(*args, **kwargs):
+        # a concurrent stream batch commits mid-build: this row will
+        # NOT be in the built index (training already snapshotted the
+        # corpus logically, and the code write happens after)
+        engine.bulk("vecs", [{"index": {
+            "vec_id": 777777, "label": 0, "embedding": q}}], batch_id=50)
+        return real_kmeans(*args, **kwargs)
+
+    monkeypatch.setattr(sim, "kmeans_train", racing_kmeans)
+    meta = engine.put_knn_index("vecs", "embedding", cells=4, nprobe=4)
+    # the mid-build row's seq is above the captured hwm -> exact delta
+    mid_seq = engine.view("vecs").filter("vec_id = 777777").head()["offset"]
+    assert mid_seq > meta["built_hwm"]
+    body = {"knn": {"embedding": {"query_vector": q, "k": 3,
+                                  "num_candidates": 20}}}
+    hits = [r["vec_id"] for r in engine.search("vecs", body).collect()]
+    assert hits[0] == 777777
+
+
+def test_routed_checkpoint_keyed_by_changelog_dir(spark, tmp_path):
+    """ADVICE r9: routing the SAME table set from a DIFFERENT
+    changelog directory must get its own checkpoint — the second
+    directory's events apply instead of being swallowed by the first
+    checkpoint's file-source log."""
+    import glob
+
+    engine = CdcEngine(spark=spark, workdir=str(tmp_path))
+    engine.register_table("card", CARD_SCHEMA)
+
+    dir_a = str(tmp_path / "log_a")
+    os.makedirs(dir_a)
+    with open(os.path.join(dir_a, "b1.json"), "w") as f:
+        f.write(envelope("c", 1, "ACTIVE", "DEBIT", 1))
+    engine.start_routed_stream(dir_a, ["card"])
+    engine.await_all()
+    assert engine.counts() == {"card": 1}
+
+    dir_b = str(tmp_path / "log_b")
+    os.makedirs(dir_b)
+    with open(os.path.join(dir_b, "b1.json"), "w") as f:
+        f.write(envelope("c", 2, "BLOCKED", "CREDIT", 1))
+    engine.start_routed_stream(dir_b, ["card"])
+    engine.await_all()
+    assert {r["id"] for r in engine.view("card").collect()} == {1, 2}
+    # two distinct checkpoints exist — one per (dir, tables) key
+    assert len(glob.glob(os.path.join(str(tmp_path), "ckpt_routed_*"))) == 2

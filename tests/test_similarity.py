@@ -486,3 +486,25 @@ def test_ivfpq_residual_improves_recall(spark, clustered, tmp_path):
             for r in ivfpq_index_topk(spark, str(tmp_path / "res"), q,
                                       nprobe=3, k=10).collect()]
     assert got == want
+
+
+def test_ivfpq_empty_index_query_literal_schema(spark, tmp_path):
+    """ADVICE r9: querying an IVFPQ index whose probed cells are all
+    empty must return a correctly-typed EMPTY frame from the meta
+    sidecar's literal schema — never list/read the index root (an
+    index built from zero vectors has no part files to infer from)."""
+    from postgres_opensearch_cdc_spark.functions.similarity import (
+        ivfpq_index_build,
+        ivfpq_index_topk,
+    )
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    centroids = [[1.0, 0.0], [0.0, 1.0]]
+    codebook = [[[0.0], [1.0]], [[0.0], [1.0]]]
+    path = str(tmp_path / "idx")
+    ivfpq_index_build(empty, path, centroids=centroids, codebook=codebook)
+    out = ivfpq_index_topk(spark, path, [1.0, 0.0], nprobe=2, k=5)
+    assert out.columns == ["vec_id", "adc_dist"]
+    assert out.schema["vec_id"].dataType.simpleString() == "bigint"
+    assert out.schema["adc_dist"].dataType.simpleString() == "double"
+    assert out.count() == 0
