@@ -33,18 +33,29 @@ result is one flat row per (outer, inner) pair, inner buckets ranked
 per outer bucket), or a ``top_hits`` (size, sort, _source) returning
 the top documents per bucket via a ranked window.
 
-top level: size, sort ([{field: {"order": asc|desc}}...]), _source
-(projection list, applied LAST so sort/cursor fields need not be
-projected), search_after (one cursor value per sort field → a
-scan-pushed lexicographic predicate; cursor fields must be non-null),
-knn ({field: {"query_vector": [...], "k": N}} — the vector-search
+top level: size, from (offset paging — Limit(Offset(Sort)); rejects
+search_after, which is the keyset form for deep walks), sort
+([{field: {"order": asc|desc}}...]), _source (projection list,
+applied LAST so sort/cursor fields need not be projected),
+search_after (one cursor value per sort field → a scan-pushed
+lexicographic predicate; cursor fields must be non-null), knn
+({field: {"query_vector": [...], "k": N}} — the vector-search
 clause: exact cosine top-k as a scan projection +
 TakeOrderedAndProject, optionally pre-filtered by ``query``; raises
-on aggs/sort/_source).
+on aggs/sort/_source/highlight/search_after), highlight
+({"fields": {field: {}}} → one ±3-token fragment column per field,
+built from the query's positive terms on that field), suggest (the
+``term`` did-you-mean suggester → a suggestion frame), and
+track_total_hits (accepted as a lossless no-op — this API returns
+the hits frame itself; totals are engine.count).
 
 Everything compiles to built-in expressions — filters push to the
 scan, buckets become partial+final aggregates, size+sort becomes
-TakeOrderedAndProject. Unknown nodes raise DSLError.
+TakeOrderedAndProject. Unknown query nodes raise DSLError, and so do
+unknown TOP-LEVEL body keys — a pasted reference body with a clause
+this API doesn't serve degrades loudly, never silently (returning
+page 1 for a body with "from" would be a wrong answer, not a
+fallback).
 """
 
 from __future__ import annotations
@@ -644,11 +655,127 @@ def search(
     return search_frame(load_table(spark, sf_dir, table), body, id_col)
 
 
+#: every top-level request-body key this API understands. Anything
+#: else RAISES — a pasted reference body with a key we don't serve
+#: (yet) must degrade loudly, never return page 1 / unhighlighted hits
+#: as if the key had been honored (the silent-ignore hazard, r9
+#: verdict). track_total_hits is accepted as a lossless no-op: this
+#: API returns the hits frame itself, so total-count accounting
+#: (served by engine.count) cannot change the result rows.
+_BODY_KEYS = frozenset({
+    "query", "knn", "aggs", "aggregations", "sort", "search_after",
+    "size", "from", "_source", "highlight", "suggest",
+    "track_total_hits",
+})
+
+
+def _highlight_terms(node, field: str) -> list[str]:
+    """Collect the literal query terms targeting ``field`` — what the
+    highlighter marks up. Walks match / match_phrase / term /
+    query-context bool branches (must/filter/should; never must_not —
+    excluded terms aren't highlighted, same as Lucene's highlighter
+    which only sees positive clauses)."""
+    out: list[str] = []
+    if not isinstance(node, dict):
+        return out
+    for kind, spec in node.items():
+        if kind in ("match", "match_phrase", "term"):
+            ((fld, val),) = spec.items()
+            if isinstance(val, dict):
+                val = val.get("query", val.get("value"))
+            if fld == field and isinstance(val, str) and val.strip():
+                if kind == "match":  # analyzed: each token highlights
+                    out.extend(val.split())
+                else:
+                    out.append(val)
+        elif kind == "bool":
+            for clause in ("must", "filter", "should"):
+                sub = spec.get(clause, [])
+                for q in (sub if isinstance(sub, list) else [sub]):
+                    out.extend(_highlight_terms(q, field))
+    return out
+
+
+def _highlight_col(field: str, terms: list[str]) -> Column:
+    """The first ±3-token window around any query term — the snippet
+    the reference highlighter returns (same fragment contract as
+    queries/querydsl.py highlight_fragment; leftmost-greedy extraction
+    agrees between Java regex and RE2 so fragments value-check)."""
+    alt = "|".join(re.escape(t) for t in terms)
+    pat = rf"(?i)(\S+ ){{0,3}}({alt})( \S+){{0,3}}"
+    return F.regexp_extract(F.col(field), pat, 0)
+
+
+def _compile_suggest(df: DataFrame, spec: dict) -> DataFrame:
+    """The ``term`` suggester (did-you-mean): corpus-vocabulary terms
+    within ``max_edits`` of the input text, the candidate sharing the
+    input's first ``prefix_length`` chars and at least
+    ``min_word_length`` long (the ES defaults), ranked by similarity
+    (edit distance), then document frequency, then term. The
+    levenshtein runs on the AGGREGATED vocabulary — one explode +
+    term-keyed agg, then a vocab-sized scan, never per corpus row."""
+    if not isinstance(spec, dict) or len(spec) != 1:
+        raise DSLError("suggest needs exactly one named suggester")
+    ((name, s),) = spec.items()
+    if "term" not in s:
+        raise DSLError(f"suggester {name!r}: only 'term' is supported")
+    text = s.get("text")
+    if not isinstance(text, str) or not text.strip():
+        raise DSLError(f"suggester {name!r} needs non-empty 'text'")
+    text = text.strip().lower()
+    tspec = s["term"]
+    field = tspec["field"]
+    max_edits = int(tspec.get("max_edits", 2))
+    size = int(tspec.get("size", 5))
+    min_len = int(tspec.get("min_word_length", 4))
+    prefix_len = int(tspec.get("prefix_length", 1))
+    vocab = (
+        df.select(F.explode(
+            F.array_distinct(F.split(F.lower(F.col(field)), r"\s+"))
+        ).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+    )
+    dist = F.levenshtein(F.col("term"), F.lit(text))
+    out = vocab.withColumn("distance", dist).filter(
+        (F.col("distance") <= max_edits) & (F.col("distance") > 0)
+        & (F.length("term") >= min_len)
+    )
+    if prefix_len > 0:
+        out = out.filter(
+            F.substring("term", 1, prefix_len) == text[:prefix_len]
+        )
+    return out.orderBy(
+        F.col("distance"), F.col("doc_freq").desc(), F.col("term")
+    ).limit(size)
+
+
 def search_frame(df: DataFrame, body: dict, id_col: str = "doc_id") -> DataFrame:
     """Execute a request body against ANY DataFrame — the engine
     façade points this at a live CDC mirror view, making every DSL /
     query-string shape runnable on the always-current mirror exactly
     as a reference user queries their index."""
+    unknown = sorted(set(body) - _BODY_KEYS)
+    if unknown:
+        raise DSLError(
+            f"unknown top-level body keys: {unknown} "
+            f"(supported: {sorted(_BODY_KEYS)})"
+        )
+    if "aggs" in body and "aggregations" in body:
+        raise DSLError("body has both 'aggs' and 'aggregations'")
+    aggs = body.get("aggs", body.get("aggregations"))
+    frm = int(body.get("from", 0))
+    if frm < 0:
+        raise DSLError(f"'from' must be >= 0, got {frm}")
+    if "suggest" in body:
+        # suggesters return a suggestion frame, not hits — a combined
+        # hits+suggest response can't be ONE DataFrame, so reject the
+        # mix loudly instead of dropping one half
+        clash = sorted(set(body) & (_BODY_KEYS - {
+            "suggest", "size", "track_total_hits"}))
+        if clash:
+            raise DSLError(f"suggest cannot be combined with {clash}")
+        return _compile_suggest(df, body["suggest"])
     if "query" in body:
         df = df.filter(compile_query(body["query"], id_col))
     if "knn" in body:
@@ -656,7 +783,8 @@ def search_frame(df: DataFrame, body: dict, id_col: str = "doc_id") -> DataFrame
         # query-filtered) scan — the pre-filter strategy, same plan as
         # functions.similarity.brute_force_topk. Unsupported clause
         # combinations raise instead of being silently dropped.
-        for clause in ("aggs", "sort", "_source"):
+        for clause in ("aggs", "aggregations", "sort", "_source",
+                       "highlight", "search_after"):
             if clause in body:
                 raise DSLError(f"knn cannot be combined with {clause!r}")
         from postgres_opensearch_cdc_spark.functions.similarity import (
@@ -672,11 +800,38 @@ def search_frame(df: DataFrame, body: dict, id_col: str = "doc_id") -> DataFrame
             id_col=id_col,
             vec_col=field,
         )
+        if frm:  # page within the k ranked hits: window [from, from+size)
+            hits = hits.offset(frm)
         if "size" in body:  # ES: size caps the returned hits below k
             hits = hits.limit(min(k, int(body["size"])))
         return hits
-    if "aggs" in body:
-        return _compile_aggs(df, body["aggs"])
+    if aggs is not None:
+        for clause in ("highlight", "from"):
+            if clause in body:
+                raise DSLError(
+                    f"{clause!r} applies to hits, not aggregations"
+                )
+        return _compile_aggs(df, aggs)
+    hl_cols: list[str] = []
+    if "highlight" in body:
+        # highlight: one fragment column per requested field, built
+        # from the query's positive terms on that field. Computed on
+        # the filtered scan (before sort/projection) and carried
+        # through _source, which in ES also returns highlight
+        # alongside the projected source.
+        fields = body["highlight"].get("fields")
+        if not isinstance(fields, dict) or not fields:
+            raise DSLError("highlight needs a 'fields' object")
+        for fld in fields:
+            terms = _highlight_terms(body.get("query"), fld)
+            if not terms:
+                raise DSLError(
+                    f"highlight field {fld!r} has no positive "
+                    "match/match_phrase/term query terms to highlight"
+                )
+            name = f"highlight_{fld}"
+            df = df.withColumn(name, _highlight_col(fld, terms))
+            hl_cols.append(name)
     sort_spec: list[tuple[str, str]] = []
     if "sort" in body:
         for s in body["sort"]:
@@ -684,6 +839,9 @@ def search_frame(df: DataFrame, body: dict, id_col: str = "doc_id") -> DataFrame
             order = spec.get("order", "asc") if isinstance(spec, dict) else spec
             sort_spec.append((f, order))
     if "search_after" in body:
+        if frm:
+            # same contract as ES: keyset and offset paging don't mix
+            raise DSLError("'from' must be 0 when 'search_after' is used")
         # hits keyset pagination: strictly-after the cursor tuple in
         # the sort order (each field honoring its direction). Compiles
         # to a scan-pushable lexicographic predicate — constant driver
@@ -702,9 +860,18 @@ def search_frame(df: DataFrame, body: dict, id_col: str = "doc_id") -> DataFrame
             F.col(f).desc() if order == "desc" else F.col(f).asc()
             for f, order in sort_spec
         ])
+    if frm:
+        # offset paging (the `from`/`size` window users paste first).
+        # Scan-friendly — Limit(Offset(Sort)) is still a single
+        # TakeOrdered-style pass — but each deeper page re-ranks
+        # from+size rows; engine.scan's search_after keyset walk is the
+        # constant-cost form for deep exports.
+        df = df.offset(frm)
     if "size" in body:
         df = df.limit(int(body["size"]))
     if "_source" in body:
         # projection LAST: ES allows sort/cursor fields outside _source
-        df = df.select(*body["_source"])
+        # (highlight columns ride along, as ES returns them next to
+        # the projected source)
+        df = df.select(*body["_source"], *hl_cols)
     return df

@@ -334,14 +334,20 @@ class CdcEngine:
         semantics) it scores exactly over the scan."""
         from postgres_opensearch_cdc_spark.dsl import search_frame
 
-        if ("knn" in body and "query" not in body
-                and name not in self.aliases
-                # unsupported clause combos must still raise through
-                # the one DSL path, never be silently ignored here
-                and not any(c in body for c in ("aggs", "sort", "_source"))):
+        if ("knn" in body and name not in self.aliases
+                # the index route serves ONLY the clause set it
+                # implements; anything else (query pre-filter,
+                # unsupported combos, unknown keys) falls through to
+                # the one DSL path, which evaluates exactly or raises —
+                # never a silent drop here
+                and set(body) <= {"knn", "size", "from",
+                                  "track_total_hits"}):
             ((fld, spec),) = body["knn"].items()
             if (name, fld) in self.knn_indexes:
                 hits = self._knn_index_search(name, fld, spec)
+                frm = int(body.get("from", 0))
+                if frm:  # page within the k ranked hits, as the DSL does
+                    hits = hits.offset(frm)
                 if "size" in body:
                     hits = hits.limit(
                         min(int(spec.get("k", 10)), int(body["size"]))

@@ -455,3 +455,119 @@ def simhash_hamming_pairs(
     return pairs.select(
         "id_a", "id_b", hamming.cast("int").alias("hamming")
     ).filter(F.col("hamming") <= max_distance)
+
+
+def token_windows(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    window: int = 10,
+) -> DataFrame:
+    """Every stride-1 token window of length ``window`` per document:
+    (id, start, win_hash) with start the 0-based token offset. The
+    window strings are built and hashed INSIDE the scan projection
+    (transform + slice + concat_ws + xxhash64, all codegen) so only
+    8-byte hashes ever shuffle — the substrate of substring-level
+    dedup. Docs shorter than the window emit nothing."""
+    df = _ensure_parallelism(df)
+    toks = F.split(F.lower(F.col(text_col)), r"\s+")
+    # guard: sequence(0, negative) generates a DESCENDING range
+    starts = F.when(
+        F.size(toks) >= window,
+        F.sequence(F.lit(0), F.size(toks) - window),
+    ).otherwise(F.array().cast("array<int>"))
+    hashes = F.transform(
+        starts,
+        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, window))),
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(hashes).alias("start", "win_hash"),
+    )
+
+
+def duplicate_window_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    window: int = 10,
+    min_count: int = 2,
+) -> DataFrame:
+    """Substring-level exact dedup — the "dedup training data at the
+    N-token level" operator (suffix-array-style duplicated-span
+    detection, the window-hash formulation of Lee et al.'s Deduplicating
+    Training Data): a token window whose content occurs at >=
+    ``min_count`` positions across the corpus (other documents OR a
+    repeat inside the same one) marks a duplicated seed; overlapping or
+    touching seed windows per document merge into MAXIMAL spans.
+    Returns (id, span_start, span_end, n_windows): token offsets
+    [span_start, span_end) of each maximal duplicated span.
+
+    Scale shape: stride-1 windows mean one row per corpus TOKEN, but
+    each row is (id, int, hash) — the window text itself never leaves
+    the scan stage. The wide ops are one count-by-hash aggregate
+    (map-side partial combine collapses each doc's repeats first) and
+    one hash-keyed self-join back; the span merge is per-document
+    window functions over the (tiny) surviving seed set. Never
+    all-pairs, never a string shuffle."""
+    from pyspark.sql import Window
+
+    wins = token_windows(df, text_col, id_col, window=window)
+    dup = (
+        wins.groupBy("win_hash")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+        .filter(F.col("n_occ") >= min_count)
+        .select("win_hash")
+    )
+    seeds = wins.join(dup, "win_hash").select("id", "start")
+    w = Window.partitionBy("id").orderBy("start")
+    # equal-width windows => ends are monotone in starts, so a lag
+    # test is the full gaps-and-islands merge (no running-max needed):
+    # a seed at start s extends the current span iff s <= prev + window
+    new_island = F.when(
+        F.col("start") - F.lag("start").over(w) <= window, F.lit(0)
+    ).otherwise(F.lit(1))
+    islands = seeds.withColumn("_isl", new_island).withColumn(
+        "_grp",
+        F.sum("_isl").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        islands.groupBy("id", "_grp")
+        .agg(
+            F.min("start").alias("span_start"),
+            (F.max("start") + window).alias("span_end"),
+            F.count(F.lit(1)).alias("n_windows"),
+        )
+        .select("id", "span_start", "span_end", "n_windows")
+    )
+
+
+def duplicate_span_doc_stats(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    window: int = 10,
+    min_count: int = 2,
+) -> DataFrame:
+    """Per-document duplicated-substring exposure: total duplicated
+    tokens (union of maximal spans — spans are disjoint by
+    construction), span count, and the duplicated fraction of the
+    document — the signal a training pipeline thresholds to drop or
+    trim boilerplate-heavy documents. One extra per-doc aggregate +
+    broadcast-sized join back to token counts on the surviving docs."""
+    spans = duplicate_window_spans(
+        df, text_col, id_col, window=window, min_count=min_count
+    )
+    per_doc = spans.groupBy("id").agg(
+        F.sum(F.col("span_end") - F.col("span_start")).alias("dup_tokens"),
+        F.count(F.lit(1)).alias("n_spans"),
+    )
+    ntok = df.select(
+        F.col(id_col).alias("id"),
+        F.size(F.split(F.lower(F.col(text_col)), r"\s+")).alias("n_tokens"),
+    )
+    return per_doc.join(ntok, "id").select(
+        "id", "n_spans", "dup_tokens", "n_tokens",
+        F.round(F.col("dup_tokens") / F.col("n_tokens"), 6)
+        .alias("dup_fraction"),
+    )

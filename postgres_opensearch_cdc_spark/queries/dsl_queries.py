@@ -391,7 +391,69 @@ def dsl_filters_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
                   id_col="event_id")
 
 
+DSL_FROM_SIZE = {
+    "query": {"range": {"n_chars": {"gte": 100}}},
+    "sort": [{"n_chars": {"order": "desc"}}, {"doc_id": {"order": "asc"}}],
+    "from": 20,
+    "size": 10,
+    "_source": ["doc_id", "source", "n_chars"],
+    "track_total_hits": True,
+}
+
+
+def dsl_from_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offset pagination — the ``from``/``size`` window every pasted
+    dashboard body uses (page 3 of a ranked table, with a tiebreaking
+    sort so pages are a deterministic partition of the result).
+    track_total_hits rides along as the lossless no-op. Compiles to
+    Limit(Offset(Sort)): one ranked pass, no driver-side paging
+    state."""
+    return search(spark, sf_dir, "documents", DSL_FROM_SIZE)
+
+
+DSL_HIGHLIGHT = {
+    "query": {"bool": {
+        "must": [{"match": {"text": "stream processing"}}],
+        "filter": [{"term": {"lang": "en"}}],
+    }},
+    "highlight": {"fields": {"text": {}}},
+    "sort": [{"doc_id": "asc"}],
+    "_source": ["doc_id", "n_chars"],
+}
+
+
+def dsl_body_highlight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``highlight`` as a request-body key: the ±3-token fragment
+    around the query's positive terms on the highlighted field,
+    returned NEXT TO the projected _source columns — the reference
+    Dashboards body shape (DASHBOARD_GUIDE.md:84-110), previously only
+    reachable as a standalone query entry."""
+    return search(spark, sf_dir, "documents", DSL_HIGHLIGHT)
+
+
+DSL_SUGGEST = {
+    "suggest": {
+        "fix_typo": {
+            "text": "smat",
+            "term": {"field": "text", "size": 8},
+        }
+    }
+}
+
+
+def dsl_body_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``suggest`` as a request-body key: the term (did-you-mean)
+    suggester over the corpus vocabulary — edit distance <= 2, ES
+    default min_word_length/prefix_length, ranked by similarity then
+    document frequency. The levenshtein runs on the aggregated
+    vocabulary, never per corpus row."""
+    return search(spark, sf_dir, "documents", DSL_SUGGEST)
+
+
 QUERIES = {
+    "dsl_from_size": dsl_from_size,
+    "dsl_body_highlight": dsl_body_highlight,
+    "dsl_body_suggest": dsl_body_suggest,
     "dsl_bool_filtered_terms": dsl_bool_filtered_terms,
     "dsl_should_hits": dsl_should_hits,
     "dsl_date_histogram": dsl_date_histogram,
@@ -412,6 +474,42 @@ QUERIES = {
 }
 
 ORACLE = {
+    "dsl_from_size": """
+        SELECT doc_id, source, n_chars FROM documents
+        WHERE n_chars >= 100
+        ORDER BY n_chars DESC, doc_id ASC
+        LIMIT 10 OFFSET 20
+    """,
+    "dsl_body_highlight": r"""
+        SELECT doc_id, n_chars,
+               regexp_extract(text,
+                 '(?i)(\S+ ){0,3}(stream|processing)( \S+){0,3}')
+                 AS highlight_text
+        FROM documents
+        WHERE lang = 'en'
+          AND (regexp_matches(lower(text), '\bstream\b')
+               OR regexp_matches(lower(text), '\bprocessing\b'))
+        ORDER BY doc_id
+    """,
+    "dsl_body_suggest": r"""
+        WITH vocab AS (
+            SELECT tok AS term, COUNT(*) AS doc_freq
+            FROM (
+                SELECT unnest(list_distinct(
+                    regexp_split_to_array(lower(text), '\s+'))) AS tok
+                FROM documents
+            )
+            GROUP BY tok
+        )
+        SELECT term, doc_freq,
+               CAST(levenshtein(term, 'smat') AS INT) AS distance
+        FROM vocab
+        WHERE levenshtein(term, 'smat') BETWEEN 1 AND 2
+          AND length(term) >= 4
+          AND substring(term, 1, 1) = 's'
+        ORDER BY distance, doc_freq DESC, term
+        LIMIT 8
+    """,
     "dsl_filters_metrics": """
         WITH w AS (
           SELECT

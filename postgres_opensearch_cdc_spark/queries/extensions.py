@@ -1696,3 +1696,104 @@ ORACLE["multimodal_manifest"] = r"""
         FROM agg a LEFT JOIN fr ON fr.kind = a.kind
         ORDER BY a.kind
     """
+
+
+# ---------------------------------------------------------------------------
+# Substring-level exact dedup (round 10): duplicated token-window spans
+# ---------------------------------------------------------------------------
+
+SPAN_WINDOW = 10  # tokens per window — the "dedup at the N-token level" N
+
+
+def dedup_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level exact dedup (Lee et al.'s duplicated-span
+    detection, window-hash form): maximal per-document token spans
+    every one of whose {SPAN_WINDOW}-token windows occurs at >= 2
+    positions in the corpus. The window text is hashed inside the scan
+    (only 8-byte hashes shuffle); the DuckDB oracle replays the same
+    windows on the STRINGS themselves, so the value check also
+    certifies the hash path collision-free at this scale."""
+    from postgres_opensearch_cdc_spark.functions.dedup import (
+        duplicate_window_spans,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return duplicate_window_spans(
+        docs, "text", "doc_id", window=SPAN_WINDOW
+    ).orderBy("id", "span_start")
+
+
+def dedup_span_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-substring exposure over the maximal
+    spans: duplicated token count, span count, and duplicated fraction
+    — the threshold signal for dropping/trimming boilerplate-heavy
+    documents in a training pipeline."""
+    from postgres_opensearch_cdc_spark.functions.dedup import (
+        duplicate_span_doc_stats,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return duplicate_span_doc_stats(
+        docs, "text", "doc_id", window=SPAN_WINDOW
+    ).orderBy("id")
+
+
+QUERIES["dedup_duplicate_spans"] = dedup_duplicate_spans
+QUERIES["dedup_span_doc_stats"] = dedup_span_doc_stats
+
+_SPAN_SEEDS = f"""
+    toks AS (
+        SELECT doc_id, {_TOKS} AS t FROM documents
+    ),
+    wins AS (
+        SELECT doc_id, CAST(i AS BIGINT) AS start,
+               array_to_string(t[i+1 : i+{SPAN_WINDOW}], ' ') AS win
+        FROM toks, UNNEST(range(len(t) - {SPAN_WINDOW} + 1)) AS u(i)
+        WHERE len(t) >= {SPAN_WINDOW}
+    ),
+    dup AS (
+        SELECT win FROM wins GROUP BY win HAVING COUNT(*) >= 2
+    ),
+    seeds AS (
+        SELECT w.doc_id, w.start FROM wins w JOIN dup USING (win)
+    ),
+    isl AS (
+        SELECT doc_id, start,
+               CASE WHEN start - lag(start) OVER (
+                        PARTITION BY doc_id ORDER BY start)
+                    <= {SPAN_WINDOW} THEN 0 ELSE 1 END AS newisl
+        FROM seeds
+    ),
+    grp AS (
+        SELECT doc_id, start,
+               SUM(newisl) OVER (
+                   PARTITION BY doc_id ORDER BY start) AS g
+        FROM isl
+    ),
+    spans AS (
+        SELECT doc_id AS id, MIN(start) AS span_start,
+               MAX(start) + {SPAN_WINDOW} AS span_end,
+               COUNT(*) AS n_windows
+        FROM grp GROUP BY doc_id, g
+    )
+"""
+
+ORACLE["dedup_duplicate_spans"] = f"""
+    WITH {_SPAN_SEEDS}
+    SELECT id, span_start, span_end, n_windows
+    FROM spans ORDER BY id, span_start
+"""
+
+ORACLE["dedup_span_doc_stats"] = f"""
+    WITH {_SPAN_SEEDS},
+    per_doc AS (
+        SELECT id, COUNT(*) AS n_spans,
+               CAST(SUM(span_end - span_start) AS BIGINT) AS dup_tokens
+        FROM spans GROUP BY id
+    )
+    SELECT p.id, p.n_spans, p.dup_tokens,
+           CAST(len(t) AS INT) AS n_tokens,
+           ROUND(p.dup_tokens / len(t), 6) AS dup_fraction
+    FROM per_doc p JOIN toks ON toks.doc_id = p.id
+    ORDER BY p.id
+"""

@@ -230,3 +230,56 @@ def test_bucket_cap_bounds_hot_band_explosion(spark):
 
     with pytest.raises(ValueError, match="bucket_cap"):
         minhash_lsh_candidates(sigs, bucket_cap=0)
+
+
+def test_duplicate_window_spans_planted(spark):
+    """Substring-level dedup on planted geometry: a 25-token span
+    shared by two docs is recovered with EXACT token boundaries in
+    both; a 12-token phrase repeated WITHIN one doc is caught twice;
+    unique docs and sub-window docs emit nothing; per-doc stats agree
+    with the spans."""
+    from postgres_opensearch_cdc_spark.functions.dedup import (
+        duplicate_span_doc_stats,
+        duplicate_window_spans,
+    )
+
+    W = 10
+    shared = " ".join(f"shared{i}" for i in range(25))     # 25 tokens
+    phrase = " ".join(f"rep{i}" for i in range(12))        # 12 tokens
+    docs = spark.createDataFrame(
+        [
+            # shared span at token offset 3 (after ua0 ua1 ua2)
+            (1, "ua0 ua1 ua2 " + shared + " ub0 ub1"),
+            # same span at token offset 5
+            (2, "va0 va1 va2 va3 va4 " + shared),
+            # within-doc repeat: phrase at 0 and again at 12+11=23
+            (3, phrase + " " + " ".join(f"w{i}" for i in range(11))
+                + " " + phrase),
+            (4, "totally unique tokens nothing here repeats at all "
+                "really nothing matches anywhere else in this corpus"),
+            (5, "short doc"),  # < W tokens: must emit no windows
+        ],
+        "doc_id long, text string",
+    )
+    spans = {
+        (r["id"], r["span_start"], r["span_end"], r["n_windows"])
+        for r in duplicate_window_spans(
+            docs, "text", "doc_id", window=W).collect()
+    }
+    # doc1: span [3, 28), 25-10+1=16 windows; doc2: [5, 30)
+    # doc3: two maximal spans [0,12) and [23,35), 3 windows each
+    assert spans == {
+        (1, 3, 28, 16),
+        (2, 5, 30, 16),
+        (3, 0, 12, 3),
+        (3, 23, 35, 3),
+    }
+    stats = {
+        r["id"]: (r["n_spans"], r["dup_tokens"], r["n_tokens"],
+                  r["dup_fraction"])
+        for r in duplicate_span_doc_stats(
+            docs, "text", "doc_id", window=W).collect()
+    }
+    assert stats[1] == (1, 25, 30, round(25 / 30, 6))
+    assert stats[3] == (2, 24, 35, round(24 / 35, 6))
+    assert set(stats) == {1, 2, 3}

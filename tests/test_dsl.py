@@ -568,3 +568,166 @@ def test_bucket_labels_and_agg_names_are_injection_safe(spark):
     }}}
     out = search_frame(df, rng).collect()
     assert len(out) == 1 and out[0]["doc_count"] == 1 and out[0]["v_max"] == 10.0
+
+
+# ---------------------------------------------------------------------------
+# strict top-level body validation + from/size + highlight/suggest (r10)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("key", [
+    "min_score", "rescore", "collapse", "frm", "explain", "FROM",
+])
+def test_unknown_top_level_body_key_raises(spark, sf_dir, key):
+    """A pasted reference body with a clause we don't serve must raise,
+    never degrade silently (returning page 1 for a typoed paging key
+    would be a wrong answer, not a fallback)."""
+    with pytest.raises(DSLError, match="unknown top-level body keys"):
+        search(spark, sf_dir, "documents", {key: 1, "size": 3})
+
+
+def test_from_size_page_walk_disjoint_exhaustive(spark, sf_dir):
+    """Offset paging partitions the sorted result: walking pages of 97
+    via from/size yields disjoint pages whose union is exactly the
+    unpaged result, in order."""
+    base = {"sort": [{"doc_id": {"order": "asc"}}],
+            "_source": ["doc_id"]}
+    want = [r["doc_id"]
+            for r in search(spark, sf_dir, "documents", base).collect()]
+    got: list = []
+    frm, size = 0, 97
+    while True:
+        page = [r["doc_id"] for r in search(
+            spark, sf_dir, "documents",
+            {**base, "from": frm, "size": size}).collect()]
+        if not page:
+            break
+        assert len(set(page)) == len(page)
+        assert not set(page) & set(got), "pages overlap"
+        got.extend(page)
+        frm += size
+        assert len(page) == size or frm >= len(want)
+    assert got == want
+
+
+def test_from_rejects_search_after_and_negative(spark, sf_dir):
+    body = {"sort": [{"doc_id": {"order": "asc"}}], "size": 5}
+    with pytest.raises(DSLError, match="must be 0 when 'search_after'"):
+        search(spark, sf_dir, "documents",
+               {**body, "from": 10, "search_after": [100]}).collect()
+    with pytest.raises(DSLError, match="must be >= 0"):
+        search(spark, sf_dir, "documents", {**body, "from": -1})
+    # from=0 + search_after is the ES-legal degenerate form
+    out = search(spark, sf_dir, "documents",
+                 {**body, "from": 0, "search_after": [100]})
+    assert [r["doc_id"] for r in out.collect()][0] > 100
+
+
+def test_from_applies_to_hits_not_aggs(spark, sf_dir):
+    with pytest.raises(DSLError, match="applies to hits"):
+        search(spark, sf_dir, "events",
+               {"from": 5, "aggs": {"n": {"sum": {"field": "value"}}}},
+               id_col="event_id")
+    with pytest.raises(DSLError, match="applies to hits"):
+        search(spark, sf_dir, "documents", {
+            "highlight": {"fields": {"text": {}}},
+            "query": {"match": {"text": "spark"}},
+            "aggs": {"n": {"value_count": {"field": "doc_id"}}},
+        })
+
+
+def test_aggregations_alias_and_double_spelling(spark, sf_dir):
+    body_aggs = {"aggs": {"by_type": {
+        "terms": {"field": "event_type", "size": 3}}}}
+    body_alias = {"aggregations": body_aggs["aggs"]}
+    a = search(spark, sf_dir, "events", body_aggs, id_col="event_id").collect()
+    b = search(spark, sf_dir, "events", body_alias, id_col="event_id").collect()
+    assert a == b
+    with pytest.raises(DSLError, match="both 'aggs' and 'aggregations'"):
+        search(spark, sf_dir, "events", {**body_aggs, **body_alias},
+               id_col="event_id")
+
+
+def test_knn_from_pages_within_k(spark, sf_dir):
+    vecs = load_table(spark, sf_dir, "embeddings")
+    q = [float(x) for x in vecs.filter("vec_id = 0").head()["embedding"]]
+    full = search(spark, sf_dir, "embeddings",
+                  {"knn": {"embedding": {"query_vector": q, "k": 10}}},
+                  id_col="vec_id").collect()
+    page2 = search(spark, sf_dir, "embeddings",
+                   {"knn": {"embedding": {"query_vector": q, "k": 10}},
+                    "from": 5, "size": 3},
+                   id_col="vec_id").collect()
+    assert [r["vec_id"] for r in page2] == [r["vec_id"] for r in full[5:8]]
+    with pytest.raises(DSLError, match="knn cannot be combined"):
+        search(spark, sf_dir, "embeddings",
+               {"knn": {"embedding": {"query_vector": q, "k": 3}},
+                "highlight": {"fields": {"text": {}}}}, id_col="vec_id")
+
+
+def test_highlight_fragment_next_to_source(spark, sf_dir):
+    body = {
+        "query": {"match": {"text": "spark"}},
+        "highlight": {"fields": {"text": {}}},
+        "sort": [{"doc_id": "asc"}],
+        "_source": ["doc_id"],
+        "size": 5,
+    }
+    out = search(spark, sf_dir, "documents", body)
+    assert out.columns == ["doc_id", "highlight_text"]
+    rows = out.collect()
+    assert rows and all("spark" in r["highlight_text"].lower() for r in rows)
+    # fragment is bounded: at most 3 tokens either side of the match
+    for r in rows:
+        toks = r["highlight_text"].split()
+        hit = next(i for i, t in enumerate(toks) if "spark" in t.lower())
+        assert hit <= 3 and (len(toks) - 1 - hit) <= 3
+
+
+def test_highlight_requires_query_terms_on_field(spark, sf_dir):
+    with pytest.raises(DSLError, match="no positive"):
+        search(spark, sf_dir, "documents", {
+            "query": {"range": {"n_chars": {"gte": 10}}},
+            "highlight": {"fields": {"text": {}}},
+        })
+    with pytest.raises(DSLError, match="needs a 'fields' object"):
+        search(spark, sf_dir, "documents", {
+            "query": {"match": {"text": "spark"}}, "highlight": {},
+        })
+    # must_not terms are never highlighted
+    with pytest.raises(DSLError, match="no positive"):
+        search(spark, sf_dir, "documents", {
+            "query": {"bool": {"must_not": [{"match": {"text": "spark"}}]}},
+            "highlight": {"fields": {"text": {}}},
+        })
+
+
+def test_suggest_contract(spark, sf_dir):
+    body = {"suggest": {"fix": {
+        "text": "smat", "term": {"field": "text", "size": 8}}}}
+    out = search(spark, sf_dir, "documents", body)
+    rows = out.collect()
+    assert out.columns == ["term", "doc_freq", "distance"]
+    assert rows and all(1 <= r["distance"] <= 2 for r in rows)
+    assert all(r["term"].startswith("s") for r in rows)  # prefix_length=1
+    # ranked by similarity first, then doc_freq desc
+    ranks = [(r["distance"], -r["doc_freq"], r["term"]) for r in rows]
+    assert ranks == sorted(ranks)
+    # suggest is its own response frame: mixing with hits clauses raises
+    with pytest.raises(DSLError, match="suggest cannot be combined"):
+        search(spark, sf_dir, "documents",
+               {**body, "query": {"match_all": {}}})
+    with pytest.raises(DSLError, match="only 'term' is supported"):
+        search(spark, sf_dir, "documents",
+               {"suggest": {"fix": {"text": "smat",
+                                    "phrase": {"field": "text"}}}})
+    with pytest.raises(DSLError, match="exactly one named suggester"):
+        search(spark, sf_dir, "documents", {"suggest": {}})
+
+
+def test_track_total_hits_is_lossless_noop(spark, sf_dir):
+    body = {"sort": [{"doc_id": "asc"}], "size": 4, "_source": ["doc_id"]}
+    a = search(spark, sf_dir, "documents", body).collect()
+    b = search(spark, sf_dir, "documents",
+               {**body, "track_total_hits": True}).collect()
+    assert a == b
