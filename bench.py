@@ -150,6 +150,7 @@ def main() -> None:
               f"(reps {[round(r, 2) for r in reps]})", file=progress, flush=True)
 
     throughput = cdc_throughput(spark, sf_dir)
+    throughput["knn_serve_latency_sec"] = knn_serving(spark, sf_dir)
 
     # ONE compact JSON line, the process's only stdout output. The
     # harness keeps only the LAST 2,000 bytes of stdout, so the line
@@ -321,6 +322,46 @@ def cdc_throughput(spark, sf_dir: str) -> dict:
         shutil.rmtree(tmp, ignore_errors=True)
     return out
 
+
+
+def knn_serving(spark, sf_dir: str) -> float:
+    """Serve-only k-NN latency (r9 verdict ask #3): the
+    engine_knn_index_search queries() entry times ingest + index build
+    + search as one composite BY DESIGN (the oracle needs the whole
+    flow), so its warm median reads ~80% ingest. This measures the
+    SERVING contract alone — mirror and IVFPQ index built once,
+    untimed (the build-once / query-many production shape), then the
+    warm median of the index-backed search: pruned-probe ANN
+    candidates ∪ exact seq-delta ∪ live broadcast rerank."""
+    import shutil
+    import statistics
+    import tempfile
+
+    from postgres_opensearch_cdc_spark.engine import CdcEngine
+    from postgres_opensearch_cdc_spark.registry import load_table
+
+    tmp = tempfile.mkdtemp(prefix="bench_knn_")
+    try:
+        vecs = load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", "label", "embedding"
+        )
+        q = [float(x) for x in vecs.filter("vec_id = 0").head()["embedding"]]
+        engine = CdcEngine(spark=spark, workdir=tmp, key_col="vec_id",
+                           seq_col="offset", num_buckets=8)
+        engine.register_table("vecs", vecs.schema)
+        engine.backfill("vecs", vecs)
+        engine.put_knn_index("vecs", "embedding", cells=16, nprobe=4)
+        body = {"knn": {"embedding": {
+            "query_vector": q, "k": 10, "num_candidates": 100}}}
+        engine.search("vecs", body).collect()  # compile the serve plan
+        reps = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            engine.search("vecs", body).collect()
+            reps.append(time.perf_counter() - t0)
+        return round(statistics.median(reps), 3)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 def _reexec_quiet() -> None:

@@ -1,5 +1,6 @@
 """Measured scale curve for the CDC merge path (SCALE.md §15): hash-
-and range-mode VersionedMirrorSink merges at 1× and 10× mirror size
+and range-mode VersionedMirrorSink merges at 1×, 10×, and 100× mirror
+size (the 100× point = sf0.1 orders replicated 10× with shifted keys)
 with a FIXED 1,000-row micro-batch.
 
 The claim under test (the engine's core 100 TB argument, SCALE.md §2):
@@ -40,10 +41,13 @@ BATCH_ROWS = 1000
 BUCKETS = 32
 
 
-def measure(spark, sf_dir: str, tmp: str) -> list[dict]:
+def measure(spark, sf_dir: str, tmp: str, replicate: int = 1) -> list[dict]:
     # the orders table as an upsert changelog: every o_orderkey is a
     # live mirror row, so mirror size tracks the sf directly (the
-    # compacted events mirror collapses to ~100 keys — no size axis)
+    # compacted events mirror collapses to ~100 keys — no size axis).
+    # replicate > 1 extends the axis past the largest generated sf:
+    # k key-shifted copies of the table give a k× mirror with the same
+    # row shape (the 100× point = sf0.1 × 10).
     orders = load_table(spark, sf_dir, "orders")
     log = orders.select(
         F.lit("u").alias("op"),
@@ -51,6 +55,17 @@ def measure(spark, sf_dir: str, tmp: str) -> list[dict]:
         "o_orderstatus", "o_totalprice", "o_orderpriority",
         F.lit(0).cast("long").alias("offset"),
     )
+    if replicate > 1:
+        base_max = log.agg(F.max("key")).head()[0] + 1
+        log = (
+            log.withColumn(
+                "_shift",
+                F.explode(F.array(*[F.lit(i * base_max)
+                                    for i in range(replicate)])),
+            )
+            .withColumn("key", F.col("key") + F.col("_shift"))
+            .drop("_shift")
+        )
     n = log.count()
     max_key = log.agg(F.max("key")).head()[0]
     span = max_key // BUCKETS + 1
@@ -68,7 +83,9 @@ def measure(spark, sf_dir: str, tmp: str) -> list[dict]:
         ("range", f"key div {span}",
          upd.filter(F.col("key") < span).limit(BATCH_ROWS)),
     ]:
-        path = os.path.join(tmp, f"mirror_{os.path.basename(sf_dir)}_{mode}")
+        path = os.path.join(
+            tmp, f"mirror_{os.path.basename(sf_dir)}_x{replicate}_{mode}"
+        )
         sink = VersionedMirrorSink(
             path=path, key_cols=["key"], seq_cols=["offset"],
             num_buckets=BUCKETS, bucket_expr=bucket_expr,
@@ -103,7 +120,8 @@ def measure(spark, sf_dir: str, tmp: str) -> list[dict]:
             for dp, _, fs in os.walk(data_dir) for f in fs
         )
         row = {
-            "sf_dir": sf_dir, "mode": mode, "events": n,
+            "sf_dir": sf_dir, "replicate": replicate,
+            "mode": mode, "events": n,
             "mirror_rows": mirror_rows, "batch_rows": BATCH_ROWS,
             "touched_buckets": touched, "num_buckets": BUCKETS,
             "batch_sec_min": round(min(reps), 3),
@@ -125,6 +143,9 @@ def main() -> None:
     try:
         for sf_dir in ("/root/testdata/sf0.01", "/root/testdata/sf0.1"):
             measure(spark, sf_dir, tmp)
+        # the 100× point: sf0.1 orders replicated 10× (1.5M-row
+        # mirror) — pins range-mode flatness across two decades
+        measure(spark, "/root/testdata/sf0.1", tmp, replicate=10)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
