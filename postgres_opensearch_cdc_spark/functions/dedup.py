@@ -510,8 +510,6 @@ def duplicate_window_spans(
     one hash-keyed self-join back; the span merge is per-document
     window functions over the (tiny) surviving seed set. Never
     all-pairs, never a string shuffle."""
-    from pyspark.sql import Window
-
     wins = token_windows(df, text_col, id_col, window=window)
     dup = (
         wins.groupBy("win_hash")
@@ -520,10 +518,17 @@ def duplicate_window_spans(
         .select("win_hash")
     )
     seeds = wins.join(dup, "win_hash").select("id", "start")
+    return merge_seed_spans(seeds, window)
+
+
+def merge_seed_spans(seeds: DataFrame, window: int) -> DataFrame:
+    """Merge duplicated seed windows (id, start) into maximal spans.
+    Equal-width windows => ends are monotone in starts, so a lag test
+    is the full gaps-and-islands merge (no running-max needed): a seed
+    at start s extends the current span iff s <= prev + window."""
+    from pyspark.sql import Window
+
     w = Window.partitionBy("id").orderBy("start")
-    # equal-width windows => ends are monotone in starts, so a lag
-    # test is the full gaps-and-islands merge (no running-max needed):
-    # a seed at start s extends the current span iff s <= prev + window
     new_island = F.when(
         F.col("start") - F.lag("start").over(w) <= window, F.lit(0)
     ).otherwise(F.lit(1))
@@ -540,6 +545,35 @@ def duplicate_window_spans(
         )
         .select("id", "span_start", "span_end", "n_windows")
     )
+
+
+def incremental_duplicate_spans(
+    batch: DataFrame,
+    store_hashes: DataFrame,
+    text_col: str,
+    id_col: str,
+    window: int = 10,
+) -> DataFrame:
+    """The batch-vs-store (production ingest) form of substring dedup:
+    duplicated spans of the NEW batch only — a batch window is a seed
+    iff its content already exists in the persisted window-hash STORE
+    (one `win_hash` column, e.g. the token_windows output of everything
+    ingested so far, kept as a bucketed parquet table) OR occurs >= 2
+    times within the batch itself. Each ingest pays the batch's own
+    shingling plus one hash-keyed semi-join against the store slice —
+    never a corpus rescan; the store grows by one append per batch."""
+    bw = token_windows(batch, text_col, id_col, window=window)
+    batch_dup = (
+        bw.groupBy("win_hash")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+        .filter(F.col("n_occ") >= 2)
+        .select("win_hash")
+    )
+    dup = batch_dup.unionByName(
+        store_hashes.select("win_hash")
+    ).distinct()
+    seeds = bw.join(dup, "win_hash").select("id", "start")
+    return merge_seed_spans(seeds, window)
 
 
 def duplicate_span_doc_stats(
@@ -570,4 +604,79 @@ def duplicate_span_doc_stats(
         "id", "n_spans", "dup_tokens", "n_tokens",
         F.round(F.col("dup_tokens") / F.col("n_tokens"), 6)
         .alias("dup_fraction"),
+    )
+
+
+def trim_duplicate_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    window: int = 10,
+) -> DataFrame:
+    """ACT on duplicated spans — the exact-substring-dedup policy the
+    big open corpora apply (remove every duplicated span occurrence
+    EXCEPT the corpus-first one, so one canonical copy of each
+    boilerplate survives): a window occurrence is redundant iff it is
+    not the (min doc id, min start) occurrence of its content;
+    redundant windows merge into maximal spans per doc (same
+    gaps-and-islands as duplicate_window_spans) and the covered tokens
+    are dropped from the text. Returns every document as
+    (id, clean_text, kept_tokens, removed_tokens) with clean_text in
+    the analyzer's normalized form (lowercased, single-spaced — spans
+    are defined over analyzed tokens, so the rebuild is too).
+
+    Scale shape: one extra count-free aggregate (min struct per window
+    hash) on top of the span pipeline, one hash-keyed join back, and
+    the trim itself is a per-row array filter inside the scan — the
+    token index set never leaves its document's row."""
+    from pyspark.sql import Window
+
+    wins = token_windows(df, text_col, id_col, window=window)
+    canon = wins.groupBy("win_hash").agg(
+        F.min(F.struct("id", "start")).alias("first"),
+        F.count(F.lit(1)).alias("n_occ"),
+    ).filter(F.col("n_occ") >= 2)
+    redundant = (
+        wins.join(canon, "win_hash")
+        .filter(
+            (F.col("id") != F.col("first.id"))
+            | (F.col("start") != F.col("first.start"))
+        )
+        .select("id", "start")
+        # a doc can hold the SAME window content at two positions that
+        # also exists elsewhere: both rows are distinct (id, start)
+        .distinct()
+    )
+    w = Window.partitionBy("id").orderBy("start")
+    new_island = F.when(
+        F.col("start") - F.lag("start").over(w) <= window, F.lit(0)
+    ).otherwise(F.lit(1))
+    spans = (
+        redundant.withColumn("_isl", new_island)
+        .withColumn(
+            "_grp",
+            F.sum("_isl").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy("id", "_grp")
+        .agg(
+            F.min("start").alias("s"),
+            (F.max("start") + window).alias("e"),
+        )
+        .groupBy("id")
+        .agg(F.collect_list(F.struct("s", "e")).alias("spans"))
+    )
+    toks = F.split(F.lower(F.col(text_col)), r"\s+")
+    base = df.select(F.col(id_col).alias("id"), toks.alias("_toks"))
+    joined = base.join(spans, "id", "left")
+    covered = lambda i: F.exists(  # noqa: E731
+        F.col("spans"), lambda sp: (i >= sp["s"]) & (i < sp["e"])
+    )
+    kept = F.when(F.col("spans").isNull(), F.col("_toks")).otherwise(
+        F.filter(F.col("_toks"), lambda t, i: ~covered(i))
+    )
+    return joined.select(
+        "id",
+        F.concat_ws(" ", kept).alias("clean_text"),
+        F.size(kept).alias("kept_tokens"),
+        (F.size("_toks") - F.size(kept)).alias("removed_tokens"),
     )

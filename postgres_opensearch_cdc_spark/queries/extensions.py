@@ -1797,3 +1797,152 @@ ORACLE["dedup_span_doc_stats"] = f"""
     FROM per_doc p JOIN toks ON toks.doc_id = p.id
     ORDER BY p.id
 """
+
+
+def dedup_span_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ACTION operator of the substring-dedup family: remove every
+    duplicated span occurrence except the corpus-first one (the
+    exact-substring-dedup policy of the big open corpora) and emit the
+    rebuilt text — every document, with kept/removed token counts. The
+    oracle replays canonical-occurrence selection (row_number over the
+    window STRINGS), span merge, and text rebuild in DuckDB."""
+    from postgres_opensearch_cdc_spark.functions.dedup import (
+        trim_duplicate_spans,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return trim_duplicate_spans(
+        docs, "text", "doc_id", window=SPAN_WINDOW
+    ).orderBy("id")
+
+
+QUERIES["dedup_span_trim"] = dedup_span_trim
+
+ORACLE["dedup_span_trim"] = f"""
+    WITH toks AS (
+        SELECT doc_id, {_TOKS} AS t FROM documents
+    ),
+    wins AS (
+        SELECT doc_id, CAST(i AS BIGINT) AS start,
+               array_to_string(t[i+1 : i+{SPAN_WINDOW}], ' ') AS win
+        FROM toks, UNNEST(range(len(t) - {SPAN_WINDOW} + 1)) AS u(i)
+        WHERE len(t) >= {SPAN_WINDOW}
+    ),
+    ranked AS (
+        SELECT doc_id, start,
+               row_number() OVER (
+                   PARTITION BY win ORDER BY doc_id, start) AS rn
+        FROM wins
+    ),
+    redundant AS (
+        SELECT DISTINCT doc_id, start FROM ranked WHERE rn > 1
+    ),
+    isl AS (
+        SELECT doc_id, start,
+               CASE WHEN start - lag(start) OVER (
+                        PARTITION BY doc_id ORDER BY start)
+                    <= {SPAN_WINDOW} THEN 0 ELSE 1 END AS newisl
+        FROM redundant
+    ),
+    grp AS (
+        SELECT doc_id, start,
+               SUM(newisl) OVER (
+                   PARTITION BY doc_id ORDER BY start) AS g
+        FROM isl
+    ),
+    spans AS (
+        SELECT doc_id, MIN(start) AS s,
+               MAX(start) + {SPAN_WINDOW} AS e
+        FROM grp GROUP BY doc_id, g
+    ),
+    tokpos AS (
+        SELECT doc_id, t[i+1] AS tok, CAST(i AS BIGINT) AS i
+        FROM toks, UNNEST(range(len(t))) AS u(i)
+    ),
+    kept AS (
+        SELECT tp.doc_id, tp.tok, tp.i FROM tokpos tp
+        WHERE NOT EXISTS (
+            SELECT 1 FROM spans s
+            WHERE s.doc_id = tp.doc_id AND tp.i >= s.s AND tp.i < s.e
+        )
+    ),
+    agg AS (
+        SELECT doc_id,
+               string_agg(tok, ' ' ORDER BY i) AS clean_text,
+               CAST(COUNT(*) AS INT) AS kept_tokens
+        FROM kept GROUP BY doc_id
+    )
+    SELECT t.doc_id AS id,
+           COALESCE(a.clean_text, '') AS clean_text,
+           COALESCE(a.kept_tokens, 0) AS kept_tokens,
+           CAST(len(t.t) AS INT) - COALESCE(a.kept_tokens, 0)
+               AS removed_tokens
+    FROM toks t LEFT JOIN agg a ON a.doc_id = t.doc_id
+    ORDER BY id
+"""
+
+
+def dedup_spans_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-vs-store substring dedup — the production ingest shape of
+    the span family (same framing as dedup_incremental): the NEW batch
+    (odd doc_ids) reports duplicated spans against the persisted
+    window-hash store of the EXISTING corpus (even doc_ids) plus
+    within-batch repeats. Each ingest pays the batch's shingling + one
+    hash semi-join against the store slice; never a corpus rescan."""
+    from postgres_opensearch_cdc_spark.functions.dedup import (
+        incremental_duplicate_spans,
+        token_windows,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    store = token_windows(
+        docs.filter(F.col("doc_id") % 2 == 0), "text", "doc_id",
+        window=SPAN_WINDOW,
+    ).select("win_hash").distinct()
+    return incremental_duplicate_spans(
+        batch, store, "text", "doc_id", window=SPAN_WINDOW
+    ).orderBy("id", "span_start")
+
+
+QUERIES["dedup_spans_incremental"] = dedup_spans_incremental
+
+ORACLE["dedup_spans_incremental"] = f"""
+    WITH toks AS (
+        SELECT doc_id, {_TOKS} AS t FROM documents
+    ),
+    wins AS (
+        SELECT doc_id, CAST(i AS BIGINT) AS start,
+               array_to_string(t[i+1 : i+{SPAN_WINDOW}], ' ') AS win
+        FROM toks, UNNEST(range(len(t) - {SPAN_WINDOW} + 1)) AS u(i)
+        WHERE len(t) >= {SPAN_WINDOW}
+    ),
+    batch AS (SELECT * FROM wins WHERE doc_id % 2 = 1),
+    store AS (SELECT DISTINCT win FROM wins WHERE doc_id % 2 = 0),
+    dup AS (
+        SELECT win FROM batch GROUP BY win HAVING COUNT(*) >= 2
+        UNION
+        SELECT win FROM store
+    ),
+    seeds AS (
+        SELECT b.doc_id, b.start FROM batch b JOIN dup USING (win)
+    ),
+    isl AS (
+        SELECT doc_id, start,
+               CASE WHEN start - lag(start) OVER (
+                        PARTITION BY doc_id ORDER BY start)
+                    <= {SPAN_WINDOW} THEN 0 ELSE 1 END AS newisl
+        FROM seeds
+    ),
+    grp AS (
+        SELECT doc_id, start,
+               SUM(newisl) OVER (
+                   PARTITION BY doc_id ORDER BY start) AS g
+        FROM isl
+    )
+    SELECT doc_id AS id, MIN(start) AS span_start,
+           MAX(start) + {SPAN_WINDOW} AS span_end,
+           COUNT(*) AS n_windows
+    FROM grp GROUP BY doc_id, g
+    ORDER BY id, span_start
+"""

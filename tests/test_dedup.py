@@ -283,3 +283,33 @@ def test_duplicate_window_spans_planted(spark):
     assert stats[1] == (1, 25, 30, round(25 / 30, 6))
     assert stats[3] == (2, 24, 35, round(24 / 35, 6))
     assert set(stats) == {1, 2, 3}
+
+
+def test_trim_duplicate_spans_first_occurrence_survives(spark):
+    """The exact-substring-dedup POLICY: corpus-first occurrence (min
+    doc id, min start) keeps its text; every later occurrence is
+    trimmed; a full-duplicate doc empties entirely; untouched docs
+    round-trip (in analyzer-normalized form)."""
+    from postgres_opensearch_cdc_spark.functions.dedup import (
+        trim_duplicate_spans,
+    )
+
+    W = 10
+    shared = " ".join(f"s{i}" for i in range(15))  # 15 tokens
+    unique2 = " ".join(f"u{i}" for i in range(5))
+    docs = spark.createDataFrame(
+        [
+            (1, shared),                       # first occurrence: kept
+            (2, unique2 + " " + shared),       # second: span trimmed
+            (3, shared),                       # full dup of doc 1: emptied
+            (4, "completely fresh words appear once only here today"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["id"]: (r["clean_text"], r["kept_tokens"], r["removed_tokens"])
+           for r in trim_duplicate_spans(
+               docs, "text", "doc_id", window=W).collect()}
+    assert out[1] == (shared, 15, 0)           # canonical copy survives
+    assert out[2] == (unique2, 5, 15)          # later occurrence trimmed
+    assert out[3] == ("", 0, 15)               # full duplicate emptied
+    assert out[4][1] == 8 and out[4][2] == 0   # untouched
