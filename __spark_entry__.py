@@ -68,63 +68,53 @@ _MODULES = [
 ]
 
 # The driver's correctness harness samples the FIRST 50 entries of
-# queries().  Union of r1-r8 driver rows = 277 of the 277
-# window-freeze-era entries, all green — every entry of that surface
-# driver-verified at least once.  20 entries have never had a driver
-# row: the 9 added after the round-8 window froze (each passed the
-# round-8 verdict's independent sf0.01 parity rerun AND this round's
-# full local sweeps) plus the 11 NEW this round: dedup_lsh_capped /
-# dedup_incremental / dedup_quality_survivors (the dedup family's
-# hot-band cap, batch-vs-store incremental form, and quality-aware
-# survivor selection), engine_bulk_mirror / alias_union_search /
-# engine_snapshot_restore / engine_knn_index_search /
-# engine_update_delete_search / engine_reindex_search (the engine
-# façade's _bulk, alias, DR, k-NN-index, maintenance, and reindex
-# flows value-checked end-to-end), and ann_ivfpq_index_topk /
-# ann_ivfpq_residual_topk (the combined IVF+PQ serving index, raw and
-# residual forms). This round-9 window = those 20, then the two
-# re-checks deferred from round 8 (q09_limit, q10_count), then the
-# OLDEST driver rows (r1-era dashboard/CDC/join families and the
-# r3-era training-pipeline block head) in original driver order —
-# 50 total.
+# queries().  Union of r1-r9 driver rows = 297/297 distinct entries
+# green — every pre-round-10 entry has at least one passing driver
+# row.  This round-10 window = (a) the 7 NEW round-10 entries, which
+# have never had a driver row: dsl_from_size / dsl_body_highlight /
+# dsl_body_suggest (the request-body offset-paging, highlight, and
+# term-suggester keys added with strict body validation) and
+# dedup_duplicate_spans / dedup_span_doc_stats / dedup_span_trim /
+# dedup_spans_incremental (the substring-level exact-dedup family);
+# then the STALEST driver rows by "latest green row" age, oldest
+# first, each block in its original driver order: (b) the two
+# remaining r1-only rows, (c) the 18 rows last checked r2, (d) the
+# first 23 of the 39 rows last checked r4 (the 16 r4 leftovers plus
+# everything r5+ rotate in round 11) — 50 total.
 _PRIORITY = [
-    # (a) added after the round-8 window froze — never driver-checked
-    "sqs_required_prohibited", "sqs_or_phrase", "sqs_prefix_keyword",
-    "span_within_query", "constant_score_query",
-    "ppl_fieldsummary", "ppl_expand_tokens",
-    "ann_pq_index_topk", "ann_ivf_append_topk",
-    # (b) NEW this round (round 9)
-    "dedup_lsh_capped", "dedup_incremental", "dedup_quality_survivors",
-    "engine_bulk_mirror",
-    "alias_union_search", "engine_snapshot_restore",
-    "ann_ivfpq_index_topk", "ann_ivfpq_residual_topk",
-    "engine_knn_index_search",
-    "engine_update_delete_search", "engine_reindex_search",
-    # (c) re-checks deferred from round 8 (r1-era)
-    "q09_limit", "q10_count",
-    # (d) oldest driver rows, original r1 order (q08 re-checked r8)
-    "q01_term_filter", "q02_fulltext_match", "q02b_fulltext_tfidf",
-    "q02c_fulltext_bm25", "q03_range_filter", "q04_bool_filter",
-    "q05_terms_agg", "q06_date_histogram", "q07_filtered_metrics",
-    "q11_time_range", "q12_index_pattern_union",
-    "cdc_mirror_compact", "cdc_scd2_history", "cdc_mirror_diff",
-    "cdc_incremental_agg", "cdc_mirror_count", "cdc_op_stats",
-    "cdc_deleted_keys",
-    "join_left_anti", "join_pricing_summary", "join_shipping_priority",
-    "join_local_supplier_volume", "join_returned_items",
-    "join_promo_share", "join_disjunctive_filter",
-    # (e) r3-era training-pipeline block, original driver order
-    "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
+    # (a) NEW this round (round 10) — never driver-checked
+    "dsl_from_size", "dsl_body_highlight", "dsl_body_suggest",
+    "dedup_duplicate_spans", "dedup_span_doc_stats",
+    "dedup_span_trim", "dedup_spans_incremental",
+    # (b) latest driver row is r1
+    "cube_status_priority", "case_bucketing",
+    # (c) latest driver row is r2, original r2 order
+    "q02d_querystring_should", "q02e_querystring_must",
+    "window_running_sum", "window_rank_in_group",
+    "rollup_status_priority", "distinct_agg", "percentiles_value",
+    "stats_agg", "date_arithmetic", "string_funcs",
+    "subquery_exists", "subquery_in", "subquery_scalar",
+    "subquery_correlated_scalar", "unpivot_metrics",
+    "q01b_like_prefix", "null_semantics", "string_normalize",
+    # (d) latest driver row is r4, original r4 order (first 23)
+    "window_frames", "window_ntile", "pivot_event_type",
+    "join_outer_full", "join_cross", "having_filter",
+    "index_pattern_scan", "pipeline_quality_filter", "dedup_simhash",
+    "dedup_embedding_cosine", "ann_cosine_topk", "ann_filtered_topk",
+    "ann_ivf_topk", "text_stats", "text_fingerprint", "text_lang_id",
+    "q02f_match_phrase", "q01d_regexp_match", "q02g_fuzzy_match",
+    "q02h_multi_match", "search_after_page", "top_hits_per_bucket",
+    "significant_terms",
 ]
 
-# Round-10 rotation TODO: any entries added after this round-9 window
-# froze outrank re-checks; then continue the oldest-rows
-# re-confirmation where (d)/(e) left off (text_lang_id,
-# q02f_match_phrase, ... in the r3 driver order, then the r1 tail:
-# window_running_sum, window_rank_in_group, window_lag_delta,
-# set_ops_nations, rollup_status_priority, distinct_agg,
-# percentiles_value, stats_agg, approx_sketches, json_extract_props,
-# date_arithmetic, string_funcs, subquery_* ...).
+# Round-11 rotation TODO: any entries added after this round-10 window
+# froze outrank re-checks; then the 16 remaining r4-era rows in r4
+# order (histogram_value, dis_max_best_fields, function_score_fvf,
+# percentile_ranks_value, collapse_by_source, suggest_prefix,
+# highlight_fragment, nested_query_same_element, rescore_two_phase,
+# more_like_this, filters_named_buckets, percolate_stored_queries,
+# quality_repetition, pii_scrub, contamination_ngram, token_budget),
+# then the oldest r5-era rows.
 
 
 def entry(spark: SparkSession) -> DataFrame:
