@@ -27,6 +27,7 @@ from postgres_opensearch_cdc_spark.sources.changelog import file_changelog_strea
 from postgres_opensearch_cdc_spark.streaming.apply import (
     MirrorSink,
     PartitionedMirrorSink,
+    RollupSink,
     VersionedMirrorSink,
     start_mirror_stream,
 )
@@ -62,6 +63,10 @@ class CdcEngine:
     aliases: dict[str, list[str]] = field(default_factory=dict)
     # (table, field) -> built-index metadata; see put_knn_index
     knn_indexes: dict = field(default_factory=dict)
+    # rollup name -> RollupSink; see start_rollup_stream
+    rollups: dict = field(default_factory=dict)
+    # rollup name -> live StreamingQuery (cleared by await_all)
+    rollup_queries: dict = field(default_factory=dict)
 
     # -- lifecycle ---------------------------------------------------------
 
@@ -266,11 +271,105 @@ class CdcEngine:
             self.tables[t].query = query
         return query
 
+    def start_rollup_stream(self, rollup_name: str, changelog_dir: str,
+                            table: str, group_col: str,
+                            sum_cols: tuple = (),
+                            group_expr: str | None = None,
+                            available_now: bool = True):
+        """Continuous aggregate — the reference stack's rollup-job
+        shape (OpenSearch rollup jobs; the dashboard's standing
+        terms-agg panel made incremental): maintain a persisted
+        (group, doc_count, sum_<col>...) table DIRECTLY from the
+        changelog's before/after images as ±deltas, so a dashboard
+        refresh reads a #groups-row table instead of re-aggregating
+        the mirror. cdc_incremental_agg is the batch/oracle-checked
+        form of the same algebra; this is its checkpointed streaming
+        realization (RollupSink), with the (writer_id, batch_id)
+        exactly-once guard that additive merges REQUIRE.
+
+        Contract: update events must carry their before image
+        (REPLICA IDENTITY FULL — the reference pipeline's own
+        requirement, setup.sh:59-65); a batch violating it fails the
+        stream rather than corrupting the aggregate. Reads via
+        ``engine.rollup(name)``.
+
+        ``group_expr`` makes the bucket a DERIVED value — a SQL
+        expression over the row fields evaluated on BOTH images
+        (e.g. ``date_trunc('day', ts)``: the rollup-job
+        date_histogram shape), published under the ``group_col``
+        name. Only invertible metrics (count, sum — avg derivable at
+        read) can be delta-maintained; max/min need a recompute and
+        are intentionally absent."""
+        handle = self.tables[table]
+        fields = [f.name for f in handle.schema.fields]
+        if group_expr is None and group_col not in fields:
+            raise ValueError(f"group column {group_col!r} not in {table!r}")
+        for c in sum_cols:
+            if c not in fields:
+                raise ValueError(f"sum column {c!r} not in {table!r}")
+        sink = self.rollups.get(rollup_name)
+        if sink is None:
+            sink = RollupSink(
+                path=os.path.join(self.workdir, f"rollup_{rollup_name}"),
+                group_col=group_col, sum_cols=tuple(sum_cols),
+            )
+            self.rollups[rollup_name] = sink
+        stream = file_changelog_stream(
+            self.spark, changelog_dir, handle.schema
+        )
+        ckpt = os.path.join(self.workdir, f"ckpt_rollup_{rollup_name}")
+
+        def _apply(batch: DataFrame, batch_id: int) -> None:
+            batch = batch.localCheckpoint(eager=True)
+            bad = batch.filter(
+                (F.col("op") == "u") & F.col("before").isNull()
+            ).count()
+            if bad:
+                raise ValueError(
+                    f"{bad} update event(s) without a before image — "
+                    "rollup deltas need REPLICA IDENTITY FULL"
+                )
+            sums = list(sink.sum_cols)
+
+            def image_deltas(side: str, cond, sign: int) -> DataFrame:
+                img = batch.filter(cond).select(F.col(f"{side}.*"))
+                grp = (F.expr(group_expr) if group_expr is not None
+                       else F.col(group_col))
+                return img.select(
+                    grp.alias(group_col),
+                    F.lit(sign).cast("long").alias("doc_count"),
+                    *[(F.lit(sign) * F.col(c)).alias(f"sum_{c}")
+                      for c in sums],
+                )
+
+            plus = image_deltas("after", F.col("op") != "d", 1)
+            minus = image_deltas("before", F.col("op").isin("u", "d"), -1)
+            sink.apply_batch(
+                plus.unionByName(minus), batch_id, writer_id=ckpt
+            )
+
+        writer = (
+            stream.writeStream.foreachBatch(_apply)
+            .option("checkpointLocation", ckpt)
+        )
+        writer = (writer.trigger(availableNow=True) if available_now
+                  else writer.trigger(processingTime="5 seconds"))
+        query = writer.start()
+        self.rollup_queries[rollup_name] = query
+        return query
+
+    def rollup(self, rollup_name: str) -> DataFrame:
+        """Read the current committed state of a continuous aggregate."""
+        return self.rollups[rollup_name].read(self.spark)
+
     def await_all(self, timeout_s: int = 300) -> None:
         for handle in self.tables.values():
             if handle.query is not None:
                 handle.query.awaitTermination(timeout_s)
                 handle.query = None
+        for name, query in list(self.rollup_queries.items()):
+            query.awaitTermination(timeout_s)
+            del self.rollup_queries[name]
 
     # -- query surface -----------------------------------------------------
 

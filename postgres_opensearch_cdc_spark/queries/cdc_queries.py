@@ -672,3 +672,150 @@ ORACLE = {
         GROUP BY 1 ORDER BY 1
     """,
 }
+
+
+def _normalized_events_envelopes(spark: SparkSession, sf_dir: str):
+    """The events changelog as WRITE-READY Debezium envelopes with
+    lag-derived before images — normalized to op-consistent form (the
+    REPLICA IDENTITY FULL contract the reference pipeline requires,
+    setup.sh:59-65): first touch of a key is 'c', later non-deletes
+    'u' carrying the previous live payload as ``before``, deletes
+    carry it too, and a delete on a key with no live row (the
+    reference's DELETE-by-missing-id no-op) emits nothing."""
+    from pyspark.sql import Window
+
+    log = events_as_changelog(load_table(spark, sf_dir, "events"))
+    payload_cols = ["key", "event_id", "ts", "event_type", "value", "props"]
+    payload = F.struct(*payload_cols)
+    w = Window.partitionBy("key").orderBy("ts", "event_id")
+    staged = log.select(
+        "op", payload.alias("_p"),
+        F.lag("op").over(w).alias("_prev_op"),
+        F.lag(payload).over(w).alias("_prev_p"),
+    ).withColumn(
+        "_live_before",
+        F.col("_prev_op").isNotNull() & (F.col("_prev_op") != "d"),
+    )
+    envelopes = (
+        # a delete on a key with no live row is a no-op (the reference's
+        # DELETE-by-missing-id), so it must emit no delta
+        staged.filter((F.col("op") != "d") | F.col("_live_before"))
+        .select(
+            F.when(F.col("op") == "d", F.lit("d"))
+            .when(F.col("_live_before"), F.lit("u"))
+            .otherwise(F.lit("c")).alias("op"),
+            F.when(F.col("_live_before"), F.col("_prev_p")).alias("before"),
+            F.when(F.col("op") != "d", F.col("_p")).alias("after"),
+            (F.col("_p.ts").cast("double") * 1000).cast("long").alias("ts_ms"),
+            F.struct(
+                F.lit("public").alias("schema"),
+                F.lit("events_tbl").alias("table"),
+                F.col("_p.event_id").alias("lsn"),
+            ).alias("source"),
+            F.col("_p.event_id").alias("offset"),
+        )
+    )
+    return envelopes
+
+
+def _rollup_engine(spark: SparkSession, sf_dir: str, prefix: str):
+    """Write the normalized envelope changelog and stand up a fresh
+    CdcEngine over a temp workdir with the events table registered —
+    the shared scaffolding of the rollup-stream entries."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from postgres_opensearch_cdc_spark.engine import CdcEngine
+
+    workdir = tempfile.mkdtemp(prefix=prefix)
+    log_dir = f"{workdir}/changelog"
+    _normalized_events_envelopes(spark, sf_dir).write.mode(
+        "overwrite"
+    ).json(log_dir)
+    schema = T.StructType([
+        T.StructField("key", T.LongType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ])
+    eng = CdcEngine(spark=spark, workdir=workdir, key_col="key",
+                    seq_col="offset", num_buckets=4)
+    eng.register_table("events_tbl", schema)
+    return eng, log_dir
+
+
+def engine_rollup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous aggregate value-checked END-TO-END through the real
+    streaming path (file changelog → checkpointed foreachBatch →
+    RollupSink with its (writer, batch) exactly-once guard),
+    maintaining (event_type, doc_count, sum_value) as ±deltas. The
+    oracle recomputes the same aggregate from the compacted mirror,
+    so a value match proves delta-maintenance ≡ recompute (the
+    streaming form of cdc_incremental_agg's algebra).
+
+    Scale shape: the rollup table is #groups rows; each micro-batch
+    costs O(|batch| + |groups|) and never rescans the mirror."""
+    eng, log_dir = _rollup_engine(spark, sf_dir, "engine_rollup_")
+    eng.start_rollup_stream(
+        "by_type", log_dir, "events_tbl", "event_type",
+        sum_cols=("value",),
+    )
+    eng.await_all()
+    return eng.rollup("by_type").select(
+        "event_type",
+        "doc_count",
+        F.round("sum_value", 4).alias("sum_value"),
+    ).orderBy("event_type")
+
+
+def engine_rollup_date_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The rollup-job date_histogram shape: the continuous aggregate's
+    bucket is a DERIVED group (group_expr=date_trunc('day', ts),
+    evaluated on BOTH images), maintaining the per-day doc_count +
+    sum(value) dashboard panel incrementally. Oracle = the same
+    calendar aggregate recomputed from the compacted mirror."""
+    eng, log_dir = _rollup_engine(spark, sf_dir, "engine_rollup_dh_")
+    eng.start_rollup_stream(
+        "by_day", log_dir, "events_tbl", "day",
+        sum_cols=("value",), group_expr="date_trunc('day', ts)",
+    )
+    eng.await_all()
+    # DuckDB's date_trunc('day') yields DATE; publish the same type
+    return eng.rollup("by_day").select(
+        F.col("day").cast("date").alias("day"),
+        "doc_count",
+        F.round("sum_value", 4).alias("sum_value"),
+    ).orderBy("day")
+
+
+QUERIES["engine_rollup_stream"] = engine_rollup_stream
+QUERIES["engine_rollup_date_histogram"] = engine_rollup_date_histogram
+
+ORACLE["engine_rollup_stream"] = f"""
+    WITH log AS ({_LOG}),
+    latest AS (
+        SELECT * FROM log
+        QUALIFY row_number() OVER (
+            PARTITION BY key ORDER BY ts DESC, event_id DESC) = 1
+    )
+    SELECT event_type, COUNT(*) AS doc_count,
+           ROUND(SUM(value), 4) AS sum_value
+    FROM latest WHERE op <> 'd'
+    GROUP BY event_type ORDER BY event_type
+"""
+
+ORACLE["engine_rollup_date_histogram"] = f"""
+    WITH log AS ({_LOG}),
+    latest AS (
+        SELECT * FROM log
+        QUALIFY row_number() OVER (
+            PARTITION BY key ORDER BY ts DESC, event_id DESC) = 1
+    )
+    SELECT date_trunc('day', ts) AS day, COUNT(*) AS doc_count,
+           ROUND(SUM(value), 4) AS sum_value
+    FROM latest WHERE op <> 'd'
+    GROUP BY 1 ORDER BY 1
+"""

@@ -730,3 +730,151 @@ def streaming_dedup(
     """Exactly-once-per-key within the watermark horizon:
     dropDuplicatesWithinWatermark — the streaming form of exact dedup."""
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+
+
+@dataclass
+class RollupSink:
+    """Continuous aggregate store — the reference stack's rollup-job
+    shape (OpenSearch rollup/ISM jobs; Timescale continuous
+    aggregates): a persisted (group, doc_count, sum_<col>...) table
+    maintained from CDC ±deltas, so each micro-batch SHIFTS the
+    aggregates instead of rescanning the mirror.
+    ``cdc_incremental_agg`` (queries/cdc_queries.py) is the
+    batch / oracle-checked form of the same delta algebra; this is its
+    checkpointed streaming realization, fed from the changelog's
+    before/after images (REPLICA IDENTITY FULL, the same requirement
+    the reference pipeline has — setup.sh:59-65).
+
+    Additive deltas are NOT idempotent, so replay protection is
+    mandatory here, not defense-in-depth: the commit manifest records
+    (writer_id, batch_id) — Spark's documented foreachBatch dedup key,
+    same guard as VersionedMirrorSink — and a replayed batch is
+    skipped whole. Each commit writes the full aggregate into a fresh
+    version dir and publishes it with an atomic manifest rename
+    (object-store safe; old versions are time-travel until vacuum).
+    Rewriting the whole aggregate per batch IS the scale path: the
+    rollup of a 10^11-row mirror is only as big as its group
+    cardinality, so the per-batch cost is O(|batch| + |groups|) and
+    never touches the mirror."""
+
+    path: str
+    group_col: str
+    sum_cols: tuple = ()
+
+    @property
+    def _data_dir(self) -> str:
+        return os.path.join(self.path, "data")
+
+    @property
+    def _commits_dir(self) -> str:
+        return os.path.join(self.path, "_commits")
+
+    def _manifests(self) -> list[str]:
+        if not os.path.isdir(self._commits_dir):
+            return []
+        return sorted(
+            f for f in os.listdir(self._commits_dir)
+            if f.startswith("v") and f.endswith(".json")
+        )
+
+    def latest_manifest(self) -> dict | None:
+        import json
+
+        names = self._manifests()
+        if not names:
+            return None
+        with open(os.path.join(self._commits_dir, names[-1])) as fh:
+            return json.load(fh)
+
+    def exists(self) -> bool:
+        return bool(self._manifests())
+
+    def read(self, spark: SparkSession, version: "int | None" = None) -> DataFrame:
+        import json
+
+        manifest = self.latest_manifest() if version is None else None
+        if version is not None:
+            name = f"v{version:08d}.json"
+            if name not in self._manifests():
+                raise FileNotFoundError(
+                    f"no committed rollup version {version} under {self.path}"
+                )
+            with open(os.path.join(self._commits_dir, name)) as fh:
+                manifest = json.load(fh)
+        if manifest is None:
+            raise FileNotFoundError(f"no committed rollup under {self.path}")
+        return spark.read.schema(
+            T.StructType.fromJson(manifest["schema"])
+        ).parquet(os.path.join(self._data_dir, manifest["commit"]))
+
+    def apply_batch(self, deltas: DataFrame, batch_id: int,
+                    writer_id: str | None = None) -> None:
+        """Merge a signed-delta frame — (group_col, doc_count,
+        sum_<c>... with ±values) — into the persisted aggregate.
+        Groups whose doc_count reaches 0 vanish (a fully-deleted group
+        must not linger as a zero row)."""
+        import json
+        import uuid
+
+        spark = deltas.sparkSession
+        manifest = self.latest_manifest()
+        if (
+            manifest is not None
+            and batch_id >= 0
+            and manifest.get("batch_id") == batch_id
+            and manifest.get("writer_id") == writer_id
+        ):
+            return  # replayed batch: additive merge MUST NOT reapply
+        metric_cols = ["doc_count", *[f"sum_{c}" for c in self.sum_cols]]
+        agg = deltas.groupBy(self.group_col).agg(
+            *[F.sum(c).alias(c) for c in metric_cols]
+        )
+        if manifest is not None:
+            agg = (
+                self.read(spark)
+                .unionByName(agg)
+                .groupBy(self.group_col)
+                .agg(*[F.sum(c).alias(c) for c in metric_cols])
+            )
+        merged = agg.filter(F.col("doc_count") != 0)
+        version = (manifest["version"] + 1) if manifest else 1
+        commit = f"commit-{uuid.uuid4().hex[:12]}"
+        merged.write.mode("overwrite").parquet(
+            os.path.join(self._data_dir, commit)
+        )
+        os.makedirs(self._commits_dir, exist_ok=True)
+        tmp = os.path.join(self._commits_dir, f".tmp-v{version:08d}.json")
+        final = os.path.join(self._commits_dir, f"v{version:08d}.json")
+        with open(tmp, "w") as fh:
+            json.dump({
+                "version": version,
+                "batch_id": batch_id,
+                "writer_id": writer_id,
+                "commit": commit,
+                "schema": json.loads(merged.schema.json()),
+            }, fh)
+        os.replace(tmp, final)  # the commit point
+
+    def vacuum(self, keep_versions: int = 1) -> int:
+        """GC old rollup versions (manifests first, so a crash can't
+        leave a manifest referencing deleted data)."""
+        import json
+        import shutil
+
+        if keep_versions < 1:
+            raise ValueError(f"keep_versions must be >= 1, got {keep_versions}")
+        names = self._manifests()
+        keep = names[-keep_versions:]
+        live = set()
+        for n in names[: len(names) - len(keep)]:
+            os.remove(os.path.join(self._commits_dir, n))
+        for n in keep:
+            with open(os.path.join(self._commits_dir, n)) as fh:
+                live.add(json.load(fh)["commit"])
+        removed = 0
+        if os.path.isdir(self._data_dir):
+            for e in os.listdir(self._data_dir):
+                if e.startswith("commit-") and e not in live:
+                    shutil.rmtree(os.path.join(self._data_dir, e))
+                    removed += 1
+        return removed

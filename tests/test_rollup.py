@@ -1,0 +1,194 @@
+"""Continuous aggregate (RollupSink + engine.start_rollup_stream): the
+reference stack's rollup-job shape maintained from CDC before/after
+images as ±deltas, with the exactly-once guard additive merges
+require. Verified against a full recompute over the mirror fed from
+the SAME changelog."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from pyspark.sql import functions as F, types as T
+
+from postgres_opensearch_cdc_spark.engine import CdcEngine
+from postgres_opensearch_cdc_spark.streaming.apply import RollupSink
+
+TXN_SCHEMA = T.StructType([
+    T.StructField("id", T.LongType()),
+    T.StructField("status", T.StringType()),
+    T.StructField("amount", T.DoubleType()),
+])
+
+
+def env(op, after, before, offset):
+    return json.dumps({
+        "op": op,
+        "before": before,
+        "after": after,
+        "ts_ms": 1000 + offset,
+        "source": {"schema": "public", "table": "txn", "lsn": offset},
+        "offset": offset,
+    })
+
+
+def doc(rid, status, amount):
+    return {"id": rid, "status": status, "amount": amount}
+
+
+def rollup_rows(engine, name):
+    return {
+        r["status"]: (r["doc_count"], round(r["sum_amount"], 6))
+        for r in engine.rollup(name).collect()
+    }
+
+
+def test_rollup_stream_tracks_mirror_aggregate(spark, tmp_path):
+    """snapshot + insert + update (status flip, amount change) + delete
+    maintained as ±deltas must equal the groupBy over the mirror fed
+    from the SAME changelog — and a second batch (delete emptying a
+    group, fresh insert) keeps them equal, with the emptied group
+    ABSENT, not a zero row."""
+    engine = CdcEngine(spark=spark, workdir=str(tmp_path))
+    engine.register_table("txn", TXN_SCHEMA)
+    log_dir = str(tmp_path / "log")
+    os.makedirs(log_dir)
+    with open(os.path.join(log_dir, "b1.json"), "w") as f:
+        f.write("\n".join([
+            env("r", doc(1, "ACTIVE", 10.0), None, 1),
+            env("r", doc(2, "ACTIVE", 20.0), None, 2),
+            env("c", doc(3, "BLOCKED", 5.0), None, 3),
+            env("u", doc(1, "BLOCKED", 12.0), doc(1, "ACTIVE", 10.0), 4),
+            env("d", None, doc(2, "ACTIVE", 20.0), 5),
+        ]))
+    engine.start_rollup_stream(
+        "txn_by_status", log_dir, "txn", "status", sum_cols=("amount",)
+    )
+    engine.start_stream("txn", log_dir)
+    engine.await_all()
+    got = rollup_rows(engine, "txn_by_status")
+    assert got == {"BLOCKED": (2, 17.0)}  # ACTIVE emptied -> absent
+    recompute = {
+        r["status"]: (r["doc_count"], round(r["sum_amount"], 6))
+        for r in engine.view("txn").groupBy("status").agg(
+            F.count(F.lit(1)).alias("doc_count"),
+            F.sum("amount").alias("sum_amount"),
+        ).collect()
+    }
+    assert got == recompute
+
+    # drained checkpoint re-run: additive state unchanged (exactly-once)
+    engine.start_rollup_stream(
+        "txn_by_status", log_dir, "txn", "status", sum_cols=("amount",)
+    )
+    engine.await_all()
+    assert rollup_rows(engine, "txn_by_status") == got
+
+    # second batch: empty BLOCKED member, add a fresh ACTIVE row
+    with open(os.path.join(log_dir, "b2.json"), "w") as f:
+        f.write("\n".join([
+            env("d", None, doc(3, "BLOCKED", 5.0), 6),
+            env("c", doc(4, "ACTIVE", 7.5), None, 7),
+        ]))
+    engine.start_rollup_stream(
+        "txn_by_status", log_dir, "txn", "status", sum_cols=("amount",)
+    )
+    engine.start_stream("txn", log_dir)
+    engine.await_all()
+    got2 = rollup_rows(engine, "txn_by_status")
+    assert got2 == {"BLOCKED": (1, 12.0), "ACTIVE": (1, 7.5)}
+    recompute2 = {
+        r["status"]: (r["doc_count"], round(r["sum_amount"], 6))
+        for r in engine.view("txn").groupBy("status").agg(
+            F.count(F.lit(1)).alias("doc_count"),
+            F.sum("amount").alias("sum_amount"),
+        ).collect()
+    }
+    assert got2 == recompute2
+
+    # time travel + vacuum: v1 was the first batch's state; after
+    # vacuum only the latest survives
+    sink = engine.rollups["txn_by_status"]
+    v1 = {r["status"]: r["doc_count"]
+          for r in sink.read(spark, version=1).collect()}
+    assert v1 == {"BLOCKED": 2}
+    assert sink.vacuum(keep_versions=1) == 1
+    with pytest.raises(FileNotFoundError):
+        sink.read(spark, version=1)
+    assert rollup_rows(engine, "txn_by_status") == got2
+
+
+def test_rollup_replay_guard_is_writer_scoped(spark, tmp_path):
+    """Additive merges are NOT idempotent, so the (writer_id, batch_id)
+    guard must skip a replayed batch whole — but the SAME batch id from
+    a different writer must apply."""
+    sink = RollupSink(path=str(tmp_path / "r"), group_col="g",
+                      sum_cols=("v",))
+    deltas = spark.createDataFrame(
+        [("a", 1, 10.0), ("a", 1, 5.0)], "g string, doc_count long, sum_v double"
+    )
+    sink.apply_batch(deltas, batch_id=0, writer_id="ckptA")
+    assert {(r["g"], r["doc_count"], r["sum_v"])
+            for r in sink.read(spark).collect()} == {("a", 2, 15.0)}
+    # replay: skipped whole (no double count)
+    sink.apply_batch(deltas, batch_id=0, writer_id="ckptA")
+    assert sink.read(spark).head()["doc_count"] == 2
+    # same batch id, different writer: applies
+    sink.apply_batch(deltas, batch_id=0, writer_id="ckptB")
+    assert sink.read(spark).head()["doc_count"] == 4
+
+
+def test_rollup_update_without_before_image_fails_stream(spark, tmp_path):
+    """An update event with no before image would silently corrupt the
+    aggregate (the old contribution can't be subtracted) — the stream
+    must FAIL, not degrade."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    engine = CdcEngine(spark=spark, workdir=str(tmp_path))
+    engine.register_table("txn", TXN_SCHEMA)
+    log_dir = str(tmp_path / "log")
+    os.makedirs(log_dir)
+    with open(os.path.join(log_dir, "b1.json"), "w") as f:
+        f.write(env("u", doc(1, "ACTIVE", 1.0), None, 1))
+    engine.start_rollup_stream(
+        "bad", log_dir, "txn", "status", sum_cols=("amount",)
+    )
+    with pytest.raises(StreamingQueryException, match="before image"):
+        engine.await_all()
+
+
+def test_rollup_rejects_unknown_columns(spark, tmp_path):
+    engine = CdcEngine(spark=spark, workdir=str(tmp_path))
+    engine.register_table("txn", TXN_SCHEMA)
+    with pytest.raises(ValueError, match="group column"):
+        engine.start_rollup_stream("x", str(tmp_path), "txn", "nope")
+    with pytest.raises(ValueError, match="sum column"):
+        engine.start_rollup_stream("x", str(tmp_path), "txn", "status",
+                                   sum_cols=("nope",))
+
+
+def test_rollup_derived_group_expr(spark, tmp_path):
+    """group_expr buckets (the rollup-job date_histogram shape): the
+    derived group is evaluated on BOTH images, so an update that moves
+    a row across buckets shifts both buckets' aggregates."""
+    engine = CdcEngine(spark=spark, workdir=str(tmp_path))
+    engine.register_table("txn", TXN_SCHEMA)
+    log_dir = str(tmp_path / "log")
+    os.makedirs(log_dir)
+    with open(os.path.join(log_dir, "b1.json"), "w") as f:
+        f.write("\n".join([
+            env("c", doc(1, "A", 10.0), None, 1),
+            env("c", doc(2, "B", 200.0), None, 2),
+            # moves id=1 from the <100 band to the >=100 band
+            env("u", doc(1, "A", 150.0), doc(1, "A", 10.0), 3),
+        ]))
+    engine.start_rollup_stream(
+        "by_band", log_dir, "txn", "band", sum_cols=("amount",),
+        group_expr="CASE WHEN amount >= 100 THEN 'big' ELSE 'small' END",
+    )
+    engine.await_all()
+    got = {r["band"]: (r["doc_count"], r["sum_amount"])
+           for r in engine.rollup("by_band").collect()}
+    assert got == {"big": (2, 350.0)}  # 'small' emptied by the move
