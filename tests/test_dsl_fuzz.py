@@ -104,3 +104,51 @@ def test_random_bool_tree_matches_sql(spark, sf_dir, seed):
         ).fetchall()
     ]
     assert got == want, f"divergence for seed {seed}: {query!r}"
+
+
+@pytest.mark.parametrize("seed", range(20))
+def test_body_key_combinations_never_silently_degrade(spark, sf_dir, seed):
+    """Fuzz the TOP-LEVEL body contract (r10 strict validation): a
+    seeded random combination of known hit-path keys plus occasional
+    unknown/conflicting ones must either raise DSLError or return a
+    frame consistent with the documented composition — never silently
+    drop a clause. The returned-page oracle re-derives the expected
+    ids from the unpaged sorted run."""
+    rng = random.Random(7000 + seed)
+    body: dict = {"sort": [{"doc_id": {"order": "asc"}}],
+                  "_source": ["doc_id"]}
+    if rng.random() < 0.6:
+        lo = rng.randint(50, 400)
+        body["query"] = {"range": {"n_chars": {"gte": lo}}}
+    size = rng.choice([None, 7, 31])
+    if size is not None:
+        body["size"] = size
+    frm = rng.choice([0, 0, 5, 23])
+    if frm:
+        body["from"] = frm
+    if rng.random() < 0.3:
+        body["track_total_hits"] = rng.choice([True, False])
+    expect_error = None
+    if rng.random() < 0.25:
+        body[rng.choice(["rescore", "min_score", "collapse"])] = 1
+        expect_error = "unknown top-level body keys"
+    elif rng.random() < 0.2 and frm:
+        body["search_after"] = [0]
+        expect_error = "must be 0 when 'search_after'"
+
+    from postgres_opensearch_cdc_spark.dsl import DSLError
+
+    if expect_error:
+        with pytest.raises(DSLError, match=expect_error):
+            search(spark, sf_dir, "documents", body)
+        return
+    got = [r["doc_id"] for r in
+           search(spark, sf_dir, "documents", body).collect()]
+    unpaged = dict(body)
+    unpaged.pop("from", None)
+    unpaged.pop("size", None)
+    unpaged.pop("track_total_hits", None)
+    full = [r["doc_id"] for r in
+            search(spark, sf_dir, "documents", unpaged).collect()]
+    want = full[frm:(frm + size) if size is not None else None]
+    assert got == want, f"body {body}: page mismatch"
