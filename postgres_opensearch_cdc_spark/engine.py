@@ -307,13 +307,27 @@ class CdcEngine:
         for c in sum_cols:
             if c not in fields:
                 raise ValueError(f"sum column {c!r} not in {table!r}")
-        sink = self.rollups.get(rollup_name)
+        sink = self._resolve_rollup(rollup_name)
         if sink is None:
             sink = RollupSink(
                 path=os.path.join(self.workdir, f"rollup_{rollup_name}"),
                 group_col=group_col, sum_cols=tuple(sum_cols),
             )
             self.rollups[rollup_name] = sink
+            self._write_rollup_meta(rollup_name, sink, table, group_expr)
+        else:
+            # an existing store must not be fed deltas under a DIFFERENT
+            # spec — additive state under mixed groupings is silent
+            # corruption, so the mismatch raises instead
+            meta = self._rollup_meta(rollup_name) or {}
+            want = {"group_col": group_col, "sum_cols": list(sum_cols),
+                    "table": table, "group_expr": group_expr}
+            have = {k: meta.get(k) for k in want}
+            if meta and have != want:
+                raise ValueError(
+                    f"rollup {rollup_name!r} exists with spec {have}; "
+                    f"got {want} — drop the store or use a new name"
+                )
         stream = file_changelog_stream(
             self.spark, changelog_dir, handle.schema
         )
@@ -358,9 +372,58 @@ class CdcEngine:
         self.rollup_queries[rollup_name] = query
         return query
 
+    def _rollup_meta(self, rollup_name: str) -> dict | None:
+        import json
+
+        p = os.path.join(self.workdir, f"rollup_{rollup_name}",
+                         "_rollup_meta.json")
+        if not os.path.exists(p):
+            return None
+        with open(p) as fh:
+            return json.load(fh)
+
+    def _write_rollup_meta(self, rollup_name: str, sink: RollupSink,
+                           table: str, group_expr: str | None) -> None:
+        import json
+
+        os.makedirs(sink.path, exist_ok=True)
+        tmp = os.path.join(sink.path, "_rollup_meta.json.tmp")
+        with open(tmp, "w") as fh:
+            json.dump({
+                "group_col": sink.group_col,
+                "sum_cols": list(sink.sum_cols),
+                "table": table,
+                "group_expr": group_expr,
+            }, fh)
+        os.replace(tmp, os.path.join(sink.path, "_rollup_meta.json"))
+
+    def _resolve_rollup(self, rollup_name: str) -> "RollupSink | None":
+        """In-memory registration, else rehydrate from the persisted
+        spec sidecar — a new CdcEngine over an existing workdir must
+        find its continuous aggregates (same restart contract as the
+        knn-index sidecars)."""
+        sink = self.rollups.get(rollup_name)
+        if sink is not None:
+            return sink
+        meta = self._rollup_meta(rollup_name)
+        if meta is None:
+            return None
+        sink = RollupSink(
+            path=os.path.join(self.workdir, f"rollup_{rollup_name}"),
+            group_col=meta["group_col"],
+            sum_cols=tuple(meta["sum_cols"]),
+        )
+        self.rollups[rollup_name] = sink
+        return sink
+
     def rollup(self, rollup_name: str) -> DataFrame:
-        """Read the current committed state of a continuous aggregate."""
-        return self.rollups[rollup_name].read(self.spark)
+        """Read the current committed state of a continuous aggregate
+        (rehydrating the registration from its sidecar if this engine
+        instance hasn't touched it yet)."""
+        sink = self._resolve_rollup(rollup_name)
+        if sink is None:
+            raise KeyError(f"unknown rollup {rollup_name!r}")
+        return sink.read(self.spark)
 
     def await_all(self, timeout_s: int = 300) -> None:
         for handle in self.tables.values():

@@ -192,3 +192,41 @@ def test_rollup_derived_group_expr(spark, tmp_path):
     got = {r["band"]: (r["doc_count"], r["sum_amount"])
            for r in engine.rollup("by_band").collect()}
     assert got == {"big": (2, 350.0)}  # 'small' emptied by the move
+
+
+def test_rollup_survives_engine_restart_and_rejects_spec_drift(spark, tmp_path):
+    """A new CdcEngine over the same workdir must rehydrate the rollup
+    from its spec sidecar (read AND continue streaming into it), and a
+    re-registration under a DIFFERENT spec must raise — additive state
+    under mixed groupings is silent corruption."""
+    engine = CdcEngine(spark=spark, workdir=str(tmp_path))
+    engine.register_table("txn", TXN_SCHEMA)
+    log_dir = str(tmp_path / "log")
+    os.makedirs(log_dir)
+    with open(os.path.join(log_dir, "b1.json"), "w") as f:
+        f.write(env("c", doc(1, "ACTIVE", 10.0), None, 1))
+    engine.start_rollup_stream(
+        "by_status", log_dir, "txn", "status", sum_cols=("amount",)
+    )
+    engine.await_all()
+
+    engine2 = CdcEngine(spark=spark, workdir=str(tmp_path))
+    engine2.register_table("txn", TXN_SCHEMA)
+    # read-side rehydration: no prior registration on this instance
+    assert rollup_rows(engine2, "by_status") == {"ACTIVE": (1, 10.0)}
+    # write-side continuation: the drained checkpoint replays nothing,
+    # then a genuinely new batch shifts the restored store
+    with open(os.path.join(log_dir, "b2.json"), "w") as f:
+        f.write(env("c", doc(2, "ACTIVE", 2.5), None, 2))
+    engine2.start_rollup_stream(
+        "by_status", log_dir, "txn", "status", sum_cols=("amount",)
+    )
+    engine2.await_all()
+    assert rollup_rows(engine2, "by_status") == {"ACTIVE": (2, 12.5)}
+    # spec drift raises before any delta is applied
+    with pytest.raises(ValueError, match="exists with spec"):
+        engine2.start_rollup_stream(
+            "by_status", log_dir, "txn", "status", sum_cols=()
+        )
+    with pytest.raises(KeyError, match="unknown rollup"):
+        engine2.rollup("nope")
