@@ -230,3 +230,70 @@ def test_rollup_survives_engine_restart_and_rejects_spec_drift(spark, tmp_path):
         )
     with pytest.raises(KeyError, match="unknown rollup"):
         engine2.rollup("nope")
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_rollup_fuzz_matches_recompute(spark, tmp_path, seed):
+    """Property check of the delta algebra: a seeded random
+    op-consistent changelog (per-key c/u/d chains with correct before
+    images, random group/value churn, keys deleted and re-created)
+    split across several micro-batch files must leave the rollup
+    EXACTLY equal to the groupBy over the mirror fed from the same
+    files — and equal to a driver-side model."""
+    import random
+
+    rng = random.Random(4200 + seed)
+    statuses = ["A", "B", "C"]
+    live: dict[int, tuple[str, float]] = {}
+    offset = 0
+    batches: list[list[str]] = []
+    for _ in range(3):  # 3 micro-batch files
+        lines = []
+        for _ in range(rng.randint(5, 20)):
+            offset += 1
+            key = rng.randint(1, 8)
+            if key in live and rng.random() < 0.3:
+                before = doc(key, *live[key])
+                lines.append(env("d", None, before, offset))
+                del live[key]
+            elif key in live:
+                before = doc(key, *live[key])
+                new = (rng.choice(statuses), round(rng.uniform(0, 100), 2))
+                live[key] = new
+                lines.append(env("u", doc(key, *new), before, offset))
+            else:
+                new = (rng.choice(statuses), round(rng.uniform(0, 100), 2))
+                live[key] = new
+                lines.append(env(rng.choice(["c", "r"]), doc(key, *new),
+                                 None, offset))
+        batches.append(lines)
+
+    engine = CdcEngine(spark=spark, workdir=str(tmp_path))
+    engine.register_table("txn", TXN_SCHEMA)
+    log_dir = str(tmp_path / "log")
+    os.makedirs(log_dir)
+    for i, lines in enumerate(batches):
+        with open(os.path.join(log_dir, f"b{i}.json"), "w") as f:
+            f.write("\n".join(lines))
+    # (availableNow may drain the files in one or several micro-batches;
+    # cross-batch accumulation is pinned separately by the restart test)
+    engine.start_rollup_stream(
+        "fz", log_dir, "txn", "status", sum_cols=("amount",)
+    )
+    engine.start_stream("txn", log_dir)
+    engine.await_all()
+    got = rollup_rows(engine, "fz")
+    recompute = {
+        r["status"]: (r["doc_count"], round(r["sum_amount"], 6))
+        for r in engine.view("txn").groupBy("status").agg(
+            F.count(F.lit(1)).alias("doc_count"),
+            F.sum("amount").alias("sum_amount"),
+        ).collect()
+    }
+    model: dict[str, list] = {}
+    for status, amount in live.values():
+        agg = model.setdefault(status, [0, 0.0])
+        agg[0] += 1
+        agg[1] += amount
+    want = {s: (c, round(v, 6)) for s, (c, v) in model.items()}
+    assert got == recompute == want, f"seed {seed}"
