@@ -844,6 +844,46 @@ class CdcEngine:
             handle.sink.apply_batch(batch, batch_id=-1)
         return n
 
+    def update(self, name: str, key, doc: dict,
+               doc_as_upsert: bool = False) -> dict:
+        """The ``_update`` endpoint (partial document update): merge
+        ``doc``'s fields into the current document for ``key``. Fields
+        not in the registered schema are rejected (the engine's
+        explicit-schema stance); a missing document raises unless
+        ``doc_as_upsert`` (ES's flag of the same name); an update that
+        changes nothing is reported as a noop without writing (ES's
+        default detect_noop=true). The write is ONE keyed bulk merge
+        with an engine-allocated seq above the high-water mark, so it
+        composes with concurrent streams like any other write.
+        Returns {"result": "updated" | "created" | "noop"}."""
+        handle = self._resolve_write(name)
+        fields = [f.name for f in handle.schema.fields]
+        unknown = sorted(set(doc) - set(fields))
+        if unknown:
+            raise ValueError(
+                f"unknown field(s) {unknown} for table {name!r} "
+                f"(schema: {fields})"
+            )
+        if self.key_col in doc and doc[self.key_col] != key:
+            raise ValueError(
+                f"doc carries {self.key_col}={doc[self.key_col]!r} but "
+                f"targets key {key!r}"
+            )
+        rows = self.mget(name, [key]).collect() if handle.sink.exists() else []
+        if not rows:
+            if not doc_as_upsert:
+                raise KeyError(f"document {key!r} not found in {name!r}")
+            merged = {**{f: None for f in fields}, **doc,
+                      self.key_col: key}
+            self.bulk(name, [{"index": merged}])
+            return {"result": "created"}
+        current = {f: rows[0][f] for f in fields}
+        merged = {**current, **doc, self.key_col: key}
+        if merged == current:
+            return {"result": "noop"}
+        self.bulk(name, [{"index": merged}])
+        return {"result": "updated"}
+
     def msearch(self, name: str, bodies: list) -> list:
         """Multi-search: one DataFrame per request body (the ES
         `_msearch` bulk endpoint). Plans are independent; callers can

@@ -1030,3 +1030,42 @@ def test_routed_stream_knn_freshness(spark, tmp_path):
     engine.await_all()
     hits2 = [r["id"] for r in engine.search("vecs", body).collect()]
     assert 555555 not in hits2 and hits2[0] == victim
+
+
+def test_update_partial_doc_merge(spark, tmp_path):
+    """The _update endpoint: partial doc merge preserves untouched
+    fields, detect_noop reports unchanged writes without bumping seq,
+    missing docs raise unless doc_as_upsert, unknown fields and key
+    mismatches are rejected, and the write composes with the stream
+    seq allocation (lands above the high-water mark)."""
+    engine = CdcEngine(spark=spark, workdir=str(tmp_path))
+    engine.register_table("card", CARD_SCHEMA)
+    engine.bulk("card", [
+        {"index": {"id": 1, "status": "ACTIVE", "card_type": "DEBIT"}},
+        {"index": {"id": 2, "status": "ACTIVE", "card_type": "CREDIT"}},
+    ], batch_id=0)
+
+    assert engine.update("card", 1, {"status": "BLOCKED"}) == {
+        "result": "updated"}
+    row = engine.mget("card", [1]).head()
+    assert (row["status"], row["card_type"]) == ("BLOCKED", "DEBIT")
+    hwm_after_update = engine._seq_high_water("card")
+
+    # noop: same values -> no write, hwm unchanged
+    assert engine.update("card", 1, {"status": "BLOCKED"}) == {
+        "result": "noop"}
+    assert engine._seq_high_water("card") == hwm_after_update
+
+    with pytest.raises(KeyError, match="not found"):
+        engine.update("card", 99, {"status": "NEW"})
+    assert engine.update("card", 99, {"status": "NEW"},
+                         doc_as_upsert=True) == {"result": "created"}
+    assert engine.mget("card", [99]).head()["card_type"] is None
+
+    with pytest.raises(ValueError, match="unknown field"):
+        engine.update("card", 1, {"nope": 1})
+    with pytest.raises(ValueError, match="targets key"):
+        engine.update("card", 1, {"id": 2})
+    # update's seq landed above prior writes: a replayed older change
+    # cannot override it
+    assert engine._seq_high_water("card") > hwm_after_update
