@@ -67,6 +67,8 @@ class CdcEngine:
     rollups: dict = field(default_factory=dict)
     # rollup name -> live StreamingQuery (cleared by await_all)
     rollup_queries: dict = field(default_factory=dict)
+    # monitor name -> spec dict; see put_monitor
+    monitors: dict = field(default_factory=dict)
 
     # -- lifecycle ---------------------------------------------------------
 
@@ -177,8 +179,13 @@ class CdcEngine:
             F.col("offset").alias(self.seq_col),
         )
         ckpt = os.path.join(self.workdir, f"ckpt_{name}")
+        after = None
+        if any(m["table"] == name for m in self.monitors.values()):
+            after = lambda bid: self.evaluate_monitors(  # noqa: E731
+                table=name, batch_id=bid)
         handle.query = start_mirror_stream(
-            flat, handle.sink, ckpt, trigger_available_now=available_now
+            flat, handle.sink, ckpt, trigger_available_now=available_now,
+            after_batch=after,
         )
         return handle.query
 
@@ -843,6 +850,82 @@ class CdcEngine:
         if n:
             handle.sink.apply_batch(batch, batch_id=-1)
         return n
+
+    def put_monitor(self, monitor_name: str, table: str, body: dict,
+                    condition: str) -> None:
+        """The Alerting-plugin monitor shape (the dashboard guide's
+        "set up alerts for specific conditions" tip): a registered
+        search ``body`` over a mirror plus a ``condition`` — a SQL
+        predicate over the body's RESULT frame (the painless
+        ``ctx.results[...]`` analog, compiled by F.expr instead of
+        interpreted per evaluation). A monitor fires when any result
+        row satisfies the condition; the firing rows are appended to
+        the monitor's alert log (``alerts(name)``), stamped with the
+        evaluating batch id.
+
+        Evaluation cadence: every micro-batch of a later
+        ``start_stream`` on the monitored table evaluates its monitors
+        right after the merge commits (the per-interval scheduler of
+        the reference plugin, driven by the stream instead of a cron),
+        and ``evaluate_monitors()`` runs them on demand. Alert
+        delivery is AT-LEAST-ONCE under batch replay — the industry
+        contract for alerting — with batch_id on every row so
+        downstream consumers can dedup."""
+        if table not in self.tables:
+            raise ValueError(f"monitor targets unknown table {table!r}")
+        # fail fast on an unparseable condition, not at first
+        # evaluation (F.expr defers parsing, so drive the parser)
+        try:
+            self.spark._jsparkSession.sessionState().sqlParser(
+            ).parseExpression(condition)
+        except Exception as exc:
+            raise ValueError(
+                f"monitor condition does not parse: {condition!r}"
+            ) from exc
+        self.monitors[monitor_name] = {
+            "table": table, "body": body, "condition": condition,
+        }
+
+    def evaluate_monitors(self, table: str | None = None,
+                          batch_id: int = -1) -> dict:
+        """Run registered monitors (optionally only those on ``table``)
+        against the CURRENT mirror; append firing rows to each
+        monitor's alert log. Returns {monitor_name: fired_row_count}."""
+        fired: dict = {}
+        for mname, spec in self.monitors.items():
+            if table is not None and spec["table"] != table:
+                continue
+            result = self.search(spec["table"], spec["body"])
+            hits = result.filter(F.expr(spec["condition"]))
+            out = hits.select(
+                F.lit(mname).alias("monitor"),
+                F.lit(int(batch_id)).alias("batch_id"),
+                *[F.col(c) for c in hits.columns],
+            )
+            n = out.count()
+            fired[mname] = n
+            if n:
+                out.write.mode("append").parquet(
+                    os.path.join(self.workdir, f"alerts_{mname}")
+                )
+        return fired
+
+    def alerts(self, monitor_name: str) -> DataFrame:
+        """The alert log of a monitor (empty frame if it never fired)."""
+        path = os.path.join(self.workdir, f"alerts_{monitor_name}")
+        if monitor_name not in self.monitors:
+            raise KeyError(f"unknown monitor {monitor_name!r}")
+        if not os.path.exists(path):
+            spec = self.monitors[monitor_name]
+            empty = self.search(spec["table"], spec["body"]).filter(
+                F.lit(False)
+            )
+            return empty.select(
+                F.lit(monitor_name).alias("monitor"),
+                F.lit(-1).alias("batch_id"),
+                *[F.col(c) for c in empty.columns],
+            )
+        return self.spark.read.parquet(path)
 
     def update(self, name: str, key, doc: dict,
                doc_as_upsert: bool = False) -> dict:

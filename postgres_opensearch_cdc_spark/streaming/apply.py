@@ -130,6 +130,7 @@ def start_mirror_stream(
     checkpoint_dir: str,
     trigger_available_now: bool = True,
     processing_time: str = "1 second",
+    after_batch=None,
 ):
     """Wire a changelog stream into the mirror sink.
 
@@ -137,6 +138,9 @@ def start_mirror_stream(
     processingTime("1 second") matches the reference's refresh/latency
     budget (TDD :525, :1437-1445) for the live mode.
     Stats via observe(): per-batch op-mix counters, the reference's T9.
+    ``after_batch(batch_id)``, when given, runs after each batch's
+    merge commits — the hook monitor evaluation (engine alerting)
+    rides on.
     """
     observed = changes.observe(
         "cdc_stats",
@@ -147,6 +151,8 @@ def start_mirror_stream(
         # writer identity = the checkpoint: batch ids restart per
         # checkpoint, so the sink's replay guard needs both
         sink.apply_batch(batch, batch_id, writer_id=checkpoint_dir)
+        if after_batch is not None:
+            after_batch(batch_id)
 
     writer = observed.writeStream.foreachBatch(_apply).option(
         "checkpointLocation", checkpoint_dir

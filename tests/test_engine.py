@@ -1069,3 +1069,52 @@ def test_update_partial_doc_merge(spark, tmp_path):
     # update's seq landed above prior writes: a replayed older change
     # cannot override it
     assert engine._seq_high_water("card") > hwm_after_update
+
+
+def test_monitor_alerts_fire_per_micro_batch(spark, tmp_path):
+    """Alerting monitors (the reference guide's 'set up alerts' tip):
+    a registered search body + result-frame condition evaluates after
+    every micro-batch merge — a batch pushing the aggregate past the
+    threshold appends alert rows stamped with that batch id, quiet
+    batches append nothing, and on-demand evaluation works without a
+    stream."""
+    engine = CdcEngine(spark=spark, workdir=str(tmp_path))
+    engine.register_table("card", CARD_SCHEMA)
+    engine.put_monitor(
+        "too_many_blocked", "card",
+        {"aggs": {"by_status": {"terms": {"field": "status"}}}},
+        "by_status = 'BLOCKED' AND doc_count >= 2",
+    )
+    with pytest.raises(ValueError, match="unknown table"):
+        engine.put_monitor("x", "nope", {}, "1 = 1")
+    with pytest.raises(ValueError, match="does not parse"):
+        engine.put_monitor("x", "card", {}, "status ===")
+
+    log_dir = str(tmp_path / "log")
+    os.makedirs(log_dir)
+    with open(os.path.join(log_dir, "b1.json"), "w") as f:
+        f.write("\n".join([
+            envelope("c", 1, "ACTIVE", "DEBIT", 1),
+            envelope("c", 2, "BLOCKED", "CREDIT", 2),
+        ]))
+    engine.start_stream("card", log_dir)
+    engine.await_all()
+    assert engine.alerts("too_many_blocked").count() == 0  # 1 < 2
+
+    with open(os.path.join(log_dir, "b2.json"), "w") as f:
+        f.write(envelope("u", 1, "BLOCKED", "DEBIT", 3))
+    engine.start_stream("card", log_dir)
+    engine.await_all()
+    rows = engine.alerts("too_many_blocked").collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["monitor"], r["by_status"], r["doc_count"]) == (
+        "too_many_blocked", "BLOCKED", 2)
+    assert r["batch_id"] >= 0
+
+    # on-demand evaluation (the cron-style schedule analog)
+    fired = engine.evaluate_monitors()
+    assert fired == {"too_many_blocked": 1}
+    assert engine.alerts("too_many_blocked").count() == 2
+    with pytest.raises(KeyError, match="unknown monitor"):
+        engine.alerts("nope")
