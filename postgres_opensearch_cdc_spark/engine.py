@@ -13,6 +13,15 @@ explicit schemas, the snapshot backfill runs as a batch write, the
 change stream applies through the checkpointed merge sink, and every
 mirror is queryable as a SQL view at any moment (the "always-current,
 queryable mirror" contract, README.md:18-22 of the reference).
+
+Beyond _search, the façade carries the surrounding stack's shapes:
+bulk/mget/update/reindex/count/delete_by_query/update_by_query
+writes, aliases, snapshot/restore DR, per-field k-NN vector indexes
+with a staleness-safe serving plan, continuous aggregates
+(start_rollup_stream — the rollup-job table maintained from
+before/after images), and alerting monitors (put_monitor — evaluated
+after every micro-batch merge). Index-side state (knn sidecars,
+rollup specs) persists under the workdir and rehydrates on restart.
 """
 
 from __future__ import annotations
