@@ -512,6 +512,26 @@ class CdcEngine:
         semantics) it scores exactly over the scan."""
         from postgres_opensearch_cdc_spark.dsl import search_frame
 
+        if "pit" in body:
+            # point-in-time search: the body pins a committed mirror
+            # version (open_pit), so deep pagination walks a STABLE
+            # snapshot while writes continue — ES PIT semantics
+            # realized by the versioned sink's manifests. The pit id
+            # names its table; the index-backed knn route is skipped
+            # (the vector index tracks the LIVE mirror), so a pit knn
+            # body scores exactly over the pinned scan.
+            pit = body["pit"]
+            pit_id = pit["id"] if isinstance(pit, dict) else pit
+            pname, _, ver = str(pit_id).rpartition(":")
+            if pname != name or not ver.isdigit():
+                raise ValueError(
+                    f"pit id {pit_id!r} does not reference table {name!r}"
+                )
+            rest = {k: v for k, v in body.items() if k != "pit"}
+            return search_frame(
+                self.view(name, version=int(ver)), rest,
+                id_col=id_col or self.key_col,
+            )
         if ("knn" in body and name not in self.aliases
                 # the index route serves ONLY the clause set it
                 # implements; anything else (query pre-filter,
@@ -859,6 +879,69 @@ class CdcEngine:
         if n:
             handle.sink.apply_batch(batch, batch_id=-1)
         return n
+
+    def open_pit(self, name: str) -> dict:
+        """The point-in-time API (`_pit`): pin the mirror's CURRENT
+        committed version so later searches page against a stable
+        snapshot while writes continue. Free until vacuum (the
+        versioned sink keeps old manifests); a vacuumed pit fails its
+        next search with FileNotFoundError — the ES pit-expired
+        analog. Returns {"id": "<table>:<version>"}; put it in the
+        request body as {"pit": {"id": ...}}."""
+        handle = self.tables[name]  # aliases/unknown raise KeyError
+        if not isinstance(handle.sink, VersionedMirrorSink):
+            raise ValueError("point-in-time requires the versioned sink_mode")
+        manifest = handle.sink.latest_manifest()
+        if manifest is None:
+            raise ValueError(f"table {name!r} has no committed version yet")
+        return {"id": f"{name}:{manifest['version']}"}
+
+    def validate(self, name: str, body: dict) -> dict:
+        """The `_validate/query` analog: compile and ANALYZE the
+        request body against the mirror without executing it —
+        catches unknown body keys, malformed query nodes, and
+        unresolvable columns. Returns {"valid": True} or
+        {"valid": False, "error": <message>}."""
+        try:
+            _ = self.search(name, body).schema  # forces analysis
+            return {"valid": True}
+        except Exception as exc:
+            return {"valid": False, "error": str(exc)}
+
+    def field_caps(self, pattern: str) -> dict:
+        """The `_field_caps` endpoint — what the reference's Dashboards
+        calls when creating an index pattern (DASHBOARD_GUIDE.md:19-24):
+        field → {type | 'conflict', per-type index lists} across every
+        table matching the glob pattern (aliases resolve to their
+        members)."""
+        import fnmatch
+
+        if pattern in self.aliases:
+            names = list(self.aliases[pattern])
+        else:
+            names = sorted(
+                t for t in self.tables if fnmatch.fnmatch(t, pattern)
+            )
+        if not names:
+            raise ValueError(f"no tables match pattern {pattern!r}")
+        fields: dict = {}
+        for t in names:
+            for f in self.tables[t].schema.fields:
+                by_type = fields.setdefault(f.name, {})
+                by_type.setdefault(
+                    f.dataType.simpleString(), []
+                ).append(t)
+        return {
+            "indices": names,
+            "fields": {
+                fname: {
+                    "type": (next(iter(by_type))
+                             if len(by_type) == 1 else "conflict"),
+                    "types": {ty: sorted(ts) for ty, ts in by_type.items()},
+                }
+                for fname, by_type in sorted(fields.items())
+            },
+        }
 
     def put_monitor(self, monitor_name: str, table: str, body: dict,
                     condition: str) -> None:

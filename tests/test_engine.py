@@ -1118,3 +1118,86 @@ def test_monitor_alerts_fire_per_micro_batch(spark, tmp_path):
     assert engine.alerts("too_many_blocked").count() == 2
     with pytest.raises(KeyError, match="unknown monitor"):
         engine.alerts("nope")
+
+
+def test_pit_search_pages_stable_snapshot(spark, tmp_path):
+    """Point-in-time search: a pit pins the committed version, so
+    search_after paging walks a STABLE result while concurrent writes
+    land — new/updated/deleted rows stay invisible through the pit and
+    visible without it; vacuum expires the pit (FileNotFoundError);
+    the id must reference its own table."""
+    engine = CdcEngine(spark=spark, workdir=str(tmp_path))
+    engine.register_table("card", CARD_SCHEMA)
+    engine.bulk("card", [
+        {"index": {"id": i, "status": "ACTIVE", "card_type": "DEBIT"}}
+        for i in range(1, 8)
+    ], batch_id=0)
+    pit = engine.open_pit("card")
+    assert pit == {"id": "card:1"}
+
+    # concurrent writes after the pit
+    engine.bulk("card", [
+        {"index": {"id": 99, "status": "ACTIVE", "card_type": "NEW"}},
+        {"delete": {"id": 3}},
+    ], batch_id=1)
+
+    base = {"pit": pit, "sort": [{"id": {"order": "asc"}}],
+            "_source": ["id"], "size": 3}
+    page1 = [r["id"] for r in engine.search("card", base).collect()]
+    page2 = [r["id"] for r in engine.search("card", {
+        **base, "search_after": [page1[-1]]}).collect()]
+    page3 = [r["id"] for r in engine.search("card", {
+        **base, "search_after": [page2[-1]]}).collect()]
+    assert page1 + page2 + page3 == [1, 2, 3, 4, 5, 6, 7]  # incl. 3, no 99
+    live = [r["id"] for r in engine.search("card", {
+        "sort": [{"id": {"order": "asc"}}], "_source": ["id"],
+        "size": 10}).collect()]
+    assert 3 not in live and 99 in live
+
+    with pytest.raises(ValueError, match="does not reference table"):
+        engine.search("card", {"pit": {"id": "other:1"}})
+    # unknown top-level keys still raise through the pit path
+    from postgres_opensearch_cdc_spark.dsl import DSLError
+
+    with pytest.raises(DSLError, match="unknown top-level body keys"):
+        engine.search("card", {"pit": pit, "frm": 1})
+    # vacuum expires the pinned version
+    engine.tables["card"].sink.vacuum(keep_versions=1)
+    with pytest.raises(FileNotFoundError):
+        engine.search("card", base).collect()
+
+
+def test_validate_and_field_caps(spark, tmp_path):
+    engine = CdcEngine(spark=spark, workdir=str(tmp_path))
+    engine.register_table("card", CARD_SCHEMA)
+    engine.register_table("card_archive", CARD_SCHEMA)
+    other = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("status", T.LongType()),  # type conflict vs card
+    ])
+    engine.register_table("audit", other)
+    engine.backfill("card", spark.createDataFrame(
+        [(1, "ACTIVE", "DEBIT")], CARD_SCHEMA))
+
+    assert engine.validate("card", {
+        "query": {"term": {"status": "ACTIVE"}}, "size": 1}) == {
+        "valid": True}
+    bad = engine.validate("card", {"query": {"nope": {}}})
+    assert bad["valid"] is False and "unknown query node" in bad["error"]
+    bad2 = engine.validate("card", {"frm": 2})
+    assert bad2["valid"] is False and "unknown top-level" in bad2["error"]
+    bad3 = engine.validate("card", {"query": {"term": {"ghost_col": 1}}})
+    assert bad3["valid"] is False
+
+    caps = engine.field_caps("card*")
+    assert caps["indices"] == ["card", "card_archive"]
+    assert caps["fields"]["status"]["type"] == "string"
+    all_caps = engine.field_caps("*")
+    assert all_caps["fields"]["status"]["type"] == "conflict"
+    assert set(all_caps["fields"]["status"]["types"]) == {"string", "bigint"}
+    assert all_caps["fields"]["status"]["types"]["bigint"] == ["audit"]
+    engine.put_alias("cards_all", ["card", "card_archive"])
+    assert engine.field_caps("cards_all")["indices"] == [
+        "card", "card_archive"]
+    with pytest.raises(ValueError, match="no tables match"):
+        engine.field_caps("zzz*")
