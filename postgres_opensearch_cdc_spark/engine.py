@@ -78,6 +78,8 @@ class CdcEngine:
     rollup_queries: dict = field(default_factory=dict)
     # monitor name -> spec dict; see put_monitor
     monitors: dict = field(default_factory=dict)
+    # template name -> {source, params}; see put_template
+    templates: dict = field(default_factory=dict)
 
     # -- lifecycle ---------------------------------------------------------
 
@@ -676,6 +678,80 @@ class CdcEngine:
         if size is not None:
             body["size"] = size
         return self.search(name, body)
+
+    def sql(self, query: str) -> DataFrame:
+        """The SQL-plugin analog (`_plugins/_sql`): run a SQL query
+        whose table names are registered mirrors or aliases — each is
+        exposed as a temp view over its ALWAYS-CURRENT state at call
+        time, so `engine.sql("SELECT status, count(*) FROM card GROUP
+        BY 1")` is the reference stack's SQL endpoint answered by the
+        mirror. Catalyst compiles it into the same plans as the other
+        interfaces (pushdown, partial aggs, TakeOrderedAndProject)."""
+        for t in self.tables:
+            self.view(t).createOrReplaceTempView(t)
+        for a in self.aliases:
+            self.view(a).createOrReplaceTempView(a)
+        return self.spark.sql(query)
+
+    def put_template(self, template_name: str, source: dict) -> None:
+        """Store a search template (`_scripts/<id>` with a mustache
+        source): a request body whose values may carry ``{{param}}``
+        placeholders — whole-value placeholders substitute the param
+        VERBATIM (numbers stay numbers, lists stay lists), embedded
+        ones interpolate into the string."""
+        import re as _re
+
+        params = set()
+
+        def scan(node):
+            if isinstance(node, dict):
+                for k, v in node.items():
+                    scan(k), scan(v)
+            elif isinstance(node, list):
+                for v in node:
+                    scan(v)
+            elif isinstance(node, str):
+                params.update(_re.findall(r"\{\{(\w+)\}\}", node))
+
+        scan(source)
+        self.templates[template_name] = {
+            "source": source, "params": sorted(params),
+        }
+
+    def search_template(self, name: str, template_name: str,
+                        params: dict) -> DataFrame:
+        """Render a stored template with ``params`` and run it as a
+        search. Strict on BOTH sides: every placeholder must be
+        provided and every provided param must be used — a typoed
+        param name degrades loudly, never into a half-rendered body."""
+        import re as _re
+
+        tpl = self.templates[template_name]
+        declared = set(tpl["params"])
+        missing = sorted(declared - set(params))
+        unused = sorted(set(params) - declared)
+        if missing or unused:
+            raise ValueError(
+                f"template {template_name!r}: missing params {missing}, "
+                f"unknown params {unused} (declared: {tpl['params']})"
+            )
+
+        def render(node):
+            if isinstance(node, dict):
+                return {k: render(v) for k, v in node.items()}
+            if isinstance(node, list):
+                return [render(v) for v in node]
+            if isinstance(node, str):
+                whole = _re.fullmatch(r"\{\{(\w+)\}\}", node)
+                if whole:  # verbatim: numbers/lists keep their type
+                    return params[whole.group(1)]
+                return _re.sub(
+                    r"\{\{(\w+)\}\}",
+                    lambda m: str(params[m.group(1)]), node,
+                )
+            return node
+
+        return self.search(name, render(tpl["source"]))
 
     def ppl(self, query: str) -> DataFrame:
         """Run a PPL pipeline whose ``source=`` (and join/lookup right

@@ -1201,3 +1201,71 @@ def test_validate_and_field_caps(spark, tmp_path):
         "card", "card_archive"]
     with pytest.raises(ValueError, match="no tables match"):
         engine.field_caps("zzz*")
+
+
+def test_engine_sql_interface(spark, tmp_path):
+    """The SQL-plugin analog: registered mirrors and aliases resolve
+    as table names over their always-current state, and the SQL
+    answers track CDC writes."""
+    engine = CdcEngine(spark=spark, workdir=str(tmp_path))
+    engine.register_table("card", CARD_SCHEMA)
+    engine.bulk("card", [
+        {"index": {"id": 1, "status": "ACTIVE", "card_type": "DEBIT"}},
+        {"index": {"id": 2, "status": "ACTIVE", "card_type": "CREDIT"}},
+        {"index": {"id": 3, "status": "BLOCKED", "card_type": "DEBIT"}},
+    ], batch_id=0)
+    got = {(r["status"], r["n"]) for r in engine.sql(
+        "SELECT status, count(*) AS n FROM card GROUP BY status"
+    ).collect()}
+    assert got == {("ACTIVE", 2), ("BLOCKED", 1)}
+    # the view is always-current: a delete shows up in the next call
+    engine.bulk("card", [{"delete": {"id": 2}}], batch_id=1)
+    assert engine.sql("SELECT count(*) AS n FROM card").head()["n"] == 2
+    # aliases resolve too
+    engine.register_table("card2", CARD_SCHEMA)
+    engine.backfill("card2", spark.createDataFrame(
+        [(9, "ACTIVE", "DEBIT")], CARD_SCHEMA))
+    engine.put_alias("all_cards", ["card", "card2"])
+    assert engine.sql(
+        "SELECT count(*) AS n FROM all_cards").head()["n"] == 3
+
+
+def test_search_template_strict_params(spark, tmp_path):
+    """Search templates: whole-value placeholders keep the param's
+    TYPE (numbers/lists), embedded ones interpolate; missing AND
+    unknown params raise before anything renders."""
+    engine = CdcEngine(spark=spark, workdir=str(tmp_path))
+    engine.register_table("card", CARD_SCHEMA)
+    engine.bulk("card", [
+        {"index": {"id": 1, "status": "ACTIVE", "card_type": "DEBIT"}},
+        {"index": {"id": 2, "status": "BLOCKED", "card_type": "CREDIT"}},
+        {"index": {"id": 3, "status": "ACTIVE", "card_type": "CREDIT"}},
+    ], batch_id=0)
+    engine.put_template("by_status", {
+        "query": {"bool": {
+            "must": [{"term": {"status": "{{status}}"}}],
+            "filter": [{"range": {"id": {"gte": "{{min_id}}"}}}],
+        }},
+        "sort": [{"id": {"order": "asc"}}],
+        "_source": ["id", "status"],
+        "size": "{{size}}",
+    })
+    assert engine.templates["by_status"]["params"] == [
+        "min_id", "size", "status"]
+    out = engine.search_template("card", "by_status", {
+        "status": "ACTIVE", "min_id": 2, "size": 5})
+    assert [r["id"] for r in out.collect()] == [3]
+    with pytest.raises(ValueError, match="missing params \\['min_id'"):
+        engine.search_template("card", "by_status",
+                               {"status": "ACTIVE", "size": 5})
+    with pytest.raises(ValueError, match="unknown params \\['sise'\\]"):
+        engine.search_template("card", "by_status", {
+            "status": "ACTIVE", "min_id": 0, "size": 1, "sise": 2})
+    # embedded interpolation inside a larger string
+    engine.put_template("prefixed", {
+        "query": {"prefix": {"card_type": "{{p}}RED"}},
+        "_source": ["id"], "sort": [{"id": "asc"}],
+    })
+    got = [r["id"] for r in engine.search_template(
+        "card", "prefixed", {"p": "C"}).collect()]
+    assert got == [2, 3]
