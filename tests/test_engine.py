@@ -1269,3 +1269,30 @@ def test_search_template_strict_params(spark, tmp_path):
     got = [r["id"] for r in engine.search_template(
         "card", "prefixed", {"p": "C"}).collect()]
     assert got == [2, 3]
+
+
+def test_engine_sql_compiles_to_same_plan_shapes(spark, tmp_path):
+    """The SQL interface goes through the same Catalyst pipeline as
+    the other five: filters push into the mirror scan and aggregates
+    run partial+final — and the term-query body compiles to the same
+    filter shape over the same view."""
+    engine = CdcEngine(spark=spark, workdir=str(tmp_path))
+    engine.register_table("card", CARD_SCHEMA)
+    engine.bulk("card", [
+        {"index": {"id": i, "status": "ACTIVE" if i % 2 else "BLOCKED",
+                   "card_type": "DEBIT"}}
+        for i in range(1, 9)
+    ], batch_id=0)
+    sql_plan = engine.sql(
+        "SELECT card_type, count(*) AS n FROM card "
+        "WHERE status = 'ACTIVE' GROUP BY card_type"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(status), EqualTo(status,ACTIVE)]" \
+        in sql_plan
+    assert sql_plan.count("HashAggregate") >= 2  # partial + final
+    body_plan = engine.search("card", {
+        "query": {"term": {"status": "ACTIVE"}},
+        "aggs": {"by_type": {"terms": {"field": "card_type"}}},
+    })._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(status), EqualTo(status,ACTIVE)]" \
+        in body_plan
