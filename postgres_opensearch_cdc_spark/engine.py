@@ -956,6 +956,43 @@ class CdcEngine:
             handle.sink.apply_batch(batch, batch_id=-1)
         return n
 
+    def terms_enum(self, name: str, field: str, prefix: str = "",
+                   size: int = 10, case_insensitive: bool = True
+                   ) -> list[str]:
+        """The `_terms_enum` endpoint (index-time autocomplete): the
+        first ``size`` distinct live values of ``field`` matching the
+        prefix, in sorted order. Compiles to a pushed StartsWith
+        filter + distinct + TakeOrderedAndProject over the mirror —
+        never a full-field collect."""
+        col = F.col(field)
+        pfx = prefix
+        if case_insensitive:
+            col, pfx = F.lower(col), prefix.lower()
+        df = self.view(name).select(col.alias("term")).filter(
+            F.col("term").startswith(pfx) if pfx else F.col("term").isNotNull()
+        )
+        return [
+            r["term"]
+            for r in df.distinct().orderBy("term").limit(int(size)).collect()
+        ]
+
+    def analyze(self, text: str, tokenizer: str = "whitespace",
+                filters=(("lowercase",),)) -> list[dict]:
+        """The `_analyze` endpoint: run an analyzer chain over a
+        constant string and return the token stream — the same chains
+        the full-text operators use (functions/analysis.py), in the ES
+        response shape ({token, position})."""
+        from postgres_opensearch_cdc_spark.functions.analysis import (
+            analyze_text,
+        )
+
+        return [
+            {"token": t, "position": i}
+            for i, t in enumerate(
+                analyze_text(text, tokenizer=tokenizer, filters=filters)
+            )
+        ]
+
     def open_pit(self, name: str) -> dict:
         """The point-in-time API (`_pit`): pin the mirror's CURRENT
         committed version so later searches page against a stable

@@ -1296,3 +1296,35 @@ def test_engine_sql_compiles_to_same_plan_shapes(spark, tmp_path):
     })._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [IsNotNull(status), EqualTo(status,ACTIVE)]" \
         in body_plan
+
+
+def test_terms_enum_and_analyze(spark, tmp_path):
+    """_terms_enum: prefix-filtered sorted distinct live values with a
+    TakeOrderedAndProject plan; _analyze: analyzer chains over a
+    constant string in the ES token/position shape."""
+    engine = CdcEngine(spark=spark, workdir=str(tmp_path))
+    engine.register_table("card", CARD_SCHEMA)
+    engine.bulk("card", [
+        {"index": {"id": 1, "status": "ACTIVE", "card_type": "DEBIT"}},
+        {"index": {"id": 2, "status": "ACTIVATING", "card_type": "CREDIT"}},
+        {"index": {"id": 3, "status": "BLOCKED", "card_type": "DEBIT"}},
+        {"index": {"id": 4, "status": "ARCHIVED", "card_type": "PREPAID"}},
+    ], batch_id=0)
+    assert engine.terms_enum("card", "status", prefix="ac") == [
+        "activating", "active"]
+    assert engine.terms_enum("card", "status", prefix="AC",
+                             case_insensitive=False) == [
+        "ACTIVATING", "ACTIVE"]
+    assert engine.terms_enum("card", "card_type", size=2) == [
+        "credit", "debit"]
+    # deleted values vanish from the enum (live mirror, not history)
+    engine.bulk("card", [{"delete": {"id": 4}}], batch_id=1)
+    assert "archived" not in engine.terms_enum("card", "status")
+
+    toks = engine.analyze("The QUICK brown Foxes",
+                          filters=(("lowercase",), ("stop", ["the"])))
+    assert toks == [
+        {"token": "quick", "position": 0},
+        {"token": "brown", "position": 1},
+        {"token": "foxes", "position": 2},
+    ]
