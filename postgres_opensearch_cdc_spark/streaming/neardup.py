@@ -245,3 +245,104 @@ class NearDupSink:
         with open(tmp, "w") as fh:
             json.dump({"batch_id": batch_id}, fh)
         os.replace(tmp, self._meta)
+
+
+@dataclass
+class SpanDedupSink:
+    """Streaming substring-level dedup: the foreachBatch form of
+    ``functions.dedup.incremental_duplicate_spans`` — each micro-batch
+    of NEW documents reports its duplicated token spans against the
+    durable window-hash store of everything ingested so far (plus
+    within-batch repeats), then registers its own distinct window
+    hashes. The in-stream realization of "dedup training data at the
+    N-token level" for a corpus that arrives continuously.
+
+    Layout:
+        <path>/spans/       appended parquet
+                            (id, span_start, span_end, n_windows)
+        <path>/winhashes/   appended parquet (win_hash, distinct per
+                            batch append)
+        <path>/_meta.json   {"batch_id": last applied}
+
+    Scale: state is one long per DISTINCT window content ever seen —
+    O(corpus tokens) in storage, never executor memory; each batch's
+    work is its own shingling plus one hash-keyed join against the
+    store (bucket the store by pmod(win_hash) at 100 TB so the join
+    co-partitions). Exactly-once by the recorded batch id, same
+    protocol as NearDupSink; span rows for a batch append before the
+    meta commit, so a crash between appends is healed by the replay
+    skip. One-pass semantics: like the batch operator, the FIRST
+    occurrence of a span is not reported — only later repeats are
+    (the trim policy's survivor)."""
+
+    path: str
+    id_col: str = "doc_id"
+    text_col: str = "text"
+    window: int = 10
+
+    @property
+    def _spans(self) -> str:
+        return os.path.join(self.path, "spans")
+
+    @property
+    def _winhashes(self) -> str:
+        return os.path.join(self.path, "winhashes")
+
+    @property
+    def _meta(self) -> str:
+        return os.path.join(self.path, "_meta.json")
+
+    def _last_batch(self) -> int | None:
+        if not os.path.exists(self._meta):
+            return None
+        with open(self._meta) as fh:
+            return json.load(fh)["batch_id"]
+
+    def spans(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(self._spans)
+
+    def apply_batch(self, batch: DataFrame, batch_id: int) -> None:
+        from postgres_opensearch_cdc_spark.functions.dedup import (
+            merge_seed_spans,
+            token_windows,
+        )
+
+        spark = batch.sparkSession
+        last = self._last_batch()
+        if last is not None and batch_id >= 0 and batch_id <= last:
+            return  # replayed batch — already applied
+        wins = token_windows(
+            batch.select(self.id_col, self.text_col),
+            self.text_col, self.id_col, window=self.window,
+        ).localCheckpoint(eager=True)
+        batch_dup = (
+            wins.groupBy("win_hash")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") >= 2)
+            .select("win_hash")
+        )
+        if os.path.isdir(self._winhashes):
+            store_hit = wins.join(
+                spark.read.parquet(self._winhashes), "win_hash"
+            ).select("win_hash").distinct()
+            dup = batch_dup.unionByName(store_hit).distinct()
+        else:
+            dup = batch_dup
+        seeds = wins.join(dup, "win_hash").select("id", "start")
+        spans = merge_seed_spans(seeds, self.window).localCheckpoint(
+            eager=True
+        )
+        if spans.isEmpty():
+            # parquet append of an empty frame still lays schema files;
+            # skip so spans/ exists only once something fired
+            pass
+        else:
+            spans.write.mode("append").parquet(self._spans)
+        wins.select("win_hash").distinct().write.mode("append").parquet(
+            self._winhashes
+        )
+        os.makedirs(self.path, exist_ok=True)
+        tmp = self._meta + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"batch_id": batch_id}, fh)
+        os.replace(tmp, self._meta)

@@ -149,3 +149,85 @@ def test_within_watermark_neardup_stream(spark, tmp_path):
     # 1 and 9 own all their bands; 11 shares bands with 1 -> suppressed;
     # 12 unrelated -> survives. 99's window hasn't flushed.
     assert emitted == {1, 9, 12}
+
+
+# ---------------------------------------------------------------------------
+# SpanDedupSink: streaming substring-level dedup (round 10)
+# ---------------------------------------------------------------------------
+
+from postgres_opensearch_cdc_spark.streaming.neardup import SpanDedupSink
+
+SHARED = " ".join(f"s{i}" for i in range(15))  # 15 tokens, W=10
+
+
+def span_rows(spark, sink):
+    return {
+        (r["id"], r["span_start"], r["span_end"], r["n_windows"])
+        for r in sink.spans(spark).collect()
+    }
+
+
+def test_span_sink_cross_batch_store_and_replay(spark, tmp_path):
+    """Batch 1 registers windows only (first occurrences are the
+    survivors); a later batch repeating a batch-1 span reports it with
+    exact boundaries; within-batch repeats mark both docs; a replayed
+    batch id appends nothing; short docs emit nothing."""
+    sink = SpanDedupSink(path=str(tmp_path / "sd"))
+    sink.apply_batch(docs(spark, [
+        (1, "ua0 ua1 ua2 " + SHARED),
+        (2, FAR),
+        (5, "tiny doc"),
+    ]), 0)
+    assert not os.path.isdir(sink._spans)  # nothing duplicated yet
+
+    sink.apply_batch(docs(spark, [
+        (3, "va0 va1 " + SHARED + " vb0"),   # repeats batch-1 span
+        (4, FAR2),
+    ]), 1)
+    assert span_rows(spark, sink) == {(3, 2, 17, 6)}
+
+    # replay of batch 1 under the recorded id: no double append
+    sink.apply_batch(docs(spark, [(3, "va0 va1 " + SHARED + " vb0")]), 1)
+    assert span_rows(spark, sink) == {(3, 2, 17, 6)}
+
+    # within-batch repeats mark BOTH docs (same min_count semantics
+    # as the batch operator)
+    phrase = " ".join(f"p{i}" for i in range(12))
+    sink.apply_batch(docs(spark, [
+        (6, phrase), (7, "w0 w1 w2 " + phrase)]), 2)
+    got = span_rows(spark, sink)
+    assert (6, 0, 12, 3) in got and (7, 3, 15, 3) in got
+
+
+def test_span_sink_through_real_stream(spark, tmp_path):
+    """Real checkpointed stream: two files as separate micro-batches;
+    the second file's repeat of a first-file span is reported."""
+    import json as _json
+
+    sink = SpanDedupSink(path=str(tmp_path / "sd"))
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_once():
+        stream = (
+            spark.readStream.schema("doc_id long, text string").json(src)
+        )
+        q = (
+            stream.writeStream.foreachBatch(sink.apply_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    with open(os.path.join(src, "b0.json"), "w") as fh:
+        fh.write(_json.dumps({"doc_id": 1, "text": SHARED}) + "\n")
+    run_once()
+    with open(os.path.join(src, "b1.json"), "w") as fh:
+        fh.write(_json.dumps({"doc_id": 2, "text": "x0 " + SHARED}) + "\n")
+    run_once()
+    assert span_rows(spark, sink) == {(2, 1, 16, 6)}
+    # drained re-run: nothing new
+    run_once()
+    assert span_rows(spark, sink) == {(2, 1, 16, 6)}
