@@ -190,10 +190,19 @@ class CdcEngine:
             F.col("offset").alias(self.seq_col),
         )
         ckpt = os.path.join(self.workdir, f"ckpt_{name}")
+
+        def _covers(target: str) -> bool:
+            # a monitor on an alias evaluates when any MEMBER streams
+            return target == name or name in self.aliases.get(target, [])
+
+        monitored = sorted(
+            mn for mn, m in self.monitors.items() if _covers(m["table"])
+        )
         after = None
-        if any(m["table"] == name for m in self.monitors.values()):
-            after = lambda bid: self.evaluate_monitors(  # noqa: E731
-                table=name, batch_id=bid)
+        if monitored:
+            after = lambda bid: {  # noqa: E731
+                mn: self._evaluate_monitor(mn, bid) for mn in monitored
+            }
         handle.query = start_mirror_stream(
             flat, handle.sink, ckpt, trigger_available_now=available_now,
             after_batch=after,
@@ -1076,8 +1085,10 @@ class CdcEngine:
         delivery is AT-LEAST-ONCE under batch replay — the industry
         contract for alerting — with batch_id on every row so
         downstream consumers can dedup."""
-        if table not in self.tables:
-            raise ValueError(f"monitor targets unknown table {table!r}")
+        if table not in self.tables and table not in self.aliases:
+            raise ValueError(
+                f"monitor targets unknown table/alias {table!r}"
+            )
         # fail fast on an unparseable condition, not at first
         # evaluation (F.expr defers parsing, so drive the parser)
         try:
@@ -1096,24 +1107,27 @@ class CdcEngine:
         """Run registered monitors (optionally only those on ``table``)
         against the CURRENT mirror; append firing rows to each
         monitor's alert log. Returns {monitor_name: fired_row_count}."""
-        fired: dict = {}
-        for mname, spec in self.monitors.items():
-            if table is not None and spec["table"] != table:
-                continue
-            result = self.search(spec["table"], spec["body"])
-            hits = result.filter(F.expr(spec["condition"]))
-            out = hits.select(
-                F.lit(mname).alias("monitor"),
-                F.lit(int(batch_id)).alias("batch_id"),
-                *[F.col(c) for c in hits.columns],
+        return {
+            mname: self._evaluate_monitor(mname, batch_id)
+            for mname, spec in self.monitors.items()
+            if table is None or spec["table"] == table
+        }
+
+    def _evaluate_monitor(self, mname: str, batch_id: int) -> int:
+        spec = self.monitors[mname]
+        result = self.search(spec["table"], spec["body"])
+        hits = result.filter(F.expr(spec["condition"]))
+        out = hits.select(
+            F.lit(mname).alias("monitor"),
+            F.lit(int(batch_id)).alias("batch_id"),
+            *[F.col(c) for c in hits.columns],
+        )
+        n = out.count()
+        if n:
+            out.write.mode("append").parquet(
+                os.path.join(self.workdir, f"alerts_{mname}")
             )
-            n = out.count()
-            fired[mname] = n
-            if n:
-                out.write.mode("append").parquet(
-                    os.path.join(self.workdir, f"alerts_{mname}")
-                )
-        return fired
+        return n
 
     def alerts(self, monitor_name: str) -> DataFrame:
         """The alert log of a monitor (empty frame if it never fired)."""

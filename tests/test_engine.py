@@ -1328,3 +1328,27 @@ def test_terms_enum_and_analyze(spark, tmp_path):
         {"token": "brown", "position": 1},
         {"token": "foxes", "position": 2},
     ]
+
+
+def test_monitor_on_alias_evaluates_when_member_streams(spark, tmp_path):
+    """A monitor may target an ALIAS (the multi-index monitor shape);
+    it evaluates whenever any member table's stream commits a batch."""
+    engine = CdcEngine(spark=spark, workdir=str(tmp_path))
+    engine.register_table("card", CARD_SCHEMA)
+    engine.register_table("card_old", CARD_SCHEMA)
+    engine.put_alias("cards", ["card", "card_old"])
+    engine.backfill("card_old", spark.createDataFrame(
+        [(50, "BLOCKED", "DEBIT")], CARD_SCHEMA))
+    engine.put_monitor(
+        "blocked_anywhere", "cards",
+        {"aggs": {"st": {"terms": {"field": "status"}}}},
+        "st = 'BLOCKED' AND doc_count >= 2",
+    )
+    log_dir = str(tmp_path / "log")
+    os.makedirs(log_dir)
+    with open(os.path.join(log_dir, "b1.json"), "w") as f:
+        f.write(envelope("c", 1, "BLOCKED", "CREDIT", 1))
+    engine.start_stream("card", log_dir)  # a MEMBER streams
+    engine.await_all()
+    rows = engine.alerts("blocked_anywhere").collect()
+    assert len(rows) == 1 and rows[0]["doc_count"] == 2  # union counted
