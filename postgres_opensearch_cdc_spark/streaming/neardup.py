@@ -258,22 +258,28 @@ class SpanDedupSink:
     N-token level" for a corpus that arrives continuously.
 
     Layout:
-        <path>/spans/       appended parquet
-                            (id, span_start, span_end, n_windows)
-        <path>/winhashes/   appended parquet (win_hash, distinct per
-                            batch append)
+        <path>/spans/       appended parquet (id, span_start,
+                            span_end, n_windows, batch_id)
+        <path>/winhashes/   appended parquet (win_hash, owner) —
+                            owner-aware like NearDupSink's band store,
+                            so a replayed batch never collides with
+                            its OWN registration and re-derives
+                            byte-identical span rows
         <path>/_meta.json   {"batch_id": last applied}
 
-    Scale: state is one long per DISTINCT window content ever seen —
+    Scale: state is one (hash, owner) pair per doc-distinct window —
     O(corpus tokens) in storage, never executor memory; each batch's
     work is its own shingling plus one hash-keyed join against the
     store (bucket the store by pmod(win_hash) at 100 TB so the join
-    co-partitions). Exactly-once by the recorded batch id, same
-    protocol as NearDupSink; span rows for a batch append before the
-    meta commit, so a crash between appends is healed by the replay
-    skip. One-pass semantics: like the batch operator, the FIRST
-    occurrence of a span is not reported — only later repeats are
-    (the trim policy's survivor)."""
+    co-partitions). Replay protection: a batch id at or below the
+    recorded meta is skipped whole. A crash BETWEEN the appends and
+    the meta commit re-runs the batch on restart, deterministically
+    re-deriving the same rows — so raw appends are at-least-once, and
+    span rows carry their batch id with the ``spans()`` reader
+    dropping exact duplicates (winhash duplicates are harmless: the
+    store is only ever joined on existence). One-pass semantics: like
+    the batch operator, the FIRST occurrence of a span is not
+    reported — only later repeats are (the trim policy's survivor)."""
 
     path: str
     id_col: str = "doc_id"
@@ -299,7 +305,10 @@ class SpanDedupSink:
             return json.load(fh)["batch_id"]
 
     def spans(self, spark: SparkSession) -> DataFrame:
-        return spark.read.parquet(self._spans)
+        # distinct heals the crash-between-append-and-meta replay:
+        # re-derived rows are identical (deterministic batch), so
+        # exact-duplicate drop restores exactly-once reads
+        return spark.read.parquet(self._spans).distinct()
 
     def apply_batch(self, batch: DataFrame, batch_id: int) -> None:
         from postgres_opensearch_cdc_spark.functions.dedup import (
@@ -321,26 +330,31 @@ class SpanDedupSink:
             .filter(F.col("n") >= 2)
             .select("win_hash")
         )
+        seeds = wins.join(batch_dup, "win_hash").select("id", "start")
         if os.path.isdir(self._winhashes):
-            store_hit = wins.join(
-                spark.read.parquet(self._winhashes), "win_hash"
-            ).select("win_hash").distinct()
-            dup = batch_dup.unionByName(store_hit).distinct()
-        else:
-            dup = batch_dup
-        seeds = wins.join(dup, "win_hash").select("id", "start")
-        spans = merge_seed_spans(seeds, self.window).localCheckpoint(
-            eager=True
-        )
+            # owner-aware: a window is store-duplicated only when a
+            # DIFFERENT doc registered its content — a replayed batch
+            # meeting its own registration re-derives the original
+            # seeds exactly
+            store = spark.read.parquet(self._winhashes)
+            store_seeds = (
+                wins.join(store, "win_hash")
+                .filter(F.col("id") != F.col("owner"))
+                .select("id", "start")
+            )
+            seeds = seeds.unionByName(store_seeds).distinct()
+        spans = merge_seed_spans(seeds, self.window).withColumn(
+            "batch_id", F.lit(int(batch_id))
+        ).localCheckpoint(eager=True)
         if spans.isEmpty():
             # parquet append of an empty frame still lays schema files;
             # skip so spans/ exists only once something fired
             pass
         else:
             spans.write.mode("append").parquet(self._spans)
-        wins.select("win_hash").distinct().write.mode("append").parquet(
-            self._winhashes
-        )
+        wins.select(
+            "win_hash", F.col("id").alias("owner")
+        ).distinct().write.mode("append").parquet(self._winhashes)
         os.makedirs(self.path, exist_ok=True)
         tmp = self._meta + ".tmp"
         with open(tmp, "w") as fh:

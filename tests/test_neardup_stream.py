@@ -167,6 +167,21 @@ def span_rows(spark, sink):
     }
 
 
+def test_span_sink_crash_between_append_and_meta_heals(spark, tmp_path):
+    """Crash consistency: spans appended but the meta commit lost —
+    the batch replays, re-appends identical rows, and the spans()
+    reader's exact-duplicate drop restores exactly-once results."""
+    sink = SpanDedupSink(path=str(tmp_path / "sd"))
+    sink.apply_batch(docs(spark, [(1, SHARED)]), 0)
+    sink.apply_batch(docs(spark, [(2, "x0 " + SHARED)]), 1)
+    assert span_rows(spark, sink) == {(2, 1, 16, 6)}
+    os.remove(sink._meta)  # simulate crash before the meta commit
+    sink.apply_batch(docs(spark, [(2, "x0 " + SHARED)]), 1)  # replay
+    raw = spark.read.parquet(sink._spans).count()
+    assert raw == 2  # at-least-once raw appends...
+    assert span_rows(spark, sink) == {(2, 1, 16, 6)}  # ...healed read
+
+
 def test_span_sink_cross_batch_store_and_replay(spark, tmp_path):
     """Batch 1 registers windows only (first occurrences are the
     survivors); a later batch repeating a batch-1 span reports it with
