@@ -301,6 +301,9 @@ class CdcEngine:
     def start_rollup_stream(self, rollup_name: str, changelog_dir: str,
                             table: str, group_col: str,
                             sum_cols: tuple = (),
+                            count_cols: tuple = (),
+                            avg_cols: tuple = (),
+                            minmax_cols: tuple = (),
                             group_expr: str | None = None,
                             available_now: bool = True):
         """Continuous aggregate — the reference stack's rollup-job
@@ -324,21 +327,29 @@ class CdcEngine:
         expression over the row fields evaluated on BOTH images
         (e.g. ``date_trunc('day', ts)``: the rollup-job
         date_histogram shape), published under the ``group_col``
-        name. Only invertible metrics (count, sum — avg derivable at
-        read) can be delta-maintained; max/min need a recompute and
-        are intentionally absent."""
+        name.
+
+        Metric set = the reference rollup-job metrics: ``sum_cols``
+        (sum), ``count_cols`` (value_count — non-null count,
+        additive), ``avg_cols`` (derived sum/valcnt at read), and
+        ``minmax_cols`` (min+max, maintained delete-safely through a
+        per-(group, value) count store — see RollupSink)."""
         handle = self.tables[table]
         fields = [f.name for f in handle.schema.fields]
         if group_expr is None and group_col not in fields:
             raise ValueError(f"group column {group_col!r} not in {table!r}")
-        for c in sum_cols:
-            if c not in fields:
-                raise ValueError(f"sum column {c!r} not in {table!r}")
+        for kind, cols in (("sum", sum_cols), ("value_count", count_cols),
+                           ("avg", avg_cols), ("min/max", minmax_cols)):
+            for c in cols:
+                if c not in fields:
+                    raise ValueError(f"{kind} column {c!r} not in {table!r}")
         sink = self._resolve_rollup(rollup_name)
         if sink is None:
             sink = RollupSink(
                 path=os.path.join(self.workdir, f"rollup_{rollup_name}"),
                 group_col=group_col, sum_cols=tuple(sum_cols),
+                count_cols=tuple(count_cols), avg_cols=tuple(avg_cols),
+                minmax_cols=tuple(minmax_cols),
             )
             self.rollups[rollup_name] = sink
             self._write_rollup_meta(rollup_name, sink, table, group_expr)
@@ -348,8 +359,12 @@ class CdcEngine:
             # corruption, so the mismatch raises instead
             meta = self._rollup_meta(rollup_name) or {}
             want = {"group_col": group_col, "sum_cols": list(sum_cols),
+                    "count_cols": list(count_cols),
+                    "avg_cols": list(avg_cols),
+                    "minmax_cols": list(minmax_cols),
                     "table": table, "group_expr": group_expr}
-            have = {k: meta.get(k) for k in want}
+            have = {k: meta.get(k, [] if k.endswith("_cols") else None)
+                    for k in want}
             if meta and have != want:
                 raise ValueError(
                     f"rollup {rollup_name!r} exists with spec {have}; "
@@ -362,26 +377,23 @@ class CdcEngine:
 
         def _apply(batch: DataFrame, batch_id: int) -> None:
             batch = batch.localCheckpoint(eager=True)
+            # deletes need the before image just as much as updates:
+            # without it the retired row's group is never decremented
+            # (silent additive corruption), so both fail the stream
             bad = batch.filter(
-                (F.col("op") == "u") & F.col("before").isNull()
+                F.col("op").isin("u", "d") & F.col("before").isNull()
             ).count()
             if bad:
                 raise ValueError(
-                    f"{bad} update event(s) without a before image — "
-                    "rollup deltas need REPLICA IDENTITY FULL"
+                    f"{bad} update/delete event(s) without a before "
+                    "image — rollup deltas need REPLICA IDENTITY FULL"
                 )
-            sums = list(sink.sum_cols)
 
             def image_deltas(side: str, cond, sign: int) -> DataFrame:
                 img = batch.filter(cond).select(F.col(f"{side}.*"))
                 grp = (F.expr(group_expr) if group_expr is not None
                        else F.col(group_col))
-                return img.select(
-                    grp.alias(group_col),
-                    F.lit(sign).cast("long").alias("doc_count"),
-                    *[(F.lit(sign) * F.col(c)).alias(f"sum_{c}")
-                      for c in sums],
-                )
+                return sink.delta_frame(img, grp, sign)
 
             plus = image_deltas("after", F.col("op") != "d", 1)
             minus = image_deltas("before", F.col("op").isin("u", "d"), -1)
@@ -419,6 +431,9 @@ class CdcEngine:
             json.dump({
                 "group_col": sink.group_col,
                 "sum_cols": list(sink.sum_cols),
+                "count_cols": list(sink.count_cols),
+                "avg_cols": list(sink.avg_cols),
+                "minmax_cols": list(sink.minmax_cols),
                 "table": table,
                 "group_expr": group_expr,
             }, fh)
@@ -439,6 +454,9 @@ class CdcEngine:
             path=os.path.join(self.workdir, f"rollup_{rollup_name}"),
             group_col=meta["group_col"],
             sum_cols=tuple(meta["sum_cols"]),
+            count_cols=tuple(meta.get("count_cols", ())),
+            avg_cols=tuple(meta.get("avg_cols", ())),
+            minmax_cols=tuple(meta.get("minmax_cols", ())),
         )
         self.rollups[rollup_name] = sink
         return sink

@@ -791,8 +791,35 @@ def engine_rollup_date_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("day")
 
 
+def engine_rollup_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL rollup-job metric set (sum, value_count, avg, min,
+    max) maintained continuously through the real streaming path —
+    min/max delete-safely via RollupSink's per-(group, value) count
+    store, so a changelog whose updates/deletes retire the current
+    extremum must still land on the recomputed answer (the oracle
+    recomputes every metric from the compacted mirror: a value match
+    proves retraction handling, not just additivity)."""
+    eng, log_dir = _rollup_engine(spark, sf_dir, "engine_rollup_m_")
+    eng.start_rollup_stream(
+        "by_type_m", log_dir, "events_tbl", "event_type",
+        sum_cols=("value",), count_cols=("value",),
+        avg_cols=("value",), minmax_cols=("value",),
+    )
+    eng.await_all()
+    return eng.rollup("by_type_m").select(
+        "event_type",
+        "doc_count",
+        "valcnt_value",
+        F.round("sum_value", 4).alias("sum_value"),
+        F.round("avg_value", 4).alias("avg_value"),
+        "min_value",
+        "max_value",
+    ).orderBy("event_type")
+
+
 QUERIES["engine_rollup_stream"] = engine_rollup_stream
 QUERIES["engine_rollup_date_histogram"] = engine_rollup_date_histogram
+QUERIES["engine_rollup_metrics"] = engine_rollup_metrics
 
 ORACLE["engine_rollup_stream"] = f"""
     WITH log AS ({_LOG}),
@@ -818,4 +845,21 @@ ORACLE["engine_rollup_date_histogram"] = f"""
            ROUND(SUM(value), 4) AS sum_value
     FROM latest WHERE op <> 'd'
     GROUP BY 1 ORDER BY 1
+"""
+
+ORACLE["engine_rollup_metrics"] = f"""
+    WITH log AS ({_LOG}),
+    latest AS (
+        SELECT * FROM log
+        QUALIFY row_number() OVER (
+            PARTITION BY key ORDER BY ts DESC, event_id DESC) = 1
+    )
+    SELECT event_type, COUNT(*) AS doc_count,
+           COUNT(value) AS valcnt_value,
+           ROUND(SUM(value), 4) AS sum_value,
+           ROUND(AVG(value), 4) AS avg_value,
+           MIN(value) AS min_value,
+           MAX(value) AS max_value
+    FROM latest WHERE op <> 'd'
+    GROUP BY event_type ORDER BY event_type
 """

@@ -751,21 +751,81 @@ class RollupSink:
     before/after images (REPLICA IDENTITY FULL, the same requirement
     the reference pipeline has — setup.sh:59-65).
 
+    Metric algebra (the OpenSearch rollup-job metric set):
+
+    - ``doc_count`` and ``sum_<c>`` / ``valcnt_<c>`` (value_count)
+      are additive — delta-maintained directly.
+    - ``avg_<c>`` is derived at READ as sum/valcnt (never stored, so
+      it can't drift from its components).
+    - ``min_<c>`` / ``max_<c>`` are NOT delta-invertible under
+      deletes (retiring the current extremum needs the runner-up), so
+      each minmax column keeps an auxiliary (group, value, cnt)
+      multiset store — the classical incremental-view-maintenance
+      support table for MIN/MAX. The aux store is itself purely
+      additive (±cnt per image), so it rides the SAME exactly-once
+      guard and needs no mirror synchronization; a (group, value)
+      whose cnt reaches 0 vanishes, which is exactly the retraction.
+      Read-side min/max is a #distinct-(group,value)-row aggregate.
+      Scale: the aux store is O(distinct (group, value)) — bounded by
+      mirror rows but typically far smaller; the alternative
+      (recompute touched groups from the mirror's pruned buckets) was
+      rejected because it couples the rollup stream to the mirror
+      stream's progress and reintroduces read-your-own-writes races.
+
     Additive deltas are NOT idempotent, so replay protection is
     mandatory here, not defense-in-depth: the commit manifest records
     (writer_id, batch_id) — Spark's documented foreachBatch dedup key,
     same guard as VersionedMirrorSink — and a replayed batch is
-    skipped whole. Each commit writes the full aggregate into a fresh
-    version dir and publishes it with an atomic manifest rename
-    (object-store safe; old versions are time-travel until vacuum).
-    Rewriting the whole aggregate per batch IS the scale path: the
-    rollup of a 10^11-row mirror is only as big as its group
-    cardinality, so the per-batch cost is O(|batch| + |groups|) and
-    never touches the mirror."""
+    skipped whole. Each commit writes the full aggregate (main table
+    plus aux stores) into a fresh version dir and publishes it with
+    ONE atomic manifest rename (object-store safe; old versions are
+    time-travel until vacuum). Rewriting the whole aggregate per batch
+    IS the scale path: the rollup of a 10^11-row mirror is only as
+    big as its group cardinality, so the per-batch cost is
+    O(|batch| + |groups| + |aux|) and never touches the mirror."""
 
     path: str
     group_col: str
     sum_cols: tuple = ()
+    count_cols: tuple = ()
+    avg_cols: tuple = ()
+    minmax_cols: tuple = ()
+
+    # internal maintained sets: avg needs sum AND valcnt components
+    # even when neither is independently requested
+    @property
+    def _sum_set(self) -> tuple:
+        return tuple(dict.fromkeys((*self.sum_cols, *self.avg_cols)))
+
+    @property
+    def _cnt_set(self) -> tuple:
+        # sum_cols ride along: SQL SUM over zero non-null values is
+        # NULL, but an additive delta-sum whose contributions all
+        # retired lands on 0.0 — the non-null count disambiguates
+        return tuple(dict.fromkeys(
+            (*self.count_cols, *self.avg_cols, *self.sum_cols)
+        ))
+
+    @property
+    def _metric_cols(self) -> list:
+        return ["doc_count",
+                *[f"sum_{c}" for c in self._sum_set],
+                *[f"valcnt_{c}" for c in self._cnt_set]]
+
+    def delta_frame(self, img: DataFrame, group, sign: int) -> DataFrame:
+        """Project one image side (before or after payload rows) to the
+        signed-delta shape ``apply_batch`` merges: ±doc_count, ±sums,
+        ±non-null counts, and the RAW value for each minmax column
+        (its sign rides doc_count)."""
+        return img.select(
+            group.alias(self.group_col),
+            F.lit(sign).cast("long").alias("doc_count"),
+            *[(F.lit(sign) * F.col(c)).alias(f"sum_{c}")
+              for c in self._sum_set],
+            *[(F.lit(sign) * F.col(c).isNotNull().cast("long"))
+              .alias(f"valcnt_{c}") for c in self._cnt_set],
+            *[F.col(c).alias(f"mmval_{c}") for c in self.minmax_cols],
+        )
 
     @property
     def _data_dir(self) -> str:
@@ -795,30 +855,84 @@ class RollupSink:
     def exists(self) -> bool:
         return bool(self._manifests())
 
-    def read(self, spark: SparkSession, version: "int | None" = None) -> DataFrame:
+    def _manifest_at(self, version: "int | None") -> dict:
         import json
 
-        manifest = self.latest_manifest() if version is None else None
-        if version is not None:
-            name = f"v{version:08d}.json"
-            if name not in self._manifests():
+        if version is None:
+            manifest = self.latest_manifest()
+            if manifest is None:
                 raise FileNotFoundError(
-                    f"no committed rollup version {version} under {self.path}"
+                    f"no committed rollup under {self.path}"
                 )
-            with open(os.path.join(self._commits_dir, name)) as fh:
-                manifest = json.load(fh)
-        if manifest is None:
-            raise FileNotFoundError(f"no committed rollup under {self.path}")
+            return manifest
+        name = f"v{version:08d}.json"
+        if name not in self._manifests():
+            raise FileNotFoundError(
+                f"no committed rollup version {version} under {self.path}"
+            )
+        with open(os.path.join(self._commits_dir, name)) as fh:
+            return json.load(fh)
+
+    def _read_main(self, spark: SparkSession, manifest: dict) -> DataFrame:
         return spark.read.schema(
             T.StructType.fromJson(manifest["schema"])
-        ).parquet(os.path.join(self._data_dir, manifest["commit"]))
+        ).parquet(os.path.join(self._data_dir, manifest["commit"], "main"))
+
+    def _read_aux(self, spark: SparkSession, manifest: dict,
+                  col: str) -> DataFrame:
+        return spark.read.schema(
+            T.StructType.fromJson(manifest["aux_schemas"][col])
+        ).parquet(
+            os.path.join(self._data_dir, manifest["commit"], f"mm_{col}")
+        )
+
+    def read(self, spark: SparkSession, version: "int | None" = None) -> DataFrame:
+        """The published aggregate: group, doc_count, the REQUESTED
+        metric columns (sum_<c>, valcnt_<c>), plus the derived ones —
+        avg_<c> = sum/valcnt computed here (null when a group has no
+        non-null values, SQL AVG semantics) and min_<c>/max_<c>
+        aggregated from the aux multiset stores (left-joined
+        null-safely so a NULL group key still gets its extrema)."""
+        manifest = self._manifest_at(version)
+        out = self._read_main(spark, manifest)
+        for c in self.minmax_cols:
+            mm = (
+                self._read_aux(spark, manifest, c)
+                .groupBy(F.col(self.group_col).alias("_mm_g"))
+                .agg(F.min("value").alias(f"min_{c}"),
+                     F.max("value").alias(f"max_{c}"))
+            )
+            out = out.join(
+                mm, out[self.group_col].eqNullSafe(mm["_mm_g"]), "left"
+            ).drop("_mm_g")
+        for c in self._sum_set:
+            out = out.withColumn(
+                f"sum_{c}",
+                F.when(F.col(f"valcnt_{c}") > 0, F.col(f"sum_{c}")),
+            )
+        for c in self.avg_cols:
+            out = out.withColumn(
+                f"avg_{c}", F.col(f"sum_{c}") / F.col(f"valcnt_{c}")
+            )
+        # maintained-only components (avg internals) are not published
+        internal = (
+            {f"sum_{c}" for c in self._sum_set if c not in self.sum_cols}
+            | {f"valcnt_{c}" for c in self._cnt_set
+               if c not in self.count_cols}
+        )
+        return out.drop(*internal) if internal else out
 
     def apply_batch(self, deltas: DataFrame, batch_id: int,
                     writer_id: str | None = None) -> None:
-        """Merge a signed-delta frame — (group_col, doc_count,
-        sum_<c>... with ±values) — into the persisted aggregate.
-        Groups whose doc_count reaches 0 vanish (a fully-deleted group
-        must not linger as a zero row)."""
+        """Merge a signed-delta frame (the ``delta_frame`` shape) into
+        the persisted aggregate: additive sums into the main table,
+        ±cnt per (group, value) into each minmax aux store. Groups
+        whose doc_count reaches 0 vanish (a fully-deleted group must
+        not linger as a zero row); likewise an aux (group, value)
+        whose cnt reaches 0 — that disappearance IS the min/max
+        retraction. All tables land in one commit dir published by a
+        single manifest rename, so main and aux can never be observed
+        at different versions."""
         import json
         import uuid
 
@@ -831,13 +945,13 @@ class RollupSink:
             and manifest.get("writer_id") == writer_id
         ):
             return  # replayed batch: additive merge MUST NOT reapply
-        metric_cols = ["doc_count", *[f"sum_{c}" for c in self.sum_cols]]
+        metric_cols = self._metric_cols
         agg = deltas.groupBy(self.group_col).agg(
             *[F.sum(c).alias(c) for c in metric_cols]
         )
         if manifest is not None:
             agg = (
-                self.read(spark)
+                self._read_main(spark, manifest)
                 .unionByName(agg)
                 .groupBy(self.group_col)
                 .agg(*[F.sum(c).alias(c) for c in metric_cols])
@@ -845,9 +959,32 @@ class RollupSink:
         merged = agg.filter(F.col("doc_count") != 0)
         version = (manifest["version"] + 1) if manifest else 1
         commit = f"commit-{uuid.uuid4().hex[:12]}"
+        commit_dir = os.path.join(self._data_dir, commit)
         merged.write.mode("overwrite").parquet(
-            os.path.join(self._data_dir, commit)
+            os.path.join(commit_dir, "main")
         )
+        aux_schemas = {}
+        for c in self.minmax_cols:
+            aux = (
+                deltas
+                .filter(F.col(f"mmval_{c}").isNotNull())
+                .select(
+                    self.group_col,
+                    F.col(f"mmval_{c}").alias("value"),
+                    F.col("doc_count").alias("cnt"),
+                )
+            )
+            if manifest is not None:
+                aux = self._read_aux(spark, manifest, c).unionByName(aux)
+            aux = (
+                aux.groupBy(self.group_col, "value")
+                .agg(F.sum("cnt").alias("cnt"))
+                .filter(F.col("cnt") != 0)
+            )
+            aux.write.mode("overwrite").parquet(
+                os.path.join(commit_dir, f"mm_{c}")
+            )
+            aux_schemas[c] = json.loads(aux.schema.json())
         os.makedirs(self._commits_dir, exist_ok=True)
         tmp = os.path.join(self._commits_dir, f".tmp-v{version:08d}.json")
         final = os.path.join(self._commits_dir, f"v{version:08d}.json")
@@ -858,6 +995,7 @@ class RollupSink:
                 "writer_id": writer_id,
                 "commit": commit,
                 "schema": json.loads(merged.schema.json()),
+                "aux_schemas": aux_schemas,
             }, fh)
         os.replace(tmp, final)  # the commit point
 

@@ -127,7 +127,8 @@ def test_rollup_replay_guard_is_writer_scoped(spark, tmp_path):
     sink = RollupSink(path=str(tmp_path / "r"), group_col="g",
                       sum_cols=("v",))
     deltas = spark.createDataFrame(
-        [("a", 1, 10.0), ("a", 1, 5.0)], "g string, doc_count long, sum_v double"
+        [("a", 1, 10.0, 1), ("a", 1, 5.0, 1)],
+        "g string, doc_count long, sum_v double, valcnt_v long",
     )
     sink.apply_batch(deltas, batch_id=0, writer_id="ckptA")
     assert {(r["g"], r["doc_count"], r["sum_v"])
@@ -232,18 +233,97 @@ def test_rollup_survives_engine_restart_and_rejects_spec_drift(spark, tmp_path):
         engine2.rollup("nope")
 
 
+def test_rollup_minmax_retraction_under_deletes(spark, tmp_path):
+    """min/max are not delta-invertible: deleting the current extremum
+    must surface the runner-up (aux-store retraction), deleting ONE of
+    two equal extrema must keep the value, and an update that moves
+    the extremum must retire the old value — all without touching the
+    mirror. avg/value_count ride along, with NULL values skipped."""
+    engine = CdcEngine(spark=spark, workdir=str(tmp_path))
+    engine.register_table("txn", TXN_SCHEMA)
+    log_dir = str(tmp_path / "log")
+    os.makedirs(log_dir)
+    with open(os.path.join(log_dir, "b1.json"), "w") as f:
+        f.write("\n".join([
+            env("c", doc(1, "A", 50.0), None, 1),
+            env("c", doc(2, "A", 90.0), None, 2),   # max
+            env("c", doc(3, "A", 90.0), None, 3),   # duplicate max
+            env("c", doc(4, "A", 10.0), None, 4),   # min
+            env("c", doc(5, "A", None), None, 5),   # null: no metric impact
+            env("d", None, doc(2, "A", 90.0), 6),   # one of two maxes
+            env("d", None, doc(4, "A", 10.0), 7),   # THE min retires
+            env("u", doc(1, "A", 20.0), doc(1, "A", 50.0), 8),
+        ]))
+    engine.start_rollup_stream(
+        "mm", log_dir, "txn", "status",
+        sum_cols=("amount",), count_cols=("amount",),
+        avg_cols=("amount",), minmax_cols=("amount",),
+    )
+    engine.await_all()
+    [row] = engine.rollup("mm").collect()
+    # live: id1=20.0, id3=90.0, id5=NULL
+    assert row["doc_count"] == 3
+    assert row["valcnt_amount"] == 2
+    assert row["sum_amount"] == 110.0
+    assert row["avg_amount"] == 55.0
+    assert row["min_amount"] == 20.0   # 10.0 retired, 50.0 updated away
+    assert row["max_amount"] == 90.0   # duplicate survived one delete
+
+    # empty the group's non-null values: min/max/avg go NULL, counts drop
+    with open(os.path.join(log_dir, "b2.json"), "w") as f:
+        f.write("\n".join([
+            env("d", None, doc(1, "A", 20.0), 9),
+            env("d", None, doc(3, "A", 90.0), 10),
+        ]))
+    engine.start_rollup_stream(
+        "mm", log_dir, "txn", "status",
+        sum_cols=("amount",), count_cols=("amount",),
+        avg_cols=("amount",), minmax_cols=("amount",),
+    )
+    engine.await_all()
+    [row] = engine.rollup("mm").collect()
+    assert row["doc_count"] == 1 and row["valcnt_amount"] == 0
+    assert row["min_amount"] is None and row["max_amount"] is None
+    assert row["avg_amount"] is None
+
+
+def test_rollup_delete_without_before_image_fails_stream(spark, tmp_path):
+    """A delete without a before image is the SAME corruption hazard
+    as an update without one (the retired row's group is never
+    decremented) — the guard must fail the stream for op='d' too."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    engine = CdcEngine(spark=spark, workdir=str(tmp_path))
+    engine.register_table("txn", TXN_SCHEMA)
+    log_dir = str(tmp_path / "log")
+    os.makedirs(log_dir)
+    with open(os.path.join(log_dir, "b1.json"), "w") as f:
+        f.write(env("d", None, None, 1))
+    engine.start_rollup_stream(
+        "bad_d", log_dir, "txn", "status", sum_cols=("amount",)
+    )
+    with pytest.raises(StreamingQueryException, match="before image"):
+        engine.await_all()
+
+
 @pytest.mark.parametrize("seed", range(4))
 def test_rollup_fuzz_matches_recompute(spark, tmp_path, seed):
-    """Property check of the delta algebra: a seeded random
-    op-consistent changelog (per-key c/u/d chains with correct before
-    images, random group/value churn, keys deleted and re-created)
-    split across several micro-batch files must leave the rollup
-    EXACTLY equal to the groupBy over the mirror fed from the same
-    files — and equal to a driver-side model."""
+    """Property check of the delta algebra over the FULL metric set
+    (sum, value_count, avg, min, max — the last two through aux-store
+    retraction): a seeded random op-consistent changelog (per-key
+    c/u/d chains with correct before images, random group/value
+    churn, occasional NULL values, keys deleted and re-created) split
+    across several micro-batch files must leave the rollup EXACTLY
+    equal to the groupBy over the mirror fed from the same files."""
     import random
 
     rng = random.Random(4200 + seed)
     statuses = ["A", "B", "C"]
+
+    def amt():
+        return (None if rng.random() < 0.15
+                else round(rng.uniform(0, 100), 2))
+
     live: dict[int, tuple[str, float]] = {}
     offset = 0
     batches: list[list[str]] = []
@@ -258,11 +338,11 @@ def test_rollup_fuzz_matches_recompute(spark, tmp_path, seed):
                 del live[key]
             elif key in live:
                 before = doc(key, *live[key])
-                new = (rng.choice(statuses), round(rng.uniform(0, 100), 2))
+                new = (rng.choice(statuses), amt())
                 live[key] = new
                 lines.append(env("u", doc(key, *new), before, offset))
             else:
-                new = (rng.choice(statuses), round(rng.uniform(0, 100), 2))
+                new = (rng.choice(statuses), amt())
                 live[key] = new
                 lines.append(env(rng.choice(["c", "r"]), doc(key, *new),
                                  None, offset))
@@ -278,22 +358,46 @@ def test_rollup_fuzz_matches_recompute(spark, tmp_path, seed):
     # (availableNow may drain the files in one or several micro-batches;
     # cross-batch accumulation is pinned separately by the restart test)
     engine.start_rollup_stream(
-        "fz", log_dir, "txn", "status", sum_cols=("amount",)
+        "fz", log_dir, "txn", "status",
+        sum_cols=("amount",), count_cols=("amount",),
+        avg_cols=("amount",), minmax_cols=("amount",),
     )
     engine.start_stream("txn", log_dir)
     engine.await_all()
-    got = rollup_rows(engine, "fz")
-    recompute = {
-        r["status"]: (r["doc_count"], round(r["sum_amount"], 6))
-        for r in engine.view("txn").groupBy("status").agg(
+
+    def snap(df):
+        return {
+            r["status"]: (
+                r["doc_count"], r["valcnt_amount"],
+                None if r["sum_amount"] is None else round(r["sum_amount"], 6),
+                None if r["avg_amount"] is None else round(r["avg_amount"], 6),
+                r["min_amount"], r["max_amount"],
+            )
+            for r in df.collect()
+        }
+
+    got = snap(engine.rollup("fz"))
+    recompute = snap(
+        engine.view("txn").groupBy("status").agg(
             F.count(F.lit(1)).alias("doc_count"),
+            F.count("amount").alias("valcnt_amount"),
             F.sum("amount").alias("sum_amount"),
-        ).collect()
-    }
+            F.avg("amount").alias("avg_amount"),
+            F.min("amount").alias("min_amount"),
+            F.max("amount").alias("max_amount"),
+        )
+    )
     model: dict[str, list] = {}
     for status, amount in live.values():
-        agg = model.setdefault(status, [0, 0.0])
+        agg = model.setdefault(status, [0, []])
         agg[0] += 1
-        agg[1] += amount
-    want = {s: (c, round(v, 6)) for s, (c, v) in model.items()}
+        if amount is not None:
+            agg[1].append(amount)
+    want = {
+        s: (c, len(vs),
+            round(sum(vs), 6) if vs else None,
+            round(sum(vs) / len(vs), 6) if vs else None,
+            min(vs) if vs else None, max(vs) if vs else None)
+        for s, (c, vs) in model.items()
+    }
     assert got == recompute == want, f"seed {seed}"
