@@ -698,11 +698,15 @@ def _highlight_terms(node, field: str) -> list[str]:
 
 def _highlight_col(field: str, terms: list[str]) -> Column:
     """The first ±3-token window around any query term — the snippet
-    the reference highlighter returns (same fragment contract as
-    queries/querydsl.py highlight_fragment; leftmost-greedy extraction
-    agrees between Java regex and RE2 so fragments value-check)."""
+    the reference highlighter returns. The term must be a WHOLE
+    whitespace token (lookarounds), matching the token-level
+    highlighter: 'stream' may not anchor a fragment inside
+    'downstream'. RE2 (DuckDB oracles) lacks lookarounds — the
+    equivalent oracle shape anchors the window start with (?:^| ) and
+    the term end with a trailing (?: |$), capturing group 1; both
+    forms denote the same leftmost-greedy fragment, so values check."""
     alt = "|".join(re.escape(t) for t in terms)
-    pat = rf"(?i)(\S+ ){{0,3}}({alt})( \S+){{0,3}}"
+    pat = rf"(?i)(\S+ ){{0,3}}(?<!\S)({alt})(?!\S)( \S+){{0,3}}"
     return F.regexp_extract(F.col(field), pat, 0)
 
 
@@ -770,11 +774,18 @@ def search_frame(df: DataFrame, body: dict, id_col: str = "doc_id") -> DataFrame
     if "suggest" in body:
         # suggesters return a suggestion frame, not hits — a combined
         # hits+suggest response can't be ONE DataFrame, so reject the
-        # mix loudly instead of dropping one half
+        # mix loudly instead of dropping one half. That includes
+        # top-level 'size': it sizes HITS (which a suggest-only body
+        # doesn't return) — honoring it silently as the suggestion
+        # limit would shadow term.size, so it raises; use term.size.
         clash = sorted(set(body) & (_BODY_KEYS - {
-            "suggest", "size", "track_total_hits"}))
+            "suggest", "track_total_hits"}))
         if clash:
-            raise DSLError(f"suggest cannot be combined with {clash}")
+            raise DSLError(
+                f"suggest cannot be combined with {clash}"
+                + (" — use term.size for the suggestion limit"
+                   if "size" in clash else "")
+            )
         return _compile_suggest(df, body["suggest"])
     if "query" in body:
         df = df.filter(compile_query(body["query"], id_col))

@@ -83,6 +83,48 @@ class CdcEngine:
 
     # -- lifecycle ---------------------------------------------------------
 
+    def __post_init__(self) -> None:
+        self._load_catalog()
+
+    # -- durable catalog ---------------------------------------------------
+    # Aliases, monitors, and templates are cluster-state in the
+    # reference stack (an OpenSearch restart keeps them); an engine
+    # restart must too. Every put_* persists the whole catalog with
+    # the same atomic-rename protocol as the rollup/knn sidecars, and
+    # construction rehydrates it — so a restarted engine answers
+    # search_template / evaluate_monitors / alias searches without
+    # re-registration. Alias membership is validated at put time;
+    # rehydrated aliases resolve lazily once their member tables are
+    # re-registered (tables are always registered after construction).
+
+    @property
+    def _catalog_path(self) -> str:
+        return os.path.join(self.workdir, "_catalog.json")
+
+    def _save_catalog(self) -> None:
+        import json
+
+        os.makedirs(self.workdir, exist_ok=True)
+        tmp = self._catalog_path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump({
+                "aliases": self.aliases,
+                "monitors": self.monitors,
+                "templates": self.templates,
+            }, fh)
+        os.replace(tmp, self._catalog_path)
+
+    def _load_catalog(self) -> None:
+        import json
+
+        if not os.path.exists(self._catalog_path):
+            return
+        with open(self._catalog_path) as fh:
+            data = json.load(fh)
+        self.aliases.update(data.get("aliases", {}))
+        self.monitors.update(data.get("monitors", {}))
+        self.templates.update(data.get("templates", {}))
+
     def register_table(
         self, name: str, schema: T.StructType, bucket_expr: str | None = None
     ) -> TableHandle:
@@ -201,7 +243,8 @@ class CdcEngine:
         after = None
         if monitored:
             after = lambda bid: {  # noqa: E731
-                mn: self._evaluate_monitor(mn, bid) for mn in monitored
+                mn: self._evaluate_monitor(mn, bid, writer_id=ckpt)
+                for mn in monitored
             }
         handle.query = start_mirror_stream(
             flat, handle.sink, ckpt, trigger_available_now=available_now,
@@ -496,6 +539,7 @@ class CdcEngine:
         if missing:
             raise ValueError(f"alias {alias!r} references unknown tables {missing}")
         self.aliases[alias] = list(table_names)
+        self._save_catalog()
 
     def _resolve_write(self, name: str) -> TableHandle:
         if name in self.aliases:
@@ -744,6 +788,7 @@ class CdcEngine:
         self.templates[template_name] = {
             "source": source, "params": sorted(params),
         }
+        self._save_catalog()
 
     def search_template(self, name: str, template_name: str,
                         params: dict) -> DataFrame:
@@ -1099,10 +1144,11 @@ class CdcEngine:
         ``start_stream`` on the monitored table evaluates its monitors
         right after the merge commits (the per-interval scheduler of
         the reference plugin, driven by the stream instead of a cron),
-        and ``evaluate_monitors()`` runs them on demand. Alert
-        delivery is AT-LEAST-ONCE under batch replay — the industry
-        contract for alerting — with batch_id on every row so
-        downstream consumers can dedup."""
+        and ``evaluate_monitors()`` runs them on demand. The alert
+        log is EXACTLY-ONCE under batch replay: each evaluation
+        commits through a (writer, batch_id) manifest (see
+        _evaluate_monitor), so a replayed micro-batch cannot
+        duplicate alert rows."""
         if table not in self.tables and table not in self.aliases:
             raise ValueError(
                 f"monitor targets unknown table/alias {table!r}"
@@ -1119,50 +1165,114 @@ class CdcEngine:
         self.monitors[monitor_name] = {
             "table": table, "body": body, "condition": condition,
         }
+        self._save_catalog()
 
     def evaluate_monitors(self, table: str | None = None,
                           batch_id: int = -1) -> dict:
         """Run registered monitors (optionally only those on ``table``)
         against the CURRENT mirror; append firing rows to each
-        monitor's alert log. Returns {monitor_name: fired_row_count}."""
+        monitor's alert log. Returns {monitor_name: fired_row_count}.
+        On-demand evaluations (the default batch_id=-1) are each a
+        fresh evaluation and always log."""
         return {
             mname: self._evaluate_monitor(mname, batch_id)
             for mname, spec in self.monitors.items()
             if table is None or spec["table"] == table
         }
 
-    def _evaluate_monitor(self, mname: str, batch_id: int) -> int:
-        spec = self.monitors[mname]
-        result = self.search(spec["table"], spec["body"])
-        hits = result.filter(F.expr(spec["condition"]))
-        out = hits.select(
+    def _alert_row(self, mname: str, frame: DataFrame,
+                   batch_id: int) -> DataFrame:
+        """Stamp (monitor, batch_id) onto a result frame; a result
+        column that already uses either name is renamed result_<col>
+        so the log never carries duplicate column names."""
+        renamed = frame
+        for c in frame.columns:
+            if c in ("monitor", "batch_id"):
+                if f"result_{c}" in frame.columns:
+                    raise ValueError(
+                        f"monitor {mname!r}: result columns {c!r} and "
+                        f"'result_{c}' both present — rename one in the body"
+                    )
+                renamed = renamed.withColumnRenamed(c, f"result_{c}")
+        return renamed.select(
             F.lit(mname).alias("monitor"),
             F.lit(int(batch_id)).alias("batch_id"),
-            *[F.col(c) for c in hits.columns],
+            *[F.col(c) for c in renamed.columns],
         )
+
+    def _evaluate_monitor(self, mname: str, batch_id: int,
+                          writer_id: str | None = None) -> int:
+        """One evaluation → one committed log entry. The log uses the
+        same commit-manifest protocol as the mirror/rollup sinks:
+        firing rows land in a fresh data dir, then ONE atomic manifest
+        rename publishes them — so a replayed micro-batch (same
+        writer_id + batch_id) is skipped whole and a crash between
+        data write and manifest leaves nothing visible. This upgrades
+        the alert log from at-least-once-with-dedup-key to
+        exactly-once, matching the span store."""
+        import hashlib
+        import json
+        import uuid
+
+        spec = self.monitors[mname]
+        base = os.path.join(self.workdir, f"alerts_{mname}")
+        commits_dir = os.path.join(base, "_commits")
+        if batch_id >= 0 and writer_id is not None:
+            tag = hashlib.sha256(writer_id.encode()).hexdigest()[:12]
+            manifest_name = f"w{tag}-b{batch_id}.json"
+            manifest_path = os.path.join(commits_dir, manifest_name)
+            if os.path.exists(manifest_path):  # replayed batch
+                with open(manifest_path) as fh:
+                    return json.load(fh)["count"]
+        else:
+            manifest_name = f"ondemand-{uuid.uuid4().hex[:12]}.json"
+            manifest_path = os.path.join(commits_dir, manifest_name)
+        result = self.search(spec["table"], spec["body"])
+        hits = result.filter(F.expr(spec["condition"]))
+        out = self._alert_row(mname, hits, batch_id)
         n = out.count()
+        commit = None
         if n:
-            out.write.mode("append").parquet(
-                os.path.join(self.workdir, f"alerts_{mname}")
+            commit = f"commit-{uuid.uuid4().hex[:12]}"
+            out.write.mode("overwrite").parquet(
+                os.path.join(base, "data", commit)
             )
+        os.makedirs(commits_dir, exist_ok=True)
+        tmp = os.path.join(commits_dir, f".tmp-{manifest_name}")
+        with open(tmp, "w") as fh:
+            json.dump({"count": n, "commit": commit,
+                       "batch_id": batch_id, "writer_id": writer_id}, fh)
+        os.replace(tmp, manifest_path)  # the commit point
         return n
 
     def alerts(self, monitor_name: str) -> DataFrame:
-        """The alert log of a monitor (empty frame if it never fired)."""
-        path = os.path.join(self.workdir, f"alerts_{monitor_name}")
+        """The alert log of a monitor: the union of its COMMITTED
+        evaluation entries (uncommitted data dirs from a crashed
+        evaluation are invisible). Empty frame if it never fired."""
+        import json
+
         if monitor_name not in self.monitors:
             raise KeyError(f"unknown monitor {monitor_name!r}")
-        if not os.path.exists(path):
+        base = os.path.join(self.workdir, f"alerts_{monitor_name}")
+        commits_dir = os.path.join(base, "_commits")
+        dirs = []
+        if os.path.isdir(commits_dir):
+            for name in sorted(os.listdir(commits_dir)):
+                if name.startswith(".") or not name.endswith(".json"):
+                    continue
+                with open(os.path.join(commits_dir, name)) as fh:
+                    manifest = json.load(fh)
+                if manifest["commit"]:
+                    dirs.append(
+                        os.path.join(base, "data", manifest["commit"])
+                    )
+        if not dirs:
             spec = self.monitors[monitor_name]
             empty = self.search(spec["table"], spec["body"]).filter(
                 F.lit(False)
             )
-            return empty.select(
-                F.lit(monitor_name).alias("monitor"),
-                F.lit(-1).alias("batch_id"),
-                *[F.col(c) for c in empty.columns],
-            )
-        return self.spark.read.parquet(path)
+            return self._alert_row(monitor_name, empty, -1)
+        return self.spark.read.parquet(*dirs)
 
     def update(self, name: str, key, doc: dict,
                doc_as_upsert: bool = False) -> dict:

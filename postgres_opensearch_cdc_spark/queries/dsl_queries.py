@@ -483,7 +483,8 @@ ORACLE = {
     "dsl_body_highlight": r"""
         SELECT doc_id, n_chars,
                regexp_extract(text,
-                 '(?i)(\S+ ){0,3}(stream|processing)( \S+){0,3}')
+                 '(?i)(?:^| )((?:\S+ ){0,3}(?:stream|processing)(?: \S+){0,3})(?: |$)',
+                 1)
                  AS highlight_text
         FROM documents
         WHERE lang = 'en'

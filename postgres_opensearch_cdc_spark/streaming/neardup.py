@@ -277,9 +277,13 @@ class SpanDedupSink:
     re-deriving the same rows — so raw appends are at-least-once, and
     span rows carry their batch id with the ``spans()`` reader
     dropping exact duplicates (winhash duplicates are harmless: the
-    store is only ever joined on existence). One-pass semantics: like
-    the batch operator, the FIRST occurrence of a span is not
-    reported — only later repeats are (the trim policy's survivor)."""
+    store is only ever joined on existence). One-pass semantics are
+    CROSS-BATCH: a span first seen in an earlier batch is not
+    re-reported as its own duplicate — only later-batch repeats are.
+    WITHIN a batch, repeats mark every occurrence including the first
+    (exactly like the batch operator, whose count-by-hash has no
+    arrival order to break the tie with); the trim policy picks the
+    survivor downstream."""
 
     path: str
     id_col: str = "doc_id"

@@ -723,6 +723,11 @@ def test_suggest_contract(spark, sf_dir):
                                     "phrase": {"field": "text"}}}})
     with pytest.raises(DSLError, match="exactly one named suggester"):
         search(spark, sf_dir, "documents", {"suggest": {}})
+    # top-level 'size' sizes HITS, which a suggest-only body doesn't
+    # return — honoring it silently as the suggestion limit would
+    # shadow term.size, so it raises (no-silent-degradation contract)
+    with pytest.raises(DSLError, match="use term.size"):
+        search(spark, sf_dir, "documents", {**body, "size": 3})
 
 
 def test_track_total_hits_is_lossless_noop(spark, sf_dir):

@@ -1352,3 +1352,105 @@ def test_monitor_on_alias_evaluates_when_member_streams(spark, tmp_path):
     engine.await_all()
     rows = engine.alerts("blocked_anywhere").collect()
     assert len(rows) == 1 and rows[0]["doc_count"] == 2  # union counted
+
+
+def test_catalog_survives_engine_restart(spark, tmp_path):
+    """Aliases, monitors, and templates are cluster-state in the
+    reference stack — a restarted engine over the same workdir must
+    answer search_template, evaluate_monitors, and alias searches
+    without re-registration (same restart contract as the knn/rollup
+    sidecars)."""
+    engine = CdcEngine(spark=spark, workdir=str(tmp_path))
+    engine.register_table("card", CARD_SCHEMA)
+    engine.register_table("card_old", CARD_SCHEMA)
+    engine.backfill("card", spark.createDataFrame(
+        [(1, "BLOCKED", "DEBIT"), (2, "ACTIVE", "CREDIT")], CARD_SCHEMA))
+    engine.backfill("card_old", spark.createDataFrame(
+        [(9, "BLOCKED", "DEBIT")], CARD_SCHEMA))
+    engine.put_alias("cards", ["card", "card_old"])
+    engine.put_template(
+        "by_status", {"query": {"term": {"status": "{{s}}"}}})
+    engine.put_monitor(
+        "any_blocked", "cards",
+        {"aggs": {"st": {"terms": {"field": "status"}}}},
+        "st = 'BLOCKED' AND doc_count >= 2",
+    )
+    assert engine.evaluate_monitors() == {"any_blocked": 1}
+
+    # restart: only the TABLE is re-registered; catalog rehydrates
+    engine2 = CdcEngine(spark=spark, workdir=str(tmp_path))
+    engine2.register_table("card", CARD_SCHEMA)
+    engine2.register_table("card_old", CARD_SCHEMA)
+    assert engine2.aliases == {"cards": ["card", "card_old"]}
+    assert engine2.search("cards", {"query": {"term": {
+        "status": "BLOCKED"}}}).count() == 2
+    assert engine2.search_template(
+        "card", "by_status", {"s": "ACTIVE"}).count() == 1
+    # the restarted engine still EVALUATES the monitor (the r10 gap:
+    # alert logs persisted but nothing evaluated anymore)
+    assert engine2.evaluate_monitors() == {"any_blocked": 1}
+    # and the alert log carries both engines' evaluations
+    assert engine2.alerts("any_blocked").count() == 2
+
+
+def test_alert_log_exactly_once_under_replay(spark, tmp_path):
+    """The alert log uses the commit-manifest protocol: a replayed
+    micro-batch (same writer+batch) must not duplicate alert rows; the
+    same batch id from a DIFFERENT writer must log; a crash between
+    the data write and the manifest rename leaves nothing visible and
+    the replay heals it."""
+    import glob
+    import os as _os
+
+    engine = CdcEngine(spark=spark, workdir=str(tmp_path))
+    engine.register_table("card", CARD_SCHEMA)
+    engine.backfill("card", spark.createDataFrame(
+        [(1, "BLOCKED", "DEBIT"), (2, "BLOCKED", "CREDIT")], CARD_SCHEMA))
+    engine.put_monitor(
+        "mb", "card",
+        {"aggs": {"st": {"terms": {"field": "status"}}}},
+        "st = 'BLOCKED' AND doc_count >= 2",
+    )
+    assert engine._evaluate_monitor("mb", 7, writer_id="ckptA") == 1
+    # replay: skipped whole, same count reported, no duplicate rows
+    assert engine._evaluate_monitor("mb", 7, writer_id="ckptA") == 1
+    assert engine.alerts("mb").count() == 1
+    # same batch id, different writer: a distinct evaluation
+    assert engine._evaluate_monitor("mb", 7, writer_id="ckptB") == 1
+    assert engine.alerts("mb").count() == 2
+    rows = engine.alerts("mb").collect()
+    assert {(r["monitor"], r["batch_id"]) for r in rows} == {("mb", 7)}
+
+    # crash simulation: delete the manifest but leave the data dir —
+    # the orphan is invisible and the replay re-commits exactly once
+    import hashlib
+
+    base = str(tmp_path / "alerts_mb")
+    tag = hashlib.sha256(b"ckptA").hexdigest()[:12]
+    [manifest] = glob.glob(
+        _os.path.join(base, "_commits", f"w{tag}-b7.json"))
+    _os.remove(manifest)
+    assert engine.alerts("mb").count() == 1  # orphan data invisible
+    assert engine._evaluate_monitor("mb", 7, writer_id="ckptA") == 1
+    assert engine.alerts("mb").count() == 2
+
+
+def test_alert_column_collision_is_renamed(spark, tmp_path):
+    """A monitored body whose result frame already contains 'monitor'
+    or 'batch_id' must not produce a log with duplicate column names —
+    the result column is renamed result_<col> (lossless), per the
+    round-10 advice."""
+    engine = CdcEngine(spark=spark, workdir=str(tmp_path))
+    engine.register_table("card", CARD_SCHEMA)
+    engine.backfill("card", spark.createDataFrame(
+        [(1, "BLOCKED", "DEBIT")], CARD_SCHEMA))
+    engine.put_monitor(
+        "collide", "card",
+        {"aggs": {"monitor": {"terms": {"field": "status"}}}},
+        "doc_count >= 1",
+    )
+    assert engine.evaluate_monitors() == {"collide": 1}
+    log = engine.alerts("collide")
+    assert log.columns.count("monitor") == 1
+    [r] = log.collect()
+    assert r["monitor"] == "collide" and r["result_monitor"] == "BLOCKED"
