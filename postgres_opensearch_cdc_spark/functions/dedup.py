@@ -659,15 +659,36 @@ def trim_duplicate_spans(
         )
         .groupBy("id", "_grp")
         .agg(
-            F.min("start").alias("s"),
-            (F.max("start") + window).alias("e"),
+            F.min("start").alias("span_start"),
+            (F.max("start") + window).alias("span_end"),
         )
-        .groupBy("id")
-        .agg(F.collect_list(F.struct("s", "e")).alias("spans"))
+        .select("id", "span_start", "span_end")
+    )
+    return trim_tokens_by_spans(df, spans, text_col, id_col)
+
+
+def trim_tokens_by_spans(
+    df: DataFrame,
+    spans: DataFrame,
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Drop the tokens covered by (id, span_start, span_end) rows from
+    each document's analyzed token stream and rebuild the normalized
+    text — the shared tail of trim_duplicate_spans and the streaming
+    SpanTrimSink. Docs with no spans pass through whole. The covered
+    index test runs as a per-row array filter inside the scan; the
+    span list never leaves its document's row."""
+    per_doc = spans.groupBy("id").agg(
+        F.collect_list(
+            F.struct(
+                F.col("span_start").alias("s"), F.col("span_end").alias("e")
+            )
+        ).alias("spans")
     )
     toks = F.split(F.lower(F.col(text_col)), r"\s+")
     base = df.select(F.col(id_col).alias("id"), toks.alias("_toks"))
-    joined = base.join(spans, "id", "left")
+    joined = base.join(per_doc, "id", "left")
     covered = lambda i: F.exists(  # noqa: E731
         F.col("spans"), lambda sp: (i >= sp["s"]) & (i < sp["e"])
     )

@@ -1905,7 +1905,56 @@ def dedup_spans_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id", "span_start")
 
 
+def dedup_span_trim_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming trim composition (SpanTrimSink): the corpus
+    arrives as TWO id-ordered micro-batches through a real
+    checkpointed stream, and each batch emits its documents' clean
+    text continuously — within-batch canonical occurrences kept,
+    store-registered content trimmed. Fed in id order, the
+    concatenated output is IDENTICAL to the batch operator over the
+    whole corpus, so the oracle is dedup_span_trim's SQL verbatim: a
+    value match proves the stream ≡ batch equivalence end-to-end
+    (checkpoint, replay guard, bucketed winhash store and all)."""
+    import tempfile
+
+    from postgres_opensearch_cdc_spark.streaming.neardup import SpanTrimSink
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # arrival order must refine doc_id order for stream == batch:
+    # split at the median id, low half first (two driver-side scalars)
+    lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).head()
+    mid = (lo + hi) // 2
+    workdir = tempfile.mkdtemp(prefix="span_trim_stream_")
+    src_dir = f"{workdir}/in"
+    ckpt = f"{workdir}/ckpt"
+    sink = SpanTrimSink(path=f"{workdir}/st", window=SPAN_WINDOW)
+
+    def run_once():
+        stream = spark.readStream.schema(
+            "doc_id long, text string"
+        ).json(src_dir)
+        q = (
+            stream.writeStream.foreachBatch(sink.apply_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    docs.filter(F.col("doc_id") <= mid).write.mode("append").json(src_dir)
+    run_once()
+    docs.filter(F.col("doc_id") > mid).write.mode("append").json(src_dir)
+    run_once()
+    return sink.clean(spark).select(
+        "id", "clean_text", "kept_tokens", "removed_tokens"
+    ).orderBy("id")
+
+
 QUERIES["dedup_spans_incremental"] = dedup_spans_incremental
+QUERIES["dedup_span_trim_stream"] = dedup_span_trim_stream
+
+# stream == batch: the oracle is the batch trim recomputation verbatim
+ORACLE["dedup_span_trim_stream"] = ORACLE["dedup_span_trim"]
 
 ORACLE["dedup_spans_incremental"] = f"""
     WITH toks AS (

@@ -260,18 +260,27 @@ class SpanDedupSink:
     Layout:
         <path>/spans/       appended parquet (id, span_start,
                             span_end, n_windows, batch_id)
-        <path>/winhashes/   appended parquet (win_hash, owner) —
-                            owner-aware like NearDupSink's band store,
-                            so a replayed batch never collides with
-                            its OWN registration and re-derives
+        <path>/winhashes/   appended parquet (win_hash, owner),
+                            hash-partitioned into bucket=N dirs by
+                            pmod(win_hash, num_buckets) — owner-aware
+                            like NearDupSink's band store, so a
+                            replayed batch never collides with its
+                            OWN registration and re-derives
                             byte-identical span rows
         <path>/_meta.json   {"batch_id": last applied}
 
     Scale: state is one (hash, owner) pair per doc-distinct window —
     O(corpus tokens) in storage, never executor memory; each batch's
     work is its own shingling plus one hash-keyed join against the
-    store (bucket the store by pmod(win_hash) at 100 TB so the join
-    co-partitions). Replay protection: a batch id at or below the
+    store. The store is bucketed by pmod(win_hash, num_buckets): a
+    batch lists its DISTINCT touched buckets (a bounded driver-side
+    list, same pattern as VersionedMirrorSink's merge) and the join
+    reads ONLY those bucket directories with the sidecar-free explicit
+    schema — per-batch store I/O is O(|touched buckets' data|), flat
+    as the store grows, instead of a full-store scan. At 100 TB set
+    num_buckets so one bucket ≈ one task's worth of hashes; a small
+    micro-batch then touches a small fraction of the store.
+    Replay protection: a batch id at or below the
     recorded meta is skipped whole. A crash BETWEEN the appends and
     the meta commit re-runs the batch on restart, deterministically
     re-deriving the same rows — so raw appends are at-least-once, and
@@ -289,6 +298,7 @@ class SpanDedupSink:
     id_col: str = "doc_id"
     text_col: str = "text"
     window: int = 10
+    num_buckets: int = 16
 
     @property
     def _spans(self) -> str:
@@ -297,6 +307,27 @@ class SpanDedupSink:
     @property
     def _winhashes(self) -> str:
         return os.path.join(self.path, "winhashes")
+
+    def _store_for(self, spark: SparkSession, id_type,
+                   buckets: list) -> "DataFrame | None":
+        """The (win_hash, owner) store slice covering ``buckets`` —
+        reads ONLY the matching bucket=N directories (buckets with no
+        directory yet have nothing to meet) with an explicit schema,
+        so neither the scan nor schema resolution ever sweeps the
+        whole store."""
+        from pyspark.sql import types as T
+
+        dirs = [
+            p for b in buckets
+            if os.path.isdir(p := os.path.join(self._winhashes, f"bucket={b}"))
+        ]
+        if not dirs:
+            return None
+        schema = T.StructType([
+            T.StructField("win_hash", T.LongType()),
+            T.StructField("owner", id_type),
+        ])
+        return spark.read.schema(schema).parquet(*dirs)
 
     @property
     def _meta(self) -> str:
@@ -314,6 +345,26 @@ class SpanDedupSink:
         # exact-duplicate drop restores exactly-once reads
         return spark.read.parquet(self._spans).distinct()
 
+    def _batch_seeds(self, wins: DataFrame) -> DataFrame:
+        """Within-batch seed occurrences: every occurrence of a hash
+        repeated in the batch (the report-all-duplicates semantics of
+        duplicate_window_spans)."""
+        batch_dup = (
+            wins.groupBy("win_hash")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") >= 2)
+            .select("win_hash")
+        )
+        return wins.join(batch_dup, "win_hash").select("id", "start")
+
+    def _emit(self, batch: DataFrame, spans: DataFrame,
+              batch_id: int) -> None:
+        if spans.isEmpty():
+            # parquet append of an empty frame still lays schema files;
+            # skip so spans/ exists only once something fired
+            return
+        spans.write.mode("append").parquet(self._spans)
+
     def apply_batch(self, batch: DataFrame, batch_id: int) -> None:
         from postgres_opensearch_cdc_spark.functions.dedup import (
             merge_seed_spans,
@@ -324,43 +375,107 @@ class SpanDedupSink:
         last = self._last_batch()
         if last is not None and batch_id >= 0 and batch_id <= last:
             return  # replayed batch — already applied
-        wins = token_windows(
-            batch.select(self.id_col, self.text_col),
-            self.text_col, self.id_col, window=self.window,
-        ).localCheckpoint(eager=True)
-        batch_dup = (
-            wins.groupBy("win_hash")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .filter(F.col("n") >= 2)
-            .select("win_hash")
+        batch = batch.select(self.id_col, self.text_col).localCheckpoint(
+            eager=True
         )
-        seeds = wins.join(batch_dup, "win_hash").select("id", "start")
+        wins = token_windows(
+            batch, self.text_col, self.id_col, window=self.window,
+        ).localCheckpoint(eager=True)
+        seeds = self._batch_seeds(wins)
         if os.path.isdir(self._winhashes):
             # owner-aware: a window is store-duplicated only when a
             # DIFFERENT doc registered its content — a replayed batch
             # meeting its own registration re-derives the original
-            # seeds exactly
-            store = spark.read.parquet(self._winhashes)
-            store_seeds = (
-                wins.join(store, "win_hash")
-                .filter(F.col("id") != F.col("owner"))
-                .select("id", "start")
+            # seeds exactly. Only the batch's touched buckets are read
+            # (bounded driver-side list; at most num_buckets entries).
+            touched = sorted(
+                r["b"] for r in wins.select(
+                    F.pmod("win_hash", F.lit(self.num_buckets)).alias("b")
+                ).distinct().collect()
             )
-            seeds = seeds.unionByName(store_seeds).distinct()
+            store = self._store_for(
+                spark, wins.schema["id"].dataType, touched
+            )
+            if store is not None:
+                store_seeds = (
+                    wins.join(store, "win_hash")
+                    .filter(F.col("id") != F.col("owner"))
+                    .select("id", "start")
+                )
+                seeds = seeds.unionByName(store_seeds).distinct()
         spans = merge_seed_spans(seeds, self.window).withColumn(
             "batch_id", F.lit(int(batch_id))
         ).localCheckpoint(eager=True)
-        if spans.isEmpty():
-            # parquet append of an empty frame still lays schema files;
-            # skip so spans/ exists only once something fired
-            pass
-        else:
-            spans.write.mode("append").parquet(self._spans)
+        self._emit(batch, spans, batch_id)
         wins.select(
-            "win_hash", F.col("id").alias("owner")
-        ).distinct().write.mode("append").parquet(self._winhashes)
+            "win_hash", F.col("id").alias("owner"),
+            F.pmod("win_hash", F.lit(self.num_buckets)).alias("bucket"),
+        ).distinct().write.partitionBy("bucket").mode("append").parquet(
+            self._winhashes
+        )
         os.makedirs(self.path, exist_ok=True)
         tmp = self._meta + ".tmp"
         with open(tmp, "w") as fh:
             json.dump({"batch_id": batch_id}, fh)
         os.replace(tmp, self._meta)
+
+
+@dataclass
+class SpanTrimSink(SpanDedupSink):
+    """Streaming substring-dedup ACTION: compose the span detector
+    with the trim policy (functions.dedup.trim_duplicate_spans) so
+    each micro-batch emits its documents' CLEAN TEXT continuously —
+    every duplicated span occurrence removed except the corpus-first
+    one, where "first" is arrival order across batches and
+    (min id, min start) within a batch.
+
+    Seed semantics differ from SpanDedupSink (which REPORTS all
+    occurrences): here the within-batch canonical occurrence
+    (min id, min start per window content) is kept, and every batch
+    occurrence of store-registered content is redundant (its
+    canonical copy survived in an earlier batch untrimmed). Fed with
+    batches that partition ids in increasing order, the concatenated
+    clean output is IDENTICAL to the batch operator over the whole
+    corpus — pinned by the stream-vs-batch equivalence test and the
+    dedup_span_trim_stream oracle entry.
+
+    Output: <path>/clean/ appended parquet (id, clean_text,
+    kept_tokens, removed_tokens, batch_id); same replay guard /
+    crash-healing contract as the span report (deterministic batch →
+    the clean() reader's exact-duplicate drop restores exactly-once).
+    Store layout and bucketing are inherited unchanged."""
+
+    @property
+    def _clean(self) -> str:
+        return os.path.join(self.path, "clean")
+
+    def clean(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(self._clean).distinct()
+
+    def _batch_seeds(self, wins: DataFrame) -> DataFrame:
+        canon = wins.groupBy("win_hash").agg(
+            F.min(F.struct("id", "start")).alias("first"),
+            F.count(F.lit(1)).alias("n_occ"),
+        ).filter(F.col("n_occ") >= 2)
+        return (
+            wins.join(canon, "win_hash")
+            .filter(
+                (F.col("id") != F.col("first.id"))
+                | (F.col("start") != F.col("first.start"))
+            )
+            .select("id", "start")
+        )
+
+    def _emit(self, batch: DataFrame, spans: DataFrame,
+              batch_id: int) -> None:
+        from postgres_opensearch_cdc_spark.functions.dedup import (
+            trim_tokens_by_spans,
+        )
+
+        clean = trim_tokens_by_spans(
+            batch, spans.select("id", "span_start", "span_end"),
+            self.text_col, self.id_col,
+        ).withColumn("batch_id", F.lit(int(batch_id)))
+        # unlike the span report, EVERY batch doc emits a clean row
+        # (possibly untouched), so the append always happens
+        clean.write.mode("append").parquet(self._clean)
