@@ -68,55 +68,52 @@ _MODULES = [
 ]
 
 # The driver's correctness harness samples the FIRST 50 entries of
-# queries().  Union of r1-r9 driver rows = 297/297 distinct entries
-# green — every pre-round-10 entry has at least one passing driver
-# row.  This round-10 window = (a) the 9 NEW round-10 entries, which
-# have never had a driver row: dsl_from_size / dsl_body_highlight /
-# dsl_body_suggest (the request-body offset-paging, highlight, and
-# term-suggester keys added with strict body validation),
-# dedup_duplicate_spans / dedup_span_doc_stats / dedup_span_trim /
-# dedup_spans_incremental (the substring-level exact-dedup family),
-# and engine_rollup_stream / engine_rollup_date_histogram (the
-# continuous-aggregate streaming path, plain and derived-bucket forms,
-# value-checked end-to-end); then the STALEST driver rows by "latest
-# green row" age, oldest first, each block in its original driver
-# order: (b) the two remaining r1-only rows, (c) the 18 rows last
-# checked r2, (d) the first 21 of the 39 rows last checked r4 (the 18
-# r4 leftovers plus everything r5+ rotate in round 11) — 50 total.
+# queries().  Union of r1-r10 driver rows = 306/306 distinct entries
+# green — every pre-round-11 entry has at least one passing driver
+# row.  This round-11 window = (a) the NEW round-11 entries, which
+# have never had a driver row: engine_rollup_metrics (the full
+# rollup-job metric set — sum/value_count/avg/min/max with delete-safe
+# retraction through the aux count store), engine_rollup_search (the
+# _rollup/_search analog: coarser-bucket re-aggregation over the
+# stored metrics) and dedup_span_trim_stream (the streaming trim
+# composition, stream ≡ batch through a real checkpointed stream);
+# then the STALEST driver rows by "latest green row" age, oldest
+# first, each block in its original driver order: (b) the 18 rows
+# last checked r4, (c) the first 29 of the 40 rows last checked r5
+# (the remaining 11 rotate in round 12) — 50 total.
 _PRIORITY = [
-    # (a) NEW this round (round 10) — never driver-checked
-    "dsl_from_size", "dsl_body_highlight", "dsl_body_suggest",
-    "dedup_duplicate_spans", "dedup_span_doc_stats",
-    "dedup_span_trim", "dedup_spans_incremental",
-    "engine_rollup_stream", "engine_rollup_date_histogram",
-    # (b) latest driver row is r1
-    "cube_status_priority", "case_bucketing",
-    # (c) latest driver row is r2, original r2 order
-    "q02d_querystring_should", "q02e_querystring_must",
-    "window_running_sum", "window_rank_in_group",
-    "rollup_status_priority", "distinct_agg", "percentiles_value",
-    "stats_agg", "date_arithmetic", "string_funcs",
-    "subquery_exists", "subquery_in", "subquery_scalar",
-    "subquery_correlated_scalar", "unpivot_metrics",
-    "q01b_like_prefix", "null_semantics", "string_normalize",
-    # (d) latest driver row is r4, original r4 order (first 21)
-    "window_frames", "window_ntile", "pivot_event_type",
-    "join_outer_full", "join_cross", "having_filter",
-    "index_pattern_scan", "pipeline_quality_filter", "dedup_simhash",
-    "dedup_embedding_cosine", "ann_cosine_topk", "ann_filtered_topk",
-    "ann_ivf_topk", "text_stats", "text_fingerprint", "text_lang_id",
-    "q02f_match_phrase", "q01d_regexp_match", "q02g_fuzzy_match",
-    "q02h_multi_match", "search_after_page",
+    # (a) NEW this round (round 11) — never driver-checked
+    "engine_rollup_metrics", "engine_rollup_search",
+    "dedup_span_trim_stream",
+    # (b) latest driver row is r4, original r4 order
+    "top_hits_per_bucket", "significant_terms", "histogram_value",
+    "dis_max_best_fields", "function_score_fvf",
+    "percentile_ranks_value", "collapse_by_source", "suggest_prefix",
+    "highlight_fragment", "nested_query_same_element",
+    "rescore_two_phase", "more_like_this", "filters_named_buckets",
+    "percolate_stored_queries", "quality_repetition", "pii_scrub",
+    "contamination_ngram", "token_budget",
+    # (c) latest driver row is r5, original r5 order (first 30)
+    "ts_gapfill_locf", "ts_ohlc_daily", "ts_moving_avg",
+    "ts_zscore_anomaly", "ts_retention_cohort", "ts_regression_trend",
+    "range_agg_value", "date_range_agg", "multi_terms_agg",
+    "sampler_terms_agg", "cardinality_by_type",
+    "scripted_metric_weighted", "geo_distance_filter",
+    "min_cost_supplier", "volume_shipping", "nation_market_share",
+    "large_quantity_customers", "supplier_diversity_by_brand",
+    "grouping_sets_status", "mixture_sample", "shard_packing",
+    "array_agg_types", "approx_sketches", "sessionize_batch",
+    "range_join_same_user", "composite_agg_page",
+    "pipeline_agg_cumsum", "bucket_script_error_rate",
+    "avg_bucket_daily",
 ]
 
-# Round-11 rotation TODO: any entries added after this round-10 window
-# froze outrank re-checks; then the 18 remaining r4-era rows in r4
-# order (top_hits_per_bucket, significant_terms, histogram_value, dis_max_best_fields,
-# function_score_fvf, percentile_ranks_value, collapse_by_source,
-# suggest_prefix, highlight_fragment, nested_query_same_element,
-# rescore_two_phase, more_like_this, filters_named_buckets,
-# percolate_stored_queries, quality_repetition, pii_scrub,
-# contamination_ngram, token_budget), then the oldest r5-era rows.
+# Round-12 rotation TODO: any entries added after this round-11 window
+# froze outrank re-checks; then the 11 remaining r5-era rows in r5
+# order (dedup_embedding_srp, wildcard_query, terms_set_match,
+# boosting_query, match_bool_prefix, rare_terms_agg,
+# quality_unigram_lm, multimodal_manifest, asof_last_purchase,
+# window_lag_delta, json_extract_props), then the oldest r6-era rows.
 
 
 def entry(spark: SparkSession) -> DataFrame:

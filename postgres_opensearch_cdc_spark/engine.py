@@ -513,6 +513,88 @@ class CdcEngine:
             raise KeyError(f"unknown rollup {rollup_name!r}")
         return sink.read(self.spark)
 
+    def search_rollup(self, rollup_name: str, body: dict) -> DataFrame:
+        """The ``_rollup/_search`` analog: answer a terms /
+        date_histogram agg body FROM a continuous aggregate instead of
+        the mirror, re-aggregating the stored metrics — doc_count and
+        sums/value_counts re-SUM, min/max re-MIN/MAX (each stored
+        fine-group extremum is exact, so the coarse extremum is their
+        extremum), and avg recomposes as SUM(sum)/SUM(valcnt) — never
+        avg-of-avgs. A date_histogram may bucket COARSER than the
+        stored granularity (per-month over a per-day rollup: re-trunc
+        the stored bucket); requesting a metric the rollup job never
+        captured raises, same as the reference API. Scale: the query
+        touches #stored-groups rows, never the mirror."""
+        sink = self._resolve_rollup(rollup_name)
+        if sink is None:
+            raise KeyError(f"unknown rollup {rollup_name!r}")
+        unknown = sorted(set(body) - {"aggs", "aggregations"})
+        if unknown:
+            raise ValueError(
+                f"rollup search supports only 'aggs', got {unknown}"
+            )
+        aggs = body.get("aggs", body.get("aggregations")) or {}
+        if len(aggs) != 1:
+            raise ValueError("rollup search needs exactly one named agg")
+        ((agg_name, spec),) = aggs.items()
+        kinds = [k for k in ("terms", "date_histogram") if k in spec]
+        if len(kinds) != 1:
+            raise ValueError(
+                "rollup search agg must be 'terms' or 'date_histogram'"
+            )
+        kind = kinds[0]
+        field = spec[kind].get("field")
+        if field != sink.group_col:
+            raise ValueError(
+                f"rollup {rollup_name!r} is grouped by "
+                f"{sink.group_col!r}, not {field!r}"
+            )
+        if kind == "terms":
+            bucket = F.col(sink.group_col)
+        else:
+            interval = spec[kind].get(
+                "calendar_interval", spec[kind].get("fixed_interval")
+            )
+            if not interval:
+                raise ValueError("date_histogram needs calendar_interval")
+            bucket = F.date_trunc(interval, F.col(sink.group_col))
+        metric_exprs = []
+        for mname, mspec in (spec.get("aggs") or {}).items():
+            ((op, opspec),) = mspec.items()
+            c = opspec.get("field")
+            allowed = {
+                "sum": sink.sum_cols, "value_count": sink.count_cols,
+                "avg": sink.avg_cols, "min": sink.minmax_cols,
+                "max": sink.minmax_cols,
+            }
+            if op not in allowed:
+                raise ValueError(f"unsupported rollup metric {op!r}")
+            if c not in allowed[op]:
+                raise ValueError(
+                    f"rollup {rollup_name!r} does not capture "
+                    f"{op}({c}) — stored: {sorted(allowed[op])}"
+                )
+            expr = {
+                "sum": lambda c: F.sum(f"sum_{c}"),
+                "value_count": lambda c: F.sum(f"valcnt_{c}"),
+                "avg": lambda c: F.sum(f"sum_{c}") / F.sum(f"valcnt_{c}"),
+                "min": lambda c: F.min(f"min_{c}"),
+                "max": lambda c: F.max(f"max_{c}"),
+            }[op](c)
+            metric_exprs.append(expr.alias(mname))
+        frame = sink.read(self.spark, internal=True)
+        out = frame.groupBy(bucket.alias(agg_name)).agg(
+            F.sum("doc_count").alias("doc_count"), *metric_exprs
+        )
+        # ES ordering defaults: terms by doc_count desc (key asc tiebreak),
+        # date_histogram by key ascending
+        if kind == "terms":
+            size = int(spec[kind].get("size", 10))
+            return out.orderBy(
+                F.col("doc_count").desc(), F.col(agg_name)
+            ).limit(size)
+        return out.orderBy(agg_name)
+
     def await_all(self, timeout_s: int = 300) -> None:
         for handle in self.tables.values():
             if handle.query is not None:
@@ -539,6 +621,28 @@ class CdcEngine:
         if missing:
             raise ValueError(f"alias {alias!r} references unknown tables {missing}")
         self.aliases[alias] = list(table_names)
+        self._save_catalog()
+
+    def delete_alias(self, alias: str) -> None:
+        """DELETE ``_aliases`` analog — removal persists like the put."""
+        if alias not in self.aliases:
+            raise KeyError(f"unknown alias {alias!r}")
+        del self.aliases[alias]
+        self._save_catalog()
+
+    def delete_monitor(self, monitor_name: str) -> None:
+        """Deregister a monitor (its alert LOG stays on disk — history
+        outlives the rule, matching the reference plugin)."""
+        if monitor_name not in self.monitors:
+            raise KeyError(f"unknown monitor {monitor_name!r}")
+        del self.monitors[monitor_name]
+        self._save_catalog()
+
+    def delete_template(self, template_name: str) -> None:
+        """DELETE ``_scripts/<id>`` analog."""
+        if template_name not in self.templates:
+            raise KeyError(f"unknown template {template_name!r}")
+        del self.templates[template_name]
         self._save_catalog()
 
     def _resolve_write(self, name: str) -> TableHandle:

@@ -817,9 +817,48 @@ def engine_rollup_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type")
 
 
+def engine_rollup_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``_rollup/_search`` analog end-to-end: a per-HOUR continuous
+    aggregate (full metric set) maintained through the real streaming
+    path, then queried at per-DAY granularity via the agg-body API —
+    doc_count/sum/value_count re-SUM, min/max re-extremize, avg
+    recomposes as SUM(sum)/SUM(valcnt), never avg-of-avgs (hourly
+    bucket sizes vary, so the two differ and the oracle would catch
+    it). The oracle recomputes the daily metrics straight from the
+    compacted mirror, so a value match proves the coarser-bucket
+    re-aggregation algebra on top of the delta maintenance."""
+    eng, log_dir = _rollup_engine(spark, sf_dir, "engine_rollup_s_")
+    eng.start_rollup_stream(
+        "by_hour_m", log_dir, "events_tbl", "hour",
+        sum_cols=("value",), count_cols=("value",), avg_cols=("value",),
+        minmax_cols=("value",), group_expr="date_trunc('hour', ts)",
+    )
+    eng.await_all()
+    out = eng.search_rollup("by_hour_m", {"aggs": {"day": {
+        "date_histogram": {"field": "hour", "calendar_interval": "day"},
+        "aggs": {
+            "valcnt_value": {"value_count": {"field": "value"}},
+            "sum_value": {"sum": {"field": "value"}},
+            "avg_value": {"avg": {"field": "value"}},
+            "min_value": {"min": {"field": "value"}},
+            "max_value": {"max": {"field": "value"}},
+        },
+    }}})
+    return out.select(
+        F.col("day").cast("date").alias("day"),
+        "doc_count",
+        "valcnt_value",
+        F.round("sum_value", 4).alias("sum_value"),
+        F.round("avg_value", 4).alias("avg_value"),
+        "min_value",
+        "max_value",
+    ).orderBy("day")
+
+
 QUERIES["engine_rollup_stream"] = engine_rollup_stream
 QUERIES["engine_rollup_date_histogram"] = engine_rollup_date_histogram
 QUERIES["engine_rollup_metrics"] = engine_rollup_metrics
+QUERIES["engine_rollup_search"] = engine_rollup_search
 
 ORACLE["engine_rollup_stream"] = f"""
     WITH log AS ({_LOG}),
@@ -843,6 +882,24 @@ ORACLE["engine_rollup_date_histogram"] = f"""
     )
     SELECT date_trunc('day', ts) AS day, COUNT(*) AS doc_count,
            ROUND(SUM(value), 4) AS sum_value
+    FROM latest WHERE op <> 'd'
+    GROUP BY 1 ORDER BY 1
+"""
+
+ORACLE["engine_rollup_search"] = f"""
+    WITH log AS ({_LOG}),
+    latest AS (
+        SELECT * FROM log
+        QUALIFY row_number() OVER (
+            PARTITION BY key ORDER BY ts DESC, event_id DESC) = 1
+    )
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+           COUNT(*) AS doc_count,
+           COUNT(value) AS valcnt_value,
+           ROUND(SUM(value), 4) AS sum_value,
+           ROUND(AVG(value), 4) AS avg_value,
+           MIN(value) AS min_value,
+           MAX(value) AS max_value
     FROM latest WHERE op <> 'd'
     GROUP BY 1 ORDER BY 1
 """

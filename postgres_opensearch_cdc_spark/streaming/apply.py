@@ -886,13 +886,18 @@ class RollupSink:
             os.path.join(self._data_dir, manifest["commit"], f"mm_{col}")
         )
 
-    def read(self, spark: SparkSession, version: "int | None" = None) -> DataFrame:
+    def read(self, spark: SparkSession, version: "int | None" = None,
+             internal: bool = False) -> DataFrame:
         """The published aggregate: group, doc_count, the REQUESTED
         metric columns (sum_<c>, valcnt_<c>), plus the derived ones —
         avg_<c> = sum/valcnt computed here (null when a group has no
         non-null values, SQL AVG semantics) and min_<c>/max_<c>
         aggregated from the aux multiset stores (left-joined
-        null-safely so a NULL group key still gets its extrema)."""
+        null-safely so a NULL group key still gets its extrema).
+        ``internal=True`` keeps the maintained-only components
+        (avg's sum/valcnt) — the re-aggregation inputs rollup search
+        needs (avg over a coarser bucket is SUM(sum)/SUM(valcnt),
+        never avg-of-avgs)."""
         manifest = self._manifest_at(version)
         out = self._read_main(spark, manifest)
         for c in self.minmax_cols:
@@ -914,13 +919,15 @@ class RollupSink:
             out = out.withColumn(
                 f"avg_{c}", F.col(f"sum_{c}") / F.col(f"valcnt_{c}")
             )
+        if internal:
+            return out
         # maintained-only components (avg internals) are not published
-        internal = (
+        hidden = (
             {f"sum_{c}" for c in self._sum_set if c not in self.sum_cols}
             | {f"valcnt_{c}" for c in self._cnt_set
                if c not in self.count_cols}
         )
-        return out.drop(*internal) if internal else out
+        return out.drop(*hidden) if hidden else out
 
     def apply_batch(self, deltas: DataFrame, batch_id: int,
                     writer_id: str | None = None) -> None:

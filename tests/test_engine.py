@@ -1392,6 +1392,20 @@ def test_catalog_survives_engine_restart(spark, tmp_path):
     # and the alert log carries both engines' evaluations
     assert engine2.alerts("any_blocked").count() == 2
 
+    # deletes persist too: a third engine over the same workdir must
+    # not resurrect removed catalog entries
+    engine2.delete_monitor("any_blocked")
+    engine2.delete_template("by_status")
+    engine2.delete_alias("cards")
+    import pytest as _pytest
+    with _pytest.raises(KeyError, match="unknown alias"):
+        engine2.delete_alias("cards")
+    engine3 = CdcEngine(spark=spark, workdir=str(tmp_path))
+    engine3.register_table("card", CARD_SCHEMA)
+    assert engine3.aliases == {} and engine3.monitors == {}
+    assert engine3.templates == {}
+    assert engine3.evaluate_monitors() == {}
+
 
 def test_alert_log_exactly_once_under_replay(spark, tmp_path):
     """The alert log uses the commit-manifest protocol: a replayed

@@ -401,3 +401,72 @@ def test_rollup_fuzz_matches_recompute(spark, tmp_path, seed):
         for s, (c, vs) in model.items()
     }
     assert got == recompute == want, f"seed {seed}"
+
+
+def test_search_rollup_reaggregates_metrics(spark, tmp_path):
+    """The _rollup/_search analog: a terms body over the rollup at
+    stored granularity matches the direct read; every metric maps to
+    its re-aggregation (avg = SUM(sum)/SUM(valcnt), never
+    avg-of-avgs — pinned by a two-group case where they differ); and
+    uncaptured metrics / wrong fields / non-agg keys degrade loudly."""
+    engine = CdcEngine(spark=spark, workdir=str(tmp_path))
+    engine.register_table("txn", TXN_SCHEMA)
+    log_dir = str(tmp_path / "log")
+    os.makedirs(log_dir)
+    with open(os.path.join(log_dir, "b1.json"), "w") as f:
+        f.write("\n".join([
+            # band 'lo': 2 values avg 15; band 'hi': 1 value avg 90 —
+            # overall avg 40, avg-of-avgs 52.5: the re-agg must say 40
+            env("c", doc(1, "A", 10.0), None, 1),
+            env("c", doc(2, "A", 20.0), None, 2),
+            env("c", doc(3, "B", 90.0), None, 3),
+        ]))
+    engine.start_rollup_stream(
+        "sr", log_dir, "txn", "status",
+        sum_cols=("amount",), count_cols=("amount",),
+        avg_cols=("amount",), minmax_cols=("amount",),
+    )
+    engine.await_all()
+
+    # terms at stored granularity == the direct read, re-shaped
+    got = {
+        r["by_status"]: (r["doc_count"], r["s"], r["v"], r["a"],
+                         r["mn"], r["mx"])
+        for r in engine.search_rollup("sr", {"aggs": {"by_status": {
+            "terms": {"field": "status"},
+            "aggs": {
+                "s": {"sum": {"field": "amount"}},
+                "v": {"value_count": {"field": "amount"}},
+                "a": {"avg": {"field": "amount"}},
+                "mn": {"min": {"field": "amount"}},
+                "mx": {"max": {"field": "amount"}},
+            },
+        }}}).collect()
+    }
+    assert got == {"A": (2, 30.0, 2, 15.0, 10.0, 20.0),
+                   "B": (1, 90.0, 1, 90.0, 90.0, 90.0)}
+
+    # ES terms ordering: doc_count desc, size caps the buckets
+    one = engine.search_rollup("sr", {"aggs": {"by_status": {
+        "terms": {"field": "status", "size": 1},
+        "aggs": {"a": {"avg": {"field": "amount"}}},
+    }}}).collect()
+    assert len(one) == 1 and one[0]["by_status"] == "A"
+
+    with pytest.raises(ValueError, match="does not capture"):
+        engine.search_rollup("sr", {"aggs": {"x": {
+            "terms": {"field": "status"},
+            "aggs": {"m": {"sum": {"field": "id"}}},
+        }}})
+    with pytest.raises(ValueError, match="unsupported rollup metric"):
+        engine.search_rollup("sr", {"aggs": {"x": {
+            "terms": {"field": "status"},
+            "aggs": {"m": {"percentiles": {"field": "amount"}}},
+        }}})
+    with pytest.raises(ValueError, match="grouped by"):
+        engine.search_rollup("sr", {"aggs": {"x": {
+            "terms": {"field": "amount"}}}})
+    with pytest.raises(ValueError, match="only 'aggs'"):
+        engine.search_rollup("sr", {"query": {"match_all": {}}})
+    with pytest.raises(KeyError, match="unknown rollup"):
+        engine.search_rollup("nope", {"aggs": {}})
