@@ -19,9 +19,14 @@ bulk/mget/update/reindex/count/delete_by_query/update_by_query
 writes, aliases, snapshot/restore DR, per-field k-NN vector indexes
 with a staleness-safe serving plan, continuous aggregates
 (start_rollup_stream — the rollup-job table maintained from
-before/after images), and alerting monitors (put_monitor — evaluated
-after every micro-batch merge). Index-side state (knn sidecars,
-rollup specs) persists under the workdir and rehydrates on restart.
+before/after images, full metric set; search_rollup re-aggregates
+them at coarser buckets), and alerting monitors (put_monitor —
+evaluated after every micro-batch merge, exactly-once alert log).
+Engine state persists under the workdir and rehydrates on restart:
+knn sidecars, rollup specs, AND the catalog (aliases / monitors /
+templates, `_catalog.json`) — a restarted engine answers
+search_template / evaluate_monitors / alias searches without
+re-registration.
 """
 
 from __future__ import annotations
