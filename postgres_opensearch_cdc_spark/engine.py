@@ -377,6 +377,14 @@ class CdcEngine:
         date_histogram shape), published under the ``group_col``
         name.
 
+        MULTI-DIMENSION rollups (the reference rollup-job shape
+        allows a date_histogram plus terms dimensions together): pass
+        a TUPLE of names as ``group_col`` and, optionally, a matching
+        tuple as ``group_expr`` whose entries are a SQL expression or
+        None (None = the plain column of that name). search_rollup
+        then slices any one dimension, re-aggregating across the
+        others.
+
         Metric set = the reference rollup-job metrics: ``sum_cols``
         (sum), ``count_cols`` (value_count — non-null count,
         additive), ``avg_cols`` (derived sum/valcnt at read), and
@@ -384,8 +392,27 @@ class CdcEngine:
         per-(group, value) count store — see RollupSink)."""
         handle = self.tables[table]
         fields = [f.name for f in handle.schema.fields]
-        if group_expr is None and group_col not in fields:
-            raise ValueError(f"group column {group_col!r} not in {table!r}")
+        multi = not isinstance(group_col, str)
+        names = tuple(group_col) if multi else (group_col,)
+        if group_expr is None:
+            exprs: tuple = (None,) * len(names)
+        elif isinstance(group_expr, str):
+            if multi:
+                raise ValueError(
+                    "tuple group_col needs a matching tuple group_expr "
+                    "(use None entries for plain columns)"
+                )
+            exprs = (group_expr,)
+        else:
+            exprs = tuple(group_expr)
+            if len(exprs) != len(names):
+                raise ValueError(
+                    f"group_expr has {len(exprs)} entries for "
+                    f"{len(names)} group columns"
+                )
+        for n, e in zip(names, exprs):
+            if e is None and n not in fields:
+                raise ValueError(f"group column {n!r} not in {table!r}")
         for kind, cols in (("sum", sum_cols), ("value_count", count_cols),
                            ("avg", avg_cols), ("min/max", minmax_cols)):
             for c in cols:
@@ -406,11 +433,13 @@ class CdcEngine:
             # spec — additive state under mixed groupings is silent
             # corruption, so the mismatch raises instead
             meta = self._rollup_meta(rollup_name) or {}
-            want = {"group_col": group_col, "sum_cols": list(sum_cols),
+            want = {"group_col": list(names) if multi else group_col,
+                    "sum_cols": list(sum_cols),
                     "count_cols": list(count_cols),
                     "avg_cols": list(avg_cols),
                     "minmax_cols": list(minmax_cols),
-                    "table": table, "group_expr": group_expr}
+                    "table": table,
+                    "group_expr": list(exprs) if multi else group_expr}
             have = {k: meta.get(k, [] if k.endswith("_cols") else None)
                     for k in want}
             if meta and have != want:
@@ -439,9 +468,11 @@ class CdcEngine:
 
             def image_deltas(side: str, cond, sign: int) -> DataFrame:
                 img = batch.filter(cond).select(F.col(f"{side}.*"))
-                grp = (F.expr(group_expr) if group_expr is not None
-                       else F.col(group_col))
-                return sink.delta_frame(img, grp, sign)
+                grps = [
+                    F.expr(e) if e is not None else F.col(n)
+                    for n, e in zip(names, exprs)
+                ]
+                return sink.delta_frame(img, grps, sign)
 
             plus = image_deltas("after", F.col("op") != "d", 1)
             minus = image_deltas("before", F.col("op").isin("u", "d"), -1)
@@ -549,20 +580,20 @@ class CdcEngine:
             )
         kind = kinds[0]
         field = spec[kind].get("field")
-        if field != sink.group_col:
+        if field not in sink._groups:
             raise ValueError(
                 f"rollup {rollup_name!r} is grouped by "
-                f"{sink.group_col!r}, not {field!r}"
+                f"{sink._groups}, not {field!r}"
             )
         if kind == "terms":
-            bucket = F.col(sink.group_col)
+            bucket = F.col(field)
         else:
             interval = spec[kind].get(
                 "calendar_interval", spec[kind].get("fixed_interval")
             )
             if not interval:
                 raise ValueError("date_histogram needs calendar_interval")
-            bucket = F.date_trunc(interval, F.col(sink.group_col))
+            bucket = F.date_trunc(interval, F.col(field))
         metric_exprs = []
         for mname, mspec in (spec.get("aggs") or {}).items():
             ((op, opspec),) = mspec.items()

@@ -855,7 +855,55 @@ def engine_rollup_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("day")
 
 
+def engine_rollup_two_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTI-DIMENSION continuous aggregate (the reference rollup-job
+    date_histogram + terms combination): group by (derived day bucket
+    x event_type) with the full metric set, maintained through the
+    real streaming path — updates that move a row across EITHER
+    dimension shift both cells, deletes retract extrema through the
+    aux count store. Oracle = the two-dim recompute from the
+    compacted mirror."""
+    eng, log_dir = _rollup_engine(spark, sf_dir, "engine_rollup_2d_")
+    eng.start_rollup_stream(
+        "day_type", log_dir, "events_tbl", ("day", "event_type"),
+        sum_cols=("value",), count_cols=("value",), avg_cols=("value",),
+        minmax_cols=("value",),
+        group_expr=("date_trunc('day', ts)", None),
+    )
+    eng.await_all()
+    return eng.rollup("day_type").select(
+        F.col("day").cast("date").alias("day"),
+        "event_type",
+        "doc_count",
+        "valcnt_value",
+        F.round("sum_value", 4).alias("sum_value"),
+        F.round("avg_value", 4).alias("avg_value"),
+        "min_value",
+        "max_value",
+    ).orderBy("day", "event_type")
+
+
 QUERIES["engine_rollup_stream"] = engine_rollup_stream
+QUERIES["engine_rollup_two_dim"] = engine_rollup_two_dim
+
+ORACLE["engine_rollup_two_dim"] = f"""
+    WITH log AS ({_LOG}),
+    latest AS (
+        SELECT * FROM log
+        QUALIFY row_number() OVER (
+            PARTITION BY key ORDER BY ts DESC, event_id DESC) = 1
+    )
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+           event_type,
+           COUNT(*) AS doc_count,
+           COUNT(value) AS valcnt_value,
+           ROUND(SUM(value), 4) AS sum_value,
+           ROUND(AVG(value), 4) AS avg_value,
+           MIN(value) AS min_value,
+           MAX(value) AS max_value
+    FROM latest WHERE op <> 'd'
+    GROUP BY 1, 2 ORDER BY 1, 2
+"""
 QUERIES["engine_rollup_date_histogram"] = engine_rollup_date_histogram
 QUERIES["engine_rollup_metrics"] = engine_rollup_metrics
 QUERIES["engine_rollup_search"] = engine_rollup_search

@@ -742,9 +742,12 @@ def streaming_dedup(
 class RollupSink:
     """Continuous aggregate store — the reference stack's rollup-job
     shape (OpenSearch rollup/ISM jobs; Timescale continuous
-    aggregates): a persisted (group, doc_count, sum_<col>...) table
-    maintained from CDC ±deltas, so each micro-batch SHIFTS the
-    aggregates instead of rescanning the mirror.
+    aggregates): a persisted (group(s), doc_count, sum_<col>...)
+    table maintained from CDC ±deltas, so each micro-batch SHIFTS the
+    aggregates instead of rescanning the mirror. ``group_col`` may be
+    one dimension or a tuple of dimensions (the rollup-job
+    date_histogram + terms combination); everything below is
+    dimension-count agnostic.
     ``cdc_incremental_agg`` (queries/cdc_queries.py) is the
     batch / oracle-checked form of the same delta algebra; this is its
     checkpointed streaming realization, fed from the changelog's
@@ -785,11 +788,20 @@ class RollupSink:
     O(|batch| + |groups| + |aux|) and never touches the mirror."""
 
     path: str
-    group_col: str
+    # one dimension name (str) or several (tuple) — the reference
+    # rollup-job shape allows date_histogram + terms dimensions
+    # together; every delta/merge/read below is dimension-count
+    # agnostic via _groups
+    group_col: "str | tuple"
     sum_cols: tuple = ()
     count_cols: tuple = ()
     avg_cols: tuple = ()
     minmax_cols: tuple = ()
+
+    @property
+    def _groups(self) -> tuple:
+        return ((self.group_col,) if isinstance(self.group_col, str)
+                else tuple(self.group_col))
 
     # internal maintained sets: avg needs sum AND valcnt components
     # even when neither is independently requested
@@ -816,9 +828,16 @@ class RollupSink:
         """Project one image side (before or after payload rows) to the
         signed-delta shape ``apply_batch`` merges: ±doc_count, ±sums,
         ±non-null counts, and the RAW value for each minmax column
-        (its sign rides doc_count)."""
+        (its sign rides doc_count). ``group`` is one Column (single
+        dimension) or a list of Columns matching _groups."""
+        groups = group if isinstance(group, (list, tuple)) else [group]
+        if len(groups) != len(self._groups):
+            raise ValueError(
+                f"delta_frame got {len(groups)} group expression(s) for "
+                f"dimensions {self._groups}"
+            )
         return img.select(
-            group.alias(self.group_col),
+            *[g.alias(n) for g, n in zip(groups, self._groups)],
             F.lit(sign).cast("long").alias("doc_count"),
             *[(F.lit(sign) * F.col(c)).alias(f"sum_{c}")
               for c in self._sum_set],
@@ -903,13 +922,20 @@ class RollupSink:
         for c in self.minmax_cols:
             mm = (
                 self._read_aux(spark, manifest, c)
-                .groupBy(F.col(self.group_col).alias("_mm_g"))
+                .groupBy(*[
+                    F.col(g).alias(f"_mm_g{i}")
+                    for i, g in enumerate(self._groups)
+                ])
                 .agg(F.min("value").alias(f"min_{c}"),
                      F.max("value").alias(f"max_{c}"))
             )
-            out = out.join(
-                mm, out[self.group_col].eqNullSafe(mm["_mm_g"]), "left"
-            ).drop("_mm_g")
+            cond = None
+            for i, g in enumerate(self._groups):
+                clause = out[g].eqNullSafe(mm[f"_mm_g{i}"])
+                cond = clause if cond is None else (cond & clause)
+            out = out.join(mm, cond, "left").drop(
+                *[f"_mm_g{i}" for i in range(len(self._groups))]
+            )
         for c in self._sum_set:
             out = out.withColumn(
                 f"sum_{c}",
@@ -953,14 +979,14 @@ class RollupSink:
         ):
             return  # replayed batch: additive merge MUST NOT reapply
         metric_cols = self._metric_cols
-        agg = deltas.groupBy(self.group_col).agg(
+        agg = deltas.groupBy(*self._groups).agg(
             *[F.sum(c).alias(c) for c in metric_cols]
         )
         if manifest is not None:
             agg = (
                 self._read_main(spark, manifest)
                 .unionByName(agg)
-                .groupBy(self.group_col)
+                .groupBy(*self._groups)
                 .agg(*[F.sum(c).alias(c) for c in metric_cols])
             )
         merged = agg.filter(F.col("doc_count") != 0)
@@ -976,7 +1002,7 @@ class RollupSink:
                 deltas
                 .filter(F.col(f"mmval_{c}").isNotNull())
                 .select(
-                    self.group_col,
+                    *self._groups,
                     F.col(f"mmval_{c}").alias("value"),
                     F.col("doc_count").alias("cnt"),
                 )
@@ -984,7 +1010,7 @@ class RollupSink:
             if manifest is not None:
                 aux = self._read_aux(spark, manifest, c).unionByName(aux)
             aux = (
-                aux.groupBy(self.group_col, "value")
+                aux.groupBy(*self._groups, "value")
                 .agg(F.sum("cnt").alias("cnt"))
                 .filter(F.col("cnt") != 0)
             )

@@ -470,3 +470,100 @@ def test_search_rollup_reaggregates_metrics(spark, tmp_path):
         engine.search_rollup("sr", {"query": {"match_all": {}}})
     with pytest.raises(KeyError, match="unknown rollup"):
         engine.search_rollup("nope", {"aggs": {}})
+
+
+def test_rollup_multi_dimension_and_slice(spark, tmp_path):
+    """Multi-dimension rollup (the reference rollup-job date_histogram
+    + terms combination): group_col is a tuple, one dim derived via
+    group_expr, one plain; the maintained table equals the two-dim
+    recompute after updates that move rows ACROSS both dimensions; a
+    search_rollup terms slice on either dim re-aggregates across the
+    other (avg recomposes from sums, min/max re-extremize)."""
+    engine = CdcEngine(spark=spark, workdir=str(tmp_path))
+    engine.register_table("txn", TXN_SCHEMA)
+    log_dir = str(tmp_path / "log")
+    os.makedirs(log_dir)
+    with open(os.path.join(log_dir, "b1.json"), "w") as f:
+        f.write("\n".join([
+            env("c", doc(1, "A", 10.0), None, 1),
+            env("c", doc(2, "A", 150.0), None, 2),
+            env("c", doc(3, "B", 20.0), None, 3),
+            env("c", doc(4, "B", 200.0), None, 4),
+            # moves id=1 across BOTH dims: A/small -> B/big
+            env("u", doc(1, "B", 120.0), doc(1, "A", 10.0), 5),
+            env("d", None, doc(4, "B", 200.0), 6),
+        ]))
+    band = "CASE WHEN amount >= 100 THEN 'big' ELSE 'small' END"
+    engine.start_rollup_stream(
+        "md", log_dir, "txn", ("band", "status"),
+        sum_cols=("amount",), count_cols=("amount",),
+        avg_cols=("amount",), minmax_cols=("amount",),
+        group_expr=(band, None),
+    )
+    engine.start_stream("txn", log_dir)
+    engine.await_all()
+
+    got = {
+        (r["band"], r["status"]): (
+            r["doc_count"], r["valcnt_amount"], r["sum_amount"],
+            r["avg_amount"], r["min_amount"], r["max_amount"])
+        for r in engine.rollup("md").collect()
+    }
+    recompute = {
+        (r["band"], r["status"]): (
+            r["doc_count"], r["valcnt_amount"], r["sum_amount"],
+            r["avg_amount"], r["min_amount"], r["max_amount"])
+        for r in engine.view("txn").selectExpr(
+            f"{band} AS band", "status", "amount"
+        ).groupBy("band", "status").agg(
+            F.count(F.lit(1)).alias("doc_count"),
+            F.count("amount").alias("valcnt_amount"),
+            F.sum("amount").alias("sum_amount"),
+            F.avg("amount").alias("avg_amount"),
+            F.min("amount").alias("min_amount"),
+            F.max("amount").alias("max_amount"),
+        ).collect()
+    }
+    # live: 1=B/big 120, 2=A/big 150, 3=B/small 20
+    assert got == recompute == {
+        ("big", "B"): (1, 1, 120.0, 120.0, 120.0, 120.0),
+        ("big", "A"): (1, 1, 150.0, 150.0, 150.0, 150.0),
+        ("small", "B"): (1, 1, 20.0, 20.0, 20.0, 20.0),
+    }
+
+    # slice by status (re-agg across bands): B = {120, 20}
+    by_status = {
+        r["by_status"]: (r["doc_count"], r["a"], r["mn"], r["mx"])
+        for r in engine.search_rollup("md", {"aggs": {"by_status": {
+            "terms": {"field": "status"},
+            "aggs": {"a": {"avg": {"field": "amount"}},
+                     "mn": {"min": {"field": "amount"}},
+                     "mx": {"max": {"field": "amount"}}},
+        }}}).collect()
+    }
+    assert by_status == {"B": (2, 70.0, 20.0, 120.0),
+                         "A": (1, 150.0, 150.0, 150.0)}
+    # slice by band
+    by_band = {
+        r["by_band"]: r["doc_count"]
+        for r in engine.search_rollup("md", {"aggs": {"by_band": {
+            "terms": {"field": "band"}}}}).collect()
+    }
+    assert by_band == {"big": 2, "small": 1}
+    with pytest.raises(ValueError, match="grouped by"):
+        engine.search_rollup("md", {"aggs": {"x": {
+            "terms": {"field": "amount"}}}})
+    # spec drift on the dimension TUPLE raises
+    with pytest.raises(ValueError, match="exists with spec"):
+        engine.start_rollup_stream(
+            "md", log_dir, "txn", ("status", "band"),
+            sum_cols=("amount",), count_cols=("amount",),
+            avg_cols=("amount",), minmax_cols=("amount",),
+            group_expr=(None, band),
+        )
+    # mismatched expr arity raises before anything is created
+    with pytest.raises(ValueError, match="entries for"):
+        engine.start_rollup_stream(
+            "md2", log_dir, "txn", ("band", "status"),
+            group_expr=(band,),
+        )
