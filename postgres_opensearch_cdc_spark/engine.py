@@ -1002,14 +1002,40 @@ class CdcEngine:
             cursor = [rows[-1][f] for f in sort_fields]
 
     def reindex(self, src: str, dst: str,
-                query: dict | None = None) -> int:
+                query: dict | None = None,
+                script: dict | None = None) -> int:
         """The reference stack's ``_reindex``: copy a (optionally
         query-filtered) mirror into a new table — registered on the
         fly with the source schema — as one snapshot backfill through
         the keyed merge, so re-running is idempotent. Returns the
         destination row count. At scale this is a single filtered
-        scan + partitioned merge write; no driver-side row movement."""
+        scan + partitioned merge write; no driver-side row movement.
+
+        ``script`` is the ``_reindex`` script clause in this engine's
+        declarative form: {column: SQL expression over the source
+        row}, compiled by F.expr instead of interpreted painless —
+        stays inside whole-stage codegen. Strict like the rest of the
+        engine: scripted columns must be schema fields (the explicit-
+        schema stance — scripts can't invent fields), expressions are
+        parsed eagerly so a typo fails the call rather than the job,
+        and results cast to the registered column type."""
         src_handle = self.tables[src]
+        fields = {f.name: f.dataType for f in src_handle.schema.fields}
+        if script:
+            unknown = sorted(set(script) - set(fields))
+            if unknown:
+                raise ValueError(
+                    f"script targets unknown fields {unknown} "
+                    f"(schema: {sorted(fields)})"
+                )
+            for c, expr in script.items():
+                try:
+                    self.spark._jsparkSession.sessionState().sqlParser(
+                    ).parseExpression(expr)
+                except Exception as exc:
+                    raise ValueError(
+                        f"script for {c!r} does not parse: {expr!r}"
+                    ) from exc
         if dst not in self.tables:
             self.register_table(dst, src_handle.schema)
         df = self.view(src)
@@ -1017,9 +1043,12 @@ class CdcEngine:
             from postgres_opensearch_cdc_spark.dsl import compile_query
 
             df = df.filter(compile_query(query, id_col=self.key_col))
-        self.backfill(dst, df.select(
-            *[f.name for f in src_handle.schema.fields]
-        ))
+        out_cols = [
+            (F.expr(script[n]).cast(t) if script and n in script
+             else F.col(n)).alias(n)
+            for n, t in fields.items()
+        ]
+        self.backfill(dst, df.select(*out_cols))
         return self.view(dst).count()
 
     def count(self, name: str, query: dict | None = None) -> int:

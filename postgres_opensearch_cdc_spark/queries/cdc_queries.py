@@ -449,6 +449,29 @@ def engine_reindex_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     })
 
 
+def engine_reindex_script(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`_reindex` with a script clause, value-checked end-to-end: the
+    query-filtered copy is TRANSFORMED in flight ({column: SQL expr}
+    — the painless analog compiled by F.expr, inside codegen), lands
+    in a fresh mirror through the keyed merge, and a search over the
+    destination must agree with the oracle's filter-then-transform-
+    then-agg over the source state."""
+    eng = _events_engine(spark, sf_dir, "engine_reindex_sc_")
+    eng.reindex(
+        "user_state", "normalized",
+        query={"range": {"value": {"gte": 100}}},
+        script={"event_type": "upper(event_type)", "value": "value * 2"},
+    )
+    return eng.search("normalized", {
+        "query": {"match_all": {}},
+        "aggs": {"by_state": {
+            "terms": {"field": "event_type", "size": 20,
+                      "order": {"_key": "asc"}},
+            "aggs": {"value_sum": {"sum": {"field": "value"}}},
+        }},
+    })
+
+
 QUERIES = {
     "cdc_mirror_compact": cdc_mirror_compact,
     "cdc_scd2_history": cdc_scd2_history,
@@ -463,6 +486,7 @@ QUERIES = {
     "engine_snapshot_restore": engine_snapshot_restore,
     "engine_update_delete_search": engine_update_delete_search,
     "engine_reindex_search": engine_reindex_search,
+    "engine_reindex_script": engine_reindex_script,
 }
 
 # The op-mapping CASE is inlined in each oracle: signup→c, error→d, else u.
@@ -610,6 +634,19 @@ ORACLE = {
         FROM latest
         WHERE op <> 'd' AND value >= 100
         GROUP BY event_type ORDER BY by_state
+    """,
+    "engine_reindex_script": f"""
+        WITH log AS ({_LOG}),
+        latest AS (
+            SELECT key, event_type, ROUND(value, 2) AS value, op FROM log
+            QUALIFY row_number() OVER (
+                PARTITION BY key ORDER BY event_id DESC) = 1
+        )
+        SELECT UPPER(event_type) AS by_state, COUNT(*) AS doc_count,
+               ROUND(SUM(value * 2), 4) AS value_sum
+        FROM latest
+        WHERE op <> 'd' AND value >= 100
+        GROUP BY 1 ORDER BY by_state
     """,
     # the restored mirror answers AT THE SNAPSHOT: compaction replayed
     # over only the first half of the changelog (event_id <= max/2 —

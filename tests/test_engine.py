@@ -1468,3 +1468,30 @@ def test_alert_column_collision_is_renamed(spark, tmp_path):
     assert log.columns.count("monitor") == 1
     [r] = log.collect()
     assert r["monitor"] == "collide" and r["result_monitor"] == "BLOCKED"
+
+
+def test_reindex_script_transforms_and_validates(spark, tmp_path):
+    """_reindex script clause: {column: SQL expr} transforms rows in
+    flight (results cast to the registered column type); unknown
+    fields and unparseable expressions fail the CALL, not the job."""
+    engine = CdcEngine(spark=spark, workdir=str(tmp_path))
+    engine.register_table("card", CARD_SCHEMA)
+    engine.backfill("card", spark.createDataFrame(
+        [(1, "active", "debit"), (2, "blocked", "credit")], CARD_SCHEMA))
+    n = engine.reindex(
+        "card", "card_norm",
+        script={"status": "upper(status)", "id": "id + 100"},
+    )
+    assert n == 2
+    rows = {r["id"]: (r["status"], r["card_type"])
+            for r in engine.view("card_norm").collect()}
+    assert rows == {101: ("ACTIVE", "debit"), 102: ("BLOCKED", "credit")}
+
+    with pytest.raises(ValueError, match="unknown fields"):
+        engine.reindex("card", "x", script={"nope": "1"})
+    with pytest.raises(ValueError, match="does not parse"):
+        engine.reindex("card", "x", script={"status": "upper(("})
+    # results cast to the registered type: an int expr lands as the
+    # schema's long, a numeric string column stays a string
+    engine.reindex("card", "card_cast", script={"card_type": "42"})
+    assert engine.view("card_cast").head()["card_type"] == "42"
