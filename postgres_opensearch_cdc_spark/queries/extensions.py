@@ -1941,9 +1941,13 @@ def dedup_span_trim_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination(300)
 
-    docs.filter(F.col("doc_id") <= mid).write.mode("append").json(src_dir)
+    # few source files per half: the stream lists + opens each file,
+    # and 5k rows don't need 32-way write parallelism
+    docs.filter(F.col("doc_id") <= mid).coalesce(4).write.mode(
+        "append").json(src_dir)
     run_once()
-    docs.filter(F.col("doc_id") > mid).write.mode("append").json(src_dir)
+    docs.filter(F.col("doc_id") > mid).coalesce(4).write.mode(
+        "append").json(src_dir)
     run_once()
     return sink.clean(spark).select(
         "id", "clean_text", "kept_tokens", "removed_tokens"

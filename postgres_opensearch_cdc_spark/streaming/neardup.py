@@ -363,7 +363,9 @@ class SpanDedupSink:
             # parquet append of an empty frame still lays schema files;
             # skip so spans/ exists only once something fired
             return
-        spans.write.mode("append").parquet(self._spans)
+        # per-batch span volume is funnel-shaped (seeds of seeds) —
+        # cap the append's file count so the log stays listable
+        spans.coalesce(8).write.mode("append").parquet(self._spans)
 
     def apply_batch(self, batch: DataFrame, batch_id: int) -> None:
         from postgres_opensearch_cdc_spark.functions.dedup import (
@@ -407,12 +409,16 @@ class SpanDedupSink:
             "batch_id", F.lit(int(batch_id))
         ).localCheckpoint(eager=True)
         self._emit(batch, spans, batch_id)
+        # repartition on the bucket before the partitionBy write: each
+        # bucket lands in exactly one task → one file per touched
+        # bucket per batch, instead of (shuffle partitions × buckets)
+        # small files that would bloat the store's file listing
         wins.select(
             "win_hash", F.col("id").alias("owner"),
             F.pmod("win_hash", F.lit(self.num_buckets)).alias("bucket"),
-        ).distinct().write.partitionBy("bucket").mode("append").parquet(
-            self._winhashes
-        )
+        ).distinct().repartition(self.num_buckets, "bucket").write.partitionBy(
+            "bucket"
+        ).mode("append").parquet(self._winhashes)
         os.makedirs(self.path, exist_ok=True)
         tmp = self._meta + ".tmp"
         with open(tmp, "w") as fh:
@@ -477,5 +483,8 @@ class SpanTrimSink(SpanDedupSink):
             self.text_col, self.id_col,
         ).withColumn("batch_id", F.lit(int(batch_id)))
         # unlike the span report, EVERY batch doc emits a clean row
-        # (possibly untouched), so the append always happens
-        clean.write.mode("append").parquet(self._clean)
+        # (possibly untouched), so the append always happens; a
+        # repartition (NOT coalesce — coalesce would collapse the
+        # whole trim pipeline's parallelism into the write tasks)
+        # caps the file count per batch
+        clean.repartition(8).write.mode("append").parquet(self._clean)
