@@ -567,3 +567,48 @@ def test_rollup_multi_dimension_and_slice(spark, tmp_path):
             "md2", log_dir, "txn", ("band", "status"),
             group_expr=(band,),
         )
+
+
+def test_full_metric_rollup_survives_engine_restart(spark, tmp_path):
+    """The meta sidecar must rehydrate the FULL metric spec
+    (count/avg/minmax cols), not just sums: a restarted engine
+    continues streaming into the store, and a post-restart delete
+    that retires the current extremum still retracts through the aux
+    count store."""
+    engine = CdcEngine(spark=spark, workdir=str(tmp_path))
+    engine.register_table("txn", TXN_SCHEMA)
+    log_dir = str(tmp_path / "log")
+    os.makedirs(log_dir)
+    with open(os.path.join(log_dir, "b1.json"), "w") as f:
+        f.write("\n".join([
+            env("c", doc(1, "A", 10.0), None, 1),
+            env("c", doc(2, "A", 90.0), None, 2),
+        ]))
+    spec = dict(sum_cols=("amount",), count_cols=("amount",),
+                avg_cols=("amount",), minmax_cols=("amount",))
+    engine.start_rollup_stream("fm", log_dir, "txn", "status", **spec)
+    engine.await_all()
+
+    engine2 = CdcEngine(spark=spark, workdir=str(tmp_path))
+    engine2.register_table("txn", TXN_SCHEMA)
+    [row] = engine2.rollup("fm").collect()  # read-side rehydration
+    assert (row["min_amount"], row["max_amount"]) == (10.0, 90.0)
+    # write-side continuation with retraction after restart
+    with open(os.path.join(log_dir, "b2.json"), "w") as f:
+        f.write(env("d", None, doc(2, "A", 90.0), 3))
+    engine2.start_rollup_stream("fm", log_dir, "txn", "status", **spec)
+    engine2.await_all()
+    [row] = engine2.rollup("fm").collect()
+    assert (row["doc_count"], row["valcnt_amount"]) == (1, 1)
+    assert (row["min_amount"], row["max_amount"]) == (10.0, 10.0)
+    assert row["avg_amount"] == 10.0
+    # and search_rollup works off the rehydrated spec too
+    [s] = engine2.search_rollup("fm", {"aggs": {"st": {
+        "terms": {"field": "status"},
+        "aggs": {"mx": {"max": {"field": "amount"}}},
+    }}}).collect()
+    assert (s["st"], s["mx"]) == ("A", 10.0)
+    # spec drift against the REHYDRATED full spec raises
+    with pytest.raises(ValueError, match="exists with spec"):
+        engine2.start_rollup_stream("fm", log_dir, "txn", "status",
+                                    sum_cols=("amount",))
