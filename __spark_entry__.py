@@ -78,17 +78,20 @@ _MODULES = [
 # stored metrics), engine_rollup_two_dim (multi-dimension rollup —
 # derived day bucket × terms dim), dedup_span_trim_stream (the
 # streaming trim composition, stream ≡ batch through a real
-# checkpointed stream) and engine_reindex_script (the _reindex script
-# clause: in-flight {column: SQL expr} transforms); then the STALEST
-# driver rows by "latest green row" age, oldest first, each block in
-# its original driver order: (b) the 18 rows last checked r4, (c) the
-# first 27 of the 40 rows last checked r5 (the remaining 13 rotate in
-# round 12) — 50 total.
+# checkpointed stream), engine_reindex_script (the _reindex script
+# clause: in-flight {column: SQL expr} transforms), and
+# bpe_train_merges / bpe_apply_tokens (BPE tokenizer training — the
+# merge decisions value-checked by unrolling the iterations in SQL —
+# and its per-doc application); then the STALEST driver rows by
+# "latest green row" age, oldest first, each block in its original
+# driver order: (b) the 18 rows last checked r4, (c) the first 25 of
+# the 40 rows last checked r5 (the remaining 15 rotate in round 12)
+# — 50 total.
 _PRIORITY = [
     # (a) NEW this round (round 11) — never driver-checked
     "engine_rollup_metrics", "engine_rollup_search",
     "engine_rollup_two_dim", "dedup_span_trim_stream",
-    "engine_reindex_script",
+    "engine_reindex_script", "bpe_train_merges", "bpe_apply_tokens",
     # (b) latest driver row is r4, original r4 order
     "top_hits_per_bucket", "significant_terms", "histogram_value",
     "dis_max_best_fields", "function_score_fvf",
@@ -107,17 +110,17 @@ _PRIORITY = [
     "large_quantity_customers", "supplier_diversity_by_brand",
     "grouping_sets_status", "mixture_sample", "shard_packing",
     "array_agg_types", "approx_sketches", "sessionize_batch",
-    "range_join_same_user", "composite_agg_page",
-    "pipeline_agg_cumsum",
+    "range_join_same_user",
 ]
 
 # Round-12 rotation TODO: any entries added after this round-11 window
-# froze outrank re-checks; then the 13 remaining r5-era rows in r5
-# order (bucket_script_error_rate, avg_bucket_daily,
-# dedup_embedding_srp, wildcard_query, terms_set_match,
-# boosting_query, match_bool_prefix, rare_terms_agg,
-# quality_unigram_lm, multimodal_manifest, asof_last_purchase,
-# window_lag_delta, json_extract_props), then the oldest r6-era rows.
+# froze outrank re-checks; then the 15 remaining r5-era rows in r5
+# order (composite_agg_page, pipeline_agg_cumsum,
+# bucket_script_error_rate, avg_bucket_daily, dedup_embedding_srp,
+# wildcard_query, terms_set_match, boosting_query, match_bool_prefix,
+# rare_terms_agg, quality_unigram_lm, multimodal_manifest,
+# asof_last_purchase, window_lag_delta, json_extract_props), then the
+# oldest r6-era rows.
 
 
 def entry(spark: SparkSession) -> DataFrame:

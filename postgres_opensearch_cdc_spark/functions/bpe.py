@@ -1,0 +1,163 @@
+"""Byte-pair-encoding merge training and application — the tokenizer-
+training step of a large-scale text pipeline (Sennrich et al. 2016;
+the GPT-2 training recipe), Spark-first.
+
+The classic algorithm never touches the corpus per iteration: it
+operates on the DISTINCT-WORD frequency table. Each word is a
+sentinel-padded, space-joined symbol string (`' a b c '`), and one
+merge step is (a) count adjacent symbol pairs weighted by word
+frequency, (b) pick the most frequent pair (ties broken
+lexicographically — deterministic across engines), (c) apply the
+merge as a LITERAL string replace of ``' l r '`` with ``' lr '``
+(left-to-right non-overlapping — what both Spark's ``replace`` and
+DuckDB's ``replace`` do, so the whole training loop is
+value-checkable in SQL by unrolling the iterations).
+
+SEMANTICS NOTE — runs of a self-adjacent pair: consecutive
+occurrences of the same pair share their delimiter space, and a
+single replace pass consumes it, so a run like ``a a a a`` merges to
+``aa a a`` in one (l=r) merge application, where canonical BPE's
+tokenwise greedy scan yields ``aa aa``. This single-pass-replace
+semantics is DEFINED behavior here (deterministic, identical in both
+engines, hence oracle-checkable; RE2 has no lookahead, so the
+canonical scan is not portably expressible as a regex). It deviates
+from Sennrich/GPT-2 only within runs of 3+ identical adjacent
+symbols — absent from natural-language vocabularies at any
+frequency that would win a merge; on run-free corpora (the canonical
+low/lower/newest example, pinned in tests) the two coincide exactly.
+
+Scale shape: the corpus is scanned ONCE to build the word-frequency
+table (map-side combine on the word hash); each of the N merge
+iterations is a small job over the ~|vocab|-row symbol table — pair
+explosion via zip-of-slices (no index lambda, no O(n²) HOF
+re-derivation), a (l, r)-keyed partial agg, and a 1-row driver argmax
+(the merge decision IS a driver-side scalar by nature). The symbol
+table is localCheckpointed per iteration so the plan stays flat
+across iterations instead of stacking N replaces × N scans.
+
+Reference behavior: the tokenizer-training stage feeding the
+reference stack's ingest analyzers (README.md:18-22 pipeline framing);
+token budgets (`text.bpe_token_count`) consume the result.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def word_frequency(docs: DataFrame, text_col: str) -> DataFrame:
+    """(w, cnt): the analyzer-normalized distinct-word table — ONE
+    corpus scan with map-side combine; everything BPE does afterwards
+    is over this table, never the corpus."""
+    return (
+        docs.select(
+            F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("w")
+        )
+        .filter(F.length("w") > 0)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def _symbolized(wf: DataFrame) -> DataFrame:
+    """Each word as a sentinel-padded space-joined char string:
+    'abc' -> ' a b c '. The padding makes every merge a whole-symbol
+    literal replace with no boundary ambiguity."""
+    return wf.select(
+        "cnt",
+        F.concat(
+            F.lit(" "), F.concat_ws(" ", F.split(F.col("w"), "")), F.lit(" ")
+        ).alias("s"),
+    )
+
+
+def _pair_counts(sym: DataFrame) -> DataFrame:
+    """Adjacent symbol pairs weighted by word frequency. Pairs come
+    from a zip of two array SLICES (never an index lambda over a
+    derived array — the O(n²) interpreted-HOF hazard)."""
+    toks = F.split(F.trim(F.col("s")), " ")
+    pairs = F.arrays_zip(
+        F.slice(toks, 1, F.size(toks) - 1).alias("l"),
+        F.slice(toks, 2, F.size(toks) - 1).alias("r"),
+    )
+    return (
+        sym.filter(F.size(toks) >= 2)
+        .select("cnt", F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+        .agg(F.sum("cnt").alias("total"))
+    )
+
+
+def bpe_train(docs: DataFrame, text_col: str, num_merges: int = 8,
+              min_freq: int = 1) -> list[tuple[int, str, str]]:
+    """Learn ``num_merges`` BPE merges over the corpus; returns
+    [(rank, left, right)] in learning order. Stops early if the best
+    remaining pair's weighted count drops below ``min_freq`` (or no
+    pairs remain). The merge list is the driver-side scalar output of
+    the algorithm (one row per iteration by construction — this is
+    not a distributed-result collect)."""
+    spark = docs.sparkSession
+    sym = _symbolized(word_frequency(docs, text_col)).localCheckpoint(
+        eager=True
+    )
+    merges: list[tuple[int, str, str]] = []
+    for rank in range(num_merges):
+        top = (
+            _pair_counts(sym)
+            .orderBy(F.col("total").desc(), "l", "r")
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0]["total"] < min_freq:
+            break
+        l, r = top[0]["l"], top[0]["r"]
+        merges.append((rank, l, r))
+        sym = sym.select(
+            "cnt",
+            F.replace(
+                F.col("s"), F.lit(f" {l} {r} "), F.lit(f" {l}{r} ")
+            ).alias("s"),
+        ).localCheckpoint(eager=True)  # keep the plan flat per iteration
+    return merges
+
+
+def merges_frame(spark, merges: list[tuple[int, str, str]]) -> DataFrame:
+    """The learned merge table as a DataFrame (rank, left, right,
+    merged) — the artifact a tokenizer ships."""
+    return spark.createDataFrame(
+        [(rank, l, r, l + r) for rank, l, r in merges],
+        "rank int, left string, right string, merged string",
+    )
+
+
+def _encode_word(word: Column, merges: list[tuple[int, str, str]]) -> Column:
+    """Symbolize one word and apply the merges in rank order — each a
+    literal replace, all inside the scan projection."""
+    s = F.concat(F.lit(" "), F.concat_ws(" ", F.split(word, "")), F.lit(" "))
+    for _, l, r in merges:
+        s = F.replace(s, F.lit(f" {l} {r} "), F.lit(f" {l}{r} "))
+    return s
+
+
+def bpe_token_counts(docs: DataFrame, text_col: str, id_col: str,
+                     merges: list[tuple[int, str, str]]) -> DataFrame:
+    """Apply a learned merge list to every document: per-word
+    encoding (merges never cross word boundaries, exactly like the
+    reference algorithm) via a transform whose lambda works on its
+    OWN element, then the per-doc BPE token count. Returns
+    (id, n_words, n_tokens_bpe). Everything is scan-stage expressions
+    — no shuffle beyond the source read."""
+    words = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"),
+        lambda w: F.length(w) > 0,
+    )
+    per_word = F.transform(
+        words, lambda w: F.size(F.split(F.trim(_encode_word(w, merges)), " "))
+    )
+    return docs.select(
+        F.col(id_col).alias("id"),
+        F.size(words).alias("n_words"),
+        F.aggregate(
+            per_word, F.lit(0), lambda acc, n: acc + n
+        ).alias("n_tokens_bpe"),
+    )

@@ -301,3 +301,143 @@ ORACLE = {
         ORDER BY k
     """,
 }
+
+
+# ---------------------------------------------------------------------------
+# BPE merge training + application (round 11): the tokenizer-training
+# stage of the pipeline. The merge decision sequence is value-checked
+# by UNROLLING the iterations in SQL — one (pair-count → argmax →
+# literal replace) CTE block per merge, byte-identical semantics in
+# both engines (left-to-right non-overlapping replace on
+# sentinel-padded symbol strings).
+# ---------------------------------------------------------------------------
+
+from postgres_opensearch_cdc_spark.functions.bpe import (  # noqa: E402
+    bpe_token_counts,
+    bpe_train,
+    merges_frame,
+)
+
+BPE_MERGES = 8
+# the learned merge list is a session-level memo (the apply entry
+# consumes the train entry's artifact by design — same materialized-
+# view treatment as the dedup pair cache)
+_BPE_CACHE: dict[tuple, list] = {}
+
+
+def _bpe_merges(spark: SparkSession, sf_dir: str) -> list:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _BPE_CACHE:
+        _BPE_CACHE[key] = bpe_train(
+            load_table(spark, sf_dir, "documents"), "text",
+            num_merges=BPE_MERGES,
+        )
+    return _BPE_CACHE[key]
+
+
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn the first 8 BPE merges over the corpus (classic Sennrich
+    algorithm on the distinct-word frequency table: per iteration one
+    weighted pair-count job + a 1-row argmax + a literal-replace
+    merge). The oracle replays every iteration in DuckDB, so the
+    MERGE DECISIONS themselves — counts, tie-breaks, greedy
+    left-to-right application — are value-checked, not just the final
+    vocabulary."""
+    return merges_frame(spark, _bpe_merges(spark, sf_dir)).orderBy("rank")
+
+
+def bpe_apply_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the learned merges to every document (per-word encoding,
+    merges never cross word boundaries) and count BPE tokens per doc
+    — the sequence-length accounting a packing/budget stage runs on.
+    One corpus scan, everything in scan-stage expressions."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = bpe_token_counts(
+        docs, "text", "doc_id", _bpe_merges(spark, sf_dir)
+    )
+    return out.select(
+        "id",
+        "n_words",
+        F.col("n_tokens_bpe").cast("long").alias("n_tokens_bpe"),
+    ).orderBy("id")
+
+
+QUERIES["bpe_train_merges"] = bpe_train_merges
+QUERIES["bpe_apply_tokens"] = bpe_apply_tokens
+
+
+def _bpe_train_ctes(n: int) -> str:
+    # AS MATERIALIZED everywhere: DuckDB inlines plain CTEs, and each
+    # stage references its predecessor several times (pair counts +
+    # three scalar uses of the argmax) — inlining would expand the
+    # chain exponentially and exhaust file handles on the base scan
+    parts = [f"""wf AS MATERIALIZED (
+        SELECT w, COUNT(*) AS cnt FROM (
+            SELECT unnest({_TOKS_SQL}) AS w FROM documents
+        ) WHERE length(w) > 0 GROUP BY w
+    ),
+    s0 AS MATERIALIZED (
+        SELECT cnt,
+               ' ' || array_to_string(string_split(w, ''), ' ') || ' ' AS s
+        FROM wf
+    )"""]
+    for i in range(1, n + 1):
+        parts.append(f"""p{i} AS MATERIALIZED (
+        SELECT toks[i+1] AS l, toks[i+2] AS r, SUM(cnt) AS total
+        FROM (SELECT cnt, string_split(trim(s), ' ') AS toks FROM s{i-1}),
+             UNNEST(range(len(toks) - 1)) AS u(i)
+        GROUP BY 1, 2
+    ),
+    m{i} AS MATERIALIZED (
+        SELECT l, r FROM p{i} ORDER BY total DESC, l, r LIMIT 1),
+    s{i} AS MATERIALIZED (
+        SELECT cnt, replace(s,
+            ' ' || (SELECT l FROM m{i}) || ' ' || (SELECT r FROM m{i}) || ' ',
+            ' ' || (SELECT l FROM m{i}) || (SELECT r FROM m{i}) || ' ') AS s
+        FROM s{i-1}
+    )""")
+    return ",\n    ".join(parts)
+
+
+def _bpe_train_sql(n: int) -> str:
+    rows = "\n        UNION ALL ".join(
+        f"SELECT {i - 1} AS \"rank\", l AS \"left\", r AS \"right\", "
+        f"l || r AS merged FROM m{i}"
+        for i in range(1, n + 1)
+    )
+    return f"""
+    WITH {_bpe_train_ctes(n)}
+    SELECT * FROM (
+        {rows}
+    ) ORDER BY "rank"
+"""
+
+
+def _bpe_apply_sql(n: int) -> str:
+    mm_cols = ", ".join(
+        f"(SELECT l FROM m{i}) AS l{i}, (SELECT r FROM m{i}) AS r{i}"
+        for i in range(1, n + 1)
+    )
+    chain = "' ' || array_to_string(string_split(w, ''), ' ') || ' '"
+    for i in range(1, n + 1):
+        chain = (f"replace({chain}, ' ' || l{i} || ' ' || r{i} || ' ', "
+                 f"' ' || l{i} || r{i} || ' ')")
+    return f"""
+    WITH {_bpe_train_ctes(n)},
+    mm AS MATERIALIZED (SELECT {mm_cols}),
+    dt AS (
+        SELECT doc_id AS id,
+               list_filter({_TOKS_SQL}, w -> length(w) > 0) AS ws
+        FROM documents
+    )
+    SELECT id, CAST(len(ws) AS INT) AS n_words,
+           CAST(COALESCE(list_sum(list_transform(ws, w ->
+                len(string_split(trim({chain}), ' ')))), 0) AS BIGINT)
+               AS n_tokens_bpe
+    FROM dt CROSS JOIN mm
+    ORDER BY id
+"""
+
+
+ORACLE["bpe_train_merges"] = _bpe_train_sql(BPE_MERGES)
+ORACLE["bpe_apply_tokens"] = _bpe_apply_sql(BPE_MERGES)

@@ -68,6 +68,6 @@ def test_bench_emits_valid_contract_json():
     assert doc["passes"] == 2
     assert set(doc["memoized"]) == {
         "dedup_minhash_lsh", "dedup_cc_clusters", "dedup_cc_survivors",
-        "dedup_quality_survivors",
+        "dedup_quality_survivors", "bpe_train_merges",
     }
     assert doc["memo_build_sec"] > 0
