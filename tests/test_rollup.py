@@ -612,3 +612,116 @@ def test_full_metric_rollup_survives_engine_restart(spark, tmp_path):
     with pytest.raises(ValueError, match="exists with spec"):
         engine2.start_rollup_stream("fm", log_dir, "txn", "status",
                                     sum_cols=("amount",))
+
+
+def test_rollup_crash_before_manifest_heals_on_replay(spark, tmp_path):
+    """Crash consistency of the commit protocol: data dirs written but
+    the manifest rename lost — the orphan version is invisible (reads
+    serve the previous manifest) and the replayed batch re-merges from
+    it, landing on the same final state with no double count."""
+    import glob
+    import shutil
+
+    sink = RollupSink(path=str(tmp_path / "r"), group_col="g",
+                      sum_cols=("v",), minmax_cols=("v",))
+
+    def deltas(rows):
+        return spark.createDataFrame(
+            rows, "g string, doc_count long, sum_v double, "
+                  "valcnt_v long, mmval_v double",
+        )
+
+    sink.apply_batch(deltas([("a", 1, 10.0, 1, 10.0)]), 0, writer_id="w")
+    sink.apply_batch(deltas([("a", 1, 5.0, 1, 5.0)]), 1, writer_id="w")
+    want = {("a", 2, 15.0, 5.0, 10.0)}
+
+    def state():
+        return {(r["g"], r["doc_count"], r["sum_v"], r["min_v"],
+                 r["max_v"]) for r in sink.read(spark).collect()}
+
+    assert state() == want
+    # crash: drop batch 1's manifest but leave its data dirs
+    [m1] = glob.glob(os.path.join(sink._commits_dir, "v00000002.json"))
+    os.remove(m1)
+    assert state() == {("a", 1, 10.0, 10.0, 10.0)}  # orphan invisible
+    sink.apply_batch(deltas([("a", 1, 5.0, 1, 5.0)]), 1, writer_id="w")
+    assert state() == want  # healed, exactly once
+    # vacuum removes whole commit dirs (main + aux as one unit)
+    assert sink.vacuum(keep_versions=1) >= 1
+    assert state() == want
+    shutil.rmtree(sink.path)
+
+
+@pytest.mark.parametrize("seed", range(2))
+def test_rollup_multi_dim_fuzz_matches_recompute(spark, tmp_path, seed):
+    """The multi-dimension delta algebra under random churn: a seeded
+    op-consistent changelog maintained as a (derived band × status)
+    rollup with the full metric set must equal the two-dim groupBy
+    over the mirror fed from the same files."""
+    import random
+
+    rng = random.Random(5300 + seed)
+    statuses = ["A", "B"]
+
+    def amt():
+        return (None if rng.random() < 0.1
+                else round(rng.uniform(0, 100), 2))
+
+    live: dict[int, tuple[str, float]] = {}
+    offset = 0
+    lines = []
+    for _ in range(40):
+        offset += 1
+        key = rng.randint(1, 6)
+        if key in live and rng.random() < 0.3:
+            lines.append(env("d", None, doc(key, *live[key]), offset))
+            del live[key]
+        elif key in live:
+            before = doc(key, *live[key])
+            new = (rng.choice(statuses), amt())
+            live[key] = new
+            lines.append(env("u", doc(key, *new), before, offset))
+        else:
+            new = (rng.choice(statuses), amt())
+            live[key] = new
+            lines.append(env("c", doc(key, *new), None, offset))
+
+    engine = CdcEngine(spark=spark, workdir=str(tmp_path))
+    engine.register_table("txn", TXN_SCHEMA)
+    log_dir = str(tmp_path / "log")
+    os.makedirs(log_dir)
+    with open(os.path.join(log_dir, "b0.json"), "w") as f:
+        f.write("\n".join(lines))
+    band = "CASE WHEN amount >= 50 THEN 'hi' ELSE 'lo' END"
+    engine.start_rollup_stream(
+        "mdf", log_dir, "txn", ("band", "status"),
+        sum_cols=("amount",), count_cols=("amount",),
+        avg_cols=("amount",), minmax_cols=("amount",),
+        group_expr=(band, None),
+    )
+    engine.start_stream("txn", log_dir)
+    engine.await_all()
+
+    def snap(df):
+        return {
+            (r["band"], r["status"]): (
+                r["doc_count"], r["valcnt_amount"],
+                None if r["sum_amount"] is None
+                else round(r["sum_amount"], 6),
+                r["min_amount"], r["max_amount"])
+            for r in df.collect()
+        }
+
+    got = snap(engine.rollup("mdf"))
+    recompute = snap(
+        engine.view("txn").selectExpr(
+            f"{band} AS band", "status", "amount"
+        ).groupBy("band", "status").agg(
+            F.count(F.lit(1)).alias("doc_count"),
+            F.count("amount").alias("valcnt_amount"),
+            F.sum("amount").alias("sum_amount"),
+            F.min("amount").alias("min_amount"),
+            F.max("amount").alias("max_amount"),
+        )
+    )
+    assert got == recompute, f"seed {seed}"
