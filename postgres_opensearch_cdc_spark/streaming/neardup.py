@@ -413,10 +413,15 @@ class SpanDedupSink:
         # bucket lands in exactly one task → one file per touched
         # bucket per batch, instead of (shuffle partitions × buckets)
         # small files that would bloat the store's file listing
+        # repartition by bucket VALUE (session shuffle-partition count,
+        # not num_buckets: an explicit high count would launch one
+        # near-empty task per bucket for small batches): each bucket
+        # hashes into exactly one task, so the partitionBy write still
+        # lays one file per touched bucket per batch
         wins.select(
             "win_hash", F.col("id").alias("owner"),
             F.pmod("win_hash", F.lit(self.num_buckets)).alias("bucket"),
-        ).distinct().repartition(self.num_buckets, "bucket").write.partitionBy(
+        ).distinct().repartition("bucket").write.partitionBy(
             "bucket"
         ).mode("append").parquet(self._winhashes)
         os.makedirs(self.path, exist_ok=True)
