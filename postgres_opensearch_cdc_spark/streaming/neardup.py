@@ -177,11 +177,25 @@ class NearDupSink:
     def _rpb(self) -> int:
         return self.num_hashes // self.bands
 
+    @property
+    def _layout(self) -> dict:
+        """Parameters that determine the band-key layout: reopening an
+        existing store under different values would probe keys computed
+        with a different scheme and silently miss duplicates."""
+        return {
+            "num_hashes": self.num_hashes,
+            "bands": self.bands,
+            "shingle_n": self.shingle_n,
+            "hasher": self.hasher,
+        }
+
     def _last_batch(self) -> int | None:
         if not os.path.exists(self._meta):
             return None
         with open(self._meta) as fh:
-            return json.load(fh)["batch_id"]
+            meta = json.load(fh)
+        _check_layout(meta, self._layout, self.path)
+        return meta["batch_id"]
 
     def survivors(self, spark: SparkSession) -> DataFrame:
         return spark.read.parquet(self._survivors)
@@ -243,8 +257,22 @@ class NearDupSink:
         os.makedirs(self.path, exist_ok=True)
         tmp = self._meta + ".tmp"
         with open(tmp, "w") as fh:
-            json.dump({"batch_id": batch_id}, fh)
+            json.dump({"batch_id": batch_id, **self._layout}, fh)
         os.replace(tmp, self._meta)
+
+
+def _check_layout(meta: dict, want: dict, path: str) -> None:
+    """Raise if a persisted store's layout parameters conflict with the
+    sink re-opening it — probing a store laid out under different
+    parameters (a different bucket modulus, window width, or hash
+    scheme) silently skips data instead of failing."""
+    for k, v in want.items():
+        if k in meta and meta[k] != v:
+            raise ValueError(
+                f"store at {path} was written with {k}={meta[k]}; this "
+                f"sink has {k}={v} — recreate the store or match the "
+                "persisted value"
+            )
 
 
 @dataclass
@@ -267,7 +295,11 @@ class SpanDedupSink:
                             replayed batch never collides with its
                             OWN registration and re-derives
                             byte-identical span rows
-        <path>/_meta.json   {"batch_id": last applied}
+        <path>/_meta.json   {"batch_id": last applied, "num_buckets",
+                            "window"} — the layout params are enforced
+                            on reopen (a different modulus would probe
+                            the wrong bucket dirs and silently miss
+                            spans)
 
     Scale: state is one (hash, owner) pair per doc-distinct window —
     O(corpus tokens) in storage, never executor memory; each batch's
@@ -283,7 +315,9 @@ class SpanDedupSink:
     Replay protection: a batch id at or below the
     recorded meta is skipped whole. A crash BETWEEN the appends and
     the meta commit re-runs the batch on restart, deterministically
-    re-deriving the same rows — so raw appends are at-least-once, and
+    re-deriving the same rows (the store join excludes rows owned by
+    current-batch ids, so a replay never meets its own crashed
+    registrations) — so raw appends are at-least-once, and
     span rows carry their batch id with the ``spans()`` reader
     dropping exact duplicates (winhash duplicates are harmless: the
     store is only ever joined on existence). One-pass semantics are
@@ -333,11 +367,21 @@ class SpanDedupSink:
     def _meta(self) -> str:
         return os.path.join(self.path, "_meta.json")
 
+    @property
+    def _layout(self) -> dict:
+        """Parameters that determine the store layout. ``num_buckets``
+        is the critical one: probing bucket dirs laid out under a
+        different modulus silently skips buckets and misses duplicate
+        spans, so the persisted value is enforced on reopen."""
+        return {"num_buckets": self.num_buckets, "window": self.window}
+
     def _last_batch(self) -> int | None:
         if not os.path.exists(self._meta):
             return None
         with open(self._meta) as fh:
-            return json.load(fh)["batch_id"]
+            meta = json.load(fh)
+        _check_layout(meta, self._layout, self.path)
+        return meta["batch_id"]
 
     def spans(self, spark: SparkSession) -> DataFrame:
         # distinct heals the crash-between-append-and-meta replay:
@@ -399,6 +443,23 @@ class SpanDedupSink:
                 spark, wins.schema["id"].dataType, touched
             )
             if store is not None:
+                # crash-replay determinism: a crash between the winhash
+                # append and the meta commit leaves THIS batch's own
+                # registrations in the store; on replay they must not
+                # act as "earlier batch" content (a within-batch
+                # canonical would join a batchmate's row, pass
+                # id != owner, and get seeded unlike the original run).
+                # Excluding every store row owned by a current-batch id
+                # makes the replay see exactly the pre-batch store —
+                # ids are batch-unique, so in a normal run this
+                # anti-join removes nothing.
+                store = store.join(
+                    F.broadcast(
+                        batch.select(F.col(self.id_col).alias("owner"))
+                    ),
+                    "owner",
+                    "left_anti",
+                )
                 store_seeds = (
                     wins.join(store, "win_hash")
                     .filter(F.col("id") != F.col("owner"))
@@ -427,7 +488,7 @@ class SpanDedupSink:
         os.makedirs(self.path, exist_ok=True)
         tmp = self._meta + ".tmp"
         with open(tmp, "w") as fh:
-            json.dump({"batch_id": batch_id}, fh)
+            json.dump({"batch_id": batch_id, **self._layout}, fh)
         os.replace(tmp, self._meta)
 
 

@@ -339,3 +339,80 @@ def test_span_trim_sink_stream_equals_batch(spark, tmp_path):
     raw = spark.read.parquet(sink._clean).count()
     assert raw == 9  # 6 + replayed 3: at-least-once raw appends...
     assert rows(sink.clean(spark).drop("batch_id")) == want  # ...healed
+
+
+def test_span_trim_crash_replay_with_within_batch_repeat(spark, tmp_path):
+    """Adversarial crash-replay: the crashed batch contains a
+    WITHIN-BATCH cross-doc repeat (doc 1 canonical, doc 2 trimmed).
+    The replay meets the batch's own crashed winhash registrations in
+    the store; without the owner-vs-batch-ids exclusion, doc 1's
+    windows would join doc 2's store rows, pass id != owner, and the
+    canonical would be trimmed on replay — two CONFLICTING clean rows
+    for doc 1 that the reader's exact-duplicate drop cannot heal."""
+    from postgres_opensearch_cdc_spark.functions.dedup import (
+        trim_duplicate_spans,
+    )
+    from postgres_opensearch_cdc_spark.streaming.neardup import SpanTrimSink
+
+    corpus = [
+        (1, "a0 a1 " + SHARED),   # within-batch canonical — kept whole
+        (2, "b0 " + SHARED),      # within-batch repeat — trimmed
+        (3, FAR),
+    ]
+    sink = SpanTrimSink(path=str(tmp_path / "st"))
+    sink.apply_batch(docs(spark, corpus), 0)
+
+    def rows(df):
+        return {
+            (r["id"], r["clean_text"], r["kept_tokens"], r["removed_tokens"])
+            for r in df.collect()
+        }
+
+    want = rows(trim_duplicate_spans(
+        docs(spark, corpus), "text", "doc_id", window=sink.window))
+    assert rows(sink.clean(spark).drop("batch_id")) == want
+
+    # crash between the appends and the meta commit, then replay
+    os.remove(sink._meta)
+    sink.apply_batch(docs(spark, corpus), 0)
+    healed = rows(sink.clean(spark).drop("batch_id"))
+    assert healed == want  # ONE row per doc — replay was deterministic
+    by_id = {r[0]: r for r in healed}
+    assert by_id[1][3] == 0   # canonical still untrimmed after replay
+    assert by_id[2][3] > 0    # repeat still trimmed
+
+
+def test_span_store_layout_params_enforced_on_reopen(spark, tmp_path):
+    """num_buckets (and window) are persisted in _meta.json: a sink
+    re-opening the store under a different modulus would probe the
+    wrong bucket dirs and silently skip duplicate spans, so the
+    mismatch raises instead."""
+    path = str(tmp_path / "sd")
+    SpanDedupSink(path=path, num_buckets=16).apply_batch(
+        docs(spark, [(1, SHARED)]), 0)
+
+    with pytest.raises(ValueError, match="num_buckets=16"):
+        SpanDedupSink(path=path, num_buckets=8).apply_batch(
+            docs(spark, [(2, "x0 " + SHARED)]), 1)
+    with pytest.raises(ValueError, match="window=10"):
+        SpanDedupSink(path=path, num_buckets=16, window=5).apply_batch(
+            docs(spark, [(2, "x0 " + SHARED)]), 1)
+
+    # the matching layout still works (and finds the cross-batch span)
+    sink = SpanDedupSink(path=path, num_buckets=16)
+    sink.apply_batch(docs(spark, [(2, "x0 " + SHARED)]), 1)
+    assert (2, 1, 16, 6) in span_rows(spark, sink)
+
+
+def test_neardup_band_layout_enforced_on_reopen(spark, tmp_path):
+    """NearDupSink has the same hazard on its band-key store: probing
+    keys computed under a different (num_hashes, bands, shingle_n,
+    hasher) scheme never collides with the persisted keys."""
+    path = str(tmp_path / "nd")
+    NearDupSink(path=path).apply_batch(docs(spark, [(1, BASE)]), 0)
+    with pytest.raises(ValueError, match="bands=8"):
+        NearDupSink(path=path, bands=4).apply_batch(
+            docs(spark, [(2, NEAR)]), 1)
+    sink = NearDupSink(path=path)
+    sink.apply_batch(docs(spark, [(2, NEAR)]), 1)
+    assert surviving_ids(spark, sink) == {1}
