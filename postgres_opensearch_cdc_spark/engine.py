@@ -427,7 +427,14 @@ class CdcEngine:
                 minmax_cols=tuple(minmax_cols),
             )
             self.rollups[rollup_name] = sink
-            self._write_rollup_meta(rollup_name, sink, table, group_expr)
+            # persist the NORMALIZED expr form: the re-open check below
+            # compares against list(exprs) for multi-dim rollups, so
+            # persisting the raw arg (None) would raise a spurious
+            # spec-mismatch on restart of a plain multi-dim rollup
+            self._write_rollup_meta(
+                rollup_name, sink, table,
+                list(exprs) if multi else group_expr,
+            )
         else:
             # an existing store must not be fed deltas under a DIFFERENT
             # spec — additive state under mixed groupings is silent
@@ -442,6 +449,10 @@ class CdcEngine:
                     "group_expr": list(exprs) if multi else group_expr}
             have = {k: meta.get(k, [] if k.endswith("_cols") else None)
                     for k in want}
+            if multi and have.get("group_expr") is None:
+                # stores persisted before the normalization fix recorded
+                # the raw None for plain multi-dim rollups
+                have["group_expr"] = [None] * len(names)
             if meta and have != want:
                 raise ValueError(
                     f"rollup {rollup_name!r} exists with spec {have}; "
@@ -1386,8 +1397,14 @@ class CdcEngine:
         spec = self.monitors[mname]
         base = os.path.join(self.workdir, f"alerts_{mname}")
         commits_dir = os.path.join(base, "_commits")
-        if batch_id >= 0 and writer_id is not None:
-            tag = hashlib.sha256(writer_id.encode()).hexdigest()[:12]
+        if batch_id >= 0:
+            # a REAL batch id is an exactly-once key even without a
+            # writer_id: derive a stable manifest name so a caller-side
+            # replay of evaluate_monitors(table, batch_id=N) is skipped
+            # instead of duplicating alert rows (each monitor has its
+            # own commits dir, so mname needn't be part of the key)
+            tag = (hashlib.sha256(writer_id.encode()).hexdigest()[:12]
+                   if writer_id is not None else "adhoc")
             manifest_name = f"w{tag}-b{batch_id}.json"
             manifest_path = os.path.join(commits_dir, manifest_name)
             if os.path.exists(manifest_path):  # replayed batch

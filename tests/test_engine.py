@@ -1495,3 +1495,28 @@ def test_reindex_script_transforms_and_validates(spark, tmp_path):
     # schema's long, a numeric string column stays a string
     engine.reindex("card", "card_cast", script={"card_type": "42"})
     assert engine.view("card_cast").head()["card_type"] == "42"
+
+
+def test_evaluate_monitors_with_batch_id_is_exactly_once(spark, tmp_path):
+    """A REAL batch id is an exactly-once key even without a
+    writer_id: calling evaluate_monitors(batch_id=N) twice (a
+    caller-side replay) must log ONE entry, while distinct batch ids
+    and on-demand calls (batch_id=-1) each log fresh entries."""
+    engine = CdcEngine(spark=spark, workdir=str(tmp_path))
+    engine.register_table("card", CARD_SCHEMA)
+    engine.backfill("card", spark.createDataFrame(
+        [(1, "BLOCKED", "DEBIT"), (2, "BLOCKED", "CREDIT")], CARD_SCHEMA))
+    engine.put_monitor(
+        "blocked2", "card",
+        {"aggs": {"st": {"terms": {"field": "status"}}}},
+        "st = 'BLOCKED' AND doc_count >= 2",
+    )
+    assert engine.evaluate_monitors(batch_id=7) == {"blocked2": 1}
+    assert engine.alerts("blocked2").count() == 1
+    # replay of the same batch id: skipped whole, count echoed back
+    assert engine.evaluate_monitors(batch_id=7) == {"blocked2": 1}
+    assert engine.alerts("blocked2").count() == 1
+    # a different batch id and an on-demand call both log
+    assert engine.evaluate_monitors(batch_id=8) == {"blocked2": 1}
+    engine.evaluate_monitors()
+    assert engine.alerts("blocked2").count() == 3

@@ -725,3 +725,43 @@ def test_rollup_multi_dim_fuzz_matches_recompute(spark, tmp_path, seed):
         )
     )
     assert got == recompute, f"seed {seed}"
+
+
+def test_multi_dim_rollup_restart_with_default_group_expr(spark, tmp_path):
+    """Restarting a multi-dim rollup created with the DEFAULT
+    group_expr=None must rehydrate cleanly: the persisted spec records
+    the normalized per-dimension expr list ([None, None]), so the
+    re-open comparison cannot raise a spurious mismatch for an
+    identical spec."""
+    engine = CdcEngine(spark=spark, workdir=str(tmp_path))
+    engine.register_table("txn", TXN_SCHEMA)
+    log_dir = str(tmp_path / "log")
+    os.makedirs(log_dir)
+    with open(os.path.join(log_dir, "b1.json"), "w") as f:
+        f.write(env("c", doc(1, "ACTIVE", 10.0), None, 1))
+    engine.start_rollup_stream(
+        "two_plain", log_dir, "txn", ("status", "amount"),
+        count_cols=("amount",),
+    )
+    engine.await_all()
+
+    engine2 = CdcEngine(spark=spark, workdir=str(tmp_path))
+    engine2.register_table("txn", TXN_SCHEMA)
+    with open(os.path.join(log_dir, "b2.json"), "w") as f:
+        f.write(env("c", doc(2, "ACTIVE", 10.0), None, 2))
+    # identical spec: must NOT raise and must continue the store
+    engine2.start_rollup_stream(
+        "two_plain", log_dir, "txn", ("status", "amount"),
+        count_cols=("amount",),
+    )
+    engine2.await_all()
+    got = {(r["status"], r["amount"]): r["doc_count"]
+           for r in engine2.rollup("two_plain").collect()}
+    assert got == {("ACTIVE", 10.0): 2}
+    # a genuinely different spec still raises
+    with pytest.raises(ValueError, match="exists with spec"):
+        engine2.start_rollup_stream(
+            "two_plain", log_dir, "txn", ("status", "amount"),
+            count_cols=("amount",),
+            group_expr=("upper(status)", None),
+        )
