@@ -774,6 +774,19 @@ class RollupSink:
       (recompute touched groups from the mirror's pruned buckets) was
       rejected because it couples the rollup stream to the mirror
       stream's progress and reintroduces read-your-own-writes races.
+      Each aux store is hash-partitioned into ``aux_num_buckets``
+      bucket=N dirs by pmod(xxhash64(group..., value), nb) — the
+      merge key itself — and a batch rewrites ONLY the buckets its
+      ±deltas touch (a bounded driver-side list, the span store's
+      proven pattern): the manifest maps every bucket to the commit
+      holding its current file, so untouched buckets are REFERENCED,
+      not rewritten, and per-batch aux I/O is O(|touched buckets'
+      data|) instead of O(store). Bucketing by (group, value) rather
+      than group alone keeps the pruning effective in the worst case
+      this exists for — few groups × a high-cardinality metric column
+      — where group-only bucketing would put the whole store in one
+      bucket. The read path re-aggregates min/max per group across
+      buckets, which a (group, value)-keyed layout leaves intact.
 
     Additive deltas are NOT idempotent, so replay protection is
     mandatory here, not defense-in-depth: the commit manifest records
@@ -797,6 +810,11 @@ class RollupSink:
     count_cols: tuple = ()
     avg_cols: tuple = ()
     minmax_cols: tuple = ()
+    # bucket count for the minmax aux stores' hash layout; recorded in
+    # the manifest and enforced across commits (a different modulus
+    # would merge against the wrong bucket dirs). At 100 TB size it so
+    # one bucket ≈ one task's worth of (group, value) rows.
+    aux_num_buckets: int = 16
 
     @property
     def _groups(self) -> tuple:
@@ -897,13 +915,41 @@ class RollupSink:
             T.StructType.fromJson(manifest["schema"])
         ).parquet(os.path.join(self._data_dir, manifest["commit"], "main"))
 
-    def _read_aux(self, spark: SparkSession, manifest: dict,
-                  col: str) -> DataFrame:
-        return spark.read.schema(
-            T.StructType.fromJson(manifest["aux_schemas"][col])
-        ).parquet(
-            os.path.join(self._data_dir, manifest["commit"], f"mm_{col}")
+    def _aux_bucket_expr(self, value_col) -> "F.Column":
+        """The aux store's bucket key: pmod over the MERGE key
+        (group dims + value) — identical expression on the write and
+        probe sides, so touched-bucket pruning is exact."""
+        return F.pmod(
+            F.xxhash64(*[F.col(g) for g in self._groups], value_col),
+            F.lit(self.aux_num_buckets),
         )
+
+    def _read_aux(self, spark: SparkSession, manifest: dict,
+                  col: str, buckets: "list | None" = None) -> DataFrame:
+        """The aux multiset slice covering ``buckets`` (None = every
+        bucket in the manifest's map): reads ONLY the mapped bucket=N
+        dirs with an explicit schema — neither the scan nor schema
+        resolution sweeps unrelated commits. Legacy (pre-bucketing)
+        manifests stored the whole aux under one commit dir and are
+        read whole."""
+        schema = T.StructType.fromJson(manifest["aux_schemas"][col])
+        bucket_map = manifest.get("aux_buckets", {}).get(col)
+        if bucket_map is None:  # legacy whole-store layout
+            return spark.read.schema(schema).parquet(
+                os.path.join(self._data_dir, manifest["commit"],
+                             f"mm_{col}")
+            )
+        wanted = (set(bucket_map) if buckets is None
+                  else {str(b) for b in buckets} & set(bucket_map))
+        dirs = [
+            os.path.join(self._data_dir, commit, f"mm_{col}",
+                         f"bucket={b}")
+            for b, commit in sorted(bucket_map.items())
+            if b in wanted
+        ]
+        if not dirs:
+            return spark.createDataFrame([], schema)
+        return spark.read.schema(schema).parquet(*dirs)
 
     def read(self, spark: SparkSession, version: "int | None" = None,
              internal: bool = False) -> DataFrame:
@@ -978,6 +1024,15 @@ class RollupSink:
             and manifest.get("writer_id") == writer_id
         ):
             return  # replayed batch: additive merge MUST NOT reapply
+        if (manifest is not None
+                and "aux_num_buckets" in manifest
+                and manifest["aux_num_buckets"] != self.aux_num_buckets):
+            raise ValueError(
+                f"rollup store at {self.path} was written with "
+                f"aux_num_buckets={manifest['aux_num_buckets']}; this "
+                f"sink has {self.aux_num_buckets} — merging under a "
+                "different modulus would miss bucket dirs"
+            )
         metric_cols = self._metric_cols
         agg = deltas.groupBy(*self._groups).agg(
             *[F.sum(c).alias(c) for c in metric_cols]
@@ -997,8 +1052,10 @@ class RollupSink:
             os.path.join(commit_dir, "main")
         )
         aux_schemas = {}
+        aux_buckets = {}
+        legacy = manifest is not None and "aux_buckets" not in manifest
         for c in self.minmax_cols:
-            aux = (
+            delta = (
                 deltas
                 .filter(F.col(f"mmval_{c}").isNotNull())
                 .select(
@@ -1007,17 +1064,65 @@ class RollupSink:
                     F.col("doc_count").alias("cnt"),
                 )
             )
-            if manifest is not None:
-                aux = self._read_aux(spark, manifest, c).unionByName(aux)
+            old_map = (manifest or {}).get("aux_buckets", {}).get(c, {})
+            # one micro-batch's distinct bucket list — bounded by
+            # aux_num_buckets, the span store's driver-side pattern
+            touched = sorted(
+                r["b"] for r in delta.select(
+                    self._aux_bucket_expr(F.col("value")).alias("b")
+                ).distinct().collect()
+            )
+            if not touched and not legacy:
+                # no ±delta for this column: carry the bucket map and
+                # schema forward — zero aux I/O this commit
+                aux_buckets[c] = old_map
+                aux_schemas[c] = (
+                    manifest["aux_schemas"][c] if manifest is not None
+                    else json.loads(delta.schema.json())
+                )
+                continue
+            if legacy:
+                # one-time migration: fold the whole legacy store into
+                # the bucketed layout (every bucket rewritten once)
+                aux = self._read_aux(spark, manifest, c).unionByName(delta)
+                carried = {}
+            else:
+                aux = delta
+                if manifest is not None:
+                    aux = self._read_aux(
+                        spark, manifest, c, buckets=touched
+                    ).unionByName(delta)
+                carried = {b: cm for b, cm in old_map.items()
+                           if int(b) not in set(touched)}
             aux = (
                 aux.groupBy(*self._groups, "value")
                 .agg(F.sum("cnt").alias("cnt"))
                 .filter(F.col("cnt") != 0)
             )
-            aux.write.mode("overwrite").parquet(
-                os.path.join(commit_dir, f"mm_{c}")
-            )
+            # file schema excludes the bucket partition column — the
+            # read path targets bucket=N dirs directly
             aux_schemas[c] = json.loads(aux.schema.json())
+            out_dir = os.path.join(commit_dir, f"mm_{c}")
+            (
+                aux.withColumn(
+                    "bucket", self._aux_bucket_expr(F.col("value"))
+                )
+                # one task per bucket value -> one file per touched
+                # bucket per commit (same rationale as the span store)
+                .repartition("bucket")
+                .write.partitionBy("bucket")
+                .mode("overwrite").parquet(out_dir)
+            )
+            written = {}
+            if os.path.isdir(out_dir):
+                written = {
+                    d.split("=", 1)[1]: commit
+                    for d in os.listdir(out_dir) if d.startswith("bucket=")
+                }
+            # a touched bucket whose merged slice emptied (every cnt
+            # hit 0) writes no dir and drops out of the map — that
+            # disappearance IS the retraction, bucket-granular
+            aux_buckets[c] = {**carried, **written}
         os.makedirs(self._commits_dir, exist_ok=True)
         tmp = os.path.join(self._commits_dir, f".tmp-v{version:08d}.json")
         final = os.path.join(self._commits_dir, f"v{version:08d}.json")
@@ -1029,6 +1134,8 @@ class RollupSink:
                 "commit": commit,
                 "schema": json.loads(merged.schema.json()),
                 "aux_schemas": aux_schemas,
+                "aux_buckets": aux_buckets,
+                "aux_num_buckets": self.aux_num_buckets,
             }, fh)
         os.replace(tmp, final)  # the commit point
 
@@ -1047,7 +1154,12 @@ class RollupSink:
             os.remove(os.path.join(self._commits_dir, n))
         for n in keep:
             with open(os.path.join(self._commits_dir, n)) as fh:
-                live.add(json.load(fh)["commit"])
+                m = json.load(fh)
+            live.add(m["commit"])
+            # untouched aux buckets are REFERENCED from older commits,
+            # not rewritten — those commits stay live with the manifest
+            for bucket_map in m.get("aux_buckets", {}).values():
+                live.update(bucket_map.values())
         removed = 0
         if os.path.isdir(self._data_dir):
             for e in os.listdir(self._data_dir):
