@@ -35,6 +35,15 @@ re-derivation), a (l, r)-keyed partial agg, and a 1-row driver argmax
 table is localCheckpointed per iteration so the plan stays flat
 across iterations instead of stacking N replaces × N scans.
 
+Production merge counts (round 12): ``bpe_train`` pays one Spark job
+per merge and ``bpe_token_counts`` one plan-side replace per merge —
+right at 8, wrong at a real tokenizer's 30k. ``bpe_train_local``
+keeps the one distributed corpus pass and runs the merge loop on the
+driver over the vocabulary-bounded table (decision-identical,
+equivalence-pinned); ``bpe_token_counts_arrow`` ships the merge list
+into a mapInPandas encoder with a distinct-word cache
+(row-identical, constant plan size). Measured curves: SCALE.md §21.
+
 Reference behavior: the tokenizer-training stage feeding the
 reference stack's ingest analyzers (README.md:18-22 pipeline framing);
 token budgets (`text.bpe_token_count`) consume the result.
@@ -121,6 +130,71 @@ def bpe_train(docs: DataFrame, text_col: str, num_merges: int = 8,
     return merges
 
 
+def bpe_train_local(docs: DataFrame, text_col: str, num_merges: int = 8,
+                    min_freq: int = 1) -> list[tuple[int, str, str]]:
+    """``bpe_train`` at production merge counts: ONE distributed
+    word-frequency pass (the only corpus-sized work the algorithm
+    has), then the merge loop runs on the DRIVER over the collected
+    vocabulary-bounded table — zero Spark jobs per iteration, so
+    training 30k merges is 30k dict updates instead of 30k cluster
+    jobs. The collect is O(|vocab|), the classical justification for
+    every BPE trainer being single-node after the count.
+
+    Decision semantics are byte-identical to ``bpe_train`` (same
+    weighted pair counts, same (total desc, l, r) tie-break, same
+    single-pass left-to-right literal replace — Python ``str.replace``
+    matches Spark/DuckDB ``replace``), pinned by an equivalence test;
+    the distributed loop stays as the cross-check for small n. Pair
+    counts are maintained INCREMENTALLY: a merge re-derives only the
+    words that contain its pair (a pair -> word-ids index, stale
+    entries re-checked on use), so per-merge cost tracks the touched
+    vocabulary slice, not |vocab|."""
+    from collections import defaultdict
+
+    rows = word_frequency(docs, text_col).collect()  # one corpus pass
+    words: list[list] = [
+        [" " + " ".join(r["w"]) + " ", r["cnt"]] for r in rows
+    ]
+
+    def pairs_of(s: str):
+        toks = s.strip().split(" ")
+        return zip(toks, toks[1:])
+
+    totals: dict = defaultdict(int)
+    index: dict = defaultdict(set)  # pair -> word ids (may go stale)
+    for i, (s, cnt) in enumerate(words):
+        for p in pairs_of(s):
+            totals[p] += cnt
+            index[p].add(i)
+
+    merges: list[tuple[int, str, str]] = []
+    for rank in range(num_merges):
+        best, best_t = None, 0
+        for p, t in totals.items():
+            if t > best_t or (t == best_t and best is not None
+                              and p < best):
+                best, best_t = p, t
+        if best is None or best_t < min_freq:
+            break
+        l, r = best
+        merges.append((rank, l, r))
+        pat, rep = f" {l} {r} ", f" {l}{r} "
+        for i in index.pop(best, ()):
+            s, cnt = words[i]
+            if pat not in s:
+                continue  # stale index entry
+            new_s = s.replace(pat, rep)
+            for p in pairs_of(s):
+                totals[p] -= cnt
+                if totals[p] == 0:
+                    del totals[p]
+            for p in pairs_of(new_s):
+                totals[p] += cnt
+                index[p].add(i)
+            words[i][0] = new_s
+    return merges
+
+
 def merges_frame(spark, merges: list[tuple[int, str, str]]) -> DataFrame:
     """The learned merge table as a DataFrame (rank, left, right,
     merged) — the artifact a tokenizer ships."""
@@ -161,3 +235,67 @@ def bpe_token_counts(docs: DataFrame, text_col: str, id_col: str,
             per_word, F.lit(0), lambda acc, n: acc + n
         ).alias("n_tokens_bpe"),
     )
+
+
+def bpe_token_counts_arrow(docs: DataFrame, text_col: str, id_col: str,
+                           merges: list[tuple[int, str, str]]) -> DataFrame:
+    """``bpe_token_counts`` at production merge counts: the expression
+    form inlines one ``replace`` per merge into the scan projection —
+    right at 8 merges, but Catalyst plan-time cost grows with
+    expression-tree size, so 32k chained replaces won't codegen. This
+    form ships the merge list into an Arrow-batched ``mapInPandas``
+    encoder instead: plan size is CONSTANT in the merge count, each
+    partition encodes every DISTINCT word once (a word -> token-count
+    cache — Zipf makes the cache hit rate the dominant term), and a
+    merge is applied only after an ``in`` containment probe, so
+    per-word cost tracks the merges that actually fire. Output and
+    semantics are identical to the expression form (equivalence-tested
+    at n=8): same ASCII ``\\s+`` split, same sentinel-padded
+    single-pass left-to-right replaces.
+
+    Scale: stateless per-partition streaming over Arrow batches — no
+    shuffle, no driver involvement, caches bounded by per-partition
+    distinct words. The deliberate Python hop is the documented
+    trade: constant plan vs JVM codegen of an expression tree that
+    stops compiling orders of magnitude below real tokenizer sizes."""
+    import re
+
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    pats = [(f" {l} {r} ", f" {l}{r} ") for _, l, r in merges]
+    ws_re = re.compile(r"\s+", re.ASCII)  # Java \s is ASCII-only
+
+    out_schema = T.StructType([
+        T.StructField("id", docs.schema[id_col].dataType),
+        T.StructField("n_words", T.IntegerType()),
+        T.StructField("n_tokens_bpe", T.LongType()),
+    ])
+
+    def encode(batches):
+        cache: dict[str, int] = {}
+
+        def word_tokens(w: str) -> int:
+            n = cache.get(w)
+            if n is None:
+                s = " " + " ".join(w) + " "
+                for pat, rep in pats:
+                    if pat in s:
+                        s = s.replace(pat, rep)
+                n = s.count(" ") - 1  # k tokens <=> k+1 delimiters
+                cache[w] = n
+            return n
+
+        for pdf in batches:
+            ids, n_words, n_tokens = [], [], []
+            for i, t in zip(pdf[id_col], pdf[text_col]):
+                ws = [w for w in ws_re.split((t or "").lower()) if w]
+                ids.append(i)
+                n_words.append(len(ws))
+                n_tokens.append(sum(word_tokens(w) for w in ws))
+            yield pd.DataFrame(
+                {"id": ids, "n_words": n_words, "n_tokens_bpe": n_tokens}
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(encode, out_schema)

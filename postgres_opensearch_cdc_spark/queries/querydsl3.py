@@ -456,16 +456,24 @@ def significant_text(spark: SparkSession, sf_dir: str) -> DataFrame:
 def variable_width_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``variable_width_histogram`` (equi-depth form): buckets sized to
     equal document counts rather than equal value widths — the
-    deterministic counterpart of ES's clustering heuristic. ntile over
-    a (value, id)-ordered window assigns buckets identically in every
-    engine; per-bucket min/max/avg/count summarize the variable widths.
-    At scale the single global sort is the cost — the production path
-    would assign buckets from approx quantile cuts computed map-side;
-    the window form here is the exact oracle-checkable twin."""
-    ev = load_table(spark, sf_dir, "events")
-    w = Window.orderBy("value", "event_id")
-    bucketed = ev.select(
-        "value", F.ntile(VWH_BUCKETS).over(w).alias("bucket")
+    deterministic counterpart of ES's clustering heuristic. Bucket
+    assignment is exact NTILE semantics computed DISTRIBUTED
+    (round 12): global rank from the two-phase range-partition +
+    offset construction (functions/ranking.py), then NTILE as
+    arithmetic on (rank, n) — one range shuffle, no single-partition
+    window over the event scan; per-bucket min/max/avg/count
+    summarize the variable widths. The oracle still uses the ntile
+    window built-in, so the distributed form is value-checked against
+    the canonical definition."""
+    from postgres_opensearch_cdc_spark.functions.ranking import (
+        ntile_expr,
+        with_global_rank,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select("value", "event_id")
+    ranked, n = with_global_rank(ev, ["value", "event_id"])
+    bucketed = ranked.select(
+        "value", ntile_expr("_r", n, VWH_BUCKETS).alias("bucket")
     )
     return (
         bucketed.groupBy("bucket")

@@ -388,40 +388,42 @@ def ks_test_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     via cumulative counts in a RANGE window (ties collapse correctly:
     every row of equal value sees the same cumulative count). The
     ratios divide exact integers, so both engines compute identical
-    doubles. At 100 TB the global range window becomes per-bucket ECDF
-    partials merged on the ~1k-point quantile grid; this exact form is
-    the oracle-checkable verifier."""
+    doubles. Computed DISTRIBUTED (round 12): ties collapse by a
+    per-value pre-aggregate (one (value, a_cnt, b_cnt) row per
+    distinct value — exactly the RANGE-frame tie semantics made
+    explicit), then exact cumulative counts via the two-phase
+    range-partition + offset construction (functions/ranking.py) —
+    one range shuffle over the distinct-value table, never a
+    single-partition window over the event scan. The oracle keeps
+    the canonical range-window formulation."""
+    from postgres_opensearch_cdc_spark.functions.ranking import (
+        running_totals,
+    )
+
     ev = load_table(spark, sf_dir, "events")
     sample = ev.filter(F.col("event_type").isin(KS_A, KS_B)).select(
         "value",
         (F.col("event_type") == KS_A).cast("long").alias("is_a"),
         (F.col("event_type") == KS_B).cast("long").alias("is_b"),
     )
-    totals = sample.agg(
-        F.sum("is_a").alias("n_a"), F.sum("is_b").alias("n_b")
+    by_value = sample.groupBy("value").agg(
+        F.sum("is_a").alias("a_cnt"), F.sum("is_b").alias("b_cnt")
     )
-    w = Window.orderBy("value").rangeBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    ecdf = sample.select(
-        F.sum("is_a").over(w).alias("cum_a"),
-        F.sum("is_b").over(w).alias("cum_b"),
-    )
-    return (
-        ecdf.crossJoin(F.broadcast(totals))
-        .agg(
-            F.first("n_a").alias("n_a"),
-            F.first("n_b").alias("n_b"),
-            F.round(
-                F.max(
-                    F.abs(
-                        F.col("cum_a") / F.col("n_a")
-                        - F.col("cum_b") / F.col("n_b")
-                    )
-                ),
-                6,
-            ).alias("d_stat"),
-        )
+    ecdf, totals = running_totals(by_value, ["value"],
+                                  ["a_cnt", "b_cnt"])
+    n_a, n_b = totals["a_cnt"], totals["b_cnt"]
+    return ecdf.agg(
+        F.lit(n_a).cast("long").alias("n_a"),
+        F.lit(n_b).cast("long").alias("n_b"),
+        F.round(
+            F.max(
+                F.abs(
+                    F.col("cum_a_cnt") / F.lit(float(n_a))
+                    - F.col("cum_b_cnt") / F.lit(float(n_b))
+                )
+            ),
+            6,
+        ).alias("d_stat"),
     )
 
 

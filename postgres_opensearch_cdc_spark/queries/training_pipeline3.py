@@ -314,7 +314,9 @@ ORACLE = {
 
 from postgres_opensearch_cdc_spark.functions.bpe import (  # noqa: E402
     bpe_token_counts,
+    bpe_token_counts_arrow,
     bpe_train,
+    bpe_train_local,
     merges_frame,
 )
 
@@ -364,6 +366,50 @@ def bpe_apply_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["bpe_train_merges"] = bpe_train_merges
 QUERIES["bpe_apply_tokens"] = bpe_apply_tokens
+
+
+_BPE_LOCAL_CACHE: dict[tuple, list] = {}
+
+
+def _bpe_merges_local(spark: SparkSession, sf_dir: str) -> list:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _BPE_LOCAL_CACHE:
+        _BPE_LOCAL_CACHE[key] = bpe_train_local(
+            load_table(spark, sf_dir, "documents"), "text",
+            num_merges=BPE_MERGES,
+        )
+    return _BPE_LOCAL_CACHE[key]
+
+
+def bpe_train_merges_local(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production-scale trainer (round 12): ONE distributed
+    word-frequency pass, then the merge loop on the driver over the
+    vocabulary-bounded table with incremental pair maintenance — zero
+    Spark jobs per iteration (functions/bpe.py bpe_train_local). Same
+    oracle as bpe_train_merges: decision-for-decision identical to
+    the per-iteration Spark loop, so DuckDB's unrolled-iteration
+    replay value-checks THIS path's merge choices too."""
+    return merges_frame(
+        spark, _bpe_merges_local(spark, sf_dir)
+    ).orderBy("rank")
+
+
+def bpe_apply_tokens_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production-scale encoder (round 12): the learned merge
+    list shipped into an Arrow-batched mapInPandas encoder with a
+    per-partition distinct-word cache — plan size constant in the
+    merge count, vs one chained replace per merge in the expression
+    form (which stops codegenning orders of magnitude below real
+    tokenizer sizes). Same oracle as bpe_apply_tokens: the two forms
+    are row-identical by construction (equivalence-tested at n=8)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_token_counts_arrow(
+        docs, "text", "doc_id", _bpe_merges_local(spark, sf_dir)
+    ).orderBy("id")
+
+
+QUERIES["bpe_train_merges_local"] = bpe_train_merges_local
+QUERIES["bpe_apply_tokens_arrow"] = bpe_apply_tokens_arrow
 
 
 def _bpe_train_ctes(n: int) -> str:
@@ -441,3 +487,8 @@ def _bpe_apply_sql(n: int) -> str:
 
 ORACLE["bpe_train_merges"] = _bpe_train_sql(BPE_MERGES)
 ORACLE["bpe_apply_tokens"] = _bpe_apply_sql(BPE_MERGES)
+# the round-12 scale paths answer the SAME oracles: the local trainer
+# is decision-identical to the Spark loop, the Arrow encoder is
+# row-identical to the expression form
+ORACLE["bpe_train_merges_local"] = _bpe_train_sql(BPE_MERGES)
+ORACLE["bpe_apply_tokens_arrow"] = _bpe_apply_sql(BPE_MERGES)

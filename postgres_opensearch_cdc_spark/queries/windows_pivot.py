@@ -87,14 +87,30 @@ def fuzzy_name_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ntile + cume_dist: price-quartile assignment — the bucketing shape
-    quantile-based feature engineering uses."""
-    orders = load_table(spark, sf_dir, "orders")
-    w = Window.orderBy(F.col("o_totalprice"), F.col("o_orderkey"))
+    quantile-based feature engineering uses. Computed DISTRIBUTED
+    (round 12): the global rank comes from the two-phase
+    range-partition + offset construction (functions/ranking.py) —
+    one range shuffle, partitioned windows, a #partitions-row driver
+    offset list — never a single-partition window over the raw scan;
+    NTILE/CUME_DIST are then exact arithmetic on (rank, n). Value-
+    identical to the window built-ins (the oracle still uses them)."""
+    from postgres_opensearch_cdc_spark.functions.ranking import (
+        ntile_expr,
+        with_global_rank,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    ranked, n = with_global_rank(
+        orders, ["o_totalprice", "o_orderkey"]
+    )
     return (
-        orders.select(
+        ranked.select(
             "o_orderkey",
-            F.ntile(4).over(w).cast("long").alias("price_quartile"),
-            F.round(F.cume_dist().over(w), 6).alias("price_cume"),
+            ntile_expr("_r", n, 4).cast("long").alias("price_quartile"),
+            # unique ordering => no ties => cume_dist is rank / n
+            F.round(F.col("_r") / F.lit(float(n)), 6).alias("price_cume"),
         )
         .orderBy("o_orderkey")
         .limit(1000)

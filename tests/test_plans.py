@@ -86,19 +86,63 @@ def test_in_subquery_decorrelates_to_semi_join(spark, sf_dir):
     assert "LeftSemi" in p or "SemiJoin" in p
 
 
+def _iter_plan_nodes(node):
+    yield node
+    children = node.children()
+    for i in range(children.size()):
+        yield from _iter_plan_nodes(children.apply(i))
+
+
+def _unbounded_global_windows(df) -> list:
+    """Global (empty-partition-spec) Window nodes whose input is NOT
+    provably bounded: the surface's single-partition windows are legal
+    ONLY over bucket series (downstream of an aggregate — cardinality
+    set by the calendar/type domain, not the corpus), a LIMIT, or a
+    literal local relation. A global window directly over a scan would
+    funnel raw-corpus cardinality through one task at 100 TB."""
+    out = []
+    for n in _iter_plan_nodes(df._jdf.queryExecution().optimizedPlan()):
+        if n.nodeName() == "Window" and n.partitionSpec().isEmpty():
+            sub = {m.nodeName() for m in _iter_plan_nodes(n)}
+            bounded = (
+                "Aggregate" in sub
+                or "GlobalLimit" in sub
+                # a per-group rank-filter (top_hits' inner top-k,
+                # rewritten by Spark into WindowGroupLimit) bounds the
+                # feed to O(k * groups) — same class as Aggregate; on
+                # the global window itself it is the top-k pre-filter
+                # (k rows per map partition reach the final sort)
+                or "WindowGroupLimit" in sub
+                or not any("Relation" in s and "Local" not in s
+                           for s in sub)
+            )
+            if not bounded:
+                out.append(sorted(sub))
+    return out
+
+
 def test_no_python_udfs_anywhere_in_query_surface(spark, sf_dir):
     """The entire oracle-checked surface is built-ins only (SURVEY
     'UDFs are the slow path')."""
     import __spark_entry__ as e
 
     for name, fn in e.queries().items():
-        p = plan(fn(spark, sf_dir))
+        df = fn(spark, sf_dir)
+        p = plan(df)
         assert "BatchEvalPython" not in p, f"{name} uses a row-at-a-time Python UDF"
         # second surface-wide invariant, same sweep: no unbroadcast
         # cartesian product anywhere — every cross join in the surface
         # is a broadcast of a tiny aggregate/literal side
         # (BroadcastNestedLoopJoin), never a full CartesianProduct
         assert "CartesianProduct" not in p, f"{name} plans a cartesian product"
+        # third surface-wide invariant: every global window is bounded
+        # (downstream of an aggregate / limit / literal input) — the
+        # 'WindowExec: No Partition Defined' sites must never apply to
+        # raw-scan cardinality (round-11 verdict nit #1)
+        bad = _unbounded_global_windows(df)
+        assert not bad, (
+            f"{name} has a global window over unbounded input: {bad}"
+        )
 
 
 def test_mixture_sample_is_filter_plus_partial_agg(spark, sf_dir):
