@@ -68,59 +68,61 @@ _MODULES = [
 ]
 
 # The driver's correctness harness samples the FIRST 50 entries of
-# queries().  Union of r1-r10 driver rows = 306/306 distinct entries
-# green — every pre-round-11 entry has at least one passing driver
-# row.  This round-11 window = (a) the NEW round-11 entries, which
-# have never had a driver row: engine_rollup_metrics (the full
-# rollup-job metric set — sum/value_count/avg/min/max with delete-safe
-# retraction through the aux count store), engine_rollup_search (the
-# _rollup/_search analog: coarser-bucket re-aggregation over the
-# stored metrics), engine_rollup_two_dim (multi-dimension rollup —
-# derived day bucket × terms dim), dedup_span_trim_stream (the
-# streaming trim composition, stream ≡ batch through a real
-# checkpointed stream), engine_reindex_script (the _reindex script
-# clause: in-flight {column: SQL expr} transforms), and
-# bpe_train_merges / bpe_apply_tokens (BPE tokenizer training — the
-# merge decisions value-checked by unrolling the iterations in SQL —
-# and its per-doc application); then the STALEST driver rows by
-# "latest green row" age, oldest first, each block in its original
-# driver order: (b) the 18 rows last checked r4, (c) the first 25 of
-# the 40 rows last checked r5 (the remaining 15 rotate in round 12)
-# — 50 total.
+# queries().  Union of r1-r11 driver rows = 313/313 distinct entries
+# green — every pre-round-12 entry has at least one passing driver
+# row.  This round-12 window = (a) the NEW round-12 entries, never
+# driver-checked: bpe_train_merges_local (production-scale BPE
+# training — one distributed word-count pass + driver-side merge
+# loop, decision-identical to the Spark loop and answering the SAME
+# unrolled-iteration oracle), bpe_apply_tokens_arrow (the mapInPandas
+# encoder, row-identical to the expression form's oracle),
+# engine_monitor_stream_alerts (monitor evaluation through the real
+# checkpointed streaming path), engine_alert_log_counts (_cat-style
+# committed alert-log counts with the batch-id exactly-once replay
+# exercised in-entry); (b) the three entries whose implementation
+# CHANGED this round — the unbounded-global-window rewrites onto the
+# distributed rank/prefix-sum construction (functions/ranking.py):
+# window_ntile, ks_test_agg, variable_width_histogram — re-certified
+# against their unchanged window-builtin oracles; then the STALEST
+# driver rows by "latest green row" age, oldest first, each block in
+# its original driver order: (c) the 15 remaining r5-era rows,
+# (d) the first 28 of the 48 rows last checked r6 — 50 total.
 _PRIORITY = [
-    # (a) NEW this round (round 11) — never driver-checked
-    "engine_rollup_metrics", "engine_rollup_search",
-    "engine_rollup_two_dim", "dedup_span_trim_stream",
-    "engine_reindex_script", "bpe_train_merges", "bpe_apply_tokens",
-    # (b) latest driver row is r4, original r4 order
-    "top_hits_per_bucket", "significant_terms", "histogram_value",
-    "dis_max_best_fields", "function_score_fvf",
-    "percentile_ranks_value", "collapse_by_source", "suggest_prefix",
-    "highlight_fragment", "nested_query_same_element",
-    "rescore_two_phase", "more_like_this", "filters_named_buckets",
-    "percolate_stored_queries", "quality_repetition", "pii_scrub",
-    "contamination_ngram", "token_budget",
-    # (c) latest driver row is r5, original r5 order (first 30)
-    "ts_gapfill_locf", "ts_ohlc_daily", "ts_moving_avg",
-    "ts_zscore_anomaly", "ts_retention_cohort", "ts_regression_trend",
-    "range_agg_value", "date_range_agg", "multi_terms_agg",
-    "sampler_terms_agg", "cardinality_by_type",
-    "scripted_metric_weighted", "geo_distance_filter",
-    "min_cost_supplier", "volume_shipping", "nation_market_share",
-    "large_quantity_customers", "supplier_diversity_by_brand",
-    "grouping_sets_status", "mixture_sample", "shard_packing",
-    "array_agg_types", "approx_sketches", "sessionize_batch",
-    "range_join_same_user",
+    # (a) NEW this round (round 12) — never driver-checked
+    "bpe_train_merges_local", "bpe_apply_tokens_arrow",
+    "engine_monitor_stream_alerts", "engine_alert_log_counts",
+    # (b) rewritten this round (distributed global ordering)
+    "window_ntile", "ks_test_agg", "variable_width_histogram",
+    # (c) latest driver row is r5, original r5 order (the last 15)
+    "composite_agg_page", "pipeline_agg_cumsum",
+    "bucket_script_error_rate", "avg_bucket_daily",
+    "dedup_embedding_srp", "wildcard_query", "terms_set_match",
+    "boosting_query", "match_bool_prefix", "rare_terms_agg",
+    "quality_unigram_lm", "multimodal_manifest", "asof_last_purchase",
+    "window_lag_delta", "json_extract_props",
+    # (d) latest driver row is r6, original r6 order (first 28)
+    "span_near_query", "geo_bounding_box", "top_metrics_agg",
+    "serial_diff_daily", "moving_fn_minmax", "string_stats_agg",
+    "boxplot_agg", "mad_agg", "auto_date_histogram", "t_test_agg",
+    "cumulative_cardinality", "priority_late_orders",
+    "forecast_revenue", "ship_lag_priority", "small_quantity_revenue",
+    "inactive_high_balance", "ts_hierarchical_rollup",
+    "adjacency_matrix_agg", "dedup_cc_clusters", "dedup_cc_survivors",
+    "extended_stats_agg", "derivative_agg", "stats_bucket_agg",
+    "percentiles_bucket_agg", "max_bucket_day", "bucket_sort_agg",
+    "bucket_selector_agg", "normalize_pct_agg",
 ]
 
-# Round-12 rotation TODO: any entries added after this round-11 window
-# froze outrank re-checks; then the 15 remaining r5-era rows in r5
-# order (composite_agg_page, pipeline_agg_cumsum,
-# bucket_script_error_rate, avg_bucket_daily, dedup_embedding_srp,
-# wildcard_query, terms_set_match, boosting_query, match_bool_prefix,
-# rare_terms_agg, quality_unigram_lm, multimodal_manifest,
-# asof_last_purchase, window_lag_delta, json_extract_props), then the
-# oldest r6-era rows.
+# Round-13 rotation TODO: any entries added after this round-12 window
+# froze outrank re-checks; then the remaining 20 r6-era rows in r6
+# order (rate_agg, geo_centroid_agg, geo_grid_agg, matrix_stats_agg,
+# diversified_sampler_agg, pinned_query, customer_order_counts,
+# set_ops_nations, frequent_item_sets_agg, top_supplier_revenue,
+# profit_by_nation_year, waiting_suppliers, eql_sequence,
+# funnel_steps, change_point_cusum, significant_text,
+# mixture_temperature_sample, chunk_dedup_stats, ann_radial_search —
+# variable_width_histogram already re-checked r12), then the oldest
+# r7-era rows.
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -1616,6 +1616,30 @@ class CdcEngine:
             if handle.sink.exists()
         }
 
+    def alert_counts(self) -> dict[str, int]:
+        """``_cat``-style counts over the alert logs: committed
+        firing-row count per registered monitor, straight from the
+        commit manifests (each records its evaluation's row count, so
+        this is a metadata read — no data files are opened; an
+        uncommitted crashed evaluation is invisible, exactly like
+        ``alerts()``)."""
+        import json
+
+        out = {}
+        for mname in sorted(self.monitors):
+            commits_dir = os.path.join(
+                self.workdir, f"alerts_{mname}", "_commits"
+            )
+            n = 0
+            if os.path.isdir(commits_dir):
+                for name in os.listdir(commits_dir):
+                    if name.startswith(".") or not name.endswith(".json"):
+                        continue
+                    with open(os.path.join(commits_dir, name)) as fh:
+                        n += json.load(fh)["count"]
+            out[mname] = n
+        return out
+
     def cat_indices(self) -> list[dict]:
         """The ``_cat/indices`` analog: one row per mirror with live
         doc count, bytes on disk (live data files only for the

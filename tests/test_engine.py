@@ -1520,3 +1520,5 @@ def test_evaluate_monitors_with_batch_id_is_exactly_once(spark, tmp_path):
     assert engine.evaluate_monitors(batch_id=8) == {"blocked2": 1}
     engine.evaluate_monitors()
     assert engine.alerts("blocked2").count() == 3
+    # _cat-style counts read straight from the commit manifests
+    assert engine.alert_counts() == {"blocked2": 3}
