@@ -69,5 +69,12 @@ def test_bench_emits_valid_contract_json():
     assert set(doc["memoized"]) == {
         "dedup_minhash_lsh", "dedup_cc_clusters", "dedup_cc_survivors",
         "dedup_quality_survivors", "bpe_train_merges",
+        "bpe_train_merges_local",
     }
     assert doc["memo_build_sec"] > 0
+    # round-12 fields: headline+memo in one number and ambient load
+    assert abs(doc["total_with_memo_sec"]
+               - (doc["value"] + doc["memo_build_sec"])) < 0.01
+    assert len(doc["loadavg"]) == 3 and all(
+        x >= 0 for x in doc["loadavg"]
+    )
