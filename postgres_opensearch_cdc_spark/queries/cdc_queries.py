@@ -1011,18 +1011,20 @@ ORACLE["engine_monitor_stream_alerts"] = f"""
 ORACLE["engine_alert_log_counts"] = f"""
     {_LIVE},
     fired AS (
-        SELECT m.monitor, COUNT(*) AS buckets
+        -- LEFT join: a monitor whose threshold nothing clears still
+        -- logs its (empty) evaluations, so alert_counts reports 0 —
+        -- the oracle must carry that row too
+        SELECT m.monitor, 2 * COUNT(t.event_type) AS alert_rows
         FROM (SELECT 'hot' AS monitor, 0.25 AS frac
               UNION ALL SELECT 'very_hot', 0.29) m
-        JOIN (
+        LEFT JOIN (
             SELECT event_type, COUNT(*) AS cnt FROM live
             GROUP BY event_type
         ) t ON t.cnt >= CAST(FLOOR(
             m.frac * (SELECT COUNT(*) FROM live)) AS BIGINT)
         GROUP BY m.monitor
     )
-    SELECT monitor, 2 * buckets AS alert_rows
-    FROM fired ORDER BY monitor
+    SELECT monitor, alert_rows FROM fired ORDER BY monitor
 """
 
 QUERIES["engine_rollup_stream"] = engine_rollup_stream
