@@ -353,7 +353,8 @@ class CdcEngine:
                             avg_cols: tuple = (),
                             minmax_cols: tuple = (),
                             group_expr: str | None = None,
-                            available_now: bool = True):
+                            available_now: bool = True,
+                            aux_num_buckets: int = 16):
         """Continuous aggregate — the reference stack's rollup-job
         shape (OpenSearch rollup jobs; the dashboard's standing
         terms-agg panel made incremental): maintain a persisted
@@ -425,6 +426,7 @@ class CdcEngine:
                 group_col=group_col, sum_cols=tuple(sum_cols),
                 count_cols=tuple(count_cols), avg_cols=tuple(avg_cols),
                 minmax_cols=tuple(minmax_cols),
+                aux_num_buckets=aux_num_buckets,
             )
             self.rollups[rollup_name] = sink
             # persist the NORMALIZED expr form: the re-open check below
@@ -446,9 +448,12 @@ class CdcEngine:
                     "avg_cols": list(avg_cols),
                     "minmax_cols": list(minmax_cols),
                     "table": table,
-                    "group_expr": list(exprs) if multi else group_expr}
+                    "group_expr": list(exprs) if multi else group_expr,
+                    "aux_num_buckets": aux_num_buckets}
             have = {k: meta.get(k, [] if k.endswith("_cols") else None)
                     for k in want}
+            if have.get("aux_num_buckets") is None:
+                have["aux_num_buckets"] = 16  # pre-round-12 metas
             if multi and have.get("group_expr") is None:
                 # stores persisted before the normalization fix recorded
                 # the raw None for plain multi-dim rollups
@@ -526,6 +531,7 @@ class CdcEngine:
                 "minmax_cols": list(sink.minmax_cols),
                 "table": table,
                 "group_expr": group_expr,
+                "aux_num_buckets": sink.aux_num_buckets,
             }, fh)
         os.replace(tmp, os.path.join(sink.path, "_rollup_meta.json"))
 
@@ -547,6 +553,7 @@ class CdcEngine:
             count_cols=tuple(meta.get("count_cols", ())),
             avg_cols=tuple(meta.get("avg_cols", ())),
             minmax_cols=tuple(meta.get("minmax_cols", ())),
+            aux_num_buckets=meta.get("aux_num_buckets", 16),
         )
         self.rollups[rollup_name] = sink
         return sink

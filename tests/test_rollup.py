@@ -930,3 +930,40 @@ def test_rollup_legacy_whole_store_manifest_migrates(spark, tmp_path):
     amap = m2["aux_buckets"]["amount"]
     assert set(amap.values()) == {m2["commit"]}  # fully re-bucketed
     assert _minmax(spark, sink) == {"A": (1.0, 5.0), "B": (9.0, 9.0)}
+
+
+def test_rollup_aux_num_buckets_persists_across_restart(spark, tmp_path):
+    """A non-default aux_num_buckets must survive engine restart via
+    the spec sidecar: the rehydrated sink adopts the stored modulus
+    (merging under a different one raises at the store layer), and a
+    conflicting explicit value raises the spec-drift error."""
+    engine = CdcEngine(spark=spark, workdir=str(tmp_path))
+    engine.register_table("txn", TXN_SCHEMA)
+    log_dir = str(tmp_path / "log")
+    os.makedirs(log_dir)
+    with open(os.path.join(log_dir, "b1.json"), "w") as f:
+        f.write(env("c", doc(1, "ACTIVE", 10.0), None, 1))
+    engine.start_rollup_stream(
+        "nb", log_dir, "txn", "status", minmax_cols=("amount",),
+        aux_num_buckets=4,
+    )
+    engine.await_all()
+
+    engine2 = CdcEngine(spark=spark, workdir=str(tmp_path))
+    engine2.register_table("txn", TXN_SCHEMA)
+    assert engine2._resolve_rollup("nb").aux_num_buckets == 4
+    with open(os.path.join(log_dir, "b2.json"), "w") as f:
+        f.write(env("c", doc(2, "ACTIVE", 99.0), None, 2))
+    engine2.start_rollup_stream(
+        "nb", log_dir, "txn", "status", minmax_cols=("amount",),
+        aux_num_buckets=4,
+    )
+    engine2.await_all()
+    got = {r["status"]: (r["min_amount"], r["max_amount"])
+           for r in engine2.rollup("nb").collect()}
+    assert got == {"ACTIVE": (10.0, 99.0)}
+    with pytest.raises(ValueError, match="exists with spec"):
+        engine2.start_rollup_stream(
+            "nb", log_dir, "txn", "status", minmax_cols=("amount",),
+            aux_num_buckets=8,
+        )
