@@ -36,6 +36,7 @@ from postgres_opensearch_cdc_spark.queries import (
     training_pipeline,
     training_pipeline2,
     training_pipeline3,
+    training_pipeline4,
     windows_pivot,
 )
 
@@ -52,6 +53,7 @@ _MODULES = [
     training_pipeline,
     training_pipeline2,
     training_pipeline3,
+    training_pipeline4,
     timeseries,
     timeseries2,
     querydsl_aggs,
@@ -89,6 +91,13 @@ _MODULES = [
 # (d) the first 28 of the 48 rows last checked r6 — 50 total.
 _PRIORITY = [
     # (a) NEW this round (round 12) — never driver-checked
+    # (a2) the round-12 extension batch: semantic dedup (k-means fit
+    # value-checked via unrolled Lloyd iterations + SemDeDup prune),
+    # greedy sequence packing (recursive-CTE oracle), Gopher-style
+    # quality rules, char entropy
+    "kmeans_clusters", "dedup_semantic_keep", "pack_sequences_greedy",
+    "quality_gopher_rules", "text_char_entropy",
+    # (a1) the round-12 close-out batch
     "bpe_train_merges_local", "bpe_apply_tokens_arrow",
     "engine_monitor_stream_alerts", "engine_alert_log_counts",
     # (b) rewritten this round (distributed global ordering)
@@ -100,7 +109,7 @@ _PRIORITY = [
     "boosting_query", "match_bool_prefix", "rare_terms_agg",
     "quality_unigram_lm", "multimodal_manifest", "asof_last_purchase",
     "window_lag_delta", "json_extract_props",
-    # (d) latest driver row is r6, original r6 order (first 28)
+    # (d) latest driver row is r6, original r6 order (first 23)
     "span_near_query", "geo_bounding_box", "top_metrics_agg",
     "serial_diff_daily", "moving_fn_minmax", "string_stats_agg",
     "boxplot_agg", "mad_agg", "auto_date_histogram", "t_test_agg",
@@ -109,20 +118,19 @@ _PRIORITY = [
     "inactive_high_balance", "ts_hierarchical_rollup",
     "adjacency_matrix_agg", "dedup_cc_clusters", "dedup_cc_survivors",
     "extended_stats_agg", "derivative_agg", "stats_bucket_agg",
-    "percentiles_bucket_agg", "max_bucket_day", "bucket_sort_agg",
-    "bucket_selector_agg", "normalize_pct_agg",
 ]
 
 # Round-13 rotation TODO: any entries added after this round-12 window
-# froze outrank re-checks; then the remaining 20 r6-era rows in r6
-# order (rate_agg, geo_centroid_agg, geo_grid_agg, matrix_stats_agg,
-# diversified_sampler_agg, pinned_query, customer_order_counts,
-# set_ops_nations, frequent_item_sets_agg, top_supplier_revenue,
-# profit_by_nation_year, waiting_suppliers, eql_sequence,
-# funnel_steps, change_point_cusum, significant_text,
-# mixture_temperature_sample, chunk_dedup_stats, ann_radial_search —
-# variable_width_histogram already re-checked r12), then the oldest
-# r7-era rows.
+# froze outrank re-checks; then the remaining 25 r6-era rows in r6
+# order (percentiles_bucket_agg, max_bucket_day, bucket_sort_agg,
+# bucket_selector_agg, normalize_pct_agg, rate_agg, geo_centroid_agg,
+# geo_grid_agg, matrix_stats_agg, diversified_sampler_agg,
+# pinned_query, customer_order_counts, set_ops_nations,
+# frequent_item_sets_agg, top_supplier_revenue, profit_by_nation_year,
+# waiting_suppliers, eql_sequence, funnel_steps, change_point_cusum,
+# significant_text, mixture_temperature_sample, chunk_dedup_stats,
+# ann_radial_search — variable_width_histogram already re-checked
+# r12), then the oldest r7-era rows.
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -1,0 +1,263 @@
+"""Training-pipeline batch 4: reference-model and property tests for
+semantic dedup (k-means + within-cluster prune), greedy sequence
+packing, Gopher-style quality rules, and char entropy. Each entry's
+value semantics are pinned against an independent pure-Python/numpy
+reference model on the real sf0.001 tables (the oracle SQL replays the
+same math in DuckDB — these tests make the CONTRACT explicit in Python
+so a refactor that breaks both engines the same way still fails)."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import numpy as np
+import pytest
+
+from postgres_opensearch_cdc_spark.queries import training_pipeline4 as tp4
+
+
+def _hash60(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def _load_vectors(spark, sf_dir):
+    from postgres_opensearch_cdc_spark.registry import load_table
+
+    rows = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    rows.sort(key=lambda r: r.vec_id)
+    ids = np.array([r.vec_id for r in rows])
+    V = np.array([[float(x) for x in r.embedding] for r in rows])
+    return ids, V
+
+
+def _reference_kmeans(ids, V):
+    order = sorted(
+        range(len(ids)),
+        key=lambda i: (_hash60(f"{ids[i]}:{tp4.SEM_SALT}"), ids[i]),
+    )
+    C = np.round(V[order[: tp4.SEM_K]], 6)
+    for _ in range(tp4.SEM_ITERS):
+        d = ((V[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        a = d.argmin(axis=1)
+        C = np.round(
+            np.array(
+                [
+                    V[a == k].mean(axis=0) if (a == k).any() else C[k]
+                    for k in range(tp4.SEM_K)
+                ]
+            ),
+            6,
+        )
+    d = ((V[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+    return C, d.argmin(axis=1), d.min(axis=1)
+
+
+class TestSemanticDedup:
+    def test_centroids_match_reference_model(self, spark, sf_dir):
+        ids, V = _load_vectors(spark, sf_dir)
+        C_ref, _, _ = _reference_kmeans(ids, V)
+        C = np.array(tp4._sem_centroids(spark, sf_dir))
+        assert C.shape == C_ref.shape
+        # both sides round to 6 dp per iteration; agreement is exact
+        # up to sub-rounding float noise
+        assert np.abs(C - C_ref).max() < 1e-9
+
+    def test_cluster_summary_matches_reference(self, spark, sf_dir):
+        ids, V = _load_vectors(spark, sf_dir)
+        _, assign, dsq = _reference_kmeans(ids, V)
+        got = {
+            r.cluster: (r.n_vecs, r.mean_dist)
+            for r in tp4.kmeans_clusters(spark, sf_dir).collect()
+        }
+        for k in range(tp4.SEM_K):
+            m = assign == k
+            assert got[k][0] == int(m.sum())
+            assert got[k][1] == pytest.approx(
+                round(float(np.sqrt(dsq[m]).mean()), 4), abs=2e-4
+            )
+
+    def test_keep_verdicts_match_reference_prune(self, spark, sf_dir):
+        ids, V = _load_vectors(spark, sf_dir)
+        _, assign, dsq = _reference_kmeans(ids, V)
+        Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+        expect = {}
+        for k in range(tp4.SEM_K):
+            m = np.where(assign == k)[0]
+            order = sorted(m, key=lambda i: (dsq[i], ids[i]))
+            for pos, i in enumerate(order):
+                hit = any(
+                    round(float(Vn[i] @ Vn[j]), 6) >= tp4.SEM_EPS
+                    for j in order[:pos]
+                )
+                expect[int(ids[i])] = (int(k), not hit)
+        got = {
+            r.vec_id: (r.cluster, r.kept)
+            for r in tp4.dedup_semantic_keep(spark, sf_dir).collect()
+        }
+        assert got == expect
+        # some but not all drops at every SF (EPS was chosen for that)
+        kept = [v[1] for v in got.values()]
+        assert any(kept) and not all(kept)
+
+    def test_rank_one_member_always_kept(self, spark, sf_dir):
+        rows = tp4.dedup_semantic_keep(spark, sf_dir).collect()
+        ids, V = _load_vectors(spark, sf_dir)
+        _, assign, dsq = _reference_kmeans(ids, V)
+        best = {}
+        for i, vid in enumerate(ids):
+            k = int(assign[i])
+            if k not in best or (dsq[i], vid) < best[k][0]:
+                best[k] = ((dsq[i], vid), vid)
+        firsts = {v for _, v in best.values()}
+        kept = {r.vec_id for r in rows if r.kept}
+        assert firsts <= kept
+
+
+class TestPacking:
+    def test_bins_respect_cap_or_are_singleton(self, spark, sf_dir):
+        for r in tp4.pack_sequences_greedy(spark, sf_dir).collect():
+            assert r.tokens <= tp4.PACK_CAP or r.n_docs == 1
+
+    def test_matches_pure_python_loop(self, spark, sf_dir):
+        from postgres_opensearch_cdc_spark.registry import load_table
+
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "text"
+        ).collect()
+        per_shard: dict[int, list] = {}
+        for r in docs:
+            toks = len(r.text.lower().split())
+            shard = _hash60(f"{r.doc_id}:{tp4.PACK_SALT_SHARD}") % tp4.PACK_SHARDS
+            h = _hash60(f"{r.doc_id}:{tp4.PACK_SALT_ORDER}")
+            per_shard.setdefault(shard, []).append((h, r.doc_id, toks))
+        expect = {}
+        for shard, items in per_shard.items():
+            items.sort()
+            cur, acc = 0, 0
+            for _, _, t in items:
+                if cur == 0 or acc + t > tp4.PACK_CAP:
+                    cur += 1
+                    acc = t
+                else:
+                    acc += t
+                key = (shard, cur)
+                n, tot = expect.get(key, (0, 0))
+                expect[key] = (n + 1, tot + t)
+        got = {
+            (r.shard, r.bin): (r.n_docs, r.tokens)
+            for r in tp4.pack_sequences_greedy(spark, sf_dir).collect()
+        }
+        assert got == expect
+
+    def test_bins_are_contiguous_from_one(self, spark, sf_dir):
+        rows = tp4.pack_sequences_greedy(spark, sf_dir).collect()
+        by_shard: dict[int, list] = {}
+        for r in rows:
+            by_shard.setdefault(r.shard, []).append(r.bin)
+        for bins in by_shard.values():
+            assert sorted(bins) == list(range(1, len(bins) + 1))
+
+
+class TestGopherRules:
+    def test_matches_pandas_reference(self, spark, sf_dir):
+        from postgres_opensearch_cdc_spark.registry import load_table
+
+        docs = load_table(spark, sf_dir, "documents").select(
+            "source", "text"
+        ).collect()
+        agg: dict[str, list] = {}
+        for r in docs:
+            ws = r.text.lower().split()
+            nw, wc = len(ws), sum(len(w) for w in ws)
+            nd = len(set(ws))
+            topw = max(ws.count(w) for w in set(ws))
+            f_wc = not (tp4.GOPHER_WC_MIN <= nw <= tp4.GOPHER_WC_MAX)
+            f_mwl = (
+                wc * 10 < tp4.GOPHER_MWL_LO10 * nw
+                or wc * 10 > tp4.GOPHER_MWL_HI10 * nw
+            )
+            f_ttr = nd * 10 < nw * tp4.GOPHER_TTR_BP
+            f_dom = topw * 10 > nw * tp4.GOPHER_DOM_BP
+            a = agg.setdefault(r.source, [0, 0, 0, 0, 0, 0])
+            a[0] += 1
+            a[1] += not (f_wc or f_mwl or f_ttr or f_dom)
+            a[2] += f_wc
+            a[3] += f_mwl
+            a[4] += f_ttr
+            a[5] += f_dom
+        got = {
+            r.source: [
+                r.n_docs,
+                r.n_pass,
+                r.fail_wordcount,
+                r.fail_meanwordlen,
+                r.fail_ttr,
+                r.fail_dominance,
+            ]
+            for r in tp4.quality_gopher_rules(spark, sf_dir).collect()
+        }
+        assert got == {k: list(v) for k, v in agg.items()}
+
+    def test_every_rule_fires_somewhere(self, spark, sf_dir):
+        rows = tp4.quality_gopher_rules(spark, sf_dir).collect()
+        assert sum(r.fail_wordcount for r in rows) > 0
+        assert sum(r.fail_ttr for r in rows) > 0
+        assert sum(r.n_pass for r in rows) > 0
+
+
+class TestCharEntropy:
+    def test_matches_python_reference(self, spark, sf_dir):
+        from postgres_opensearch_cdc_spark.registry import load_table
+
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "text"
+        ).collect()
+        expect = {}
+        for r in docs:
+            t = r.text.lower()
+            L = len(t)
+            if L == 0:
+                continue
+            counts = [t.count(ch) for ch in tp4.ENTROPY_ALPHABET]
+            counts.append(L - sum(counts))
+            ent = 0.0
+            for c in counts:
+                if c > 0:
+                    p = c / L
+                    ent += -(p * math.log2(p))
+            expect[r.doc_id] = (L, round(ent, 4))
+        got = {
+            r.doc_id: (r.n_chars_text, r.entropy_bits)
+            for r in tp4.text_char_entropy(spark, sf_dir).collect()
+        }
+        assert set(got) == set(expect)
+        for k in expect:
+            assert got[k][0] == expect[k][0]
+            assert got[k][1] == pytest.approx(expect[k][1], abs=2e-4)
+
+    def test_uniform_text_has_expected_entropy(self, spark, sf_dir):
+        """Analytic sanity: entropy of 'ab' = 1 bit, 'aaaa' = 0."""
+        import pandas as pd
+
+        df = spark.createDataFrame(
+            pd.DataFrame(
+                {"doc_id": [1, 2], "text": ["ab", "aaaa"],
+                 "lang": ["en", "en"], "source": ["s", "s"],
+                 "n_chars": [2, 4]}
+            )
+        )
+        import tempfile
+
+        with tempfile.TemporaryDirectory() as d:
+            df.write.parquet(f"{d}/documents.parquet")
+            rows = {
+                r.doc_id: r.entropy_bits
+                for r in tp4.text_char_entropy(spark, d).collect()
+            }
+        assert rows[1] == pytest.approx(1.0)
+        assert rows[2] == pytest.approx(0.0)
