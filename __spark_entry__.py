@@ -95,8 +95,9 @@ _PRIORITY = [
     # value-checked via unrolled Lloyd iterations + SemDeDup prune),
     # greedy sequence packing (recursive-CTE oracle), Gopher-style
     # quality rules, char entropy
-    "kmeans_clusters", "dedup_semantic_keep", "pack_sequences_greedy",
-    "quality_gopher_rules", "text_char_entropy",
+    "kmeans_clusters", "dedup_semantic_keep", "dedup_semantic_stream",
+    "pack_sequences_greedy", "quality_gopher_rules", "text_char_entropy",
+    "dsir_importance_scores", "contamination_embedding",
     # (a1) the round-12 close-out batch
     "bpe_train_merges_local", "bpe_apply_tokens_arrow",
     "engine_monitor_stream_alerts", "engine_alert_log_counts",
@@ -117,12 +118,12 @@ _PRIORITY = [
     "forecast_revenue", "ship_lag_priority", "small_quantity_revenue",
     "inactive_high_balance", "ts_hierarchical_rollup",
     "adjacency_matrix_agg", "dedup_cc_clusters", "dedup_cc_survivors",
-    "extended_stats_agg", "derivative_agg", "stats_bucket_agg",
 ]
 
 # Round-13 rotation TODO: any entries added after this round-12 window
-# froze outrank re-checks; then the remaining 25 r6-era rows in r6
-# order (percentiles_bucket_agg, max_bucket_day, bucket_sort_agg,
+# froze outrank re-checks; then the remaining 28 r6-era rows in r6
+# order (extended_stats_agg, derivative_agg, stats_bucket_agg,
+# percentiles_bucket_agg, max_bucket_day, bucket_sort_agg,
 # bucket_selector_agg, normalize_pct_agg, rate_agg, geo_centroid_agg,
 # geo_grid_agg, matrix_stats_agg, diversified_sampler_agg,
 # pinned_query, customer_order_counts, set_ops_nations,

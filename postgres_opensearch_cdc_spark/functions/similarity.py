@@ -45,6 +45,39 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
 
 
+def sq_l2(v: Column, c: Column) -> Column:
+    """Squared L2 between two double arrays as a left-fold — the same
+    sequential sum DuckDB's list_sum computes, so both engines agree
+    to ~1e-13 on identical inputs."""
+    return F.aggregate(
+        F.zip_with(v, c, lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def assign_nearest(v: Column, centroids: list[list[float]]):
+    """(cluster, dsq) of the nearest centroid as pure scan-stage
+    expressions over LITERAL centroids — no join, no shuffle; the
+    bounded centroid list constant-folds into the scan projection.
+    Argmin via struct ordering: array_min over (d, i) structs takes
+    the first index on exact distance ties, matching a
+    ROW_NUMBER OVER (ORDER BY dsq, k) oracle."""
+    lits = F.array(
+        *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
+    )
+    dists = F.transform(lits, lambda c: sq_l2(v, c))
+    idx = F.sequence(F.lit(0), F.lit(len(centroids) - 1))
+    best = F.array_min(
+        F.zip_with(
+            dists,
+            idx,
+            lambda d, i: F.named_struct(F.lit("d"), d, F.lit("i"), i),
+        )
+    )
+    return best["i"].alias("cluster"), best["d"].alias("dsq")
+
+
 def brute_force_topk(
     vectors: DataFrame,
     query_vec: list[float],

@@ -42,8 +42,10 @@ from postgres_opensearch_cdc_spark.functions import text as textfn
 from postgres_opensearch_cdc_spark.functions.dedup import hash60
 from postgres_opensearch_cdc_spark.functions.similarity import (
     _as_double,
+    assign_nearest,
     dot,
     l2_norm,
+    sq_l2,
 )
 from postgres_opensearch_cdc_spark.registry import load_table
 
@@ -78,38 +80,10 @@ ENTROPY_ALPHABET = "abcdefghijklmnopqrstuvwxyz "
 _SEM_CACHE: dict[tuple, list] = {}
 
 
-def _sq_l2(v, c):
-    """Squared L2 between two double arrays as a left-fold — the same
-    sequential sum DuckDB's list_sum computes, so both engines agree
-    to ~1e-13 (decision margins are >= 2e-7)."""
-    return F.aggregate(
-        F.zip_with(v, c, lambda a, b: (a - b) * (a - b)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-
-
-def _centroid_literals(cents: list[list[float]]):
-    return F.array(
-        *[F.array(*[F.lit(float(x)) for x in c]) for c in cents]
-    )
-
-
-def _assign_cols(v, cents: list[list[float]]):
-    """(cluster, dsq) of the nearest centroid as pure scan-stage
-    expressions: distances to all K literal centroids, then argmin via
-    struct ordering — (d, i) min is the first index on ties, matching
-    the oracle's ROW_NUMBER OVER (ORDER BY dsq, k)."""
-    dists = F.transform(_centroid_literals(cents), lambda c: _sq_l2(v, c))
-    idx = F.sequence(F.lit(0), F.lit(len(cents) - 1))
-    best = F.array_min(
-        F.zip_with(
-            dists,
-            idx,
-            lambda d, i: F.named_struct(F.lit("d"), d, F.lit("i"), i),
-        )
-    )
-    return best["i"].alias("cluster"), best["d"].alias("dsq")
+# shared with the streaming sink (streaming/semantic.py): the portable
+# literal-centroid assignment lives in functions/similarity.py
+_sq_l2 = sq_l2
+_assign_cols = assign_nearest
 
 
 def _sem_centroids(spark: SparkSession, sf_dir: str) -> list[list[float]]:
@@ -409,12 +383,208 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_semantic_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming SemDeDup composition (SemanticDedupSink): the
+    embedding corpus arrives as TWO id-ordered micro-batches through a
+    real checkpointed stream; each batch assigns clusters against the
+    offline-fitted centroids and greedily keeps only vectors with no
+    already-kept representative at cosine >= eps — earlier batches'
+    survivors first, then this batch's rows in (dsq, vec_id) order.
+    Fed in id order, the verdict table equals ONE greedy pass over the
+    whole corpus in (batch, dsq, vec_id) rank order, which the oracle
+    replays as a per-cluster recursive CTE carrying the kept
+    unit-vector list — so checkpointing, the replay guard, the
+    bucketed rep store, and the greedy kernel are all value-checked
+    end to end."""
+    import tempfile
+
+    from postgres_opensearch_cdc_spark.streaming.semantic import (
+        SemanticDedupSink,
+    )
+
+    cents = _sem_centroids(spark, sf_dir)
+    vecs = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    lo, hi = vecs.agg(F.min("vec_id"), F.max("vec_id")).head()
+    mid = (lo + hi) // 2
+    workdir = tempfile.mkdtemp(prefix="semantic_stream_")
+    src_dir = f"{workdir}/in"
+    ckpt = f"{workdir}/ckpt"
+    sink = SemanticDedupSink(
+        path=f"{workdir}/st", centroids=cents, eps=SEM_EPS
+    )
+
+    def run_once():
+        stream = spark.readStream.schema(
+            "vec_id long, embedding array<float>"
+        ).json(src_dir)
+        q = (
+            stream.writeStream.foreachBatch(sink.apply_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    vecs.filter(F.col("vec_id") <= mid).coalesce(4).write.mode(
+        "append"
+    ).json(src_dir)
+    run_once()
+    vecs.filter(F.col("vec_id") > mid).coalesce(4).write.mode(
+        "append"
+    ).json(src_dir)
+    run_once()
+    return (
+        sink.verdicts(spark)
+        .select("vec_id", "cluster", "kept")
+        .orderBy("vec_id")
+    )
+
+
+# --- DSIR-style importance sampling ---------------------------------
+DSIR_BUCKETS = 256   # hashed unigram feature space
+DSIR_SALT = 37       # feature-hash salt
+DSIR_TARGET_LANG = "en"   # the target distribution
+
+
+def dsir_importance_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection (Xie et al. 2023): score every raw
+    document by the log-likelihood ratio of hashed unigram features
+    under the TARGET distribution (here the English slice) vs the raw
+    corpus — the importance weight that resamples a web crawl toward a
+    target domain. Both distributions use add-one smoothing over the
+    same feature space, so every weight is log of an exact rational.
+    One explode+count pass builds the two B-bucket histograms (B=256
+    rows each, broadcast back); scoring is a broadcast join + per-doc
+    sum — linear, no doc ever compared to another. Scores are emitted
+    (rounded), NOT thresholded: selection policy stays downstream, and
+    the oracle match is decision-free."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.col("lang"),
+        F.explode(textfn.tokens(F.col("text"))).alias("tok"),
+    ).withColumn(
+        "b", F.pmod(hash60(F.col("tok"), salt=DSIR_SALT), F.lit(DSIR_BUCKETS))
+    )
+    raw = toks.groupBy("b").agg(F.count(F.lit(1)).alias("n_raw"))
+    tgt = (
+        toks.filter(F.col("lang") == DSIR_TARGET_LANG)
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("n_tgt"))
+    )
+    # totals via 1-row broadcast (never a driver collect of the corpus)
+    tot = toks.agg(
+        F.count(F.lit(1)).alias("t_raw"),
+        F.sum(
+            (F.col("lang") == DSIR_TARGET_LANG).cast("long")
+        ).alias("t_tgt"),
+    )
+    weights = (
+        raw.join(tgt, "b", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "b",
+            (
+                F.log(
+                    (F.coalesce(F.col("n_tgt"), F.lit(0)) + 1).cast("double")
+                    / (F.col("t_tgt") + DSIR_BUCKETS).cast("double")
+                )
+                - F.log(
+                    (F.col("n_raw") + 1).cast("double")
+                    / (F.col("t_raw") + DSIR_BUCKETS).cast("double")
+                )
+            ).alias("w"),
+        )
+    )
+    return (
+        toks.join(F.broadcast(weights), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_toks"),
+            # + 0.0 normalizes IEEE negative zero (-0.0 + 0.0 = +0.0):
+            # a score rounding to zero must hash identically in both
+            # engines regardless of the sign it approached from
+            (F.round(F.sum("w"), 4) + F.lit(0.0)).alias("dsir_score"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --- embedding-space decontamination --------------------------------
+CONTAM_EMB_SALT = 41   # eval/train split fate salt
+CONTAM_EMB_EPS = SEM_EPS   # same threshold, same verified margins
+
+
+def contamination_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space decontamination: flag every EVAL vector (a
+    deterministic ~10% hash split) whose cosine similarity to any
+    TRAIN vector in its k-means cluster reaches the threshold — the
+    semantic leak check run before training on a corpus that may
+    contain eval data (the embedding analogue of contamination_ngram).
+    The cluster id bounds the candidate pairs exactly as in
+    dedup_semantic_keep; at 100 TB the same ~100k-cluster scaling
+    keeps the verify linear. Output: one row per eval vector with its
+    neighbor count and max similarity."""
+    cents = _sem_centroids(spark, sf_dir)
+    vecs = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double(F.col("embedding")).alias("v")
+    )
+    cl, _dsq = assign_nearest(F.col("v"), cents)
+    fate = F.pmod(
+        hash60(F.col("vec_id").cast("string"), salt=CONTAM_EMB_SALT),
+        F.lit(10),
+    )
+    base = vecs.select(
+        "vec_id", "v", cl, (fate == 0).alias("is_eval")
+    ).withColumn("nv", l2_norm(F.col("v")))
+    ev = base.filter(F.col("is_eval")).select(
+        "cluster",
+        F.col("vec_id").alias("eval_id"),
+        F.col("v").alias("ve"),
+        F.col("nv").alias("ne"),
+    )
+    tr = base.filter(~F.col("is_eval")).select(
+        "cluster", F.col("v").alias("vt"), F.col("nv").alias("nt")
+    )
+    sim = F.round(
+        dot(F.col("ve"), F.col("vt")) / (F.col("ne") * F.col("nt")), 6
+    )
+    # LEFT join: an eval vector in a train-free cluster still reports
+    # (n_neighbors=0, max_sim NULL) — the round-12 alert-count lesson
+    hits = (
+        ev.join(tr, "cluster", "left")
+        .select("eval_id", "cluster", sim.alias("s"))
+        .groupBy("eval_id", "cluster")
+        .agg(
+            F.sum(
+                F.when(F.col("s") >= CONTAM_EMB_EPS, 1).otherwise(0)
+            ).alias("n_neighbors"),
+            F.round(F.max("s"), 4).alias("max_sim"),
+        )
+    )
+    return (
+        hits.select(
+            F.col("eval_id").alias("vec_id"),
+            "cluster",
+            (F.col("n_neighbors") > 0).alias("contaminated"),
+            "n_neighbors",
+            "max_sim",
+        )
+        .orderBy("vec_id")
+    )
+
+
 QUERIES = {
     "kmeans_clusters": kmeans_clusters,
     "dedup_semantic_keep": dedup_semantic_keep,
+    "dedup_semantic_stream": dedup_semantic_stream,
     "pack_sequences_greedy": pack_sequences_greedy,
     "quality_gopher_rules": quality_gopher_rules,
     "text_char_entropy": text_char_entropy,
+    "dsir_importance_scores": dsir_importance_scores,
+    "contamination_embedding": contamination_embedding,
 }
 
 
@@ -516,6 +686,44 @@ ORACLE = {
         FROM ranked r LEFT JOIN dropped d USING (vec_id)
         ORDER BY r.vec_id
     """,
+    "dedup_semantic_stream": f"""
+        WITH RECURSIVE {{KMEANS}},
+        ranked AS MATERIALIZED (
+            SELECT vec_id, k, list_transform(v, x -> x / nv) AS u,
+                   row_number() OVER (
+                       PARTITION BY k
+                       ORDER BY bord, dsq, vec_id) AS rn
+            FROM (
+                SELECT af.vec_id, af.k, af.v, af.dsq,
+                       sqrt(list_sum(
+                           list_transform(af.v, x -> x * x))) AS nv,
+                       CASE WHEN af.vec_id <= (
+                           SELECT (min(vec_id) + max(vec_id)) // 2
+                           FROM embeddings
+                       ) THEN 0 ELSE 1 END AS bord
+                FROM af
+            )
+        ),
+        rec AS (
+            SELECT k, rn, vec_id, u, TRUE AS kept, [u] AS kept_us
+            FROM ranked WHERE rn = 1
+            UNION ALL
+            SELECT t.k, t.rn, t.vec_id, t.u,
+                   list_max(list_transform(
+                       r.kept_us,
+                       kv -> round(list_dot_product(t.u, kv), 6)
+                   )) < {SEM_EPS} AS kept,
+                   CASE WHEN list_max(list_transform(
+                            r.kept_us,
+                            kv -> round(list_dot_product(t.u, kv), 6)
+                        )) < {SEM_EPS}
+                        THEN list_append(r.kept_us, t.u)
+                        ELSE r.kept_us END
+            FROM rec r JOIN ranked t
+              ON t.k = r.k AND t.rn = r.rn + 1
+        )
+        SELECT vec_id, k AS cluster, kept FROM rec ORDER BY vec_id
+    """,
     "pack_sequences_greedy": f"""
         WITH RECURSIVE t AS (
             SELECT shard, doc_id, toks,
@@ -612,3 +820,76 @@ def _entropy_sql() -> str:
 
 
 ORACLE["text_char_entropy"] = _entropy_sql()
+
+ORACLE["dsir_importance_scores"] = f"""
+    WITH toks AS MATERIALIZED (
+        SELECT doc_id, lang,
+               {_H60.format(x=f"tok || ':{DSIR_SALT}'")} % {DSIR_BUCKETS}
+                   AS b
+        FROM (
+            SELECT doc_id, lang, unnest({_TOKS_SQL}) AS tok
+            FROM documents
+        )
+    ),
+    tot AS (
+        SELECT count(*) AS t_raw,
+               sum(CASE WHEN lang = '{DSIR_TARGET_LANG}' THEN 1
+                        ELSE 0 END) AS t_tgt
+        FROM toks
+    ),
+    hist AS (
+        SELECT b, count(*) AS n_raw,
+               sum(CASE WHEN lang = '{DSIR_TARGET_LANG}' THEN 1
+                        ELSE 0 END) AS n_tgt
+        FROM toks GROUP BY b
+    ),
+    weights AS (
+        SELECT b,
+               ln((n_tgt + 1)::DOUBLE
+                  / (SELECT t_tgt + {DSIR_BUCKETS} FROM tot)::DOUBLE)
+               - ln((n_raw + 1)::DOUBLE
+                    / (SELECT t_raw + {DSIR_BUCKETS} FROM tot)::DOUBLE)
+                   AS w
+        FROM hist
+    )
+    SELECT t.doc_id, count(*)::BIGINT AS n_toks,
+           round(sum(w.w), 4) + 0.0 AS dsir_score
+    FROM toks t JOIN weights w USING (b)
+    GROUP BY t.doc_id ORDER BY t.doc_id
+"""
+
+
+def _contam_emb_sql() -> str:
+    fate = _H60.format(x=f"vec_id::VARCHAR || ':{CONTAM_EMB_SALT}'")
+    return f"""
+        WITH {_kmeans_ctes()},
+        base AS MATERIALIZED (
+            SELECT vec_id, v, k,
+                   ({fate}) % 10 = 0 AS is_eval,
+                   sqrt(list_dot_product(v, v)) AS nv
+            FROM af
+        ),
+        pairs AS (
+            SELECT e.vec_id AS eval_id, e.k,
+                   round(list_dot_product(e.v, t.v) / (e.nv * t.nv), 6)
+                       AS s
+            FROM (SELECT * FROM base WHERE is_eval) e
+            LEFT JOIN (SELECT * FROM base WHERE NOT is_eval) t
+              ON e.k = t.k
+        )
+        SELECT eval_id AS vec_id, k AS cluster,
+               (sum(CASE WHEN s >= {CONTAM_EMB_EPS} THEN 1 ELSE 0 END)
+                   > 0) AS contaminated,
+               sum(CASE WHEN s >= {CONTAM_EMB_EPS} THEN 1
+                        ELSE 0 END)::BIGINT AS n_neighbors,
+               round(max(s), 4) AS max_sim
+        FROM pairs GROUP BY eval_id, k ORDER BY vec_id
+    """
+
+
+ORACLE["contamination_embedding"] = _contam_emb_sql()
+# the {KMEANS} placeholder keeps the f-string free of the CTE chain's
+# literal braces; substitute after construction
+ORACLE["dedup_semantic_stream"] = ORACLE["dedup_semantic_stream"].replace(
+    "{KMEANS}", _kmeans_ctes()
+)

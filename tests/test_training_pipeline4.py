@@ -210,6 +210,95 @@ class TestGopherRules:
         assert sum(r.n_pass for r in rows) > 0
 
 
+class TestDsir:
+    def test_matches_python_reference(self, spark, sf_dir):
+        import math as m
+
+        from postgres_opensearch_cdc_spark.registry import load_table
+
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "lang", "text"
+        ).collect()
+        B, S = tp4.DSIR_BUCKETS, tp4.DSIR_SALT
+        per_doc, raw, tgt = {}, {}, {}
+        t_raw = t_tgt = 0
+        for r in docs:
+            bs = [
+                _hash60(f"{w}:{S}") % B for w in r.text.lower().split()
+            ]
+            per_doc[r.doc_id] = bs
+            for b in bs:
+                raw[b] = raw.get(b, 0) + 1
+                t_raw += 1
+                if r.lang == tp4.DSIR_TARGET_LANG:
+                    tgt[b] = tgt.get(b, 0) + 1
+                    t_tgt += 1
+        w = {
+            b: m.log((tgt.get(b, 0) + 1) / (t_tgt + B))
+            - m.log((raw[b] + 1) / (t_raw + B))
+            for b in raw
+        }
+        got = {
+            r.doc_id: (r.n_toks, r.dsir_score)
+            for r in tp4.dsir_importance_scores(spark, sf_dir).collect()
+        }
+        assert set(got) == set(per_doc)
+        for d, bs in per_doc.items():
+            assert got[d][0] == len(bs)
+            assert got[d][1] == pytest.approx(
+                round(sum(w[b] for b in bs), 4), abs=2e-3
+            )
+
+    def test_target_language_scores_higher(self, spark, sf_dir):
+        from postgres_opensearch_cdc_spark.registry import load_table
+
+        scores = tp4.dsir_importance_scores(spark, sf_dir)
+        langs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "lang"
+        )
+        from pyspark.sql import functions as F
+
+        rows = (
+            scores.join(langs, "doc_id")
+            .groupBy(
+                (F.col("lang") == tp4.DSIR_TARGET_LANG).alias("is_tgt")
+            )
+            .agg(F.avg("dsir_score").alias("m"))
+            .collect()
+        )
+        m = {r.is_tgt: r.m for r in rows}
+        assert m[True] > m[False]
+
+
+class TestContaminationEmbedding:
+    def test_matches_reference_model(self, spark, sf_dir):
+        ids, V = _load_vectors(spark, sf_dir)
+        _, assign, _ = _reference_kmeans(ids, V)
+        Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+        is_eval = {
+            int(v): _hash60(f"{v}:{tp4.CONTAM_EMB_SALT}") % 10 == 0
+            for v in ids
+        }
+        expect = {}
+        for i, vid in enumerate(ids):
+            if not is_eval[int(vid)]:
+                continue
+            k = int(assign[i])
+            tr = [
+                j for j, vj in enumerate(ids)
+                if int(assign[j]) == k and not is_eval[int(vj)]
+            ]
+            sims = [round(float(Vn[i] @ Vn[j]), 6) for j in tr]
+            n = sum(s >= tp4.CONTAM_EMB_EPS for s in sims)
+            expect[int(vid)] = (k, n > 0, n)
+        got = {
+            r.vec_id: (r.cluster, r.contaminated, r.n_neighbors)
+            for r in tp4.contamination_embedding(spark, sf_dir).collect()
+        }
+        assert got == expect
+        assert len(got) > 0
+
+
 class TestCharEntropy:
     def test_matches_python_reference(self, spark, sf_dir):
         from postgres_opensearch_cdc_spark.registry import load_table
