@@ -104,6 +104,39 @@ class TestSemanticDedup:
         kept = [v[1] for v in got.values()]
         assert any(kept) and not all(kept)
 
+    def test_arrow_assignment_equals_literal_form(self, spark, sf_dir):
+        """The large-K Arrow assignment path (numpy matmul per batch)
+        must agree with the literal-expression form the oracle checks:
+        identical clusters everywhere, distances equal up to the
+        expanded-form float noise (~1e-9), far under the measured
+        argmin margins (2.5e-5)."""
+        from pyspark.sql import functions as F
+
+        from postgres_opensearch_cdc_spark.functions.similarity import (
+            _as_double,
+            assign_nearest,
+            assign_nearest_arrow,
+        )
+        from postgres_opensearch_cdc_spark.registry import load_table
+
+        cents = tp4._sem_centroids(spark, sf_dir)
+        vecs = load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", _as_double(F.col("embedding")).alias("v")
+        )
+        cl, dsq = assign_nearest(F.col("v"), cents)
+        lit = {
+            r.vec_id: (r.cluster, r.dsq)
+            for r in vecs.select("vec_id", cl, dsq).collect()
+        }
+        arr = {
+            r.vec_id: (r.cluster, r.dsq)
+            for r in assign_nearest_arrow(vecs, cents).collect()
+        }
+        assert set(lit) == set(arr)
+        for vid in lit:
+            assert lit[vid][0] == arr[vid][0]
+            assert arr[vid][1] == pytest.approx(lit[vid][1], abs=1e-8)
+
     def test_rank_one_member_always_kept(self, spark, sf_dir):
         rows = tp4.dedup_semantic_keep(spark, sf_dir).collect()
         ids, V = _load_vectors(spark, sf_dir)

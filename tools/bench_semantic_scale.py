@@ -174,6 +174,48 @@ def main() -> None:
         out.append(rec)
         vecs.unpersist()
 
+    # large-K assignment: literal-expression vs Arrow-matmul path
+    from postgres_opensearch_cdc_spark.functions.similarity import (
+        assign_nearest_arrow,
+    )
+
+    vecs = synth_vectors(spark, 20_000).localCheckpoint()
+    seeds = (
+        vecs.orderBy(
+            hash60(F.col("vec_id").cast("string"), salt=tp4.SEM_SALT),
+            "vec_id",
+        )
+        .limit(80)
+        .collect()
+    )
+    cents80 = [[round(float(x), 6) for x in r.v] for r in seeds]
+    for label, fn in [
+        (
+            "literal-expr",
+            lambda: vecs.select(
+                "vec_id", *tp4._assign_cols(F.col("v"), cents80)
+            ).groupBy("cluster").count().count(),
+        ),
+        (
+            "arrow-matmul",
+            lambda: assign_nearest_arrow(vecs, cents80)
+            .groupBy("cluster").count().count(),
+        ),
+    ]:
+        fn()  # warm (codegen/compile)
+        t0 = time.monotonic()
+        fn()
+        rec = {
+            "bench": "assignment_k80",
+            "config": label,
+            "n_vecs": 20_000,
+            "k": 80,
+            "assign_sec_warm": round(time.monotonic() - t0, 3),
+        }
+        print(json.dumps(rec), flush=True)
+        out.append(rec)
+    vecs.unpersist()
+
     for label, n, shards in [("1x", 50_000, 64), ("10x", 500_000, 64),
                              ("10x-moreshards", 500_000, 640)]:
         docs = synth_docs(spark, n).localCheckpoint()
