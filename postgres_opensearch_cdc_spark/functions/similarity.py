@@ -61,6 +61,7 @@ def assign_nearest_arrow(
     centroids: list[list[float]],
     id_col: str = "vec_id",
     vec_col: str = "v",
+    keep_vec: bool = False,
 ) -> DataFrame:
     """(id, cluster, dsq) for every vector via one Arrow-batched
     mapInPandas pass — the LARGE-K assignment path. The literal-
@@ -86,24 +87,88 @@ def assign_nearest_arrow(
                 [np.asarray(x, dtype=np.float64) for x in pdf[vec_col]]
             )
             if len(V) == 0:
-                yield pd.DataFrame(
-                    {id_col: [], "cluster": [], "dsq": []}
-                ).astype({id_col: "int64", "cluster": "int32",
-                          "dsq": "float64"})
+                out = pd.DataFrame(
+                    {id_col: pd.Series([], dtype="int64"),
+                     "cluster": pd.Series([], dtype="int32"),
+                     "dsq": pd.Series([], dtype="float64")}
+                )
+                if keep_vec:
+                    out[vec_col] = pd.Series([], dtype="object")
+                yield out
                 continue
             d = (V * V).sum(axis=1)[:, None] - 2.0 * (V @ C.T) + cn[None, :]
             k = d.argmin(axis=1)
-            yield pd.DataFrame(
+            out = pd.DataFrame(
                 {
                     id_col: pdf[id_col].values,
                     "cluster": k.astype("int32"),
                     "dsq": d[np.arange(len(V)), k],
                 }
             )
+            if keep_vec:
+                out[vec_col] = pdf[vec_col].values
+            yield out
 
-    return df.select(id_col, vec_col).mapInPandas(
-        assign, schema=f"{id_col} long, cluster int, dsq double"
+    schema = f"{id_col} long, cluster int, dsq double"
+    if keep_vec:
+        schema += f", {vec_col} array<double>"
+    return df.select(id_col, vec_col).mapInPandas(assign, schema=schema)
+
+
+def fit_kmeans_arrow(
+    df: DataFrame,
+    k: int,
+    iterations: int,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+    seed_salt: int = 11,
+) -> list[list[float]]:
+    """Distributed Lloyd's k-means with the Arrow assignment path —
+    the LARGE-K form of the oracle-checked literal-expression fit
+    (queries/training_pipeline4.py:_sem_centroids): identical seeding
+    (k smallest portable hash60(id:salt)), identical 6 dp centroid
+    rounding and empty-cell guard, but each iteration's assignment is
+    one numpy matmul per Arrow batch instead of K fold-expressions
+    per row. Per iteration the driver sees K x dim doubles each way;
+    the recompute is a (cluster, dim)-keyed partial mean, map-side
+    combined. Decision-identical to the literal fit at any K where
+    both run (equality-tested); at production K only this form is
+    plannable."""
+    from pyspark.sql import functions as F
+
+    from postgres_opensearch_cdc_spark.functions.dedup import hash60
+
+    seeds = (
+        df.orderBy(
+            hash60(F.col(id_col).cast("string"), salt=seed_salt), id_col
+        )
+        .limit(k)
+        .collect()
     )
+    cents = [[round(float(x), 6) for x in r[vec_col]] for r in seeds]
+    for _ in range(iterations):
+        assigned = assign_nearest_arrow(
+            df, cents, id_col=id_col, vec_col=vec_col, keep_vec=True
+        )
+        rows = (
+            assigned.select(
+                "cluster", F.posexplode(F.col(vec_col)).alias("dim", "val")
+            )
+            .groupBy("cluster", "dim")
+            .agg(F.avg("val").alias("m"))
+            .groupBy("cluster")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "m"))),
+                    lambda s: s["m"],
+                ).alias("c")
+            )
+            .collect()
+        )
+        new = {int(r.cluster): [round(float(x), 6) for x in r.c] for r in rows}
+        cents = [new.get(i, cents[i]) for i in range(k)]
+    return cents
 
 
 def assign_nearest(v: Column, centroids: list[list[float]]):

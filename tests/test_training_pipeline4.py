@@ -137,6 +137,29 @@ class TestSemanticDedup:
             assert lit[vid][0] == arr[vid][0]
             assert arr[vid][1] == pytest.approx(lit[vid][1], abs=1e-8)
 
+    def test_arrow_fit_decision_identical_to_literal_fit(self, spark, sf_dir):
+        """fit_kmeans_arrow (the large-K Lloyd form) must reproduce the
+        literal-expression fit's centroids exactly: same seeding, same
+        6 dp rounding, same empty-cell guard — only the assignment
+        kernel differs, and its decisions match at every test SF."""
+        from pyspark.sql import functions as F
+
+        from postgres_opensearch_cdc_spark.functions.similarity import (
+            _as_double,
+            fit_kmeans_arrow,
+        )
+        from postgres_opensearch_cdc_spark.registry import load_table
+
+        lit = tp4._sem_centroids(spark, sf_dir)
+        vecs = load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", _as_double(F.col("embedding")).alias("v")
+        )
+        arr = fit_kmeans_arrow(
+            vecs, k=tp4.SEM_K, iterations=tp4.SEM_ITERS,
+            seed_salt=tp4.SEM_SALT,
+        )
+        assert arr == lit
+
     def test_rank_one_member_always_kept(self, spark, sf_dir):
         rows = tp4.dedup_semantic_keep(spark, sf_dir).collect()
         ids, V = _load_vectors(spark, sf_dir)

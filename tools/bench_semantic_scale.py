@@ -177,7 +177,22 @@ def main() -> None:
     # large-K assignment: literal-expression vs Arrow-matmul path
     from postgres_opensearch_cdc_spark.functions.similarity import (
         assign_nearest_arrow,
+        fit_kmeans_arrow,
     )
+
+    vecs80 = synth_vectors(spark, 20_000).localCheckpoint()
+    t0 = time.monotonic()
+    fit_kmeans_arrow(vecs80, k=80, iterations=2, seed_salt=tp4.SEM_SALT)
+    rec = {
+        "bench": "semantic_dedup",
+        "config": "10x-scaledK-arrowfit",
+        "n_vecs": 20_000,
+        "k": 80,
+        "fit_sec_2iters": round(time.monotonic() - t0, 3),
+    }
+    print(json.dumps(rec), flush=True)
+    out.append(rec)
+    vecs80.unpersist()
 
     vecs = synth_vectors(spark, 20_000).localCheckpoint()
     seeds = (
