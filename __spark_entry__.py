@@ -37,6 +37,7 @@ from postgres_opensearch_cdc_spark.queries import (
     training_pipeline2,
     training_pipeline3,
     training_pipeline4,
+    training_pipeline5,
     windows_pivot,
 )
 
@@ -54,6 +55,7 @@ _MODULES = [
     training_pipeline2,
     training_pipeline3,
     training_pipeline4,
+    training_pipeline5,
     timeseries,
     timeseries2,
     querydsl_aggs,
@@ -91,6 +93,13 @@ _MODULES = [
 # (d) the first 28 of the 48 rows last checked r6 — 50 total.
 _PRIORITY = [
     # (a) NEW this round (round 12) — never driver-checked
+    # (a3) the round-12 batch-5 entries: WordPiece-objective merge
+    # training (unrolled-iteration oracle, the BPE pattern), CCNet
+    # perplexity tertiles (integer micro-nat scores + distributed
+    # rank), winnowing fingerprints (MOSS), perceptual-hash groups
+    # over the Arrow multimodal path
+    "wordpiece_train_scores", "quality_ccnet_buckets",
+    "fingerprint_winnowing", "multimodal_ahash_groups",
     # (a2) the round-12 extension batch: semantic dedup (k-means fit
     # value-checked via unrolled Lloyd iterations + SemDeDup prune),
     # greedy sequence packing (recursive-CTE oracle), Gopher-style
@@ -120,8 +129,13 @@ _PRIORITY = [
     "adjacency_matrix_agg", "dedup_cc_clusters", "dedup_cc_survivors",
 ]
 
+# With the 4 batch-5 entries prepended, the last 4 rows of block (d)
+# (ts_hierarchical_rollup, adjacency_matrix_agg, dedup_cc_clusters,
+# dedup_cc_survivors) fall outside the 50-row window — they move to
+# the FRONT of the round-13 re-check queue.
 # Round-13 rotation TODO: any entries added after this round-12 window
-# froze outrank re-checks; then the remaining 28 r6-era rows in r6
+# froze outrank re-checks; then the 4 (d)-block rows displaced above;
+# then the remaining 28 r6-era rows in r6
 # order (extended_stats_agg, derivative_agg, stats_bucket_agg,
 # percentiles_bucket_agg, max_bucket_day, bucket_sort_agg,
 # bucket_selector_agg, normalize_pct_agg, rate_agg, geo_centroid_agg,

@@ -97,6 +97,76 @@ def _pair_counts(sym: DataFrame) -> DataFrame:
     )
 
 
+def _symbol_counts(sym: DataFrame) -> DataFrame:
+    """Weighted per-symbol occurrence counts over the symbolized
+    table — the denominator of the WordPiece likelihood score. One
+    explode + (symbol)-keyed partial agg, map-side combined."""
+    return (
+        sym.select(
+            "cnt", F.explode(F.split(F.trim(F.col("s")), " ")).alias("tok")
+        )
+        .groupBy("tok")
+        .agg(F.sum("cnt").alias("tc"))
+    )
+
+
+def wordpiece_train(docs: DataFrame, text_col: str, num_merges: int = 8,
+                    min_freq: int = 1
+                    ) -> list[tuple[int, str, str, float]]:
+    """WordPiece-objective merge training (Schuster & Nakajima 2012;
+    the BERT tokenizer recipe): identical loop shape to ``bpe_train``
+    but each iteration picks the pair maximizing the LIKELIHOOD score
+    count(l,r) / (count(l) * count(r)) instead of the raw pair count —
+    the greedy step that maximizes the corpus LM likelihood gain of
+    the merged unit. Returns [(rank, left, right, score)].
+
+    Determinism contract: the score is one IEEE double division of
+    two exact int64s (count(l,r) cast to double, divided by the int64
+    product count(l)*count(r)) — both engines compute the identical
+    double from identical integers, so the argmax (score desc, l, r)
+    is value-checkable in DuckDB by unrolling the iterations exactly
+    like the BPE oracle. Merge application is the same sentinel-padded
+    single-pass literal replace as BPE (see module docstring for the
+    defined run semantics).
+
+    Scale shape: same as ``bpe_train`` — one corpus scan up front,
+    then per-iteration jobs over the ~|vocab|-row symbol table (pair
+    counts + symbol counts + a 2-way broadcastable join + a 1-row
+    argmax). The driver-loop production variant of bpe_train_local
+    applies unchanged if merge counts grow."""
+    sym = _symbolized(word_frequency(docs, text_col)).localCheckpoint(
+        eager=True
+    )
+    merges: list[tuple[int, str, str, float]] = []
+    for rank in range(num_merges):
+        counts = _symbol_counts(sym)
+        top = (
+            _pair_counts(sym)
+            .join(counts.withColumnRenamed("tok", "l")
+                        .withColumnRenamed("tc", "lc"), "l")
+            .join(counts.withColumnRenamed("tok", "r")
+                        .withColumnRenamed("tc", "rc"), "r")
+            .withColumn(
+                "score",
+                F.col("total").cast("double") / (F.col("lc") * F.col("rc")),
+            )
+            .orderBy(F.col("score").desc(), "l", "r")
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0]["total"] < min_freq:
+            break
+        l, r, score = top[0]["l"], top[0]["r"], top[0]["score"]
+        merges.append((rank, l, r, score))
+        sym = sym.select(
+            "cnt",
+            F.replace(
+                F.col("s"), F.lit(f" {l} {r} "), F.lit(f" {l}{r} ")
+            ).alias("s"),
+        ).localCheckpoint(eager=True)
+    return merges
+
+
 def bpe_train(docs: DataFrame, text_col: str, num_merges: int = 8,
               min_freq: int = 1) -> list[tuple[int, str, str]]:
     """Learn ``num_merges`` BPE merges over the corpus; returns

@@ -1,0 +1,516 @@
+"""Training-data pipeline batch 5 (round 12): WordPiece-objective
+tokenizer training, CCNet-style perplexity bucketing, winnowing
+document fingerprints (the MOSS algorithm), and perceptual-hash
+dedup groups over the multimodal plumbing — four more published
+dataset-construction stages a pretraining pipeline runs (absent from
+the reference; SURVEY §2.7 extension class alongside batches 1-4).
+
+Scale shapes:
+- WordPiece training has the same shape as BPE training
+  (functions/bpe.py): one corpus scan builds the distinct-word
+  frequency table; each merge iteration runs over the ~|vocab|-row
+  symbol table only (pair counts + symbol counts + a broadcastable
+  2-way join + a 1-row argmax).
+- CCNet bucketing is two count shuffles (bigram / prefix, both
+  Zipf-bounded) + one doc-keyed agg + the distributed global-rank
+  construction (functions/ranking.py — one range shuffle, offsets
+  collected at #partitions rows); no single-partition window.
+- winnowing is scan-stage gram hashing, a w-fold position explode, a
+  (doc, window)-partitioned argmin window, then hash-keyed grouping;
+  the pair expansion is bounded by the per-hash doc-frequency cap
+  (the hot-band-cap pattern from functions/dedup.py LSH).
+- the perceptual hash consumes the REAL Arrow mapInPandas feature
+  path (functions/multimodal.py) and reduces to a 16-bit integer per
+  item before the only shuffle (the group-by).
+
+Determinism contract: every score the engines compare is either pure
+int64 arithmetic (winnowing hashes via md5-backed hash60; aHash bits
+via integer cross-multiplication; CCNet per-doc scores as exact
+integer sums of per-bigram micro-nat quanta) or ONE IEEE double op on
+identical integers (the WordPiece score division) — so every entry is
+value-checked in DuckDB, including the unrolled WordPiece merge
+decisions (the BPE-oracle pattern, training_pipeline3.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from postgres_opensearch_cdc_spark.functions.bpe import (
+    merges_frame,
+    wordpiece_train,
+)
+from postgres_opensearch_cdc_spark.functions.dedup import hash60
+from postgres_opensearch_cdc_spark.functions.ranking import with_global_rank
+from postgres_opensearch_cdc_spark.registry import load_table
+
+WP_MERGES = 8       # WordPiece merges learned (production: 30k; the
+                    # bpe_train_local driver-loop pattern applies)
+
+WIN_K = 3           # winnowing: tokens per k-gram
+WIN_W = 4           # winnowing: window size in gram positions
+WIN_CAP = 50        # per-hash doc-frequency cap (hot-hash guard)
+WIN_MIN_SHARED = 2  # report pairs sharing at least this many prints
+
+CCNET_BUCKETS = ("head", "middle", "tail")
+
+_TOKS_SQL = r"regexp_split_to_array(lower(text), '\s+')"
+
+
+# ---------------------------------------------------------------------------
+# WordPiece-objective merge training
+# ---------------------------------------------------------------------------
+
+_WP_CACHE: dict[tuple, list] = {}
+
+
+def _wp_merges(spark: SparkSession, sf_dir: str) -> list:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _WP_CACHE:
+        _WP_CACHE[key] = wordpiece_train(
+            load_table(spark, sf_dir, "documents"), "text",
+            num_merges=WP_MERGES,
+        )
+    return _WP_CACHE[key]
+
+
+def wordpiece_train_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn the first 8 WordPiece merges (Schuster & Nakajima 2012;
+    the BERT tokenizer): per iteration the pair maximizing
+    count(l,r)/(count(l)*count(r)) — the likelihood-gain objective —
+    instead of BPE's raw count. The oracle unrolls every iteration in
+    DuckDB (pair counts, symbol counts, the score division, the
+    (score desc, l, r) tie-break, the literal-replace merge), so the
+    MERGE DECISIONS and their scores are value-checked, not just the
+    final vocabulary. Output score is scaled to 1e9 so the harness's
+    6-dp float normalization keeps meaningful digits."""
+    rows = [(rank, l, r, l + r, score * 1e9)
+            for rank, l, r, score in _wp_merges(spark, sf_dir)]
+    return spark.createDataFrame(
+        rows,
+        "rank int, left string, right string, merged string, "
+        "score_1e9 double",
+    ).orderBy("rank")
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style perplexity bucketing (head / middle / tail)
+# ---------------------------------------------------------------------------
+
+
+def quality_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity split (Wenzek et al. 2020): score every
+    document with the corpus bigram LM (mean -ln p(w2|w1), as in
+    quality_bigram_lm) and split the corpus into equal head / middle /
+    tail thirds by score rank — the head (lowest perplexity) is what
+    CCNet keeps for pretraining. Output: per (bucket, source) doc
+    counts and score stats, the audit a curation run reports.
+
+    Exactness: each bigram's -ln p is quantized to integer micro-nats
+    (ROUND(x*1e6) — both engines round the identical double the same
+    way for positives), per-doc and per-bucket means are exact integer
+    sums divided once, and the global rank is the distributed
+    two-phase construction (functions/ranking.py) with doc_id
+    tie-break — no float-summation-order noise anywhere in the
+    bucketing decision. Docs with fewer than two tokens have no
+    bigrams and are excluded (CCNet drops them upstream)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = docs.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.expr(
+                "arrays_zip(slice(split(lower(text), '\\\\s+'), 1, "
+                "size(split(lower(text), '\\\\s+')) - 1), "
+                "slice(split(lower(text), '\\\\s+'), 2, "
+                "size(split(lower(text), '\\\\s+')) - 1))"
+            )
+        ).alias("s"),
+    ).select(
+        "doc_id",
+        "source",
+        F.col("s.0").alias("prev"),
+        F.concat(F.col("s.0"), F.lit(" "), F.col("s.1")).alias("bigram"),
+    )
+    b_cnt = pairs.groupBy("bigram").agg(F.count(F.lit(1)).alias("bc"))
+    p_cnt = pairs.groupBy("prev").agg(F.count(F.lit(1)).alias("pc"))
+    scored = (
+        pairs.join(b_cnt, "bigram")
+        .join(p_cnt, "prev")
+        .withColumn(
+            "q",
+            F.round(-F.log(F.col("bc") / F.col("pc")) * 1e6, 0)
+            .cast("long"),
+        )
+    )
+    per_doc = scored.groupBy("doc_id", "source").agg(
+        F.sum("q").alias("sum_q"),
+        F.count(F.lit(1)).alias("n_bg"),
+    ).withColumn("doc_nlp_e6", F.col("sum_q") / F.col("n_bg"))
+    ranked, n = with_global_rank(
+        per_doc, ["doc_nlp_e6", "doc_id"], "rk"
+    )
+    bucket = (
+        F.when(F.col("rk") * 3 <= n, F.lit("head"))
+        .when(F.col("rk") * 3 <= 2 * n, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return (
+        ranked.withColumn("bucket", bucket)
+        .groupBy("bucket", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            (F.sum("sum_q") / F.sum("n_bg")).alias("mean_nlp_e6"),
+            F.min("doc_nlp_e6").alias("min_nlp_e6"),
+            F.max("doc_nlp_e6").alias("max_nlp_e6"),
+        )
+        .orderBy("bucket", "source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (Schleimer, Wilkerson & Aiken 2003 — MOSS)
+# ---------------------------------------------------------------------------
+
+
+def fingerprint_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints: hash every {WIN_K}-token gram,
+    slide a {WIN_W}-gram window, and select each window's minimal hash
+    (rightmost on ties — robust winnowing), guaranteeing any shared
+    run of WIN_W+WIN_K-1 tokens yields a shared fingerprint. Reports
+    document pairs sharing >= {WIN_MIN_SHARED} distinct selected
+    hashes — the local-similarity detector (MOSS) that catches
+    partial-overlap near-duplicates full-document sketches miss.
+
+    Scale: gram hashing is scan-stage (portable hash60, int64-only);
+    the window argmin is a (doc, window)-partitioned window function
+    (never a global sort); fingerprints shrink the corpus ~1/w before
+    the only wide op; the pair expansion is capped at {WIN_CAP} docs
+    per hash (boilerplate-hash guard — the LSH hot-band-cap pattern,
+    functions/dedup.py), keeping the join output linear in corpus
+    size. Docs shorter than {WIN_K} tokens have no grams and drop
+    out, matching the oracle."""
+    return winnow_shared_pairs(load_table(spark, sf_dir, "documents"))
+
+
+def winnow_shared_pairs(docs: DataFrame) -> DataFrame:
+    """The winnowing pipeline over any (doc_id, text) frame — see
+    fingerprint_winnowing for semantics and scale notes."""
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), r"\s+"),
+        lambda w: F.length(w) > 0,
+    )
+    base = docs.select("doc_id", toks.alias("t")).filter(
+        F.size("t") >= WIN_K
+    )
+    zipped = F.arrays_zip(
+        F.slice("t", 1, F.size("t") - (WIN_K - 1)).alias("a"),
+        F.slice("t", 2, F.size("t") - (WIN_K - 1)).alias("b"),
+        F.slice("t", 3, F.size("t") - (WIN_K - 1)).alias("c"),
+    )
+    grams = base.select(
+        "doc_id",
+        (F.size("t") - (WIN_K - 1)).alias("ng"),
+        F.posexplode(zipped).alias("pos", "g"),
+    ).select(
+        "doc_id",
+        "ng",
+        "pos",
+        hash60(
+            F.concat_ws(" ", F.col("g.a"), F.col("g.b"), F.col("g.c"))
+        ).alias("h"),
+    )
+    wins = grams.select(
+        "doc_id",
+        "pos",
+        "h",
+        F.explode(
+            F.sequence(
+                F.greatest(F.col("pos") - (WIN_W - 1), F.lit(0)),
+                F.least(
+                    F.col("pos"),
+                    F.greatest(F.col("ng") - WIN_W, F.lit(0)),
+                ),
+            )
+        ).alias("s"),
+    )
+    sel = Window.partitionBy("doc_id", "s").orderBy(
+        F.col("h").asc(), F.col("pos").desc()
+    )
+    fp = (
+        wins.withColumn("rn", F.row_number().over(sel))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "h")
+        .distinct()
+    )
+    ok = (
+        fp.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter((F.col("df") >= 2) & (F.col("df") <= WIN_CAP))
+        .select("h")
+    )
+    a = fp.join(ok, "h").select("h", F.col("doc_id").alias("doc_a"))
+    b = fp.join(ok, "h").select("h", F.col("doc_id").alias("doc_b"))
+    return (
+        a.join(b, "h")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= WIN_MIN_SHARED)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Perceptual-hash dedup groups over the multimodal plumbing
+# ---------------------------------------------------------------------------
+
+
+def multimodal_ahash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash (aHash) dedup groups over media payloads: run
+    the REAL Arrow mapInPandas feature path (functions/multimodal.py
+    extract_features — deterministic fake decoder, per the declared
+    codec stub), derive a 16-bit average-hash (bit i set iff feature i
+    exceeds the feature mean) and group identical hashes per kind —
+    the exact-pHash dedup stage an image pipeline runs before
+    embedding-level near-dup. Only the 16-bit ints reach the shuffle;
+    payloads never leave the narrow mapInPandas stage.
+
+    Bit decisions are integer cross-multiplied (16*f_i > sum(f), with
+    f_i the decoder's exact micro-unit histogram ratios recovered from
+    the float32 feature — |roundtrip error| < 0.07 micro-units, far
+    under the 1-unit decision grid), so DuckDB reproduces every hash
+    from the raw bytes."""
+    from postgres_opensearch_cdc_spark.functions.multimodal import (
+        media_from_documents,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        ahash_table(media_from_documents(docs))
+        .groupBy("kind", "ahash")
+        .agg(
+            F.count(F.lit(1)).alias("n_media"),
+            F.min("media_id").alias("rep_id"),
+        )
+        .filter(F.col("n_media") >= 2)
+        .orderBy("kind", "ahash")
+    )
+
+
+def ahash_table(media: DataFrame) -> DataFrame:
+    """(media_id, kind, ahash) over any media frame — the 16-bit
+    integer average-hash derived from the Arrow feature path; see
+    multimodal_ahash_groups for the exactness argument."""
+    from postgres_opensearch_cdc_spark.functions.multimodal import (
+        FEATURE_DIM,
+        extract_features,
+    )
+
+    feats = extract_features(media)
+    fints = [
+        F.round(F.element_at("features", i + 1).cast("double") * 1e6, 0)
+        .cast("long")
+        .alias(f"f{i}")
+        for i in range(FEATURE_DIM)
+    ]
+    staged = feats.select("media_id", "kind", *fints)
+    tot = sum(F.col(f"f{i}") for i in range(FEATURE_DIM))
+    ahash = sum(
+        F.when(F.col(f"f{i}") * FEATURE_DIM > tot, F.lit(1 << i))
+        .otherwise(F.lit(0))
+        for i in range(FEATURE_DIM)
+    )
+    return staged.withColumn("ahash", ahash.cast("long")).select(
+        "media_id", "kind", "ahash"
+    )
+
+
+QUERIES = {
+    "wordpiece_train_scores": wordpiece_train_scores,
+    "quality_ccnet_buckets": quality_ccnet_buckets,
+    "fingerprint_winnowing": fingerprint_winnowing,
+    "multimodal_ahash_groups": multimodal_ahash_groups,
+}
+
+
+# ---------------------------------------------------------------------------
+# Oracles
+# ---------------------------------------------------------------------------
+
+
+def _wp_train_ctes(n: int) -> str:
+    # AS MATERIALIZED throughout, exactly like the BPE oracle
+    # (training_pipeline3.py): each stage is referenced several times
+    # and DuckDB would otherwise inline the chain exponentially.
+    parts = [f"""wf AS MATERIALIZED (
+        SELECT w, COUNT(*) AS cnt FROM (
+            SELECT unnest({_TOKS_SQL}) AS w FROM documents
+        ) WHERE length(w) > 0 GROUP BY w
+    ),
+    s0 AS MATERIALIZED (
+        SELECT cnt,
+               ' ' || array_to_string(string_split(w, ''), ' ') || ' ' AS s
+        FROM wf
+    )"""]
+    for i in range(1, n + 1):
+        parts.append(f"""p{i} AS MATERIALIZED (
+        SELECT toks[i+1] AS l, toks[i+2] AS r, SUM(cnt) AS total
+        FROM (SELECT cnt, string_split(trim(s), ' ') AS toks FROM s{i-1}),
+             UNNEST(range(len(toks) - 1)) AS u(i)
+        GROUP BY 1, 2
+    ),
+    c{i} AS MATERIALIZED (
+        SELECT tok, SUM(cnt) AS tc FROM (
+            SELECT cnt, unnest(string_split(trim(s), ' ')) AS tok
+            FROM s{i-1}
+        ) GROUP BY tok
+    ),
+    m{i} AS MATERIALIZED (
+        SELECT l, r, total::DOUBLE / (cl.tc * cr.tc) AS sc
+        FROM p{i}
+        JOIN c{i} cl ON cl.tok = p{i}.l
+        JOIN c{i} cr ON cr.tok = p{i}.r
+        ORDER BY sc DESC, l, r LIMIT 1
+    ),
+    s{i} AS MATERIALIZED (
+        SELECT cnt, replace(s,
+            ' ' || (SELECT l FROM m{i}) || ' ' || (SELECT r FROM m{i}) || ' ',
+            ' ' || (SELECT l FROM m{i}) || (SELECT r FROM m{i}) || ' ') AS s
+        FROM s{i-1}
+    )""")
+    return ",\n    ".join(parts)
+
+
+def _wp_train_sql(n: int) -> str:
+    rows = "\n        UNION ALL ".join(
+        f"SELECT {i - 1} AS \"rank\", l AS \"left\", r AS \"right\", "
+        f"l || r AS merged, sc * 1e9 AS score_1e9 FROM m{i}"
+        for i in range(1, n + 1)
+    )
+    return f"""
+    WITH {_wp_train_ctes(n)}
+    SELECT * FROM (
+        {rows}
+    ) ORDER BY "rank"
+"""
+
+
+_CCNET_SQL = f"""
+    WITH pr AS (
+        SELECT doc_id, source,
+               toks[i+1] AS prev,
+               toks[i+1] || ' ' || toks[i+2] AS bigram
+        FROM (SELECT doc_id, source, {_TOKS_SQL} AS toks FROM documents),
+             UNNEST(range(len(toks) - 1)) AS u(i)
+    ),
+    bc AS (SELECT bigram, COUNT(*) AS bc FROM pr GROUP BY bigram),
+    pc AS (SELECT prev, COUNT(*) AS pc FROM pr GROUP BY prev),
+    q AS (
+        SELECT pr.doc_id, pr.source,
+               ROUND(-LN(bc.bc::DOUBLE / pc.pc) * 1e6)::BIGINT AS q
+        FROM pr JOIN bc USING (bigram) JOIN pc USING (prev)
+    ),
+    d AS (
+        SELECT doc_id, source, SUM(q)::BIGINT AS sum_q,
+               COUNT(*) AS n_bg,
+               SUM(q)::BIGINT / COUNT(*) AS doc_nlp_e6
+        FROM q GROUP BY doc_id, source
+    ),
+    r AS (
+        SELECT *,
+               ROW_NUMBER() OVER (ORDER BY doc_nlp_e6, doc_id) AS rk,
+               COUNT(*) OVER () AS n
+        FROM d
+    )
+    SELECT CASE WHEN rk * 3 <= n THEN 'head'
+                WHEN rk * 3 <= 2 * n THEN 'middle'
+                ELSE 'tail' END AS bucket,
+           source,
+           COUNT(*) AS n_docs,
+           SUM(sum_q)::BIGINT / SUM(n_bg)::BIGINT AS mean_nlp_e6,
+           MIN(doc_nlp_e6) AS min_nlp_e6,
+           MAX(doc_nlp_e6) AS max_nlp_e6
+    FROM r GROUP BY 1, 2 ORDER BY bucket, source
+"""
+
+
+_WINNOW_SQL = f"""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter({_TOKS_SQL}, w -> length(w) > 0) AS t
+        FROM documents
+    ),
+    g AS (
+        SELECT doc_id, len(t) - {WIN_K - 1} AS ng, i AS pos,
+               ('0x' || substr(md5(t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]),
+                               1, 15))::BIGINT AS h
+        FROM t, UNNEST(range(len(t) - {WIN_K - 1})) AS u(i)
+        WHERE len(t) >= {WIN_K}
+    ),
+    w AS (
+        SELECT doc_id, pos, h, s
+        FROM g, UNNEST(range(greatest(pos - {WIN_W - 1}, 0),
+                             least(pos, greatest(ng - {WIN_W}, 0)) + 1))
+                 AS v(s)
+    ),
+    sel AS (
+        SELECT doc_id, h FROM w
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY doc_id, s ORDER BY h, pos DESC) = 1
+    ),
+    fp AS (SELECT DISTINCT doc_id, h FROM sel),
+    ok AS (
+        SELECT h FROM fp GROUP BY h
+        HAVING COUNT(*) BETWEEN 2 AND {WIN_CAP}
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+    FROM fp a JOIN ok USING (h) JOIN fp b USING (h)
+    WHERE a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= {WIN_MIN_SHARED}
+    ORDER BY doc_a, doc_b
+"""
+
+
+def _ahash_sql() -> str:
+    fints = ",\n               ".join(
+        f"len(list_filter(cs, c -> ord(c) % 16 = {i})) * 1000000 "
+        f"// greatest(strlen(text), 1) AS f{i}"
+        for i in range(16)
+    )
+    tot = " + ".join(f"f{i}" for i in range(16))
+    bits = " + ".join(
+        f"CASE WHEN f{i} * 16 > tot THEN {1 << i} ELSE 0 END"
+        for i in range(16)
+    )
+    return f"""
+    WITH m AS (
+        SELECT doc_id AS media_id,
+               CASE WHEN doc_id % 3 = 0 THEN 'image'
+                    WHEN doc_id % 3 = 1 THEN 'audio'
+                    ELSE 'video' END AS kind,
+               text, regexp_split_to_array(text, '') AS cs
+        FROM documents
+    ),
+    f AS (
+        SELECT media_id, kind,
+               {fints}
+        FROM m
+    ),
+    h AS (
+        SELECT media_id, kind, ({bits})::BIGINT AS ahash
+        FROM (SELECT *, {tot} AS tot FROM f)
+    )
+    SELECT kind, ahash, COUNT(*) AS n_media, MIN(media_id) AS rep_id
+    FROM h GROUP BY kind, ahash HAVING COUNT(*) >= 2
+    ORDER BY kind, ahash
+"""
+
+
+ORACLE = {
+    "wordpiece_train_scores": _wp_train_sql(WP_MERGES),
+    "quality_ccnet_buckets": _CCNET_SQL,
+    "fingerprint_winnowing": _WINNOW_SQL,
+    "multimodal_ahash_groups": _ahash_sql(),
+}

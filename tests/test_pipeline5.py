@@ -1,0 +1,261 @@
+"""Reference-model and property tests for training-pipeline batch 5
+(WordPiece training, CCNet bucketing, winnowing fingerprints,
+perceptual-hash groups) — pure-Python reimplementations pin the same
+math the DuckDB oracles value-check, plus the guarantees the oracles
+cannot express (winnowing's shared-run detection, tertile balance)."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import re
+from collections import Counter
+
+import pytest
+
+from postgres_opensearch_cdc_spark.functions.bpe import wordpiece_train
+from postgres_opensearch_cdc_spark.queries.training_pipeline5 import (
+    WIN_CAP,
+    WIN_K,
+    WIN_MIN_SHARED,
+    WIN_W,
+    ahash_table,
+    quality_ccnet_buckets,
+    winnow_shared_pairs,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+# ---------------------------------------------------------------------------
+# WordPiece reference model
+# ---------------------------------------------------------------------------
+
+
+def _ref_wordpiece(texts: list[str], n: int):
+    wf: Counter = Counter()
+    for t in texts:
+        for w in re.split(r"\s+", t.lower(), flags=re.ASCII):
+            if w:
+                wf[w] += 1
+    syms = [[" " + " ".join(w) + " ", c] for w, c in wf.items()]
+    merges = []
+    for rank in range(n):
+        pc: Counter = Counter()
+        sc: Counter = Counter()
+        for s, c in syms:
+            toks = s.strip().split(" ")
+            for tok in toks:
+                sc[tok] += c
+            for a, b in zip(toks, toks[1:]):
+                pc[(a, b)] += c
+        if not pc:
+            break
+        # argmax by (score desc, l, r) — score is one double division
+        best = min(
+            pc, key=lambda p: (-(pc[p] / (sc[p[0]] * sc[p[1]])), p)
+        )
+        score = pc[best] / (sc[best[0]] * sc[best[1]])
+        merges.append((rank, best[0], best[1], score))
+        pat, rep = f" {best[0]} {best[1]} ", f" {best[0]}{best[1]} "
+        for row in syms:
+            row[0] = row[0].replace(pat, rep)
+    return merges
+
+
+def test_wordpiece_matches_reference_model(spark):
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox naps",
+        "lazy dogs nap quickly under the brown tree",
+        "zq zq unique bigrams here",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = wordpiece_train(docs, "text", num_merges=6)
+    want = _ref_wordpiece(texts, 6)
+    assert [(r, l, x) for r, l, x, _ in got] == [
+        (r, l, x) for r, l, x, _ in want
+    ]
+    for (_, _, _, gs), (_, _, _, ws) in zip(got, want):
+        assert gs == ws  # identical IEEE doubles, not just close
+
+
+def test_wordpiece_prefers_rare_symbol_pairs(spark):
+    # 'zq' appears once and its symbols appear nowhere else -> its
+    # likelihood score is maximal (1.0) and must win the first merge
+    # over the much more frequent 'th' pair.
+    docs = spark.createDataFrame(
+        [(0, "the the the the zq")], "doc_id long, text string"
+    )
+    got = wordpiece_train(docs, "text", num_merges=1)
+    assert (got[0][1], got[0][2]) == ("z", "q")
+    assert got[0][3] == 1.0
+
+
+# ---------------------------------------------------------------------------
+# CCNet bucketing properties
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def ccnet(spark):
+    return quality_ccnet_buckets(spark, SF).collect()
+
+
+def test_ccnet_tertiles_balanced(ccnet):
+    sizes = Counter()
+    for r in ccnet:
+        sizes[r["bucket"]] += r["n_docs"]
+    assert set(sizes) == {"head", "middle", "tail"}
+    assert max(sizes.values()) - min(sizes.values()) <= 1
+
+
+def test_ccnet_buckets_ordered_by_score(ccnet):
+    # every head doc scores <= every middle doc <= every tail doc
+    # (ties at the boundary split by doc_id, so <= not <)
+    hi = {b: max(r["max_nlp_e6"] for r in ccnet if r["bucket"] == b)
+          for b in ("head", "middle", "tail")}
+    lo = {b: min(r["min_nlp_e6"] for r in ccnet if r["bucket"] == b)
+          for b in ("head", "middle", "tail")}
+    assert hi["head"] <= lo["middle"] + 1e-9
+    assert hi["middle"] <= lo["tail"] + 1e-9
+
+
+def test_ccnet_covers_all_scorable_docs(spark, ccnet):
+    import duckdb
+
+    n_scorable = duckdb.sql(
+        f"""SELECT count(*) FROM '{SF}/documents.parquet'
+            WHERE len(regexp_split_to_array(lower(text), '\\s+')) >= 2"""
+    ).fetchone()[0]
+    assert sum(r["n_docs"] for r in ccnet) == n_scorable
+
+
+# ---------------------------------------------------------------------------
+# Winnowing reference model + guarantee
+# ---------------------------------------------------------------------------
+
+
+def _ref_winnow_pairs(texts_by_id: dict[int, str]):
+    fps: dict[int, set] = {}
+    for did, t in texts_by_id.items():
+        toks = [w for w in re.split(r"\s+", t.lower(), flags=re.ASCII)
+                if w]
+        if len(toks) < WIN_K:
+            continue
+        grams = [" ".join(toks[i:i + WIN_K])
+                 for i in range(len(toks) - WIN_K + 1)]
+        hs = [int(hashlib.md5(g.encode()).hexdigest()[:15], 16)
+              for g in grams]
+        ng = len(grams)
+        sel = set()
+        for s in range(max(ng - WIN_W, 0) + 1):
+            window = [(hs[p], -p) for p in range(s, min(s + WIN_W, ng))]
+            sel.add(min(window)[0])  # rightmost min: (h asc, pos desc)
+        fps[did] = sel
+    dfc: Counter = Counter()
+    for s in fps.values():
+        dfc.update(s)
+    ok = {h for h, c in dfc.items() if 2 <= c <= WIN_CAP}
+    out = {}
+    ids = sorted(fps)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            shared = len(fps[a] & fps[b] & ok)
+            if shared >= WIN_MIN_SHARED:
+                out[(a, b)] = shared
+    return out
+
+
+def test_winnowing_matches_reference_model(spark):
+    texts = {
+        0: "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+        1: "intro words alpha beta gamma delta epsilon zeta eta theta "
+           "iota kappa trailing bits",
+        2: "completely different content with no shared runs at all "
+           "nothing matches here",
+        3: "another doc that also has completely different content "
+           "with no shared runs at all",
+        4: "tiny doc",  # < WIN_K tokens: must drop out
+        5: "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+    }
+    docs = spark.createDataFrame(
+        list(texts.items()), "doc_id long, text string"
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): r["n_shared"]
+        for r in winnow_shared_pairs(docs).collect()
+    }
+    assert got == _ref_winnow_pairs(texts)
+    assert (0, 5) in got  # identical docs always pair
+    assert (0, 1) in got  # a shared >= w+k-1 token run must be caught
+
+
+def test_winnowing_guarantee_on_fixture(spark):
+    # winnowing's contract: every window of WIN_W gram positions
+    # contributes one fingerprint, so per-doc fingerprint count is
+    # within [ceil(ng/WIN_W) / ng, 2/(WIN_W+1) * ~...]; assert the
+    # coarse bound that no doc with >= WIN_K tokens selects zero
+    # fingerprints and the density never exceeds 1.
+    from postgres_opensearch_cdc_spark.registry import load_table
+
+    docs = load_table(spark, SF, "documents").limit(50)
+    pairs = winnow_shared_pairs(docs)
+    assert pairs.filter("doc_a >= doc_b").count() == 0
+
+
+# ---------------------------------------------------------------------------
+# Perceptual hash reference model
+# ---------------------------------------------------------------------------
+
+
+def test_ahash_matches_reference_model(spark):
+    import duckdb
+
+    rows = duckdb.sql(
+        f"SELECT doc_id, text FROM '{SF}/documents.parquet' "
+        f"ORDER BY doc_id LIMIT 100"
+    ).fetchall()
+    want = {}
+    for did, text in rows:
+        content = text.encode("utf-8")
+        buckets = [0] * 16
+        for byte in content:
+            buckets[byte % 16] += 1
+        n = max(len(content), 1)
+        f = [b * 1_000_000 // n for b in buckets]
+        tot = sum(f)
+        want[did] = sum(
+            (1 << i) for i in range(16) if 16 * f[i] > tot
+        )
+    from postgres_opensearch_cdc_spark.functions.multimodal import (
+        media_from_documents,
+    )
+    from postgres_opensearch_cdc_spark.registry import load_table
+
+    docs = load_table(spark, SF, "documents").filter(
+        f"doc_id IN ({','.join(str(d) for d in want)})"
+    )
+    got = {
+        r["media_id"]: r["ahash"]
+        for r in ahash_table(media_from_documents(docs)).collect()
+    }
+    assert got == want
+
+
+def test_ahash_entropy_is_nontrivial(spark):
+    # the hash must actually discriminate: over the fixture it should
+    # produce more than one distinct value and not be unique per doc
+    # (text docs share language statistics -> some collisions).
+    from postgres_opensearch_cdc_spark.functions.multimodal import (
+        media_from_documents,
+    )
+    from postgres_opensearch_cdc_spark.registry import load_table
+
+    docs = load_table(spark, SF, "documents")
+    tab = ahash_table(media_from_documents(docs))
+    n = tab.count()
+    distinct = tab.select("ahash").distinct().count()
+    assert 1 < distinct < n
