@@ -167,6 +167,75 @@ def wordpiece_train(docs: DataFrame, text_col: str, num_merges: int = 8,
     return merges
 
 
+def wordpiece_token_counts_arrow(
+    docs: DataFrame, text_col: str, id_col: str,
+    merges: list[tuple[int, str, str, float]]
+) -> DataFrame:
+    """WordPiece INFERENCE — greedy longest-match-first (max-munch)
+    tokenization against the learned vocabulary, the BERT tokenizer's
+    encode step (Schuster & Nakajima 2012; continuation-prefix ``##``
+    marking is out of scope — this vocab carries no positional
+    variants). The vocabulary is the merge products (all >= 2 chars);
+    any single character is implicitly a token (the [UNK]-free
+    fallback — every corpus char is a base symbol by construction).
+    Returns (id, n_words, n_tokens_wp).
+
+    Same Arrow shape as ``bpe_token_counts_arrow``: stateless
+    mapInPandas over batches, per-partition distinct-word cache, plan
+    size constant in vocab size. The max-munch loop is O(maxlen) per
+    position with a set probe per length — vocabulary-bounded, never
+    corpus-bounded. The DuckDB oracle replays max-munch as a
+    recursive CTE over the DISTINCT-word table (one row per (word,
+    position) step), so the greedy decisions are value-checked."""
+    import re
+
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    vocab = {l + r for _, l, r, _ in merges}
+    maxlen = max((len(t) for t in vocab), default=1)
+    ws_re = re.compile(r"\s+", re.ASCII)
+
+    out_schema = T.StructType([
+        T.StructField("id", docs.schema[id_col].dataType),
+        T.StructField("n_words", T.IntegerType()),
+        T.StructField("n_tokens_wp", T.LongType()),
+    ])
+
+    def encode(batches):
+        cache: dict[str, int] = {}
+
+        def word_tokens(w: str) -> int:
+            n = cache.get(w)
+            if n is None:
+                pos, n = 0, 0
+                wl = len(w)
+                while pos < wl:
+                    step = 1
+                    for ln in range(min(maxlen, wl - pos), 1, -1):
+                        if w[pos:pos + ln] in vocab:
+                            step = ln
+                            break
+                    pos += step
+                    n += 1
+                cache[w] = n
+            return n
+
+        for pdf in batches:
+            ids, n_words, n_tokens = [], [], []
+            for i, t in zip(pdf[id_col], pdf[text_col]):
+                ws = [w for w in ws_re.split((t or "").lower()) if w]
+                ids.append(i)
+                n_words.append(len(ws))
+                n_tokens.append(sum(word_tokens(w) for w in ws))
+            yield pd.DataFrame(
+                {"id": ids, "n_words": n_words, "n_tokens_wp": n_tokens}
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(encode, out_schema)
+
+
 def bpe_train(docs: DataFrame, text_col: str, num_merges: int = 8,
               min_freq: int = 1) -> list[tuple[int, str, str]]:
     """Learn ``num_merges`` BPE merges over the corpus; returns

@@ -74,6 +74,25 @@ def _wp_merges(spark: SparkSession, sf_dir: str) -> list:
     return _WP_CACHE[key]
 
 
+def wordpiece_apply_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the learned WordPiece vocabulary to every document with
+    greedy longest-match-first (max-munch) tokenization — the BERT
+    encode step — and count tokens per doc. Runs the Arrow-batched
+    mapInPandas encoder (functions/bpe.py wordpiece_token_counts_arrow:
+    constant plan size, per-partition distinct-word cache). The oracle
+    replays max-munch as a RECURSIVE CTE over the distinct-word table
+    (one row per greedy step), so every longest-match decision is
+    value-checked, not just the counts."""
+    from postgres_opensearch_cdc_spark.functions.bpe import (
+        wordpiece_token_counts_arrow,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return wordpiece_token_counts_arrow(
+        docs, "text", "doc_id", _wp_merges(spark, sf_dir)
+    ).orderBy("id")
+
+
 def wordpiece_train_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Learn the first 8 WordPiece merges (Schuster & Nakajima 2012;
     the BERT tokenizer): per iteration the pair maximizing
@@ -328,6 +347,7 @@ def ahash_table(media: DataFrame) -> DataFrame:
 
 QUERIES = {
     "wordpiece_train_scores": wordpiece_train_scores,
+    "wordpiece_apply_longest": wordpiece_apply_longest,
     "quality_ccnet_buckets": quality_ccnet_buckets,
     "fingerprint_winnowing": fingerprint_winnowing,
     "multimodal_ahash_groups": multimodal_ahash_groups,
@@ -393,6 +413,55 @@ def _wp_train_sql(n: int) -> str:
     SELECT * FROM (
         {rows}
     ) ORDER BY "rank"
+"""
+
+
+def _wp_apply_sql(n: int) -> str:
+    """Max-munch replayed as a recursive CTE over the distinct-word
+    table: state (w, pos, ntok); each step advances by the length of
+    the longest vocabulary token matching at pos (single-char
+    fallback = 1 — every corpus char is implicitly a token). The
+    vocabulary is the n merge products from the unrolled WordPiece
+    training CTEs, so training and inference share one oracle."""
+    merged = "\n            UNION ".join(
+        f"SELECT l || r AS tok FROM m{i}" for i in range(1, n + 1)
+    )
+    # the longest-match probe is a list_transform over a 1-row vocab
+    # LIST cross-joined into the recursive term, NOT a correlated
+    # subquery: DuckDB silently decorrelates a scalar subquery inside
+    # a recursive term once the CTE's consumer is a join (every probe
+    # returns NULL -> step 1), observed on this exact query; the
+    # list fold has no correlation to lose and the vocab is
+    # tokenizer-sized by construction
+    return f"""
+    WITH RECURSIVE {_wp_train_ctes(n)},
+    vocab AS (
+        {merged}
+    ),
+    vl AS (SELECT list(tok) AS vl FROM vocab),
+    walk(w, pos, ntok) AS (
+        SELECT w, 1, 0 FROM wf
+        UNION ALL
+        SELECT walk.w,
+               walk.pos + COALESCE(list_max(list_transform(vl.vl,
+                   t -> CASE WHEN t = substr(walk.w, walk.pos, len(t))
+                             THEN len(t) END)), 1),
+               walk.ntok + 1
+        FROM walk, vl
+        WHERE walk.pos <= len(walk.w)
+    ),
+    wtok AS (
+        SELECT w, ntok FROM walk WHERE pos > len(w)
+    ),
+    ex AS (
+        SELECT doc_id AS id, unnest(
+            list_filter({_TOKS_SQL}, w -> length(w) > 0)) AS w
+        FROM documents
+    )
+    SELECT id, CAST(count(*) AS INT) AS n_words,
+           CAST(SUM(ntok) AS BIGINT) AS n_tokens_wp
+    FROM ex JOIN wtok USING (w)
+    GROUP BY id ORDER BY id
 """
 
 
@@ -510,6 +579,7 @@ def _ahash_sql() -> str:
 
 ORACLE = {
     "wordpiece_train_scores": _wp_train_sql(WP_MERGES),
+    "wordpiece_apply_longest": _wp_apply_sql(WP_MERGES),
     "quality_ccnet_buckets": _CCNET_SQL,
     "fingerprint_winnowing": _WINNOW_SQL,
     "multimodal_ahash_groups": _ahash_sql(),

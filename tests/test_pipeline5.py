@@ -82,6 +82,33 @@ def test_wordpiece_matches_reference_model(spark):
         assert gs == ws  # identical IEEE doubles, not just close
 
 
+def test_wordpiece_max_munch_matches_reference(spark):
+    # hand-check greedy longest-match-first against a crafted merge
+    # list: vocab {ab, abc, bc}; "abcabc" -> [abc][abc] (2), never
+    # the [ab][c]... shorter-first split; "cab" -> [c][ab] (2);
+    # unknown chars fall back to one token per char.
+    from postgres_opensearch_cdc_spark.functions.bpe import (
+        wordpiece_token_counts_arrow,
+    )
+
+    merges = [(0, "a", "b", 0.5), (1, "ab", "c", 0.25),
+              (2, "b", "c", 0.125)]
+    docs = spark.createDataFrame(
+        [(0, "abcabc cab xyz abab"), (1, "bc a")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["id"]: (r["n_words"], r["n_tokens_wp"])
+        for r in wordpiece_token_counts_arrow(
+            docs, "text", "doc_id", merges
+        ).collect()
+    }
+    # abcabc=2, cab=2, xyz=3 (no merges apply), abab=2 -> 9 tokens
+    assert got[0] == (4, 9)
+    # bc=1, a=1
+    assert got[1] == (2, 2)
+
+
 def test_wordpiece_prefers_rare_symbol_pairs(spark):
     # 'zq' appears once and its symbols appear nowhere else -> its
     # likelihood score is maximal (1.0) and must win the first merge
