@@ -99,7 +99,7 @@ _PRIORITY = [
     # rank), winnowing fingerprints (MOSS), perceptual-hash groups
     # over the Arrow multimodal path
     "wordpiece_train_scores", "wordpiece_apply_longest",
-    "quality_ccnet_buckets",
+    "quality_ccnet_buckets", "chunk_content_defined",
     "fingerprint_winnowing", "multimodal_ahash_groups",
     # (a2) the round-12 extension batch: semantic dedup (k-means fit
     # value-checked via unrolled Lloyd iterations + SemDeDup prune),
@@ -130,11 +130,11 @@ _PRIORITY = [
     "adjacency_matrix_agg", "dedup_cc_clusters", "dedup_cc_survivors",
 ]
 
-# With the 5 batch-5 entries prepended, the last 5 rows of block (d)
-# (inactive_high_balance, ts_hierarchical_rollup,
-# adjacency_matrix_agg, dedup_cc_clusters, dedup_cc_survivors) fall
-# outside the 50-row window — they move to the FRONT of the round-13
-# re-check queue.
+# With the 6 batch-5 entries prepended, the last 6 rows of block (d)
+# (small_quantity_revenue, inactive_high_balance,
+# ts_hierarchical_rollup, adjacency_matrix_agg, dedup_cc_clusters,
+# dedup_cc_survivors) fall outside the 50-row window — they move to
+# the FRONT of the round-13 re-check queue.
 # Round-13 rotation TODO: any entries added after this round-12 window
 # froze outrank re-checks; then the 4 (d)-block rows displaced above;
 # then the remaining 28 r6-era rows in r6

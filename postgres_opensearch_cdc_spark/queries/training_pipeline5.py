@@ -281,6 +281,128 @@ def winnow_shared_pairs(docs: DataFrame) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Content-defined chunking (rolling-hash boundaries, shift-robust)
+# ---------------------------------------------------------------------------
+
+CDC_W = 3       # tokens per boundary-decision window
+CDC_MASK = 8    # boundary iff window hash % CDC_MASK == 0
+                # (expected chunk length ~= CDC_MASK tokens)
+
+
+def chunk_content_defined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (the rsync/LBFS/FastCDC family,
+    token-granular): a chunk boundary falls after token i whenever the
+    hash of the {CDC_W}-token window ending at i satisfies
+    ``hash % {CDC_MASK} == 0`` — boundaries are a LOCAL function of
+    content, so an insertion re-chunks only its neighborhood instead
+    of shifting every downstream chunk the way fixed-size chunking
+    (chunk_dedup_stats) does. This is the shift-robust dedup unit a
+    storage/dataset pipeline dedups on. Output: the corpus chunk-
+    duplication audit per source.
+
+    Scale: gram hashing is scan-stage zip-of-slices; chunk ids come
+    from one (doc)-partitioned running sum over the boundary flags
+    (never a global window); chunk reassembly is one (doc, chunk)
+    agg; the duplication count is one chunk-keyed agg, map-side
+    combined. No step is more than linear in tokens. The min/max
+    chunk-size clamps of FastCDC are deliberately omitted: the
+    min-size skip makes the boundary decision SEQUENTIAL (each
+    boundary depends on the previous), which would serialize the
+    scan — the mask-only rule keeps chunking embarrassingly parallel
+    at the cost of occasional tiny chunks (measured: mean chunk
+    ~= CDC_MASK tokens)."""
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = cdc_chunks(docs)
+    per_chunk = chunks.groupBy("source", "chunk").agg(
+        F.count(F.lit(1)).alias("c"),
+        F.sum("chunk_toks").alias("toks"),
+    )
+    return (
+        per_chunk.groupBy("source")
+        .agg(
+            F.sum("c").alias("total_chunks"),
+            F.count(F.lit(1)).alias("distinct_chunks"),
+            F.sum(F.col("c") - 1).alias("dup_occurrences"),
+            F.max("c").alias("max_chunk_freq"),
+            (F.sum("toks") / F.sum("c")).alias("mean_chunk_toks"),
+        )
+        .orderBy("source")
+    )
+
+
+def cdc_chunks(docs: DataFrame) -> DataFrame:
+    """(doc_id, source, chunk_id, chunk, chunk_toks) for any
+    (doc_id, source, text) frame — the content-defined chunker; see
+    chunk_content_defined for semantics and scale notes."""
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), r"\s+"),
+        lambda w: F.length(w) > 0,
+    )
+    base = docs.select("doc_id", "source", toks.alias("t")).filter(
+        F.size("t") >= 1
+    )
+    zipped = F.arrays_zip(
+        F.slice("t", 1, F.size("t") - (CDC_W - 1)).alias("a"),
+        F.slice("t", 2, F.size("t") - (CDC_W - 1)).alias("b"),
+        F.slice("t", 3, F.size("t") - (CDC_W - 1)).alias("c"),
+    )
+    # one row per token: pos (0-based), token, boundary flag (a
+    # boundary closes the chunk AFTER this token; the first W-1
+    # tokens can never close one — no full window ends there)
+    per_tok = base.select(
+        "doc_id",
+        "source",
+        F.posexplode("t").alias("pos", "tok"),
+    )
+    flags = base.select(
+        "doc_id",
+        F.posexplode(zipped).alias("gpos", "g"),
+    ).select(
+        "doc_id",
+        (F.col("gpos") + (CDC_W - 1)).alias("pos"),
+        (
+            F.pmod(
+                hash60(
+                    F.concat_ws(
+                        " ", F.col("g.a"), F.col("g.b"), F.col("g.c")
+                    )
+                ),
+                F.lit(CDC_MASK),
+            )
+            == 0
+        ).cast("int").alias("flag"),
+    )
+    win = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    toks_flagged = (
+        per_tok.join(flags, ["doc_id", "pos"], "left")
+        .withColumn("flag", F.coalesce(F.col("flag"), F.lit(0)))
+        .withColumn(
+            "chunk_id",
+            F.coalesce(F.sum("flag").over(win), F.lit(0)).cast("long"),
+        )
+    )
+    return (
+        toks_flagged.groupBy("doc_id", "source", "chunk_id")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "tok"))
+                    ),
+                    lambda s: s["tok"],
+                ),
+            ).alias("chunk"),
+            F.count(F.lit(1)).alias("chunk_toks"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Perceptual-hash dedup groups over the multimodal plumbing
 # ---------------------------------------------------------------------------
 
@@ -351,6 +473,7 @@ QUERIES = {
     "quality_ccnet_buckets": quality_ccnet_buckets,
     "fingerprint_winnowing": fingerprint_winnowing,
     "multimodal_ahash_groups": multimodal_ahash_groups,
+    "chunk_content_defined": chunk_content_defined,
 }
 
 
@@ -542,6 +665,61 @@ _WINNOW_SQL = f"""
 """
 
 
+_CDC_CHUNK_SQL = f"""
+    WITH t AS (
+        SELECT doc_id, source,
+               list_filter({_TOKS_SQL}, w -> length(w) > 0) AS t
+        FROM documents
+    ),
+    tok AS (
+        SELECT doc_id, source, i AS pos, t[i+1] AS tok
+        FROM t, UNNEST(range(len(t))) AS u(i)
+        WHERE len(t) >= 1
+    ),
+    fl AS (
+        SELECT doc_id, gi + {CDC_W - 1} AS pos,
+               CASE WHEN ('0x' || substr(md5(
+                        t[gi+1] || ' ' || t[gi+2] || ' ' || t[gi+3]),
+                        1, 15))::BIGINT % {CDC_MASK} = 0
+                    THEN 1 ELSE 0 END AS flag
+        FROM t, UNNEST(range(len(t) - {CDC_W - 1})) AS v(gi)
+        WHERE len(t) >= {CDC_W}
+    ),
+    tf AS (
+        SELECT tok.doc_id, tok.source, tok.pos, tok.tok,
+               COALESCE(fl.flag, 0) AS flag
+        FROM tok LEFT JOIN fl
+          ON fl.doc_id = tok.doc_id AND fl.pos = tok.pos
+    ),
+    ch AS (
+        SELECT doc_id, source, pos, tok,
+               COALESCE(SUM(flag) OVER (
+                   PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS chunk_id
+        FROM tf
+    ),
+    chunks AS (
+        SELECT doc_id, source, chunk_id,
+               string_agg(tok, ' ' ORDER BY pos) AS chunk,
+               COUNT(*) AS chunk_toks
+        FROM ch GROUP BY doc_id, source, chunk_id
+    ),
+    pc AS (
+        SELECT source, chunk, COUNT(*) AS c,
+               SUM(chunk_toks)::BIGINT AS toks
+        FROM chunks GROUP BY source, chunk
+    )
+    SELECT source,
+           SUM(c)::BIGINT AS total_chunks,
+           COUNT(*) AS distinct_chunks,
+           SUM(c - 1)::BIGINT AS dup_occurrences,
+           MAX(c) AS max_chunk_freq,
+           SUM(toks)::BIGINT / SUM(c)::BIGINT AS mean_chunk_toks
+    FROM pc GROUP BY source ORDER BY source
+"""
+
+
 def _ahash_sql() -> str:
     fints = ",\n               ".join(
         f"len(list_filter(cs, c -> ord(c) % 16 = {i})) * 1000000 "
@@ -583,4 +761,5 @@ ORACLE = {
     "quality_ccnet_buckets": _CCNET_SQL,
     "fingerprint_winnowing": _WINNOW_SQL,
     "multimodal_ahash_groups": _ahash_sql(),
+    "chunk_content_defined": _CDC_CHUNK_SQL,
 }

@@ -234,8 +234,74 @@ def test_winnowing_guarantee_on_fixture(spark):
 
 
 # ---------------------------------------------------------------------------
-# Perceptual hash reference model
+# Content-defined chunking: reference model + shift robustness
 # ---------------------------------------------------------------------------
+
+
+def _ref_cdc_chunks(text: str):
+    from postgres_opensearch_cdc_spark.queries.training_pipeline5 import (
+        CDC_MASK,
+        CDC_W,
+    )
+
+    toks = [w for w in re.split(r"\s+", text.lower(), flags=re.ASCII)
+            if w]
+    chunks, cur = [], []
+    for i, tok in enumerate(toks):
+        cur.append(tok)
+        if i >= CDC_W - 1:
+            gram = " ".join(toks[i - CDC_W + 1:i + 1])
+            h = int(hashlib.md5(gram.encode()).hexdigest()[:15], 16)
+            if h % CDC_MASK == 0:
+                chunks.append(" ".join(cur))
+                cur = []
+    if cur:
+        chunks.append(" ".join(cur))
+    return chunks
+
+
+def test_cdc_chunks_match_reference_model(spark):
+    from postgres_opensearch_cdc_spark.queries.training_pipeline5 import (
+        cdc_chunks,
+    )
+
+    texts = {
+        0: "the quick brown fox jumps over the lazy dog and runs far "
+           "away into the deep dark forest tonight",
+        1: "short one",
+        2: "a b c d e f g h i j k l m n o p q r s t u v w x y z",
+    }
+    docs = spark.createDataFrame(
+        [(i, "src", t) for i, t in texts.items()],
+        "doc_id long, source string, text string",
+    )
+    got = {}
+    for r in cdc_chunks(docs).collect():
+        got.setdefault(r["doc_id"], []).append(
+            (r["chunk_id"], r["chunk"])
+        )
+    for did, text in texts.items():
+        want = _ref_cdc_chunks(text)
+        have = [c for _, c in sorted(got[did])]
+        assert have == want, f"doc {did}: {have} != {want}"
+
+
+def test_cdc_chunking_is_shift_robust(spark):
+    # the defining property vs fixed-size chunking: prepending tokens
+    # re-chunks only the prefix neighborhood; the chunk multiset of
+    # the shifted doc must overwhelmingly overlap the original's,
+    # while fixed-size chunking would shift EVERY boundary.
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi "
+            "psi omega one two three four five six seven eight nine "
+            "ten eleven twelve thirteen fourteen fifteen sixteen") * 3
+    a = _ref_cdc_chunks(base)
+    b = _ref_cdc_chunks("inserted prefix words " + base)
+    # only the first chunk (the one containing the insertion point)
+    # may change; every other chunk string survives verbatim
+    assert set(a) - set(b) <= {a[0]}
+    assert set(b) - set(a) <= {b[0]}
+    assert a[1:] == b[1:]  # identical chunk sequence past the edit
 
 
 def test_ahash_matches_reference_model(spark):
