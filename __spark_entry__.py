@@ -100,6 +100,7 @@ _PRIORITY = [
     # over the Arrow multimodal path
     "wordpiece_train_scores", "wordpiece_apply_longest",
     "quality_ccnet_buckets", "chunk_content_defined",
+    "sketch_count_min",
     "fingerprint_winnowing", "multimodal_ahash_groups",
     # (a2) the round-12 extension batch: semantic dedup (k-means fit
     # value-checked via unrolled Lloyd iterations + SemDeDup prune),
@@ -130,8 +131,8 @@ _PRIORITY = [
     "adjacency_matrix_agg", "dedup_cc_clusters", "dedup_cc_survivors",
 ]
 
-# With the 6 batch-5 entries prepended, the last 6 rows of block (d)
-# (small_quantity_revenue, inactive_high_balance,
+# With the 7 batch-5 entries prepended, the last 7 rows of block (d)
+# (ship_lag_priority, small_quantity_revenue, inactive_high_balance,
 # ts_hierarchical_rollup, adjacency_matrix_agg, dedup_cc_clusters,
 # dedup_cc_survivors) fall outside the 50-row window — they move to
 # the FRONT of the round-13 re-check queue.

@@ -281,6 +281,81 @@ def winnow_shared_pairs(docs: DataFrame) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Count-min sketch: heavy-hitter frequencies in fixed space
+# ---------------------------------------------------------------------------
+
+CM_DEPTH = 4     # hash rows (error probability ~ exp(-depth))
+CM_WIDTH = 256   # buckets per row (overestimate ~ corpus/width)
+CM_TOPK = 20     # heavy hitters to audit
+
+
+def sketch_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch over the corpus word stream (Cormode &
+    Muthukrishnan 2005): a {CM_DEPTH}x{CM_WIDTH} counter grid — cell
+    (r, pmod(hash_r(w), {CM_WIDTH})) accumulates every occurrence of
+    w; a word's estimate is the MIN over its {CM_DEPTH} cells, always
+    >= the true count (one-sided error). The entry audits the true
+    top-{CM_TOPK} words: true count, sketch estimate, and the
+    overestimate — the never-negative property the oracle
+    value-checks cell by cell (the sketch is DETERMINISTIC given the
+    portable hash60 family, so DuckDB rebuilds the identical grid).
+
+    Scale: the sketch build is ONE explode + (row, bucket)-keyed agg,
+    map-side combined — the classic mergeable summary: fixed
+    {CM_DEPTH}x{CM_WIDTH} size regardless of corpus, so partial
+    sketches combine associatively across any partitioning (the same
+    partial-then-final shape Spark's HLL uses, relational.py
+    approx_sketches). The top-k side is vocabulary-bounded; the
+    estimate join broadcasts {CM_TOPK}x{CM_DEPTH} rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("w")
+    ).filter(F.length("w") > 0)
+    # the sketch: one pass, one shuffle on (row, bucket)
+    rows = None
+    for r in range(CM_DEPTH):
+        part = words.select(
+            F.lit(r).alias("r"),
+            F.pmod(hash60(F.col("w"), salt=r), F.lit(CM_WIDTH)).alias(
+                "bucket"
+            ),
+        )
+        rows = part if rows is None else rows.unionByName(part)
+    sketch = rows.groupBy("r", "bucket").agg(
+        F.count(F.lit(1)).alias("cell")
+    )
+    # true heavy hitters (vocabulary-bounded)
+    top = (
+        words.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("true_cnt"))
+        .orderBy(F.col("true_cnt").desc(), "w")
+        .limit(CM_TOPK)
+    )
+    probes = None
+    for r in range(CM_DEPTH):
+        p = top.select(
+            "w",
+            "true_cnt",
+            F.lit(r).alias("r"),
+            F.pmod(hash60(F.col("w"), salt=r), F.lit(CM_WIDTH)).alias(
+                "bucket"
+            ),
+        )
+        probes = p if probes is None else probes.unionByName(p)
+    est = (
+        probes.join(F.broadcast(sketch), ["r", "bucket"])
+        .groupBy("w", "true_cnt")
+        .agg(F.min("cell").alias("cm_est"))
+    )
+    return est.select(
+        "w",
+        "true_cnt",
+        "cm_est",
+        (F.col("cm_est") - F.col("true_cnt")).alias("overestimate"),
+    ).orderBy(F.col("true_cnt").desc(), "w")
+
+
+# ---------------------------------------------------------------------------
 # Content-defined chunking (rolling-hash boundaries, shift-robust)
 # ---------------------------------------------------------------------------
 
@@ -474,6 +549,7 @@ QUERIES = {
     "fingerprint_winnowing": fingerprint_winnowing,
     "multimodal_ahash_groups": multimodal_ahash_groups,
     "chunk_content_defined": chunk_content_defined,
+    "sketch_count_min": sketch_count_min,
 }
 
 
@@ -665,6 +741,40 @@ _WINNOW_SQL = f"""
 """
 
 
+_CM_SQL = f"""
+    WITH ws AS (
+        SELECT w FROM (
+            SELECT unnest({_TOKS_SQL}) AS w FROM documents
+        ) WHERE length(w) > 0
+    ),
+    rws AS (SELECT r FROM UNNEST(range({CM_DEPTH})) AS t(r)),
+    cells AS (
+        SELECT r,
+               ('0x' || substr(md5(w || ':' || r::VARCHAR), 1, 15))
+                   ::BIGINT % {CM_WIDTH} AS bucket,
+               COUNT(*) AS cell
+        FROM ws CROSS JOIN rws GROUP BY 1, 2
+    ),
+    top AS (
+        SELECT w, COUNT(*) AS true_cnt FROM ws GROUP BY w
+        ORDER BY true_cnt DESC, w LIMIT {CM_TOPK}
+    ),
+    probes AS (
+        SELECT w, true_cnt, r,
+               ('0x' || substr(md5(w || ':' || r::VARCHAR), 1, 15))
+                   ::BIGINT % {CM_WIDTH} AS bucket
+        FROM top CROSS JOIN rws
+    ),
+    est AS (
+        SELECT w, true_cnt, MIN(cell) AS cm_est
+        FROM probes JOIN cells USING (r, bucket)
+        GROUP BY 1, 2
+    )
+    SELECT w, true_cnt, cm_est, cm_est - true_cnt AS overestimate
+    FROM est ORDER BY true_cnt DESC, w
+"""
+
+
 _CDC_CHUNK_SQL = f"""
     WITH t AS (
         SELECT doc_id, source,
@@ -762,4 +872,5 @@ ORACLE = {
     "fingerprint_winnowing": _WINNOW_SQL,
     "multimodal_ahash_groups": _ahash_sql(),
     "chunk_content_defined": _CDC_CHUNK_SQL,
+    "sketch_count_min": _CM_SQL,
 }

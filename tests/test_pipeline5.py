@@ -234,6 +234,52 @@ def test_winnowing_guarantee_on_fixture(spark):
 
 
 # ---------------------------------------------------------------------------
+# Count-min sketch: one-sided error + mergeability
+# ---------------------------------------------------------------------------
+
+
+def test_count_min_overestimates_never_negative(spark):
+    from postgres_opensearch_cdc_spark.queries.training_pipeline5 import (
+        sketch_count_min,
+    )
+
+    rows = sketch_count_min(spark, SF).collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert r["overestimate"] >= 0, r  # CM error is one-sided
+        assert r["cm_est"] >= r["true_cnt"]
+
+
+def test_count_min_sketch_is_mergeable(spark):
+    # the defining distributed property: sketch(A ∪ B) ==
+    # element-wise sum of sketch(A) and sketch(B) — what makes the
+    # partial-then-final aggregation correct under ANY partitioning.
+    import hashlib
+    from collections import Counter
+
+    from postgres_opensearch_cdc_spark.queries.training_pipeline5 import (
+        CM_DEPTH,
+        CM_WIDTH,
+    )
+
+    def sketch(words):
+        grid = Counter()
+        for w in words:
+            for r in range(CM_DEPTH):
+                h = int(
+                    hashlib.md5(f"{w}:{r}".encode()).hexdigest()[:15],
+                    16,
+                )
+                grid[(r, h % CM_WIDTH)] += 1
+        return grid
+
+    a = ["x", "y", "x", "z"] * 7
+    b = ["y", "q", "x"] * 5
+    merged = sketch(a) + sketch(b)
+    assert merged == sketch(a + b)
+
+
+# ---------------------------------------------------------------------------
 # Content-defined chunking: reference model + shift robustness
 # ---------------------------------------------------------------------------
 
