@@ -261,6 +261,12 @@ def winnow_shared_pairs(docs: DataFrame) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("doc_id", "h")
         .distinct()
+        # fp feeds THREE consumers (the doc-frequency filter and both
+        # sides of the pair self-join); checkpoint it once instead of
+        # re-running the gram/window pipeline per consumer — fp is
+        # the ~1/w-compressed fingerprint table, the natural
+        # materialization point of every winnowing system
+        .localCheckpoint(eager=True)
     )
     ok = (
         fp.groupBy("h")
@@ -311,17 +317,31 @@ def sketch_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = docs.select(
         F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("w")
     ).filter(F.length("w") > 0)
-    # the sketch: one pass, one shuffle on (row, bucket)
-    rows = None
-    for r in range(CM_DEPTH):
-        part = words.select(
-            F.lit(r).alias("r"),
-            F.pmod(hash60(F.col("w"), salt=r), F.lit(CM_WIDTH)).alias(
-                "bucket"
-            ),
+    def cm_cells(frame):
+        # all CM_DEPTH (row, bucket) coordinates in ONE projection —
+        # a per-row inline array explode, not a CM_DEPTH-way union
+        # (which would scan the source once per hash row)
+        return frame.select(
+            "*",
+            F.explode(
+                F.array(*[
+                    F.struct(
+                        F.lit(r).alias("r"),
+                        F.pmod(
+                            hash60(F.col("w"), salt=r),
+                            F.lit(CM_WIDTH),
+                        ).alias("bucket"),
+                    )
+                    for r in range(CM_DEPTH)
+                ])
+            ).alias("rb"),
+        ).select(
+            *frame.columns, F.col("rb.r").alias("r"),
+            F.col("rb.bucket").alias("bucket"),
         )
-        rows = part if rows is None else rows.unionByName(part)
-    sketch = rows.groupBy("r", "bucket").agg(
+
+    # the sketch: one pass, one shuffle on (row, bucket)
+    sketch = cm_cells(words).groupBy("r", "bucket").agg(
         F.count(F.lit(1)).alias("cell")
     )
     # true heavy hitters (vocabulary-bounded)
@@ -331,17 +351,7 @@ def sketch_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("true_cnt").desc(), "w")
         .limit(CM_TOPK)
     )
-    probes = None
-    for r in range(CM_DEPTH):
-        p = top.select(
-            "w",
-            "true_cnt",
-            F.lit(r).alias("r"),
-            F.pmod(hash60(F.col("w"), salt=r), F.lit(CM_WIDTH)).alias(
-                "bucket"
-            ),
-        )
-        probes = p if probes is None else probes.unionByName(p)
+    probes = cm_cells(top)
     est = (
         probes.join(F.broadcast(sketch), ["r", "bucket"])
         .groupBy("w", "true_cnt")
@@ -421,44 +431,50 @@ def cdc_chunks(docs: DataFrame) -> DataFrame:
         F.slice("t", 2, F.size("t") - (CDC_W - 1)).alias("b"),
         F.slice("t", 3, F.size("t") - (CDC_W - 1)).alias("c"),
     )
-    # one row per token: pos (0-based), token, boundary flag (a
-    # boundary closes the chunk AFTER this token; the first W-1
-    # tokens can never close one — no full window ends there)
-    per_tok = base.select(
-        "doc_id",
-        "source",
-        F.posexplode("t").alias("pos", "tok"),
-    )
-    flags = base.select(
-        "doc_id",
-        F.posexplode(zipped).alias("gpos", "g"),
-    ).select(
-        "doc_id",
-        (F.col("gpos") + (CDC_W - 1)).alias("pos"),
-        (
+    # per-position boundary flags as an array ALIGNED to the token
+    # array (single scan — no self-join to line flags up with
+    # positions): a boundary closes the chunk AFTER token i, and the
+    # first W-1 tokens can never close one (no full window ends
+    # there), hence the zero prefix. The transform lambda only
+    # touches its OWN element (no index-into-derived-array hazard).
+    gflags = F.transform(
+        zipped,
+        lambda g: (
             F.pmod(
-                hash60(
-                    F.concat_ws(
-                        " ", F.col("g.a"), F.col("g.b"), F.col("g.c")
-                    )
-                ),
+                hash60(F.concat_ws(" ", g["a"], g["b"], g["c"])),
                 F.lit(CDC_MASK),
             )
             == 0
-        ).cast("int").alias("flag"),
+        ).cast("int"),
+    )
+    flags = F.slice(
+        F.concat(
+            F.array_repeat(F.lit(0), CDC_W - 1), gflags
+        ),
+        1,
+        F.size("t"),
+    )
+    per_tok = base.select(
+        "doc_id",
+        "source",
+        F.posexplode(
+            F.arrays_zip(F.col("t").alias("tok"), flags.alias("flag"))
+        ).alias("pos", "x"),
+    ).select(
+        "doc_id",
+        "source",
+        "pos",
+        F.col("x.tok").alias("tok"),
+        F.col("x.flag").alias("flag"),
     )
     win = (
         Window.partitionBy("doc_id")
         .orderBy("pos")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    toks_flagged = (
-        per_tok.join(flags, ["doc_id", "pos"], "left")
-        .withColumn("flag", F.coalesce(F.col("flag"), F.lit(0)))
-        .withColumn(
-            "chunk_id",
-            F.coalesce(F.sum("flag").over(win), F.lit(0)).cast("long"),
-        )
+    toks_flagged = per_tok.withColumn(
+        "chunk_id",
+        F.coalesce(F.sum("flag").over(win), F.lit(0)).cast("long"),
     )
     return (
         toks_flagged.groupBy("doc_id", "source", "chunk_id")
