@@ -94,20 +94,26 @@ def main() -> None:
     from postgres_opensearch_cdc_spark.queries import (
         training_pipeline3 as _tp3,
     )
+    from postgres_opensearch_cdc_spark.queries import (
+        training_pipeline5 as _tp5,
+    )
 
     t0 = time.perf_counter()
     _ext.dedup_minhash_lsh(spark, sf_dir).count()   # verified pair set
     _gd._doc_clusters(spark, sf_dir).count()        # connected comps
     _tp3._bpe_merges(spark, sf_dir)                 # BPE merge list
     _tp3._bpe_merges_local(spark, sf_dir)           # r12 local trainer
+    _tp5._wp_merges(spark, sf_dir)                  # WordPiece merges
     memo_build_sec = round(time.perf_counter() - t0, 3)
     print(f"memo build: {memo_build_sec}s", file=progress, flush=True)
-    # (bpe_apply_tokens / bpe_apply_tokens_arrow are NOT tagged: they
-    # consume the memoized merge list but their corpus encode pass is
-    # real per-run work)
+    # (bpe_apply_tokens / bpe_apply_tokens_arrow /
+    # wordpiece_apply_longest are NOT tagged: they consume the
+    # memoized merge list but their corpus encode pass is real
+    # per-run work)
     MEMOIZED = {"dedup_minhash_lsh", "dedup_cc_clusters",
                 "dedup_cc_survivors", "dedup_quality_survivors",
-                "bpe_train_merges", "bpe_train_merges_local"}
+                "bpe_train_merges", "bpe_train_merges_local",
+                "wordpiece_train_scores"}
 
     # TWO full positional passes, per-entry MIN reported (round-8
     # verdict ask #3): a single pass is exposed to ambient host load

@@ -69,7 +69,7 @@ def test_bench_emits_valid_contract_json():
     assert set(doc["memoized"]) == {
         "dedup_minhash_lsh", "dedup_cc_clusters", "dedup_cc_survivors",
         "dedup_quality_survivors", "bpe_train_merges",
-        "bpe_train_merges_local",
+        "bpe_train_merges_local", "wordpiece_train_scores",
     }
     assert doc["memo_build_sec"] > 0
     # round-12 fields: headline+memo in one number and ambient load
