@@ -1,16 +1,19 @@
-"""Training-data pipeline batch 5 (round 12): WordPiece-objective
-tokenizer training, CCNet-style perplexity bucketing, winnowing
-document fingerprints (the MOSS algorithm), and perceptual-hash
-dedup groups over the multimodal plumbing — four more published
-dataset-construction stages a pretraining pipeline runs (absent from
-the reference; SURVEY §2.7 extension class alongside batches 1-4).
+"""Training-data pipeline batch 5 (round 12): WordPiece tokenizer
+training + max-munch inference, CCNet-style perplexity bucketing,
+winnowing document fingerprints (the MOSS algorithm), perceptual-hash
+dedup groups over the multimodal plumbing, content-defined chunking
+(rsync/FastCDC family), and a count-min heavy-hitter sketch — seven
+more published dataset-construction stages a pretraining pipeline
+runs (absent from the reference; SURVEY §2.7 extension class
+alongside batches 1-4).
 
 Scale shapes:
 - WordPiece training has the same shape as BPE training
   (functions/bpe.py): one corpus scan builds the distinct-word
   frequency table; each merge iteration runs over the ~|vocab|-row
   symbol table only (pair counts + symbol counts + a broadcastable
-  2-way join + a 1-row argmax).
+  2-way join + a 1-row argmax). Inference is the Arrow mapInPandas
+  encoder shape (plan constant in vocab size, distinct-word cache).
 - CCNet bucketing is two count shuffles (bigram / prefix, both
   Zipf-bounded) + one doc-keyed agg + the distributed global-rank
   construction (functions/ranking.py — one range shuffle, offsets
@@ -18,19 +21,28 @@ Scale shapes:
 - winnowing is scan-stage gram hashing, a w-fold position explode, a
   (doc, window)-partitioned argmin window, then hash-keyed grouping;
   the pair expansion is bounded by the per-hash doc-frequency cap
-  (the hot-band-cap pattern from functions/dedup.py LSH).
+  (the hot-band-cap pattern from functions/dedup.py LSH); the
+  fingerprint table is checkpointed once for its three consumers.
 - the perceptual hash consumes the REAL Arrow mapInPandas feature
   path (functions/multimodal.py) and reduces to a 16-bit integer per
   item before the only shuffle (the group-by).
+- content-defined chunk boundaries are a LOCAL mask test (single
+  scan, flags zip-aligned to tokens, doc-partitioned running sum) —
+  embarrassingly parallel because FastCDC's sequential min-size skip
+  is deliberately omitted (see chunk_content_defined docstring).
+- the count-min sketch is the canonical mergeable summary: one scan
+  emits every (hash-row, bucket) coordinate inline, one map-side
+  combined agg builds the fixed-size grid.
 
 Determinism contract: every score the engines compare is either pure
-int64 arithmetic (winnowing hashes via md5-backed hash60; aHash bits
-via integer cross-multiplication; CCNet per-doc scores as exact
-integer sums of per-bigram micro-nat quanta) or ONE IEEE double op on
-identical integers (the WordPiece score division) — so every entry is
-value-checked in DuckDB, including the unrolled WordPiece merge
-decisions (the BPE-oracle pattern, training_pipeline3.py).
-"""
+int64 arithmetic (winnowing/chunking/sketch hashes via md5-backed
+hash60; aHash bits via integer cross-multiplication; CCNet per-doc
+scores as exact integer sums of per-bigram micro-nat quanta) or ONE
+IEEE double op on identical integers (the WordPiece score division) —
+so every entry is value-checked in DuckDB, including the unrolled
+WordPiece merge decisions (the BPE-oracle pattern,
+training_pipeline3.py) and the max-munch greedy steps (recursive
+CTE)."""
 
 from __future__ import annotations
 
