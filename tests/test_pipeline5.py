@@ -398,3 +398,86 @@ def test_ahash_entropy_is_nontrivial(spark):
     n = tab.count()
     distinct = tab.select("ahash").distinct().count()
     assert 1 < distinct < n
+
+
+# ---------------------------------------------------------------------------
+# Hypothesis properties (python reference models; Spark == reference
+# is pinned by the equivalence tests above, so the properties transfer)
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+_words_st = st.lists(
+    st.text(alphabet="abcdef", min_size=1, max_size=4),
+    min_size=0,
+    max_size=60,
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(_words_st)
+def test_cdc_chunks_reconstruct_the_document(toks):
+    text = " ".join(toks)
+    chunks = _ref_cdc_chunks(text)
+    assert " ".join(chunks).split() == [t.lower() for t in toks if t]
+    assert all(c for c in chunks)  # never an empty chunk
+
+
+@settings(max_examples=100, deadline=None)
+@given(_words_st, _words_st, _words_st)
+def test_winnowing_shared_run_guarantee(prefix_a, prefix_b, run):
+    # robust winnowing's contract: two docs sharing a run of
+    # >= WIN_W + WIN_K - 1 tokens select at least one common
+    # fingerprint from inside the run (pre-cap property).
+    if len(run) < WIN_W + WIN_K - 1:
+        run = run + ["shared"] * (WIN_W + WIN_K - 1 - len(run))
+    a = " ".join(prefix_a + run)
+    b = " ".join(prefix_b + run)
+
+    def fps(text):
+        toks = [w for w in text.lower().split() if w]
+        grams = [" ".join(toks[i:i + WIN_K])
+                 for i in range(len(toks) - WIN_K + 1)]
+        hs = [int(hashlib.md5(g.encode()).hexdigest()[:15], 16)
+              for g in grams]
+        ng = len(grams)
+        sel = set()
+        for s in range(max(ng - WIN_W, 0) + 1):
+            sel.add(min((hs[p], -p)
+                        for p in range(s, min(s + WIN_W, ng)))[0])
+        return sel
+
+    assert fps(a) & fps(b)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.sampled_from("abcde"), min_size=1, max_size=40),
+       st.lists(st.sampled_from("abcde"), min_size=0, max_size=40))
+def test_count_min_mergeable_under_any_split(a, b):
+    import hashlib as hl
+    from collections import Counter
+
+    from postgres_opensearch_cdc_spark.queries.training_pipeline5 import (
+        CM_DEPTH,
+        CM_WIDTH,
+    )
+
+    def sk(ws):
+        g = Counter()
+        for w in ws:
+            for r in range(CM_DEPTH):
+                h = int(hl.md5(f"{w}:{r}".encode()).hexdigest()[:15], 16)
+                g[(r, h % CM_WIDTH)] += 1
+        return g
+
+    merged = sk(a) + sk(b)
+    assert merged == sk(a + b)
+    # one-sided error for every key
+    truth = Counter(a + b)
+    for w, c in truth.items():
+        est = min(
+            merged[(r, int(hl.md5(f"{w}:{r}".encode()).hexdigest()[:15],
+                           16) % CM_WIDTH)]
+            for r in range(CM_DEPTH)
+        )
+        assert est >= c
