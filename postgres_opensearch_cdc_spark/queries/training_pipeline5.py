@@ -299,6 +299,98 @@ def winnow_shared_pairs(docs: DataFrame) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Interpolated Kneser-Ney bigram LM quality scoring
+# ---------------------------------------------------------------------------
+
+KN_DISCOUNT_Q = 3  # discount d = 3/4: exact in binary floating point,
+                   # so disc/lambda are exact quarter-integers in both
+                   # engines (the reason 0.75 and not 0.7)
+
+
+def quality_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality scoring under an interpolated Kneser-Ney
+    bigram LM (Kneser & Ney 1995; the smoothing every real n-gram LM
+    pipeline ships, vs quality_bigram_lm's raw MLE which assigns
+    unseen-context mass nothing): p(w2|w1) =
+    (max(c(w1w2)-d,0) + d·N1+(w1·)·p_cont(w2)) / c(w1·), with the
+    continuation probability p_cont(w2) = N1+(·w2)/|bigram types| —
+    the "how many contexts does w2 follow" mass that distinguishes
+    'francisco' (frequent, one context) from genuinely productive
+    words. Output: the per-source doc-score audit.
+
+    Exactness: d = 3/4 is exact in binary FP, so the discounted count
+    and the lambda weight are exact quarter-integers; p is then THREE
+    IEEE ops (one mult, one add, one div) on identical values in both
+    engines, quantized to integer micro-nats exactly like
+    quality_ccnet_buckets. All five count relations (bigram
+    instances, prefix totals, distinct-continuation counts both ways,
+    the 1-row type total) are Zipf-bounded aggregations —
+    broadcastable at any corpus size; the type total rides a 1-row
+    broadcast cross-join, never a driver collect."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = docs.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.expr(
+                "arrays_zip(slice(split(lower(text), '\\\\s+'), 1, "
+                "size(split(lower(text), '\\\\s+')) - 1), "
+                "slice(split(lower(text), '\\\\s+'), 2, "
+                "size(split(lower(text), '\\\\s+')) - 1))"
+            )
+        ).alias("s"),
+    ).select(
+        "doc_id",
+        "source",
+        F.col("s.0").alias("prev"),
+        F.col("s.1").alias("nxt"),
+    )
+    bc = pairs.groupBy("prev", "nxt").agg(F.count(F.lit(1)).alias("bc"))
+    pc = pairs.groupBy("prev").agg(F.count(F.lit(1)).alias("pc"))
+    types = pairs.select("prev", "nxt").distinct()
+    cont_prev = types.groupBy("prev").agg(
+        F.count(F.lit(1)).alias("np1")
+    )
+    cont_next = types.groupBy("nxt").agg(F.count(F.lit(1)).alias("nn1"))
+    tot = types.agg(F.count(F.lit(1)).alias("tot"))
+    scored = (
+        pairs.join(bc, ["prev", "nxt"])
+        .join(pc, "prev")
+        .join(cont_prev, "prev")
+        .join(cont_next, "nxt")
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "p",
+            (
+                F.greatest(
+                    F.col("bc") * 4 - KN_DISCOUNT_Q, F.lit(0)
+                ).cast("double") / 4
+                + (F.col("np1") * KN_DISCOUNT_Q).cast("double") / 4
+                * (F.col("nn1").cast("double") / F.col("tot"))
+            )
+            / F.col("pc"),
+        )
+        .withColumn(
+            "q", F.round(-F.log(F.col("p")) * 1e6, 0).cast("long")
+        )
+    )
+    per_doc = scored.groupBy("doc_id", "source").agg(
+        F.sum("q").alias("sum_q"),
+        F.count(F.lit(1)).alias("n_bg"),
+    ).withColumn("doc_nlp_e6", F.col("sum_q") / F.col("n_bg"))
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            (F.sum("sum_q") / F.sum("n_bg")).alias("mean_nlp_e6"),
+            F.min("doc_nlp_e6").alias("min_nlp_e6"),
+            F.max("doc_nlp_e6").alias("max_nlp_e6"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Count-min sketch: heavy-hitter frequencies in fixed space
 # ---------------------------------------------------------------------------
 
@@ -578,6 +670,7 @@ QUERIES = {
     "multimodal_ahash_groups": multimodal_ahash_groups,
     "chunk_content_defined": chunk_content_defined,
     "sketch_count_min": sketch_count_min,
+    "quality_kneser_ney": quality_kneser_ney,
 }
 
 
@@ -769,6 +862,49 @@ _WINNOW_SQL = f"""
 """
 
 
+_KN_SQL = f"""
+    WITH pr AS (
+        SELECT doc_id, source,
+               toks[i+1] AS prev, toks[i+2] AS nxt
+        FROM (SELECT doc_id, source, {_TOKS_SQL} AS toks FROM documents),
+             UNNEST(range(len(toks) - 1)) AS u(i)
+    ),
+    bc AS (SELECT prev, nxt, COUNT(*) AS bc FROM pr GROUP BY 1, 2),
+    pc AS (SELECT prev, COUNT(*) AS pc FROM pr GROUP BY 1),
+    ty AS (SELECT DISTINCT prev, nxt FROM pr),
+    cp AS (SELECT prev, COUNT(*) AS np1 FROM ty GROUP BY 1),
+    cn AS (SELECT nxt, COUNT(*) AS nn1 FROM ty GROUP BY 1),
+    tt AS (SELECT COUNT(*) AS tot FROM ty),
+    q AS (
+        SELECT pr.doc_id, pr.source,
+               ROUND(-LN(
+                   (greatest(bc.bc * 4 - {KN_DISCOUNT_Q}, 0)::DOUBLE / 4
+                    + (cp.np1 * {KN_DISCOUNT_Q})::DOUBLE / 4
+                      * (cn.nn1::DOUBLE / tt.tot))
+                   / pc.pc
+               ) * 1e6)::BIGINT AS q
+        FROM pr
+        JOIN bc USING (prev, nxt)
+        JOIN pc USING (prev)
+        JOIN cp USING (prev)
+        JOIN cn USING (nxt)
+        CROSS JOIN tt
+    ),
+    d AS (
+        SELECT doc_id, source, SUM(q)::BIGINT AS sum_q,
+               COUNT(*) AS n_bg,
+               SUM(q)::BIGINT / COUNT(*) AS doc_nlp_e6
+        FROM q GROUP BY doc_id, source
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           SUM(sum_q)::BIGINT / SUM(n_bg)::BIGINT AS mean_nlp_e6,
+           MIN(doc_nlp_e6) AS min_nlp_e6,
+           MAX(doc_nlp_e6) AS max_nlp_e6
+    FROM d GROUP BY source ORDER BY source
+"""
+
+
 _CM_SQL = f"""
     WITH ws AS (
         SELECT w FROM (
@@ -901,4 +1037,5 @@ ORACLE = {
     "multimodal_ahash_groups": _ahash_sql(),
     "chunk_content_defined": _CDC_CHUNK_SQL,
     "sketch_count_min": _CM_SQL,
+    "quality_kneser_ney": _KN_SQL,
 }

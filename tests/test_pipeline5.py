@@ -481,3 +481,36 @@ def test_count_min_mergeable_under_any_split(a, b):
             for r in range(CM_DEPTH)
         )
         assert est >= c
+
+
+# ---------------------------------------------------------------------------
+# Kneser-Ney smoothing: proper-distribution property
+# ---------------------------------------------------------------------------
+
+
+def test_kneser_ney_is_a_proper_distribution():
+    # For every context w1, summing the interpolated-KN probability
+    # over the ENTIRE continuation vocabulary must give exactly 1:
+    # sum(max(c-d,0)) = c(w1.) - d*N1+(w1.) over observed pairs, and
+    # the lambda mass d*N1+(w1.) flows to p_cont which itself sums to
+    # 1 (sum of N1+(.w2) over w2 = |types|). Checks the discount
+    # bookkeeping the entry relies on.
+    from collections import Counter
+
+    corpus = ("the cat sat on the mat the cat ran to the mat "
+              "a dog sat on a log the dog ran").split()
+    pairs = list(zip(corpus, corpus[1:]))
+    bc = Counter(pairs)
+    pc = Counter(p for p, _ in pairs)
+    types = set(pairs)
+    np1 = Counter(p for p, _ in types)
+    nn1 = Counter(n for _, n in types)
+    tot = len(types)
+    nxt_vocab = set(nn1)
+    for w1 in pc:
+        s = 0.0
+        for w2 in nxt_vocab:
+            disc = max(bc.get((w1, w2), 0) * 4 - 3, 0) / 4
+            lam = (np1[w1] * 3) / 4
+            s += (disc + lam * (nn1[w2] / tot)) / pc[w1]
+        assert abs(s - 1.0) < 1e-9, (w1, s)
