@@ -299,6 +299,106 @@ def winnow_shared_pairs(docs: DataFrame) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Bloom-filter decontamination (fixed-memory probe side)
+# ---------------------------------------------------------------------------
+
+BLOOM_M = 1 << 16   # filter bits (production: sized to eval-set grams)
+BLOOM_K = 3         # hash functions
+BLOOM_SALT = 70     # hash60 salt base (salts 70..70+K-1)
+
+
+def contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination through a BLOOM FILTER of the
+    held-out set's {4}-grams — the fixed-memory form of
+    contamination_ngram's exact semi-join: the filter is {BLOOM_K}
+    bit positions per gram in a {BLOOM_M}-bit space, so the probe
+    side ships kilobytes per executor regardless of benchmark size
+    (an exact gram set grows with the benchmark; at 100 TB the bloom
+    is what actually broadcasts). A gram hits iff ALL {BLOOM_K}
+    positions are set — one-sided error: every exact match is a hit,
+    false positives are possible and REPORTED (n_bloom - n_exact per
+    doc), never silent. The filter is deterministic under the
+    portable hash60 family, so the oracle rebuilds the identical bit
+    set and the identical false positives — the FP behavior itself
+    is value-checked, not just the happy path.
+
+    Same benchmark split and gram semantics as contamination_ngram
+    (imported, not re-derived), so the two entries' exact columns
+    agree by construction."""
+    from postgres_opensearch_cdc_spark.queries.training_pipeline import (
+        BENCHMARK_MAX_DOC_ID,
+        CONTAM_N,
+        _ngrams,
+        _toks,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def grams(side: DataFrame) -> DataFrame:
+        return side.select(
+            "doc_id",
+            F.explode(_ngrams(_toks(F.col("text")), CONTAM_N)).alias(
+                "gram"
+            ),
+        ).select("doc_id", F.md5(F.col("gram")).alias("gram_h"))
+
+    def bits(frame: DataFrame) -> DataFrame:
+        return frame.select(
+            "*",
+            F.explode(
+                F.array(*[
+                    F.pmod(
+                        hash60(F.col("gram_h"), salt=BLOOM_SALT + i),
+                        F.lit(BLOOM_M),
+                    )
+                    for i in range(BLOOM_K)
+                ])
+            ).alias("bit"),
+        )
+
+    bench_grams = (
+        grams(docs.filter(F.col("doc_id") < BENCHMARK_MAX_DOC_ID))
+        .select("gram_h")
+        .distinct()
+    )
+    bloom = bits(bench_grams).select("bit").distinct()
+    corpus = (
+        grams(docs.filter(F.col("doc_id") >= BENCHMARK_MAX_DOC_ID))
+        .distinct()
+    )
+    hits = (
+        bits(corpus)
+        .join(F.broadcast(bloom), "bit")
+        .groupBy("doc_id", "gram_h")
+        .agg(F.count(F.lit(1)).alias("nb"))
+        .filter(F.col("nb") == BLOOM_K)
+    )
+    n_bloom = hits.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bloom")
+    )
+    n_exact = (
+        corpus.join(F.broadcast(bench_grams), "gram_h")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+    )
+    return (
+        n_bloom.join(n_exact, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_bloom",
+            F.coalesce(F.col("n_exact"), F.lit(0).cast("long")).alias(
+                "n_exact"
+            ),
+            (
+                F.col("n_bloom")
+                - F.coalesce(F.col("n_exact"), F.lit(0).cast("long"))
+            ).alias("fp_grams"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Interpolated Kneser-Ney bigram LM quality scoring
 # ---------------------------------------------------------------------------
 
@@ -671,6 +771,7 @@ QUERIES = {
     "chunk_content_defined": chunk_content_defined,
     "sketch_count_min": sketch_count_min,
     "quality_kneser_ney": quality_kneser_ney,
+    "contamination_bloom": contamination_bloom,
 }
 
 
@@ -862,6 +963,62 @@ _WINNOW_SQL = f"""
 """
 
 
+def _bloom_sql() -> str:
+    from postgres_opensearch_cdc_spark.queries.training_pipeline import (
+        BENCHMARK_MAX_DOC_ID,
+        CONTAM_N,
+        _ngrams_sql,
+    )
+
+    def bit(col: str, i: int) -> str:
+        return (f"('0x' || substr(md5({col} || ':{BLOOM_SALT + i}'), "
+                f"1, 15))::BIGINT % {BLOOM_M}")
+
+    bench_bits = "\n            UNION ".join(
+        f"SELECT {bit('gram_h', i)} AS bit FROM bg"
+        for i in range(BLOOM_K)
+    )
+    probe_bits = "\n            UNION ALL ".join(
+        f"SELECT doc_id, gram_h, {bit('gram_h', i)} AS bit FROM cg"
+        for i in range(BLOOM_K)
+    )
+    return f"""
+    WITH grams AS (
+        SELECT doc_id,
+               md5(unnest({_ngrams_sql(_TOKS_SQL, CONTAM_N)})) AS gram_h
+        FROM documents
+    ),
+    bg AS (
+        SELECT DISTINCT gram_h FROM grams
+        WHERE doc_id < {BENCHMARK_MAX_DOC_ID}
+    ),
+    cg AS (
+        SELECT DISTINCT doc_id, gram_h FROM grams
+        WHERE doc_id >= {BENCHMARK_MAX_DOC_ID}
+    ),
+    bloom AS (
+        {bench_bits}
+    ),
+    probe AS (
+        {probe_bits}
+    ),
+    hits AS (
+        SELECT doc_id, gram_h FROM probe JOIN bloom USING (bit)
+        GROUP BY doc_id, gram_h HAVING COUNT(*) = {BLOOM_K}
+    ),
+    nb AS (SELECT doc_id, COUNT(*) AS n_bloom FROM hits GROUP BY doc_id),
+    ne AS (
+        SELECT doc_id, COUNT(*) AS n_exact FROM cg
+        WHERE gram_h IN (SELECT gram_h FROM bg) GROUP BY doc_id
+    )
+    SELECT nb.doc_id, n_bloom,
+           COALESCE(n_exact, 0) AS n_exact,
+           n_bloom - COALESCE(n_exact, 0) AS fp_grams
+    FROM nb LEFT JOIN ne USING (doc_id)
+    ORDER BY nb.doc_id
+"""
+
+
 _KN_SQL = f"""
     WITH pr AS (
         SELECT doc_id, source,
@@ -1038,4 +1195,5 @@ ORACLE = {
     "chunk_content_defined": _CDC_CHUNK_SQL,
     "sketch_count_min": _CM_SQL,
     "quality_kneser_ney": _KN_SQL,
+    "contamination_bloom": _bloom_sql(),
 }

@@ -514,3 +514,46 @@ def test_kneser_ney_is_a_proper_distribution():
             lam = (np1[w1] * 3) / 4
             s += (disc + lam * (nn1[w2] / tot)) / pc[w1]
         assert abs(s - 1.0) < 1e-9, (w1, s)
+
+
+# ---------------------------------------------------------------------------
+# Bloom decontamination: one-sided error, exact-column agreement
+# ---------------------------------------------------------------------------
+
+
+def test_bloom_contamination_is_one_sided_and_nonvacuous(spark):
+    from postgres_opensearch_cdc_spark.queries.training_pipeline5 import (
+        contamination_bloom,
+    )
+
+    rows = contamination_bloom(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r["n_bloom"] >= r["n_exact"] >= 0  # never a false negative
+        assert r["fp_grams"] == r["n_bloom"] - r["n_exact"]
+    # the filter is sized so the FIXTURE exercises the FP path: if this
+    # starts failing the bloom has gone vacuous (exact-equal) and the
+    # oracle no longer value-checks the interesting branch
+    assert sum(r["fp_grams"] for r in rows) > 0
+
+
+def test_bloom_exact_column_agrees_with_exact_entry(spark):
+    # same split + gram semantics as contamination_ngram by import,
+    # so the exact columns must coincide doc for doc
+    from postgres_opensearch_cdc_spark.queries.training_pipeline import (
+        contamination_ngram,
+    )
+    from postgres_opensearch_cdc_spark.queries.training_pipeline5 import (
+        contamination_bloom,
+    )
+
+    exact = {
+        r["doc_id"]: r["n_shared_grams"]
+        for r in contamination_ngram(spark, SF).collect()
+    }
+    bloom = {
+        r["doc_id"]: r["n_exact"]
+        for r in contamination_bloom(spark, SF).collect()
+        if r["n_exact"] > 0
+    }
+    assert bloom == exact
