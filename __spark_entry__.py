@@ -101,7 +101,7 @@ _PRIORITY = [
     "wordpiece_train_scores", "wordpiece_apply_longest",
     "quality_ccnet_buckets", "quality_kneser_ney",
     "chunk_content_defined", "sketch_count_min",
-    "contamination_bloom",
+    "contamination_bloom", "sample_weighted_topk",
     "fingerprint_winnowing", "multimodal_ahash_groups",
     # (a2) the round-12 extension batch: semantic dedup (k-means fit
     # value-checked via unrolled Lloyd iterations + SemDeDup prune),
@@ -132,9 +132,9 @@ _PRIORITY = [
     "adjacency_matrix_agg", "dedup_cc_clusters", "dedup_cc_survivors",
 ]
 
-# With the 9 batch-5 entries prepended, the last 9 rows of block (d)
-# (priority_late_orders, forecast_revenue, ship_lag_priority,
-# small_quantity_revenue, inactive_high_balance,
+# With the 10 batch-5 entries prepended, the last 10 rows of block (d)
+# (cumulative_cardinality, priority_late_orders, forecast_revenue,
+# ship_lag_priority, small_quantity_revenue, inactive_high_balance,
 # ts_hierarchical_rollup, adjacency_matrix_agg, dedup_cc_clusters,
 # dedup_cc_survivors) fall outside the 50-row window — they move to
 # the FRONT of the round-13 re-check queue.

@@ -299,6 +299,59 @@ def winnow_shared_pairs(docs: DataFrame) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Weighted sampling without replacement (Efraimidis-Spirakis)
+# ---------------------------------------------------------------------------
+
+WS_K = 5        # docs sampled per source
+WS_SALT = 91    # hash60 salt for the uniform draw
+WS_SCALE = 1 << 60  # hash60 range: u = (h + 1) / 2^60 in (0, 1]
+
+
+def sample_weighted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, the one-pass
+    Efraimidis-Spirakis (2006) reduction every distributed sampler
+    uses: draw u ~ U(0,1] per item, keep the top-k by key u^(1/w) —
+    equivalently argmax of ln(u)/w, which is what both engines
+    compute (monotone transform, no pow). Here: the top {WS_K}
+    documents per source weighted by n_chars, the
+    inclusion-probability-proportional-to-size subsample a mixture
+    stage draws. The 'random' draw is derandomized through hash60
+    (the repo-wide fate pattern: deterministic, replayable,
+    engine-portable), so the SAMPLE ITSELF is value-checked by the
+    oracle — not just its size.
+
+    Scale: key computation is scan-stage; selection is one
+    (source)-partitioned top-k window — with k bounded and sources
+    low-cardinality this is the textbook distributed weighted sample
+    (at extreme per-source row counts the same key feeds a
+    TakeOrderedAndProject per group via the rank filter — Spark's
+    WindowGroupLimit pushes the k-filter below the sort)."""
+    docs = load_table(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        (
+            F.log(
+                (hash60(F.col("doc_id").cast("string"), salt=WS_SALT)
+                 + 1).cast("double")
+                / F.lit(float(WS_SCALE))
+            )
+            / F.col("n_chars")
+        ).alias("es_key"),
+    )
+    win = Window.partitionBy("source").orderBy(
+        F.col("es_key").desc(), "doc_id"
+    )
+    return (
+        keyed.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= WS_K)
+        .select("source", "rank", "doc_id", "n_chars")
+        .orderBy("source", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Bloom-filter decontamination (fixed-memory probe side)
 # ---------------------------------------------------------------------------
 
@@ -772,6 +825,7 @@ QUERIES = {
     "sketch_count_min": sketch_count_min,
     "quality_kneser_ney": quality_kneser_ney,
     "contamination_bloom": contamination_bloom,
+    "sample_weighted_topk": sample_weighted_topk,
 }
 
 
@@ -960,6 +1014,23 @@ _WINNOW_SQL = f"""
     GROUP BY 1, 2
     HAVING COUNT(*) >= {WIN_MIN_SHARED}
     ORDER BY doc_a, doc_b
+"""
+
+
+_WS_SQL = f"""
+    WITH k AS (
+        SELECT doc_id, source, n_chars,
+               LN(((('0x' || substr(md5(doc_id::VARCHAR || ':{WS_SALT}'),
+                      1, 15))::BIGINT + 1))::DOUBLE
+                  / {float(WS_SCALE)!r}) / n_chars AS es_key
+        FROM documents
+    )
+    SELECT source, rank, doc_id, n_chars FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY source ORDER BY es_key DESC, doc_id
+        ) AS rank FROM k
+    ) WHERE rank <= {WS_K}
+    ORDER BY source, rank
 """
 
 
@@ -1196,4 +1267,5 @@ ORACLE = {
     "sketch_count_min": _CM_SQL,
     "quality_kneser_ney": _KN_SQL,
     "contamination_bloom": _bloom_sql(),
+    "sample_weighted_topk": _WS_SQL,
 }

@@ -557,3 +557,35 @@ def test_bloom_exact_column_agrees_with_exact_entry(spark):
         if r["n_exact"] > 0
     }
     assert bloom == exact
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling: probability-proportional-to-size behavior
+# ---------------------------------------------------------------------------
+
+
+def test_weighted_sampling_favors_heavy_items():
+    # Efraimidis-Spirakis with the derandomized hash draw: across many
+    # salts, an item with 10x the weight must be selected much more
+    # often than a light one (exact inclusion probs are complex; the
+    # monotone trend is the contract worth pinning).
+    import hashlib as hl
+    import math
+
+    items = [("heavy", 1000)] + [(f"light{i}", 100) for i in range(19)]
+    wins = {name: 0 for name, _ in items}
+    for salt in range(300):
+        keyed = []
+        for name, w in items:
+            h = int(hl.md5(f"{name}:{salt}".encode()).hexdigest()[:15],
+                    16)
+            u = (h + 1) / float(1 << 60)
+            keyed.append((math.log(u) / w, name))
+        top = {n for _, n in sorted(keyed, reverse=True)[:5]}
+        for n in top:
+            wins[n] += 1
+    light_mean = sum(v for k, v in wins.items()
+                     if k.startswith("light")) / 19
+    assert wins["heavy"] > 2.5 * light_mean
+    # and the deterministic fixed-salt draw is reproducible
+    assert wins["heavy"] <= 300
