@@ -38,6 +38,7 @@ from postgres_opensearch_cdc_spark.queries import (
     training_pipeline3,
     training_pipeline4,
     training_pipeline5,
+    training_pipeline6,
     windows_pivot,
 )
 
@@ -56,6 +57,7 @@ _MODULES = [
     training_pipeline3,
     training_pipeline4,
     training_pipeline5,
+    training_pipeline6,
     timeseries,
     timeseries2,
     querydsl_aggs,
@@ -93,6 +95,12 @@ _MODULES = [
 # (d) the first 28 of the 48 rows last checked r6 — 50 total.
 _PRIORITY = [
     # (a) NEW this round (round 12) — never driver-checked
+    # (a4) the round-12 batch-6 entries: HLL registers + KMV bottom-k
+    # sketches (the mergeable-summary family with sketch_count_min),
+    # fixed-point PageRank (unrolled-iteration oracle), unigram-LM
+    # Viterbi segmentation (exhaustive recursive-CTE oracle)
+    "sketch_hyperloglog", "sketch_kmv_overlap",
+    "graph_pagerank", "unigram_viterbi_segment",
     # (a3) the round-12 batch-5 entries: WordPiece-objective merge
     # training (unrolled-iteration oracle, the BPE pattern), CCNet
     # perplexity tertiles (integer micro-nat scores + distributed

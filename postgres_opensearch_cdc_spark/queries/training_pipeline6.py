@@ -1,0 +1,835 @@
+"""Training-data pipeline batch 6 (round 12): HyperLogLog cardinality
+registers, KMV (bottom-k) distinct sketches with cross-source Jaccard
+estimation, fixed-point PageRank over the word-adjacency graph, and
+unigram-LM Viterbi segmentation — four more published
+dataset-construction stages (absent from the reference; SURVEY §2.7
+extension class alongside batches 1-5).
+
+Why these four:
+- HLL (Flajolet et al. 2007) and KMV (Bar-Yossef et al. 2002) complete
+  the mergeable-sketch family started by sketch_count_min: CM answers
+  "how often", HLL answers "how many distinct" in O(m) registers, KMV
+  answers "how many distinct AND how much do two sets overlap" in O(k)
+  hashes. A corpus pipeline uses exactly this trio to audit
+  per-source vocabulary/dedup rates without vocabulary-sized state.
+- PageRank is the canonical iterative graph kernel (the quality prior
+  web pipelines feed into crawl scheduling and doc scoring); the
+  entry's word-adjacency graph is corpus-derived, and the
+  fixed-point integer formulation makes every iteration exactly
+  reproducible in DuckDB (unrolled-CTE oracle, the BPE pattern).
+- Unigram Viterbi segmentation is the inference step of the
+  SentencePiece-unigram tokenizer (Kudo 2018) — with BPE (greedy
+  merges) and WordPiece (max-munch) already built, max-SUM dynamic
+  programming over a scored piece vocabulary completes the three
+  tokenizer families actually shipped by LLM stacks. The oracle is
+  EXHAUSTIVE: a recursive CTE enumerates every segmentation of every
+  distinct word and the DP must match the brute-force argmax.
+
+Determinism contract (what lets every entry be VALUE-checked):
+- all hashes are the portable md5-backed hash60 family;
+- HLL registers, KMV bottom-k hashes, PageRank ranks, and Viterbi
+  scores are pure int64 arithmetic (PageRank runs in fixed-point:
+  rank mass is integer micro-units, damping 0.85 is the exact
+  rational 17/20 applied with integer floor division, so iteration
+  sums are order-independent);
+- the only float ops are final single-expression estimates on
+  identical integers (HLL's alpha*m^2*2^57/sum, KMV's (k-1)*2^60/kth,
+  the micro-nat piece scores' ln) — compared at the harness's 6dp.
+
+Scale shapes (the 100 TB story for each):
+- HLL: one scan emits (source, bucket, rho); the sketch is a
+  fixed-size max-aggregation — map-side combined, mergeable across
+  any partitioning (registers of a union are the elementwise max,
+  pinned by test). Production uses p=14 (16 KiB/source); p=4 here so
+  the 20-source test output exercises both estimator branches.
+- KMV: the per-source sketch is a bottom-k window over distinct
+  hashes (vocabulary-bounded input, k rows out); every downstream
+  pairwise stage runs on k·|sources| rows — broadcastable — instead
+  of the vocab-sized exact join, which is the entire point.
+- PageRank: each iteration is one hash join (ranks×edges on src) and
+  one groupBy(dst) — the Pregel shape; state is one int64 per node;
+  lineage is cut per iteration with localCheckpoint exactly like
+  functions/graph.py's connected components.
+- Viterbi: the DP runs once per DISTINCT word over an Arrow-batched
+  mapInPandas with the (bounded, top-V) piece vocabulary broadcast in
+  the closure — the bpe_apply_tokens_arrow shape: plan size constant
+  in vocabulary, no per-row Python UDF, corpus cost is one
+  distinct-word shuffle regardless of token count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+from pyspark.sql import types as T
+
+from postgres_opensearch_cdc_spark.functions.dedup import hash60
+from postgres_opensearch_cdc_spark.registry import load_table
+
+_TOKS_SQL = r"regexp_split_to_array(lower(text), '\s+')"
+
+# ---------------------------------------------------------------------------
+# HyperLogLog registers (per-source distinct-vocabulary cardinality)
+# ---------------------------------------------------------------------------
+
+HLL_P = 4                    # 2^p registers (production: 14; 4 keeps the
+                             # 20-source test output on both estimator
+                             # branches and registers human-auditable)
+HLL_M = 1 << HLL_P           # 16 registers
+HLL_SUFFIX_BITS = 60 - HLL_P  # rho is counted over these bits
+HLL_RHO_MAX = HLL_SUFFIX_BITS + 1
+# alpha_16 from Flajolet et al. 2007 Fig. 3 (m=16)
+HLL_ALPHA = 0.673
+
+
+def hll_registers(words: DataFrame, group_col: str = "source",
+                  value_col: str = "w") -> DataFrame:
+    """(group, bucket, register) HLL register table: bucket = the top
+    HLL_P bits of hash60(value), register = max over values of
+    rho(suffix) where rho = leading-zero count of the remaining
+    HLL_SUFFIX_BITS bits + 1. Duplicates are harmless (max-based), so
+    the input needs no distinct. Registers are pure int64 — the
+    classic mergeable summary: the register table of a UNION of
+    inputs is the elementwise MAX of the register tables."""
+    h = hash60(F.col(value_col))
+    suffix = h % F.lit(1 << HLL_SUFFIX_BITS)
+    # bit length via the minimal binary string: both engines print
+    # bin(x) without leading zeros, so rho = (bits+1) - length(bin)
+    rho = F.when(suffix == 0, F.lit(HLL_RHO_MAX)).otherwise(
+        F.lit(HLL_RHO_MAX) - F.length(F.bin(suffix))
+    )
+    return (
+        words.select(
+            F.col(group_col).alias("g"),
+            # top HLL_P bits — integer shift, never float division
+            # (h is not exactly representable in a double)
+            F.shiftright(h, HLL_SUFFIX_BITS).alias("bucket"),
+            rho.alias("rho"),
+        )
+        .groupBy("g", "bucket")
+        .agg(F.max("rho").alias("register"))
+    )
+
+
+def sketch_hyperloglog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-vocabulary estimate per source (Flajolet,
+    Fusy, Gandouet & Meunier 2007), audited against the exact distinct
+    count. The register table comes from ONE corpus scan + a fixed-
+    size max-agg; the estimator is evaluated per source over the
+    dense m-register vector (absent registers count as 0):
+
+        sum_num   = sum over registers of 2^(RHO_MAX - register)
+                    (integer — 16 * 2^57 < 2^63, so the harmonic-mean
+                    denominator is an EXACT int64, order-independent)
+        raw_est   = alpha_16 * m^2 * 2^RHO_MAX / sum_num
+        hll_est   = m * ln(m / V)  when raw_est <= 2.5m and V > 0
+                    (linear counting, V = zero registers), else raw_est
+
+    The entry sketches TWO domains per source — the word vocabulary
+    (dense registers, harmonic-mean branch) and the doc_id set (sparse
+    registers, linear-counting branch) — so both estimator branches
+    are value-checked, register table and estimates bit-for-bit.
+    At 100 TB: p=14 registers (16 KiB/source/domain), same one-scan
+    shape — this is the audit a pipeline runs per shard to price
+    dedup before paying for it."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "source",
+        F.lit("word").alias("domain"),
+        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("w"),
+    ).filter(F.length("w") > 0)
+    ids = docs.select(
+        "source",
+        F.lit("doc").alias("domain"),
+        F.col("doc_id").cast("string").alias("w"),
+    )
+    values = words.unionByName(ids).withColumn(
+        "gd", F.concat_ws("/", "source", "domain")
+    )
+    regs = hll_registers(values, group_col="gd")
+    per_group = regs.groupBy("g").agg(
+        # absent buckets carry register 0 => contribute 2^RHO_MAX each
+        (
+            F.sum(F.expr(f"shiftleft(1L, {HLL_RHO_MAX} - register)"))
+            + (F.lit(HLL_M) - F.count(F.lit(1)))
+            * F.lit(1 << HLL_RHO_MAX)
+        ).alias("sum_num"),
+        (F.lit(HLL_M) - F.count(F.lit(1))).alias("zero_registers"),
+    )
+    exact = values.groupBy(F.col("gd").alias("g")).agg(
+        F.countDistinct("w").alias("n_exact")
+    )
+    raw = F.lit(HLL_ALPHA * HLL_M * HLL_M) * F.lit(
+        float(1 << HLL_RHO_MAX)
+    ) / F.col("sum_num")
+    out = per_group.join(exact, "g").withColumn("raw_est", raw)
+    lc = F.lit(float(HLL_M)) * F.log(
+        F.lit(float(HLL_M)) / F.col("zero_registers")
+    )
+    use_lc = (F.col("raw_est") <= F.lit(2.5 * HLL_M)) & (
+        F.col("zero_registers") > 0
+    )
+    return (
+        out.select(
+            F.substring_index("g", "/", 1).alias("source"),
+            F.substring_index("g", "/", -1).alias("domain"),
+            "n_exact",
+            "zero_registers",
+            "sum_num",
+            "raw_est",
+            F.when(use_lc, lc).otherwise(F.col("raw_est")).alias("hll_est"),
+            use_lc.cast("boolean").alias("used_linear_counting"),
+        )
+        .orderBy("source", "domain")
+    )
+
+
+# ---------------------------------------------------------------------------
+# KMV bottom-k sketch + cross-source vocabulary overlap
+# ---------------------------------------------------------------------------
+
+KMV_K = 16
+
+
+def kmv_sketches(words: DataFrame, group_col: str = "source",
+                 value_col: str = "w") -> DataFrame:
+    """(group, h) bottom-KMV_K sketch per group: the KMV_K smallest
+    hash60 values over the group's DISTINCT values. Mergeable: the
+    sketch of a union is the bottom-k of the concatenated sketches
+    (pinned by test)."""
+    distinct = words.select(
+        F.col(group_col).alias("g"), F.col(value_col).alias("v")
+    ).distinct()
+    hashed = distinct.select("g", hash60(F.col("v")).alias("h"))
+    w = Window.partitionBy("g").orderBy("h")
+    return (
+        hashed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= KMV_K)
+        .select("g", "h")
+    )
+
+
+def sketch_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (bottom-k / K-Minimum-Values, Bar-Yossef et al. 2002;
+    Beyer et al. 2007) vocabulary-overlap estimation between every
+    source pair, audited against the exact Jaccard. Per source the
+    sketch is the KMV_K smallest word hashes; for a pair the bottom-k
+    of the UNION of the two sketches is a uniform sample of the union
+    of the vocabularies, so
+
+        jaccard_est = |{union bottom-k} present in BOTH sketches| / k'
+        (k' = min(k, |union sample|); when both vocabularies fit in
+        one sketch the estimate is EXACT by construction)
+
+    Everything up to the final ratio is int64 hash comparison, so the
+    oracle rebuilds the identical sample. At 100 TB the pairwise stage
+    touches k rows per source (S·k total, broadcastable) instead of
+    the vocab×S exact join — the standard way to price cross-source
+    dedup/contamination BEFORE running it (the exact join is the
+    audit column here, not the algorithm)."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "source",
+        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("w"),
+    ).filter(F.length("w") > 0)
+    dv = words.select("source", "w").distinct().localCheckpoint(eager=True)
+    sk = kmv_sketches(dv)
+
+    srcs = dv.select(F.col("source").alias("g")).distinct()
+    pairs = (
+        srcs.select(F.col("g").alias("a"))
+        .join(srcs.select(F.col("g").alias("b")), F.col("a") < F.col("b"))
+    )
+    # union-of-sketches sample per pair: tag membership, group by hash
+    sa = pairs.join(sk.withColumnRenamed("g", "a"), "a").select(
+        "a", "b", "h", F.lit(1).alias("in_a"), F.lit(0).alias("in_b")
+    )
+    sb = pairs.join(sk.withColumnRenamed("g", "b"), "b").select(
+        "a", "b", "h", F.lit(0).alias("in_a"), F.lit(1).alias("in_b")
+    )
+    u = (
+        sa.unionByName(sb)
+        .groupBy("a", "b", "h")
+        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+    )
+    wu = Window.partitionBy("a", "b").orderBy("h")
+    bottom = u.withColumn("rn", F.row_number().over(wu)).filter(
+        F.col("rn") <= KMV_K
+    )
+    est = bottom.groupBy("a", "b").agg(
+        F.count(F.lit(1)).alias("k_eff"),
+        F.sum(
+            (F.col("in_a") * F.col("in_b"))
+        ).alias("matches"),
+    )
+    # exact audit columns (the O(vocab) join the sketch replaces)
+    xa = dv.select(F.col("source").alias("a"), "w")
+    xb = dv.select(F.col("source").alias("b"), "w")
+    inter = (
+        xa.join(xb, "w")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sizes = dv.groupBy(F.col("source").alias("g")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    exact = (
+        pairs.join(sizes.withColumnRenamed("g", "a")
+                   .withColumnRenamed("n", "n_a"), "a")
+        .join(sizes.withColumnRenamed("g", "b")
+              .withColumnRenamed("n", "n_b"), "b")
+        .join(inter, ["a", "b"], "left")
+        .select(
+            "a", "b",
+            F.coalesce("n_inter", F.lit(0)).alias("n_inter"),
+            (F.col("n_a") + F.col("n_b")
+             - F.coalesce("n_inter", F.lit(0))).alias("n_union"),
+        )
+    )
+    return (
+        est.join(exact, ["a", "b"])
+        .select(
+            F.col("a").alias("source_a"),
+            F.col("b").alias("source_b"),
+            "k_eff",
+            "matches",
+            (F.col("matches") / F.col("k_eff")).alias("jaccard_est"),
+            "n_inter",
+            "n_union",
+            (F.col("n_inter") / F.col("n_union")).alias("jaccard_exact"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fixed-point PageRank over the word-adjacency graph
+# ---------------------------------------------------------------------------
+
+PR_ITERS = 4
+PR_SCALE = 10 ** 12          # total rank mass in integer micro-units
+PR_TOPK = 20
+# damping 0.85 as the exact rational 17/20 — fixed-point iteration
+
+
+def pagerank_fixed_point(edges: DataFrame, nodes: DataFrame,
+                         iters: int = PR_ITERS) -> DataFrame:
+    """Integer fixed-point PageRank (Page et al. 1999): ranks are
+    int64 micro-units of PR_SCALE total mass; one iteration is
+
+        contrib(u->v) = (rank(u) * 17) div (20 * outdeg(u))
+        dangling      = sum of rank(u) over outdeg(u) = 0
+        rank'(v)      = (3*PR_SCALE) div (20*N)
+                        + (17 * dangling) div (20 * N)
+                        + sum of incoming contribs
+
+    — every term is integer floor division on non-negative ints, so
+    iteration results are identical regardless of summation order or
+    partitioning (what makes the unrolled DuckDB oracle exact).
+    ``edges`` is (src, dst) distinct; ``nodes`` is (w). Each iteration
+    is one src-keyed join + one dst-keyed agg with the lineage cut by
+    localCheckpoint — the Pregel shape; state is one int64/node."""
+    n_nodes = nodes.count()
+    outdeg = edges.groupBy(F.col("src").alias("w")).agg(
+        F.count(F.lit(1)).alias("outdeg")
+    )
+    base = (3 * PR_SCALE) // (20 * n_nodes)
+    ranks = nodes.select(
+        "w", F.lit(PR_SCALE // n_nodes).cast("long").alias("rank")
+    ).localCheckpoint(eager=True)
+    for _ in range(iters):
+        with_deg = ranks.join(outdeg, "w", "left")
+        dangling = (
+            with_deg.filter(F.col("outdeg").isNull())
+            .agg(F.coalesce(F.sum("rank"), F.lit(0)).alias("dsum"))
+        )
+        contribs = (
+            with_deg.filter(F.col("outdeg").isNotNull())
+            .join(edges, F.col("w") == F.col("src"))
+            .select(
+                F.col("dst").alias("w"),
+                F.expr("(rank * 17) div (20 * outdeg)").alias("c"),
+            )
+            .groupBy("w")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        ranks = (
+            nodes.join(contribs, "w", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "w",
+                (
+                    F.lit(base)
+                    + F.expr(f"(17 * dsum) div (20 * {n_nodes})")
+                    + F.coalesce("inflow", F.lit(0))
+                ).cast("long").alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks
+
+
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the corpus word-adjacency digraph: nodes are
+    distinct words, edges are distinct adjacent-word pairs (bigrams),
+    PR_ITERS fixed-point iterations (see pagerank_fixed_point). The
+    entry reports the PR_TOPK top-ranked words with their degrees —
+    the centrality prior a crawl/quality pipeline computes over its
+    link graph; the word graph stands in for the link graph so the
+    kernel is oracle-checkable from the same parquet. Oracle: the
+    iterations UNROLLED as materialized CTEs (the BPE-oracle pattern)
+    — integer ranks must match EXACTLY."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.filter(
+            F.split(F.lower(F.col("text")), r"\s+"),
+            lambda w: F.length(w) > 0,
+        ).alias("t")
+    )
+    bigrams = toks.select(
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("t"), 1, F.greatest(F.size("t") - 1, F.lit(0))),
+                F.slice(F.col("t"), 2, F.greatest(F.size("t") - 1, F.lit(0))),
+                lambda a, b: F.struct(a.alias("src"), b.alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
+    edges = bigrams.distinct().localCheckpoint(eager=True)
+    nodes = (
+        edges.select(F.col("src").alias("w"))
+        .unionByName(edges.select(F.col("dst").alias("w")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    ranks = pagerank_fixed_point(edges, nodes)
+    indeg = edges.groupBy(F.col("dst").alias("w")).agg(
+        F.count(F.lit(1)).alias("in_deg")
+    )
+    outdeg = edges.groupBy(F.col("src").alias("w")).agg(
+        F.count(F.lit(1)).alias("out_deg")
+    )
+    return (
+        ranks.join(indeg, "w", "left")
+        .join(outdeg, "w", "left")
+        .select(
+            "w",
+            F.col("rank").alias("pagerank"),
+            F.coalesce("in_deg", F.lit(0)).alias("in_deg"),
+            F.coalesce("out_deg", F.lit(0)).alias("out_deg"),
+        )
+        .orderBy(F.col("pagerank").desc(), "w")
+        .limit(PR_TOPK)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM Viterbi segmentation (SentencePiece-unigram inference)
+# ---------------------------------------------------------------------------
+
+UNI_NMAX = 3        # piece length cap for the induced vocabulary
+UNI_VOCAB = 200     # multi-char pieces kept (all single chars always kept)
+UNI_QUANT = 10 ** 6  # micro-nat quantization of piece log-probs
+
+
+def unigram_vocab(words: DataFrame) -> DataFrame:
+    """(piece, freq, score) — the induced piece vocabulary: all
+    character 1..UNI_NMAX-grams of the corpus words weighted by word
+    frequency; kept pieces are every 1-gram (guarantees every word
+    segments) plus the top UNI_VOCAB multi-char pieces by (freq desc,
+    piece); score(p) = floor(UNI_QUANT * ln(freq_p / T)) with T the
+    total kept-piece frequency — integer micro-nats, one ln on
+    identical integers in both engines. ``words`` is (w, freq)."""
+    grams = words.select(
+        "freq",
+        F.explode(
+            # positions run 1..length(w) (sequence(1, 0) would DESCEND
+            # in Spark); end-of-word substrings come out short and are
+            # filtered by exact length
+            F.expr(
+                f"""
+                flatten(transform(sequence(1, {UNI_NMAX}), n ->
+                    filter(transform(sequence(1, length(w)),
+                                     i -> substring(w, i, n)),
+                           p -> length(p) = n)))
+                """
+            )
+        ).alias("p"),
+    )
+    freqs = grams.groupBy("p").agg(
+        F.sum("freq").alias("freq")
+    ).localCheckpoint(eager=True)
+    singles = freqs.filter(F.length("p") == 1)
+    multi = (
+        freqs.filter(F.length("p") > 1)
+        .orderBy(F.col("freq").desc(), "p")
+        .limit(UNI_VOCAB)
+    )
+    kept = singles.unionByName(multi)
+    total = kept.agg(F.sum("freq").alias("t"))
+    return (
+        kept.crossJoin(F.broadcast(total))
+        .select(
+            "p",
+            "freq",
+            F.floor(
+                F.lit(UNI_QUANT) * F.log(F.col("freq") / F.col("t"))
+            ).cast("long").alias("score"),
+        )
+    )
+
+
+def viterbi_segment(words: DataFrame, vocab: list[tuple[str, int]],
+                    word_col: str = "w") -> DataFrame:
+    """Max-sum Viterbi segmentation of each word under an integer-
+    scored piece vocabulary — the SentencePiece-unigram decode (Kudo
+    2018). DP over positions: best(i) = max over vocab pieces p ending
+    at i of best(i-|p|) + score(p); ties broken by the
+    lexicographically GREATEST '|'-joined segmentation (composable:
+    two partial segmentations of the same prefix always first differ
+    at a '|' vs letter position, so appending a common suffix never
+    flips the comparison — pinned by the brute-force test). Runs as
+    an Arrow-batched mapInPandas with the bounded vocabulary in the
+    closure (the bpe_apply_tokens_arrow shape): per-batch cost is pure
+    local DP over distinct words, no per-row Python UDF."""
+    table = {p: int(s) for p, s in vocab}
+    nmax = max((len(p) for p in table), default=1)
+    other = [c for c in words.columns if c != word_col]
+
+    def encode(batches):
+        for pdf in batches:
+            segs, scores, nps = [], [], []
+            for w in pdf[word_col]:
+                best: list[tuple[int, str] | None] = [None] * (len(w) + 1)
+                best[0] = (0, "")
+                for i in range(1, len(w) + 1):
+                    cand = None
+                    for L in range(1, min(nmax, i) + 1):
+                        p = w[i - L:i]
+                        s = table.get(p)
+                        prev = best[i - L]
+                        if s is None or prev is None:
+                            continue
+                        seg = p if prev[1] == "" else prev[1] + "|" + p
+                        c = (prev[0] + s, seg)
+                        if cand is None or (c[0], c[1]) > (cand[0], cand[1]):
+                            cand = c
+                    best[i] = cand
+                final = best[len(w)]
+                if final is None:  # unsegmentable (char outside vocab)
+                    segs.append(None)
+                    scores.append(None)
+                    nps.append(None)
+                else:
+                    segs.append(final[1])
+                    scores.append(final[0])
+                    nps.append(final[1].count("|") + 1)
+            out = pdf[[word_col, *other]].copy()
+            out["seg"] = segs
+            out["best_score"] = scores
+            out["n_pieces"] = nps
+            yield out
+
+    schema = T.StructType(
+        [words.schema[word_col]]
+        + [words.schema[c] for c in other]
+        + [
+            T.StructField("seg", T.StringType()),
+            T.StructField("best_score", T.LongType()),
+            T.StructField("n_pieces", T.LongType()),
+        ]
+    )
+    return words.mapInPandas(encode, schema)
+
+
+def unigram_viterbi_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SentencePiece-unigram segmentation of the corpus vocabulary:
+    induce the scored piece vocabulary (unigram_vocab), then Viterbi-
+    decode every DISTINCT word (viterbi_segment). Output one row per
+    distinct word: its best segmentation, exact integer score, piece
+    count, and corpus frequency. Oracle: a recursive CTE enumerates
+    EVERY segmentation of every word (words are short; pieces are
+    <= UNI_NMAX chars) and takes the same (score, seg) argmax — the
+    efficient DP is checked against the exhaustive spec, the same
+    relationship wordpiece_apply_longest has with its greedy CTE.
+    At 100 TB the decode cost is one distinct-word shuffle + local
+    Arrow DP — constant in corpus token count past the distinct."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(
+            F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("w")
+        )
+        .filter(F.length("w") > 0)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .localCheckpoint(eager=True)
+    )
+    vocab = [
+        (r["p"], r["score"]) for r in unigram_vocab(words).collect()
+    ]  # bounded: <= UNI_VOCAB + |charset| rows by construction
+    return (
+        viterbi_segment(words, vocab)
+        .select("w", "freq", "best_score", "seg", "n_pieces")
+        .orderBy("w")
+    )
+
+
+QUERIES = {
+    "sketch_hyperloglog": sketch_hyperloglog,
+    "sketch_kmv_overlap": sketch_kmv_overlap,
+    "graph_pagerank": graph_pagerank,
+    "unigram_viterbi_segment": unigram_viterbi_segment,
+}
+
+
+# ---------------------------------------------------------------------------
+# Oracles
+# ---------------------------------------------------------------------------
+
+_H60 = "('0x' || substr(md5({x}), 1, 15))::BIGINT"
+
+_HLL_SQL = f"""
+    WITH ws AS (
+        SELECT source, 'word' AS domain, w FROM (
+            SELECT source, unnest({_TOKS_SQL}) AS w FROM documents
+        ) WHERE length(w) > 0
+        UNION ALL
+        SELECT source, 'doc' AS domain, doc_id::VARCHAR AS w
+        FROM documents
+    ),
+    hashed AS (
+        SELECT source, domain,
+               {_H60.format(x='w')} AS h
+        FROM ws
+    ),
+    cells AS (
+        SELECT source, domain,
+               h // {1 << HLL_SUFFIX_BITS} AS bucket,
+               CASE WHEN h % {1 << HLL_SUFFIX_BITS} = 0
+                    THEN {HLL_RHO_MAX}
+                    ELSE {HLL_RHO_MAX}
+                         - length(ltrim(bin(h % {1 << HLL_SUFFIX_BITS}), '0'))
+               END AS rho
+        FROM hashed
+    ),
+    regs AS (
+        SELECT source, domain, bucket, MAX(rho) AS register
+        FROM cells GROUP BY 1, 2, 3
+    ),
+    per_group AS (
+        SELECT source, domain,
+               CAST(SUM(1::BIGINT << ({HLL_RHO_MAX} - register))
+                    + ({HLL_M} - COUNT(*)) * (1::BIGINT << {HLL_RHO_MAX})
+                    AS BIGINT) AS sum_num,
+               {HLL_M} - COUNT(*) AS zero_registers
+        FROM regs GROUP BY source, domain
+    ),
+    exact AS (
+        SELECT source, domain, COUNT(DISTINCT w) AS n_exact
+        FROM ws GROUP BY source, domain
+    ),
+    est AS (
+        SELECT p.source, p.domain, e.n_exact, p.zero_registers, p.sum_num,
+               {HLL_ALPHA * HLL_M * HLL_M} * {float(1 << HLL_RHO_MAX)}
+                   / p.sum_num AS raw_est
+        FROM per_group p JOIN exact e USING (source, domain)
+    )
+    SELECT source, domain, n_exact, zero_registers, sum_num, raw_est,
+           CASE WHEN raw_est <= {2.5 * HLL_M} AND zero_registers > 0
+                THEN {float(HLL_M)} * ln({float(HLL_M)} / zero_registers)
+                ELSE raw_est END AS hll_est,
+           (raw_est <= {2.5 * HLL_M} AND zero_registers > 0)
+               AS used_linear_counting
+    FROM est ORDER BY source, domain
+"""
+
+_KMV_SQL = f"""
+    WITH ws AS (
+        SELECT DISTINCT source, w FROM (
+            SELECT source, unnest({_TOKS_SQL}) AS w FROM documents
+        ) WHERE length(w) > 0
+    ),
+    hashed AS (
+        SELECT source, {_H60.format(x='w')} AS h FROM ws
+    ),
+    sk AS (
+        SELECT source, h FROM (
+            SELECT source, h,
+                   ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rn
+            FROM hashed
+        ) WHERE rn <= {KMV_K}
+    ),
+    pairs AS (
+        SELECT a.source AS a, b.source AS b
+        FROM (SELECT DISTINCT source FROM ws) a
+        JOIN (SELECT DISTINCT source FROM ws) b ON a.source < b.source
+    ),
+    u AS (
+        SELECT a, b, h, MAX(in_a) AS in_a, MAX(in_b) AS in_b FROM (
+            SELECT p.a, p.b, s.h, 1 AS in_a, 0 AS in_b
+            FROM pairs p JOIN sk s ON s.source = p.a
+            UNION ALL
+            SELECT p.a, p.b, s.h, 0 AS in_a, 1 AS in_b
+            FROM pairs p JOIN sk s ON s.source = p.b
+        ) GROUP BY 1, 2, 3
+    ),
+    bottom AS (
+        SELECT a, b, in_a, in_b FROM (
+            SELECT a, b, in_a, in_b,
+                   ROW_NUMBER() OVER (PARTITION BY a, b ORDER BY h) AS rn
+            FROM u
+        ) WHERE rn <= {KMV_K}
+    ),
+    est AS (
+        SELECT a, b, COUNT(*) AS k_eff,
+               CAST(SUM(in_a * in_b) AS BIGINT) AS matches
+        FROM bottom GROUP BY a, b
+    ),
+    sizes AS (
+        SELECT source, COUNT(*) AS n FROM ws GROUP BY source
+    ),
+    inter AS (
+        SELECT x.source AS a, y.source AS b, COUNT(*) AS n_inter
+        FROM ws x JOIN ws y ON x.w = y.w AND x.source < y.source
+        GROUP BY 1, 2
+    ),
+    exact AS (
+        SELECT p.a, p.b,
+               COALESCE(i.n_inter, 0) AS n_inter,
+               sa.n + sb.n - COALESCE(i.n_inter, 0) AS n_union
+        FROM pairs p
+        JOIN sizes sa ON sa.source = p.a
+        JOIN sizes sb ON sb.source = p.b
+        LEFT JOIN inter i ON i.a = p.a AND i.b = p.b
+    )
+    SELECT e.a AS source_a, e.b AS source_b, e.k_eff, e.matches,
+           e.matches / e.k_eff::DOUBLE AS jaccard_est,
+           x.n_inter, x.n_union,
+           x.n_inter / x.n_union::DOUBLE AS jaccard_exact
+    FROM est e JOIN exact x ON e.a = x.a AND e.b = x.b
+    ORDER BY source_a, source_b
+"""
+
+
+def _pagerank_sql(iters: int = PR_ITERS) -> str:
+    head = f"""
+    WITH t AS (
+        SELECT list_filter({_TOKS_SQL}, w -> length(w) > 0) AS t
+        FROM documents
+    ),
+    edges AS MATERIALIZED (
+        SELECT DISTINCT t[i+1] AS src, t[i+2] AS dst
+        FROM t, UNNEST(range(len(t) - 1)) AS u(i)
+        WHERE len(t) >= 2
+    ),
+    nodes AS MATERIALIZED (
+        SELECT src AS w FROM edges UNION SELECT dst FROM edges
+    ),
+    nn AS (SELECT COUNT(*) AS n FROM nodes),
+    outdeg AS MATERIALIZED (
+        SELECT src AS w, COUNT(*) AS outdeg FROM edges GROUP BY src
+    ),
+    r0 AS MATERIALIZED (
+        SELECT w, {PR_SCALE} // (SELECT n FROM nn) AS rank FROM nodes
+    )"""
+    steps = []
+    prev = "r0"
+    for k in range(1, iters + 1):
+        steps.append(f"""
+    d{k} AS (
+        SELECT CAST(COALESCE(SUM(r.rank), 0) AS BIGINT) AS dsum
+        FROM {prev} r LEFT JOIN outdeg o USING (w)
+        WHERE o.w IS NULL
+    ),
+    c{k} AS (
+        SELECT e.dst AS w,
+               CAST(SUM((r.rank * 17) // (20 * o.outdeg)) AS BIGINT)
+                   AS inflow
+        FROM {prev} r JOIN outdeg o USING (w)
+        JOIN edges e ON e.src = r.w
+        GROUP BY e.dst
+    ),
+    r{k} AS MATERIALIZED (
+        SELECT n.w,
+               (3 * {PR_SCALE}) // (20 * (SELECT n FROM nn))
+               + (17 * (SELECT dsum FROM d{k}))
+                 // (20 * (SELECT n FROM nn))
+               + COALESCE(c.inflow, 0) AS rank
+        FROM nodes n LEFT JOIN c{k} c USING (w)
+    )""")
+        prev = f"r{k}"
+    return (
+        head + "," + ",".join(steps) + f""",
+    indeg AS (
+        SELECT dst AS w, COUNT(*) AS in_deg FROM edges GROUP BY dst
+    )
+    SELECT r.w, r.rank AS pagerank,
+           COALESCE(i.in_deg, 0) AS in_deg,
+           COALESCE(o.outdeg, 0) AS out_deg
+    FROM {prev} r
+    LEFT JOIN indeg i USING (w)
+    LEFT JOIN outdeg o USING (w)
+    ORDER BY pagerank DESC, w LIMIT {PR_TOPK}
+    """)
+
+
+_UNI_SQL = f"""
+    WITH RECURSIVE words AS MATERIALIZED (
+        SELECT w, COUNT(*) AS freq FROM (
+            SELECT unnest({_TOKS_SQL}) AS w FROM documents
+        ) WHERE length(w) > 0 GROUP BY w
+    ),
+    grams AS (
+        SELECT substr(w, i + 1, n) AS p, SUM(freq) AS freq
+        FROM words,
+             UNNEST(range(1, {UNI_NMAX} + 1)) AS ns(n),
+             UNNEST(range(length(w))) AS ps(i)
+        WHERE i + n <= length(w)
+        GROUP BY 1
+    ),
+    kept AS MATERIALIZED (
+        SELECT p, freq FROM grams WHERE length(p) = 1
+        UNION ALL
+        SELECT p, freq FROM (
+            SELECT p, freq FROM grams WHERE length(p) > 1
+            ORDER BY freq DESC, p LIMIT {UNI_VOCAB}
+        )
+    ),
+    vocab AS MATERIALIZED (
+        SELECT p, freq,
+               floor({UNI_QUANT} * ln(freq / (SELECT SUM(freq) FROM kept)))
+                   ::BIGINT AS score
+        FROM kept
+    ),
+    segs AS (
+        SELECT w, 0 AS pos, 0::BIGINT AS score, '' AS seg, 0 AS np
+        FROM words
+        UNION ALL
+        SELECT s.w, s.pos + length(v.p), s.score + v.score,
+               CASE WHEN s.seg = '' THEN v.p
+                    ELSE s.seg || '|' || v.p END,
+               s.np + 1
+        FROM segs s JOIN vocab v
+          ON substr(s.w, s.pos + 1, length(v.p)) = v.p
+        WHERE s.pos < length(s.w)
+    ),
+    best AS (
+        SELECT w, score AS best_score, seg, np AS n_pieces,
+               ROW_NUMBER() OVER (
+                   PARTITION BY w ORDER BY score DESC, seg DESC
+               ) AS rn
+        FROM segs WHERE pos = length(w)
+    )
+    SELECT b.w, wd.freq, b.best_score, b.seg, b.n_pieces
+    FROM best b JOIN words wd USING (w)
+    WHERE b.rn = 1
+    ORDER BY b.w
+"""
+
+
+ORACLE = {
+    "sketch_hyperloglog": _HLL_SQL,
+    "sketch_kmv_overlap": _KMV_SQL,
+    "graph_pagerank": _pagerank_sql(),
+    "unigram_viterbi_segment": _UNI_SQL,
+}
