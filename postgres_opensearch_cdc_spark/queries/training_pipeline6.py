@@ -130,7 +130,10 @@ def sketch_hyperloglog(spark: SparkSession, sf_dir: str) -> DataFrame:
     are value-checked, register table and estimates bit-for-bit.
     At 100 TB: p=14 registers (16 KiB/source/domain), same one-scan
     shape — this is the audit a pipeline runs per shard to price
-    dedup before paying for it."""
+    dedup before paying for it. The distinct+checkpoint here serves
+    the EXACT audit column (and is what the sketch replaces): drop it
+    in production and the register build is a fixed-size map-side
+    combined agg straight off the scan, no shuffle of value rows."""
     docs = load_table(spark, sf_dir, "documents")
     words = docs.select(
         "source",
@@ -142,8 +145,17 @@ def sketch_hyperloglog(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("doc").alias("domain"),
         F.col("doc_id").cast("string").alias("w"),
     )
-    values = words.unionByName(ids).withColumn(
-        "gd", F.concat_ws("/", "source", "domain")
+    # one (group, value) distinct pass feeds BOTH the register table
+    # and the exact audit count — the corpus is scanned once per
+    # domain, never once per consumer (registers are max-based, so
+    # the distinct is free correctness-wise); the distinct table is
+    # vocabulary/docid-bounded, safe to pin
+    values = (
+        words.unionByName(ids)
+        .withColumn("gd", F.concat_ws("/", "source", "domain"))
+        .select("gd", "w")
+        .distinct()
+        .localCheckpoint(eager=True)
     )
     regs = hll_registers(values, group_col="gd")
     per_group = regs.groupBy("g").agg(
@@ -232,7 +244,9 @@ def sketch_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("w"),
     ).filter(F.length("w") > 0)
     dv = words.select("source", "w").distinct().localCheckpoint(eager=True)
-    sk = kmv_sketches(dv)
+    # k rows per source — pin it so the pairwise stages (which read it
+    # 2x) don't re-run the bottom-k window
+    sk = kmv_sketches(dv).localCheckpoint(eager=True)
 
     srcs = dv.select(F.col("source").alias("g")).distinct()
     pairs = (
