@@ -101,6 +101,7 @@ _PRIORITY = [
     # Viterbi segmentation (exhaustive recursive-CTE oracle)
     "sketch_hyperloglog", "sketch_kmv_overlap",
     "graph_pagerank", "unigram_viterbi_segment",
+    "sketch_hll_rollup_stream",
     # (a3) the round-12 batch-5 entries: WordPiece-objective merge
     # training (unrolled-iteration oracle, the BPE pattern), CCNet
     # perplexity tertiles (integer micro-nat scores + distributed

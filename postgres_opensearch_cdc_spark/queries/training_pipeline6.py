@@ -63,6 +63,14 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from pyspark.sql import types as T
 
 from postgres_opensearch_cdc_spark.functions.dedup import hash60
+from postgres_opensearch_cdc_spark.functions.sketch import (
+    HLL_ALPHA,
+    HLL_M,
+    HLL_RHO_MAX,
+    HLL_SUFFIX_BITS,
+    hll_estimates,
+    hll_registers,
+)
 from postgres_opensearch_cdc_spark.registry import load_table
 
 _TOKS_SQL = r"regexp_split_to_array(lower(text), '\s+')"
@@ -70,44 +78,8 @@ _TOKS_SQL = r"regexp_split_to_array(lower(text), '\s+')"
 # ---------------------------------------------------------------------------
 # HyperLogLog registers (per-source distinct-vocabulary cardinality)
 # ---------------------------------------------------------------------------
-
-HLL_P = 4                    # 2^p registers (production: 14; 4 keeps the
-                             # 20-source test output on both estimator
-                             # branches and registers human-auditable)
-HLL_M = 1 << HLL_P           # 16 registers
-HLL_SUFFIX_BITS = 60 - HLL_P  # rho is counted over these bits
-HLL_RHO_MAX = HLL_SUFFIX_BITS + 1
-# alpha_16 from Flajolet et al. 2007 Fig. 3 (m=16)
-HLL_ALPHA = 0.673
-
-
-def hll_registers(words: DataFrame, group_col: str = "source",
-                  value_col: str = "w") -> DataFrame:
-    """(group, bucket, register) HLL register table: bucket = the top
-    HLL_P bits of hash60(value), register = max over values of
-    rho(suffix) where rho = leading-zero count of the remaining
-    HLL_SUFFIX_BITS bits + 1. Duplicates are harmless (max-based), so
-    the input needs no distinct. Registers are pure int64 — the
-    classic mergeable summary: the register table of a UNION of
-    inputs is the elementwise MAX of the register tables."""
-    h = hash60(F.col(value_col))
-    suffix = h % F.lit(1 << HLL_SUFFIX_BITS)
-    # bit length via the minimal binary string: both engines print
-    # bin(x) without leading zeros, so rho = (bits+1) - length(bin)
-    rho = F.when(suffix == 0, F.lit(HLL_RHO_MAX)).otherwise(
-        F.lit(HLL_RHO_MAX) - F.length(F.bin(suffix))
-    )
-    return (
-        words.select(
-            F.col(group_col).alias("g"),
-            # top HLL_P bits — integer shift, never float division
-            # (h is not exactly representable in a double)
-            F.shiftright(h, HLL_SUFFIX_BITS).alias("bucket"),
-            rho.alias("rho"),
-        )
-        .groupBy("g", "bucket")
-        .agg(F.max("rho").alias("register"))
-    )
+# kernel lives in functions/sketch.py (shared with the streaming
+# rollup sink, streaming/sketch.HllRollupSink)
 
 
 def sketch_hyperloglog(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -157,41 +129,95 @@ def sketch_hyperloglog(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=True)
     )
-    regs = hll_registers(values, group_col="gd")
-    per_group = regs.groupBy("g").agg(
-        # absent buckets carry register 0 => contribute 2^RHO_MAX each
-        (
-            F.sum(F.expr(f"shiftleft(1L, {HLL_RHO_MAX} - register)"))
-            + (F.lit(HLL_M) - F.count(F.lit(1)))
-            * F.lit(1 << HLL_RHO_MAX)
-        ).alias("sum_num"),
-        (F.lit(HLL_M) - F.count(F.lit(1))).alias("zero_registers"),
-    )
+    est = hll_estimates(hll_registers(values, group_col="gd"))
     exact = values.groupBy(F.col("gd").alias("g")).agg(
         F.countDistinct("w").alias("n_exact")
     )
-    raw = F.lit(HLL_ALPHA * HLL_M * HLL_M) * F.lit(
-        float(1 << HLL_RHO_MAX)
-    ) / F.col("sum_num")
-    out = per_group.join(exact, "g").withColumn("raw_est", raw)
-    lc = F.lit(float(HLL_M)) * F.log(
-        F.lit(float(HLL_M)) / F.col("zero_registers")
-    )
-    use_lc = (F.col("raw_est") <= F.lit(2.5 * HLL_M)) & (
-        F.col("zero_registers") > 0
-    )
     return (
-        out.select(
+        est.join(exact, "g")
+        .select(
             F.substring_index("g", "/", 1).alias("source"),
             F.substring_index("g", "/", -1).alias("domain"),
             "n_exact",
             "zero_registers",
             "sum_num",
             "raw_est",
-            F.when(use_lc, lc).otherwise(F.col("raw_est")).alias("hll_est"),
-            use_lc.cast("boolean").alias("used_linear_counting"),
+            "hll_est",
+            "used_linear_counting",
         )
         .orderBy("source", "domain")
+    )
+
+
+def sketch_hll_rollup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING form of the HLL audit: events arrive as two
+    event_id-ordered micro-batches through a real checkpointed stream
+    into an HllRollupSink (streaming/sketch.py) maintaining per-
+    event-type user-cardinality registers; the entry reads the
+    published store's estimates back and joins the exact audit count.
+    Because register merge is idempotent/commutative/associative, the
+    streamed store over ANY batch split equals the one-shot batch
+    register table bit-for-bit — which is exactly what the oracle
+    value-checks (the batch SQL knows nothing about the split). The
+    checkpointed plumbing, commit/manifest publish, merge kernel, and
+    estimator all sit inside the checked path."""
+    import tempfile
+
+    from postgres_opensearch_cdc_spark.streaming.sketch import (
+        HllRollupSink,
+    )
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "user_id"
+    )
+    lo, hi = events.agg(F.min("event_id"), F.max("event_id")).head()
+    mid = (lo + hi) // 2
+    workdir = tempfile.mkdtemp(prefix="hll_rollup_stream_")
+    src_dir = f"{workdir}/in"
+    ckpt = f"{workdir}/ckpt"
+    sink = HllRollupSink(
+        path=f"{workdir}/st", group_col="event_type", value_col="user_id"
+    )
+
+    def run_once():
+        stream = spark.readStream.schema(
+            "event_id long, event_type string, user_id long"
+        ).json(src_dir)
+        q = (
+            stream.writeStream.foreachBatch(
+                lambda b, bid: sink.apply_batch(b, bid, writer_id=ckpt)
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    events.filter(F.col("event_id") <= mid).coalesce(4).write.mode(
+        "append"
+    ).json(src_dir)
+    run_once()
+    events.filter(F.col("event_id") > mid).coalesce(4).write.mode(
+        "append"
+    ).json(src_dir)
+    run_once()
+
+    exact = events.groupBy(F.col("event_type").alias("g")).agg(
+        F.countDistinct("user_id").alias("n_exact")
+    )
+    return (
+        sink.estimates(spark)
+        .join(exact, "g")
+        .select(
+            F.col("g").alias("event_type"),
+            "n_exact",
+            "zero_registers",
+            "sum_num",
+            "raw_est",
+            "hll_est",
+            "used_linear_counting",
+        )
+        .orderBy("event_type")
     )
 
 
@@ -590,6 +616,7 @@ def unigram_viterbi_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "sketch_hyperloglog": sketch_hyperloglog,
+    "sketch_hll_rollup_stream": sketch_hll_rollup_stream,
     "sketch_kmv_overlap": sketch_kmv_overlap,
     "graph_pagerank": graph_pagerank,
     "unigram_viterbi_segment": unigram_viterbi_segment,
@@ -841,8 +868,56 @@ _UNI_SQL = f"""
 """
 
 
+_HLL_STREAM_SQL = f"""
+    WITH hashed AS (
+        SELECT event_type AS g,
+               {_H60.format(x='user_id::VARCHAR')} AS h
+        FROM events
+    ),
+    cells AS (
+        SELECT g,
+               h // {1 << HLL_SUFFIX_BITS} AS bucket,
+               CASE WHEN h % {1 << HLL_SUFFIX_BITS} = 0
+                    THEN {HLL_RHO_MAX}
+                    ELSE {HLL_RHO_MAX}
+                         - length(ltrim(bin(h % {1 << HLL_SUFFIX_BITS}), '0'))
+               END AS rho
+        FROM hashed
+    ),
+    regs AS (
+        SELECT g, bucket, MAX(rho) AS register FROM cells GROUP BY 1, 2
+    ),
+    per_group AS (
+        SELECT g,
+               CAST(SUM(1::BIGINT << ({HLL_RHO_MAX} - register))
+                    + ({HLL_M} - COUNT(*)) * (1::BIGINT << {HLL_RHO_MAX})
+                    AS BIGINT) AS sum_num,
+               {HLL_M} - COUNT(*) AS zero_registers
+        FROM regs GROUP BY g
+    ),
+    exact AS (
+        SELECT event_type AS g, COUNT(DISTINCT user_id) AS n_exact
+        FROM events GROUP BY 1
+    ),
+    est AS (
+        SELECT p.g, e.n_exact, p.zero_registers, p.sum_num,
+               {HLL_ALPHA * HLL_M * HLL_M} * {float(1 << HLL_RHO_MAX)}
+                   / p.sum_num AS raw_est
+        FROM per_group p JOIN exact e USING (g)
+    )
+    SELECT g AS event_type, n_exact, zero_registers, sum_num, raw_est,
+           CASE WHEN raw_est <= {2.5 * HLL_M} AND zero_registers > 0
+                THEN {float(HLL_M)} * ln({float(HLL_M)} / zero_registers)
+                ELSE raw_est END AS hll_est,
+           (raw_est <= {2.5 * HLL_M} AND zero_registers > 0)
+               AS used_linear_counting
+    FROM est ORDER BY event_type
+"""
+
+
 ORACLE = {
     "sketch_hyperloglog": _HLL_SQL,
+    "sketch_hll_rollup_stream": _HLL_STREAM_SQL,
     "sketch_kmv_overlap": _KMV_SQL,
     "graph_pagerank": _pagerank_sql(),
     "unigram_viterbi_segment": _UNI_SQL,
