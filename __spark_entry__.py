@@ -17,6 +17,7 @@ from postgres_opensearch_cdc_spark.queries import (
     dsl_queries,
     extensions,
     graph_dedup,
+    hybrid,
     patterns,
     ppl_queries,
     querydsl,
@@ -58,6 +59,7 @@ _MODULES = [
     training_pipeline4,
     training_pipeline5,
     training_pipeline6,
+    hybrid,
     timeseries,
     timeseries2,
     querydsl_aggs,
@@ -102,6 +104,7 @@ _PRIORITY = [
     "sketch_hyperloglog", "sketch_kmv_overlap",
     "graph_pagerank", "unigram_viterbi_segment",
     "sketch_hll_rollup_stream",
+    "search_hybrid_rrf", "search_hybrid_minmax",
     # (a3) the round-12 batch-5 entries: WordPiece-objective merge
     # training (unrolled-iteration oracle, the BPE pattern), CCNet
     # perplexity tertiles (integer micro-nat scores + distributed

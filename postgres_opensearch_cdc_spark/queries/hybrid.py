@@ -1,0 +1,220 @@
+"""Hybrid search: lexical (BM25) + vector (cosine k-NN) retrieval
+fused into one ranking — the OpenSearch 2.x hybrid-search surface
+(search pipelines with the normalization processor, and rank-based
+RRF fusion), built from the repo's existing oracle-checked kernels:
+functions/fulltext.query_string_bm25 for the lexical leg and
+functions/similarity.brute_force_topk for the vector leg.
+
+Semantics mirror the published processors:
+- each leg retrieves its own top-k INDEPENDENTLY (a document outside
+  a leg's top-k contributes nothing for that leg — exactly how the
+  hybrid query executes per sub-query before fusion);
+- ``search_hybrid_rrf``: reciprocal-rank fusion, score =
+  Σ_legs 1/(RRF_K + rank) with RRF_K = 60 (the constant from
+  Cormack, Clarke & Büttner 2009 that every engine ships);
+- ``search_hybrid_minmax``: the normalization-processor form — each
+  leg's scores min-max normalized to [0, 1] over ITS OWN retrieved
+  list, then a weighted arithmetic mean (0.3 lexical / 0.7 vector,
+  the documented starting point for semantic-heavy workloads).
+
+Determinism: both legs emit ROUND(score, 6) values identical across
+engines (the BM25 and cosine kernels are already oracle-checked), so
+rank assignment — row_number over (score desc, id) — is identical;
+the fusion arithmetic is 2-3 float ops on identical doubles. Ranks
+are assigned AFTER each leg's top-k limit, so the global windows run
+over k rows, never corpus cardinality (the plan invariant).
+
+Scale: each leg is the proven 100 TB shape (BM25 = two Zipf-bounded
+count shuffles + a broadcast stats row; vector = scan → project →
+TakeOrderedAndProject, per-partition heaps); fusion touches 2·k rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from postgres_opensearch_cdc_spark.functions.fulltext import (
+    query_string_bm25,
+    query_string_bm25_sql,
+)
+from postgres_opensearch_cdc_spark.functions.similarity import (
+    brute_force_topk,
+)
+from postgres_opensearch_cdc_spark.registry import load_table
+
+HYBRID_QUERY = "window merge stream"   # lexical sub-query
+HYBRID_QVEC_ID = 0                     # vector sub-query = this row's
+                                       # embedding (single-row lookup)
+LEG_K = 100                            # per-leg retrieval depth
+RRF_K = 60                             # the standard RRF constant
+FUSED_K = 15                           # fused results returned
+W_LEX, W_VEC = 0.3, 0.7                # min-max fusion weights
+
+
+def _legs(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """(lexical, vector) ranked legs: (doc_id, r_lex) / (doc_id,
+    r_vec), rank assigned over each leg's own top-LEG_K list."""
+    docs = load_table(spark, sf_dir, "documents")
+    vecs = load_table(spark, sf_dir, "embeddings")
+    lex = query_string_bm25(docs, HYBRID_QUERY, top_k=LEG_K)
+    qrow = vecs.filter(F.col("vec_id") == HYBRID_QVEC_ID).select(
+        "embedding"
+    ).head()
+    vec = brute_force_topk(vecs, list(qrow[0]), k=LEG_K)
+    lexr = lex.select(
+        "doc_id",
+        F.col("bm25").alias("s_lex"),
+        F.row_number().over(
+            Window.orderBy(F.col("bm25").desc(), "doc_id")
+        ).alias("r_lex"),
+    )
+    vecr = vec.select(
+        F.col("vec_id").alias("doc_id"),
+        F.col("cos_sim").alias("s_vec"),
+        F.row_number().over(
+            Window.orderBy(F.col("cos_sim").desc(), "vec_id")
+        ).alias("r_vec"),
+    )
+    return lexr, vecr
+
+
+def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of the two legs; a doc missing from one
+    leg's top-k contributes 0 for that leg (the hybrid-query
+    semantics). Output: fused top-FUSED_K with both ranks exposed."""
+    lexr, vecr = _legs(spark, sf_dir)
+    fused = lexr.join(vecr, "doc_id", "full_outer").select(
+        "doc_id",
+        "r_lex",
+        "r_vec",
+        F.round(
+            F.coalesce(F.lit(1.0) / (F.lit(RRF_K) + F.col("r_lex")),
+                       F.lit(0.0))
+            + F.coalesce(F.lit(1.0) / (F.lit(RRF_K) + F.col("r_vec")),
+                         F.lit(0.0)),
+            6,
+        ).alias("rrf_score"),
+    )
+    return fused.orderBy(
+        F.col("rrf_score").desc(), "doc_id"
+    ).limit(FUSED_K)
+
+
+def search_hybrid_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-max normalization + weighted arithmetic mean — the
+    normalization-processor fusion. Each leg normalizes over its OWN
+    retrieved list; a missing leg contributes 0 (the processor's
+    treatment of docs absent from a sub-query's results). Degenerate
+    legs (max == min) normalize to 1.0."""
+    lexr, vecr = _legs(spark, sf_dir)
+
+    def norm(leg: DataFrame, score: str, out: str) -> DataFrame:
+        stats = leg.agg(
+            F.min(score).alias("_lo"), F.max(score).alias("_hi")
+        )
+        return leg.crossJoin(F.broadcast(stats)).select(
+            "doc_id",
+            F.when(F.col("_hi") == F.col("_lo"), F.lit(1.0))
+            .otherwise(
+                (F.col(score) - F.col("_lo"))
+                / (F.col("_hi") - F.col("_lo"))
+            ).alias(out),
+        )
+    nl = norm(lexr, "s_lex", "n_lex")
+    nv = norm(vecr, "s_vec", "n_vec")
+    fused = nl.join(nv, "doc_id", "full_outer").select(
+        "doc_id",
+        F.round(F.coalesce("n_lex", F.lit(0.0)), 6).alias("norm_lex"),
+        F.round(F.coalesce("n_vec", F.lit(0.0)), 6).alias("norm_vec"),
+        F.round(
+            F.lit(W_LEX) * F.coalesce("n_lex", F.lit(0.0))
+            + F.lit(W_VEC) * F.coalesce("n_vec", F.lit(0.0)),
+            6,
+        ).alias("hybrid_score"),
+    )
+    return fused.orderBy(
+        F.col("hybrid_score").desc(), "doc_id"
+    ).limit(FUSED_K)
+
+
+QUERIES = {
+    "search_hybrid_rrf": search_hybrid_rrf,
+    "search_hybrid_minmax": search_hybrid_minmax,
+}
+
+
+# ---------------------------------------------------------------------------
+# Oracles
+# ---------------------------------------------------------------------------
+
+_LEGS_SQL = f"""
+    lex0 AS ({query_string_bm25_sql(HYBRID_QUERY, top_k=LEG_K)}),
+    lexr AS (
+        SELECT doc_id, bm25 AS s_lex,
+               ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS r_lex
+        FROM lex0
+    ),
+    q AS (
+        SELECT embedding::DOUBLE[] AS qv FROM embeddings
+        WHERE vec_id = {HYBRID_QVEC_ID}
+    ),
+    vec0 AS (
+        SELECT vec_id AS doc_id,
+               ROUND(
+                   list_dot_product(embedding::DOUBLE[], qv)
+                   / (sqrt(list_dot_product(embedding::DOUBLE[],
+                                            embedding::DOUBLE[]))
+                      * sqrt(list_dot_product(qv, qv))), 6) AS s_vec
+        FROM embeddings, q
+        ORDER BY s_vec DESC, doc_id LIMIT {LEG_K}
+    ),
+    vecr AS (
+        SELECT doc_id, s_vec,
+               ROW_NUMBER() OVER (ORDER BY s_vec DESC, doc_id) AS r_vec
+        FROM vec0
+    )
+"""
+
+_RRF_SQL = f"""
+    WITH {_LEGS_SQL}
+    SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id,
+           l.r_lex, v.r_vec,
+           ROUND(
+               COALESCE(1.0 / ({RRF_K} + l.r_lex), 0.0)
+               + COALESCE(1.0 / ({RRF_K} + v.r_vec), 0.0), 6
+           ) AS rrf_score
+    FROM lexr l FULL OUTER JOIN vecr v ON l.doc_id = v.doc_id
+    ORDER BY rrf_score DESC, doc_id LIMIT {FUSED_K}
+"""
+
+_MINMAX_SQL = f"""
+    WITH {_LEGS_SQL},
+    nl AS (
+        SELECT doc_id,
+               CASE WHEN MAX(s_lex) OVER () = MIN(s_lex) OVER () THEN 1.0
+                    ELSE (s_lex - MIN(s_lex) OVER ())
+                         / (MAX(s_lex) OVER () - MIN(s_lex) OVER ())
+               END AS n_lex
+        FROM lexr
+    ),
+    nv AS (
+        SELECT doc_id,
+               CASE WHEN MAX(s_vec) OVER () = MIN(s_vec) OVER () THEN 1.0
+                    ELSE (s_vec - MIN(s_vec) OVER ())
+                         / (MAX(s_vec) OVER () - MIN(s_vec) OVER ())
+               END AS n_vec
+        FROM vecr
+    )
+    SELECT COALESCE(nl.doc_id, nv.doc_id) AS doc_id,
+           ROUND(COALESCE(nl.n_lex, 0.0), 6) AS norm_lex,
+           ROUND(COALESCE(nv.n_vec, 0.0), 6) AS norm_vec,
+           ROUND({W_LEX!r} * COALESCE(nl.n_lex, 0.0)
+                 + {W_VEC!r} * COALESCE(nv.n_vec, 0.0), 6) AS hybrid_score
+    FROM nl FULL OUTER JOIN nv ON nl.doc_id = nv.doc_id
+    ORDER BY hybrid_score DESC, doc_id LIMIT {FUSED_K}
+"""
+
+ORACLE = {
+    "search_hybrid_rrf": _RRF_SQL,
+    "search_hybrid_minmax": _MINMAX_SQL,
+}
