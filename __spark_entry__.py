@@ -40,6 +40,7 @@ from postgres_opensearch_cdc_spark.queries import (
     training_pipeline4,
     training_pipeline5,
     training_pipeline6,
+    training_pipeline7,
     windows_pivot,
 )
 
@@ -59,6 +60,7 @@ _MODULES = [
     training_pipeline4,
     training_pipeline5,
     training_pipeline6,
+    training_pipeline7,
     hybrid,
     timeseries,
     timeseries2,
@@ -105,6 +107,7 @@ _PRIORITY = [
     "graph_pagerank", "unigram_viterbi_segment",
     "sketch_hll_rollup_stream",
     "search_hybrid_rrf", "search_hybrid_minmax",
+    "graph_label_propagation", "dp_noised_counts", "vocab_zipf_fit",
     # (a3) the round-12 batch-5 entries: WordPiece-objective merge
     # training (unrolled-iteration oracle, the BPE pattern), CCNet
     # perplexity tertiles (integer micro-nat scores + distributed
@@ -144,14 +147,13 @@ _PRIORITY = [
     "adjacency_matrix_agg", "dedup_cc_clusters", "dedup_cc_survivors",
 ]
 
-# With the 10 batch-5 entries prepended, the last 10 rows of block (d)
-# (cumulative_cardinality, priority_late_orders, forecast_revenue,
-# ship_lag_priority, small_quantity_revenue, inactive_high_balance,
-# ts_hierarchical_rollup, adjacency_matrix_agg, dedup_cc_clusters,
-# dedup_cc_survivors) fall outside the 50-row window — they move to
-# the FRONT of the round-13 re-check queue.
+# With the 10 batch-6/7 entries (sketches, PageRank, Viterbi, hybrid
+# search, LPA, DP release, Zipf fit) prepended, the 50-row window now
+# ends exactly at the (c) block: ALL 20 (d)-block rows (span_near_query
+# … dedup_cc_survivors) fall outside it — they move to the FRONT of the
+# round-13 re-check queue (their latest green driver row stays r6).
 # Round-13 rotation TODO: any entries added after this round-12 window
-# froze outrank re-checks; then the 4 (d)-block rows displaced above;
+# froze outrank re-checks; then the 20 (d)-block rows displaced above;
 # then the remaining 28 r6-era rows in r6
 # order (extended_stats_agg, derivative_agg, stats_bucket_agg,
 # percentiles_bucket_agg, max_bucket_day, bucket_sort_agg,
