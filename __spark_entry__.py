@@ -108,6 +108,7 @@ _PRIORITY = [
     "sketch_hll_rollup_stream",
     "search_hybrid_rrf", "search_hybrid_minmax",
     "graph_label_propagation", "dp_noised_counts", "vocab_zipf_fit",
+    "search_eval_metrics", "vocab_heaps_fit",
     # (a3) the round-12 batch-5 entries: WordPiece-objective merge
     # training (unrolled-iteration oracle, the BPE pattern), CCNet
     # perplexity tertiles (integer micro-nat scores + distributed
@@ -147,13 +148,17 @@ _PRIORITY = [
     "adjacency_matrix_agg", "dedup_cc_clusters", "dedup_cc_survivors",
 ]
 
-# With the 10 batch-6/7 entries (sketches, PageRank, Viterbi, hybrid
-# search, LPA, DP release, Zipf fit) prepended, the 50-row window now
-# ends exactly at the (c) block: ALL 20 (d)-block rows (span_near_query
-# … dedup_cc_survivors) fall outside it — they move to the FRONT of the
-# round-13 re-check queue (their latest green driver row stays r6).
+# With the 12 batch-6/7 entries (sketch family incl. the streaming
+# HLL rollup, PageRank, Viterbi, hybrid search + retrieval eval, LPA,
+# DP release, Zipf/Heaps fits) prepended, the 50-row window covers the
+# new blocks + (a3)/(a2)/(a1)/(b) + the first 13 rows of (c): the last
+# 2 (c) rows (window_lag_delta, json_extract_props — latest green r5)
+# and ALL 20 (d)-block rows (span_near_query … dedup_cc_survivors —
+# latest green r6) fall outside it and move to the FRONT of the
+# round-13 re-check queue.
 # Round-13 rotation TODO: any entries added after this round-12 window
-# froze outrank re-checks; then the 20 (d)-block rows displaced above;
+# froze outrank re-checks; then window_lag_delta + json_extract_props,
+# then the 20 (d)-block rows displaced above,
 # then the remaining 28 r6-era rows in r6
 # order (extended_stats_agg, derivative_agg, stats_bucket_agg,
 # percentiles_bucket_agg, max_bucket_day, bucket_sort_agg,

@@ -137,9 +137,106 @@ def search_hybrid_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).limit(FUSED_K)
 
 
+EVAL_K = 10   # metric cutoff (@10, the standard reporting depth)
+
+
+def search_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline retrieval evaluation — the metrics every search/RAG
+    pipeline reports (precision@k, recall@k, MRR@k, nDCG@k) computed
+    for all three rankings (lexical leg, vector leg, RRF fusion)
+    against a binary relevance set: a document is relevant iff its
+    embedding shares the query vector's cluster label (the corpus'
+    own ground-truth proxy, same convention as the ANN recall curves
+    in SCALE §18). log2 is written as ln(x)/ln(2) in BOTH engines so
+    the discount uses identical doubles; every metric is a ≤k-term
+    sum rounded at 6dp. One row per ranking.
+
+    Scale: each ranking is already top-k (bounded); relevance is one
+    broadcastable semi-join against the label column; the metric
+    reduction is k rows per ranking. The eval harness shape at 100 TB
+    is per-query fan-out of exactly this plan over a query set."""
+    lexr, vecr = _legs(spark, sf_dir)
+    rrf = search_hybrid_rrf(spark, sf_dir).select(
+        "doc_id",
+        F.row_number().over(
+            Window.orderBy(F.col("rrf_score").desc(), "doc_id")
+        ).alias("rank"),
+    )
+    rankings = (
+        lexr.select(F.lit("lex").alias("ranking"), "doc_id",
+                    F.col("r_lex").alias("rank"))
+        .unionByName(vecr.select(F.lit("vec").alias("ranking"), "doc_id",
+                                 F.col("r_vec").alias("rank")))
+        .unionByName(rrf.select(F.lit("rrf").alias("ranking"), "doc_id",
+                                "rank"))
+        .filter(F.col("rank") <= EVAL_K)
+    )
+    vecs = load_table(spark, sf_dir, "embeddings")
+    qlabel = vecs.filter(F.col("vec_id") == HYBRID_QVEC_ID).head()["label"]
+    rel = vecs.select(
+        F.col("vec_id").alias("doc_id"),
+        (F.col("label") == F.lit(int(qlabel))).cast("int").alias("rel"),
+    )
+    n_rel = rel.agg(F.sum("rel").alias("n_rel"))
+    ln2 = F.log(F.lit(2.0))
+    scored = rankings.join(rel, "doc_id", "left").select(
+        "ranking",
+        "rank",
+        F.coalesce("rel", F.lit(0)).alias("rel"),
+    )
+    # ideal DCG over min(EVAL_K, n_rel) unit gains — a k-row literal
+    # frame joined on nothing (broadcast scalar)
+    ideal = (
+        spark.range(1, EVAL_K + 1)
+        .withColumnRenamed("id", "i")
+        .crossJoin(F.broadcast(n_rel))
+        .filter(F.col("i") <= F.col("n_rel"))
+        .agg(
+            F.round(
+                F.sum(F.lit(1.0) / (F.log(F.col("i") + 1.0) / ln2)), 6
+            ).alias("idcg")
+        )
+    )
+    per = scored.groupBy("ranking").agg(
+        F.round(F.sum("rel") / F.lit(float(EVAL_K)), 6).alias(
+            f"precision_at_{EVAL_K}"
+        ),
+        F.sum("rel").alias("_hits"),
+        F.round(
+            F.coalesce(
+                F.max(
+                    F.when(F.col("rel") == 1, F.lit(1.0) / F.col("rank"))
+                ),
+                F.lit(0.0),
+            ),
+            6,
+        ).alias("mrr"),
+        F.round(
+            F.sum(F.col("rel") / (F.log(F.col("rank") + 1.0) / ln2)), 6
+        ).alias("_dcg"),
+    )
+    return (
+        per.crossJoin(F.broadcast(n_rel))
+        .crossJoin(F.broadcast(ideal))
+        .select(
+            "ranking",
+            f"precision_at_{EVAL_K}",
+            F.round(F.col("_hits") / F.col("n_rel"), 6).alias(
+                f"recall_at_{EVAL_K}"
+            ),
+            "mrr",
+            F.round(F.col("_dcg") / F.col("idcg"), 6).alias(
+                f"ndcg_at_{EVAL_K}"
+            ),
+        )
+        .orderBy("ranking")
+    )
+
+
 QUERIES = {
     "search_hybrid_rrf": search_hybrid_rrf,
     "search_hybrid_minmax": search_hybrid_minmax,
+    "search_eval_metrics": search_eval_metrics,
 }
 
 
@@ -214,7 +311,69 @@ _MINMAX_SQL = f"""
     ORDER BY hybrid_score DESC, doc_id LIMIT {FUSED_K}
 """
 
+_EVAL_SQL = f"""
+    WITH {_LEGS_SQL},
+    rrf_f AS (
+        SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id,
+               ROUND(
+                   COALESCE(1.0 / ({RRF_K} + l.r_lex), 0.0)
+                   + COALESCE(1.0 / ({RRF_K} + v.r_vec), 0.0), 6
+               ) AS rrf_score
+        FROM lexr l FULL OUTER JOIN vecr v ON l.doc_id = v.doc_id
+    ),
+    rrf_top AS (
+        SELECT doc_id, rrf_score FROM rrf_f
+        ORDER BY rrf_score DESC, doc_id LIMIT {FUSED_K}
+    ),
+    rrf_r AS (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY rrf_score DESC, doc_id) AS rank
+        FROM rrf_top
+    ),
+    rankings AS (
+        SELECT 'lex' AS ranking, doc_id, r_lex AS rank
+        FROM lexr WHERE r_lex <= {EVAL_K}
+        UNION ALL
+        SELECT 'vec', doc_id, r_vec FROM vecr WHERE r_vec <= {EVAL_K}
+        UNION ALL
+        SELECT 'rrf', doc_id, rank FROM rrf_r WHERE rank <= {EVAL_K}
+    ),
+    rel AS (
+        SELECT vec_id AS doc_id,
+               (label = (SELECT label FROM embeddings
+                         WHERE vec_id = {HYBRID_QVEC_ID}))::INT AS rel
+        FROM embeddings
+    ),
+    nrel AS (SELECT CAST(SUM(rel) AS BIGINT) AS n_rel FROM rel),
+    scored AS (
+        SELECT ranking, rank, COALESCE(r.rel, 0) AS rel
+        FROM rankings LEFT JOIN rel r USING (doc_id)
+    ),
+    ideal AS (
+        SELECT ROUND(SUM(1.0 / (ln(i + 1.0) / ln(2.0))), 6) AS idcg
+        FROM (SELECT unnest(range(1, {EVAL_K} + 1)) AS i), nrel
+        WHERE i <= n_rel
+    ),
+    per AS (
+        SELECT ranking,
+               ROUND(SUM(rel) / {float(EVAL_K)}, 6)
+                   AS precision_at_{EVAL_K},
+               CAST(SUM(rel) AS BIGINT) AS hits,
+               ROUND(COALESCE(
+                   MAX(CASE WHEN rel = 1 THEN 1.0 / rank END), 0.0), 6)
+                   AS mrr,
+               ROUND(SUM(rel / (ln(rank + 1.0) / ln(2.0))), 6) AS dcg
+        FROM scored GROUP BY ranking
+    )
+    SELECT ranking, precision_at_{EVAL_K},
+           ROUND(hits * 1.0 / n_rel, 6) AS recall_at_{EVAL_K},
+           mrr,
+           ROUND(dcg / idcg, 6) AS ndcg_at_{EVAL_K}
+    FROM per, nrel, ideal ORDER BY ranking
+"""
+
 ORACLE = {
     "search_hybrid_rrf": _RRF_SQL,
     "search_hybrid_minmax": _MINMAX_SQL,
+    "search_eval_metrics": _EVAL_SQL,
 }

@@ -233,10 +233,63 @@ def vocab_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def vocab_heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law fit: distinct vocabulary V grows as K·N^β with token
+    count N (β ≈ 0.4-0.6 for natural text). One (ln N, ln V) point
+    per source — the corpus's natural size strata — then the same
+    exact-integer-sum regression as vocab_zipf_fit (per-point ln
+    values quantized to micro-nats BEFORE summing, slope/intercept as
+    single float expressions on identical int64 sums). The companion
+    audit to the Zipf fit on a dataset card: Zipf says how frequency
+    decays within the vocabulary, Heaps says how the vocabulary grows
+    with corpus size — a crawler whose β collapses toward 0 is
+    re-crawling boilerplate."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_source = (
+        docs.select(
+            "source",
+            F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("w"),
+        )
+        .filter(F.length("w") > 0)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.countDistinct("w").alias("n_distinct"),
+        )
+    )
+    pts = per_source.select(
+        F.floor(F.lit(ZIPF_QUANT) * F.log("n_tokens")).cast("long")
+        .alias("x"),
+        F.floor(F.lit(ZIPF_QUANT) * F.log("n_distinct")).cast("long")
+        .alias("y"),
+    )
+    sums = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    slope = (
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+    )
+    intercept = (
+        (F.col("sy") - slope * F.col("sx")) / F.col("n")
+        / F.lit(float(ZIPF_QUANT))
+    )
+    return sums.select(
+        F.col("n").alias("n_sources"),
+        F.round(slope, 6).alias("heaps_beta"),
+        F.round(intercept, 6).alias("ln_k_intercept"),
+    )
+
+
 QUERIES = {
     "graph_label_propagation": graph_label_propagation,
     "dp_noised_counts": dp_noised_counts,
     "vocab_zipf_fit": vocab_zipf_fit,
+    "vocab_heaps_fit": vocab_heaps_fit,
 }
 
 
@@ -353,8 +406,41 @@ _ZIPF_SQL = f"""
 """
 
 
+_HEAPS_SQL = f"""
+    WITH per_source AS (
+        SELECT source,
+               COUNT(*) AS n_tokens,
+               COUNT(DISTINCT w) AS n_distinct
+        FROM (
+            SELECT source, unnest({_TOKS_SQL}) AS w FROM documents
+        ) WHERE length(w) > 0 GROUP BY source
+    ),
+    pts AS (
+        SELECT floor({ZIPF_QUANT} * ln(n_tokens))::BIGINT AS x,
+               floor({ZIPF_QUANT} * ln(n_distinct))::BIGINT AS y
+        FROM per_source
+    ),
+    sums AS (
+        SELECT COUNT(*) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * y) AS BIGINT) AS sxy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx
+        FROM pts
+    )
+    SELECT n AS n_sources,
+           ROUND((n * sxy - sx * sy) * 1.0
+                 / (n * sxx - sx * sx), 6) AS heaps_beta,
+           ROUND((sy - ((n * sxy - sx * sy) * 1.0
+                        / (n * sxx - sx * sx)) * sx) / n
+                 / {float(ZIPF_QUANT)}, 6) AS ln_k_intercept
+    FROM sums
+"""
+
+
 ORACLE = {
     "graph_label_propagation": _lpa_sql(),
     "dp_noised_counts": _DP_SQL,
     "vocab_zipf_fit": _ZIPF_SQL,
+    "vocab_heaps_fit": _HEAPS_SQL,
 }

@@ -93,3 +93,100 @@ def test_minmax_top_doc_of_each_leg_normalizes_to_one(legs):
         # rank-1 doc gets norm 1.0 unless the leg is degenerate
         if scores[0] != scores[-1]:
             assert (scores[0] - min(scores)) / (max(scores) - min(scores)) == 1.0
+
+
+def test_eval_metrics_match_reference(spark, sf_dir, legs):
+    """Recompute precision/recall/MRR/nDCG@10 in python from the
+    collected legs + relevance labels; the entry must match row for
+    row (including the RRF ranking's fused order)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from postgres_opensearch_cdc_spark.queries.hybrid import (
+        EVAL_K,
+        HYBRID_QVEC_ID,
+        search_eval_metrics,
+    )
+    from postgres_opensearch_cdc_spark.registry import load_table
+
+    lex, vec = legs
+    vecs = {
+        r["vec_id"]: r["label"]
+        for r in load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "label").collect()
+    }
+    qlab = vecs[HYBRID_QVEC_ID]
+    rel = {d for d, l in vecs.items() if l == qlab}
+
+    # rebuild the three rankings
+    def topk(leg):
+        return [d for d, (_, r) in sorted(leg.items(), key=lambda kv: kv[1][1])][:EVAL_K]
+
+    rrf_scores = {}
+    for d in set(lex) | set(vec):
+        s = 0.0
+        if d in lex:
+            s += 1.0 / (60 + lex[d][1])
+        if d in vec:
+            s += 1.0 / (60 + vec[d][1])
+        rrf_scores[d] = round(s, 6)
+    rrf_rank = [d for d, _ in sorted(rrf_scores.items(), key=lambda kv: (-kv[1], kv[0]))][:EVAL_K]
+
+    idcg = sum(
+        1.0 / (math.log(i + 1.0) / math.log(2.0))
+        for i in range(1, min(EVAL_K, len(rel)) + 1)
+    )
+
+    def metrics(ranking):
+        hits = [1 if d in rel else 0 for d in ranking]
+        prec = round(sum(hits) / float(EVAL_K), 6)
+        recall = round(sum(hits) / len(rel), 6)
+        mrr = 0.0
+        for i, h in enumerate(hits, 1):
+            if h:
+                mrr = round(1.0 / i, 6)
+                break
+        dcg = sum(
+            h / (math.log(i + 1.0) / math.log(2.0))
+            for i, h in enumerate(hits, 1)
+        )
+        return prec, recall, mrr, round(round(dcg, 6) / round(idcg, 6), 6)
+
+    want = {
+        "lex": metrics(topk(lex)),
+        "vec": metrics(topk(vec)),
+        "rrf": metrics(rrf_rank),
+    }
+    got = {
+        r["ranking"]: (
+            r[f"precision_at_{EVAL_K}"],
+            r[f"recall_at_{EVAL_K}"],
+            r["mrr"],
+            r[f"ndcg_at_{EVAL_K}"],
+        )
+        for r in search_eval_metrics(spark, sf_dir).collect()
+    }
+    for name in ("lex", "vec", "rrf"):
+        for g, w in zip(got[name], want[name]):
+            assert g == pytest.approx(w, abs=2e-6), (name, got[name], want[name])
+
+
+def test_eval_metrics_structural_sanity(spark, sf_dir):
+    """Bounds + the self-retrieval invariant: the query vector is its
+    own nearest neighbor and shares its own label, so the vector
+    leg's first hit is rank 1 (MRR exactly 1.0). The synthetic
+    corpus' labels are otherwise label-random w.r.t. the embedding
+    geometry, so no cross-leg quality ordering is assumed here — the
+    value checks live in the reference-model test above and the
+    DuckDB oracle."""
+    from postgres_opensearch_cdc_spark.queries.hybrid import (
+        search_eval_metrics,
+    )
+
+    rows = {r["ranking"]: r for r in search_eval_metrics(spark, sf_dir).collect()}
+    assert set(rows) == {"lex", "vec", "rrf"}
+    for r in rows.values():
+        for m in ("precision_at_10", "recall_at_10", "mrr", "ndcg_at_10"):
+            assert 0.0 <= r[m] <= 1.0, (r["ranking"], m, r[m])
+    assert rows["vec"]["mrr"] == 1.0

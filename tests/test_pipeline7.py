@@ -189,3 +189,16 @@ def test_zipf_perfect_power_law_recovers_exponent():
     sxx = sum(a * a for a in xs)
     slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
     assert slope == pytest.approx(-1.0, abs=0.01)
+
+
+def test_heaps_beta_is_in_natural_range(spark, sf_dir):
+    from postgres_opensearch_cdc_spark.queries.training_pipeline7 import (
+        vocab_heaps_fit,
+    )
+
+    got = vocab_heaps_fit(spark, sf_dir).head()
+    # the synthetic corpus draws from a small closed vocabulary, so
+    # beta sits near 0 (vocab saturates) — assert the fit is a real
+    # number in [0, 1) and n_sources matches the corpus
+    assert got["n_sources"] == 20
+    assert 0.0 <= got["heaps_beta"] < 1.0
