@@ -66,15 +66,29 @@ def test_bench_emits_valid_contract_json():
     # shared cold build is pre-run and reported as memo_build_sec
     # (round-11: keeps the headline rotation-stable)
     assert doc["passes"] == 2
-    assert set(doc["memoized"]) == {
-        "dedup_minhash_lsh", "dedup_cc_clusters", "dedup_cc_survivors",
-        "dedup_quality_survivors", "bpe_train_merges",
-        "bpe_train_merges_local", "wordpiece_train_scores",
-    }
     assert doc["memo_build_sec"] > 0
-    # round-12 fields: headline+memo in one number and ambient load
-    assert abs(doc["total_with_memo_sec"]
-               - (doc["value"] + doc["memo_build_sec"])) < 0.01
-    assert len(doc["loadavg"]) == 3 and all(
-        x >= 0 for x in doc["loadavg"]
+    # fields past the byte budget are shed in a documented order
+    # ("memoized" first) and live on in the progress log — assert
+    # their CONTENT only when the line had room for them, and assert
+    # the shed order is respected (a later victim present implies
+    # every earlier one is too)
+    shed_order = ["memoized", "loadavg", "total_with_memo_sec",
+                  "warm_medians_cs", "queries_cs"]
+    present = [f in doc for f in shed_order]
+    assert present == sorted(present), (
+        f"shed order violated: {[f for f, p in zip(shed_order, present) if p]}"
     )
+    if "memoized" in doc:
+        assert set(doc["memoized"]) == {
+            "dedup_minhash_lsh", "dedup_cc_clusters", "dedup_cc_survivors",
+            "dedup_quality_survivors", "bpe_train_merges",
+            "bpe_train_merges_local", "wordpiece_train_scores",
+        }
+    # round-12 fields: headline+memo in one number and ambient load
+    if "total_with_memo_sec" in doc:
+        assert abs(doc["total_with_memo_sec"]
+                   - (doc["value"] + doc["memo_build_sec"])) < 0.01
+    if "loadavg" in doc:
+        assert len(doc["loadavg"]) == 3 and all(
+            x >= 0 for x in doc["loadavg"]
+        )
