@@ -41,6 +41,7 @@ from postgres_opensearch_cdc_spark.queries import (
     training_pipeline5,
     training_pipeline6,
     training_pipeline7,
+    training_pipeline8,
     windows_pivot,
 )
 
@@ -61,6 +62,7 @@ _MODULES = [
     training_pipeline5,
     training_pipeline6,
     training_pipeline7,
+    training_pipeline8,
     hybrid,
     timeseries,
     timeseries2,
@@ -109,6 +111,8 @@ _PRIORITY = [
     "search_hybrid_rrf", "search_hybrid_minmax",
     "graph_label_propagation", "dp_noised_counts", "vocab_zipf_fit",
     "search_eval_metrics", "vocab_heaps_fit",
+    "sketch_cms_rollup_stream",
+    "graph_triangles", "dedup_prefix_filter_join",
     # (a3) the round-12 batch-5 entries: WordPiece-objective merge
     # training (unrolled-iteration oracle, the BPE pattern), CCNet
     # perplexity tertiles (integer micro-nat scores + distributed

@@ -221,6 +221,76 @@ def sketch_hll_rollup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sketch_cms_rollup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming count-min sketch (CmsRollupSink,
+    streaming/sketch.py): events arrive as two event_id-ordered
+    micro-batches through a real checkpointed stream; the sink
+    maintains the fixed 4x256 counter grid over the user_id
+    occurrence stream (cells ADD across batches — the additive
+    contract whose replay guard is mandatory, unlike the HLL store's
+    idempotent max). The entry audits the true top-10 users: exact
+    event count, sketch estimate from the PUBLISHED store, and the
+    one-sided overestimate. Oracle: batch SQL rebuilding the same
+    grid from the whole table — stream ≡ batch because cell addition
+    is associative/commutative across any batch split."""
+    import tempfile
+
+    from postgres_opensearch_cdc_spark.streaming.sketch import (
+        CmsRollupSink,
+    )
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id"
+    )
+    lo, hi = events.agg(F.min("event_id"), F.max("event_id")).head()
+    mid = (lo + hi) // 2
+    workdir = tempfile.mkdtemp(prefix="cms_rollup_stream_")
+    src_dir = f"{workdir}/in"
+    ckpt = f"{workdir}/ckpt"
+    sink = CmsRollupSink(path=f"{workdir}/st", value_col="user_id")
+
+    def run_once():
+        stream = spark.readStream.schema(
+            "event_id long, user_id long"
+        ).json(src_dir)
+        q = (
+            stream.writeStream.foreachBatch(
+                lambda b, bid: sink.apply_batch(b, bid, writer_id=ckpt)
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    events.filter(F.col("event_id") <= mid).coalesce(4).write.mode(
+        "append"
+    ).json(src_dir)
+    run_once()
+    events.filter(F.col("event_id") > mid).coalesce(4).write.mode(
+        "append"
+    ).json(src_dir)
+    run_once()
+
+    top = (
+        events.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("true_cnt"))
+        .orderBy(F.col("true_cnt").desc(), "user_id")
+        .limit(10)
+    )
+    est = sink.estimates(top, value_col="user_id")
+    return (
+        top.join(est, "user_id")
+        .select(
+            "user_id",
+            "true_cnt",
+            "cm_est",
+            (F.col("cm_est") - F.col("true_cnt")).alias("overestimate"),
+        )
+        .orderBy(F.col("true_cnt").desc(), "user_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # KMV bottom-k sketch + cross-source vocabulary overlap
 # ---------------------------------------------------------------------------
@@ -617,6 +687,7 @@ def unigram_viterbi_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "sketch_hyperloglog": sketch_hyperloglog,
     "sketch_hll_rollup_stream": sketch_hll_rollup_stream,
+    "sketch_cms_rollup_stream": sketch_cms_rollup_stream,
     "sketch_kmv_overlap": sketch_kmv_overlap,
     "graph_pagerank": graph_pagerank,
     "unigram_viterbi_segment": unigram_viterbi_segment,
@@ -915,9 +986,46 @@ _HLL_STREAM_SQL = f"""
 """
 
 
+from postgres_opensearch_cdc_spark.streaming.sketch import (  # noqa: E402
+    CMS_DEPTH,
+    CMS_WIDTH,
+)
+
+_CMS_STREAM_SQL = f"""
+    WITH rws AS (SELECT r FROM UNNEST(range({CMS_DEPTH})) AS t(r)),
+    cells AS (
+        SELECT r,
+               {_H60.format(x="user_id::VARCHAR || ':' || r::VARCHAR")}
+                   % {CMS_WIDTH} AS bucket,
+               COUNT(*) AS cell
+        FROM events CROSS JOIN rws GROUP BY 1, 2
+    ),
+    top AS (
+        SELECT user_id, COUNT(*) AS true_cnt FROM events
+        GROUP BY user_id ORDER BY true_cnt DESC, user_id LIMIT 10
+    ),
+    probes AS (
+        SELECT user_id, true_cnt, r,
+               {_H60.format(x="user_id::VARCHAR || ':' || r::VARCHAR")}
+                   % {CMS_WIDTH} AS bucket
+        FROM top CROSS JOIN rws
+    ),
+    est AS (
+        SELECT user_id, true_cnt,
+               CAST(MIN(COALESCE(c.cell, 0)) AS BIGINT) AS cm_est
+        FROM probes p LEFT JOIN cells c USING (r, bucket)
+        GROUP BY 1, 2
+    )
+    SELECT user_id, true_cnt, cm_est,
+           cm_est - true_cnt AS overestimate
+    FROM est ORDER BY true_cnt DESC, user_id
+"""
+
+
 ORACLE = {
     "sketch_hyperloglog": _HLL_SQL,
     "sketch_hll_rollup_stream": _HLL_STREAM_SQL,
+    "sketch_cms_rollup_stream": _CMS_STREAM_SQL,
     "sketch_kmv_overlap": _KMV_SQL,
     "graph_pagerank": _pagerank_sql(),
     "unigram_viterbi_segment": _UNI_SQL,

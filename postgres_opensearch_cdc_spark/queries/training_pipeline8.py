@@ -1,0 +1,320 @@
+"""Training-data pipeline batch 8 (round 12): triangle counting with
+local clustering coefficients, and an EXACT set-similarity join via
+prefix filtering — two more published corpus/graph-analysis stages
+(absent from the reference; SURVEY §2.7 extension class alongside
+batches 1-7).
+
+- Triangle counting is the standard graph-density diagnostic (and the
+  kernel behind clustering-coefficient features): with edges
+  canonicalized a<b, each triangle a<b<c is enumerated exactly once
+  by two hash joins — the classical distributed formulation; no
+  node's neighborhood is ever materialized driver-side.
+- Prefix filtering (Chaudhuri/Ganti/Kaushik 2006; Bayardo et al.
+  AllPairs 2007; PPJoin) is the EXACT counterpart of the repo's
+  MinHash-LSH near-dup join: order every document's shingle set by
+  ascending document frequency; two sets can reach Jaccard >= tau
+  only if their first |s| - ceil(tau*|s|) + 1 rarest shingles
+  intersect, so candidate generation joins ONLY on prefix shingles
+  (rare by construction — the inverted-index lists that explode are
+  exactly the ones excluded). The completeness of the filter (no
+  pair lost vs brute force) is pinned by test; the pruning it buys
+  is measured in SCALE §25.
+
+Determinism: shingle hashing is not needed at all here — everything
+is exact string/set/integer arithmetic; the only float is the final
+Jaccard/coefficient division, identical in both engines.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from postgres_opensearch_cdc_spark.registry import load_table
+
+_TOKS_SQL = r"regexp_split_to_array(lower(text), '\s+')"
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting + clustering coefficients
+# ---------------------------------------------------------------------------
+
+TRI_TOPK = 20
+
+
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """Per-node triangle participation over an undirected graph given
+    as canonical (a < b) distinct edges: triangles a<b<c enumerated
+    once via two joins (ab ⋈ bc on b, then ⋈ ac), then each corner
+    credited. Returns (w, triangles). Scale: two hash joins on edge
+    keys — the standard distributed triangle enumeration; skew from
+    high-degree nodes is the known hazard and is why production runs
+    order by degree (node-iterator++); at the corpus graph's scale
+    the canonical a<b orientation already halves the join fan-out."""
+    e1 = edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    e2 = edges.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    e3 = edges.select(F.col("src").alias("a"), F.col("dst").alias("c"))
+    tris = e1.join(e2, "b").join(e3, ["a", "c"])
+    corners = (
+        tris.select(F.col("a").alias("w"))
+        .unionByName(tris.select(F.col("b").alias("w")))
+        .unionByName(tris.select(F.col("c").alias("w")))
+    )
+    return corners.groupBy("w").agg(F.count(F.lit(1)).alias("triangles"))
+
+
+def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counts + local clustering coefficient
+    (2T / (deg·(deg−1))) over the word-adjacency graph (undirected,
+    self-loops dropped) — the density diagnostic a crawl/graph
+    pipeline reports next to PageRank and communities. Top TRI_TOPK
+    by (triangles desc, w); all arithmetic exact until the final
+    coefficient division."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.filter(
+            F.split(F.lower(F.col("text")), r"\s+"),
+            lambda w: F.length(w) > 0,
+        ).alias("t")
+    )
+    bigrams = toks.select(
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("t"), 1, F.greatest(F.size("t") - 1, F.lit(0))),
+                F.slice(F.col("t"), 2, F.greatest(F.size("t") - 1, F.lit(0))),
+                lambda a, b: F.struct(a.alias("x"), b.alias("y")),
+            )
+        ).alias("e")
+    ).select("e.x", "e.y").filter(F.col("x") != F.col("y"))
+    edges = bigrams.select(
+        F.least("x", "y").alias("src"), F.greatest("x", "y").alias("dst")
+    ).distinct().localCheckpoint(eager=True)
+    tri = triangle_counts(edges)
+    deg = (
+        edges.select(F.col("src").alias("w"))
+        .unionByName(edges.select(F.col("dst").alias("w")))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    return (
+        deg.join(tri, "w", "left")
+        .select(
+            "w",
+            F.coalesce("triangles", F.lit(0)).alias("triangles"),
+            "degree",
+            F.round(
+                F.when(
+                    F.col("degree") >= 2,
+                    F.lit(2.0) * F.coalesce("triangles", F.lit(0))
+                    / (F.col("degree") * (F.col("degree") - 1)),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("clustering"),
+        )
+        .orderBy(F.col("triangles").desc(), "w")
+        .limit(TRI_TOPK)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact set-similarity join via prefix filtering
+# ---------------------------------------------------------------------------
+
+PF_TAU = 0.5   # Jaccard threshold
+PF_N = 3       # shingle width (tokens) — same substrate as
+               # dedup_ngram_jaccard, whose all-pairs join is the
+               # brute-force baseline this entry replaces
+
+
+def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All document pairs with shingle-set Jaccard >= PF_TAU, found
+    EXACTLY via prefix filtering (AllPairs/PPJoin family): shingles
+    globally ordered by (document frequency asc, shingle); a set of
+    size n keeps its first n - ceil(tau*n) + 1 shingles as its
+    PREFIX; any qualifying pair must share a prefix shingle (if the
+    prefixes were disjoint, even perfectly overlapping suffixes top
+    out below tau), so the candidate join runs only over prefix
+    shingles — the rare ones — instead of the full inverted index.
+    Candidates are then verified with the exact intersection.
+
+    This is the exact-join counterpart of dedup_minhash_lsh: LSH
+    trades recall for candidate volume, prefix filtering keeps 100%
+    recall (pinned by the brute-force equivalence test) and pays
+    with a verify join bounded by the candidate count (pruning
+    measured in SCALE §25). At 100 TB both exist for the same
+    reason: never all-pairs."""
+    from postgres_opensearch_cdc_spark.functions.dedup import word_shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = (
+        word_shingles(docs, "text", "doc_id", n=PF_N)
+        .withColumnRenamed("id", "doc_id")
+        .withColumnRenamed("shingle", "sh")
+        .localCheckpoint(eager=True)
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    dfreq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    ranked = dfreq.withColumn(
+        "rk", F.row_number().over(Window.orderBy("df", "sh"))
+    ).select("sh", "rk")
+    pos = (
+        sh.join(ranked, "sh")
+        .withColumn(
+            "pos",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy("rk")
+            ),
+        )
+        .join(sizes, "doc_id")
+    )
+    prefix = pos.filter(
+        F.col("pos")
+        <= F.col("n") - F.ceil(F.lit(PF_TAU) * F.col("n")) + 1
+    ).select("doc_id", "rk")
+    cand = (
+        prefix.alias("p1")
+        .join(prefix.alias("p2"), "rk")
+        .filter(F.col("p1.doc_id") < F.col("p2.doc_id"))
+        .select(
+            F.col("p1.doc_id").alias("ia"),
+            F.col("p2.doc_id").alias("ib"),
+        )
+        .distinct()
+    )
+    inter = (
+        cand.join(sh.select(F.col("doc_id").alias("ia"), "sh"), "ia")
+        .join(sh.select(F.col("doc_id").alias("ib"), "sh"), ["ib", "sh"])
+        .groupBy("ia", "ib")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col("doc_id").alias("ia"),
+                                F.col("n").alias("na")), "ia")
+        .join(sizes.select(F.col("doc_id").alias("ib"),
+                           F.col("n").alias("nb")), "ib")
+        .select(
+            "ia",
+            "ib",
+            "n_inter",
+            (F.col("na") + F.col("nb") - F.col("n_inter"))
+            .alias("n_union"),
+            F.round(
+                F.col("n_inter")
+                / (F.col("na") + F.col("nb") - F.col("n_inter")),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= PF_TAU)
+        .orderBy("ia", "ib")
+    )
+
+
+QUERIES = {
+    "graph_triangles": graph_triangles,
+    "dedup_prefix_filter_join": dedup_prefix_filter_join,
+}
+
+
+# ---------------------------------------------------------------------------
+# Oracles
+# ---------------------------------------------------------------------------
+
+_TRI_SQL = f"""
+    WITH t AS (
+        SELECT list_filter({_TOKS_SQL}, w -> length(w) > 0) AS t
+        FROM documents
+    ),
+    big AS (
+        SELECT t[i+1] AS x, t[i+2] AS y
+        FROM t, UNNEST(range(len(t) - 1)) AS u(i)
+        WHERE len(t) >= 2 AND t[i+1] <> t[i+2]
+    ),
+    edges AS MATERIALIZED (
+        SELECT DISTINCT least(x, y) AS src, greatest(x, y) AS dst
+        FROM big
+    ),
+    tris AS (
+        SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+        FROM edges e1
+        JOIN edges e2 ON e2.src = e1.dst
+        JOIN edges e3 ON e3.src = e1.src AND e3.dst = e2.dst
+    ),
+    corners AS (
+        SELECT a AS w FROM tris
+        UNION ALL SELECT b FROM tris
+        UNION ALL SELECT c FROM tris
+    ),
+    tc AS (SELECT w, COUNT(*) AS triangles FROM corners GROUP BY w),
+    deg AS (
+        SELECT w, COUNT(*) AS degree FROM (
+            SELECT src AS w FROM edges UNION ALL SELECT dst FROM edges
+        ) GROUP BY w
+    )
+    SELECT d.w,
+           COALESCE(t.triangles, 0) AS triangles,
+           d.degree,
+           ROUND(CASE WHEN d.degree >= 2
+                      THEN 2.0 * COALESCE(t.triangles, 0)
+                           / (d.degree * (d.degree - 1))
+                      ELSE 0.0 END, 6) AS clustering
+    FROM deg d LEFT JOIN tc t USING (w)
+    ORDER BY triangles DESC, w LIMIT {TRI_TOPK}
+"""
+
+_PF_SQL = f"""
+    WITH sh AS MATERIALIZED (
+        SELECT doc_id,
+               unnest(list_distinct(
+                   list_transform(
+                       range(1, greatest(len(toks) - {PF_N - 1}, 1) + 1),
+                       i -> array_to_string(toks[i:i+{PF_N - 1}], ' ')
+                   ))) AS sh
+        FROM (
+            SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+        )
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    ranked AS (
+        SELECT sh,
+               ROW_NUMBER() OVER (ORDER BY COUNT(*), sh) AS rk
+        FROM sh GROUP BY sh
+    ),
+    pos AS (
+        SELECT s.doc_id, r.rk, z.n,
+               ROW_NUMBER() OVER (
+                   PARTITION BY s.doc_id ORDER BY r.rk
+               ) AS pos
+        FROM sh s JOIN ranked r USING (sh) JOIN sizes z USING (doc_id)
+    ),
+    prefix AS (
+        SELECT doc_id, rk FROM pos
+        WHERE pos <= n - ceil({PF_TAU} * n) + 1
+    ),
+    cand AS (
+        SELECT DISTINCT p1.doc_id AS ia, p2.doc_id AS ib
+        FROM prefix p1 JOIN prefix p2 USING (rk)
+        WHERE p1.doc_id < p2.doc_id
+    ),
+    inter AS (
+        SELECT c.ia, c.ib, COUNT(*) AS n_inter
+        FROM cand c
+        JOIN sh a ON a.doc_id = c.ia
+        JOIN sh b ON b.doc_id = c.ib AND b.sh = a.sh
+        GROUP BY c.ia, c.ib
+    )
+    SELECT i.ia, i.ib, i.n_inter,
+           za.n + zb.n - i.n_inter AS n_union,
+           ROUND(i.n_inter * 1.0 / (za.n + zb.n - i.n_inter), 6)
+               AS jaccard
+    FROM inter i
+    JOIN sizes za ON za.doc_id = i.ia
+    JOIN sizes zb ON zb.doc_id = i.ib
+    WHERE i.n_inter * 1.0 / (za.n + zb.n - i.n_inter) >= {PF_TAU}
+    ORDER BY ia, ib
+"""
+
+ORACLE = {
+    "graph_triangles": _TRI_SQL,
+    "dedup_prefix_filter_join": _PF_SQL,
+}

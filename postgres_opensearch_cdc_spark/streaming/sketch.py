@@ -55,6 +55,15 @@ _REG_SCHEMA = T.StructType([
     T.StructField("register", T.IntegerType()),
 ])
 
+CMS_DEPTH = 4
+CMS_WIDTH = 256
+
+_CMS_SCHEMA = T.StructType([
+    T.StructField("r", T.IntegerType()),
+    T.StructField("bucket", T.LongType()),
+    T.StructField("cell", T.LongType()),
+])
+
 
 @dataclass
 class HllRollupSink:
@@ -155,6 +164,169 @@ class HllRollupSink:
                     "batch_id": batch_id,
                     "writer_id": writer_id,
                     "m": HLL_M,
+                },
+                fh,
+            )
+        os.replace(
+            tmp, os.path.join(self._commits_dir, f"v{version:08d}.json")
+        )
+
+
+@dataclass
+class CmsRollupSink:
+    """foreachBatch sink maintaining a count-min sketch over a value
+    stream — the ADDITIVE counterpart of HllRollupSink, and the
+    deliberate contrast in streaming-sketch contracts: CM cells SUM
+    (sketch(A ⊎ B) = sketch(A) + sketch(B)), so a replayed batch that
+    reaches the merge DOUBLE-COUNTS — here the (writer_id, batch_id)
+    manifest guard is a CORRECTNESS requirement, not an optimization
+    (the exact opposite of the register store's idempotent max; both
+    properties are pinned side by side in tests/test_hll_stream.py).
+    Same commit idiom: full grid into a fresh commit dir, ONE atomic
+    manifest rename; crash before the rename leaves the previous
+    version live and the replay re-derives and publishes the same
+    merge (the guard compares against the last PUBLISHED manifest, so
+    an unpublished crashed attempt is invisible to it).
+
+    State is the fixed CMS_DEPTH x CMS_WIDTH grid regardless of
+    stream length — the mergeable-summary scale story; estimates for
+    any probe value are MIN over its row cells, one-sided (>= true),
+    exactly the batch sketch's semantics (sketch_count_min)."""
+
+    path: str
+    value_col: str = "v"
+
+    @property
+    def _data_dir(self) -> str:
+        return os.path.join(self.path, "data")
+
+    @property
+    def _commits_dir(self) -> str:
+        return os.path.join(self.path, "_commits")
+
+    def _manifests(self) -> list[str]:
+        if not os.path.isdir(self._commits_dir):
+            return []
+        return sorted(
+            f for f in os.listdir(self._commits_dir)
+            if f.startswith("v") and f.endswith(".json")
+        )
+
+    def latest_manifest(self) -> dict | None:
+        names = self._manifests()
+        if not names:
+            return None
+        with open(os.path.join(self._commits_dir, names[-1])) as fh:
+            return json.load(fh)
+
+    def cells(self, spark: SparkSession) -> DataFrame:
+        """The published (r, bucket, cell) grid (empty before the
+        first commit; absent coordinates are implicit zeros)."""
+        manifest = self.latest_manifest()
+        if manifest is None:
+            return spark.createDataFrame([], _CMS_SCHEMA)
+        return spark.read.schema(_CMS_SCHEMA).parquet(
+            os.path.join(self._data_dir, manifest["commit"], "cells")
+        )
+
+    @staticmethod
+    def coords(frame: DataFrame, value_col: str) -> DataFrame:
+        """All CMS_DEPTH (r, bucket) coordinates per row in ONE
+        projection (the sketch_count_min shape — an inline array
+        explode, never a depth-way union)."""
+        from postgres_opensearch_cdc_spark.functions.dedup import hash60
+
+        return frame.select(
+            "*",
+            F.explode(
+                F.array(*[
+                    F.struct(
+                        F.lit(r).alias("r"),
+                        F.pmod(
+                            hash60(F.col(value_col).cast("string"),
+                                   salt=r),
+                            F.lit(CMS_WIDTH),
+                        ).alias("bucket"),
+                    )
+                    for r in range(CMS_DEPTH)
+                ])
+            ).alias("rb"),
+        ).select(
+            *frame.columns,
+            F.col("rb.r").alias("r"),
+            F.col("rb.bucket").alias("bucket"),
+        )
+
+    def estimates(self, probes: DataFrame,
+                  value_col: str = "v") -> DataFrame:
+        """(value, cm_est) for each probe value: MIN over the value's
+        CMS_DEPTH cells in the published grid (missing cells are 0 —
+        a value the stream never hashed anywhere estimates 0 only if
+        ALL its cells are empty, preserving one-sidedness)."""
+        spark = probes.sparkSession
+        grid = self.cells(spark)
+        pc = self.coords(probes.select(value_col), value_col)
+        return (
+            pc.join(F.broadcast(grid), ["r", "bucket"], "left")
+            .groupBy(value_col)
+            .agg(F.min(F.coalesce("cell", F.lit(0))).alias("cm_est"))
+        )
+
+    def apply_batch(self, batch: DataFrame, batch_id: int,
+                    writer_id: str | None = None) -> None:
+        spark = batch.sparkSession
+        manifest = self.latest_manifest()
+        if (
+            manifest is not None
+            and batch_id >= 0
+            and manifest.get("batch_id") == batch_id
+            and manifest.get("writer_id") == writer_id
+        ):
+            return  # replay: MANDATORY skip — additive merge would
+            # double-count (see class docstring)
+        if manifest is not None and (
+            manifest.get("depth") != CMS_DEPTH
+            or manifest.get("width") != CMS_WIDTH
+        ):
+            raise ValueError(
+                f"cm sketch store at {self.path} was written as "
+                f"{manifest.get('depth')}x{manifest.get('width')}; this "
+                f"build is {CMS_DEPTH}x{CMS_WIDTH} — grids under "
+                "different geometries do not add"
+            )
+        cells = (
+            self.coords(batch.select(self.value_col), self.value_col)
+            .groupBy("r", "bucket")
+            .agg(F.count(F.lit(1)).alias("cell"))
+        )
+        if manifest is not None:
+            cells = (
+                self.cells(spark)
+                .unionByName(cells)
+                .groupBy("r", "bucket")
+                .agg(F.sum("cell").alias("cell"))
+            )
+        cells = cells.select(
+            F.col("r").cast("int"),
+            F.col("bucket").cast("long"),
+            F.col("cell").cast("long"),
+        )
+        version = (manifest["version"] + 1) if manifest else 1
+        commit = f"commit-{uuid.uuid4().hex[:12]}"
+        cells.write.mode("overwrite").parquet(
+            os.path.join(self._data_dir, commit, "cells")
+        )
+        os.makedirs(self._commits_dir, exist_ok=True)
+        tmp = os.path.join(self._commits_dir, f".v{version:08d}.json.tmp")
+        with open(tmp, "w") as fh:
+            json.dump(
+                {
+                    "version": version,
+                    "commit": commit,
+                    "batch_id": batch_id,
+                    "writer_id": writer_id,
+                    "depth": CMS_DEPTH,
+                    "width": CMS_WIDTH,
                 },
                 fh,
             )
