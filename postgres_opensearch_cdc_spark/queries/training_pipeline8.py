@@ -171,16 +171,49 @@ def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefix = pos.filter(
         F.col("pos")
         <= F.col("n") - F.ceil(F.lit(PF_TAU) * F.col("n")) + 1
-    ).select("doc_id", "rk")
-    cand = (
+    ).select("doc_id", "rk", "pos", "n")
+    # PPJoin refinements on the candidate rows, both result-neutral
+    # (the exact verify below re-checks everything):
+    # - size filter: J >= tau forces min(|a|,|b|) >= tau*max(|a|,|b|)
+    # - positional filter at the FIRST shared prefix token (min rk —
+    #   pos grows with rk inside each doc, so min(pos1)/min(pos2)
+    #   land on the same token): no shared tokens precede it, so
+    #   overlap <= 1 + min(n1-p1, n2-p2), and J >= tau needs
+    #   overlap >= ceil(tau/(1+tau) * (n1+n2))
+    candrows = (
         prefix.alias("p1")
         .join(prefix.alias("p2"), "rk")
         .filter(F.col("p1.doc_id") < F.col("p2.doc_id"))
         .select(
             F.col("p1.doc_id").alias("ia"),
             F.col("p2.doc_id").alias("ib"),
+            F.col("p1.pos").alias("pos1"),
+            F.col("p2.pos").alias("pos2"),
+            F.col("p1.n").alias("na"),
+            F.col("p2.n").alias("nb"),
         )
-        .distinct()
+    )
+    alpha = F.ceil(
+        F.lit(PF_TAU / (1.0 + PF_TAU)) * (F.col("na") + F.col("nb"))
+    )
+    cand = (
+        candrows.groupBy("ia", "ib", "na", "nb")
+        .agg(F.min("pos1").alias("mp1"), F.min("pos2").alias("mp2"))
+        .filter(
+            (
+                F.least("na", "nb")
+                >= F.lit(PF_TAU) * F.greatest("na", "nb")
+            )
+            & (
+                F.lit(1)
+                + F.least(
+                    F.col("na") - F.col("mp1"),
+                    F.col("nb") - F.col("mp2"),
+                )
+                >= alpha
+            )
+        )
+        .select("ia", "ib")
     )
     inter = (
         cand.join(sh.select(F.col("doc_id").alias("ia"), "sh"), "ia")
