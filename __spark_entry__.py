@@ -113,6 +113,7 @@ _PRIORITY = [
     "search_eval_metrics", "vocab_heaps_fit",
     "sketch_cms_rollup_stream",
     "graph_triangles", "dedup_prefix_filter_join",
+    "search_rank_rbo",
     # (a3) the round-12 batch-5 entries: WordPiece-objective merge
     # training (unrolled-iteration oracle, the BPE pattern), CCNet
     # perplexity tertiles (integer micro-nat scores + distributed

@@ -233,10 +233,69 @@ def search_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RBO_P = 0.9   # persistence (Webber et al. 2010's reference value)
+
+
+def _rbo_tail_weights() -> list[tuple[int, float]]:
+    """(m, T(m)) for m = 1..LEG_K where T(m) = sum_{d=m..K} p^d / d:
+    a document first entering both prefixes at depth m contributes
+    T(m) to sum_d p^d * X_d / d (X_d counts docs with
+    max(rank_a, rank_b) <= d). Computed ONCE here in python and
+    shipped verbatim to BOTH engines (a literal frame in Spark, a
+    VALUES list in the oracle), so every weight is the identical
+    double."""
+    out = []
+    for m in range(1, LEG_K + 1):
+        out.append((m, sum(RBO_P ** d / d for d in range(m, LEG_K + 1))))
+    return out
+
+
+def search_rank_rbo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-biased overlap (Webber, Moffat & Zobel 2010) between the
+    lexical and vector rankings — the top-weighted ranking-agreement
+    diagnostic used to audit retrieval changes (unlike Kendall, it
+    handles non-conjoint top-k lists and weights the head). Truncated
+    form at depth LEG_K:
+
+        RBO@K = (1-p)/p * sum_{d=1..K} p^d * X_d / d
+
+    with X_d the overlap of the two depth-d prefixes. Per-doc
+    reformulation: a doc in both lists enters every prefix from
+    m = max(r_lex, r_vec), so it contributes the precomputed tail
+    weight T(m) (see _rbo_tail_weights). Output also reports the
+    plain overlap@10 for context. One row; all weights identical
+    doubles in both engines."""
+    lexr, vecr = _legs(spark, sf_dir)
+    both = lexr.join(vecr, "doc_id").select(
+        "doc_id",
+        F.greatest("r_lex", "r_vec").alias("m"),
+    )
+    weights = spark.createDataFrame(
+        _rbo_tail_weights(), "m int, t double"
+    )
+    acc = both.join(F.broadcast(weights), "m").agg(
+        F.coalesce(F.sum("t"), F.lit(0.0)).alias("s"),
+        F.coalesce(
+            F.sum((F.col("m") <= 10).cast("int")), F.lit(0)
+        ).alias("overlap_at_10"),
+        F.count(F.lit(1)).alias("n_conjoint"),
+    )
+    return acc.select(
+        F.lit(RBO_P).alias("p"),
+        F.lit(LEG_K).alias("depth"),
+        F.round(
+            F.lit((1.0 - RBO_P) / RBO_P) * F.col("s"), 6
+        ).alias("rbo_trunc"),
+        "overlap_at_10",
+        "n_conjoint",
+    )
+
+
 QUERIES = {
     "search_hybrid_rrf": search_hybrid_rrf,
     "search_hybrid_minmax": search_hybrid_minmax,
     "search_eval_metrics": search_eval_metrics,
+    "search_rank_rbo": search_rank_rbo,
 }
 
 
@@ -372,8 +431,35 @@ _EVAL_SQL = f"""
     FROM per, nrel, ideal ORDER BY ranking
 """
 
+def _rbo_sql() -> str:
+    values = ", ".join(
+        f"({m}, {t!r})" for m, t in _rbo_tail_weights()
+    )
+    return f"""
+    WITH {_LEGS_SQL},
+    weights(m, t) AS (VALUES {values}),
+    both_legs AS (
+        SELECT l.doc_id, greatest(l.r_lex, v.r_vec) AS m
+        FROM lexr l JOIN vecr v ON l.doc_id = v.doc_id
+    ),
+    acc AS (
+        SELECT COALESCE(SUM(w.t), 0.0) AS s,
+               CAST(COALESCE(SUM((b.m <= 10)::INT), 0) AS BIGINT)
+                   AS overlap_at_10,
+               COUNT(*) AS n_conjoint
+        FROM both_legs b JOIN weights w USING (m)
+    )
+    SELECT ({RBO_P!r})::DOUBLE AS p, {LEG_K} AS depth,
+           ROUND(({(1.0 - RBO_P) / RBO_P!r})::DOUBLE * s, 6)
+               AS rbo_trunc,
+           overlap_at_10, n_conjoint
+    FROM acc
+"""
+
+
 ORACLE = {
     "search_hybrid_rrf": _RRF_SQL,
     "search_hybrid_minmax": _MINMAX_SQL,
     "search_eval_metrics": _EVAL_SQL,
+    "search_rank_rbo": _rbo_sql(),
 }

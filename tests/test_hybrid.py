@@ -190,3 +190,43 @@ def test_eval_metrics_structural_sanity(spark, sf_dir):
         for m in ("precision_at_10", "recall_at_10", "mrr", "ndcg_at_10"):
             assert 0.0 <= r[m] <= 1.0, (r["ranking"], m, r[m])
     assert rows["vec"]["mrr"] == 1.0
+
+
+def test_rbo_matches_direct_definition(spark, sf_dir, legs):
+    """Recompute truncated RBO straight from the definition
+    (prefix-overlap sum over depths) and compare with the entry's
+    per-doc tail-weight reformulation."""
+    from postgres_opensearch_cdc_spark.queries.hybrid import (
+        LEG_K,
+        RBO_P,
+        search_rank_rbo,
+    )
+
+    lex, vec = legs
+    a = [d for d, (_, r) in sorted(lex.items(), key=lambda kv: kv[1][1])]
+    b = [d for d, (_, r) in sorted(vec.items(), key=lambda kv: kv[1][1])]
+    s = 0.0
+    for d in range(1, LEG_K + 1):
+        x = len(set(a[:d]) & set(b[:d]))
+        s += (RBO_P ** d) * x / d
+    want = round((1.0 - RBO_P) / RBO_P * s, 6)
+    row = search_rank_rbo(spark, sf_dir).head()
+    assert row["rbo_trunc"] == pytest.approx(want, abs=2e-6)
+    assert row["overlap_at_10"] == len(set(a[:10]) & set(b[:10]))
+
+
+def test_rbo_identical_rankings_approach_truncated_max():
+    """RBO of a ranking with itself equals the truncated maximum
+    (1-p)/p * sum p^d — sanity for the tail-weight table."""
+    from postgres_opensearch_cdc_spark.queries.hybrid import (
+        LEG_K,
+        RBO_P,
+        _rbo_tail_weights,
+    )
+
+    # every doc enters at m = its own rank
+    s = sum(t for _, t in _rbo_tail_weights())
+    direct = sum((RBO_P ** d) for d in range(1, LEG_K + 1))
+    assert (1 - RBO_P) / RBO_P * s == pytest.approx(
+        (1 - RBO_P) / RBO_P * direct, rel=1e-12
+    )
