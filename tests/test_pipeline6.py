@@ -342,3 +342,42 @@ def test_viterbi_tiebreak_composes_under_extension():
             hi, lo = (s1, s2) if s1 > s2 else (s2, s1)
             for suffix in ("", "|c", "x", "|zz"):
                 assert (hi + suffix) > (lo + suffix), (hi, lo, suffix)
+
+
+def test_hll_estimator_edge_cases(spark):
+    """Estimator branch edges: a group whose every register is
+    present (zero_registers = 0 must NEVER take linear counting, even
+    when raw_est is small) and a single-value group (15 zero
+    registers, LC branch, estimate near 1)."""
+    from pyspark.sql import functions as F
+
+    from postgres_opensearch_cdc_spark.functions.sketch import (
+        HLL_M,
+        HLL_RHO_MAX,
+        hll_estimates,
+        hll_registers,
+    )
+
+    # synthetic register table: group "full" has all m registers at a
+    # high rho (tiny sum_num -> raw_est large), group "low" has all m
+    # registers at rho 1 (sum_num = m * 2^(RHO_MAX-1) -> raw_est
+    # small but V = 0, so the raw branch must hold)
+    full = [("full", b, 30) for b in range(HLL_M)]
+    low = [("low", b, 1) for b in range(HLL_M)]
+    regs = spark.createDataFrame(
+        full + low, "g string, bucket long, register int"
+    )
+    est = {r["g"]: r for r in hll_estimates(regs).collect()}
+    assert est["full"]["zero_registers"] == 0
+    assert not est["full"]["used_linear_counting"]
+    assert est["low"]["zero_registers"] == 0
+    assert not est["low"]["used_linear_counting"]
+    assert est["low"]["raw_est"] == est["low"]["hll_est"]
+
+    # real single-value group: exactly one register set -> LC branch
+    one = spark.createDataFrame([("g1", "only")], "source string, w string")
+    est1 = hll_estimates(hll_registers(one)).head()
+    assert est1["zero_registers"] == HLL_M - 1
+    assert est1["used_linear_counting"]
+    # m * ln(m / (m-1)) ~ 1.03 for m=16
+    assert 0.5 < est1["hll_est"] < 2.0
