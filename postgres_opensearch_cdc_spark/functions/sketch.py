@@ -27,13 +27,19 @@ HLL_ALPHA = 0.673
 
 
 def hll_registers(values: DataFrame, group_col: str = "source",
-                  value_col: str = "w") -> DataFrame:
+                  value_col: str = "w",
+                  group_cols: list[str] | None = None) -> DataFrame:
     """(g, bucket, register) HLL register table: bucket = the top
     HLL_P bits of hash60(value), register = max over values of
     rho(suffix) where rho = leading-zero count of the remaining
     HLL_SUFFIX_BITS bits + 1. Duplicates are harmless (max-based), so
     the input needs no distinct. One fixed-size map-side-combined agg
-    off the scan — the mergeable-summary shape."""
+    off the scan — the mergeable-summary shape.
+
+    ``group_cols`` keeps a MULTI-column group key as separate columns
+    (no lossy string packing — a separator character appearing in a
+    value would mis-parse on re-split); the single ``group_col`` form
+    aliases to ``g`` for the streaming sink's flat store layout."""
     h = hash60(F.col(value_col))
     suffix = h % F.lit(1 << HLL_SUFFIX_BITS)
     # bit length via the minimal binary string: both engines print
@@ -41,20 +47,27 @@ def hll_registers(values: DataFrame, group_col: str = "source",
     rho = F.when(suffix == 0, F.lit(HLL_RHO_MAX)).otherwise(
         F.lit(HLL_RHO_MAX) - F.length(F.bin(suffix))
     )
+    groups = group_cols if group_cols is not None else ["g"]
+    head = (
+        [F.col(c) for c in group_cols]
+        if group_cols is not None
+        else [F.col(group_col).alias("g")]
+    )
     return (
         values.select(
-            F.col(group_col).alias("g"),
+            *head,
             # top HLL_P bits — integer shift, never float division
             # (h is not exactly representable in a double)
             F.shiftright(h, HLL_SUFFIX_BITS).alias("bucket"),
             rho.alias("rho"),
         )
-        .groupBy("g", "bucket")
+        .groupBy(*groups, "bucket")
         .agg(F.max("rho").alias("register"))
     )
 
 
-def hll_estimates(regs: DataFrame) -> DataFrame:
+def hll_estimates(regs: DataFrame,
+                  group_cols: list[str] | None = None) -> DataFrame:
     """Per-group HLL estimate from a (g, bucket, register) table:
 
         sum_num = sum over all m registers of 2^(RHO_MAX - register)
@@ -63,9 +76,11 @@ def hll_estimates(regs: DataFrame) -> DataFrame:
         hll_est = m * ln(m / V) when raw_est <= 2.5m and V > 0
                   (linear counting, V = zero registers), else raw_est
 
-    Output: (g, zero_registers, sum_num, raw_est, hll_est,
-    used_linear_counting)."""
-    per_group = regs.groupBy("g").agg(
+    Output: (group cols, zero_registers, sum_num, raw_est, hll_est,
+    used_linear_counting). ``group_cols`` mirrors hll_registers —
+    multi-column keys stay separate columns."""
+    groups = group_cols if group_cols is not None else ["g"]
+    per_group = regs.groupBy(*groups).agg(
         (
             F.sum(F.expr(f"shiftleft(1L, {HLL_RHO_MAX} - register)"))
             + (F.lit(HLL_M) - F.count(F.lit(1)))
@@ -84,7 +99,7 @@ def hll_estimates(regs: DataFrame) -> DataFrame:
         F.col("zero_registers") > 0
     )
     return out.select(
-        "g",
+        *groups,
         "zero_registers",
         "sum_num",
         "raw_est",

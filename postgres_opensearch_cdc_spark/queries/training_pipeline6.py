@@ -121,23 +121,27 @@ def sketch_hyperloglog(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and the exact audit count — the corpus is scanned once per
     # domain, never once per consumer (registers are max-based, so
     # the distinct is free correctness-wise); the distinct table is
-    # vocabulary/docid-bounded, safe to pin
+    # vocabulary/docid-bounded, safe to pin. (source, domain) stay
+    # SEPARATE grouping columns throughout — no separator-packed key
+    # a '/' inside a source name could mis-parse on re-split.
     values = (
         words.unionByName(ids)
-        .withColumn("gd", F.concat_ws("/", "source", "domain"))
-        .select("gd", "w")
+        .select("source", "domain", "w")
         .distinct()
         .localCheckpoint(eager=True)
     )
-    est = hll_estimates(hll_registers(values, group_col="gd"))
-    exact = values.groupBy(F.col("gd").alias("g")).agg(
+    est = hll_estimates(
+        hll_registers(values, group_cols=["source", "domain"]),
+        group_cols=["source", "domain"],
+    )
+    exact = values.groupBy("source", "domain").agg(
         F.countDistinct("w").alias("n_exact")
     )
     return (
-        est.join(exact, "g")
+        est.join(exact, ["source", "domain"])
         .select(
-            F.substring_index("g", "/", 1).alias("source"),
-            F.substring_index("g", "/", -1).alias("domain"),
+            "source",
+            "domain",
             "n_exact",
             "zero_registers",
             "sum_num",

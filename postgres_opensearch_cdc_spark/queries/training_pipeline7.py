@@ -24,8 +24,10 @@ class alongside batches 1-6).
   corpus vocabulary — the corpus-health audit every dataset card
   reports (natural text ≈ -1). All regression SUMS run in integer
   micro-nat space (ln values quantized per term BEFORE summing), so
-  accumulation order cannot move the result; the slope itself is a
-  single float expression on identical int64 sums in both engines.
+  accumulation order cannot move the result; sums and their cross
+  products are EXACT decimal128 integers (Spark decimal(38,0) ≡
+  DuckDB hugeint — see vocab_zipf_fit for the bound), and the slope
+  is a single float expression on those identical integers.
 
 Scale shapes:
 - LPA: per iteration one src-keyed join + one (node, label) count +
@@ -33,8 +35,11 @@ Scale shapes:
   per iteration (the Pregel loop, same as pagerank_fixed_point).
 - DP release: one group-count shuffle + a scan-stage noise
   expression; the release table is group-bounded.
-- Zipf: one vocabulary count shuffle, rank from a global window over
-  the AGGREGATED vocabulary (bounded, the plan invariant), one
+- Zipf: one vocabulary count shuffle, rank via the distributed
+  two-phase construction (functions/ranking.with_global_rank — one
+  range shuffle + partition-parallel windows; the vocabulary is
+  CONTENT-derived and grows with the corpus, so a single-task global
+  window here would be the 100 TB funnel the plan test bans), one
   single-row reduction of integer sums.
 """
 
@@ -151,13 +156,23 @@ def dp_noised_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     module docstring; swap in a CSPRNG for a real release). Counts
     have sensitivity 1 under add/remove-one-document, so Laplace(1/ε)
     gives ε-DP. Output keeps the true count and the noise as audit
-    columns."""
+    columns. Group columns are null-guarded via coalesce before
+    hashing — concat_ws would silently SKIP a null column while the
+    oracle's || yields NULL, so both engines hash the same bytes only
+    if nulls are normalized first."""
     docs = load_table(spark, sf_dir, "documents")
     counts = docs.groupBy("source", "lang").agg(
         F.count(F.lit(1)).alias("true_count")
     )
     u = (
-        hash60(F.concat_ws(":", "source", "lang", F.lit(DP_SALT)))
+        hash60(
+            F.concat_ws(
+                ":",
+                F.coalesce("source", F.lit("<null>")),
+                F.coalesce("lang", F.lit("<null>")),
+                F.lit(DP_SALT),
+            )
+        )
         / F.lit(float(1 << 60))
     )
     centered = u - F.lit(0.5)
@@ -185,15 +200,61 @@ def dp_noised_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 ZIPF_QUANT = 10 ** 6
 
 
+def _regression_fit(sums: DataFrame):
+    """(slope, intercept) column pair from a one-row frame carrying
+    n (long) and decimal(38,0) sums sx/sy/sxy/sxx. The cross products
+    n·sxy, sx·sy, n·sxx, sx² run in EXACT decimal128 (Spark
+    decimal(38,0) ≡ DuckDB hugeint on the oracle side — identical
+    integers), and only the final slope/intercept divisions are
+    float. int64 alone is NOT enough here: with Q=10^6 micro-nats,
+    x·y reaches ~8·10^14, so Σx·y overflows int64 past ~10^4 terms
+    and n·Σx·y past ~600 — the decimal sums stay exact to ~10^38,
+    i.e. vocabularies past 10^10 terms (far beyond Heaps-law growth
+    at 100 TB). Pinned by the large-vocab regression test."""
+    nd = F.col("n").cast("decimal(38,0)")
+    num = (nd * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = (nd * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    slope = num / den
+    intercept = (
+        (F.col("sy").cast("double") - slope * F.col("sx").cast("double"))
+        / F.col("n")
+        / F.lit(float(ZIPF_QUANT))
+    )
+    return slope, intercept
+
+
+def _regression_sums(pts: DataFrame) -> DataFrame:
+    """Exact regression sums over integer (x, y) points: n as long,
+    the four sums as decimal(38,0) — accumulation of int64 terms into
+    decimal128, order-independent and overflow-free (see
+    _regression_fit for the bound)."""
+    return pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x").cast("decimal(38,0)")).alias("sx"),
+        F.sum(F.col("y").cast("decimal(38,0)")).alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(38,0)")).alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)")).alias("sxx"),
+    )
+
+
 def vocab_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Least-squares fit of ln(freq) on ln(rank) over the corpus
     vocabulary (Zipf's law: slope ≈ -1 for natural text). Per-term
     x = floor(Q·ln rank), y = floor(Q·ln freq) are INTEGER micro-nats
-    (one ln each on identical integers), the five regression sums are
-    exact int64 (order-independent), and slope/intercept are single
-    float expressions on those sums — so the fit is value-checked,
-    not approximately compared. Rank ties broken by term; the rank
-    window runs over the aggregated vocabulary (bounded)."""
+    (one ln each on identical integers), the regression sums and
+    their cross products are exact decimal128 (_regression_fit), and
+    slope/intercept are single float expressions on those identical
+    integers — so the fit is value-checked, not approximately
+    compared. Rank ties broken by term; the vocabulary is
+    CONTENT-derived (grows near-linearly with the corpus under
+    Heaps' law), so the rank comes from the distributed two-phase
+    construction (functions/ranking.with_global_rank: one range
+    shuffle + partition-parallel windows), never a single-task
+    global window."""
+    from postgres_opensearch_cdc_spark.functions.ranking import (
+        with_global_rank,
+    )
+
     docs = load_table(spark, sf_dir, "documents")
     vocab = (
         docs.select(
@@ -203,29 +264,18 @@ def vocab_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("freq"))
     )
-    ranked = vocab.withColumn(
+    # rank by (freq desc, w asc) == ascending (-freq, w); unique by w
+    ranked, _ = with_global_rank(
+        vocab.withColumn("negfreq", -F.col("freq")),
+        ["negfreq", "w"],
         "rank",
-        F.row_number().over(Window.orderBy(F.col("freq").desc(), "w")),
     )
     pts = ranked.select(
         F.floor(F.lit(ZIPF_QUANT) * F.log("rank")).cast("long").alias("x"),
         F.floor(F.lit(ZIPF_QUANT) * F.log("freq")).cast("long").alias("y"),
     )
-    sums = pts.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("x").alias("sx"),
-        F.sum("y").alias("sy"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
-    )
-    slope = (
-        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
-        / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
-    )
-    intercept = (
-        (F.col("sy") - slope * F.col("sx")) / F.col("n")
-        / F.lit(float(ZIPF_QUANT))
-    )
+    sums = _regression_sums(pts)
+    slope, intercept = _regression_fit(sums)
     return sums.select(
         F.col("n").alias("vocab_size"),
         F.round(slope, 6).alias("zipf_slope"),
@@ -238,8 +288,9 @@ def vocab_heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     count N (β ≈ 0.4-0.6 for natural text). One (ln N, ln V) point
     per source — the corpus's natural size strata — then the same
     exact-integer-sum regression as vocab_zipf_fit (per-point ln
-    values quantized to micro-nats BEFORE summing, slope/intercept as
-    single float expressions on identical int64 sums). The companion
+    values quantized to micro-nats BEFORE summing, decimal128 cross
+    products, slope/intercept as single float expressions on
+    identical exact integers). The companion
     audit to the Zipf fit on a dataset card: Zipf says how frequency
     decays within the vocabulary, Heaps says how the vocabulary grows
     with corpus size — a crawler whose β collapses toward 0 is
@@ -263,21 +314,8 @@ def vocab_heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.lit(ZIPF_QUANT) * F.log("n_distinct")).cast("long")
         .alias("y"),
     )
-    sums = pts.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("x").alias("sx"),
-        F.sum("y").alias("sy"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
-    )
-    slope = (
-        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
-        / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
-    )
-    intercept = (
-        (F.col("sy") - slope * F.col("sx")) / F.col("n")
-        / F.lit(float(ZIPF_QUANT))
-    )
+    sums = _regression_sums(pts)
+    slope, intercept = _regression_fit(sums)
     return sums.select(
         F.col("n").alias("n_sources"),
         F.round(slope, 6).alias("heaps_beta"),
@@ -359,7 +397,8 @@ _DP_SQL = f"""
     ),
     noised AS (
         SELECT source, lang, true_count,
-               {_H60.format(x=f"source || ':' || lang || ':' || '{DP_SALT}'")}
+               {_H60.format(x="coalesce(source, '<null>') || ':' || "
+                              f"coalesce(lang, '<null>') || ':' || '{DP_SALT}'")}
                    / {float(1 << 60)} - 0.5 AS centered
         FROM counts
     )
@@ -389,18 +428,23 @@ _ZIPF_SQL = f"""
         FROM ranked
     ),
     sums AS (
+        -- SUMs stay HUGEINT (exact int128, mirroring Spark's
+        -- decimal(38,0)): a BIGINT cast here overflows past ~10^4
+        -- vocabulary terms at Q=10^6 micro-nats
         SELECT COUNT(*) AS n,
-               CAST(SUM(x) AS BIGINT) AS sx,
-               CAST(SUM(y) AS BIGINT) AS sy,
-               CAST(SUM(x * y) AS BIGINT) AS sxy,
-               CAST(SUM(x * x) AS BIGINT) AS sxx
+               SUM(x) AS sx,
+               SUM(y) AS sy,
+               SUM(x * y) AS sxy,
+               SUM(x * x) AS sxx
         FROM pts
     )
     SELECT n AS vocab_size,
-           ROUND((n * sxy - sx * sy) * 1.0
-                 / (n * sxx - sx * sx), 6) AS zipf_slope,
-           ROUND((sy - ((n * sxy - sx * sy) * 1.0
-                        / (n * sxx - sx * sx)) * sx) / n
+           ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS zipf_slope,
+           ROUND((CAST(sy AS DOUBLE)
+                  - (CAST(n * sxy - sx * sy AS DOUBLE)
+                     / CAST(n * sxx - sx * sx AS DOUBLE))
+                    * CAST(sx AS DOUBLE)) / n
                  / {float(ZIPF_QUANT)}, 6) AS ln_c_intercept
     FROM sums
 """
@@ -422,17 +466,19 @@ _HEAPS_SQL = f"""
     ),
     sums AS (
         SELECT COUNT(*) AS n,
-               CAST(SUM(x) AS BIGINT) AS sx,
-               CAST(SUM(y) AS BIGINT) AS sy,
-               CAST(SUM(x * y) AS BIGINT) AS sxy,
-               CAST(SUM(x * x) AS BIGINT) AS sxx
+               SUM(x) AS sx,
+               SUM(y) AS sy,
+               SUM(x * y) AS sxy,
+               SUM(x * x) AS sxx
         FROM pts
     )
     SELECT n AS n_sources,
-           ROUND((n * sxy - sx * sy) * 1.0
-                 / (n * sxx - sx * sx), 6) AS heaps_beta,
-           ROUND((sy - ((n * sxy - sx * sy) * 1.0
-                        / (n * sxx - sx * sx)) * sx) / n
+           ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS heaps_beta,
+           ROUND((CAST(sy AS DOUBLE)
+                  - (CAST(n * sxy - sx * sy AS DOUBLE)
+                     / CAST(n * sxx - sx * sx AS DOUBLE))
+                    * CAST(sx AS DOUBLE)) / n
                  / {float(ZIPF_QUANT)}, 6) AS ln_k_intercept
     FROM sums
 """

@@ -83,6 +83,32 @@ def test_hll_registers_merge_as_elementwise_max(spark):
     assert got == {("u", b_): r for b_, r in ru.items()}
 
 
+def test_hll_multi_column_group_keys_stay_separate(spark):
+    """Regression for the round-12 ADVICE finding: a source name
+    containing the old '/' pack separator must survive a multi-column
+    group key intact (no string packing/re-splitting anywhere)."""
+    rows = [("a/b", "word", f"v{i}") for i in range(40)] + [
+        ("a", "b/word", f"v{i}") for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "source string, domain string, w string")
+    regs = hll_registers(df, group_cols=["source", "domain"])
+    assert regs.columns[:2] == ["source", "domain"]
+    got = {
+        (r["source"], r["domain"]) for r in regs.select(
+            "source", "domain").distinct().collect()
+    }
+    assert got == {("a/b", "word"), ("a", "b/word")}
+    from postgres_opensearch_cdc_spark.functions.sketch import hll_estimates
+
+    est = hll_estimates(regs, group_cols=["source", "domain"])
+    by_key = {
+        (r["source"], r["domain"]): r["sum_num"] for r in est.collect()
+    }
+    assert len(by_key) == 2
+    # both groups saw the same 40 values -> identical registers
+    assert by_key[("a/b", "word")] == by_key[("a", "b/word")]
+
+
 def test_hll_duplicates_do_not_move_registers(spark):
     vals = [f"v{i}" for i in range(50)]
     once = _collect_regs(spark, [("s", v) for v in vals])

@@ -177,6 +177,64 @@ def test_zipf_slope_is_negative_and_sane(spark, sf_dir):
     assert -3.0 < got["zipf_slope"] < 0.0
 
 
+def test_zipf_fit_large_vocab_no_int64_overflow(spark, tmp_path):
+    """Regression for the round-12 ADVICE finding: with Q=10^6
+    micro-nats, n·Σxy overflows int64 once the vocabulary passes ~600
+    distinct words (the sf fixtures hold ~31, so sweeps can't catch
+    it) — under ANSI mode that's a runtime throw, and the old BIGINT
+    casts in the oracle overflowed past ~10^4. The decimal128
+    cross-product path must survive a 3,000-word vocabulary and match
+    (a) an exact Python-bigint reference and (b) the DuckDB oracle."""
+    import duckdb
+    import pandas as pd
+
+    from postgres_opensearch_cdc_spark.queries.training_pipeline7 import (
+        ORACLE,
+    )
+
+    n_words = 3000
+    texts = [
+        " ".join([f"w{i:05d}"] * (1 + n_words // (i + 1)))
+        for i in range(n_words)
+    ]
+    pd.DataFrame(
+        {
+            "doc_id": range(n_words),
+            "text": texts,
+            "lang": "en",
+            "source": "synthetic",
+            "n_chars": [len(t) for t in texts],
+        }
+    ).to_parquet(str(tmp_path / "documents.parquet"))
+
+    got = vocab_zipf_fit(spark, str(tmp_path)).head()
+    assert got["vocab_size"] == n_words
+
+    # exact reference in Python bigints (never overflows)
+    freqs = sorted(
+        ((1 + n_words // (i + 1)), f"w{i:05d}") for i in range(n_words)
+    )
+    freqs.sort(key=lambda t: (-t[0], t[1]))
+    xs = [math.floor(ZIPF_QUANT * math.log(r + 1)) for r in range(n_words)]
+    ys = [math.floor(ZIPF_QUANT * math.log(f)) for f, _ in freqs]
+    n, sx, sy = n_words, sum(xs), sum(ys)
+    sxy = sum(a * b for a, b in zip(xs, ys))
+    sxx = sum(a * a for a in xs)
+    assert n * sxy > (1 << 63) - 1  # the fixture really does exceed int64
+    slope = float(n * sxy - sx * sy) / float(n * sxx - sx * sx)
+    assert got["zipf_slope"] == pytest.approx(round(slope, 6), abs=1e-6)
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{tmp_path}/documents.parquet'"
+    )
+    oracle = con.execute(ORACLE["vocab_zipf_fit"]).fetchone()
+    assert oracle[0] == n_words
+    assert f"{got['zipf_slope']:.6f}" == f"{oracle[1]:.6f}"
+    assert f"{got['ln_c_intercept']:.6f}" == f"{oracle[2]:.6f}"
+
+
 def test_zipf_perfect_power_law_recovers_exponent():
     # freq = 1000 / rank  =>  slope exactly -1 up to quantization
     xs = [math.floor(ZIPF_QUANT * math.log(r)) for r in range(1, 40)]
