@@ -4,6 +4,8 @@ small dims must broadcast, top-N must not global-sort (SURVEY §4)."""
 
 from __future__ import annotations
 
+import re
+
 from postgres_opensearch_cdc_spark.queries import dashboard, relational
 
 
@@ -93,19 +95,80 @@ def _iter_plan_nodes(node):
         yield from _iter_plan_nodes(children.apply(i))
 
 
+# Grouping expressions whose value domain is bounded INDEPENDENT of
+# corpus size: calendar truncations (days/months — time-domain), and
+# log2 of a count (<= 64 buckets for int64). These are the only
+# aggregate keys allowed to feed a global window.
+_DOMAIN_BOUNDED_GROUPING = re.compile(
+    r"date_trunc\(| as date\)|to_date\(|log2\(", re.IGNORECASE
+)
+# fixed-width bucketing capped by an integer literal:
+# least(<bucket arithmetic>, K) — at most K+1 buckets by construction
+_CAPPED_BUCKET = re.compile(r"^least\(.*,\s*\d+\)", re.IGNORECASE)
+
+
+def _resolve_grouping_expr(scope, ref: str) -> str:
+    """Resolve a bare attribute reference (``name#id``) to the alias
+    expression that defines it anywhere below ``scope``; returns the
+    input unchanged if no definition is found (e.g. a raw scan
+    column — which is exactly the content-keyed case that must NOT
+    count as bounded)."""
+    suffix = " AS " + ref
+    for m in _iter_plan_nodes(scope):
+        try:
+            exprs = m.expressions()
+        except Exception:
+            continue
+        for i in range(exprs.size()):
+            s = exprs.apply(i).toString()
+            if s.endswith(suffix):
+                return s
+    return ref
+
+
+def _aggregate_bounds_window(agg) -> bool:
+    """True when EVERY grouping key of ``agg`` has a corpus-
+    independent value domain (calendar / log-bucket / literal-capped
+    bucket). A grouping over content-derived keys (words, shingles,
+    doc ids) grows with the corpus — round-12 verdict finding: such
+    an aggregate does NOT bound a global window at 100 TB; those
+    ranks must go through functions/ranking.with_global_rank. An
+    empty grouping (global agg -> 1 row) is trivially bounded."""
+    ge = agg.groupingExpressions()
+    for i in range(ge.size()):
+        s = ge.apply(i).toString()
+        if "(" not in s:  # bare attribute ref — chase its definition
+            s = _resolve_grouping_expr(agg, s)
+        if not (
+            _DOMAIN_BOUNDED_GROUPING.search(s)
+            or _CAPPED_BUCKET.match(s)
+        ):
+            return False
+    return True
+
+
 def _unbounded_global_windows(df) -> list:
     """Global (empty-partition-spec) Window nodes whose input is NOT
     provably bounded: the surface's single-partition windows are legal
-    ONLY over bucket series (downstream of an aggregate — cardinality
-    set by the calendar/type domain, not the corpus), a LIMIT, or a
-    literal local relation. A global window directly over a scan would
-    funnel raw-corpus cardinality through one task at 100 TB."""
+    ONLY over bucket series whose aggregate keys are calendar/
+    log/capped-bucket-domain (cardinality set by the key's TYPE
+    domain, not the corpus — _aggregate_bounds_window), a LIMIT, or a
+    literal local relation. A global window over a scan OR over a
+    content-keyed aggregate (words, shingles — Heaps-law growth)
+    would funnel raw-corpus cardinality through one task at 100 TB;
+    the distributed construction in functions/ranking.py is the
+    required replacement."""
     out = []
     for n in _iter_plan_nodes(df._jdf.queryExecution().optimizedPlan()):
         if n.nodeName() == "Window" and n.partitionSpec().isEmpty():
-            sub = {m.nodeName() for m in _iter_plan_nodes(n)}
+            subnodes = list(_iter_plan_nodes(n))
+            sub = {m.nodeName() for m in subnodes}
             bounded = (
-                "Aggregate" in sub
+                any(
+                    _aggregate_bounds_window(m)
+                    for m in subnodes
+                    if m.nodeName() == "Aggregate"
+                )
                 or "GlobalLimit" in sub
                 # a per-group rank-filter (top_hits' inner top-k,
                 # rewritten by Spark into WindowGroupLimit) bounds the
@@ -119,6 +182,42 @@ def _unbounded_global_windows(df) -> list:
             if not bounded:
                 out.append(sorted(sub))
     return out
+
+
+def test_window_boundedness_checker_rejects_content_keys(spark, sf_dir):
+    """Meta-test pinning the checker itself: the round-12 offender
+    shape — a global rank over a WORD-frequency aggregate — must be
+    flagged (the old checker blessed any Aggregate), while the same
+    rank over a calendar-day aggregate stays legal."""
+    from pyspark.sql import Window, functions as F
+
+    from postgres_opensearch_cdc_spark.registry import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(F.explode(F.split(F.lower("text"), r"\s+")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .withColumn(
+            "rank",
+            F.row_number().over(Window.orderBy(F.col("freq").desc(), "w")),
+        )
+    )
+    assert _unbounded_global_windows(vocab), (
+        "content-keyed aggregate must NOT bound a global window"
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    daily = (
+        events.groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn(
+            "rank", F.row_number().over(Window.orderBy(F.col("day")))
+        )
+    )
+    assert not _unbounded_global_windows(daily), (
+        "calendar-keyed aggregate remains a legal global-window input"
+    )
 
 
 def test_no_python_udfs_anywhere_in_query_surface(spark, sf_dir):
