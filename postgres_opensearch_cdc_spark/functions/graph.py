@@ -20,9 +20,13 @@ At 1000-executor / 100 TB scale the same loop holds (each round is a
 shuffle linear in |E|); for graphs with long chains or giant components
 the round count — not per-round cost — becomes the bottleneck, and the
 two-phase large-star/small-star variant (Kiveris et al., "Connected
-Components in MapReduce and Beyond", SoCC'14) converges in O(log n)
+Components in MapReduce and Beyond", SoCC'14) converges in O(log² n)
 rounds with the same join/agg primitives. Duplicate clusters never form
-such chains, so the simple propagation is the right default here.
+such chains, so the simple propagation is the right default here —
+``connected_components_two_phase`` (below, same signature/contract) is
+the escape hatch for long-diameter graphs, pinned by the chain-graph
+test where min-label needs O(diameter) rounds and the two-phase variant
+converges in a handful.
 """
 
 from __future__ import annotations
@@ -77,3 +81,106 @@ def connected_components(
         if changed == 0:
             return labels
     raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
+
+
+# ---------------------------------------------------------------------------
+# Two-phase large-star / small-star (Kiveris et al., SoCC'14)
+# ---------------------------------------------------------------------------
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """One large-star round over a distinct self-loop-free edge set
+    (u, v): every node u attaches each STRICTLY LARGER neighbor v to
+    m = min({u} ∪ Γ(u)). Emitted edges always point downward
+    (v > u ≥ m), so no self-loops can appear. One symmetrize + one
+    min-agg + one join, all keyed on node id — |E|-linear per round."""
+    sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    mins = (
+        sym.groupBy("u")
+        .agg(F.min("v").alias("mv"))
+        .select("u", F.least("u", "mv").alias("m"))
+    )
+    return (
+        sym.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """One small-star round: orient every edge (larger, smaller); each
+    node u re-attaches its smaller neighbors AND itself to
+    m = min(Γ_small(u) ∪ {u}). Self-loops (v == m) are dropped; the
+    (u, m) pointer keeps u connected to its component."""
+    oriented = (
+        e.filter(F.col("u") != F.col("v"))
+        .select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+    )
+    mins = oriented.groupBy("u").agg(F.min("v").alias("m"))
+    attached = (
+        oriented.join(mins, "u")
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+    )
+    selfptr = mins.select("u", F.col("m").alias("v"))
+    return attached.union(selfptr).distinct()
+
+
+def connected_components_two_phase(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(node, component) with component = min node id — the SAME
+    output contract as connected_components, via the alternating
+    large-star/small-star algorithm (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC'14). Converges in
+    O(log² n) rounds regardless of graph diameter, vs O(diameter)
+    for min-label propagation — the right variant when the pair
+    graph can contain long chains or giant components (at 100 TB a
+    web-crawl link graph does; near-dup clique unions don't).
+
+    Each round is two (min-agg + join) passes keyed on node id; the
+    fixpoint is a set of stars (every non-root points directly at
+    its component's minimum), detected by edge-set stability (the
+    sets are distinct, so count equality + empty difference is set
+    equality). Lineage is cut per round with localCheckpoint."""
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e.select(F.col("u").alias("node"))
+        .union(e.select(F.col("v").alias("node")))
+        .unionByName(
+            edges.select(F.col(src).alias("node"))  # self-loop-only nodes
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_prev = e.count()
+    for _ in range(max_iter):
+        e_new = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        n_new = e_new.count()
+        if n_new == n_prev and e_new.exceptAll(e).isEmpty():
+            stars = e_new
+            labels = stars.select(
+                F.col("u").alias("node"), F.col("v").alias("comp")
+            )
+            return (
+                nodes.join(labels, "node", "left")
+                .select(
+                    "node",
+                    F.coalesce("comp", F.col("node")).alias("comp"),
+                )
+            )
+        e, n_prev = e_new, n_new
+    raise RuntimeError(
+        f"connected_components_two_phase did not converge in {max_iter} rounds"
+    )

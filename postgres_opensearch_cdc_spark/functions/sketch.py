@@ -19,16 +19,29 @@ from postgres_opensearch_cdc_spark.functions.dedup import hash60
 
 HLL_P = 4                     # 2^p registers (production: 14; 4 keeps
                               # test output on both estimator branches)
-HLL_M = 1 << HLL_P            # 16 registers
-HLL_SUFFIX_BITS = 60 - HLL_P  # rho is counted over these bits
-HLL_RHO_MAX = HLL_SUFFIX_BITS + 1
-# alpha_16 from Flajolet et al. 2007 Fig. 3 (m=16)
-HLL_ALPHA = 0.673
+
+
+def hll_params(p: int) -> tuple[int, int, int, float]:
+    """(m, suffix_bits, rho_max, alpha) for precision ``p``. The int64
+    exactness argument holds at EVERY p: the harmonic-mean denominator
+    sum_num ≤ m · 2^rho_max = 2^p · 2^(61-p) = 2^61 < 2^63 — so the
+    production size p=14 (16 KiB/group) is as exactly summable as the
+    test size p=4 (pinned by test_hll_production_precision). alpha
+    constants per Flajolet et al. 2007 Fig. 3."""
+    m = 1 << p
+    alpha = {16: 0.673, 32: 0.697, 64: 0.709}.get(
+        m, 0.7213 / (1.0 + 1.079 / m)
+    )
+    return m, 60 - p, 60 - p + 1, alpha
+
+
+HLL_M, HLL_SUFFIX_BITS, HLL_RHO_MAX, HLL_ALPHA = hll_params(HLL_P)
 
 
 def hll_registers(values: DataFrame, group_col: str = "source",
                   value_col: str = "w",
-                  group_cols: list[str] | None = None) -> DataFrame:
+                  group_cols: list[str] | None = None,
+                  p: int = HLL_P) -> DataFrame:
     """(g, bucket, register) HLL register table: bucket = the top
     HLL_P bits of hash60(value), register = max over values of
     rho(suffix) where rho = leading-zero count of the remaining
@@ -39,13 +52,16 @@ def hll_registers(values: DataFrame, group_col: str = "source",
     ``group_cols`` keeps a MULTI-column group key as separate columns
     (no lossy string packing — a separator character appearing in a
     value would mis-parse on re-split); the single ``group_col`` form
-    aliases to ``g`` for the streaming sink's flat store layout."""
+    aliases to ``g`` for the streaming sink's flat store layout.
+    ``p`` is the register precision (default the test size HLL_P;
+    production 14 — see hll_params for the any-p int64 bound)."""
+    _, suffix_bits, rho_max, _ = hll_params(p)
     h = hash60(F.col(value_col))
-    suffix = h % F.lit(1 << HLL_SUFFIX_BITS)
+    suffix = h % F.lit(1 << suffix_bits)
     # bit length via the minimal binary string: both engines print
     # bin(x) without leading zeros, so rho = (bits+1) - length(bin)
-    rho = F.when(suffix == 0, F.lit(HLL_RHO_MAX)).otherwise(
-        F.lit(HLL_RHO_MAX) - F.length(F.bin(suffix))
+    rho = F.when(suffix == 0, F.lit(rho_max)).otherwise(
+        F.lit(rho_max) - F.length(F.bin(suffix))
     )
     groups = group_cols if group_cols is not None else ["g"]
     head = (
@@ -56,9 +72,9 @@ def hll_registers(values: DataFrame, group_col: str = "source",
     return (
         values.select(
             *head,
-            # top HLL_P bits — integer shift, never float division
+            # top p bits — integer shift, never float division
             # (h is not exactly representable in a double)
-            F.shiftright(h, HLL_SUFFIX_BITS).alias("bucket"),
+            F.shiftright(h, suffix_bits).alias("bucket"),
             rho.alias("rho"),
         )
         .groupBy(*groups, "bucket")
@@ -67,7 +83,8 @@ def hll_registers(values: DataFrame, group_col: str = "source",
 
 
 def hll_estimates(regs: DataFrame,
-                  group_cols: list[str] | None = None) -> DataFrame:
+                  group_cols: list[str] | None = None,
+                  p: int = HLL_P) -> DataFrame:
     """Per-group HLL estimate from a (g, bucket, register) table:
 
         sum_num = sum over all m registers of 2^(RHO_MAX - register)
@@ -78,24 +95,26 @@ def hll_estimates(regs: DataFrame,
 
     Output: (group cols, zero_registers, sum_num, raw_est, hll_est,
     used_linear_counting). ``group_cols`` mirrors hll_registers —
-    multi-column keys stay separate columns."""
+    multi-column keys stay separate columns; ``p`` must match the
+    precision the register table was built with."""
+    m, _, rho_max, alpha = hll_params(p)
     groups = group_cols if group_cols is not None else ["g"]
     per_group = regs.groupBy(*groups).agg(
         (
-            F.sum(F.expr(f"shiftleft(1L, {HLL_RHO_MAX} - register)"))
-            + (F.lit(HLL_M) - F.count(F.lit(1)))
-            * F.lit(1 << HLL_RHO_MAX)
+            F.sum(F.expr(f"shiftleft(1L, {rho_max} - register)"))
+            + (F.lit(m) - F.count(F.lit(1)))
+            * F.lit(1 << rho_max)
         ).alias("sum_num"),
-        (F.lit(HLL_M) - F.count(F.lit(1))).alias("zero_registers"),
+        (F.lit(m) - F.count(F.lit(1))).alias("zero_registers"),
     )
-    raw = F.lit(HLL_ALPHA * HLL_M * HLL_M) * F.lit(
-        float(1 << HLL_RHO_MAX)
+    raw = F.lit(alpha * m * m) * F.lit(
+        float(1 << rho_max)
     ) / F.col("sum_num")
     out = per_group.withColumn("raw_est", raw)
-    lc = F.lit(float(HLL_M)) * F.log(
-        F.lit(float(HLL_M)) / F.col("zero_registers")
+    lc = F.lit(float(m)) * F.log(
+        F.lit(float(m)) / F.col("zero_registers")
     )
-    use_lc = (F.col("raw_est") <= F.lit(2.5 * HLL_M)) & (
+    use_lc = (F.col("raw_est") <= F.lit(2.5 * m)) & (
         F.col("zero_registers") > 0
     )
     return out.select(

@@ -24,7 +24,10 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from postgres_opensearch_cdc_spark.functions.graph import connected_components
+from postgres_opensearch_cdc_spark.functions.graph import (
+    connected_components,
+    connected_components_two_phase,
+)
 from postgres_opensearch_cdc_spark.queries.extensions import (
     MINHASH_PAIRS_CTES,
     dedup_minhash_lsh,
@@ -79,6 +82,32 @@ def dedup_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _doc_clusters(spark, sf_dir).select("doc_id", "cluster_id").orderBy("doc_id")
 
 
+def dedup_cc_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME cluster labeling as dedup_cc_clusters, computed by the
+    alternating large-star/small-star algorithm
+    (functions/graph.connected_components_two_phase, Kiveris et al.
+    SoCC'14) instead of min-label propagation — the O(log² n)-round
+    escape hatch for long-diameter pair graphs (a min-label loop
+    needs O(diameter) rounds, fine for near-dup clique unions, fatal
+    for chain-heavy graphs at 100 TB). Answers the identical
+    transitive-closure oracle, so the variant's equivalence is
+    value-checked on the real pair graph, not just unit fixtures."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup_minhash_lsh(spark, sf_dir).select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    comp = connected_components_two_phase(pairs)
+    return (
+        docs.select("doc_id")
+        .join(comp, docs["doc_id"] == comp["node"], "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("comp"), F.col("doc_id")).alias("cluster_id"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def dedup_cc_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source dedup yield: total docs, surviving canonicals
     (doc_id == cluster_id), and surviving characters — the numbers a
@@ -130,6 +159,7 @@ def dedup_quality_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "dedup_cc_clusters": dedup_cc_clusters,
+    "dedup_cc_twophase": dedup_cc_twophase,
     "dedup_cc_survivors": dedup_cc_survivors,
     "dedup_quality_survivors": dedup_quality_survivors,
 }
@@ -180,6 +210,11 @@ ORACLE = {
         ) WHERE rn = 1 ORDER BY cluster_id
     """,
     "dedup_cc_clusters": _CLUSTERS_CTE
+    + """
+        SELECT doc_id, cluster_id FROM clusters ORDER BY doc_id
+    """,
+    # the two-phase variant answers the IDENTICAL closure — same CTE
+    "dedup_cc_twophase": _CLUSTERS_CTE
     + """
         SELECT doc_id, cluster_id FROM clusters ORDER BY doc_id
     """,

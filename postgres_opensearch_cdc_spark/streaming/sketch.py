@@ -44,8 +44,9 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql import types as T
 
 from postgres_opensearch_cdc_spark.functions.sketch import (
-    HLL_M,
+    HLL_P,
     hll_estimates,
+    hll_params,
     hll_registers,
 )
 
@@ -71,11 +72,16 @@ class HllRollupSink:
     module docstring for the contract. ``group_col`` / ``value_col``
     name the batch columns; the value is hashed as a string (cast
     upstream for non-string values so the portable hash family sees
-    identical bytes in every engine)."""
+    identical bytes in every engine). ``p`` is the register precision
+    (default the test size; production 14 = 16 KiB/group — the int64
+    exactness bound holds at every p, see functions/sketch.hll_params);
+    the store persists m in its manifests and refuses to merge a
+    mismatched precision."""
 
     path: str
     group_col: str = "g"
     value_col: str = "v"
+    p: int = HLL_P
 
     @property
     def _data_dir(self) -> str:
@@ -114,7 +120,7 @@ class HllRollupSink:
         """Per-group cardinality estimates over the published store
         (functions/sketch.hll_estimates — the same estimator the
         batch audit entry value-checks)."""
-        return hll_estimates(self.registers(spark))
+        return hll_estimates(self.registers(spark), p=self.p)
 
     def apply_batch(self, batch: DataFrame, batch_id: int,
                     writer_id: str | None = None) -> None:
@@ -128,10 +134,11 @@ class HllRollupSink:
         ):
             return  # replay: skipping is an optimization — the merge
             # below would be a no-op anyway (max is idempotent)
-        if manifest is not None and manifest.get("m") != HLL_M:
+        m = hll_params(self.p)[0]
+        if manifest is not None and manifest.get("m") != m:
             raise ValueError(
                 f"register store at {self.path} was written with "
-                f"m={manifest.get('m')}; this build has m={HLL_M} — "
+                f"m={manifest.get('m')}; this build has m={m} — "
                 "register layouts under different precisions do not merge"
             )
         regs = hll_registers(
@@ -141,6 +148,7 @@ class HllRollupSink:
             ),
             group_col="g",
             value_col="v",
+            p=self.p,
         ).withColumn("register", F.col("register").cast("int"))
         if manifest is not None:
             regs = (
@@ -163,7 +171,7 @@ class HllRollupSink:
                     "commit": commit,
                     "batch_id": batch_id,
                     "writer_id": writer_id,
-                    "m": HLL_M,
+                    "m": m,
                 },
                 fh,
             )
@@ -188,13 +196,20 @@ class CmsRollupSink:
     merge (the guard compares against the last PUBLISHED manifest, so
     an unpublished crashed attempt is invisible to it).
 
-    State is the fixed CMS_DEPTH x CMS_WIDTH grid regardless of
-    stream length — the mergeable-summary scale story; estimates for
-    any probe value are MIN over its row cells, one-sided (>= true),
-    exactly the batch sketch's semantics (sketch_count_min)."""
+    State is the fixed depth x width grid regardless of stream length
+    — the mergeable-summary scale story; estimates for any probe
+    value are MIN over its row cells, one-sided (>= true), exactly
+    the batch sketch's semantics (sketch_count_min). Geometry is a
+    constructor parameter (defaults are the test size 4x256;
+    production uses width >= 2^16 = 2 MiB/grid — error eps = e/width,
+    cells stay far from int64 territory at any stream length) and is
+    persisted in manifests: grids under different geometries refuse
+    to add."""
 
     path: str
     value_col: str = "v"
+    depth: int = CMS_DEPTH
+    width: int = CMS_WIDTH
 
     @property
     def _data_dir(self) -> str:
@@ -229,9 +244,8 @@ class CmsRollupSink:
             os.path.join(self._data_dir, manifest["commit"], "cells")
         )
 
-    @staticmethod
-    def coords(frame: DataFrame, value_col: str) -> DataFrame:
-        """All CMS_DEPTH (r, bucket) coordinates per row in ONE
+    def coords(self, frame: DataFrame, value_col: str) -> DataFrame:
+        """All ``depth`` (r, bucket) coordinates per row in ONE
         projection (the sketch_count_min shape — an inline array
         explode, never a depth-way union)."""
         from postgres_opensearch_cdc_spark.functions.dedup import hash60
@@ -245,10 +259,10 @@ class CmsRollupSink:
                         F.pmod(
                             hash60(F.col(value_col).cast("string"),
                                    salt=r),
-                            F.lit(CMS_WIDTH),
+                            F.lit(self.width),
                         ).alias("bucket"),
                     )
-                    for r in range(CMS_DEPTH)
+                    for r in range(self.depth)
                 ])
             ).alias("rb"),
         ).select(
@@ -285,13 +299,13 @@ class CmsRollupSink:
             return  # replay: MANDATORY skip — additive merge would
             # double-count (see class docstring)
         if manifest is not None and (
-            manifest.get("depth") != CMS_DEPTH
-            or manifest.get("width") != CMS_WIDTH
+            manifest.get("depth") != self.depth
+            or manifest.get("width") != self.width
         ):
             raise ValueError(
                 f"cm sketch store at {self.path} was written as "
                 f"{manifest.get('depth')}x{manifest.get('width')}; this "
-                f"build is {CMS_DEPTH}x{CMS_WIDTH} — grids under "
+                f"build is {self.depth}x{self.width} — grids under "
                 "different geometries do not add"
             )
         cells = (
@@ -325,8 +339,8 @@ class CmsRollupSink:
                     "commit": commit,
                     "batch_id": batch_id,
                     "writer_id": writer_id,
-                    "depth": CMS_DEPTH,
-                    "width": CMS_WIDTH,
+                    "depth": self.depth,
+                    "width": self.width,
                 },
                 fh,
             )
