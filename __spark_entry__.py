@@ -42,6 +42,7 @@ from postgres_opensearch_cdc_spark.queries import (
     training_pipeline6,
     training_pipeline7,
     training_pipeline8,
+    training_pipeline9,
     windows_pivot,
 )
 
@@ -63,6 +64,7 @@ _MODULES = [
     training_pipeline6,
     training_pipeline7,
     training_pipeline8,
+    training_pipeline9,
     hybrid,
     timeseries,
     timeseries2,
@@ -104,6 +106,8 @@ _MODULES = [
 _PRIORITY = [
     # (a) NEW this round (round 13) — never driver-checked
     "dedup_cc_twophase",
+    "sketch_hll_intersection", "sample_neyman_allocation",
+    "ann_mips_topk",
     # (b) implementation changed this round — re-certify
     "vocab_zipf_fit", "dedup_prefix_filter_join", "vocab_heaps_fit",
     "dp_noised_counts", "sketch_hyperloglog",
@@ -127,18 +131,18 @@ _PRIORITY = [
     "geo_centroid_agg", "geo_grid_agg", "matrix_stats_agg",
     "diversified_sampler_agg", "pinned_query",
     "customer_order_counts", "set_ops_nations",
-    "frequent_item_sets_agg", "top_supplier_revenue",
-    "profit_by_nation_year", "waiting_suppliers",
+    "frequent_item_sets_agg",
 ]
 
 # Window accounting (recounted per the round-12 ADVICE nit): blocks
-# (a)=1, (b)=7, (c)=2, (d)=20, (e)=20 — exactly 50. Rows displaced to
-# the FRONT of the round-14 re-check queue: the last 8 r6-era rows
-# (eql_sequence, funnel_steps, change_point_cusum, significant_text,
-# mixture_temperature_sample, chunk_dedup_stats, ann_radial_search —
-# 7 from the (e) overflow — plus any round-13 entry added after this
-# window froze), then the oldest r7-era rows in their original driver
-# order.
+# (a)=4, (b)=7, (c)=2, (d)=20, (e)=17 — exactly 50. Rows displaced to
+# the FRONT of the round-14 re-check queue: the last 11 r6-era rows
+# (top_supplier_revenue, profit_by_nation_year, waiting_suppliers —
+# the (e) overflow — then eql_sequence, funnel_steps,
+# change_point_cusum, significant_text, mixture_temperature_sample,
+# chunk_dedup_stats, ann_radial_search; plus any round-13 entry added
+# after this window froze), then the oldest r7-era rows in their
+# original driver order.
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -220,10 +220,64 @@ def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                 >= alpha
             )
         )
-        .select("ia", "ib")
     )
+    # PPJoin+ depth-1 SUFFIX filter (round-12 verdict task 7), also
+    # result-neutral: every common token ranks >= the first shared
+    # prefix token (else it would itself be an earlier shared prefix
+    # token), so the remaining overlap lives in the two rank-sorted
+    # suffixes. Probing the MEDIAN of b's suffix partitions both:
+    # common tokens < m sit in both "<m" halves, > m in both ">m"
+    # halves, so overlap <= 1 + min(|La|,|Lb|) + min(|Ra|,|Rb|) +
+    # [m in suffix_a]. The per-doc rank arrays are document-bounded
+    # (one row per doc, array size = that doc's shingle count — the
+    # same payload the verify join shuffles), and the pair frame is
+    # candidate-bounded; localCheckpoint materializes the sliced
+    # suffixes so the HOF lambdas below never re-derive them per
+    # element.
+    arrs = pos.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("rk")).alias("rks")
+    )
+    suffixed = (
+        cand.join(
+            arrs.select(F.col("doc_id").alias("ia"),
+                        F.col("rks").alias("a_rks")), "ia")
+        .join(
+            arrs.select(F.col("doc_id").alias("ib"),
+                        F.col("rks").alias("b_rks")), "ib")
+        .select(
+            "ia", "ib", "na", "nb",
+            F.slice(
+                "a_rks", F.col("mp1") + 1,
+                F.greatest(F.col("na") - F.col("mp1"), F.lit(0)),
+            ).alias("sa"),
+            F.slice(
+                "b_rks", F.col("mp2") + 1,
+                F.greatest(F.col("nb") - F.col("mp2"), F.lit(0)),
+            ).alias("sb"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    m = F.when(
+        F.size("sb") > 0,
+        F.element_at(
+            "sb", ((F.size("sb") + F.lit(1)) / F.lit(2)).cast("int")
+        ),
+    )
+    suffix_ub = (
+        F.lit(1)
+        + F.least(
+            F.size(F.filter("sa", lambda x: x < m)),
+            F.size(F.filter("sb", lambda x: x < m)),
+        )
+        + F.least(
+            F.size(F.filter("sa", lambda x: x > m)),
+            F.size(F.filter("sb", lambda x: x > m)),
+        )
+        + F.size(F.filter("sa", lambda x: x == m))  # 0/1: ranks distinct
+    )
+    survivors = suffixed.filter(suffix_ub >= alpha).select("ia", "ib")
     inter = (
-        cand.join(sh.select(F.col("doc_id").alias("ia"), "sh"), "ia")
+        survivors.join(sh.select(F.col("doc_id").alias("ia"), "sh"), "ia")
         .join(sh.select(F.col("doc_id").alias("ib"), "sh"), ["ib", "sh"])
         .groupBy("ia", "ib")
         .agg(F.count(F.lit(1)).alias("n_inter"))
