@@ -300,10 +300,84 @@ def ann_mips_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Greedy k-center coreset selection
+# ---------------------------------------------------------------------------
+
+KCENTER_K = 8
+
+
+def _d2_to(vcol, center: list[float]):
+    """Squared L2 distance to a literal center, written as
+    dot(v,v) − 2·dot(v,c) + dot(c,c) — the SAME expression shape the
+    oracle uses (list_dot_product parity), so the argmax each round
+    compares bit-identical doubles in both engines. The c·c term is a
+    Python left fold over the same float64s (identical to the
+    engines' sequential dot)."""
+    clit = F.array(*[F.lit(x) for x in center])
+    cc = 0.0
+    for x in center:
+        cc += x * x
+    return dot(vcol, vcol) - F.lit(2.0) * dot(vcol, clit) + F.lit(cc)
+
+
+def coreset_kcenter_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center coreset over the embedding table (Gonzalez
+    1985 2-approximation; the diversity-based data-selection stage of
+    Sener & Savarese ICLR'18): start from the lowest vec_id, then
+    KCENTER_K−1 times pick the vector FARTHEST from the chosen set
+    (ties → lower vec_id) and fold its distance into the running
+    min-distance column. Output: (sel_round, vec_id, radius) — the
+    radius sequence is the coverage guarantee a dataset card reports
+    (every vector sits within radius_t of the first t+1 centers).
+
+    Scale shape: each round is one scan-projection (least of the
+    running column and one literal-center distance) plus a 1-row
+    TakeOrdered argmax collect — the bounded top-1 collect pattern
+    (BPE trainer precedent); state is one double per vector, lineage
+    cut per round. The oracle unrolls the identical rounds as
+    materialized CTEs — selection order and radii are value-checked,
+    not just the final set."""
+    vecs = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias(
+            "v"
+        ),
+    )
+    first = vecs.orderBy("vec_id").limit(1).head()
+    centers = [(0, first["vec_id"], None)]
+    c = [float(x) for x in first["v"]]
+    state = (
+        vecs.filter(F.col("vec_id") != first["vec_id"])
+        .select("vec_id", "v", _d2_to(F.col("v"), c).alias("mind"))
+        .localCheckpoint(eager=True)
+    )
+    for t in range(1, KCENTER_K):
+        pick = state.orderBy(F.col("mind").desc(), "vec_id").limit(1).head()
+        centers.append((t, pick["vec_id"], float(pick["mind"])))
+        c = [float(x) for x in pick["v"]]
+        state = (
+            state.filter(F.col("vec_id") != pick["vec_id"])
+            .select(
+                "vec_id",
+                "v",
+                F.least("mind", _d2_to(F.col("v"), c)).alias("mind"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    out = spark.createDataFrame(
+        centers, "sel_round int, vec_id long, radius double"
+    )
+    return out.select(
+        "sel_round", "vec_id", F.round("radius", 6).alias("radius")
+    ).orderBy("sel_round")
+
+
 QUERIES = {
     "sketch_hll_intersection": sketch_hll_intersection,
     "sample_neyman_allocation": sample_neyman_allocation,
     "ann_mips_topk": ann_mips_topk,
+    "coreset_kcenter_greedy": coreset_kcenter_greedy,
 }
 
 
@@ -467,8 +541,55 @@ _MIPS_SQL = f"""
     ORDER BY mips_cos DESC, vec_id LIMIT {MIPS_K}
 """
 
+def _kcenter_sql(k: int = KCENTER_K) -> str:
+    """The greedy rounds unrolled as materialized CTEs (the BPE/LPA
+    oracle pattern): d² is the identical
+    dot(v,v) − 2·dot(v,c) + dot(c,c) expression, argmax the identical
+    (mind DESC, vec_id) order."""
+    d2 = (
+        "list_dot_product({x}.v, {x}.v)"
+        " - 2 * list_dot_product({x}.v, c.v)"
+        " + list_dot_product(c.v, c.v)"
+    )
+    parts = [f"""
+    WITH e AS MATERIALIZED (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    c0 AS MATERIALIZED (
+        SELECT vec_id, v, NULL::DOUBLE AS mind
+        FROM e ORDER BY vec_id LIMIT 1
+    ),
+    m0 AS MATERIALIZED (
+        SELECT e.vec_id, e.v, {d2.format(x='e')} AS mind
+        FROM e, c0 c WHERE e.vec_id <> c.vec_id
+    )"""]
+    for t in range(1, k):
+        parts.append(f"""
+    c{t} AS MATERIALIZED (
+        SELECT vec_id, v, mind FROM m{t - 1}
+        ORDER BY mind DESC, vec_id LIMIT 1
+    ),
+    m{t} AS MATERIALIZED (
+        SELECT m.vec_id, m.v,
+               least(m.mind, {d2.format(x='m')}) AS mind
+        FROM m{t - 1} m, c{t} c WHERE m.vec_id <> c.vec_id
+    )""")
+    selects = [
+        f"SELECT {t} AS sel_round, vec_id, ROUND(mind, 6) AS radius "
+        f"FROM c{t}"
+        for t in range(k)
+    ]
+    return (
+        ",".join(parts)
+        + "\n    "
+        + "\n    UNION ALL ".join(selects)
+        + "\n    ORDER BY sel_round"
+    )
+
+
 ORACLE = {
     "sketch_hll_intersection": _HLL_INTER_SQL,
     "sample_neyman_allocation": _NEYMAN_SQL,
     "ann_mips_topk": _MIPS_SQL,
+    "coreset_kcenter_greedy": _kcenter_sql(),
 }

@@ -142,6 +142,53 @@ def test_mips_ranking_matches_exact_inner_product(spark, sf_dir):
         assert (m1 >= m2) == (c1 >= c2) or abs(m1 - m2) < 2e-6
 
 
+# ---------------------------------------------------------------------------
+# Greedy k-center coreset
+# ---------------------------------------------------------------------------
+
+
+def test_kcenter_matches_python_greedy(spark, sf_dir):
+    from postgres_opensearch_cdc_spark.queries.training_pipeline9 import (
+        KCENTER_K,
+        coreset_kcenter_greedy,
+    )
+
+    vecs = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in load_table(spark, sf_dir, "embeddings").collect()
+    }
+
+    def d2(a, b):
+        # same dot-composition as the entry: vv - 2*vb + bb
+        def dot_(x, y):
+            acc = 0.0
+            for p, q in zip(x, y):
+                acc += p * q
+            return acc
+
+        return dot_(a, a) - 2.0 * dot_(a, b) + dot_(b, b)
+
+    first = min(vecs)
+    chosen = [(0, first, None)]
+    mind = {
+        vid: d2(v, vecs[first]) for vid, v in vecs.items() if vid != first
+    }
+    for t in range(1, KCENTER_K):
+        pick = max(mind.items(), key=lambda kv: (kv[1], -kv[0]))[0]
+        chosen.append((t, pick, mind[pick]))
+        c = vecs[pick]
+        del mind[pick]
+        for vid in mind:
+            mind[vid] = min(mind[vid], d2(vecs[vid], c))
+    got = coreset_kcenter_greedy(spark, sf_dir).collect()
+    assert [(r["sel_round"], r["vec_id"]) for r in got] == [
+        (t, vid) for t, vid, _ in chosen
+    ]
+    # radii are non-increasing after round 1 (coverage shrinks)
+    radii = [r["radius"] for r in got if r["radius"] is not None]
+    assert all(a >= b for a, b in zip(radii, radii[1:]))
+
+
 def test_mips_plan_is_scan_plus_topk(spark, sf_dir):
     from tests.test_plans import plan
 
