@@ -108,6 +108,7 @@ _PRIORITY = [
     "dedup_cc_twophase",
     "sketch_hll_intersection", "sample_neyman_allocation",
     "ann_mips_topk", "coreset_kcenter_greedy",
+    "quality_label_agreement_kappa",
     # (b) implementation changed this round — re-certify
     "vocab_zipf_fit", "dedup_prefix_filter_join", "vocab_heaps_fit",
     "dp_noised_counts", "sketch_hyperloglog",
@@ -130,13 +131,13 @@ _PRIORITY = [
     "bucket_selector_agg", "normalize_pct_agg", "rate_agg",
     "geo_centroid_agg", "geo_grid_agg", "matrix_stats_agg",
     "diversified_sampler_agg", "pinned_query",
-    "customer_order_counts", "set_ops_nations",
+    "customer_order_counts",
 ]
 
 # Window accounting (recounted per the round-12 ADVICE nit): blocks
-# (a)=5, (b)=7, (c)=2, (d)=20, (e)=16 — exactly 50. Rows displaced to
-# the FRONT of the round-14 re-check queue: the last 12 r6-era rows
-# (frequent_item_sets_agg, top_supplier_revenue,
+# (a)=6, (b)=7, (c)=2, (d)=20, (e)=15 — exactly 50. Rows displaced to
+# the FRONT of the round-14 re-check queue: the last 13 r6-era rows
+# (set_ops_nations, frequent_item_sets_agg, top_supplier_revenue,
 # profit_by_nation_year, waiting_suppliers — the (e) overflow — then
 # eql_sequence, funnel_steps, change_point_cusum, significant_text,
 # mixture_temperature_sample, chunk_dedup_stats, ann_radial_search;

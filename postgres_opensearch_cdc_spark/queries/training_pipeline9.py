@@ -373,11 +373,94 @@ def coreset_kcenter_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("sel_round")
 
 
+# ---------------------------------------------------------------------------
+# Quality-labeler agreement (Cohen's kappa)
+# ---------------------------------------------------------------------------
+
+KAPPA_Q_THRESHOLD = 0.5
+
+
+def quality_label_agreement_kappa(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Cohen's kappa (Cohen 1960) between the corpus's two independent
+    quality labelers — the Gopher rule bundle (quality_gopher_rules'
+    integer-exact flags) and the composite quality_score threshold
+    (the portable heuristic dedup_quality_survivors value-checks) —
+    the standard audit before trusting either filter: high agreement
+    means the cheap score can gate what the rule bundle would, low
+    agreement means the filters disagree on WHICH docs to drop and a
+    human sample is due (sample_neyman_allocation is the sampler).
+    Confusion counts are exact int64 from one scan; po/pe/kappa are
+    single float expressions on those counts (cross products cast to
+    double first — n² overflows int64 past ~3·10^9 docs)."""
+    from postgres_opensearch_cdc_spark.functions import text as textfn
+    from postgres_opensearch_cdc_spark.queries.training_pipeline4 import (
+        GOPHER_DOM_BP,
+        GOPHER_MWL_HI10,
+        GOPHER_MWL_LO10,
+        GOPHER_TTR_BP,
+        GOPHER_WC_MAX,
+        GOPHER_WC_MIN,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    ws = textfn.tokens(F.col("text"))
+    nw = F.size(ws)
+    wc = F.aggregate(
+        F.transform(ws, F.length), F.lit(0), lambda acc, x: acc + x
+    )
+    ndist = F.size(F.array_distinct(ws))
+    topw = F.array_max(
+        F.transform(
+            F.array_distinct(ws),
+            lambda w: F.size(F.filter(ws, lambda x: x == w)),
+        )
+    )
+    f_wc = ~nw.between(GOPHER_WC_MIN, GOPHER_WC_MAX)
+    f_mwl = (wc * 10 < GOPHER_MWL_LO10 * nw) | (
+        wc * 10 > GOPHER_MWL_HI10 * nw
+    )
+    f_ttr = ndist * 10 < nw * GOPHER_TTR_BP
+    f_dom = topw * 10 > nw * GOPHER_DOM_BP
+    a = (~(f_wc | f_mwl | f_ttr | f_dom)).cast("long")
+    b = (
+        textfn.quality_score(F.col("text"))
+        >= F.lit(KAPPA_Q_THRESHOLD)
+    ).cast("long")
+    cells = docs.select(a.alias("a"), b.alias("b")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("a") * F.col("b")).alias("n11"),
+        F.sum(F.col("a") * (1 - F.col("b"))).alias("n10"),
+        F.sum((1 - F.col("a")) * F.col("b")).alias("n01"),
+        F.sum((1 - F.col("a")) * (1 - F.col("b"))).alias("n00"),
+    )
+    nd = F.col("n").cast("double")
+    po = (F.col("n11") + F.col("n00")) / nd
+    pe = (
+        (F.col("n11") + F.col("n10")).cast("double")
+        * (F.col("n11") + F.col("n01"))
+        + (F.col("n00") + F.col("n10")).cast("double")
+        * (F.col("n00") + F.col("n01"))
+    ) / (nd * nd)
+    kappa = F.when(pe < 1.0, (po - pe) / (F.lit(1.0) - pe))
+    return cells.select(
+        F.col("n").alias("n_docs"),
+        F.col("n11").alias("n_both_pass"),
+        F.col("n00").alias("n_both_fail"),
+        F.col("n10").alias("n_rules_only"),
+        F.col("n01").alias("n_score_only"),
+        F.round(po, 6).alias("observed_agreement"),
+        F.round(pe, 6).alias("chance_agreement"),
+        F.round(kappa, 6).alias("kappa"),
+    )
+
+
 QUERIES = {
     "sketch_hll_intersection": sketch_hll_intersection,
     "sample_neyman_allocation": sample_neyman_allocation,
     "ann_mips_topk": ann_mips_topk,
     "coreset_kcenter_greedy": coreset_kcenter_greedy,
+    "quality_label_agreement_kappa": quality_label_agreement_kappa,
 }
 
 
@@ -587,9 +670,72 @@ def _kcenter_sql(k: int = KCENTER_K) -> str:
     )
 
 
+def _kappa_sql() -> str:
+    from postgres_opensearch_cdc_spark.queries.training_pipeline4 import (
+        GOPHER_DOM_BP,
+        GOPHER_MWL_HI10,
+        GOPHER_MWL_LO10,
+        GOPHER_TTR_BP,
+        GOPHER_WC_MAX,
+        GOPHER_WC_MIN,
+    )
+
+    return f"""
+    WITH s AS (
+        SELECT len(ws) AS nw,
+               list_sum(list_transform(ws, w -> strlen(w))) AS wc,
+               len(list_distinct(ws)) AS nd,
+               list_max(list_transform(
+                   list_distinct(ws),
+                   w -> len(list_filter(ws, x -> x = w)))) AS topw,
+               ROUND(0.5 * (len(list_distinct(ws)) * 1.0 / len(ws))
+                     + 0.5 * least(len(ws) / 100.0, 1.0), 4) AS q
+        FROM (SELECT {_TOKS_SQL} AS ws FROM documents)
+    ),
+    lab AS (
+        SELECT CASE WHEN (nw NOT BETWEEN {GOPHER_WC_MIN}
+                                     AND {GOPHER_WC_MAX})
+                      OR (wc * 10 < {GOPHER_MWL_LO10} * nw
+                          OR wc * 10 > {GOPHER_MWL_HI10} * nw)
+                      OR (nd * 10 < nw * {GOPHER_TTR_BP})
+                      OR (topw * 10 > nw * {GOPHER_DOM_BP})
+                    THEN 0 ELSE 1 END AS a,
+               (q >= {KAPPA_Q_THRESHOLD})::INT AS b
+        FROM s
+    ),
+    cells AS (
+        SELECT COUNT(*) AS n,
+               CAST(SUM(a * b) AS BIGINT) AS n11,
+               CAST(SUM(a * (1 - b)) AS BIGINT) AS n10,
+               CAST(SUM((1 - a) * b) AS BIGINT) AS n01,
+               CAST(SUM((1 - a) * (1 - b)) AS BIGINT) AS n00
+        FROM lab
+    ),
+    agg AS (
+        SELECT n, n11, n10, n01, n00,
+               (n11 + n00) / CAST(n AS DOUBLE) AS po,
+               (CAST(n11 + n10 AS DOUBLE) * (n11 + n01)
+                + CAST(n00 + n10 AS DOUBLE) * (n00 + n01))
+               / (CAST(n AS DOUBLE) * n) AS pe
+        FROM cells
+    )
+    SELECT n AS n_docs,
+           n11 AS n_both_pass,
+           n00 AS n_both_fail,
+           n10 AS n_rules_only,
+           n01 AS n_score_only,
+           ROUND(po, 6) AS observed_agreement,
+           ROUND(pe, 6) AS chance_agreement,
+           ROUND(CASE WHEN pe < 1.0 THEN (po - pe) / (1.0 - pe) END, 6)
+               AS kappa
+    FROM agg
+"""
+
+
 ORACLE = {
     "sketch_hll_intersection": _HLL_INTER_SQL,
     "sample_neyman_allocation": _NEYMAN_SQL,
     "ann_mips_topk": _MIPS_SQL,
     "coreset_kcenter_greedy": _kcenter_sql(),
+    "quality_label_agreement_kappa": _kappa_sql(),
 }

@@ -189,6 +189,36 @@ def test_kcenter_matches_python_greedy(spark, sf_dir):
     assert all(a >= b for a, b in zip(radii, radii[1:]))
 
 
+# ---------------------------------------------------------------------------
+# Cohen's kappa agreement
+# ---------------------------------------------------------------------------
+
+
+def test_kappa_matches_python_reference(spark, sf_dir):
+    from postgres_opensearch_cdc_spark.queries.training_pipeline9 import (
+        quality_label_agreement_kappa,
+    )
+
+    got = quality_label_agreement_kappa(spark, sf_dir).head()
+    n = got["n_docs"]
+    assert n == (
+        got["n_both_pass"] + got["n_both_fail"]
+        + got["n_rules_only"] + got["n_score_only"]
+    )
+    po = (got["n_both_pass"] + got["n_both_fail"]) / n
+    pe = (
+        (got["n_both_pass"] + got["n_rules_only"])
+        * (got["n_both_pass"] + got["n_score_only"])
+        + (got["n_both_fail"] + got["n_rules_only"])
+        * (got["n_both_fail"] + got["n_score_only"])
+    ) / (n * n)
+    assert abs(got["observed_agreement"] - po) < 5e-6
+    assert abs(got["chance_agreement"] - pe) < 5e-6
+    if pe < 1.0:
+        assert abs(got["kappa"] - (po - pe) / (1 - pe)) < 5e-6
+    assert -1.0 <= got["kappa"] <= 1.0
+
+
 def test_mips_plan_is_scan_plus_topk(spark, sf_dir):
     from tests.test_plans import plan
 
