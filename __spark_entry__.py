@@ -101,7 +101,7 @@ _MODULES = [
 # then the STALEST driver rows by "latest green row" age, oldest
 # first, each block in its original driver order: (c) the 2 r5-era
 # rows displaced by the round-12 window, (d) the 20 r6-era rows
-# displaced by the round-12 window, (e) the first 20 of the 28
+# displaced by the round-12 window, (e) the first 15 of the 27
 # remaining r6-era rows — 50 total.
 _PRIORITY = [
     # (a) NEW this round (round 13) — never driver-checked
@@ -124,7 +124,7 @@ _PRIORITY = [
     "forecast_revenue", "ship_lag_priority", "small_quantity_revenue",
     "inactive_high_balance", "ts_hierarchical_rollup",
     "adjacency_matrix_agg", "dedup_cc_clusters", "dedup_cc_survivors",
-    # (e) the remaining r6-era rows, r6 order (first 20 of 28;
+    # (e) the remaining r6-era rows, r6 order (first 15 of 27;
     # variable_width_histogram was already re-checked r12)
     "extended_stats_agg", "derivative_agg", "stats_bucket_agg",
     "percentiles_bucket_agg", "max_bucket_day", "bucket_sort_agg",
@@ -136,7 +136,7 @@ _PRIORITY = [
 
 # Window accounting (recounted per the round-12 ADVICE nit): blocks
 # (a)=6, (b)=7, (c)=2, (d)=20, (e)=15 — exactly 50. Rows displaced to
-# the FRONT of the round-14 re-check queue: the last 13 r6-era rows
+# the FRONT of the round-14 re-check queue: the last 12 r6-era rows
 # (set_ops_nations, frequent_item_sets_agg, top_supplier_revenue,
 # profit_by_nation_year, waiting_suppliers — the (e) overflow — then
 # eql_sequence, funnel_steps, change_point_cusum, significant_text,

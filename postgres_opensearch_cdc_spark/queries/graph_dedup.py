@@ -44,6 +44,30 @@ from postgres_opensearch_cdc_spark.registry import load_table
 _CLUSTER_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
+def _label_clusters(spark: SparkSession, sf_dir: str,
+                    comp_fn=connected_components) -> DataFrame:
+    """(doc_id, source, n_chars, cluster_id) labeling over the
+    LSH-pruned MinHash pair graph; singletons label themselves. The
+    ONE definition of the labeling contract, parameterized by the
+    connected-components variant so the min-label entries and the
+    two-phase entry cannot drift."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup_minhash_lsh(spark, sf_dir).select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    comp = comp_fn(pairs)
+    return (
+        docs.select("doc_id", "source", "n_chars")
+        .join(comp, docs["doc_id"] == comp["node"], "left")
+        .select(
+            "doc_id",
+            "source",
+            "n_chars",
+            F.coalesce(F.col("comp"), F.col("doc_id")).alias("cluster_id"),
+        )
+    )
+
+
 def _doc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, cluster_id) for every document; singletons label
     themselves. Pairs = LSH-pruned MinHash candidates exact-verified at
@@ -56,22 +80,7 @@ def _doc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     cached = _CLUSTER_CACHE.get(key)
     if cached is not None:
         return cached
-    docs = load_table(spark, sf_dir, "documents")
-    pairs = dedup_minhash_lsh(spark, sf_dir).select(
-        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
-    )
-    comp = connected_components(pairs)
-    out = (
-        docs.select("doc_id", "source", "n_chars")
-        .join(comp, docs["doc_id"] == comp["node"], "left")
-        .select(
-            "doc_id",
-            "source",
-            "n_chars",
-            F.coalesce(F.col("comp"), F.col("doc_id")).alias("cluster_id"),
-        )
-        .localCheckpoint(eager=True)
-    )
+    out = _label_clusters(spark, sf_dir).localCheckpoint(eager=True)
     _CLUSTER_CACHE[key] = out
     return out
 
@@ -92,18 +101,9 @@ def dedup_cc_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
     for chain-heavy graphs at 100 TB). Answers the identical
     transitive-closure oracle, so the variant's equivalence is
     value-checked on the real pair graph, not just unit fixtures."""
-    docs = load_table(spark, sf_dir, "documents")
-    pairs = dedup_minhash_lsh(spark, sf_dir).select(
-        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
-    )
-    comp = connected_components_two_phase(pairs)
     return (
-        docs.select("doc_id")
-        .join(comp, docs["doc_id"] == comp["node"], "left")
-        .select(
-            "doc_id",
-            F.coalesce(F.col("comp"), F.col("doc_id")).alias("cluster_id"),
-        )
+        _label_clusters(spark, sf_dir, connected_components_two_phase)
+        .select("doc_id", "cluster_id")
         .orderBy("doc_id")
     )
 

@@ -70,6 +70,52 @@ GOPHER_MWL_LO10, GOPHER_MWL_HI10 = 43, 47  # mean word length in
 GOPHER_TTR_BP = 4    # type-token ratio >= 0.4 as nd*10 >= nw*4
 GOPHER_DOM_BP = 2    # top-word share <= 0.2 as topw*10 <= nw*2
 
+
+def gopher_flags(ws) -> dict:
+    """The four Gopher rule-failure flags as boolean Columns over a
+    token-array column — the ONE definition of the rule bundle,
+    shared by quality_gopher_rules and the kappa agreement audit
+    (training_pipeline9) so the labeler cannot drift between its
+    consumers. All comparisons are integer cross-multiplied (no float
+    thresholds), so the flags are engine-exact."""
+    nw = F.size(ws)
+    wc = F.aggregate(
+        F.transform(ws, F.length), F.lit(0), lambda acc, x: acc + x
+    )
+    nd = F.size(F.array_distinct(ws))
+    topw = F.array_max(
+        F.transform(
+            F.array_distinct(ws),
+            lambda w: F.size(F.filter(ws, lambda x: x == w)),
+        )
+    )
+    return {
+        "f_wc": ~nw.between(GOPHER_WC_MIN, GOPHER_WC_MAX),
+        "f_mwl": (wc * 10 < GOPHER_MWL_LO10 * nw)
+        | (wc * 10 > GOPHER_MWL_HI10 * nw),
+        "f_ttr": nd * 10 < nw * GOPHER_TTR_BP,
+        "f_dom": topw * 10 > nw * GOPHER_DOM_BP,
+    }
+
+
+# the identical bundle for DuckDB oracles: stat columns over a `ws`
+# token-array column, and the per-flag predicates over those stats
+GOPHER_STATS_SQL_COLS = (
+    "len(ws) AS nw,\n"
+    "                   list_sum(list_transform(ws, w -> strlen(w))) AS wc,\n"
+    "                   len(list_distinct(ws)) AS nd,\n"
+    "                   list_max(list_transform(\n"
+    "                       list_distinct(ws),\n"
+    "                       w -> len(list_filter(ws, x -> x = w)))) AS topw"
+)
+GOPHER_FLAG_SQL = {
+    "f_wc": f"(nw NOT BETWEEN {GOPHER_WC_MIN} AND {GOPHER_WC_MAX})",
+    "f_mwl": f"(wc * 10 < {GOPHER_MWL_LO10} * nw"
+             f" OR wc * 10 > {GOPHER_MWL_HI10} * nw)",
+    "f_ttr": f"(nd * 10 < nw * {GOPHER_TTR_BP})",
+    "f_dom": f"(topw * 10 > nw * {GOPHER_DOM_BP})",
+}
+
 ENTROPY_ALPHABET = "abcdefghijklmnopqrstuvwxyz "
 
 
@@ -296,22 +342,10 @@ def quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(distinct x tokens) within one short document — production runs
     the same rule via explode + count when docs are long."""
     docs = load_table(spark, sf_dir, "documents")
-    ws = textfn.tokens(F.col("text"))
-    nw = F.size(ws)
-    wc = F.aggregate(
-        F.transform(ws, F.length), F.lit(0), lambda acc, x: acc + x
+    flags = gopher_flags(textfn.tokens(F.col("text")))
+    f_wc, f_mwl, f_ttr, f_dom = (
+        flags["f_wc"], flags["f_mwl"], flags["f_ttr"], flags["f_dom"]
     )
-    nd = F.size(F.array_distinct(ws))
-    topw = F.array_max(
-        F.transform(
-            F.array_distinct(ws),
-            lambda w: F.size(F.filter(ws, lambda x: x == w)),
-        )
-    )
-    f_wc = ~nw.between(GOPHER_WC_MIN, GOPHER_WC_MAX)
-    f_mwl = (wc * 10 < GOPHER_MWL_LO10 * nw) | (wc * 10 > GOPHER_MWL_HI10 * nw)
-    f_ttr = nd * 10 < nw * GOPHER_TTR_BP
-    f_dom = topw * 10 > nw * GOPHER_DOM_BP
     as_i = lambda c: c.cast("int")  # noqa: E731
     return (
         docs.select(
@@ -757,21 +791,14 @@ ORACLE = {
     "quality_gopher_rules": f"""
         WITH s AS (
             SELECT source,
-                   len(ws) AS nw,
-                   list_sum(list_transform(ws, w -> strlen(w))) AS wc,
-                   len(list_distinct(ws)) AS nd,
-                   list_max(list_transform(
-                       list_distinct(ws),
-                       w -> len(list_filter(ws, x -> x = w)))) AS topw
+                   {GOPHER_STATS_SQL_COLS}
             FROM (SELECT source, {_TOKS_SQL} AS ws FROM documents)
         ), flags AS (
             SELECT source,
-                   (nw NOT BETWEEN {GOPHER_WC_MIN} AND {GOPHER_WC_MAX})::INT
-                       AS f_wc,
-                   (wc * 10 < {GOPHER_MWL_LO10} * nw
-                    OR wc * 10 > {GOPHER_MWL_HI10} * nw)::INT AS f_mwl,
-                   (nd * 10 < nw * {GOPHER_TTR_BP})::INT AS f_ttr,
-                   (topw * 10 > nw * {GOPHER_DOM_BP})::INT AS f_dom
+                   {GOPHER_FLAG_SQL['f_wc']}::INT AS f_wc,
+                   {GOPHER_FLAG_SQL['f_mwl']}::INT AS f_mwl,
+                   {GOPHER_FLAG_SQL['f_ttr']}::INT AS f_ttr,
+                   {GOPHER_FLAG_SQL['f_dom']}::INT AS f_dom
             FROM s
         )
         SELECT source, count(*)::BIGINT AS n_docs,

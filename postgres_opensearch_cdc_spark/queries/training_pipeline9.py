@@ -204,19 +204,27 @@ def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("decimal(38,0)")
         ).alias("w_q"),
     )
-    total = weighted.agg(F.sum("w_q").alias("w_tot"))
+    total = weighted.agg(
+        F.sum("w_q").alias("w_tot"),
+        F.count(F.lit(1)).alias("n_strata"),
+    )
+    # w_tot = 0 (every stratum zero-variance) degenerates Neyman to
+    # the equal split — guarded explicitly: an unguarded 0/0 NaN
+    # flows through floor/least DIFFERENTLY in each engine
+    share = F.when(
+        F.col("w_tot") > 0,
+        F.floor(
+            F.lit(NEYMAN_BUDGET)
+            * F.col("w_q").cast("double")
+            / F.col("w_tot").cast("double")
+        ),
+    ).otherwise(
+        F.floor(F.lit(NEYMAN_BUDGET) / F.col("n_strata"))
+    )
     alloc = weighted.crossJoin(F.broadcast(total)).select(
         "lang",
         F.least(
-            F.col("n_docs"),
-            F.greatest(
-                F.lit(1),
-                F.floor(
-                    F.lit(NEYMAN_BUDGET)
-                    * F.col("w_q").cast("double")
-                    / F.col("w_tot").cast("double")
-                ),
-            ),
+            F.col("n_docs"), F.greatest(F.lit(1), share)
         ).cast("long").alias("alloc"),
     )
     ranked = docs.select(
@@ -395,34 +403,17 @@ def quality_label_agreement_kappa(spark: SparkSession,
     double first — n² overflows int64 past ~3·10^9 docs)."""
     from postgres_opensearch_cdc_spark.functions import text as textfn
     from postgres_opensearch_cdc_spark.queries.training_pipeline4 import (
-        GOPHER_DOM_BP,
-        GOPHER_MWL_HI10,
-        GOPHER_MWL_LO10,
-        GOPHER_TTR_BP,
-        GOPHER_WC_MAX,
-        GOPHER_WC_MIN,
+        gopher_flags,
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    ws = textfn.tokens(F.col("text"))
-    nw = F.size(ws)
-    wc = F.aggregate(
-        F.transform(ws, F.length), F.lit(0), lambda acc, x: acc + x
-    )
-    ndist = F.size(F.array_distinct(ws))
-    topw = F.array_max(
-        F.transform(
-            F.array_distinct(ws),
-            lambda w: F.size(F.filter(ws, lambda x: x == w)),
+    flags = gopher_flags(textfn.tokens(F.col("text")))
+    a = (
+        ~(
+            flags["f_wc"] | flags["f_mwl"]
+            | flags["f_ttr"] | flags["f_dom"]
         )
-    )
-    f_wc = ~nw.between(GOPHER_WC_MIN, GOPHER_WC_MAX)
-    f_mwl = (wc * 10 < GOPHER_MWL_LO10 * nw) | (
-        wc * 10 > GOPHER_MWL_HI10 * nw
-    )
-    f_ttr = ndist * 10 < nw * GOPHER_TTR_BP
-    f_dom = topw * 10 > nw * GOPHER_DOM_BP
-    a = (~(f_wc | f_mwl | f_ttr | f_dom)).cast("long")
+    ).cast("long")
     b = (
         textfn.quality_score(F.col("text"))
         >= F.lit(KAPPA_Q_THRESHOLD)
@@ -573,11 +564,17 @@ _NEYMAN_SQL = f"""
     alloc AS (
         SELECT lang,
                least(n_docs,
-                     greatest(1, floor({NEYMAN_BUDGET}
-                                       * CAST(w_q AS DOUBLE)
-                                       / CAST(w_tot AS DOUBLE))))
+                     greatest(1, CASE WHEN w_tot > 0
+                                 THEN floor({NEYMAN_BUDGET}
+                                            * CAST(w_q AS DOUBLE)
+                                            / CAST(w_tot AS DOUBLE))
+                                 ELSE floor({NEYMAN_BUDGET}
+                                            / CAST(n_strata AS DOUBLE))
+                                 END))
                    AS alloc
-        FROM weighted, (SELECT SUM(w_q) AS w_tot FROM weighted)
+        FROM weighted,
+             (SELECT SUM(w_q) AS w_tot, COUNT(*) AS n_strata
+              FROM weighted)
     ),
     ranked AS (
         SELECT lang, doc_id,
@@ -672,34 +669,22 @@ def _kcenter_sql(k: int = KCENTER_K) -> str:
 
 def _kappa_sql() -> str:
     from postgres_opensearch_cdc_spark.queries.training_pipeline4 import (
-        GOPHER_DOM_BP,
-        GOPHER_MWL_HI10,
-        GOPHER_MWL_LO10,
-        GOPHER_TTR_BP,
-        GOPHER_WC_MAX,
-        GOPHER_WC_MIN,
+        GOPHER_FLAG_SQL,
+        GOPHER_STATS_SQL_COLS,
     )
 
+    fail = " OR ".join(
+        GOPHER_FLAG_SQL[k] for k in ("f_wc", "f_mwl", "f_ttr", "f_dom")
+    )
     return f"""
     WITH s AS (
-        SELECT len(ws) AS nw,
-               list_sum(list_transform(ws, w -> strlen(w))) AS wc,
-               len(list_distinct(ws)) AS nd,
-               list_max(list_transform(
-                   list_distinct(ws),
-                   w -> len(list_filter(ws, x -> x = w)))) AS topw,
+        SELECT {GOPHER_STATS_SQL_COLS},
                ROUND(0.5 * (len(list_distinct(ws)) * 1.0 / len(ws))
                      + 0.5 * least(len(ws) / 100.0, 1.0), 4) AS q
         FROM (SELECT {_TOKS_SQL} AS ws FROM documents)
     ),
     lab AS (
-        SELECT CASE WHEN (nw NOT BETWEEN {GOPHER_WC_MIN}
-                                     AND {GOPHER_WC_MAX})
-                      OR (wc * 10 < {GOPHER_MWL_LO10} * nw
-                          OR wc * 10 > {GOPHER_MWL_HI10} * nw)
-                      OR (nd * 10 < nw * {GOPHER_TTR_BP})
-                      OR (topw * 10 > nw * {GOPHER_DOM_BP})
-                    THEN 0 ELSE 1 END AS a,
+        SELECT CASE WHEN {fail} THEN 0 ELSE 1 END AS a,
                (q >= {KAPPA_Q_THRESHOLD})::INT AS b
         FROM s
     ),

@@ -108,10 +108,19 @@ class HllRollupSink:
 
     def registers(self, spark: SparkSession) -> DataFrame:
         """The published (g, bucket, register) table (empty before the
-        first commit)."""
+        first commit). Read paths validate the precision too — a
+        default-p reader over a p=14 store would otherwise compute
+        zero_registers = 16 − count (nonsense) silently."""
         manifest = self.latest_manifest()
         if manifest is None:
             return spark.createDataFrame([], _REG_SCHEMA)
+        m = hll_params(self.p)[0]
+        if manifest.get("m") != m:
+            raise ValueError(
+                f"register store at {self.path} was written with "
+                f"m={manifest.get('m')}; this reader has m={m} — "
+                "estimates under a mismatched precision are garbage"
+            )
         return spark.read.schema(_REG_SCHEMA).parquet(
             os.path.join(self._data_dir, manifest["commit"], "regs")
         )
@@ -236,10 +245,23 @@ class CmsRollupSink:
 
     def cells(self, spark: SparkSession) -> DataFrame:
         """The published (r, bucket, cell) grid (empty before the
-        first commit; absent coordinates are implicit zeros)."""
+        first commit; absent coordinates are implicit zeros). Read
+        paths validate the geometry too — a default-width reader over
+        a 2^16-wide store would probe wrong buckets and could return
+        UNDER-estimates, silently breaking the one-sided contract."""
         manifest = self.latest_manifest()
         if manifest is None:
             return spark.createDataFrame([], _CMS_SCHEMA)
+        if (
+            manifest.get("depth") != self.depth
+            or manifest.get("width") != self.width
+        ):
+            raise ValueError(
+                f"cm sketch store at {self.path} was written as "
+                f"{manifest.get('depth')}x{manifest.get('width')}; this "
+                f"reader is {self.depth}x{self.width} — probes under a "
+                "mismatched geometry land on wrong buckets"
+            )
         return spark.read.schema(_CMS_SCHEMA).parquet(
             os.path.join(self._data_dir, manifest["commit"], "cells")
         )

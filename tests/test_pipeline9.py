@@ -103,6 +103,39 @@ def test_neyman_matches_python_reference(spark, sf_dir):
     assert counts == expect
 
 
+def test_neyman_zero_variance_falls_back_to_equal_split(spark, tmp_path):
+    """Every stratum constant-length -> w_tot = 0; the guarded
+    fallback allocates the equal split instead of letting a 0/0 NaN
+    flow engine-dependently through floor/least (review finding)."""
+    import duckdb
+    import pandas as pd
+
+    from postgres_opensearch_cdc_spark.queries.training_pipeline9 import (
+        ORACLE,
+    )
+
+    rows = []
+    for lang, n in (("aa", 30), ("bb", 70)):
+        for i in range(n):
+            rows.append((len(rows), "x y z", lang, "s", 5))
+    pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    ).to_parquet(str(tmp_path / "documents.parquet"))
+    got = sample_neyman_allocation(spark, str(tmp_path))
+    alloc = {
+        r["lang"]: r["alloc"]
+        for r in got.select("lang", "alloc").distinct().collect()
+    }
+    assert alloc == {"aa": 30, "bb": 50}  # floor(100/2)=50, capped at N_h
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{tmp_path}/documents.parquet'"
+    )
+    oracle = con.execute(ORACLE["sample_neyman_allocation"]).fetchall()
+    assert len(oracle) == got.count()
+
+
 def test_neyman_budget_and_bounds(spark, sf_dir):
     got = sample_neyman_allocation(spark, sf_dir)
     per = got.select("lang", "alloc").distinct().collect()

@@ -108,6 +108,10 @@ def test_cms_production_width_is_near_exact_and_guarded(spark, tmp_path):
     other = CmsRollupSink(path=str(tmp_path / "cms"), width=256)
     with pytest.raises(ValueError, match="geometries"):
         other.apply_batch(batch, batch_id=1, writer_id="w1")
+    # the READ path is guarded too: a default-width reader over the
+    # 2^16 store would probe wrong buckets and could UNDER-estimate
+    with pytest.raises(ValueError, match="geometry"):
+        other.estimates(probes.select("v")).collect()
 
 
 def test_hll_precision_mismatch_refuses_to_merge(spark, tmp_path):
@@ -126,3 +130,7 @@ def test_hll_precision_mismatch_refuses_to_merge(spark, tmp_path):
                               value_col="v")
     with pytest.raises(ValueError, match="precisions"):
         default_p.apply_batch(batch, batch_id=1, writer_id="w1")
+    # read path guarded too (a p=4 reader over a p=14 store computes
+    # zero_registers = 16 - count: nonsense, must refuse instead)
+    with pytest.raises(ValueError, match="precision"):
+        default_p.estimates(spark).collect()
