@@ -223,17 +223,20 @@ def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # PPJoin+ depth-1 SUFFIX filter (round-12 verdict task 7), also
     # result-neutral: every common token ranks >= the first shared
-    # prefix token (else it would itself be an earlier shared prefix
-    # token), so the remaining overlap lives in the two rank-sorted
-    # suffixes. Probing the MEDIAN of b's suffix partitions both:
-    # common tokens < m sit in both "<m" halves, > m in both ">m"
-    # halves, so overlap <= 1 + min(|La|,|Lb|) + min(|Ra|,|Rb|) +
-    # [m in suffix_a]. The per-doc rank arrays are document-bounded
-    # (one row per doc, array size = that doc's shingle count — the
-    # same payload the verify join shuffles), and the pair frame is
-    # candidate-bounded; localCheckpoint materializes the sliced
-    # suffixes so the HOF lambdas below never re-derive them per
-    # element.
+    # prefix token t (else it would itself be an earlier shared
+    # prefix token), so the remaining overlap lives in the two
+    # rank-sorted suffixes after position mp1/mp2. Probing the MEDIAN
+    # m of b's suffix partitions both: common tokens < m sit in both
+    # "<m" halves, > m in both ">m" halves, so
+    # overlap <= 1 + min(|La|,|Lb|) + min(|Ra|,|Rb|) + [m in sfx_a].
+    # KEY cost trick: the first mp1 elements of a's sorted rank array
+    # all rank <= rk(t) < m, so the suffix partition counts fall out
+    # of counts over the FULL arrays — |La| = |a < m| − mp1,
+    # |Ra| = |a > m| — no per-pair array slicing, no materialized
+    # suffix copies; the lambdas below scan plain joined columns
+    # (element_at on a plain column is O(1), so the captured median
+    # costs nothing per element). The per-doc rank arrays are
+    # document-bounded — the same payload the verify join shuffles.
     arrs = pos.groupBy("doc_id").agg(
         F.sort_array(F.collect_list("rk")).alias("rks")
     )
@@ -244,37 +247,33 @@ def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(
             arrs.select(F.col("doc_id").alias("ib"),
                         F.col("rks").alias("b_rks")), "ib")
-        .select(
-            "ia", "ib", "na", "nb",
-            F.slice(
-                "a_rks", F.col("mp1") + 1,
-                F.greatest(F.col("na") - F.col("mp1"), F.lit(0)),
-            ).alias("sa"),
-            F.slice(
-                "b_rks", F.col("mp2") + 1,
-                F.greatest(F.col("nb") - F.col("mp2"), F.lit(0)),
-            ).alias("sb"),
-        )
-        .localCheckpoint(eager=True)
     )
+    # median of b's suffix, indexed into the FULL sorted array:
+    # suffix = b_rks[mp2+1 .. nb], median offset = ceil(len/2)
     m = F.when(
-        F.size("sb") > 0,
+        F.col("nb") > F.col("mp2"),
         F.element_at(
-            "sb", ((F.size("sb") + F.lit(1)) / F.lit(2)).cast("int")
+            "b_rks",
+            (
+                F.col("mp2")
+                + ((F.col("nb") - F.col("mp2") + 1) / F.lit(2)).cast(
+                    "int"
+                )
+            ).cast("int"),
         ),
     )
-    suffix_ub = (
-        F.lit(1)
-        + F.least(
-            F.size(F.filter("sa", lambda x: x < m)),
-            F.size(F.filter("sb", lambda x: x < m)),
-        )
-        + F.least(
-            F.size(F.filter("sa", lambda x: x > m)),
-            F.size(F.filter("sb", lambda x: x > m)),
-        )
-        + F.size(F.filter("sa", lambda x: x == m))  # 0/1: ranks distinct
-    )
+    la = F.size(F.filter("a_rks", lambda x: x < m)) - F.col("mp1")
+    lb = F.size(F.filter("b_rks", lambda x: x < m)) - F.col("mp2")
+    ra = F.size(F.filter("a_rks", lambda x: x > m))
+    rb = F.size(F.filter("b_rks", lambda x: x > m))
+    eq_a = F.size(F.filter("a_rks", lambda x: x == m))  # 0/1: distinct
+    # empty suffix_b (m null): common tokens ⊆ {t}, so the bound is
+    # exactly 1 — guarded explicitly (the null-poisoned counts would
+    # otherwise go negative and drop legitimate overlap-1 pairs)
+    suffix_ub = F.when(
+        m.isNotNull(),
+        F.lit(1) + F.least(la, lb) + F.least(ra, rb) + eq_a,
+    ).otherwise(F.lit(1))
     survivors = suffixed.filter(suffix_ub >= alpha).select("ia", "ib")
     inter = (
         survivors.join(sh.select(F.col("doc_id").alias("ia"), "sh"), "ia")
