@@ -27,7 +27,18 @@ def hll_params(p: int) -> tuple[int, int, int, float]:
     sum_num ≤ m · 2^rho_max = 2^p · 2^(61-p) = 2^61 < 2^63 — so the
     production size p=14 (16 KiB/group) is as exactly summable as the
     test size p=4 (pinned by test_hll_production_precision). alpha
-    constants per Flajolet et al. 2007 Fig. 3."""
+    constants per Flajolet et al. 2007 Fig. 3.
+
+    Valid range: 4 <= p <= 18 — hash60 supplies 60 hash bits, and the
+    paper's alpha constants / bias analysis assume m >= 16; p < 4
+    would silently use the generic alpha formula outside its
+    validated range, and large p would make suffix_bits meaningless
+    long before the shift itself broke (p >= 61)."""
+    if not 4 <= p <= 18:
+        raise ValueError(
+            f"HLL precision p={p} out of range: need 4 <= p <= 18 "
+            "(hash60 provides 60 bits; alpha constants assume m >= 16)"
+        )
     m = 1 << p
     alpha = {16: 0.673, 32: 0.697, 64: 0.709}.get(
         m, 0.7213 / (1.0 + 1.079 / m)
@@ -54,7 +65,16 @@ def hll_registers(values: DataFrame, group_col: str = "source",
     value would mis-parse on re-split); the single ``group_col`` form
     aliases to ``g`` for the streaming sink's flat store layout.
     ``p`` is the register precision (default the test size HLL_P;
-    production 14 — see hll_params for the any-p int64 bound)."""
+    production 14 — see hll_params for the any-p int64 bound).
+
+    ``group_col`` and ``group_cols`` are mutually exclusive: passing
+    a non-default ``group_col`` alongside ``group_cols`` raises (the
+    list would silently win otherwise — an API footgun)."""
+    if group_cols is not None and group_col != "source":
+        raise ValueError(
+            "pass either group_col or group_cols, not both "
+            f"(got group_col={group_col!r} and group_cols={group_cols!r})"
+        )
     _, suffix_bits, rho_max, _ = hll_params(p)
     h = hash60(F.col(value_col))
     suffix = h % F.lit(1 << suffix_bits)

@@ -270,6 +270,11 @@ def ann_mips_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrderedAndProject — no shuffle (the ann_cosine_topk shape)."""
     vecs = load_table(spark, sf_dir, "embeddings")
     qrow = vecs.filter(F.col("vec_id") == 0).select("embedding").head()
+    if qrow is None:
+        raise ValueError(
+            "ann_mips_topk: query vector vec_id=0 not found in "
+            f"{sf_dir}/embeddings"
+        )
     q = [float(x) for x in qrow[0]]
     qlit = F.array(*[F.lit(x) for x in q])
     data = vecs.filter(F.col("vec_id") != 0).select(
@@ -353,6 +358,10 @@ def coreset_kcenter_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     first = vecs.orderBy("vec_id").limit(1).head()
+    if first is None:
+        raise ValueError(
+            f"coreset_kcenter_greedy: {sf_dir}/embeddings is empty"
+        )
     centers = [(0, first["vec_id"], None)]
     c = [float(x) for x in first["v"]]
     state = (
@@ -362,6 +371,12 @@ def coreset_kcenter_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     for t in range(1, KCENTER_K):
         pick = state.orderBy(F.col("mind").desc(), "vec_id").limit(1).head()
+        if pick is None:
+            raise ValueError(
+                f"coreset_kcenter_greedy: ran out of vectors at round "
+                f"{t} (need at least KCENTER_K={KCENTER_K} rows in "
+                f"{sf_dir}/embeddings)"
+            )
         centers.append((t, pick["vec_id"], float(pick["mind"])))
         c = [float(x) for x in pick["v"]]
         state = (

@@ -258,3 +258,38 @@ def test_mips_plan_is_scan_plus_topk(spark, sf_dir):
     p = plan(ann_mips_topk(spark, sf_dir))
     assert "TakeOrderedAndProject" in p
     assert "BatchEvalPython" not in p
+
+
+def test_mips_and_kcenter_guard_degenerate_fixtures(spark, tmp_path):
+    """r13 ADVICE: .head() on a fixture missing vec_id 0 (or an empty
+    embeddings table) must raise a descriptive error, not a NoneType
+    subscript."""
+    import pytest
+
+    from postgres_opensearch_cdc_spark.queries.training_pipeline9 import (
+        coreset_kcenter_greedy,
+    )
+
+    no_zero = spark.createDataFrame(
+        [(7, [1.0, 0.0], 0)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    d = str(tmp_path / "no_zero")
+    no_zero.write.parquet(f"{d}/embeddings.parquet")
+    with pytest.raises(ValueError, match="vec_id=0 not found"):
+        ann_mips_topk(spark, d)
+
+    empty = no_zero.limit(0)
+    d2 = str(tmp_path / "empty")
+    empty.write.parquet(f"{d2}/embeddings.parquet")
+    with pytest.raises(ValueError, match="embeddings is empty"):
+        coreset_kcenter_greedy(spark, d2)
+
+    # fewer rows than KCENTER_K: loud at the round that runs dry
+    d3 = str(tmp_path / "tiny")
+    spark.createDataFrame(
+        [(i, [float(i), 1.0], 0) for i in range(3)],
+        "vec_id long, embedding array<float>, label int",
+    ).write.parquet(f"{d3}/embeddings.parquet")
+    with pytest.raises(ValueError, match="ran out of vectors"):
+        coreset_kcenter_greedy(spark, d3)

@@ -134,3 +134,28 @@ def test_hll_precision_mismatch_refuses_to_merge(spark, tmp_path):
     # zero_registers = 16 - count: nonsense, must refuse instead)
     with pytest.raises(ValueError, match="precision"):
         default_p.estimates(spark).collect()
+
+
+def test_hll_params_rejects_out_of_range_precision():
+    """r13 ADVICE: p outside [4, 18] must fail loudly — p <= 3 would
+    silently use the generic alpha outside Flajolet's validated range
+    (m >= 16), huge p would shift past hash60's 60 bits."""
+    for bad in (0, 1, 3, 19, 61, 64):
+        with pytest.raises(ValueError, match="4 <= p <= 18"):
+            hll_params(bad)
+    for ok in (4, 14, 18):
+        hll_params(ok)
+
+
+def test_hll_registers_rejects_group_col_and_group_cols(spark):
+    """r13 ADVICE: mixing the single-column and list group-key forms
+    is ambiguous (the list silently won) — now it raises."""
+    df = spark.createDataFrame([("s", "a", "w1")],
+                               "source string, domain string, w string")
+    with pytest.raises(ValueError, match="not both"):
+        hll_registers(df, group_col="domain", group_cols=["source"])
+    # each form alone still works
+    assert hll_registers(df, group_col="domain").columns == [
+        "g", "bucket", "register"]
+    assert hll_registers(df, group_cols=["source", "domain"]).columns == [
+        "source", "domain", "bucket", "register"]
