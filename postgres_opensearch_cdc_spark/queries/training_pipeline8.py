@@ -126,8 +126,9 @@ PF_N = 3       # shingle width (tokens) — same substrate as
                # dedup_ngram_jaccard, whose all-pairs join is the
                # brute-force baseline this entry replaces
 
-
-def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_prefix_filter_join(
+    spark: SparkSession, sf_dir: str, suffix_mode: str = "auto"
+) -> DataFrame:
     """All document pairs with shingle-set Jaccard >= PF_TAU, found
     EXACTLY via prefix filtering (AllPairs/PPJoin family): shingles
     globally ordered by (document frequency asc, shingle); a set of
@@ -141,9 +142,27 @@ def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     This is the exact-join counterpart of dedup_minhash_lsh: LSH
     trades recall for candidate volume, prefix filtering keeps 100%
     recall (pinned by the brute-force equivalence test) and pays
-    with a verify join bounded by the candidate count (pruning
+    with a verify step bounded by the candidate count (pruning
     measured in SCALE §25). At 100 TB both exist for the same
-    reason: never all-pairs."""
+    reason: never all-pairs.
+
+    Verification is a co-shuffled EXACT ARRAY INTERSECTION: each
+    candidate pair joins the two per-document sorted rank arrays
+    (int-dense shingle ids, document-bounded — strictly less shuffle
+    than the previous shingle-string row join) and computes
+    |a ∩ b| with the codegen'd array_intersect — measured 35× faster
+    than the exploded string-join verify on the adversarial corpus
+    (SCALE §25, round 14: 0.08 s vs 2.85 s over 168k candidates).
+
+    ``suffix_mode``: the PPJoin+ depth-1 suffix filter survives as
+    "on" (fused single-pass counters, result-neutral, pinned equal
+    to brute force by tests) but is RETIRED from the default path —
+    round 13 asked for it to become adaptive, and the round-14
+    profiling that sized the adaptive gate showed it is strictly
+    dominated: its two interpreted counter passes per candidate cost
+    more than the one codegen'd intersection pass that settles the
+    pair exactly (SCALE §25). "auto" (default) and "off" both skip
+    it. All modes return identical results."""
     from postgres_opensearch_cdc_spark.functions.dedup import word_shingles
     from postgres_opensearch_cdc_spark.functions.ranking import (
         with_global_rank,
@@ -164,7 +183,10 @@ def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # construction (one range shuffle + partition-parallel windows),
     # never a single-task global window (round-12 verdict #1)
     ranked, _ = with_global_rank(dfreq, ["df", "sh"], "rk")
-    ranked = ranked.select("sh", "rk")
+    # vocabulary-sized (one row per distinct shingle); pinned so the
+    # prefix pipeline AND the verify-side rank arrays share one run
+    # of the range-shuffle rank instead of recomputing it
+    ranked = ranked.select("sh", "rk").localCheckpoint(eager=True)
     pos = (
         sh.join(ranked, "sh")
         .withColumn(
@@ -221,77 +243,143 @@ def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    # PPJoin+ depth-1 SUFFIX filter (round-12 verdict task 7), also
-    # result-neutral: every common token ranks >= the first shared
-    # prefix token t (else it would itself be an earlier shared
-    # prefix token), so the remaining overlap lives in the two
-    # rank-sorted suffixes after position mp1/mp2. Probing the MEDIAN
-    # m of b's suffix partitions both: common tokens < m sit in both
-    # "<m" halves, > m in both ">m" halves, so
-    # overlap <= 1 + min(|La|,|Lb|) + min(|Ra|,|Rb|) + [m in sfx_a].
-    # KEY cost trick: the first mp1 elements of a's sorted rank array
-    # all rank <= rk(t) < m, so the suffix partition counts fall out
-    # of counts over the FULL arrays — |La| = |a < m| − mp1,
-    # |Ra| = |a > m| — no per-pair array slicing, no materialized
-    # suffix copies; the lambdas below scan plain joined columns
-    # (element_at on a plain column is O(1), so the captured median
-    # costs nothing per element). The per-doc rank arrays are
-    # document-bounded — the same payload the verify join shuffles.
-    arrs = pos.groupBy("doc_id").agg(
+    # per-document sorted rank arrays: the verify payload (int-dense
+    # shingle ids, document-bounded — the compact form of the same
+    # data the old verify shuffled as shingle STRINGS)
+    arrs = sh.join(ranked, "sh").groupBy("doc_id").agg(
         F.sort_array(F.collect_list("rk")).alias("rks")
     )
-    suffixed = (
-        cand.join(
+    # PPJoin+ depth-1 SUFFIX filter (round-12 verdict task 7), kept
+    # result-neutral and test-pinned but OFF by default — the
+    # round-14 profiling that was meant to size its adaptive gate
+    # showed the codegen'd array_intersect verify below settles each
+    # candidate exactly for LESS than the bound's two interpreted
+    # counter passes (SCALE §25). Bound: every common token ranks >=
+    # the first shared prefix token t, so the remaining overlap lives
+    # in the rank-sorted suffixes after mp1/mp2; probing the MEDIAN m
+    # of b's suffix partitions both sides, overlap <= 1 +
+    # min(|La|,|Lb|) + min(|Ra|,|Rb|) + [m in sfx_a].
+    if suffix_mode == "on":
+        # KEY cost trick: the first mp1 elements of a's sorted rank
+        # array all rank <= rk(t) < m, so the suffix partition counts
+        # fall out of counts over the FULL arrays — |La| = |a < m| −
+        # mp1, |Ra| = |a > m| — no per-pair array slicing, no
+        # materialized suffix copies. And because the arrays are
+        # sorted + DISTINCT, one fused integer accumulator per array
+        # is enough (round-13 verdict #2 — was five filter() scans):
+        #   ca  = 2·|a < m| + [m ∈ a]   (one pass over a_rks)
+        #   ltb = |b < m|               (one pass over b_rks)
+        # everything else is arithmetic on na/nb/mp1/mp2:
+        #   |a > m| = na − |a < m| − [m ∈ a];  |b = m| = 1 (m is an
+        #   element of b's suffix);  |Lb| = ltb − mp2;
+        #   |Rb| = nb − ltb − 1.
+        suffixed = (
+            cand.join(
+                arrs.select(F.col("doc_id").alias("ia"),
+                            F.col("rks").alias("a_rks")), "ia")
+            .join(
+                arrs.select(F.col("doc_id").alias("ib"),
+                            F.col("rks").alias("b_rks")), "ib")
+            # median of b's suffix, indexed into the FULL sorted
+            # array: suffix = b_rks[mp2+1 .. nb], median offset =
+            # ceil(len/2); materialized as a plain column so the
+            # fused lambdas read it, never re-derive it per element
+            .withColumn(
+                "m",
+                F.when(
+                    F.col("nb") > F.col("mp2"),
+                    F.element_at(
+                        "b_rks",
+                        (
+                            F.col("mp2")
+                            + (
+                                (F.col("nb") - F.col("mp2") + 1)
+                                / F.lit(2)
+                            ).cast("int")
+                        ).cast("int"),
+                    ),
+                ),
+            )
+            .withColumn(
+                "ca",
+                F.aggregate(
+                    "a_rks",
+                    F.lit(0),
+                    lambda acc, x: acc
+                    + F.when(x < F.col("m"), F.lit(2))
+                    .when(x == F.col("m"), F.lit(1))
+                    .otherwise(F.lit(0)),
+                ),
+            )
+            .withColumn(
+                "ltb",
+                F.aggregate(
+                    "b_rks",
+                    F.lit(0),
+                    lambda acc, x: acc
+                    + F.when(x < F.col("m"), F.lit(1)).otherwise(
+                        F.lit(0)
+                    ),
+                ),
+            )
+            # BARRIER, not style: the bound below references ca twice
+            # and ltb twice, and projection collapse would inline the
+            # interpreted aggregate into every reference — 4-6 full
+            # array passes per candidate instead of 2 (measured 6×
+            # slowdown on the adversarial corpus). Materializing the
+            # two counters once (arrays dropped — 9 ints/row, the
+            # candidate-bounded size the verify join shuffles anyway)
+            # pins one pass per array.
+            .select("ia", "ib", "na", "nb", "mp1", "mp2", "m", "ca",
+                    "ltb")
+            .localCheckpoint(eager=True)
+        )
+        lt_a = F.shiftright("ca", 1)
+        eq_a = F.col("ca") % 2
+        la = lt_a - F.col("mp1")
+        ra = F.col("na") - lt_a - eq_a
+        lb = F.col("ltb") - F.col("mp2")
+        rb = F.col("nb") - F.col("ltb") - 1
+        # empty suffix_b (m null): common tokens ⊆ {t}, so the bound
+        # is exactly 1 — guarded explicitly (the null-poisoned counts
+        # would otherwise go negative and drop legitimate overlap-1
+        # pairs)
+        suffix_ub = F.when(
+            F.col("m").isNotNull(),
+            F.lit(1) + F.least(la, lb) + F.least(ra, rb) + eq_a,
+        ).otherwise(F.lit(1))
+        survivors = suffixed.filter(suffix_ub >= alpha).select(
+            "ia", "ib", "na", "nb"
+        )
+    else:
+        survivors = cand.select("ia", "ib", "na", "nb")
+    # exact verify: co-shuffle each candidate with the two rank
+    # arrays and intersect them JVM-side — one codegen pass per pair,
+    # no exploded row join (35× faster on the adversarial corpus,
+    # SCALE §25); per-row transient memory is O(na+nb), document-
+    # bounded
+    verified = (
+        survivors.join(
             arrs.select(F.col("doc_id").alias("ia"),
                         F.col("rks").alias("a_rks")), "ia")
         .join(
             arrs.select(F.col("doc_id").alias("ib"),
                         F.col("rks").alias("b_rks")), "ib")
-    )
-    # median of b's suffix, indexed into the FULL sorted array:
-    # suffix = b_rks[mp2+1 .. nb], median offset = ceil(len/2)
-    m = F.when(
-        F.col("nb") > F.col("mp2"),
-        F.element_at(
-            "b_rks",
-            (
-                F.col("mp2")
-                + ((F.col("nb") - F.col("mp2") + 1) / F.lit(2)).cast(
-                    "int"
-                )
-            ).cast("int"),
-        ),
-    )
-    la = F.size(F.filter("a_rks", lambda x: x < m)) - F.col("mp1")
-    lb = F.size(F.filter("b_rks", lambda x: x < m)) - F.col("mp2")
-    ra = F.size(F.filter("a_rks", lambda x: x > m))
-    rb = F.size(F.filter("b_rks", lambda x: x > m))
-    eq_a = F.size(F.filter("a_rks", lambda x: x == m))  # 0/1: distinct
-    # empty suffix_b (m null): common tokens ⊆ {t}, so the bound is
-    # exactly 1 — guarded explicitly (the null-poisoned counts would
-    # otherwise go negative and drop legitimate overlap-1 pairs)
-    suffix_ub = F.when(
-        m.isNotNull(),
-        F.lit(1) + F.least(la, lb) + F.least(ra, rb) + eq_a,
-    ).otherwise(F.lit(1))
-    survivors = suffixed.filter(suffix_ub >= alpha).select("ia", "ib")
-    inter = (
-        survivors.join(sh.select(F.col("doc_id").alias("ia"), "sh"), "ia")
-        .join(sh.select(F.col("doc_id").alias("ib"), "sh"), ["ib", "sh"])
-        .groupBy("ia", "ib")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
-    return (
-        inter.join(sizes.select(F.col("doc_id").alias("ia"),
-                                F.col("n").alias("na")), "ia")
-        .join(sizes.select(F.col("doc_id").alias("ib"),
-                           F.col("n").alias("nb")), "ib")
         .select(
             "ia",
             "ib",
+            F.size(F.array_intersect("a_rks", "b_rks")).alias(
+                "n_inter"
+            ),
+            (F.col("na") + F.col("nb")).alias("n_sum"),
+        )
+    )
+    return (
+        verified.select(
+            "ia",
+            "ib",
             "n_inter",
-            (F.col("na") + F.col("nb") - F.col("n_inter"))
-            .alias("n_union"),
+            (F.col("n_sum") - F.col("n_inter")).alias("n_union"),
         )
         # filter on the UNROUNDED ratio (matching the oracle —
         # rounding first would admit pairs in [tau-5e-7, tau));

@@ -118,9 +118,58 @@ def test_prefix_join_equals_brute_force_on_corpus(spark, sf_dir):
         union = len(sets[ia] | sets[ib])
         if round(inter / union, 6) >= PF_TAU:
             want[(ia, ib)] = (inter, union)
-    got = {
-        (r["ia"], r["ib"]): (r["n_inter"], r["n_union"])
-        for r in dedup_prefix_filter_join(spark, sf_dir).collect()
-    }
-    assert got == want
+    # all three suffix modes must return the identical exact result:
+    # the depth-1 suffix bound is result-neutral (OFF by default
+    # since r14 — the array-intersect verify dominates it, SCALE §25)
+    for mode in ("off", "on", "auto"):
+        got = {
+            (r["ia"], r["ib"]): (r["n_inter"], r["n_union"])
+            for r in dedup_prefix_filter_join(
+                spark, sf_dir, suffix_mode=mode
+            ).collect()
+        }
+        assert got == want, f"suffix_mode={mode} diverged"
     assert want, "corpus has no qualifying pairs: completeness untested"
+
+
+def test_prefix_join_modes_agree_on_hot_shingle_corpus(spark, tmp_path):
+    """The adversarial two-dialect corpus (tools/bench_hot_shingle) is
+    where the suffix bound actually prunes — positional candidates go
+    quadratic in the shared block-phrase df while cross-dialect pairs
+    stay far below tau. Pin that the bound stays result-neutral there
+    (it must only ever remove pairs the exact verify would reject)."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "bench_hot_shingle",
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "tools", "bench_hot_shingle.py"),
+    )
+    hs = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(hs)
+
+    d = str(tmp_path / "hot")
+    hs.make_corpus(spark, d, n_docs=240, block_k=48)
+
+    sh = hs.word_shingles(
+        spark.read.parquet(f"{d}/documents.parquet"), "text", "doc_id",
+        n=PF_N,
+    )
+    sets: dict = {}
+    for r in sh.collect():
+        sets.setdefault(r["id"], set()).add(r["shingle"])
+    want = set()
+    for ia, ib in itertools.combinations(sorted(sets), 2):
+        inter = len(sets[ia] & sets[ib])
+        if inter / (len(sets[ia]) + len(sets[ib]) - inter) >= PF_TAU:
+            want.add((ia, ib))
+    assert want, "hot corpus planted twins went missing"
+    for mode in ("off", "on"):
+        got = {
+            (r["ia"], r["ib"])
+            for r in dedup_prefix_filter_join(
+                spark, d, suffix_mode=mode
+            ).collect()
+        }
+        assert got == want, f"suffix_mode={mode} diverged on hot corpus"
