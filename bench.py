@@ -112,6 +112,7 @@ def main() -> None:
     # per-run work)
     MEMOIZED = {"dedup_minhash_lsh", "dedup_cc_clusters",
                 "dedup_cc_survivors", "dedup_quality_survivors",
+                "dedup_edit_distance",
                 "bpe_train_merges", "bpe_train_merges_local",
                 "wordpiece_train_scores"}
 
