@@ -282,7 +282,7 @@ def test_mips_and_kcenter_guard_degenerate_fixtures(spark, tmp_path):
     empty = no_zero.limit(0)
     d2 = str(tmp_path / "empty")
     empty.write.parquet(f"{d2}/embeddings.parquet")
-    with pytest.raises(ValueError, match="embeddings is empty"):
+    with pytest.raises(ValueError, match="embeddings: .*is empty"):
         coreset_kcenter_greedy(spark, d2)
 
     # fewer rows than KCENTER_K: loud at the round that runs dry
