@@ -93,7 +93,13 @@ _MODULES = [
 # which unions every CORRECTNESS_r*.json and stages entries by their
 # LATEST fully-green driver round, oldest first, ties in current
 # driver order.  Re-running that command against the committed
-# artifacts must reproduce blocks (c..e) exactly.
+# artifacts must reproduce blocks (c..e) exactly —
+# tests/test_staleness_window.py asserts this on every run, so the
+# queue can never silently drop a block again.
+# _HAND_STAGED = how many leading window rows are this round's
+# hand-chosen new/changed block; everything after them through row 50
+# must be the staleness tool's output.
+_HAND_STAGED = 4
 _PRIORITY = [
     # (a) NEW this round (round 14) — never driver-checked
     "sketch_hll_production",      # p=14 through the oracle gate

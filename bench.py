@@ -153,22 +153,28 @@ def main() -> None:
         timings[name] = min(t1, t2)  # memo entries: hit in both passes
         total += timings[name]
 
-    # isolated warm re-measure of the 10 heaviest entries: the single
-    # positional pass above is exposed to ambient host load (±50%
-    # swings observed round-over-round on heavy entries) and to
-    # window-rotation cold starts; a per-entry MEDIAN over 3 warm
-    # repeats, taken after the full pass has compiled every plan, is
-    # the judgeable number for those entries. Caveat: a warm repeat
-    # measures the engine's REPEAT cost — entries backed by a
+    # isolated warm re-measure of the 50 heaviest entries (top-10
+    # through round 13; widened per the round-13 verdict ask #6 so a
+    # per-entry warm-median HISTORY exists for regression-flagging):
+    # the single positional pass above is exposed to ambient host
+    # load (±50% swings observed round-over-round on heavy entries)
+    # and to window-rotation cold starts; a per-entry MEDIAN over 3
+    # warm repeats, taken after the full pass has compiled every
+    # plan, is the judgeable number for those entries. Caveat: a warm
+    # repeat measures the engine's REPEAT cost — entries backed by a
     # session-level memo (dedup_minhash_lsh's localCheckpointed pair
     # set, shared with the connected-components entries by design)
     # report the memo-hit cost here; their cold pipeline cost is the
-    # positional number above.
+    # positional number above. The top-10 stay on stdout (2,000 B
+    # budget); the full top-50 map goes to the SIDECAR file next to
+    # this script (BENCH_SIDECAR.json, override via
+    # $SPARK_GRAFT_BENCH_SIDECAR) keyed by order_md5 so drift between
+    # sidecar and headline is detectable.
     import statistics
 
     heavy = sorted(
         (n for n in timings if timings[n] > 0), key=lambda n: -timings[n]
-    )[:10]
+    )[:50]
     warm_medians: dict[str, int] = {}
     for name in heavy:
         reps = []
@@ -199,6 +205,26 @@ def main() -> None:
     import hashlib
 
     order_md5 = hashlib.md5(",".join(q_names).encode()).hexdigest()[:8]
+
+    # SIDECAR (round-13 verdict ask #6): full top-50 warm medians —
+    # the per-entry history that flags a single-entry regression
+    # (e.g. the r13 prefix-join doubling) without a worktree rebuild.
+    # stdout keeps only the top-10 slice under its 2,000 B cap.
+    sidecar_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_SIDECAR",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "BENCH_SIDECAR.json"),
+    )
+    with open(sidecar_path, "w") as f:
+        json.dump({
+            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            "order_md5": order_md5,
+            "n_queries": len(q_names),
+            "loadavg": [round(x, 2) for x in os.getloadavg()],
+            "warm_medians_cs": warm_medians,
+        }, f, indent=1, sort_keys=True)
+        f.write("\n")
+
     payload = {
         "metric": "query_surface_total_runtime",
         "value": round(total, 3),
@@ -213,6 +239,8 @@ def main() -> None:
         "passes": 2,
         "memoized": sorted(MEMOIZED & set(timings)),
         "memo_build_sec": memo_build_sec,
+        # stdout carries the top-10 warm-median slice (byte budget);
+        # the full top-50 map is in BENCH_SIDECAR.json
         # headline + memo in one number for round-over-round
         # comparisons against pre-r11 totals that carried the memo
         # builds in-band (ADVICE r11 #5)
@@ -222,7 +250,7 @@ def main() -> None:
         # can discount drift without a worktree rebuild (r11 ask #8)
         "loadavg": [round(x, 2) for x in os.getloadavg()],
         "queries_cs": q_cs,
-        "warm_medians_cs": warm_medians,
+        "warm_medians_cs": {n: warm_medians[n] for n in heavy[:10]},
         "throughput": throughput,
     }
     line = json.dumps(payload, separators=(",", ":"))
