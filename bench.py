@@ -210,10 +210,12 @@ def main() -> None:
     # the per-entry history that flags a single-entry regression
     # (e.g. the r13 prefix-join doubling) without a worktree rebuild.
     # stdout keeps only the top-10 slice under its 2,000 B cap.
+    # Default lands next to the progress log (NOT the repo — a test
+    # or ad-hoc run must never clobber the committed round record);
+    # the round's isolated bench sets SPARK_GRAFT_BENCH_SIDECAR to
+    # the repo's BENCH_SIDECAR_r{N}.json and commits it.
     sidecar_path = os.environ.get(
-        "SPARK_GRAFT_BENCH_SIDECAR",
-        os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                     "BENCH_SIDECAR.json"),
+        "SPARK_GRAFT_BENCH_SIDECAR", progress_path + ".sidecar.json"
     )
     with open(sidecar_path, "w") as f:
         json.dump({

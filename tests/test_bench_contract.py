@@ -14,8 +14,10 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def test_bench_emits_valid_contract_json():
-    env = dict(os.environ, SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001")
+def test_bench_emits_valid_contract_json(tmp_path):
+    sidecar = str(tmp_path / "sidecar.json")
+    env = dict(os.environ, SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
+               SPARK_GRAFT_BENCH_SIDECAR=sidecar)
     proc = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
         capture_output=True,
@@ -81,9 +83,18 @@ def test_bench_emits_valid_contract_json():
     if "memoized" in doc:
         assert set(doc["memoized"]) == {
             "dedup_minhash_lsh", "dedup_cc_clusters", "dedup_cc_survivors",
-            "dedup_quality_survivors", "bpe_train_merges",
+            "dedup_quality_survivors", "dedup_edit_distance",
+            "bpe_train_merges",
             "bpe_train_merges_local", "wordpiece_train_scores",
         }
+    # round-14: full top-50 warm medians live in the SIDECAR file
+    # (stdout keeps the top-10 slice under its byte cap), keyed by
+    # the same order_md5 so drift is detectable
+    with open(sidecar) as f:
+        sc = json.load(f)
+    assert sc["order_md5"] == doc["order_md5"]
+    assert len(sc["warm_medians_cs"]) == min(50, len(names))
+    assert set(wm).issubset(sc["warm_medians_cs"])
     # round-12 fields: headline+memo in one number and ambient load
     if "total_with_memo_sec" in doc:
         assert abs(doc["total_with_memo_sec"]
