@@ -23,7 +23,11 @@ def test_bench_emits_valid_contract_json(tmp_path):
         capture_output=True,
         text=True,
         env=env,
-        timeout=900,  # two full positional passes since round 9
+        # two full positional passes (round 9) + top-50 warm medians
+        # (round 14) take ~12.5 min standalone at sf0.001 — and the
+        # certification recipe runs this suite CONCURRENTLY with the
+        # parity sweeps, so allow for a loaded box
+        timeout=2400,
         cwd=REPO,
     )
     assert proc.returncode == 0, proc.stderr[-2000:]
