@@ -44,6 +44,7 @@ from postgres_opensearch_cdc_spark.queries import (
     training_pipeline8,
     training_pipeline9,
     training_pipeline10,
+    training_pipeline11,
     windows_pivot,
 )
 
@@ -67,6 +68,7 @@ _MODULES = [
     training_pipeline8,
     training_pipeline9,
     training_pipeline10,
+    training_pipeline11,
     hybrid,
     timeseries,
     timeseries2,
@@ -99,12 +101,16 @@ _MODULES = [
 # _HAND_STAGED = how many leading window rows are this round's
 # hand-chosen new/changed block; everything after them through row 50
 # must be the staleness tool's output.
-_HAND_STAGED = 4
+_HAND_STAGED = 8
 _PRIORITY = [
     # (a) NEW this round (round 14) — never driver-checked
     "sketch_hll_production",      # p=14 through the oracle gate
     "dedup_edit_distance",        # levenshtein re-score of LSH pairs
     "dedup_containment_join",     # asymmetric prefix filter, exact
+    "embedding_gram_matrix",      # Arrow-partial X^T X
+    "embedding_pca_power",        # unrolled power iteration oracle
+    "text_novelty_ngram",         # corpus-df novelty / boilerplate
+    "cooc_pmi_topk",              # doc-level co-occurrence PMI
     # (b) implementation changed this round — re-certify
     "dedup_prefix_filter_join",   # array-intersect verify rewrite
     # (c) latest green row is r5 — the block the r13 hand-count lost
@@ -126,14 +132,12 @@ _PRIORITY = [
     "dsl_should_hits", "dsl_date_histogram", "dsl_value_histogram",
     "dsl_range_buckets", "dsl_filters_named", "dsl_nested_day_type",
     "dsl_top_hits_by_type", "dsl_composite_after", "dsl_knn_query",
-    "dsl_search_after", "dsl_range_metrics", "dsl_week_histogram",
-    "dsl_terms_ordered",
 ]
 
-# Window accounting: (a)=3, (b)=1, (c)=4, (d)=12, (e)=30 — exactly 50.
+# Window accounting: (a)=7, (b)=1, (c)=4, (d)=12, (e)=26 — exactly 50.
 # The round-15 queue continues from tools/staleness.py output after
 # these 50 land in CORRECTNESS_r14 (next up: the remaining r7-era
-# rows, qs_term_conjunction onward).
+# rows, dsl_search_after onward).
 
 
 def entry(spark: SparkSession) -> DataFrame:
