@@ -45,6 +45,7 @@ from postgres_opensearch_cdc_spark.queries import (
     training_pipeline9,
     training_pipeline10,
     training_pipeline11,
+    training_pipeline12,
     windows_pivot,
 )
 
@@ -69,6 +70,7 @@ _MODULES = [
     training_pipeline9,
     training_pipeline10,
     training_pipeline11,
+    training_pipeline12,
     hybrid,
     timeseries,
     timeseries2,
@@ -101,7 +103,7 @@ _MODULES = [
 # _HAND_STAGED = how many leading window rows are this round's
 # hand-chosen new/changed block; everything after them through row 50
 # must be the staleness tool's output.
-_HAND_STAGED = 8
+_HAND_STAGED = 11
 _PRIORITY = [
     # (a) NEW this round (round 14) — never driver-checked
     "sketch_hll_production",      # p=14 through the oracle gate
@@ -111,6 +113,9 @@ _PRIORITY = [
     "embedding_pca_power",        # unrolled power iteration oracle
     "text_novelty_ngram",         # corpus-df novelty / boilerplate
     "cooc_pmi_topk",              # doc-level co-occurrence PMI
+    "embedding_gram_stream",      # additive Gram store, stream≡batch
+    "feature_mi_label",           # MI feature selection
+    "dedup_lsh_recall_audit",     # measured LSH recall vs exact truth
     # (b) implementation changed this round — re-certify
     "dedup_prefix_filter_join",   # array-intersect verify rewrite
     # (c) latest green row is r5 — the block the r13 hand-count lost
@@ -131,13 +136,12 @@ _PRIORITY = [
     "ppl_eval_strings", "ppl_span_15m", "dsl_bool_filtered_terms",
     "dsl_should_hits", "dsl_date_histogram", "dsl_value_histogram",
     "dsl_range_buckets", "dsl_filters_named", "dsl_nested_day_type",
-    "dsl_top_hits_by_type", "dsl_composite_after", "dsl_knn_query",
 ]
 
-# Window accounting: (a)=7, (b)=1, (c)=4, (d)=12, (e)=26 — exactly 50.
+# Window accounting: (a)=10, (b)=1, (c)=4, (d)=12, (e)=23 — exactly 50.
 # The round-15 queue continues from tools/staleness.py output after
 # these 50 land in CORRECTNESS_r14 (next up: the remaining r7-era
-# rows, dsl_search_after onward).
+# rows, dsl_top_hits_by_type onward).
 
 
 def entry(spark: SparkSession) -> DataFrame:

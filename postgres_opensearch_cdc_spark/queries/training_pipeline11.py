@@ -75,7 +75,9 @@ PMI_TOP_K = 50
 # ---------------------------------------------------------------------------
 
 
-def gram_upper(emb: DataFrame, dim: int = EMB_DIM) -> DataFrame:
+def gram_upper(
+    emb: DataFrame, dim: int = EMB_DIM, vec_col: str = "embedding"
+) -> DataFrame:
     """Upper-triangle Gram entries (i <= j) of the embedding corpus:
     G[i,j] = Σ_rows v_i · v_j, computed as per-partition numpy
     X^T X partials merged by a fixed-size groupBy.
@@ -109,7 +111,7 @@ def gram_upper(emb: DataFrame, dim: int = EMB_DIM) -> DataFrame:
             )
 
     vecs = emb.select(
-        F.transform("embedding", lambda x: x.cast("double")).alias("v")
+        F.transform(vec_col, lambda x: x.cast("double")).alias("v")
     )
     return (
         vecs.mapInPandas(partial, "i int, j int, partial double")
