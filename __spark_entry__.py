@@ -93,7 +93,7 @@ _MODULES = [
 # round-13 verdict #1): blocks (a)/(b) below are this round's
 # new/changed entries, and everything after them is the verbatim
 # output of
-#   python3 tools/staleness.py --emit 46 --exclude <a+b names>
+#   python3 tools/staleness.py --emit (50 - _HAND_STAGED) --exclude <a+b names>
 # which unions every CORRECTNESS_r*.json and stages entries by their
 # LATEST fully-green driver round, oldest first, ties in current
 # driver order.  Re-running that command against the committed
@@ -127,7 +127,7 @@ _PRIORITY = [
     "eql_sequence", "funnel_steps", "change_point_cusum",
     "top_supplier_revenue", "profit_by_nation_year",
     "waiting_suppliers", "set_ops_nations",
-    # (e) oldest r7-era rows, current driver order (first 30)
+    # (e) oldest r7-era rows, current driver order (first 23)
     "ppl_where_stats", "ppl_top_sources", "ppl_rare_langs",
     "ppl_eval_fields", "ppl_dedup_rename", "ppl_parse_stats",
     "ppl_span_histogram", "ppl_eventstats_share",

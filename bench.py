@@ -219,7 +219,7 @@ def main() -> None:
     )
     with open(sidecar_path, "w") as f:
         json.dump({
-            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            "sf": sf_val,
             "order_md5": order_md5,
             "n_queries": len(q_names),
             "loadavg": [round(x, 2) for x in os.getloadavg()],

@@ -145,6 +145,70 @@ def shingle_arrays(
     )
 
 
+def prefix_index(
+    docs: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> tuple[DataFrame, DataFrame]:
+    """Shared substrate of the exact set-similarity joins (the
+    symmetric prefix-filter Jaccard join, the asymmetric containment
+    join, and the hot-shingle profiling harness): per-document
+    shingles globally ranked by (document frequency asc, shingle).
+
+    Returns ``(pos, arrs)``:
+
+    - ``pos``:  one row per (document, shingle) — ``(doc_id, rk,
+      pos, n)`` where ``rk`` is the global rarity rank, ``pos`` the
+      1-based rank order within the document, ``n`` the document's
+      distinct-shingle count. Each join derives its own prefix
+      cutoff from ``pos``/``n`` (the cutoff formula is the ONLY part
+      that differs between the Jaccard and containment variants).
+    - ``arrs``: ``(doc_id, rks)`` — the per-document sorted rank
+      array, the verify payload (int-dense, document-bounded; the
+      codegen'd ``array_intersect`` settles candidates exactly —
+      SCALE §25).
+
+    Scale shape: the vocabulary-sized (df, sh) rank runs through the
+    distributed two-phase construction (ranking.with_global_rank —
+    one range shuffle + partition-parallel windows, never a
+    single-task global window, round-12 verdict #1) and is pinned
+    (localCheckpoint) so the prefix pipeline and the verify arrays
+    share one run; ``arrs`` folds out of ``pos``'s own doc_id
+    partitioning instead of re-joining the shingle relation."""
+    from pyspark.sql import Window
+
+    from postgres_opensearch_cdc_spark.functions.ranking import (
+        with_global_rank,
+    )
+
+    sh = (
+        word_shingles(docs, text_col, id_col, n=n)
+        .withColumnRenamed("id", "doc_id")
+        .withColumnRenamed("shingle", "sh")
+        .localCheckpoint(eager=True)
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    dfreq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    ranked, _ = with_global_rank(dfreq, ["df", "sh"], "rk")
+    ranked = ranked.select("sh", "rk").localCheckpoint(eager=True)
+    pos = (
+        sh.join(ranked, "sh")
+        .withColumn(
+            "pos",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy("rk")
+            ),
+        )
+        .join(sizes, "doc_id")
+        .select("doc_id", "rk", "pos", "n")
+    )
+    arrs = pos.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("rk")).alias("rks")
+    )
+    return pos, arrs
+
+
 def minhash_signatures_from_arrays(
     arrays: DataFrame, num_hashes: int = 32, seed: int = 42, hasher: str = "xxhash64"
 ) -> DataFrame:

@@ -49,7 +49,7 @@ def hll_params(p: int) -> tuple[int, int, int, float]:
 HLL_M, HLL_SUFFIX_BITS, HLL_RHO_MAX, HLL_ALPHA = hll_params(HLL_P)
 
 
-def hll_registers(values: DataFrame, group_col: str = "source",
+def hll_registers(values: DataFrame, group_col: str | None = None,
                   value_col: str = "w",
                   group_cols: list[str] | None = None,
                   p: int = HLL_P) -> DataFrame:
@@ -67,14 +67,19 @@ def hll_registers(values: DataFrame, group_col: str = "source",
     ``p`` is the register precision (default the test size HLL_P;
     production 14 — see hll_params for the any-p int64 bound).
 
-    ``group_col`` and ``group_cols`` are mutually exclusive: passing
-    a non-default ``group_col`` alongside ``group_cols`` raises (the
-    list would silently win otherwise — an API footgun)."""
-    if group_cols is not None and group_col != "source":
+    ``group_col`` and ``group_cols`` are mutually exclusive: ANY
+    explicitly-passed combination raises (the None sentinel — rather
+    than a "source" default — means even group_col="source" alongside
+    group_cols is caught; the list silently winning was the API
+    footgun). ``group_col`` defaults to "source" when neither is
+    given."""
+    if group_cols is not None and group_col is not None:
         raise ValueError(
             "pass either group_col or group_cols, not both "
             f"(got group_col={group_col!r} and group_cols={group_cols!r})"
         )
+    if group_col is None and group_cols is None:
+        group_col = "source"
     _, suffix_bits, rho_max, _ = hll_params(p)
     h = hash60(F.col(value_col))
     suffix = h % F.lit(1 << suffix_bits)

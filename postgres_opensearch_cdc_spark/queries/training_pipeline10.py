@@ -183,32 +183,12 @@ def dedup_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     test. Scale: the prefix side is ~(1−t)·|a| RARE tokens per doc, so
     inverted-index list lengths stay short; candidates, not pairs,
     bound every downstream stage."""
-    from postgres_opensearch_cdc_spark.functions.dedup import word_shingles
-    from postgres_opensearch_cdc_spark.functions.ranking import (
-        with_global_rank,
-    )
+    from postgres_opensearch_cdc_spark.functions.dedup import prefix_index
 
     docs = load_table(spark, sf_dir, "documents")
-    sh = (
-        word_shingles(docs, "text", "doc_id", n=CONT_N)
-        .withColumnRenamed("id", "doc_id")
-        .withColumnRenamed("shingle", "sh")
-        .localCheckpoint(eager=True)
-    )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    dfreq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
-    ranked, _ = with_global_rank(dfreq, ["df", "sh"], "rk")
-    ranked = ranked.select("sh", "rk").localCheckpoint(eager=True)
-    pos = (
-        sh.join(ranked, "sh")
-        .withColumn(
-            "pos",
-            F.row_number().over(
-                Window.partitionBy("doc_id").orderBy("rk")
-            ),
-        )
-        .join(sizes, "doc_id")
-    )
+    # shared substrate with the symmetric prefix-filter join — only
+    # the cutoff formula below differs (functions/dedup.prefix_index)
+    pos, arrs = prefix_index(docs, n=CONT_N)
     need = F.ceil(F.lit(CONT_T) * F.col("n"))  # exact: t = 3/4
     prefix = pos.filter(F.col("pos") <= F.col("n") - need + 1).select(
         F.col("doc_id").alias("ia"),
@@ -239,9 +219,6 @@ def dedup_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                 >= need_a
             )
         )
-    )
-    arrs = sh.join(ranked, "sh").groupBy("doc_id").agg(
-        F.sort_array(F.collect_list("rk")).alias("rks")
     )
     verified = (
         cand.join(
@@ -337,7 +314,10 @@ _HLL_PROD_SQL = f"""
 
 
 def _edit_sql() -> str:
-    # deferred import keeps module import acyclic at load time
+    # NOTE: called during ORACLE construction below, so extensions IS
+    # imported at this module's import time — the function-local
+    # import only keeps the top-level dependency list honest about
+    # what the Spark builders need; it does NOT defer the load
     from postgres_opensearch_cdc_spark.queries.extensions import (
         MINHASH_PAIRS_CTES,
     )

@@ -254,6 +254,10 @@ def cooc_pmi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("w"),
         )
         .filter(F.length("w") > 0)
+        # four consumers below (total, dfreq, both join sides):
+        # Catalyst does not share the branches, so pin the exploded
+        # projection once instead of re-scanning the corpus 4×
+        .localCheckpoint(eager=True)
     )
     n_docs = words.select(
         F.countDistinct("doc_id").alias("n_corpus")
@@ -279,9 +283,13 @@ def cooc_pmi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .crossJoin(F.broadcast(n_docs))
     )
+    # cast each count to double BEFORE multiplying: int64 products
+    # wrap silently past 2^63 at corpus scale (the overflow class the
+    # r13 zipf fix closed); double products round identically in both
+    # engines and are exact below 2^53
     pmi = F.log(
-        (F.col("c_ab") * F.col("n_corpus")).cast("double")
-        / (F.col("df_a") * F.col("df_b")).cast("double")
+        (F.col("c_ab").cast("double") * F.col("n_corpus").cast("double"))
+        / (F.col("df_a").cast("double") * F.col("df_b").cast("double"))
     )
     return (
         joined.select(
@@ -400,8 +408,9 @@ _PMI_SQL = f"""
         HAVING COUNT(*) >= {PMI_MIN_PAIRS}
     )
     SELECT p.wa, p.wb, p.c_ab, da.dfw AS df_a, db.dfw AS df_b,
-           ROUND(ln(CAST(p.c_ab * n.n_corpus AS DOUBLE)
-                    / CAST(da.dfw * db.dfw AS DOUBLE)), 6) AS pmi
+           ROUND(ln((CAST(p.c_ab AS DOUBLE) * CAST(n.n_corpus AS DOUBLE))
+                    / (CAST(da.dfw AS DOUBLE) * CAST(db.dfw AS DOUBLE))),
+                 6) AS pmi
     FROM pairs p
     CROSS JOIN n
     JOIN dfreq da ON da.w = p.wa

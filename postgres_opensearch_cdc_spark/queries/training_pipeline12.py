@@ -78,6 +78,11 @@ def embedding_gram_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     lo, hi = emb.agg(F.min("vec_id"), F.max("vec_id")).head()
+    if lo is None:
+        raise ValueError(
+            "embeddings table is empty — nothing to stream "
+            "(vec_id min/max are NULL)"
+        )
     mid = (lo + hi) // 2
     workdir = tempfile.mkdtemp(prefix="gram_stream_")
     src_dir = f"{workdir}/in"
@@ -164,12 +169,19 @@ def feature_mi_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def term(n_xy, n_x, n_y):
-        # (n_xy/N) * ln(N*n_xy / (n_x*n_y)); 0 when the cell is empty
+        # (n_xy/N) * ln(N*n_xy / (n_x*n_y)); 0 when the cell is empty.
+        # Counts are cast to double BEFORE multiplying: int64 products
+        # wrap silently past 2^63 at corpus scale (the overflow class
+        # the r13 zipf fix closed); double products round identically
+        # in both engines and are exact below 2^53.
         n = F.col("n_corpus")
         return F.when(
             n_xy > 0,
             (n_xy / n)
-            * F.log((n_xy * n).cast("double") / (n_x * n_y).cast("double")),
+            * F.log(
+                (n_xy.cast("double") * n.cast("double"))
+                / (n_x.cast("double") * n_y.cast("double"))
+            ),
         ).otherwise(F.lit(0.0))
 
     n = F.col("n_corpus")
@@ -255,7 +267,11 @@ QUERIES = {
 
 def _gram_stream_sql() -> str:
     # the stream must reproduce the BATCH Gram — same oracle as
-    # embedding_gram_matrix (deferred import keeps load order free)
+    # embedding_gram_matrix. NOTE: called during ORACLE construction
+    # below, so training_pipeline11 is imported at this module's
+    # import time anyway (it already is — see the top-level import);
+    # the function-local form just keeps the oracle's provenance
+    # adjacent to its reuse
     from postgres_opensearch_cdc_spark.queries.training_pipeline11 import (
         ORACLE as _P11_ORACLE,
     )
@@ -295,20 +311,24 @@ _MI_SQL = f"""
     SELECT w, n11, n10, n01, n00,
            ROUND(
                (CASE WHEN n11 > 0 THEN (n11 * 1.0 / n_corpus)
-                    * ln(CAST(n11 * n_corpus AS DOUBLE)
-                         / CAST(n1_ * n_label AS DOUBLE)) ELSE 0 END)
+                    * ln((CAST(n11 AS DOUBLE) * CAST(n_corpus AS DOUBLE))
+                         / (CAST(n1_ AS DOUBLE) * CAST(n_label AS DOUBLE)))
+                ELSE 0 END)
              + (CASE WHEN n10 > 0 THEN (n10 * 1.0 / n_corpus)
-                    * ln(CAST(n10 * n_corpus AS DOUBLE)
-                         / CAST(n1_ * (n_corpus - n_label) AS DOUBLE))
+                    * ln((CAST(n10 AS DOUBLE) * CAST(n_corpus AS DOUBLE))
+                         / (CAST(n1_ AS DOUBLE)
+                            * CAST(n_corpus - n_label AS DOUBLE)))
                 ELSE 0 END)
              + (CASE WHEN n01 > 0 THEN (n01 * 1.0 / n_corpus)
-                    * ln(CAST(n01 * n_corpus AS DOUBLE)
-                         / CAST((n_corpus - n1_) * n_label AS DOUBLE))
+                    * ln((CAST(n01 AS DOUBLE) * CAST(n_corpus AS DOUBLE))
+                         / (CAST(n_corpus - n1_ AS DOUBLE)
+                            * CAST(n_label AS DOUBLE)))
                 ELSE 0 END)
              + (CASE WHEN n00 > 0 THEN (n00 * 1.0 / n_corpus)
-                    * ln(CAST(n00 * n_corpus AS DOUBLE)
-                         / CAST((n_corpus - n1_) * (n_corpus - n_label)
-                                AS DOUBLE)) ELSE 0 END),
+                    * ln((CAST(n00 AS DOUBLE) * CAST(n_corpus AS DOUBLE))
+                         / (CAST(n_corpus - n1_ AS DOUBLE)
+                            * CAST(n_corpus - n_label AS DOUBLE)))
+                ELSE 0 END),
            6) AS mi
     FROM full_cells
     ORDER BY mi DESC, w

@@ -163,40 +163,15 @@ def dedup_prefix_filter_join(
     more than the one codegen'd intersection pass that settles the
     pair exactly (SCALE §25). "auto" (default) and "off" both skip
     it. All modes return identical results."""
-    from postgres_opensearch_cdc_spark.functions.dedup import word_shingles
-    from postgres_opensearch_cdc_spark.functions.ranking import (
-        with_global_rank,
-    )
+    from postgres_opensearch_cdc_spark.functions.dedup import prefix_index
 
     docs = load_table(spark, sf_dir, "documents")
-    sh = (
-        word_shingles(docs, "text", "doc_id", n=PF_N)
-        .withColumnRenamed("id", "doc_id")
-        .withColumnRenamed("shingle", "sh")
-        .localCheckpoint(eager=True)
-    )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    dfreq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
-    # the shingle vocabulary is CONTENT-derived — distinct 3-token
-    # shingles grow near-linearly with the corpus — so the global
-    # (df, sh) rank runs through the distributed two-phase
-    # construction (one range shuffle + partition-parallel windows),
-    # never a single-task global window (round-12 verdict #1)
-    ranked, _ = with_global_rank(dfreq, ["df", "sh"], "rk")
-    # vocabulary-sized (one row per distinct shingle); pinned so the
-    # prefix pipeline AND the verify-side rank arrays share one run
-    # of the range-shuffle rank instead of recomputing it
-    ranked = ranked.select("sh", "rk").localCheckpoint(eager=True)
-    pos = (
-        sh.join(ranked, "sh")
-        .withColumn(
-            "pos",
-            F.row_number().over(
-                Window.partitionBy("doc_id").orderBy("rk")
-            ),
-        )
-        .join(sizes, "doc_id")
-    )
+    # shared substrate: globally-ranked shingles + per-doc verify
+    # arrays (functions/dedup.prefix_index — also the containment
+    # join's and the hot-shingle harness's base; the rank runs
+    # through the distributed two-phase construction, round-12
+    # verdict #1, and is pinned so prefix and verify share one run)
+    pos, arrs = prefix_index(docs, n=PF_N)
     prefix = pos.filter(
         F.col("pos")
         <= F.col("n") - F.ceil(F.lit(PF_TAU) * F.col("n")) + 1
@@ -243,12 +218,10 @@ def dedup_prefix_filter_join(
             )
         )
     )
-    # per-document sorted rank arrays: the verify payload (int-dense
-    # shingle ids, document-bounded — the compact form of the same
-    # data the old verify shuffled as shingle STRINGS)
-    arrs = sh.join(ranked, "sh").groupBy("doc_id").agg(
-        F.sort_array(F.collect_list("rk")).alias("rks")
-    )
+    # arrs (from prefix_index) is the verify payload: per-document
+    # sorted rank arrays — int-dense shingle ids, document-bounded,
+    # the compact form of the same data the old verify shuffled as
+    # shingle STRINGS.
     # PPJoin+ depth-1 SUFFIX filter (round-12 verdict task 7), kept
     # result-neutral and test-pinned but OFF by default — the
     # round-14 profiling that was meant to size its adaptive gate

@@ -35,7 +35,12 @@ def test_bench_emits_valid_contract_json(tmp_path):
     assert len(lines) == 1, f"expected exactly one JSON line, got: {proc.stdout!r}"
     assert len(lines[0]) + 1 <= 2000, f"bench line {len(lines[0])}B exceeds driver cap"
     doc = json.loads(lines[0])
-    for key in ("metric", "value", "unit", "n_queries", "queries_cs", "sf"):
+    # queries_cs/warm_medians_cs are NOT in the mandatory set: they
+    # are the last victims of the documented byte-budget shedding
+    # below, and the surface has grown enough (367 entries) that a
+    # wide-timing run can legitimately shed them — their CONTENT is
+    # asserted only when present (r14 review finding)
+    for key in ("metric", "value", "unit", "n_queries", "sf"):
         assert key in doc
     assert doc["unit"] == "sec"
     assert doc["sf"] == 0.001
@@ -45,7 +50,7 @@ def test_bench_emits_valid_contract_json(tmp_path):
     import __spark_entry__ as entrymod
 
     names = list(entrymod.queries())
-    assert doc["n_queries"] == len(doc["queries_cs"]) == len(names)
+    assert doc["n_queries"] == len(names)
     # positional array is only decodable at this exact entry order —
     # the checksum pins it so a mid-round reorder can't silently
     # mis-attribute timings
@@ -54,8 +59,10 @@ def test_bench_emits_valid_contract_json(tmp_path):
     assert doc["order_md5"] == hashlib.md5(
         ",".join(names).encode()
     ).hexdigest()[:8]
-    failed = [n for n, cs in zip(names, doc["queries_cs"]) if cs < 0]
-    assert not failed, f"bench queries failed: {failed}"
+    if "queries_cs" in doc:
+        assert len(doc["queries_cs"]) == len(names)
+        failed = [n for n, cs in zip(names, doc["queries_cs"]) if cs < 0]
+        assert not failed, f"bench queries failed: {failed}"
     tp = doc["throughput"]
     assert tp["backfill_rows_per_sec"] > 0
     assert tp["stream_upsert_events_per_sec"] > 0
@@ -63,10 +70,12 @@ def test_bench_emits_valid_contract_json(tmp_path):
     # buckets (the scale claim the metric exists to evidence)
     assert tp["partitioned_merge_range_batch_sec"] > 0
     assert 1 <= tp["range_touched_buckets"] <= 4, tp["range_touched_buckets"]
-    # isolated warm medians for the 10 heaviest entries
-    wm = doc["warm_medians_cs"]
-    assert len(wm) == 10 and all(v >= 0 for v in wm.values())
-    assert set(wm) <= set(names) | {"approx_sketches"}
+    # isolated warm medians for the 10 heaviest entries (sheddable —
+    # see shed_order below; full top-50 always lands in the sidecar)
+    if "warm_medians_cs" in doc:
+        wm = doc["warm_medians_cs"]
+        assert len(wm) == 10 and all(v >= 0 for v in wm.values())
+        assert set(wm) <= set(names) | {"approx_sketches"}
     # noise immunity (round-9): per-entry min over 2 positional
     # passes. Session-memoized entries report memo-HIT times; their
     # shared cold build is pre-run and reported as memo_build_sec

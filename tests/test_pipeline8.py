@@ -152,7 +152,9 @@ def test_prefix_join_modes_agree_on_hot_shingle_corpus(spark, tmp_path):
     d = str(tmp_path / "hot")
     hs.make_corpus(spark, d, n_docs=240, block_k=48)
 
-    sh = hs.word_shingles(
+    from postgres_opensearch_cdc_spark.functions.dedup import word_shingles
+
+    sh = word_shingles(
         spark.read.parquet(f"{d}/documents.parquet"), "text", "doc_id",
         n=PF_N,
     )

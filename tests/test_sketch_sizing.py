@@ -154,7 +154,12 @@ def test_hll_registers_rejects_group_col_and_group_cols(spark):
                                "source string, domain string, w string")
     with pytest.raises(ValueError, match="not both"):
         hll_registers(df, group_col="domain", group_cols=["source"])
-    # each form alone still works
+    # the None-sentinel default means even group_col equal to the old
+    # "source" default is caught when combined with group_cols (the
+    # r14 review found the string default made that case undetectable)
+    with pytest.raises(ValueError, match="not both"):
+        hll_registers(df, group_col="source", group_cols=["domain"])
+    # each form alone still works, as does the bare default
     assert hll_registers(df, group_col="domain").columns == [
         "g", "bucket", "register"]
     assert hll_registers(df, group_cols=["source", "domain"]).columns == [

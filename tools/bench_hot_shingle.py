@@ -36,10 +36,9 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from pyspark.sql import Window, functions as F  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
 
-from postgres_opensearch_cdc_spark.functions.dedup import word_shingles  # noqa: E402
-from postgres_opensearch_cdc_spark.functions.ranking import with_global_rank  # noqa: E402
+from postgres_opensearch_cdc_spark.functions.dedup import prefix_index  # noqa: E402
 from postgres_opensearch_cdc_spark.queries.training_pipeline8 import (  # noqa: E402
     PF_N,
     PF_TAU,
@@ -93,23 +92,10 @@ def stage_counts(spark, sf_dir: str) -> dict:
     self-join → size+positional → fused depth-1 suffix) — counts
     only, mirroring training_pipeline8.dedup_prefix_filter_join."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    sh = (
-        word_shingles(docs, "text", "doc_id", n=PF_N)
-        .withColumnRenamed("id", "doc_id")
-        .withColumnRenamed("shingle", "sh")
-        .localCheckpoint(eager=True)
-    )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    dfreq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
-    ranked, _ = with_global_rank(dfreq, ["df", "sh"], "rk")
-    pos = (
-        sh.join(ranked.select("sh", "rk"), "sh")
-        .withColumn(
-            "pos",
-            F.row_number().over(Window.partitionBy("doc_id").orderBy("rk")),
-        )
-        .join(sizes, "doc_id")
-    )
+    # shared substrate (functions/dedup.prefix_index) — the harness
+    # measures the entry's real stages, so it must run the entry's
+    # real pipeline, not a drift-prone copy (r14 review)
+    pos, _arrs = prefix_index(docs, n=PF_N)
     prefix = pos.filter(
         F.col("pos") <= F.col("n") - F.ceil(F.lit(PF_TAU) * F.col("n")) + 1
     ).select("doc_id", "rk", "pos", "n")
@@ -137,9 +123,7 @@ def stage_counts(spark, sf_dir: str) -> dict:
         )
     ).localCheckpoint(eager=True)
     n_pos = cand.count()
-    arrs = pos.groupBy("doc_id").agg(
-        F.sort_array(F.collect_list("rk")).alias("rks")
-    )
+    arrs = _arrs
     suffixed = (
         cand.join(arrs.select(F.col("doc_id").alias("ia"),
                               F.col("rks").alias("a_rks")), "ia")
