@@ -332,7 +332,7 @@ def analyzer_custom_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     terms = list(dict.fromkeys(
         analyze_text(_CHAIN_QUERY, _CHAIN_TOKENIZER, _CHAIN_FILTERS)
     ))
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", spread=True)
     arr = analyze_col(F.col("text"), _CHAIN_TOKENIZER, _CHAIN_FILTERS)
     def _eq(term):
         # single-arg factory: a two-parameter lambda would make the HOF
@@ -357,7 +357,7 @@ def analyzer_edge_ngram_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokens starting with the prefix, per document."""
     from postgres_opensearch_cdc_spark.functions.analysis import analyze_col
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", spread=True)
     arr = analyze_col(F.col("text"), "whitespace", _EDGE_FILTERS)
     hits = F.size(F.filter(arr, lambda g: g == _EDGE_PREFIX))
     return (

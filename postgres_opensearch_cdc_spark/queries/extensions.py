@@ -167,7 +167,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     from postgres_opensearch_cdc_spark.functions.similarity import pairwise_topk_by_label  # noqa: F401
     from postgres_opensearch_cdc_spark.functions.similarity import _as_double, dot, l2_norm
 
-    vecs = load_table(spark, sf_dir, "embeddings")
+    vecs = load_table(spark, sf_dir, "embeddings", spread=True)
     # per-vector norm computed once before the pair join: the verify
     # folds one dot per pair, not dot + two norms
     sized = vecs.select(
@@ -254,7 +254,7 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     production trainer (same contract as ann_ivf_topk's note)."""
     from postgres_opensearch_cdc_spark.functions.similarity import pq_adc_topk
 
-    vecs = load_table(spark, sf_dir, "embeddings")
+    vecs = load_table(spark, sf_dir, "embeddings", spread=True)
     q, codebook = _pq_frozen_codebook(vecs)
     return pq_adc_topk(vecs.filter(F.col("vec_id") != 0), q, codebook, k=10)
 
@@ -528,7 +528,7 @@ def ann_pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         pq_adc_topk,
     )
 
-    vecs = load_table(spark, sf_dir, "embeddings")
+    vecs = load_table(spark, sf_dir, "embeddings", spread=True)
     q, codebook = _pq_frozen_codebook(vecs)
     corpus = vecs.filter(F.col("vec_id") != 0)
     cands = pq_adc_topk(corpus, q, codebook, k=_PQ_RERANK_CAND).select("vec_id")

@@ -77,7 +77,7 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     before the shuffle: fixed width beats raw n-gram strings."""
     from postgres_opensearch_cdc_spark.queries.training_pipeline import _ngrams
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", spread=True)
     grams = _ngrams(textfn.tokens(F.col("text")), OVERLAP_N)
     src_grams = (
         docs.select("source", F.explode(grams).alias("gram"))
@@ -189,7 +189,7 @@ def quality_linear_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     codegen expressions, then two keyed partial aggs (doc, then
     source). At 100 TB swap the md5 weights for a broadcast K-row
     weight table; the plan is otherwise unchanged."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", spread=True)
     toks = docs.select(
         "doc_id", "source",
         F.explode(textfn.tokens(F.col("text"))).alias("tok"),
@@ -353,7 +353,7 @@ def bpe_apply_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     merges never cross word boundaries) and count BPE tokens per doc
     — the sequence-length accounting a packing/budget stage runs on.
     One corpus scan, everything in scan-stage expressions."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", spread=True)
     out = bpe_token_counts(
         docs, "text", "doc_id", _bpe_merges(spark, sf_dir)
     )

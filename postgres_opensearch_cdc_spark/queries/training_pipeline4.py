@@ -341,7 +341,7 @@ def quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts roll up map-side. The per-token dominance probe is
     O(distinct x tokens) within one short document — production runs
     the same rule via explode + count when docs are long."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", spread=True)
     flags = gopher_flags(textfn.tokens(F.col("text")))
     f_wc, f_mwl, f_ttr, f_dom = (
         flags["f_wc"], flags["f_mwl"], flags["f_ttr"], flags["f_dom"]
@@ -382,7 +382,7 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle); the entropy fold sums its 28 terms in a fixed literal
     order, so both engines evaluate the identical expression tree.
     Output rounds to 4 dp (cross-engine log noise is ~1e-13)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", spread=True)
     txt = F.lower(F.col("text"))
     length = F.length(txt)
     counts = [
@@ -494,7 +494,7 @@ def dsir_importance_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum — linear, no doc ever compared to another. Scores are emitted
     (rounded), NOT thresholded: selection policy stays downstream, and
     the oracle match is decision-free."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", spread=True)
     toks = docs.select(
         "doc_id",
         F.col("lang"),
@@ -562,7 +562,7 @@ def contamination_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     keeps the verify linear. Output: one row per eval vector with its
     neighbor count and max similarity."""
     cents = _sem_centroids(spark, sf_dir)
-    vecs = load_table(spark, sf_dir, "embeddings").select(
+    vecs = load_table(spark, sf_dir, "embeddings", spread=True).select(
         "vec_id", _as_double(F.col("embedding")).alias("v")
     )
     cl, _dsq = assign_nearest(F.col("v"), cents)

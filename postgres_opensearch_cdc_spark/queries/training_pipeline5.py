@@ -221,7 +221,7 @@ def fingerprint_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     functions/dedup.py), keeping the join output linear in corpus
     size. Docs shorter than {WIN_K} tokens have no grams and drop
     out, matching the oracle."""
-    return winnow_shared_pairs(load_table(spark, sf_dir, "documents"))
+    return winnow_shared_pairs(load_table(spark, sf_dir, "documents", spread=True))
 
 
 def winnow_shared_pairs(docs: DataFrame) -> DataFrame:
@@ -385,7 +385,10 @@ def contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         _toks,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    # spread=True: the whole cost of this entry is scan-stage compute
+    # (tokenize → n-gram explode → md5 → distinct) over an unsplittable
+    # local fixture; see registry.spread_scan (no-op on well-split input)
+    docs = load_table(spark, sf_dir, "documents", spread=True)
 
     def grams(side: DataFrame) -> DataFrame:
         return side.select(
@@ -414,38 +417,104 @@ def contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("gram_h")
         .distinct()
     )
-    bloom = bits(bench_grams).select("bit").distinct()
+    # The filter travels as the VALUE it is — a packed bitmap — not as
+    # a joined table of set bit positions (guide §3.2: broadcast the
+    # bloom, don't shuffle against it): fold the build side's bits
+    # into BLOOM_M/64 int64 words with bit_or (driver exchange is the
+    # fixed BLOOM_M/64 rows — the same bounded-constant shape as the
+    # MIPS max-norm row), embed the words as ONE array literal, and
+    # probe with K in-scan element_at/shiftright lookups per gram.
+    # This removes the xK probe-row explosion, the broadcast-join and
+    # the (doc_id, gram_h) count==K re-aggregation shuffle the joined
+    # form paid; membership semantics are bit-identical (count==K over
+    # duplicate-bit rows == all-K-bits-set).
+    # The packed bitmap stays INSIDE Spark as a broadcast one-row array
+    # (not a driver collect folded into literals: a 1024-element array
+    # literal repeated once per hash made Catalyst re-analyze a
+    # multi-thousand-node plan on every invocation — ~2 s of pure
+    # driver-side planning). The dense word array is built by the same
+    # bit_or aggregation, pivoted to a map and expanded over
+    # sequence(0, M/64-1); it broadcasts as ONE row.
+    word_map = (
+        bits(bench_grams)
+        .select(
+            F.shiftright(F.col("bit"), 6).alias("w"),
+            F.call_function(
+                "shiftleft", F.lit(1).cast("long"), (F.col("bit") % 64).cast("int")
+            ).alias("m"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("m").alias("word"))
+        .groupBy()
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("w", "word"))
+            ).alias("wm")
+        )
+        .select(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(BLOOM_M // 64 - 1)),
+                lambda i: F.coalesce(
+                    F.element_at(F.col("wm"), i), F.lit(0).cast("long")
+                ),
+            ).alias("_bloom_words")
+        )
+    )
+
+    def bit_set(bit):
+        word = F.element_at(
+            F.col("_bloom_words"), F.shiftright(bit, 6).cast("int") + 1
+        )
+        return (
+            F.call_function(
+                "shiftright", word, (bit % 64).cast("int")
+            ).bitwiseAND(F.lit(1))
+            == 1
+        )
+
     corpus = (
         grams(docs.filter(F.col("doc_id") >= BENCHMARK_MAX_DOC_ID))
         .distinct()
     )
-    hits = (
-        bits(corpus)
-        .join(F.broadcast(bloom), "bit")
-        .groupBy("doc_id", "gram_h")
-        .agg(F.count(F.lit(1)).alias("nb"))
-        .filter(F.col("nb") == BLOOM_K)
-    )
-    n_bloom = hits.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_bloom")
-    )
-    n_exact = (
-        corpus.join(F.broadcast(bench_grams), "gram_h")
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_exact"))
-    )
+    hit = None
+    for i in range(BLOOM_K):
+        b = bit_set(
+            F.pmod(hash60(F.col("gram_h"), salt=BLOOM_SALT + i), F.lit(BLOOM_M))
+        )
+        hit = b if hit is None else (hit & b)
+    # ONE pass over the corpus gram pipeline computes BOTH counters
+    # (guide §2.4 — the previous shape ran the tokenize→n-gram→md5→
+    # distinct pipeline twice, once per counter, plus a doc_id join to
+    # stitch them): broadcast-left-join the exact bench set (row-
+    # preserving — bench_grams is distinct on gram_h), then aggregate
+    # the bloom-probe indicator and the exact-match indicator together.
+    # The probe lives INSIDE the aggregate (sum-of-indicator), not as a
+    # filter: a filter on the grouping columns would be pushed BELOW
+    # the distinct and re-evaluate the K-hash probe on every duplicate
+    # gram occurrence instead of once per distinct gram. n_bloom > 0
+    # keeps identical rows to the old two-leg form because bloom
+    # membership is a superset of exact membership (no false
+    # negatives), so every doc with n_exact > 0 also has n_bloom > 0.
     return (
-        n_bloom.join(n_exact, "doc_id", "left")
+        corpus.join(
+            F.broadcast(bench_grams.withColumn("_exact", F.lit(1))),
+            "gram_h",
+            "left",
+        )
+        .crossJoin(F.broadcast(word_map))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.when(hit, 1).otherwise(0)).alias("n_bloom"),
+            F.sum(
+                F.coalesce(F.col("_exact").cast("long"), F.lit(0))
+            ).alias("n_exact"),
+        )
+        .filter(F.col("n_bloom") > 0)
         .select(
             "doc_id",
             "n_bloom",
-            F.coalesce(F.col("n_exact"), F.lit(0).cast("long")).alias(
-                "n_exact"
-            ),
-            (
-                F.col("n_bloom")
-                - F.coalesce(F.col("n_exact"), F.lit(0).cast("long"))
-            ).alias("fp_grams"),
+            "n_exact",
+            (F.col("n_bloom") - F.col("n_exact")).alias("fp_grams"),
         )
         .orderBy("doc_id")
     )
@@ -570,7 +639,7 @@ def sketch_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial-then-final shape Spark's HLL uses, relational.py
     approx_sketches). The top-k side is vocabulary-bounded; the
     estimate join broadcasts {CM_TOPK}x{CM_DEPTH} rows."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", spread=True)
     words = docs.select(
         F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("w")
     ).filter(F.length("w") > 0)
@@ -653,7 +722,7 @@ def chunk_content_defined(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan — the mask-only rule keeps chunking embarrassingly parallel
     at the cost of occasional tiny chunks (measured: mean chunk
     ~= CDC_MASK tokens)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", spread=True)
     chunks = cdc_chunks(docs)
     per_chunk = chunks.groupBy("source", "chunk").agg(
         F.count(F.lit(1)).alias("c"),

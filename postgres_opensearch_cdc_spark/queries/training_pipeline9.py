@@ -443,7 +443,7 @@ def quality_label_agreement_kappa(spark: SparkSession,
         gopher_flags,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", spread=True)
     flags = gopher_flags(textfn.tokens(F.col("text")))
     a = (
         ~(

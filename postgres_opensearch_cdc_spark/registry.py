@@ -199,11 +199,76 @@ def _events_ts_is_nanos(path: str) -> bool:
     return cached
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def _scan_splits(path: str, max_partition_bytes: int) -> int:
+    """How many input splits a parquet scan of ``path`` yields, from the
+    filesystem alone (no Spark job): files are split at
+    ``maxPartitionBytes`` boundaries, so a directory contributes at
+    least one split per file."""
+    import math
+    import os
+
+    try:
+        if os.path.isfile(path):
+            sizes = [os.path.getsize(path)]
+        else:
+            sizes = [
+                e.stat().st_size
+                for e in os.scandir(path)
+                if e.is_file() and not e.name.startswith(("_", "."))
+            ]
+    except OSError:
+        return 1 << 30  # unknown layout: assume wide, never repartition
+    return max(1, sum(
+        max(1, math.ceil(s / max_partition_bytes)) for s in sizes
+    ))
+
+
+def spread_scan(spark: SparkSession, df: DataFrame, path: str) -> DataFrame:
+    """Round-robin repartition a scan that would otherwise
+    under-parallelize — the optimization guide's §2.5 fix for "one huge
+    unsplittable file": the sandbox fixtures are single-row-group
+    parquet files, so every scan stage is ONE task and all scan-stage
+    compute (tokenization, n-gram transforms, hashing — the surface's
+    deliberately scan-heavy design) runs on one core of local[N].
+
+    Scale-adaptive, not a local[32] constant: the repartition fires
+    only when the source's split count is below the session's
+    parallelism. At 100 TB the input is thousands of splits, the guard
+    is false, and the call is a no-op — exactly the behavior a real
+    cluster wants (repartitioning well-split input would only add a
+    shuffle). Value-neutral: round-robin repartition preserves rows
+    (sortBeforeRepartition keeps the assignment deterministic), and
+    filters/pruning still push through the Repartition node."""
+    par = spark.sparkContext.defaultParallelism
+    if par <= 1:
+        return df
+    mpb_raw = str(
+        spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
+    ).lower().rstrip("b")
+    try:
+        mpb = int(mpb_raw)
+    except ValueError:
+        mpb = 134217728
+    if _scan_splits(path, mpb) >= par:
+        return df
+    return df.repartition(par)
+
+
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, spread: bool = False
+) -> DataFrame:
     """Read one testdata table. Explicit schema keeps the scan prunable and
     skips footer-based inference on wide datasets; at 100 TB the same call
     points at a partitioned parquet root and Catalyst handles partition
-    pruning from any date/key predicate above it."""
+    pruning from any date/key predicate above it.
+
+    ``spread=True`` marks a COMPUTE-HEAVY consumer (tokenization /
+    n-gram / hashing pipelines): it routes through ``spread_scan`` so an
+    unsplittable local fixture still uses every core; on well-split
+    production input it is a no-op (see spread_scan)."""
+    import os as _os
+    if _os.environ.get("SPARK_GRAFT_FORCE_SPREAD") == "1":  # experiment hook
+        spread = True
     schema = TESTDATA_SCHEMAS.get(name)
     path = f"{sf_dir}/{name}.parquet"
     if name == "events" and _events_ts_is_nanos(path):
@@ -223,11 +288,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             ]
         )
         df = spark.read.schema(nanos_schema).parquet(path)
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return spread_scan(spark, df, path) if spread else df
     reader = spark.read
     if schema is not None:
         reader = reader.schema(schema)
-    return reader.parquet(path)
+    df = reader.parquet(path)
+    return spread_scan(spark, df, path) if spread else df
 
 
 def register_views(spark: SparkSession, sf_dir: str, tables: list[str] | None = None) -> None:

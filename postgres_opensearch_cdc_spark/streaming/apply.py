@@ -59,10 +59,22 @@ class MirrorSink:
     op_col: str = "op"
     batches_applied: int = field(default=0)
 
+    def _heal_swap(self) -> None:
+        """Recover an interrupted write-swap: a crash between the two
+        renames leaves the previous mirror at ``<path>.old`` and no
+        current mirror — restore it (the batch replays idempotently)."""
+        old = self.path + ".old"
+        if not os.path.exists(
+            os.path.join(self.path, "_SUCCESS")
+        ) and os.path.exists(os.path.join(old, "_SUCCESS")):
+            os.rename(old, self.path)
+
     def exists(self) -> bool:
+        self._heal_swap()
         return os.path.exists(os.path.join(self.path, "_SUCCESS"))
 
     def read(self, spark: SparkSession) -> DataFrame:
+        self._heal_swap()
         return spark.read.parquet(self.path)
 
     def apply_batch(self, batch: DataFrame, batch_id: int,
@@ -118,9 +130,23 @@ class MirrorSink:
             .filter((F.col("_rn") == 1) & (F.col(self.op_col) != OP_DELETE))
             .drop("_rn", "_pri")
         )
-        # localCheckpoint materializes before overwrite (reading and
-        # overwriting the same path in one plan is unsafe).
-        merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(self.path)
+        # ONE job instead of two: write to a sibling tmp dir (the plan
+        # still reads the current mirror lazily — different path, so no
+        # read-overwrite hazard and no localCheckpoint materialization
+        # pass), then swap directories. Crash-safety is strictly better
+        # than overwrite-in-place: the old mirror stays intact until
+        # the new one is fully written, and _heal_swap restores it if
+        # the process dies between the two renames.
+        import shutil
+
+        tmp, old = self.path + ".tmpw", self.path + ".old"
+        shutil.rmtree(tmp, ignore_errors=True)
+        merged.write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(old, ignore_errors=True)
+        if os.path.exists(self.path):
+            os.rename(self.path, old)
+        os.rename(tmp, self.path)
+        shutil.rmtree(old, ignore_errors=True)
         self.batches_applied += 1
 
 
@@ -269,86 +295,93 @@ class PartitionedMirrorSink:
             batch, self.key_cols, self.seq_cols, self.op_col
         )
         spark = batch.sparkSession
-        prior = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try:
-            batch = batch.withColumn("_bucket", self._bucket())
-            existed = self.exists()
-            touched: list = []
-            current = None
-            if existed:
-                touched = [
-                    r["_bucket"]
-                    for r in batch.select("_bucket").distinct().collect()
-                ]
-                # list only touched bucket DIRECTORIES (basePath keeps
-                # _bucket as a partition column) and read them with the
-                # sidecar schema — scan AND schema resolution are both
-                # O(|touched buckets|), no whole-mirror footer sweep.
-                # Buckets new in this batch have no directory yet and
-                # are skipped (nothing to merge).
-                touched_dirs = [
-                    p for b in touched
-                    if os.path.isdir(p := f"{self.path}/_bucket={b}")
-                ]
-                current = (
-                    self._reader(spark)
-                    .parquet(*touched_dirs)
-                    .filter(F.col("_bucket").isin(touched))
-                ) if touched_dirs else None
-            if current is not None:
-                as_changes = current.select(
-                    F.lit("u").alias(self.op_col),
-                    *[F.col(c) for c in current.columns if c != self.op_col],
-                ).withColumn("_pri", F.lit(0))
-                # schema-evolving merge (see MirrorSink.apply_batch)
-                unioned = batch.withColumn("_pri", F.lit(1)).unionByName(
-                    as_changes, allowMissingColumns=True
-                )
-            else:
-                unioned = batch.withColumn("_pri", F.lit(1))
-            # batch rows (_pri=1) beat mirrored rows (0) at equal seq —
-            # deterministic replay resolution (see MirrorSink.apply_batch)
-            w = Window.partitionBy(*self.key_cols).orderBy(
-                *[F.col(c).desc_nulls_last() for c in self.seq_cols],
-                F.col("_pri").desc(),
+        batch = batch.withColumn("_bucket", self._bucket())
+        existed = self.exists()
+        touched: list = []
+        current = None
+        if existed:
+            touched = [
+                r["_bucket"]
+                for r in batch.select("_bucket").distinct().collect()
+            ]
+            # list only touched bucket DIRECTORIES (basePath keeps
+            # _bucket as a partition column) and read them with the
+            # sidecar schema — scan AND schema resolution are both
+            # O(|touched buckets|), no whole-mirror footer sweep.
+            # Buckets new in this batch have no directory yet and
+            # are skipped (nothing to merge).
+            touched_dirs = [
+                p for b in touched
+                if os.path.isdir(p := f"{self.path}/_bucket={b}")
+            ]
+            current = (
+                self._reader(spark)
+                .parquet(*touched_dirs)
+                .filter(F.col("_bucket").isin(touched))
+            ) if touched_dirs else None
+        if current is not None:
+            as_changes = current.select(
+                F.lit("u").alias(self.op_col),
+                *[F.col(c) for c in current.columns if c != self.op_col],
+            ).withColumn("_pri", F.lit(0))
+            # schema-evolving merge (see MirrorSink.apply_batch)
+            unioned = batch.withColumn("_pri", F.lit(1)).unionByName(
+                as_changes, allowMissingColumns=True
             )
-            merged = (
-                unioned.withColumn("_rn", F.row_number().over(w))
-                .filter((F.col("_rn") == 1) & (F.col(self.op_col) != OP_DELETE))
-                .drop("_rn", "_pri")
-            )
-            merged = merged.localCheckpoint(eager=True)
-            # persist the running column superset (unionByName already
-            # folded any evolved columns in) BEFORE the data write — next
-            # batch plans with it instead of sweeping footers; _bucket
-            # stays a discovered partition column. Order matters: a crash
-            # between sidecar and data write leaves a sidecar listing a
-            # column the files lack, which is benign (explicit-schema
-            # reads null-fill it); the reverse order risked a sidecar
-            # MISSING an evolved column, silently dropping it on every
-            # later read and merge.
-            self._store_schema(merged.drop("_bucket").schema)
-            (
-                merged.write.mode("overwrite")
-                .partitionBy("_bucket")
-                .parquet(self.path)
-            )
-            if existed and touched:
-                # dynamic overwrite only rewrites buckets PRESENT in the
-                # output: a touched bucket whose keys were all deleted
-                # produces no rows and must be dropped explicitly
-                import shutil
+        else:
+            unioned = batch.withColumn("_pri", F.lit(1))
+        # batch rows (_pri=1) beat mirrored rows (0) at equal seq —
+        # deterministic replay resolution (see MirrorSink.apply_batch)
+        w = Window.partitionBy(*self.key_cols).orderBy(
+            *[F.col(c).desc_nulls_last() for c in self.seq_cols],
+            F.col("_pri").desc(),
+        )
+        merged = (
+            unioned.withColumn("_rn", F.row_number().over(w))
+            .filter((F.col("_rn") == 1) & (F.col(self.op_col) != OP_DELETE))
+            .drop("_rn", "_pri")
+        )
+        # persist the running column superset (unionByName already
+        # folded any evolved columns in) BEFORE the data write — next
+        # batch plans with it instead of sweeping footers; _bucket
+        # stays a discovered partition column. Order matters: a crash
+        # between sidecar and data write leaves a sidecar listing a
+        # column the files lack, which is benign (explicit-schema
+        # reads null-fill it); the reverse order risked a sidecar
+        # MISSING an evolved column, silently dropping it on every
+        # later read and merge.
+        self._store_schema(merged.drop("_bucket").schema)
+        # ONE job instead of two (and no dynamic-overwrite conf dance):
+        # write the merged buckets to a sibling tmp dir — the plan still
+        # reads the live bucket dirs lazily, different path, so no
+        # read-overwrite hazard and no localCheckpoint materialization
+        # pass — then swap the produced bucket dirs into place. A
+        # touched bucket whose keys were all deleted produces no tmp
+        # dir and is dropped, matching the old explicit cleanup; the
+        # produced-bucket set comes from a dir listing, replacing the
+        # second distinct().collect() job the old form paid.
+        import shutil
 
-                out_buckets = {
-                    r["_bucket"] for r in merged.select("_bucket").distinct().collect()
-                }
-                for b in set(touched) - out_buckets:
-                    shutil.rmtree(
-                        os.path.join(self.path, f"_bucket={b}"), ignore_errors=True
-                    )
-        finally:
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prior)
+        tmp = self.path + ".tmpw"
+        shutil.rmtree(tmp, ignore_errors=True)
+        merged.write.mode("overwrite").partitionBy("_bucket").parquet(tmp)
+        out_buckets = {
+            d.split("=", 1)[1]
+            for d in os.listdir(tmp)
+            if d.startswith("_bucket=")
+        }
+        os.makedirs(self.path, exist_ok=True)
+        for b in out_buckets:
+            dst = os.path.join(self.path, f"_bucket={b}")
+            shutil.rmtree(dst, ignore_errors=True)
+            os.rename(os.path.join(tmp, f"_bucket={b}"), dst)
+        for b in {str(b) for b in touched} - out_buckets:
+            shutil.rmtree(
+                os.path.join(self.path, f"_bucket={b}"), ignore_errors=True
+            )
+        # the tmp write's _SUCCESS marker becomes the mirror's
+        open(os.path.join(self.path, "_SUCCESS"), "w").close()
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 @dataclass

@@ -117,7 +117,16 @@ class GramRollupSink:
             return  # replay guard: MANDATORY — the merge below ADDS
         if manifest is not None:
             self._check_dim(manifest)
-        partial = gram_upper(batch, dim=self.dim, vec_col=self.vec_col)
+        from postgres_opensearch_cdc_spark.functions.dedup import (
+            _ensure_parallelism,
+        )
+
+        # spread before the d×d partial-Gram fold (the numpy-heavy
+        # stage); summation-order drift is within the surface's stated
+        # float tolerance (both engines already differ in order)
+        partial = gram_upper(
+            _ensure_parallelism(batch), dim=self.dim, vec_col=self.vec_col
+        )
         if manifest is not None:
             partial = (
                 self.gram(spark)

@@ -218,8 +218,15 @@ class NearDupSink:
         if last is not None and batch_id >= 0 and batch_id <= last:
             return  # replayed batch — already applied
         key_cols = ["band"] + [f"k{r}" for r in range(self._rpb)]
+        # spread the batch before the minhash signature pass — the
+        # CPU-heavy stage — so it isn't pinned to the source's file
+        # count; no-op on a well-partitioned batch (guide §2.5)
+        from postgres_opensearch_cdc_spark.functions.dedup import (
+            _ensure_parallelism,
+        )
+
         keys = self._band_keys(
-            batch.select(self.id_col, self.text_col)
+            _ensure_parallelism(batch.select(self.id_col, self.text_col))
         ).localCheckpoint(eager=True)
 
         # 2. history: suppressed if any key is owned by a different doc
@@ -421,9 +428,18 @@ class SpanDedupSink:
         last = self._last_batch()
         if last is not None and batch_id >= 0 and batch_id <= last:
             return  # replayed batch — already applied
-        batch = batch.select(self.id_col, self.text_col).localCheckpoint(
-            eager=True
+        # spread BEFORE the checkpoint: the micro-batch's partitioning
+        # is whatever the source delivered (a few files → a few tasks),
+        # and everything downstream — shingling, the store join, the
+        # trim — inherits it. _ensure_parallelism is a no-op on an
+        # already well-partitioned batch (guide §2.5, input skew).
+        from postgres_opensearch_cdc_spark.functions.dedup import (
+            _ensure_parallelism,
         )
+
+        batch = _ensure_parallelism(
+            batch.select(self.id_col, self.text_col)
+        ).localCheckpoint(eager=True)
         wins = token_windows(
             batch, self.text_col, self.id_col, window=self.window,
         ).localCheckpoint(eager=True)

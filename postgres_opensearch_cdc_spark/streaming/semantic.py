@@ -181,7 +181,14 @@ class SemanticDedupSink:
         last = self._last_batch()
         if last is not None and batch_id >= 0 and batch_id <= last:
             return  # replayed batch — already applied
+        from postgres_opensearch_cdc_spark.functions.dedup import (
+            _ensure_parallelism,
+        )
+
         cl, dsq = assign_nearest(F.col("v"), self.centroids)
+        # spread the batch before the per-vector assignment math (the
+        # compute-heavy stage); no-op on a well-partitioned batch
+        batch = _ensure_parallelism(batch)
         assigned = (
             batch.select(
                 self.id_col, _as_double(F.col(self.vec_col)).alias("v")

@@ -150,11 +150,15 @@ class HllRollupSink:
                 f"m={manifest.get('m')}; this build has m={m} — "
                 "register layouts under different precisions do not merge"
             )
+        from postgres_opensearch_cdc_spark.functions.dedup import (
+            _ensure_parallelism,
+        )
+
         regs = hll_registers(
-            batch.select(
+            _ensure_parallelism(batch.select(
                 F.col(self.group_col).cast("string").alias("g"),
                 F.col(self.value_col).cast("string").alias("v"),
-            ),
+            )),
             group_col="g",
             value_col="v",
             p=self.p,
@@ -330,8 +334,15 @@ class CmsRollupSink:
                 f"build is {self.depth}x{self.width} — grids under "
                 "different geometries do not add"
             )
+        from postgres_opensearch_cdc_spark.functions.dedup import (
+            _ensure_parallelism,
+        )
+
         cells = (
-            self.coords(batch.select(self.value_col), self.value_col)
+            self.coords(
+                _ensure_parallelism(batch.select(self.value_col)),
+                self.value_col,
+            )
             .groupBy("r", "bucket")
             .agg(F.count(F.lit(1)).alias("cell"))
         )
