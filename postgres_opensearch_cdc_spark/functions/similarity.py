@@ -56,6 +56,21 @@ def sq_l2(v: Column, c: Column) -> Column:
     )
 
 
+def _ensure_build_parallelism(df: DataFrame) -> DataFrame:
+    """Repartition an index-build input only when the source is
+    under-partitioned (e.g. a single-row-group parquet file pinning the
+    scan — and with it the whole encode projection, which Catalyst
+    computes map-side of the cell repartition — to one task). On an
+    already well-partitioned 100 TB corpus this is a no-op: no
+    gratuitous shuffle of vector payloads. Value-neutral: indexes are
+    unordered row sets and every query path over them finishes with a
+    deterministic agg/top-k (guide §2.5, input skew)."""
+    target = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    if df.rdd.getNumPartitions() < max(2, target // 4):
+        return df.repartition(target)
+    return df
+
+
 def assign_nearest_arrow(
     df: DataFrame,
     centroids: list[list[float]],
@@ -471,7 +486,9 @@ def ivf_index_build(
             id_col=id_col, vec_col=vec_col,
         )
     v = _as_double(F.col(vec_col))
-    assigned = vectors.withColumn("_cell", _nearest_cell(v, centroids))
+    assigned = _ensure_build_parallelism(vectors).withColumn(
+        "_cell", _nearest_cell(v, centroids)
+    )
     if files_per_cell == 1:
         clustered = assigned.repartition(F.col("_cell"))
     else:
@@ -646,7 +663,9 @@ def ivf_index_append(
     with open(os.path.join(path, "_ivf_centroids.json")) as fh:
         centroids = json.load(fh)
     v = _as_double(F.col(vec_col))
-    assigned = vectors.withColumn("_cell", _nearest_cell(v, centroids))
+    assigned = _ensure_build_parallelism(vectors).withColumn(
+        "_cell", _nearest_cell(v, centroids)
+    )
     if files_per_cell == 1:
         clustered = assigned.repartition(F.col("_cell"))
     else:
@@ -675,7 +694,9 @@ def pq_index_build(
     import json
     import os
 
-    coded = vectors.select(F.col(id_col), *pq_codes(F.col(vec_col), codebook))
+    coded = _ensure_build_parallelism(vectors).select(
+        F.col(id_col), *pq_codes(F.col(vec_col), codebook)
+    )
     coded.write.mode("overwrite").parquet(path)
     tmp = os.path.join(path, "_pq_codebook.json.tmp")
     with open(tmp, "w") as fh:
@@ -699,7 +720,9 @@ def pq_index_append(
 
     with open(os.path.join(path, "_pq_codebook.json")) as fh:
         codebook = json.load(fh)
-    coded = vectors.select(F.col(id_col), *pq_codes(F.col(vec_col), codebook))
+    coded = _ensure_build_parallelism(vectors).select(
+        F.col(id_col), *pq_codes(F.col(vec_col), codebook)
+    )
     coded.write.mode("append").parquet(path)
 
 
@@ -774,7 +797,7 @@ def _encoded_for_index(
     projection does assignment + encoding; with ``by_residual`` the
     codes quantize (vec - centroid[cell]) instead of the raw vector."""
     v = _as_double(F.col(vec_col))
-    assigned = vectors.select(
+    assigned = _ensure_build_parallelism(vectors).select(
         F.col(id_col), v.alias("_v"), _nearest_cell(v, centroids).alias("_cell")
     )
     enc_input = (

@@ -752,7 +752,10 @@ def dedup_embedding_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
         l2_norm,
     )
 
-    vecs = load_table(spark, sf_dir, "embeddings")
+    # spread=True: the 16 plane dot products, the norm, and the banding
+    # all run in the scan stage — single-task on the unsplittable
+    # fixture without it (guide §2.5)
+    vecs = load_table(spark, sf_dir, "embeddings", spread=True)
     base = vecs.select(
         F.col("vec_id").alias("id"), _as_double(F.col("embedding")).alias("v")
     ).withColumn("nv", l2_norm(F.col("v")))
@@ -1932,7 +1935,7 @@ def dedup_span_trim_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     def run_once():
         stream = spark.readStream.schema(
             "doc_id long, text string"
-        ).json(src_dir)
+        ).parquet(src_dir)
         q = (
             stream.writeStream.foreachBatch(sink.apply_batch)
             .option("checkpointLocation", ckpt)
@@ -1944,10 +1947,10 @@ def dedup_span_trim_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # few source files per half: the stream lists + opens each file,
     # and 5k rows don't need 32-way write parallelism
     docs.filter(F.col("doc_id") <= mid).coalesce(4).write.mode(
-        "append").json(src_dir)
+        "append").parquet(src_dir)
     run_once()
     docs.filter(F.col("doc_id") > mid).coalesce(4).write.mode(
-        "append").json(src_dir)
+        "append").parquet(src_dir)
     run_once()
     return sink.clean(spark).select(
         "id", "clean_text", "kept_tokens", "removed_tokens"

@@ -92,7 +92,7 @@ def embedding_gram_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     def run_once():
         stream = spark.readStream.schema(
             "vec_id long, embedding array<double>"
-        ).json(src_dir)
+        ).parquet(src_dir)
         q = (
             stream.writeStream.foreachBatch(
                 lambda b, bid: sink.apply_batch(b, bid, writer_id=ckpt)
@@ -105,11 +105,11 @@ def embedding_gram_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb.filter(F.col("vec_id") <= mid).coalesce(4).write.mode(
         "append"
-    ).json(src_dir)
+    ).parquet(src_dir)
     run_once()
     emb.filter(F.col("vec_id") > mid).coalesce(4).write.mode(
         "append"
-    ).json(src_dir)
+    ).parquet(src_dir)
     run_once()
 
     return (

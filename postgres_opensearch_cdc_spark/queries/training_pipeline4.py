@@ -452,7 +452,7 @@ def dedup_semantic_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     def run_once():
         stream = spark.readStream.schema(
             "vec_id long, embedding array<float>"
-        ).json(src_dir)
+        ).parquet(src_dir)
         q = (
             stream.writeStream.foreachBatch(sink.apply_batch)
             .option("checkpointLocation", ckpt)
@@ -463,11 +463,11 @@ def dedup_semantic_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     vecs.filter(F.col("vec_id") <= mid).coalesce(4).write.mode(
         "append"
-    ).json(src_dir)
+    ).parquet(src_dir)
     run_once()
     vecs.filter(F.col("vec_id") > mid).coalesce(4).write.mode(
         "append"
-    ).json(src_dir)
+    ).parquet(src_dir)
     run_once()
     return (
         sink.verdicts(spark)

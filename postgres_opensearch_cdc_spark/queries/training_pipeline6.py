@@ -186,7 +186,7 @@ def sketch_hll_rollup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     def run_once():
         stream = spark.readStream.schema(
             "event_id long, event_type string, user_id long"
-        ).json(src_dir)
+        ).parquet(src_dir)
         q = (
             stream.writeStream.foreachBatch(
                 lambda b, bid: sink.apply_batch(b, bid, writer_id=ckpt)
@@ -199,11 +199,11 @@ def sketch_hll_rollup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events.filter(F.col("event_id") <= mid).coalesce(4).write.mode(
         "append"
-    ).json(src_dir)
+    ).parquet(src_dir)
     run_once()
     events.filter(F.col("event_id") > mid).coalesce(4).write.mode(
         "append"
-    ).json(src_dir)
+    ).parquet(src_dir)
     run_once()
 
     exact = events.groupBy(F.col("event_type").alias("g")).agg(
@@ -256,7 +256,7 @@ def sketch_cms_rollup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     def run_once():
         stream = spark.readStream.schema(
             "event_id long, user_id long"
-        ).json(src_dir)
+        ).parquet(src_dir)
         q = (
             stream.writeStream.foreachBatch(
                 lambda b, bid: sink.apply_batch(b, bid, writer_id=ckpt)
@@ -269,11 +269,11 @@ def sketch_cms_rollup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events.filter(F.col("event_id") <= mid).coalesce(4).write.mode(
         "append"
-    ).json(src_dir)
+    ).parquet(src_dir)
     run_once()
     events.filter(F.col("event_id") > mid).coalesce(4).write.mode(
         "append"
-    ).json(src_dir)
+    ).parquet(src_dir)
     run_once()
 
     top = (

@@ -324,7 +324,17 @@ def test_pq_adc_is_scan_projection_plus_topk(spark, sf_dir):
 
     p = plan(entrymod.queries()["ann_pq_adc_topk"](spark, sf_dir))
     assert "TakeOrderedAndProject" in p
-    assert "Exchange" not in p, "ADC scan must not shuffle"
+    # the ONLY exchange allowed is the round-robin input spread fired
+    # on under-split fixtures (registry.spread_scan, a no-op on
+    # well-split input): encoded/scored rows must never shuffle — no
+    # hash or range exchange anywhere
+    import re
+
+    exchanges = re.findall(r"Exchange \w+", p)
+    assert all("roundrobin" in e.lower() for e in exchanges), (
+        f"ADC rows must not shuffle (found {exchanges})"
+    )
+    assert len(exchanges) <= 1
 
 
 def test_ivf_index_entry_scans_only_probed_cells(spark, sf_dir):

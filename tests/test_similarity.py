@@ -508,3 +508,61 @@ def test_ivfpq_empty_index_query_literal_schema(spark, tmp_path):
     assert out.schema["vec_id"].dataType.simpleString() == "bigint"
     assert out.schema["adc_dist"].dataType.simpleString() == "double"
     assert out.count() == 0
+
+
+def test_build_parallelism_guard_spreads_single_partition(spark, sf_dir):
+    """_ensure_build_parallelism (r14): an under-partitioned build
+    input (the single-row-group fixture shape) is repartitioned to the
+    session's shuffle parallelism so the encode projection does not run
+    single-task; an already well-partitioned input passes through
+    untouched (the 100 TB no-op branch)."""
+    from postgres_opensearch_cdc_spark.functions.similarity import (
+        _ensure_build_parallelism,
+    )
+    from postgres_opensearch_cdc_spark.registry import load_table
+
+    target = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    narrow = load_table(spark, sf_dir, "embeddings").coalesce(1)
+    assert narrow.rdd.getNumPartitions() == 1
+    spread = _ensure_build_parallelism(narrow)
+    assert spread.rdd.getNumPartitions() == target
+
+    wide = load_table(spark, sf_dir, "embeddings").repartition(target)
+    assert _ensure_build_parallelism(wide) is wide
+
+
+def test_index_build_results_invariant_to_input_partitioning(
+    spark, tmp_path
+):
+    """The spread is value-neutral: a PQ index built from a 1-partition
+    frame answers queries identically to one built from a pre-spread
+    frame (indexes are unordered row sets; ADC top-k is deterministic)."""
+    import random
+
+    from postgres_opensearch_cdc_spark.functions.similarity import (
+        pq_index_adc_topk,
+        pq_index_build,
+    )
+
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(200)
+    ]
+    vecs = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    )
+    # frozen 2x4 codebook from the first four vectors' subvectors
+    cb = [
+        [rows[j][1][m * 4:(m + 1) * 4] for j in range(4)]
+        for m in range(2)
+    ]
+    q = rows[0][1]
+
+    a, b = str(tmp_path / "one"), str(tmp_path / "many")
+    pq_index_build(vecs.coalesce(1), a, cb)
+    pq_index_build(vecs.repartition(16), b, cb)
+    got_a = [(r["vec_id"], r["adc_dist"])
+             for r in pq_index_adc_topk(spark, a, q, k=10).collect()]
+    got_b = [(r["vec_id"], r["adc_dist"])
+             for r in pq_index_adc_topk(spark, b, q, k=10).collect()]
+    assert got_a == got_b
