@@ -24,6 +24,55 @@ def _as_double(vec: Column) -> Column:
     return F.transform(vec, lambda x: x.cast("double"))
 
 
+
+def _vec_sql(vec: "list[float]") -> str:
+    """array<double> literal as SQL text. ``repr`` emits the shortest
+    string that round-trips to the same IEEE double in Python, and the
+    JVM's parse is correctly rounded too, so the literal is
+    bit-identical to an ``F.lit`` per element."""
+    import math
+
+    assert all(math.isfinite(float(x)) for x in vec)
+    return "array(" + ",".join(f"{float(x)!r}D" for x in vec) + ")"
+
+
+def _vec_lit(vec: "list[float]") -> Column:
+    """One array<double> literal built in a SINGLE py4j call via a SQL
+    string. Both ``F.array(*[F.lit(x) ...])`` and even ``F.lit(list)``
+    (which pyspark expands element-wise) cost one driver round-trip
+    per element — ~10,000 round-trips (2-4 s of pure plan-construction
+    time, re-paid on EVERY build/query invocation) for an IVFPQ
+    codebook+centroid set (guide §4: the Python boundary — here at
+    plan-construction time)."""
+    return F.expr(_vec_sql(vec))
+
+
+def _mat_lit(mat: "list[list[float]]") -> Column:
+    """One array<array<double>> literal in a single py4j call (see
+    _vec_lit)."""
+    return F.expr(
+        "array(" + ",".join(_vec_sql(row) for row in mat) + ")"
+    )
+
+
+def _as_double_sql(vec_sql: str) -> str:
+    return f"transform({vec_sql}, x -> CAST(x AS DOUBLE))"
+
+
+def _dot_sql(a: str, b: str) -> str:
+    """SQL text of functions.similarity.dot — same composition
+    (zip_with + left-fold aggregate), so the Catalyst tree and every
+    result bit are identical to the Column form."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0.0D, "
+        "(acc, x) -> acc + x)"
+    )
+
+
+def _l2_norm_sql(a: str) -> str:
+    return f"sqrt(aggregate({a}, 0.0D, (acc, x) -> acc + x * x))"
+
+
 def dot(a: Column, b: Column) -> Column:
     """Dot product of two array columns — zip_with + aggregate, fully
     codegen'd, no UDF."""
@@ -193,9 +242,7 @@ def assign_nearest(v: Column, centroids: list[list[float]]):
     Argmin via struct ordering: array_min over (d, i) structs takes
     the first index on exact distance ties, matching a
     ROW_NUMBER OVER (ORDER BY dsq, k) oracle."""
-    lits = F.array(
-        *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
-    )
+    lits = _mat_lit(centroids)
     dists = F.transform(lits, lambda c: sq_l2(v, c))
     idx = F.sequence(F.lit(0), F.lit(len(centroids) - 1))
     best = F.array_min(
@@ -220,7 +267,7 @@ def brute_force_topk(
     scan → project(score) → TakeOrderedAndProject(k) — per-partition
     heaps, no global sort, no shuffle of payloads. Holds verbatim on a
     1000-executor scan."""
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    q = _vec_lit(query_vec)
     score = cosine(F.col(vec_col), q)
     return (
         vectors.select(F.col(id_col), F.round(score, 6).alias("cos_sim"))
@@ -285,7 +332,7 @@ def random_hyperplane_buckets(
     v = _as_double(F.col(vec_col))
     bucket = F.lit(0).cast("long")
     for i, plane in enumerate(planes):
-        p = F.array(*[F.lit(float(x)) for x in plane])
+        p = _vec_lit(plane)
         bucket = bucket + F.when(dot(v, p) >= 0, F.lit(2**i)).otherwise(F.lit(0))
     return vectors.select(F.col(id_col), bucket.alias("bucket"))
 
@@ -301,13 +348,42 @@ def _nearest_cell(v: Column, centroids: list[list[float]]) -> Column:
     instead of O(k × dim). Centroid norms are precomputed driver-side
     literals (sqrt is correctly-rounded IEEE in both Python and the
     JVM, so values are bit-identical to computing them in-plan)."""
+    return _nearest_cell_column(v, centroids)
+
+
+def _nearest_cell_sql(v_sql: str, centroids: list[list[float]]) -> str:
+    """The whole argmax-cosine assignment as ONE SQL string — a single
+    py4j call + one JVM parse instead of per-operator driver
+    round-trips (guide §4 applied to plan construction; composition is
+    textually the same transform/struct/array_max tree, so results are
+    bit-identical to the Column form)."""
     import math
 
     norms = [
         math.sqrt(sum(float(x) * float(x) for x in c)) for c in centroids
     ]
-    mat = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in centroids])
-    nrm = F.array(*[F.lit(n) for n in norms])
+    mat = "array(" + ",".join(_vec_sql(c) for c in centroids) + ")"
+    nrm = _vec_sql(norms)
+    vn = _l2_norm_sql(v_sql)
+    scored = (
+        f"transform({mat}, (c, i) -> struct("
+        f"round({_dot_sql(v_sql, 'c')} / ({vn} * element_at({nrm}, i + 1)), 6)"
+        " AS score, -i AS neg_cell))"
+    )
+    return f"-(array_max({scored}).neg_cell)"
+
+
+def _nearest_cell_column(v: Column, centroids: list[list[float]]) -> Column:
+    """The Column-composition form for arbitrary Column inputs — same
+    tree as _nearest_cell_sql, kept for call sites whose input has no
+    SQL rendering. Hot paths use the SQL builder (one py4j call)."""
+    import math
+
+    norms = [
+        math.sqrt(sum(float(x) * float(x) for x in c)) for c in centroids
+    ]
+    mat = _mat_lit(centroids)
+    nrm = _vec_lit(norms)
     vn = l2_norm(v)
     scored = F.transform(
         mat,
@@ -485,9 +561,10 @@ def ivf_index_build(
             vectors, k=k, iterations=iterations, seed=seed,
             id_col=id_col, vec_col=vec_col,
         )
-    v = _as_double(F.col(vec_col))
     assigned = _ensure_build_parallelism(vectors).withColumn(
-        "_cell", _nearest_cell(v, centroids)
+        "_cell",
+        # ONE py4j call + one JVM parse (see _nearest_cell_sql)
+        F.expr(_nearest_cell_sql(_as_double_sql(f"`{vec_col}`"), centroids)),
     )
     if files_per_cell == 1:
         clustered = assigned.repartition(F.col("_cell"))
@@ -556,31 +633,46 @@ def ivf_index_topk(
 # Product quantization (PQ) + asymmetric distance computation (ADC)
 # ---------------------------------------------------------------------------
 
-def pq_codes(vec: Column, codebook: list[list[list[float]]]) -> list[Column]:
-    """Per-subspace PQ code columns for one vector column.
+def pq_code_sqls(vec_sql: str, codebook: list[list[list[float]]]) -> list[str]:
+    """Per-subspace PQ code expressions as SQL text — the whole encode
+    tree costs M py4j calls (one F.expr each at the call site) instead
+    of hundreds of per-operator driver round-trips (guide §4 applied to
+    plan construction; ~2 s per build/query invocation at M=8, K=16).
 
     ``codebook[m][j]`` is codeword j of subspace m (each of dimension
     dim/M). Code m = argmin_j L2²(subvector_m, codeword_mj), computed
     as array_position of the min over a literal-codeword distance
     array — scan-stage projection, no shuffle, no UDF. First-match
-    argmin ties with DuckDB's list_position semantics."""
+    argmin ties with DuckDB's list_position semantics. Distances are
+    rounded to 6 before the argmin so the encoding is robust to
+    last-bit engine divergence; the composition is textually the same
+    transform/zip_with/aggregate tree as the Column form, so codes are
+    bit-identical."""
+    m_count = len(codebook)
+    dsub = len(codebook[0][0])
+    vd = _as_double_sql(vec_sql)
+    sqls = []
+    for m in range(m_count):
+        sub = f"slice({vd}, {m * dsub + 1}, {dsub})"
+        mat = "array(" + ",".join(_vec_sql(cw) for cw in codebook[m]) + ")"
+        dists = (
+            f"transform({mat}, cw -> round(aggregate("
+            f"zip_with({sub}, cw, (x, c) -> (x - c) * (x - c)), 0.0D, "
+            "(acc, x) -> acc + x), 6))"
+        )
+        sqls.append(f"array_position({dists}, array_min({dists}))")
+    return sqls
+
+
+def pq_codes(vec: Column, codebook: list[list[list[float]]]) -> list[Column]:
+    """Column-input form of pq_code_sqls (kept for arbitrary Column
+    inputs; same tree, same codes — see pq_code_sqls)."""
     m_count = len(codebook)
     dsub = len(codebook[0][0])
     codes = []
     for m in range(m_count):
         sub = F.slice(_as_double(vec), m * dsub + 1, dsub)
-        # ONE literal k×dsub matrix iterated with transform (shared
-        # loop) instead of k unrolled zip_with expressions — keeps the
-        # expression tree (and Catalyst's per-query analysis cost)
-        # O(dsub + k) per subspace instead of O(k × dsub); see
-        # _nearest_cell for the same trick on IVF.
-        mat = F.array(*[
-            F.array(*[F.lit(float(c)) for c in codeword])
-            for codeword in codebook[m]
-        ])
-        # distances rounded to 6 before the argmin so the encoding is
-        # robust to last-bit engine divergence (same convention as the
-        # IVF cell assignment); tie → lower codeword via first-match
+        mat = _mat_lit(codebook[m])
         dists = F.transform(
             mat,
             lambda cw: F.round(
@@ -629,10 +721,14 @@ def pq_adc_topk(
         ]
         for m in range(m_count)
     ]
-    coded = vectors.select(F.col(id_col), *pq_codes(F.col(vec_col), codebook))
+    coded = vectors.selectExpr(
+        f"`{id_col}`",
+        *[f"{c} AS c{m}" for m, c in
+          enumerate(pq_code_sqls(f"`{vec_col}`", codebook))],
+    )
     score = None
     for m in range(m_count):
-        lut = F.array(*[F.lit(float(x)) for x in table[m]])
+        lut = _vec_lit(table[m])
         term = F.element_at(lut, F.col(f"c{m}").cast("int"))
         score = term if score is None else (score + term)
     return (
@@ -662,9 +758,10 @@ def ivf_index_append(
 
     with open(os.path.join(path, "_ivf_centroids.json")) as fh:
         centroids = json.load(fh)
-    v = _as_double(F.col(vec_col))
     assigned = _ensure_build_parallelism(vectors).withColumn(
-        "_cell", _nearest_cell(v, centroids)
+        "_cell",
+        # ONE py4j call + one JVM parse (see _nearest_cell_sql)
+        F.expr(_nearest_cell_sql(_as_double_sql(f"`{vec_col}`"), centroids)),
     )
     if files_per_cell == 1:
         clustered = assigned.repartition(F.col("_cell"))
@@ -694,8 +791,11 @@ def pq_index_build(
     import json
     import os
 
-    coded = _ensure_build_parallelism(vectors).select(
-        F.col(id_col), *pq_codes(F.col(vec_col), codebook)
+    coded = _ensure_build_parallelism(vectors).selectExpr(
+        f"`{id_col}`",
+        # M py4j calls total (see pq_code_sqls)
+        *[f"{c} AS c{m}" for m, c in
+          enumerate(pq_code_sqls(f"`{vec_col}`", codebook))],
     )
     coded.write.mode("overwrite").parquet(path)
     tmp = os.path.join(path, "_pq_codebook.json.tmp")
@@ -720,8 +820,11 @@ def pq_index_append(
 
     with open(os.path.join(path, "_pq_codebook.json")) as fh:
         codebook = json.load(fh)
-    coded = _ensure_build_parallelism(vectors).select(
-        F.col(id_col), *pq_codes(F.col(vec_col), codebook)
+    coded = _ensure_build_parallelism(vectors).selectExpr(
+        f"`{id_col}`",
+        # M py4j calls total (see pq_code_sqls)
+        *[f"{c} AS c{m}" for m, c in
+          enumerate(pq_code_sqls(f"`{vec_col}`", codebook))],
     )
     coded.write.mode("append").parquet(path)
 
@@ -762,7 +865,7 @@ def pq_index_adc_topk(
     coded = spark.read.parquet(path)
     score = None
     for m in range(m_count):
-        lut = F.array(*[F.lit(float(x)) for x in table[m]])
+        lut = _vec_lit(table[m])
         term = F.element_at(lut, F.col(f"c{m}").cast("int"))
         score = term if score is None else (score + term)
     return (
@@ -778,7 +881,7 @@ def _residual(vec: "F.Column", cell: "F.Column",
     matrix indexed by the assigned cell (shared transform loop — the
     Catalyst expression tree stays O(k·dim) once, not per row)."""
     mat = F.array(*[
-        F.array(*[F.lit(float(x)) for x in c]) for c in centroids
+        _vec_lit(c) for c in centroids
     ])
     return F.zip_with(
         vec, F.element_at(mat, cell + 1), lambda x, c: x - c
@@ -796,16 +899,26 @@ def _encoded_for_index(
     """(id, c0..c{M-1}, _cell) rows for the IVFPQ layout — one scan
     projection does assignment + encoding; with ``by_residual`` the
     codes quantize (vec - centroid[cell]) instead of the raw vector."""
-    v = _as_double(F.col(vec_col))
-    assigned = _ensure_build_parallelism(vectors).select(
-        F.col(id_col), v.alias("_v"), _nearest_cell(v, centroids).alias("_cell")
+    vd = _as_double_sql(f"`{vec_col}`")
+    assigned = _ensure_build_parallelism(vectors).selectExpr(
+        f"`{id_col}`",
+        f"{vd} AS _v",
+        # ONE py4j call + one JVM parse per expression (see
+        # _nearest_cell_sql / pq_code_sqls)
+        f"{_nearest_cell_sql(vd, centroids)} AS _cell",
     )
-    enc_input = (
-        _residual(F.col("_v"), F.col("_cell"), centroids)
-        if by_residual else F.col("_v")
-    )
-    return assigned.select(
-        F.col(id_col), *pq_codes(enc_input, codebook), "_cell"
+    if by_residual:
+        mat = "array(" + ",".join(_vec_sql(c) for c in centroids) + ")"
+        enc_sql = (
+            f"zip_with(_v, element_at({mat}, _cell + 1), (x, c) -> x - c)"
+        )
+    else:
+        enc_sql = "_v"
+    return assigned.selectExpr(
+        f"`{id_col}`",
+        *[f"{c} AS c{m}" for m, c in
+          enumerate(pq_code_sqls(enc_sql, codebook))],
+        "_cell",
     )
 
 
@@ -995,7 +1108,7 @@ def ivfpq_index_topk(
     def scored(df, table):
         score = None
         for m in range(m_count):
-            lut = F.array(*[F.lit(float(x)) for x in table[m]])
+            lut = _vec_lit(table[m])
             term = F.element_at(lut, F.col(f"c{m}").cast("int"))
             score = term if score is None else (score + term)
         return df.select(F.col(id_col), F.round(score, 6).alias("adc_dist"))

@@ -276,7 +276,7 @@ def ann_mips_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"{sf_dir}/embeddings"
         )
     q = [float(x) for x in qrow[0]]
-    qlit = F.array(*[F.lit(x) for x in q])
+    qlit = F.lit([float(x) for x in q])  # ONE py4j call, not dim
     data = vecs.filter(F.col("vec_id") != 0).select(
         "vec_id",
         F.transform(F.col("embedding"), lambda x: x.cast("double")).alias(
@@ -327,7 +327,7 @@ def _d2_to(vcol, center: list[float]):
     compares bit-identical doubles in both engines. The c·c term is a
     Python left fold over the same float64s (identical to the
     engines' sequential dot)."""
-    clit = F.array(*[F.lit(x) for x in center])
+    clit = F.lit([float(x) for x in center])  # ONE py4j call, not dim
     cc = 0.0
     for x in center:
         cc += x * x
