@@ -410,6 +410,8 @@ class SpanDedupSink:
 
     def _emit(self, batch: DataFrame, spans: DataFrame,
               batch_id: int) -> None:
+        # two consumers (isEmpty + write): materialize once
+        spans = spans.localCheckpoint(eager=True)
         if spans.isEmpty():
             # parquet append of an empty frame still lays schema files;
             # skip so spans/ exists only once something fired
@@ -482,9 +484,12 @@ class SpanDedupSink:
                     .select("id", "start")
                 )
                 seeds = seeds.unionByName(store_seeds).distinct()
+        # spans is NOT materialized here: the trim sink consumes it
+        # exactly once (one fewer job per batch); the report sink reads
+        # it twice (isEmpty + write) and checkpoints in its own _emit
         spans = merge_seed_spans(seeds, self.window).withColumn(
             "batch_id", F.lit(int(batch_id))
-        ).localCheckpoint(eager=True)
+        )
         self._emit(batch, spans, batch_id)
         # repartition on the bucket before the partitionBy write: each
         # bucket lands in exactly one task → one file per touched
@@ -495,10 +500,16 @@ class SpanDedupSink:
         # near-empty task per bucket for small batches): each bucket
         # hashes into exactly one task, so the partitionBy write still
         # lays one file per touched bucket per batch
+        # no distinct before the write: store duplicates are harmless
+        # by contract (the store is only ever joined on existence, and
+        # every seed derivation downstream re-distincts), so the dedup
+        # exchange was a pure extra shuffle of the widest relation in
+        # the batch — one bucket repartition is the whole write cost
+        # (r14, guide §2.4: remove shuffles outright)
         wins.select(
             "win_hash", F.col("id").alias("owner"),
             F.pmod("win_hash", F.lit(self.num_buckets)).alias("bucket"),
-        ).distinct().repartition("bucket").write.partitionBy(
+        ).repartition("bucket").write.partitionBy(
             "bucket"
         ).mode("append").parquet(self._winhashes)
         os.makedirs(self.path, exist_ok=True)
