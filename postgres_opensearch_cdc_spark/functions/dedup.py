@@ -331,6 +331,13 @@ def minhash_lsh_candidates(
     banded = signatures.select(
         "id", F.explode(F.array(*band_structs)).alias("bk")
     ).select("id", "bk.band", *[f"bk.k{r}" for r in range(rows_per_band)])
+    if not banded.isStreaming:
+        # materialize the narrow banded relation (docs × bands rows of
+        # small ints) ONCE: the self-join below otherwise re-executes
+        # the whole upstream signature projection — the pipeline's
+        # heaviest scan-stage compute — on BOTH join sides (r14,
+        # guide §1.2/§2.4: don't compute things twice)
+        banded = banded.localCheckpoint(eager=True)
     key_cols = ["band"] + [f"k{r}" for r in range(rows_per_band)]
     if bucket_cap is not None:
         from pyspark.sql import Window
