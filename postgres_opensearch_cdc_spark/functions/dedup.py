@@ -460,22 +460,39 @@ def simhash64(
         ).alias("_hs"),
     )
 
-    def _bit_sum(i: int):
-        return F.aggregate(
-            F.col("_hs"),
-            F.lit(0),
-            lambda acc, h: acc
-            + F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
-        )
+    # the ±1 bit sums run as ONE vectorized Arrow pass (numpy bit
+    # unpack + column sum) instead of nbits interpreted aggregate()
+    # folds over the hash array per row — the folds were ~2.8 s of the
+    # 3.1 s sketch stage at sf0.1 (guide §4.2: hand whole batches to
+    # vectorized native code; the portable md5/xxhash per token stays
+    # in the JVM so the sketch VALUES are unchanged). Exact integer
+    # math: bit i of the sketch is set iff 2·popcount_i >= n, and the
+    # uint64→int64 reinterpret reproduces the two's-complement top-bit
+    # (-(2^63)) the fold form added explicitly. A null token array
+    # (null text) folds to sketch 0, matching the old when()/otherwise
+    # null semantics.
+    import numpy as np
+    import pandas as pd
 
-    bit_sums = [_bit_sum(i).alias(f"b{i}") for i in range(nbits)]
-    agg = hashes.select("id", *bit_sums)
-    sketch = F.lit(0).cast("long")
-    for i in range(nbits):
-        sketch = sketch + F.when(
-            F.col(f"b{i}") >= 0, F.lit(1).cast("long") * F.lit(2 ** i if i < 63 else -(2 ** 63))
-        ).otherwise(F.lit(0).cast("long"))
-    return agg.select("id", sketch.alias("simhash"))
+    weights = (1 << np.arange(nbits, dtype=np.uint64))
+    shifts = np.arange(nbits, dtype=np.int64)
+
+    def _sketch(it):
+        for pdf in it:
+            out = np.zeros(len(pdf), dtype=np.int64)
+            for r, hs in enumerate(pdf["_hs"]):
+                if hs is None:
+                    continue
+                h = np.asarray(hs, dtype=np.int64)
+                ones = ((h[:, None] >> shifts) & 1).sum(axis=0)
+                mask = (2 * ones) >= len(h)
+                out[r] = (
+                    (mask.astype(np.uint64) * weights).sum(dtype=np.uint64)
+                ).astype(np.int64)
+            yield pd.DataFrame({"id": pdf["id"], "simhash": out})
+
+    id_type = hashes.schema["id"].dataType.simpleString()
+    return hashes.mapInPandas(_sketch, schema=f"id {id_type}, simhash long")
 
 
 def simhash_hamming_pairs(
