@@ -239,44 +239,51 @@ def winnow_shared_pairs(docs: DataFrame) -> DataFrame:
         F.slice("t", 2, F.size("t") - (WIN_K - 1)).alias("b"),
         F.slice("t", 3, F.size("t") - (WIN_K - 1)).alias("c"),
     )
+    # gram hashes stay a per-doc ARRAY (portable hash60 in the JVM
+    # scan, no posexplode); the per-window minima come from ONE
+    # vectorized numpy sliding-min pass per doc instead of exploding
+    # every (gram × window) membership row and sorting it through a
+    # (doc, window)-keyed row_number shuffle — r14, guide §4.2. The
+    # selected SET is identical: a window's fingerprint is its minimal
+    # hash VALUE, so the rightmost-tie rule affects only which
+    # occurrence is credited, which the distinct erases; int64 minima
+    # are exact in both forms.
     grams = base.select(
         "doc_id",
-        (F.size("t") - (WIN_K - 1)).alias("ng"),
-        F.posexplode(zipped).alias("pos", "g"),
-    ).select(
-        "doc_id",
-        "ng",
-        "pos",
-        hash60(
-            F.concat_ws(" ", F.col("g.a"), F.col("g.b"), F.col("g.c"))
-        ).alias("h"),
+        F.transform(
+            zipped,
+            lambda g: hash60(F.concat_ws(" ", g["a"], g["b"], g["c"])),
+        ).alias("hs"),
     )
-    wins = grams.select(
-        "doc_id",
-        "pos",
-        "h",
-        F.explode(
-            F.sequence(
-                F.greatest(F.col("pos") - (WIN_W - 1), F.lit(0)),
-                F.least(
-                    F.col("pos"),
-                    F.greatest(F.col("ng") - WIN_W, F.lit(0)),
-                ),
-            )
-        ).alias("s"),
-    )
-    sel = Window.partitionBy("doc_id", "s").orderBy(
-        F.col("h").asc(), F.col("pos").desc()
-    )
+
+    import numpy as np
+    import pandas as pd
+
+    def _window_minima(it):
+        for pdf in it:
+            ids, hs_out = [], []
+            for doc_id, hs in zip(pdf["doc_id"], pdf["hs"]):
+                h = np.asarray(hs, dtype=np.int64)
+                if len(h) <= WIN_W:
+                    mins = h.min(keepdims=True)
+                else:
+                    mins = np.lib.stride_tricks.sliding_window_view(
+                        h, WIN_W
+                    ).min(axis=1)
+                for v in np.unique(mins):
+                    ids.append(doc_id)
+                    hs_out.append(v)
+            yield pd.DataFrame({
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "h": pd.Series(hs_out, dtype="int64"),
+            })
+
     fp = (
-        wins.withColumn("rn", F.row_number().over(sel))
-        .filter(F.col("rn") == 1)
-        .select("doc_id", "h")
-        .distinct()
+        grams.mapInPandas(_window_minima, schema="doc_id long, h long")
         # fp feeds THREE consumers (the doc-frequency filter and both
         # sides of the pair self-join); checkpoint it once instead of
-        # re-running the gram/window pipeline per consumer — fp is
-        # the ~1/w-compressed fingerprint table, the natural
+        # re-running the gram pipeline per consumer — fp is the
+        # ~1/w-compressed fingerprint table, the natural
         # materialization point of every winnowing system
         .localCheckpoint(eager=True)
     )
