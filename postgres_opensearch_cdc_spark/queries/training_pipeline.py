@@ -110,18 +110,53 @@ def quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     no line structure)."""
     docs = _ensure_parallelism(load_table(spark, sf_dir, "documents"))
     grams = _ngrams(_toks(F.col("text")), 2)
-    stats = _run_length_stats(F.array_sort(grams))
-    n_bigrams = F.size(grams)
+    # per-doc multiset counts in ONE vectorized Arrow pass (np.unique
+    # with counts ≡ run-lengths of the sorted array, exact string
+    # equality and integer counts) instead of the interpreted
+    # sort+struct-fold the JVM evaluated per row (r14, guide §4.2 —
+    # the fold was most of the entry). The fractions stay JVM-side
+    # divisions of the SAME integers, so values are unchanged.
+    import numpy as np
+    import pandas as pd
+
+    def _rep_stats(it):
+        for pdf in it:
+            n_out, max_out, dup_out = [], [], []
+            for hs in pdf["grams"]:
+                if hs is None:
+                    n_out.append(None); max_out.append(None)
+                    dup_out.append(None)
+                    continue
+                arr = np.asarray(hs, dtype=object)
+                n_out.append(len(arr))
+                if len(arr) == 0:
+                    max_out.append(0); dup_out.append(0)
+                    continue
+                _, c = np.unique(arr, return_counts=True)
+                max_out.append(int(c.max()))
+                dup_out.append(int(c[c > 1].sum()))
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "n_bigrams": pd.array(n_out, dtype="Int64"),
+                "maxrun": pd.array(max_out, dtype="Int64"),
+                "dups": pd.array(dup_out, dtype="Int64"),
+            })
+
+    stats = docs.select("doc_id", grams.alias("grams")).mapInPandas(
+        _rep_stats,
+        schema="doc_id long, n_bigrams long, maxrun long, dups long",
+    )
+    n_bigrams = F.col("n_bigrams")
     # guard the zero-bigram degenerate doc: ANSI mode turns x/0 into an
     # error, so short docs get NULL metrics (and are never flagged)
     top_frac = F.when(
-        n_bigrams > 0, F.round(stats["maxrun"] / n_bigrams, 6)
+        n_bigrams > 0, F.round(F.col("maxrun") / n_bigrams, 6)
     )
     dup_frac = F.when(
-        n_bigrams > 0, F.round(stats["dups"] / n_bigrams, 6)
+        n_bigrams > 0, F.round(F.col("dups") / n_bigrams, 6)
     )
     return (
-        docs.select(
+        stats.select(
             "doc_id",
             n_bigrams.alias("n_bigrams"),
             top_frac.alias("top_bigram_frac"),
