@@ -182,10 +182,21 @@ def prefix_index(
         with_global_rank,
     )
 
+    # shingles are hashed to int64 BEFORE the checkpoint: every
+    # downstream relation (the checkpoint itself, two groupBys, the
+    # rank join, and the per-doc rank arrays) then moves 8-byte keys
+    # instead of n-word strings (r14, guide §2.3: narrower types).
+    # The global rank orders by (df, hash) instead of (df, shingle) —
+    # prefix filtering is exact for ANY consistent total order and the
+    # verify intersects rank arrays, so results are unchanged
+    # (hash-collision odds are negligible relative to the n-gram
+    # approximation itself, the ngram_jaccard_pairs precedent).
     sh = (
         word_shingles(docs, text_col, id_col, n=n)
-        .withColumnRenamed("id", "doc_id")
-        .withColumnRenamed("shingle", "sh")
+        .select(
+            F.col("id").alias("doc_id"),
+            F.xxhash64("shingle").alias("sh"),
+        )
         .localCheckpoint(eager=True)
     )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
