@@ -117,16 +117,13 @@ class GramRollupSink:
             return  # replay guard: MANDATORY — the merge below ADDS
         if manifest is not None:
             self._check_dim(manifest)
-        from postgres_opensearch_cdc_spark.functions.dedup import (
-            _ensure_parallelism,
-        )
-
-        # spread before the d×d partial-Gram fold (the numpy-heavy
-        # stage); summation-order drift is within the surface's stated
-        # float tolerance (both engines already differ in order)
-        partial = gram_upper(
-            _ensure_parallelism(batch), dim=self.dim, vec_col=self.vec_col
-        )
+        # NO batch spread here (r14 final bench: the spread REGRESSED
+        # this sink 1.97 -> 3.19 s): gram_upper emits d·(d+1)/2 partial
+        # rows PER PARTITION, so repartitioning a small micro-batch to
+        # session parallelism multiplies the reduce input ~8x while the
+        # per-partition numpy fold is already trivial. A production
+        # micro-batch arrives well-split from the source anyway.
+        partial = gram_upper(batch, dim=self.dim, vec_col=self.vec_col)
         if manifest is not None:
             partial = (
                 self.gram(spark)
