@@ -78,6 +78,33 @@ def main() -> None:
 
     qs["approx_sketches"] = lambda s, d: approx_sketches(s, d, check_bounds=False)
 
+    # ANN index builds, timed as their OWN field (r14 verdict ask #3):
+    # the persisted serving indexes (ivf/pq/ivfpq/ivfpqres under
+    # $TMPDIR, keyed by (sf_dir, mtime)) previously survived across
+    # bench runs AND rounds, so no measurement ever included the build.
+    # Clear them here and time one cold invocation of each index-backed
+    # entry — build + first query — as index_build_sec (the
+    # memo_build_sec precedent). Pass-1/pass-2 positional numbers keep
+    # their declared meaning: a query against an existing index.
+    import glob
+    import shutil
+    import tempfile as _tf
+
+    for pat in ("ivf_index_*", "pq_index_*", "ivfpq_index_*",
+                "ivfpqres_index_*"):
+        for d in glob.glob(os.path.join(_tf.gettempdir(), pat)):
+            shutil.rmtree(d, ignore_errors=True)
+    _INDEX_ENTRIES = ("ann_ivf_index_topk", "ann_ivf_append_topk",
+                      "ann_pq_index_topk", "ann_ivfpq_index_topk",
+                      "ann_ivfpq_residual_topk")
+    t0 = time.perf_counter()
+    for _n in _INDEX_ENTRIES:
+        if _n in qs:
+            qs[_n](spark, sf_dir).collect()
+    index_build_sec = round(time.perf_counter() - t0, 3)
+    print(f"index build (5 persisted ANN indexes, cold): "
+          f"{index_build_sec}s", file=progress, flush=True)
+
     # Session-memo pre-build, timed as its OWN field (r10 verdict ask
     # #8): the dedup pair/cluster materialization is shared by design
     # across the dedup family, so whichever family entry ran FIRST in
@@ -97,6 +124,9 @@ def main() -> None:
     from postgres_opensearch_cdc_spark.queries import (
         training_pipeline5 as _tp5,
     )
+    from postgres_opensearch_cdc_spark.queries import (
+        training_pipeline8 as _tp8,
+    )
 
     t0 = time.perf_counter()
     _ext.dedup_minhash_lsh(spark, sf_dir).count()   # verified pair set
@@ -104,6 +134,8 @@ def main() -> None:
     _tp3._bpe_merges(spark, sf_dir)                 # BPE merge list
     _tp3._bpe_merges_local(spark, sf_dir)           # r12 local trainer
     _tp5._wp_merges(spark, sf_dir)                  # WordPiece merges
+    _tp8.prefix_substrate(spark, sf_dir, 3)         # r15: shared
+    # prefix-index substrate of the prefix-filter + containment joins
     memo_build_sec = round(time.perf_counter() - t0, 3)
     print(f"memo build: {memo_build_sec}s", file=progress, flush=True)
     # (bpe_apply_tokens / bpe_apply_tokens_arrow /
@@ -114,7 +146,12 @@ def main() -> None:
                 "dedup_cc_survivors", "dedup_quality_survivors",
                 "dedup_edit_distance",
                 "bpe_train_merges", "bpe_train_merges_local",
-                "wordpiece_train_scores"}
+                "wordpiece_train_scores",
+                # r15: the shared prefix-index substrate (pos/arrs) is
+                # memoized per (app, sf_dir, n); these two entries'
+                # positional numbers are candidate-join + verify cost
+                # on a memo HIT — the substrate build is memo_build_sec
+                "dedup_prefix_filter_join", "dedup_containment_join"}
 
     # TWO full positional passes, per-entry MIN reported (round-8
     # verdict ask #3): a single pass is exposed to ambient host load
@@ -224,6 +261,14 @@ def main() -> None:
             "n_queries": len(q_names),
             "loadavg": [round(x, 2) for x in os.getloadavg()],
             "warm_medians_cs": warm_medians,
+            # FULL name->centisecond map (r14 verdict ask #2): the
+            # stdout array is positional and only decodable given
+            # queries() order at the same commit — entry insertions
+            # rotate order_md5 and break round-over-round pairing.
+            # The sidecar carries the names so every entry pairs by
+            # NAME across order rotations; stdout stays byte-capped.
+            "queries_cs_by_name": {n: int(round(timings[n] * 100))
+                                   for n in q_names},
         }, f, indent=1, sort_keys=True)
         f.write("\n")
 
@@ -241,6 +286,10 @@ def main() -> None:
         "passes": 2,
         "memoized": sorted(MEMOIZED & set(timings)),
         "memo_build_sec": memo_build_sec,
+        # one-off cold build of the 5 persisted ANN serving indexes
+        # (cleared from $TMPDIR above; includes each entry's first
+        # query) — the build cost the positional numbers never carried
+        "index_build_sec": index_build_sec,
         # stdout carries the top-10 warm-median slice (byte budget);
         # the full top-50 map is in BENCH_SIDECAR.json
         # headline + memo in one number for round-over-round
@@ -260,8 +309,9 @@ def main() -> None:
     # 2,000-byte capture window — shed the most redundant fields first
     # (all of them live on in the progress-log copy below), the
     # per-query array only as the last resort
-    for victim in ("memoized", "loadavg", "total_with_memo_sec",
-                   "warm_medians_cs", "queries_cs"):
+    for victim in ("memoized", "index_build_sec", "loadavg",
+                   "total_with_memo_sec", "warm_medians_cs",
+                   "queries_cs"):
         if len(line) + 1 <= 2000:
             break
         print(f"bench line {len(line)}B > 2000B cap; dropping "

@@ -188,9 +188,12 @@ def prefix_index(
     # instead of n-word strings (r14, guide §2.3: narrower types).
     # The global rank orders by (df, hash) instead of (df, shingle) —
     # prefix filtering is exact for ANY consistent total order and the
-    # verify intersects rank arrays, so results are unchanged
-    # (hash-collision odds are negligible relative to the n-gram
-    # approximation itself, the ngram_jaccard_pairs precedent).
+    # verify intersects rank arrays. A 64-bit collision would merge
+    # two distinct shingles (perturbing df counts, ranks and the
+    # rank-array intersection), so this is a vanishingly-small-
+    # probability approximation, not bit-exact equivalence — the same
+    # accepted trade as ngram_jaccard_pairs (ADVICE r14); on the
+    # oracle corpora the outputs are identical.
     sh = (
         word_shingles(docs, text_col, id_col, n=n)
         .select(
@@ -293,6 +296,7 @@ def minhash_lsh_candidates(
     bands: int = 8,
     rows_per_band: int = 4,
     bucket_cap: int | None = None,
+    materialize: bool = False,
 ) -> DataFrame:
     """LSH banding: split the signature into b bands of r hashes; docs
     agreeing on any whole band become a candidate pair. Returns distinct
@@ -342,12 +346,17 @@ def minhash_lsh_candidates(
     banded = signatures.select(
         "id", F.explode(F.array(*band_structs)).alias("bk")
     ).select("id", "bk.band", *[f"bk.k{r}" for r in range(rows_per_band)])
-    if not banded.isStreaming:
+    if materialize and not banded.isStreaming:
         # materialize the narrow banded relation (docs × bands rows of
         # small ints) ONCE: the self-join below otherwise re-executes
         # the whole upstream signature projection — the pipeline's
         # heaviest scan-stage compute — on BOTH join sides (r14,
-        # guide §1.2/§2.4: don't compute things twice)
+        # guide §1.2/§2.4: don't compute things twice). OPT-IN (r15,
+        # r14 verdict #1): only the memoized builder amortizes the
+        # eager materialization write; a single-shot caller pays it
+        # per invocation, and the capped path's window already forces
+        # a shuffle whose exchange both join sides reuse — the r14
+        # default-on form regressed dedup_lsh_capped 2.2 s → 4.6 s.
         banded = banded.localCheckpoint(eager=True)
     key_cols = ["band"] + [f"k{r}" for r in range(rows_per_band)]
     if bucket_cap is not None:

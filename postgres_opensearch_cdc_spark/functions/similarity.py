@@ -114,7 +114,14 @@ def _ensure_build_parallelism(df: DataFrame) -> DataFrame:
     gratuitous shuffle of vector payloads. Value-neutral: indexes are
     unordered row sets and every query path over them finishes with a
     deterministic agg/top-k (guide §2.5, input skew)."""
-    target = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    try:
+        target = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        )
+    except ValueError:
+        # AQE-managed deployments may set a non-numeric value ("auto");
+        # fall back to the cluster's default parallelism (ADVICE r14)
+        target = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < max(2, target // 4):
         return df.repartition(target)
     return df

@@ -76,7 +76,13 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = minhash_signatures_from_arrays(arrays, num_hashes=32, hasher="md5")
     # candidates are reused twice (pair filter + doc prefilter): cache
     # the small pair set, not the corpus-sized shingle relation
-    cands = minhash_lsh_candidates(sigs, bands=8, rows_per_band=4).cache()
+    # materialize=True: this builder runs ONCE per (app, sf_dir) — the
+    # memo amortizes the banded relation's eager checkpoint across the
+    # whole dedup family; single-shot callers (dedup_lsh_capped) keep
+    # the lazy shape (r14 verdict #1)
+    cands = minhash_lsh_candidates(
+        sigs, bands=8, rows_per_band=4, materialize=True
+    ).cache()
     cand_ids = (
         cands.select(F.col("id_a").alias("doc_id"))
         .union(cands.select(F.col("id_b").alias("doc_id")))
@@ -794,17 +800,59 @@ def dedup_embedding_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
     banded = sig.select(
         "id", "sig", F.explode(F.array(*band_structs)).alias("b")
     ).select("id", "sig", "b.bi", "b.bv")
-    a, b = banded.alias("a"), banded.alias("b")
-    hamming = F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig")))
+    # Bucket-local pair generation in ONE vectorized Arrow pass (r15,
+    # guide §4.2 + r14 verdict #7): the former (bi, bv) SELF-JOIN
+    # materialized ~12.5M matched rows at this corpus's noise floor
+    # before the hamming residual could discard them — the pair
+    # volume, not the filter, was the cost. Here each band bucket's
+    # members land in one partition (hash repartition on the band
+    # key), and a numpy popcount-table pass emits exactly the pairs
+    # the join emitted: id_a < id_b, popcount(sig_a XOR sig_b) <=
+    # MAX_HAMMING — pure 16-bit integer math, so the candidate SET is
+    # bit-identical and the downstream exact-cosine verify (unchanged,
+    # JVM) sees the same rows. The pigeonhole alternative (second-
+    # level prefix band) does NOT pay at H=5 over 12 residual bits:
+    # it needs 2-bit parts, which RAISE expected key collisions
+    # (24 keys x 2^-6 vs 4 keys x 2^-4 per pair). Row blocks of 4096
+    # bound the XOR matrix at bucket_size x 4096 — hot buckets cost
+    # linear memory, never O(m^2) at once.
+    def _bucket_pairs(batches):
+        import numpy as np
+        import pandas as pd
+
+        pop = np.unpackbits(
+            np.arange(1 << _SRP_BITS, dtype=np.uint16).view(np.uint8)
+        ).reshape(-1, 16).sum(axis=1).astype(np.int8)
+        parts = list(batches)
+        if not parts:
+            return
+        df = pd.concat(parts, ignore_index=True)
+        for _, g in df.groupby(["bi", "bv"], sort=False):
+            n = len(g)
+            if n < 2:
+                continue
+            order = np.argsort(g["id"].to_numpy(), kind="stable")
+            ids = g["id"].to_numpy(np.int64)[order]
+            sigs = g["sig"].to_numpy(np.int64)[order]
+            for i0 in range(0, n - 1, 4096):
+                i1 = min(i0 + 4096, n - 1)
+                # rows i in [i0, i1) pair with every j > i
+                xor = sigs[i0:i1, None] ^ sigs[None, :]
+                ok = pop[xor] <= _SRP_MAX_HAMMING
+                # keep the strict upper triangle (ids ascending, so
+                # j > i  <=>  id_j > id_i — exactly the join's a.id <
+                # b.id), masking j <= i per row
+                jj = np.arange(n)[None, :]
+                ok &= jj > (np.arange(i0, i1)[:, None])
+                ai, bj = np.nonzero(ok)
+                if len(ai):
+                    yield pd.DataFrame({
+                        "id_a": ids[ai + i0], "id_b": ids[bj],
+                    })
+
     cands = (
-        a.join(
-            b,
-            (F.col("a.bi") == F.col("b.bi"))
-            & (F.col("a.bv") == F.col("b.bv"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .filter(hamming <= _SRP_MAX_HAMMING)
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        banded.repartition("bi", "bv")
+        .mapInPandas(_bucket_pairs, schema="id_a long, id_b long")
         .distinct()
     )
     # norms precomputed once per vector (base.nv) — the exact verify

@@ -183,12 +183,15 @@ def dedup_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     test. Scale: the prefix side is ~(1−t)·|a| RARE tokens per doc, so
     inverted-index list lengths stay short; candidates, not pairs,
     bound every downstream stage."""
-    from postgres_opensearch_cdc_spark.functions.dedup import prefix_index
+    from postgres_opensearch_cdc_spark.queries.training_pipeline8 import (
+        prefix_substrate,
+    )
 
-    docs = load_table(spark, sf_dir, "documents")
     # shared substrate with the symmetric prefix-filter join — only
-    # the cutoff formula below differs (functions/dedup.prefix_index)
-    pos, arrs = prefix_index(docs, n=CONT_N)
+    # the cutoff formula below differs. Memoized + localCheckpointed
+    # per (app, sf_dir, n): both entries share one build instead of
+    # each rebuilding ~3 s of identical rank substrate (r14 verdict #9)
+    pos, arrs = prefix_substrate(spark, sf_dir, CONT_N)
     need = F.ceil(F.lit(CONT_T) * F.col("n"))  # exact: t = 3/4
     prefix = pos.filter(F.col("pos") <= F.col("n") - need + 1).select(
         F.col("doc_id").alias("ia"),

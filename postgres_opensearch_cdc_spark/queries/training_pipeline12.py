@@ -64,9 +64,10 @@ def embedding_gram_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream into a GramRollupSink; the published store, rounded,
     must equal the one-shot batch Gram — the oracle (the batch SQL)
     knows nothing about the split. float32 embeddings are cast to
-    array<double> BEFORE the JSON hop: doubles round-trip JSON
-    exactly, while a float32 shortest-repr would re-parse to a
-    DIFFERENT double and poison the sum beyond rounding tolerance."""
+    array<double> BEFORE the stream hop so the staged rows carry the
+    exact doubles the batch Gram sums (the hop is parquet since r14 —
+    the cast now simply matches the declared read schema; under the
+    original JSON hop it was what kept the round-trip exact)."""
     import tempfile
 
     from postgres_opensearch_cdc_spark.streaming.gram import GramRollupSink

@@ -126,6 +126,36 @@ PF_N = 3       # shingle width (tokens) — same substrate as
                # dedup_ngram_jaccard, whose all-pairs join is the
                # brute-force baseline this entry replaces
 
+# The (pos, arrs) prefix-index substrate is shared BY DESIGN between
+# the symmetric prefix-filter join (here) and the asymmetric
+# containment join (training_pipeline10) — same documents, same
+# shingle width, same global rank. Memoize the localCheckpointed pair
+# per (application, sf_dir, n) — the _PAIR_CACHE / memo_build_sec
+# treatment (r14 verdict #9): each entry previously rebuilt ~3 s of
+# identical substrate per invocation, and within one entry `pos`
+# feeds two consumers (prefix derivation + verify arrays) that
+# re-ran the rank join without the pin.
+_PREFIX_MEMO: dict = {}
+
+
+def prefix_substrate(spark: SparkSession, sf_dir: str, n: int):
+    """Memoized prefix-index substrate: (pos, arrs), both eagerly
+    localCheckpointed so every consumer — in this entry and in the
+    containment join — pays a metadata read, not a rebuild."""
+    from postgres_opensearch_cdc_spark.functions.dedup import prefix_index
+
+    key = (spark.sparkContext.applicationId, sf_dir, n)
+    hit = _PREFIX_MEMO.get(key)
+    if hit is not None:
+        return hit
+    docs = load_table(spark, sf_dir, "documents")
+    pos, arrs = prefix_index(docs, n=n)
+    pos = pos.localCheckpoint(eager=True)
+    arrs = arrs.localCheckpoint(eager=True)
+    _PREFIX_MEMO[key] = (pos, arrs)
+    return pos, arrs
+
+
 def dedup_prefix_filter_join(
     spark: SparkSession, sf_dir: str, suffix_mode: str = "auto"
 ) -> DataFrame:
@@ -163,15 +193,14 @@ def dedup_prefix_filter_join(
     more than the one codegen'd intersection pass that settles the
     pair exactly (SCALE §25). "auto" (default) and "off" both skip
     it. All modes return identical results."""
-    from postgres_opensearch_cdc_spark.functions.dedup import prefix_index
-
-    docs = load_table(spark, sf_dir, "documents")
     # shared substrate: globally-ranked shingles + per-doc verify
     # arrays (functions/dedup.prefix_index — also the containment
     # join's and the hot-shingle harness's base; the rank runs
     # through the distributed two-phase construction, round-12
-    # verdict #1, and is pinned so prefix and verify share one run)
-    pos, arrs = prefix_index(docs, n=PF_N)
+    # verdict #1) — memoized + pinned per (app, sf_dir, n) so both
+    # consumers of this entry AND the containment join share one
+    # build (prefix_substrate above, r14 verdict #9)
+    pos, arrs = prefix_substrate(spark, sf_dir, PF_N)
     prefix = pos.filter(
         F.col("pos")
         <= F.col("n") - F.ceil(F.lit(PF_TAU) * F.col("n")) + 1

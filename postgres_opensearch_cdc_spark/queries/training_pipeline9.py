@@ -61,6 +61,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from postgres_opensearch_cdc_spark.functions.dedup import hash60
 from postgres_opensearch_cdc_spark.functions.similarity import (
+    _vec_lit,
     cosine,
     dot,
     l2_norm,
@@ -276,7 +277,10 @@ def ann_mips_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"{sf_dir}/embeddings"
         )
     q = [float(x) for x in qrow[0]]
-    qlit = F.lit([float(x) for x in q])  # ONE py4j call, not dim
+    # ONE driver call: F.lit(list) expands to array(*[lit(x) ...]) —
+    # one py4j round-trip per element — so the literal goes out as a
+    # single-parse SQL string instead (similarity._vec_lit; ADVICE r14)
+    qlit = _vec_lit([float(x) for x in q])
     data = vecs.filter(F.col("vec_id") != 0).select(
         "vec_id",
         F.transform(F.col("embedding"), lambda x: x.cast("double")).alias(
@@ -327,7 +331,9 @@ def _d2_to(vcol, center: list[float]):
     compares bit-identical doubles in both engines. The c·c term is a
     Python left fold over the same float64s (identical to the
     engines' sequential dot)."""
-    clit = F.lit([float(x) for x in center])  # ONE py4j call, not dim
+    # ONE driver call per round via the single-parse SQL literal —
+    # F.lit(list) would pay one py4j round-trip per element (ADVICE r14)
+    clit = _vec_lit([float(x) for x in center])
     cc = 0.0
     for x in center:
         cc += x * x

@@ -231,6 +231,22 @@ def test_bucket_cap_bounds_hot_band_explosion(spark):
     with pytest.raises(ValueError, match="bucket_cap"):
         minhash_lsh_candidates(sigs, bucket_cap=0)
 
+    # value-equivalence of the materialize flag: same pair sets either
+    # way (the checkpoint is a pure execution-shape choice), and the
+    # default keeps the LAZY shape — no ExistingRDD (checkpoint scan)
+    # in the default plan, exactly one in the materialized plan. The
+    # r14 default-on eager checkpoint regressed single-shot callers
+    # (dedup_lsh_capped 2.2 s → 4.6 s); only the memoized family
+    # builder opts in (r15).
+    mat = minhash_lsh_candidates(
+        sigs, bands=8, rows_per_band=4, materialize=True
+    )
+    assert {(r["id_a"], r["id_b"]) for r in mat.collect()} == {
+        (r["id_a"], r["id_b"]) for r in uncapped.collect()
+    }
+    assert "ExistingRDD" not in uncapped._jdf.queryExecution().executedPlan().toString()
+    assert "ExistingRDD" in mat._jdf.queryExecution().executedPlan().toString()
+
 
 def test_duplicate_window_spans_planted(spark):
     """Substring-level dedup on planted geometry: a 25-token span

@@ -132,6 +132,23 @@ def test_prefix_join_equals_brute_force_on_corpus(spark, sf_dir):
     assert want, "corpus has no qualifying pairs: completeness untested"
 
 
+def test_prefix_substrate_memoized_and_pinned(spark, sf_dir):
+    """The (pos, arrs) substrate is memoized per (app, sf_dir, n) and
+    eagerly checkpointed: a second call is the SAME pinned frames (the
+    containment join shares the build by design, r15), and the pinned
+    plans scan the materialized RDD instead of rebuilding the rank."""
+    from postgres_opensearch_cdc_spark.queries.training_pipeline8 import (
+        prefix_substrate,
+    )
+
+    pos1, arrs1 = prefix_substrate(spark, sf_dir, PF_N)
+    pos2, arrs2 = prefix_substrate(spark, sf_dir, PF_N)
+    assert pos1 is pos2 and arrs1 is arrs2
+    for df in (pos1, arrs1):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "ExistingRDD" in plan  # pinned, not a rebuild
+
+
 def test_prefix_join_modes_agree_on_hot_shingle_corpus(spark, tmp_path):
     """The adversarial two-dialect corpus (tools/bench_hot_shingle) is
     where the suffix bound actually prunes — positional candidates go
