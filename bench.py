@@ -136,6 +136,11 @@ def main() -> None:
     _tp5._wp_merges(spark, sf_dir)                  # WordPiece merges
     _tp8.prefix_substrate(spark, sf_dir, 3)         # r15: shared
     # prefix-index substrate of the prefix-filter + containment joins
+    from postgres_opensearch_cdc_spark.queries import cdc_queries as _cq
+
+    _cq._staged_envelopes(spark, sf_dir)            # r15: the rollup
+    # entries' shared normalized-envelope changelog staging (each
+    # entry still parses + streams it through its own checkpoint)
     memo_build_sec = round(time.perf_counter() - t0, 3)
     print(f"memo build: {memo_build_sec}s", file=progress, flush=True)
     # (bpe_apply_tokens / bpe_apply_tokens_arrow /

@@ -541,31 +541,55 @@ class VersionedMirrorSink:
             return  # replayed batch already committed — exactly-once
         version = (manifest["version"] + 1) if manifest else 1
         batch = batch.withColumn("_bucket", self._bucket())
-        # bounded driver-side listing: ≤ num_buckets rows. The same job
-        # also returns per-bucket seq maxima, folded below into the
-        # manifest's sequence high-water mark (max seq EVER merged,
-        # deletes included) — what lets a bulk/REST write allocate
-        # sequence numbers above every consumed stream offset even
-        # after a high-seq delete left no live row behind.
-        stats = (
-            batch.groupBy("_bucket")
-            .agg(*[F.max(c).alias(c) for c in self.seq_cols])
-            .collect()
-        )
-        touched = sorted(r["_bucket"] for r in stats)
+        obs = None
+        if manifest is None:
+            # FIRST commit: no current slice to prune, and the manifest
+            # bucket map is rebuilt from the write's own output dirs —
+            # the only thing the stats job contributes is the sequence
+            # high-water mark (global max per seq col, deletes
+            # included). Fold that into the merge write itself via
+            # observe() instead of running a separate full pass over
+            # the batch (r15, one fewer Spark job per mirror
+            # bootstrap; the observation sits UPSTREAM of the merge
+            # window's survivor filter, so deleted rows still raise
+            # the mark exactly as the stats job did).
+            from pyspark.sql import Observation
+
+            obs = Observation()
+            batch = batch.observe(
+                obs, *[F.max(F.col(c)).alias(c) for c in self.seq_cols]
+            )
+            touched: list = []
+        else:
+            # bounded driver-side listing: ≤ num_buckets rows. The same
+            # job also returns per-bucket seq maxima, folded below into
+            # the manifest's sequence high-water mark (max seq EVER
+            # merged, deletes included) — what lets a bulk/REST write
+            # allocate sequence numbers above every consumed stream
+            # offset even after a high-seq delete left no live row
+            # behind. (The stats scan is column-pruned to _bucket +
+            # seq cols; the merge needs the touched list BEFORE its
+            # plan exists, so the two passes cannot fuse here.)
+            stats = (
+                batch.groupBy("_bucket")
+                .agg(*[F.max(c).alias(c) for c in self.seq_cols])
+                .collect()
+            )
+            touched = sorted(r["_bucket"] for r in stats)
         prev_hwm = dict((manifest or {}).get("max_seq") or {})
         max_seq: dict = dict(prev_hwm)
-        for c in self.seq_cols:
-            vals = [r[c] for r in stats if r[c] is not None]
-            # only JSON-storable scalar seq types participate (the
-            # engine's long offsets; timestamp seqs are compared via
-            # live rows instead)
-            vals = [v for v in vals if isinstance(v, (int, float, str))]
-            if not vals:
-                continue
-            batch_max = max(vals)
-            prev = prev_hwm.get(c)
-            max_seq[c] = batch_max if prev is None or batch_max > prev else prev
+        if manifest is not None:
+            for c in self.seq_cols:
+                vals = [r[c] for r in stats if r[c] is not None]
+                # only JSON-storable scalar seq types participate (the
+                # engine's long offsets; timestamp seqs are compared via
+                # live rows instead)
+                vals = [v for v in vals if isinstance(v, (int, float, str))]
+                if not vals:
+                    continue
+                batch_max = max(vals)
+                prev = prev_hwm.get(c)
+                max_seq[c] = batch_max if prev is None or batch_max > prev else prev
         unioned = batch
         if manifest is not None:
             current = self._read_manifest_slice(spark, manifest, buckets=touched)
@@ -603,6 +627,11 @@ class VersionedMirrorSink:
         commit_id = f"commit-{version:08d}-{uuid.uuid4().hex[:8]}"
         commit_dir = os.path.join(self._data_dir, commit_id)
         merged.write.partitionBy("_bucket").parquet(commit_dir)
+        if obs is not None:
+            # first-commit high-water mark, observed on the write job
+            for c, v in obs.get.items():
+                if isinstance(v, (int, float, str)):
+                    max_seq[c] = v
         # buckets that survived the merge: a driver listing of the fresh
         # commit dir (no extra Spark job, no collect)
         out_buckets = {
@@ -1098,14 +1127,23 @@ class RollupSink:
                 )
             )
             old_map = (manifest or {}).get("aux_buckets", {}).get(c, {})
-            # one micro-batch's distinct bucket list — bounded by
-            # aux_num_buckets, the span store's driver-side pattern
-            touched = sorted(
-                r["b"] for r in delta.select(
-                    self._aux_bucket_expr(F.col("value")).alias("b")
-                ).distinct().collect()
-            )
-            if not touched and not legacy:
+            if old_map or legacy:
+                # one micro-batch's distinct bucket list — bounded by
+                # aux_num_buckets, the span store's driver-side pattern
+                touched = sorted(
+                    r["b"] for r in delta.select(
+                        self._aux_bucket_expr(F.col("value")).alias("b")
+                    ).distinct().collect()
+                )
+            else:
+                # nothing to prune or carry (first commit, or every
+                # prior bucket emptied): the touched list only gates
+                # which OLD buckets merge, so the probe job is pure
+                # overhead here — the write below derives the actual
+                # bucket map from its own output dirs (r15, one fewer
+                # Spark job per single-batch rollup entry)
+                touched = None
+            if touched == [] and not legacy:
                 # no ±delta for this column: carry the bucket map and
                 # schema forward — zero aux I/O this commit
                 aux_buckets[c] = old_map
@@ -1121,29 +1159,36 @@ class RollupSink:
                 carried = {}
             else:
                 aux = delta
-                if manifest is not None:
+                if manifest is not None and old_map:
                     aux = self._read_aux(
                         spark, manifest, c, buckets=touched
                     ).unionByName(delta)
                 carried = {b: cm for b, cm in old_map.items()
-                           if int(b) not in set(touched)}
+                           if int(b) not in set(touched or ())}
+            # ONE exchange for both the multiset aggregation and the
+            # bucket clustering (r15, guide §2.4): bucket =
+            # pmod(xxhash64(groups..., value), nb) is a function of
+            # the grouping key, so hash-partitioning by bucket already
+            # clusters every (group, value) into one partition — the
+            # groupBy reuses it (HashPartitioning(bucket) satisfies
+            # ClusteredDistribution(bucket, groups, value)) instead of
+            # adding its own shuffle, and the partitionBy write still
+            # lays one file per touched bucket per commit.
             aux = (
-                aux.groupBy(*self._groups, "value")
+                aux.withColumn(
+                    "bucket", self._aux_bucket_expr(F.col("value"))
+                )
+                .repartition("bucket")
+                .groupBy("bucket", *self._groups, "value")
                 .agg(F.sum("cnt").alias("cnt"))
                 .filter(F.col("cnt") != 0)
             )
             # file schema excludes the bucket partition column — the
             # read path targets bucket=N dirs directly
-            aux_schemas[c] = json.loads(aux.schema.json())
+            aux_schemas[c] = json.loads(aux.drop("bucket").schema.json())
             out_dir = os.path.join(commit_dir, f"mm_{c}")
             (
-                aux.withColumn(
-                    "bucket", self._aux_bucket_expr(F.col("value"))
-                )
-                # one task per bucket value -> one file per touched
-                # bucket per commit (same rationale as the span store)
-                .repartition("bucket")
-                .write.partitionBy("bucket")
+                aux.write.partitionBy("bucket")
                 .mode("overwrite").parquet(out_dir)
             )
             written = {}
