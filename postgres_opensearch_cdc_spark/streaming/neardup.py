@@ -490,7 +490,7 @@ class SpanDedupSink:
         spans = merge_seed_spans(seeds, self.window).withColumn(
             "batch_id", F.lit(int(batch_id))
         )
-        self._emit(batch, spans, batch_id)
+
         # repartition on the bucket before the partitionBy write: each
         # bucket lands in exactly one task → one file per touched
         # bucket per batch, instead of (shuffle partitions × buckets)
@@ -506,12 +506,29 @@ class SpanDedupSink:
         # exchange was a pure extra shuffle of the widest relation in
         # the batch — one bucket repartition is the whole write cost
         # (r14, guide §2.4: remove shuffles outright)
-        wins.select(
-            "win_hash", F.col("id").alias("owner"),
-            F.pmod("win_hash", F.lit(self.num_buckets)).alias("bucket"),
-        ).repartition("bucket").write.partitionBy(
-            "bucket"
-        ).mode("append").parquet(self._winhashes)
+        def _write_store() -> None:
+            wins.select(
+                "win_hash", F.col("id").alias("owner"),
+                F.pmod("win_hash", F.lit(self.num_buckets)).alias("bucket"),
+            ).repartition("bucket").write.partitionBy(
+                "bucket"
+            ).mode("append").parquet(self._winhashes)
+
+        # OVERLAP the two independent per-batch writes (guide §2.6):
+        # the emit (seeds → spans → trim/report write) and the winhash
+        # store append both consume only the CHECKPOINTED batch/wins
+        # frames and write to different dirs, so their jobs can share
+        # the executor instead of running back-to-back — each leaves
+        # most cores idle in its tail. The meta commit still happens
+        # strictly after BOTH (same crash contract: a crash before it
+        # replays the whole batch; the store's existence-join and the
+        # readers' distinct heal the partial writes, unchanged).
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            store_fut = pool.submit(_write_store)
+            self._emit(batch, spans, batch_id)
+            store_fut.result()
         os.makedirs(self.path, exist_ok=True)
         tmp = self._meta + ".tmp"
         with open(tmp, "w") as fh:
