@@ -765,14 +765,42 @@ def dedup_embedding_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = vecs.select(
         F.col("vec_id").alias("id"), _as_double(F.col("embedding")).alias("v")
     ).withColumn("nv", l2_norm(F.col("v")))
-    # one ArrayType literal per plane (F.lit(list)), not 64 scalar
-    # literals: keeps the expression tree 64x smaller, which is the
-    # difference between a ~1s and a ~10s analyze+codegen on 16 planes
+    # The 16 plane dot products run as ONE vectorized Arrow pass (r15,
+    # guide §4.2): zip_with/aggregate folds are interpreted, not
+    # codegen'd, so 16 x 64 fused multiply-adds per vector dominated
+    # the signature stage. The numpy pass accumulates each dot in the
+    # SAME left-to-right IEEE order as the aggregate fold
+    # (acc = (((0 + x0*p0) + x1*p1) + ...) — one elementwise add per
+    # dimension), so the doubles handed back are bit-identical; the
+    # oracle-visible rounding (round(dot, 6) >= 0) stays in the JVM,
+    # untouched. Bits and the packed signature are cheap JVM
+    # projections over the 16 returned doubles.
+    def _plane_dots(batches):
+        import numpy as np
+        import pandas as pd
+
+        planes = [np.asarray(p, dtype=np.float64) for p in _SRP_PLANES]
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = np.stack(pdf["v"].to_numpy()).astype(np.float64, copy=False)
+            out = {"id": pdf["id"].to_numpy(np.int64)}
+            for i, p in enumerate(planes):
+                acc = np.zeros(len(pdf), dtype=np.float64)
+                for d in range(v.shape[1]):
+                    acc = acc + v[:, d] * p[d]
+                out[f"d{i}"] = acc
+            yield pd.DataFrame(out)
+
+    dots = base.select("id", "v").mapInPandas(
+        _plane_dots,
+        schema="id long, " + ", ".join(
+            f"d{i} double" for i in range(_SRP_BITS)
+        ),
+    )
     bit_cols = [
-        (F.round(dot(F.col("v"), F.lit(plane)), 6) >= 0)
-        .cast("int")
-        .alias(f"bit{i}")
-        for i, plane in enumerate(_SRP_PLANES)
+        (F.round(F.col(f"d{i}"), 6) >= 0).cast("int").alias(f"bit{i}")
+        for i in range(_SRP_BITS)
     ]
     # materialize the signature relation (id, bit0..15, sig) — 10 bytes
     # of payload per vector — so the plane dot products run exactly once
@@ -780,7 +808,7 @@ def dedup_embedding_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
     # through the band join and the hamming filter re-derives them (and
     # drags the raw 64-dim vectors) per candidate PAIR.
     sig = (
-        base.select("id", *bit_cols)
+        dots.select("id", *bit_cols)
         .withColumn(
             "sig",
             sum(F.col(f"bit{i}").cast("long") * (2**i) for i in range(_SRP_BITS)),
@@ -863,11 +891,45 @@ def dedup_embedding_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
     eb = base.select(
         F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("nv").alias("nb")
     )
-    sim = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
-    return (
+
+    # the per-pair verify dot is the same §4.2 move as the plane dots
+    # above: one numpy pass in the aggregate fold's exact IEEE order
+    # (the candidate volume × 64 interpreted multiply-adds was the
+    # entry's single largest stage); the division, the rounding and
+    # the threshold — the oracle-visible float steps — stay JVM-side
+    # on the bit-identical dot values.
+    def _pair_dots(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            va = np.stack(pdf["va"].to_numpy()).astype(np.float64, copy=False)
+            vb = np.stack(pdf["vb"].to_numpy()).astype(np.float64, copy=False)
+            acc = np.zeros(len(pdf), dtype=np.float64)
+            for d in range(va.shape[1]):
+                acc = acc + va[:, d] * vb[:, d]
+            yield pd.DataFrame({
+                "id_a": pdf["id_a"].to_numpy(np.int64),
+                "id_b": pdf["id_b"].to_numpy(np.int64),
+                "dp": acc,
+                "na": pdf["na"].to_numpy(np.float64),
+                "nb": pdf["nb"].to_numpy(np.float64),
+            })
+
+    paired = (
         cands.join(ea, "id_a")
         .join(eb, "id_b")
-        .select("id_a", "id_b", F.round(sim, 6).alias("cos_sim"))
+        .select("id_a", "id_b", "va", "vb", "na", "nb")
+        .mapInPandas(
+            _pair_dots,
+            schema="id_a long, id_b long, dp double, na double, nb double",
+        )
+    )
+    sim = F.col("dp") / (F.col("na") * F.col("nb"))
+    return (
+        paired.select("id_a", "id_b", F.round(sim, 6).alias("cos_sim"))
         .filter(F.col("cos_sim") >= _SRP_THRESHOLD)
         .orderBy("id_a", "id_b")
     )
