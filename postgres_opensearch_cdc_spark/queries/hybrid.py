@@ -82,7 +82,15 @@ def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reciprocal-rank fusion of the two legs; a doc missing from one
     leg's top-k contributes 0 for that leg (the hybrid-query
     semantics). Output: fused top-FUSED_K with both ranks exposed."""
-    lexr, vecr = _legs(spark, sf_dir)
+    return _rrf_from_legs(*_legs(spark, sf_dir))
+
+
+def _rrf_from_legs(lexr: DataFrame, vecr: DataFrame) -> DataFrame:
+    """The fusion over ALREADY-BUILT legs — shared with
+    search_eval_metrics, which pins the legs once and feeds all three
+    rankings from them (r15: the eval previously re-derived both legs
+    through this entry, running BM25 and the brute-force top-k twice
+    per invocation)."""
     fused = lexr.join(vecr, "doc_id", "full_outer").select(
         "doc_id",
         "r_lex",
@@ -155,8 +163,13 @@ def search_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcastable semi-join against the label column; the metric
     reduction is k rows per ranking. The eval harness shape at 100 TB
     is per-query fan-out of exactly this plan over a query set."""
+    # legs pinned once: each is consumed twice (its own ranking row +
+    # the fusion input), and the BM25 / brute-force-top-k passes are
+    # the entry's whole corpus-sized work (r15, guide §1.2)
     lexr, vecr = _legs(spark, sf_dir)
-    rrf = search_hybrid_rrf(spark, sf_dir).select(
+    lexr = lexr.localCheckpoint(eager=True)
+    vecr = vecr.localCheckpoint(eager=True)
+    rrf = _rrf_from_legs(lexr, vecr).select(
         "doc_id",
         F.row_number().over(
             Window.orderBy(F.col("rrf_score").desc(), "doc_id")

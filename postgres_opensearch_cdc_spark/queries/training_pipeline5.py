@@ -162,7 +162,10 @@ def quality_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.col("s.0").alias("prev"),
         F.concat(F.col("s.0"), F.lit(" "), F.col("s.1")).alias("bigram"),
-    )
+        # pinned: three consumers (bigram counts, context counts, the
+        # scored join) each re-ran the corpus tokenize+zip+explode
+        # without the cut (r15, guide §1.2: don't compute it thrice)
+    ).localCheckpoint(eager=True)
     b_cnt = pairs.groupBy("bigram").agg(F.count(F.lit(1)).alias("bc"))
     p_cnt = pairs.groupBy("prev").agg(F.count(F.lit(1)).alias("pc"))
     scored = (
