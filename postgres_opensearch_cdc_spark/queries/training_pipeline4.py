@@ -223,27 +223,72 @@ def dedup_semantic_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
         vecs.select("vec_id", "v", cl, dsq)
         .withColumn("rnk", F.row_number().over(w))
         .withColumn("nv", l2_norm(F.col("v")))
+        # pinned: the literal-centroid assignment (K x dim interpreted
+        # fused multiply-adds per vector) feeds both the pair pass and
+        # the verdict join — compute it once (r15, guide §1.2)
+        .localCheckpoint(eager=True)
     )
-    a = ranked.select(
-        "cluster",
-        F.col("vec_id").alias("id_a"),
-        F.col("rnk").alias("rnk_a"),
-        F.col("v").alias("va"),
-        F.col("nv").alias("na"),
+    # Cluster-local pair dots in ONE vectorized Arrow pass (r15, guide
+    # §4.2 — the SRP verify's move): the cluster self-join shipped both
+    # 64-dim vectors per PAIR into an interpreted zip_with/aggregate
+    # fold. Here each cluster's members enter numpy once (vectors ship
+    # per VECTOR), the pairwise dots accumulate dimension-ascending —
+    # acc[i,j] = (((0 + va0*vb0) + va1*vb1) + ...), the aggregate
+    # fold's exact IEEE order, so dp/na/nb are bit-identical — and the
+    # oracle-visible float steps (division, round, threshold) run in
+    # the JVM on the returned values. The numpy-side prefilter keeps
+    # only dp/(na*nb) >= EPS - 1e-4: round(x, 6) >= EPS already
+    # implies x >= EPS - 5e-7, and the ratio is the same IEEE division
+    # both sides, so no qualifying pair can be dropped. Row blocks of
+    # 2048 bound the pair matrix — hot clusters cost linear memory.
+    def _cluster_pair_dots(batches):
+        import numpy as np
+        import pandas as pd
+
+        parts = list(batches)
+        if not parts:
+            return
+        df = pd.concat(parts, ignore_index=True)
+        for _, g in df.groupby("cluster", sort=False):
+            n = len(g)
+            if n < 2:
+                continue
+            order = np.argsort(g["rnk"].to_numpy(), kind="stable")
+            ids = g["vec_id"].to_numpy(np.int64)[order]
+            v = np.stack(g["v"].to_numpy()[order]).astype(
+                np.float64, copy=False
+            )
+            nv = g["nv"].to_numpy(np.float64)[order]
+            for i0 in range(1, n, 2048):
+                i1 = min(i0 + 2048, n)
+                # rows i in [i0, i1) (rank order) pair with every j < i
+                acc = np.zeros((i1 - i0, n), dtype=np.float64)
+                for d in range(v.shape[1]):
+                    acc = acc + v[i0:i1, d, None] * v[None, :, d]
+                ratio = acc / (nv[i0:i1, None] * nv[None, :])
+                ok = ratio >= (SEM_EPS - 1e-4)
+                jj = np.arange(n)[None, :]
+                ok &= jj < (np.arange(i0, i1)[:, None])
+                ai, bj = np.nonzero(ok)
+                if len(ai):
+                    yield pd.DataFrame({
+                        "id_a": ids[ai + i0],
+                        "dp": acc[ai, bj],
+                        "na": nv[ai + i0],
+                        "nb": nv[bj],
+                    })
+
+    pair_dots = (
+        ranked.select("cluster", "rnk", "vec_id", "v", "nv")
+        .repartition("cluster")
+        .mapInPandas(
+            _cluster_pair_dots,
+            schema="id_a long, dp double, na double, nb double",
+        )
     )
-    b = ranked.select(
-        "cluster",
-        F.col("rnk").alias("rnk_b"),
-        F.col("v").alias("vb"),
-        F.col("nv").alias("nb"),
-    )
-    sim = F.round(
-        dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
-    )
+    sim = F.round(F.col("dp") / (F.col("na") * F.col("nb")), 6)
     dropped = (
-        a.join(b, "cluster")
-        .filter(F.col("rnk_b") < F.col("rnk_a"))
-        .filter(sim >= SEM_EPS)
+        pair_dots.filter(sim >= SEM_EPS)
         .select("id_a")
         .distinct()
     )
