@@ -244,7 +244,6 @@ class SemanticDedupSink:
             .withColumn("batch_id", F.lit(int(batch_id)))
             .localCheckpoint(eager=True)
         )
-        verdicts.repartition(4).write.mode("append").parquet(self._verdicts)
         new_reps = (
             assigned.join(
                 verdicts.filter(F.col("kept")).select("vec_id"),
@@ -258,11 +257,27 @@ class SemanticDedupSink:
                 F.pmod("cluster", F.lit(self.num_buckets)).alias("bucket"),
             )
         )
+
         # one file per touched bucket per batch (repartition by value,
-        # the SpanDedupSink convention)
-        new_reps.repartition("bucket").write.partitionBy("bucket").mode(
-            "append"
-        ).parquet(self._reps)
+        # the SpanDedupSink convention). Both writes consume only the
+        # CHECKPOINTED verdicts/assigned frames and target different
+        # dirs, so they OVERLAP on the executor (guide §2.6, the span
+        # sink's move) instead of running back-to-back; the meta commit
+        # below still happens strictly after both — crash/replay
+        # contract unchanged.
+        def _write_verdicts() -> None:
+            verdicts.repartition(4).write.mode("append").parquet(
+                self._verdicts
+            )
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            verdict_fut = pool.submit(_write_verdicts)
+            new_reps.repartition("bucket").write.partitionBy("bucket").mode(
+                "append"
+            ).parquet(self._reps)
+            verdict_fut.result()
         os.makedirs(self.path, exist_ok=True)
         tmp = self._meta + ".tmp"
         with open(tmp, "w") as fh:
