@@ -143,6 +143,11 @@ def main() -> None:
     # entry still parses + streams it through its own checkpoint)
     _ext.dedup_ngram_jaccard(spark, sf_dir).count()  # r15: exact
     # all-pairs truth set, shared with dedup_lsh_recall_audit
+    from postgres_opensearch_cdc_spark.queries import hybrid as _hy
+
+    _hy._legs(spark, sf_dir)                        # r15: the hybrid
+    # family's shared BM25 + vector-top-k legs (each entry still pays
+    # its own fusion/metric work)
     memo_build_sec = round(time.perf_counter() - t0, 3)
     print(f"memo build: {memo_build_sec}s", file=progress, flush=True)
     # (bpe_apply_tokens / bpe_apply_tokens_arrow /
