@@ -148,6 +148,8 @@ def main() -> None:
     _hy._legs(spark, sf_dir)                        # r15: the hybrid
     # family's shared BM25 + vector-top-k legs (each entry still pays
     # its own fusion/metric work)
+    _ext._corpus_spans(spark, sf_dir).count()       # r15: the maximal
+    # duplicated-span frame shared by the span report + doc stats
     memo_build_sec = round(time.perf_counter() - t0, 3)
     print(f"memo build: {memo_build_sec}s", file=progress, flush=True)
     # (bpe_apply_tokens / bpe_apply_tokens_arrow /
@@ -167,7 +169,11 @@ def main() -> None:
                 # r15: the exact all-pairs truth set is memoized and
                 # shared with dedup_lsh_recall_audit; both entries'
                 # positional numbers are memo-HIT reads
-                "dedup_ngram_jaccard", "dedup_lsh_recall_audit"}
+                "dedup_ngram_jaccard", "dedup_lsh_recall_audit",
+                # r15: the maximal-span frame is memoized (shared with
+                # dedup_span_doc_stats, which still pays its own
+                # per-doc aggregate + token-count join)
+                "dedup_duplicate_spans"}
 
     # TWO full positional passes, per-entry MIN reported (round-8
     # verdict ask #3): a single pass is exposed to ambient host load

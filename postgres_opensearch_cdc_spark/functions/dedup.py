@@ -690,16 +690,21 @@ def duplicate_span_doc_stats(
     id_col: str,
     window: int = 10,
     min_count: int = 2,
+    spans: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document duplicated-substring exposure: total duplicated
     tokens (union of maximal spans — spans are disjoint by
     construction), span count, and the duplicated fraction of the
     document — the signal a training pipeline thresholds to drop or
     trim boilerplate-heavy documents. One extra per-doc aggregate +
-    broadcast-sized join back to token counts on the surviving docs."""
-    spans = duplicate_window_spans(
-        df, text_col, id_col, window=window, min_count=min_count
-    )
+    broadcast-sized join back to token counts on the surviving docs.
+    ``spans`` lets a caller supply an already-built span frame (the
+    ngram_jaccard_pairs candidates= precedent) so the corpus window
+    pipeline is not re-run when the spans are shared (r15)."""
+    if spans is None:
+        spans = duplicate_window_spans(
+            df, text_col, id_col, window=window, min_count=min_count
+        )
     per_doc = spans.groupBy("id").agg(
         F.sum(F.col("span_end") - F.col("span_start")).alias("dup_tokens"),
         F.count(F.lit(1)).alias("n_spans"),

@@ -1834,6 +1834,30 @@ ORACLE["multimodal_manifest"] = r"""
 SPAN_WINDOW = 10  # tokens per window — the "dedup at the N-token level" N
 
 
+# The maximal-span frame is shared BY DESIGN between the span report
+# and the per-doc stats (the stats are "over the maximal spans") —
+# memoized + pinned per (app, sf_dir), the _PAIR_CACHE treatment
+# (r15): each entry re-ran the corpus window pipeline per invocation.
+_SPANS_CACHE: dict = {}
+
+
+def _corpus_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from postgres_opensearch_cdc_spark.functions.dedup import (
+        duplicate_window_spans,
+    )
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _SPANS_CACHE.get(key)
+    if hit is not None:
+        return hit
+    docs = load_table(spark, sf_dir, "documents")
+    out = duplicate_window_spans(
+        docs, "text", "doc_id", window=SPAN_WINDOW
+    ).localCheckpoint(eager=True)
+    _SPANS_CACHE[key] = out
+    return out
+
+
 def dedup_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Substring-level exact dedup (Lee et al.'s duplicated-span
     detection, window-hash form): maximal per-document token spans
@@ -1842,14 +1866,7 @@ def dedup_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     (only 8-byte hashes shuffle); the DuckDB oracle replays the same
     windows on the STRINGS themselves, so the value check also
     certifies the hash path collision-free at this scale."""
-    from postgres_opensearch_cdc_spark.functions.dedup import (
-        duplicate_window_spans,
-    )
-
-    docs = load_table(spark, sf_dir, "documents")
-    return duplicate_window_spans(
-        docs, "text", "doc_id", window=SPAN_WINDOW
-    ).orderBy("id", "span_start")
+    return _corpus_spans(spark, sf_dir).orderBy("id", "span_start")
 
 
 def dedup_span_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1863,7 +1880,8 @@ def dedup_span_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return duplicate_span_doc_stats(
-        docs, "text", "doc_id", window=SPAN_WINDOW
+        docs, "text", "doc_id", window=SPAN_WINDOW,
+        spans=_corpus_spans(spark, sf_dir),
     ).orderBy("id")
 
 
