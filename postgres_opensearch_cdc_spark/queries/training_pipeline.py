@@ -331,7 +331,9 @@ def quality_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", "source", F.explode(textfn.tokens(F.col("text"))).alias("tok")
-    )
+        # pinned: two consumers (vocabulary build + the scoring join)
+        # each re-ran the corpus tokenize+explode (r15, guide §1.2)
+    ).localCheckpoint(eager=True)
     vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
     total = vocab.agg(F.sum("cnt").alias("total"))
     scored = (
@@ -384,7 +386,9 @@ def quality_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.col("s.0").alias("prev"),
         F.concat(F.col("s.0"), F.lit(" "), F.col("s.1")).alias("bigram"),
-    )
+        # pinned: three consumers (bigram counts, prefix counts, the
+        # scoring join) each re-ran the corpus explode (r15, §1.2)
+    ).localCheckpoint(eager=True)
     b_cnt = pairs.groupBy("bigram").agg(F.count(F.lit(1)).alias("bc"))
     p_cnt = pairs.groupBy("prev").agg(F.count(F.lit(1)).alias("pc"))
     scored = (

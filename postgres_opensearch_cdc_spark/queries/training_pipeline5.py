@@ -576,10 +576,17 @@ def quality_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.col("s.0").alias("prev"),
         F.col("s.1").alias("nxt"),
-    )
+        # pinned: four consumers (bigram counts, prefix totals, the
+        # type relation, the scored join) each re-ran the corpus
+        # tokenize+zip+explode without the cut (r15, guide §1.2)
+    ).localCheckpoint(eager=True)
     bc = pairs.groupBy("prev", "nxt").agg(F.count(F.lit(1)).alias("bc"))
     pc = pairs.groupBy("prev").agg(F.count(F.lit(1)).alias("pc"))
-    types = pairs.select("prev", "nxt").distinct()
+    # pinned: three consumers (both continuation counts + the 1-row
+    # type total) over one distinct pass
+    types = pairs.select("prev", "nxt").distinct().localCheckpoint(
+        eager=True
+    )
     cont_prev = types.groupBy("prev").agg(
         F.count(F.lit(1)).alias("np1")
     )
