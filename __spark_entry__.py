@@ -103,45 +103,51 @@ _MODULES = [
 # _HAND_STAGED = how many leading window rows are this round's
 # hand-chosen new/changed block; everything after them through row 50
 # must be the staleness tool's output.
-_HAND_STAGED = 11
+_HAND_STAGED = 15
 _PRIORITY = [
-    # (a) NEW this round (round 14) — never driver-checked
-    "sketch_hll_production",      # p=14 through the oracle gate
-    "dedup_edit_distance",        # levenshtein re-score of LSH pairs
-    "dedup_containment_join",     # asymmetric prefix filter, exact
-    "embedding_gram_matrix",      # Arrow-partial X^T X
-    "embedding_pca_power",        # unrolled power iteration oracle
-    "text_novelty_ngram",         # corpus-df novelty / boilerplate
-    "cooc_pmi_topk",              # doc-level co-occurrence PMI
-    "embedding_gram_stream",      # additive Gram store, stream≡batch
-    "feature_mi_label",           # MI feature selection
-    "dedup_lsh_recall_audit",     # measured LSH recall vs exact truth
-    # (b) implementation changed this round — re-certify
-    "dedup_prefix_filter_join",   # array-intersect verify rewrite
-    # (c) latest green row is r5 — the block the r13 hand-count lost
-    "asof_last_purchase", "multimodal_manifest", "quality_unigram_lm",
-    "rare_terms_agg",
-    # (d) latest green row is r6
-    "significant_text", "mixture_temperature_sample",
-    "chunk_dedup_stats", "ann_radial_search", "frequent_item_sets_agg",
-    "eql_sequence", "funnel_steps", "change_point_cusum",
-    "top_supplier_revenue", "profit_by_nation_year",
-    "waiting_suppliers", "set_ops_nations",
-    # (e) oldest r7-era rows, current driver order (first 23)
-    "ppl_where_stats", "ppl_top_sources", "ppl_rare_langs",
-    "ppl_eval_fields", "ppl_dedup_rename", "ppl_parse_stats",
-    "ppl_span_histogram", "ppl_eventstats_share",
-    "ppl_trendline_daily", "ppl_join_segment", "ppl_lookup_nation",
-    "ppl_in_like", "ppl_grok_stats", "ppl_patterns_template",
-    "ppl_eval_strings", "ppl_span_15m", "dsl_bool_filtered_terms",
-    "dsl_should_hits", "dsl_date_histogram", "dsl_value_histogram",
-    "dsl_range_buckets", "dsl_filters_named", "dsl_nested_day_type",
+    # (a) implementation changed this ROUND-15 optimization round —
+    # re-certify through the driver's oracle gate, riskiest rewrites
+    # first (numpy candidate/verify passes, sink job-count cuts,
+    # shared-substrate memos; every one is value-identical by parity
+    # at sf0.001/0.01/0.1 locally — this window makes the DRIVER
+    # confirm it)
+    "dedup_embedding_srp",        # numpy popcount cands + pair dots
+    "dedup_semantic_keep",        # cluster-local numpy pair dots
+    "dedup_lsh_capped",           # lazy banded shape (r14 regression)
+    "engine_rollup_metrics",      # aux one-exchange + probe skip
+    "engine_rollup_search",       # same aux path + coarser re-agg
+    "engine_rollup_two_dim",      # same, multi-dimension
+    "engine_search_mirror",       # first-commit observe() high-water
+    "dedup_span_trim_stream",     # overlapped per-batch writes
+    "dedup_semantic_stream",      # overlapped per-batch writes
+    "search_eval_metrics",        # legs memo + factored fusion
+    "quality_kneser_ney",         # pinned pairs/types relations
+    "dedup_span_doc_stats",       # shared maximal-span frame
+    "dedup_ngram_jaccard",        # memoized truth set
+    "search_rank_rbo",            # legs memo
+    "quality_ccnet_buckets",      # pinned bigram relation
+    # (b) verbatim output of
+    #   python3 tools/staleness.py --emit 35 --exclude <the 15 above>
+    # — never-checked first (none left), then ascending latest-green
+    # round (r7-era rows next)
+    "dsl_top_hits_by_type", "dsl_composite_after", "dsl_knn_query",
+    "dsl_search_after", "dsl_range_metrics", "dsl_week_histogram",
+    "dsl_terms_ordered", "qs_term_conjunction", "qs_spaced_comparison",
+    "qs_wildcard_terms", "qs_grouped_ranges", "qs_free_text",
+    "ann_pq_adc_topk", "ann_pq_rerank_topk", "stratified_split",
+    "source_overlap_matrix", "ts_interpolate_linear",
+    "ts_calendar_heatmap", "ts_ewma", "ts_downsample_lttb",
+    "ts_time_weighted_avg", "ts_state_agg", "bucket_correlation_agg",
+    "ts_seasonal_profile", "important_part_value",
+    "analyzer_custom_chain", "analyzer_edge_ngram_prefix",
+    "window_percent_rank", "fuzzy_name_join", "ppl_ad_zscore",
+    "ppl_dispersion_stats", "dsl_composite_desc", "dsl_nested_ordered",
+    "dsl_filters_metrics", "embedding_centroids",
 ]
 
-# Window accounting: (a)=10, (b)=1, (c)=4, (d)=12, (e)=23 — exactly 50.
-# The round-15 queue continues from tools/staleness.py output after
-# these 50 land in CORRECTNESS_r14 (next up: the remaining r7-era
-# rows, dsl_top_hits_by_type onward).
+# Window accounting: (a)=15, (b)=35 — exactly 50. The round-16 queue
+# continues from tools/staleness.py output after these land in
+# CORRECTNESS_r15.
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -244,8 +244,21 @@ def test_bucket_cap_bounds_hot_band_explosion(spark):
     assert {(r["id_a"], r["id_b"]) for r in mat.collect()} == {
         (r["id_a"], r["id_b"]) for r in uncapped.collect()
     }
-    assert "ExistingRDD" not in uncapped._jdf.queryExecution().executedPlan().toString()
-    assert "ExistingRDD" in mat._jdf.queryExecution().executedPlan().toString()
+
+    # plan-shape: only the materialized form pins the BANDED relation
+    # (a LogicalRDD carrying the band key columns); the default stays
+    # lazy. Checked on the analyzed LOGICAL plan — the executed plan's
+    # ExistingRDD scans also cover the createDataFrame source, which
+    # made a physical-plan string test order-dependent under AQE.
+    def _has_banded_rdd(df) -> bool:
+        plan = df._jdf.queryExecution().analyzed().toString()
+        return any(
+            "LogicalRDD" in line and "band#" in line
+            for line in plan.splitlines()
+        )
+
+    assert not _has_banded_rdd(uncapped)
+    assert _has_banded_rdd(mat)
 
 
 def test_duplicate_window_spans_planted(spark):
